@@ -1,0 +1,259 @@
+"""Schema parsing: HCL document -> QuerySpec dataclasses.
+
+Mirrors the three-phase decode of /root/reference/dsl/schema.go:381-479:
+  (a) top-level attrs + ``variables`` evaluated with functions + ``now``;
+  (b) ``loop`` expansion re-binding ``item`` per element (dsl/schema.go:427-442);
+  (c) ABI files loaded and attached per contract / global event
+      (dsl/schema.go:446-476).
+Validation rules ported from Validate (dsl/schema.go:213-250).
+
+Unlike apollo, transform/filter/save bodies are NOT re-decoded per row — they
+are kept as AST and compiled once into Catalyst expressions (pipeline.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+from apollo_spark.abi import Abi
+from apollo_spark.dsl.ast import Block, Body, Node
+from apollo_spark.dsl.compiler import eval_const
+from apollo_spark.dsl.functions import now_epoch
+from apollo_spark.dsl.parser import parse_document
+
+CHAINS = ("ethereum", "avax", "arbitrum", "optimism", "polygon", "fantom")
+
+
+class SchemaError(ValueError):
+    pass
+
+
+@dataclass
+class MethodSpec:
+    name: str
+    inputs: dict[str, Any] = field(default_factory=dict)  # constant args
+    outputs: list[str] = field(default_factory=list)
+    block_offset: int = 0  # event-attached calls at block+offset (dsl/schema.go:300-302)
+
+
+@dataclass
+class EventSpec:
+    name: str
+    outputs: list[str] = field(default_factory=list)
+    abi_name: str | None = None  # set for standalone/global events
+    methods: list[MethodSpec] = field(default_factory=list)  # event-attached (events.go:93-104)
+    transform: Body | None = None  # global events carry their own transform
+    abi: Abi | None = None
+
+
+@dataclass
+class ContractSpec:
+    address: str
+    abi_name: str
+    events: list[EventSpec] = field(default_factory=list)
+    methods: list[MethodSpec] = field(default_factory=list)
+    transform: Body | None = None  # contract-level transform (dsl/schema.go:94)
+    abi: Abi | None = None
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    chain: str
+    contracts: list[ContractSpec] = field(default_factory=list)
+    global_events: list[EventSpec] = field(default_factory=list)
+    filters: list[Node] = field(default_factory=list)
+    save: Body | None = None
+    start_block: int | None = None
+    end_block: int | None = None
+    block_interval: int | None = None
+    time_interval: int | None = None
+    # v2 extension: run over an already-decoded landed table (no EVM source)
+    source_table: str | None = None
+    # contract-level transform for table queries lives at query level too (v2)
+    transform: Body | None = None
+    # loop binding that produced this query (None outside loops)
+    item: Any = None
+
+    @property
+    def has_contract_events(self) -> bool:
+        return any(c.events for c in self.contracts)
+
+    @property
+    def has_contract_methods(self) -> bool:
+        return any(c.methods for c in self.contracts)
+
+    @property
+    def has_global_events(self) -> bool:
+        return bool(self.global_events)
+
+
+@dataclass
+class Schema:
+    queries: list[QuerySpec]
+    variables: dict[str, Any] = field(default_factory=dict)
+    start_time: int | None = None  # epoch seconds (resolved at parse)
+    end_time: int | None = None
+
+    def validate(self, realtime: bool = False) -> None:
+        """Cross-field rules ported from Validate (dsl/schema.go:213-250)."""
+        for q in self.queries:
+            if q.chain not in CHAINS:
+                raise SchemaError(f"query {q.name}: unknown chain {q.chain!r}")
+            if q.has_contract_methods:
+                if realtime and q.time_interval is None and q.block_interval is None:
+                    raise SchemaError(f"query {q.name}: realtime methods need time_interval or block_interval")
+                if not realtime:
+                    has_range = (q.start_block is not None and q.end_block is not None) or (
+                        self.start_time is not None and self.end_time is not None
+                    )
+                    if not has_range or (q.block_interval is None and q.time_interval is None):
+                        raise SchemaError(
+                            f"query {q.name}: historical methods need start/end (block or time) and an interval"
+                        )
+            if (q.has_contract_events or q.has_global_events) and not realtime:
+                if q.block_interval is not None or q.time_interval is not None:
+                    raise SchemaError(f"query {q.name}: historical events must not set an interval")
+
+
+# ------------------------------------------------------------------- parsing
+
+
+def _const(body: Body, name: str, env: dict[str, Any], default: Any = None) -> Any:
+    e = body.attr(name)
+    return eval_const(e, env) if e is not None else default
+
+
+def _parse_method(block: Block, env: dict[str, Any]) -> MethodSpec:
+    b = block.body
+    inputs: dict[str, Any] = {}
+    inputs_expr = b.attr("inputs")
+    if inputs_expr is not None:
+        inputs = dict(eval_const(inputs_expr, env))
+    return MethodSpec(
+        name=block.labels[0] if block.labels else str(_const(b, "name", env)),
+        inputs=inputs,
+        outputs=list(_const(b, "outputs", env, []) or []),
+        block_offset=int(_const(b, "block_offset", env, 0) or 0),
+    )
+
+
+def _parse_event(block: Block, env: dict[str, Any], *, standalone: bool) -> EventSpec:
+    b = block.body
+    transform_blocks = b.blocks_of("transform")
+    return EventSpec(
+        name=block.labels[0] if block.labels else str(_const(b, "name", env)),
+        outputs=list(_const(b, "outputs", env, []) or []),
+        abi_name=str(_const(b, "abi", env)) if (standalone or b.attr("abi") is not None) else None,
+        methods=[_parse_method(mb, env) for mb in b.blocks_of("method")],
+        transform=transform_blocks[0].body if transform_blocks else None,
+    )
+
+
+def _parse_contract(block: Block, env: dict[str, Any]) -> ContractSpec:
+    b = block.body
+    address = block.labels[0] if block.labels else str(_const(b, "address", env))
+    transform_blocks = b.blocks_of("transform")
+    return ContractSpec(
+        address=address.lower(),
+        abi_name=str(_const(b, "abi", env)),
+        events=[_parse_event(eb, env, standalone=False) for eb in b.blocks_of("event")],
+        methods=[_parse_method(mb, env) for mb in b.blocks_of("method")],
+        transform=transform_blocks[0].body if transform_blocks else None,
+    )
+
+
+def _parse_query(block: Block, env: dict[str, Any], item: Any = None) -> QuerySpec:
+    b = block.body
+    name = block.labels[0] if block.labels else str(_const(b, "name", env))
+    save_blocks = b.blocks_of("save")
+    filters_expr = b.attr("filter")
+    filters: list[Node] = []
+    if filters_expr is not None:
+        from apollo_spark.dsl.ast import ListExpr
+
+        if not isinstance(filters_expr, ListExpr):
+            raise SchemaError(f"query {name}: filter must be a list of boolean expressions")
+        filters = list(filters_expr.items)
+
+    def opt_int(attr: str) -> int | None:
+        v = _const(b, attr, env)
+        return int(v) if v is not None else None
+
+    transform_blocks = b.blocks_of("transform")
+    return QuerySpec(
+        name=name,
+        chain=str(_const(b, "chain", env)),
+        contracts=[_parse_contract(cb, env) for cb in b.blocks_of("contract")],
+        global_events=[_parse_event(eb, env, standalone=True) for eb in b.blocks_of("event")],
+        filters=filters,
+        save=save_blocks[0].body if save_blocks else None,
+        start_block=opt_int("start_block"),
+        end_block=opt_int("end_block"),
+        block_interval=opt_int("block_interval"),
+        time_interval=opt_int("time_interval"),
+        source_table=(str(_const(b, "source_table", env)) if b.attr("source_table") is not None else None),
+        transform=transform_blocks[0].body if transform_blocks else None,
+        item=item,
+    )
+
+
+def parse_schema(src: str, confdir: str | Path | None = None) -> Schema:
+    doc = parse_document(src)
+    env: dict[str, Any] = {"now": now_epoch()}
+
+    # phase (a): top-level variables (may call functions — dsl/schema.go:399-408)
+    vars_expr = doc.attr("variables")
+    variables: dict[str, Any] = {}
+    if vars_expr is not None:
+        variables = dict(eval_const(vars_expr, env))
+    env.update(variables)
+
+    start_time = _const(doc, "start_time", env)
+    end_time = _const(doc, "end_time", env)
+
+    # phase (b): query blocks + loop expansion (dsl/schema.go:427-442)
+    queries: list[QuerySpec] = []
+    for qb in doc.blocks_of("query"):
+        queries.append(_parse_query(qb, env))
+    for lb in doc.blocks_of("loop"):
+        items_expr = lb.body.attr("items")
+        if items_expr is None:
+            raise SchemaError("loop block requires items")
+        items = eval_const(items_expr, env)
+        for item in items:
+            item_env = dict(env)
+            item_env["item"] = item
+            for qb in lb.body.blocks_of("query"):
+                queries.append(_parse_query(qb, item_env, item=item))
+
+    # phase (c): attach ABIs (dsl/schema.go:446-476)
+    if confdir is not None:
+        confdir = Path(confdir)
+        cache: dict[str, Abi] = {}
+
+        def load(name: str) -> Abi:
+            if name not in cache:
+                cache[name] = Abi.from_file(confdir / name)
+            return cache[name]
+
+        for q in queries:
+            for c in q.contracts:
+                c.abi = load(c.abi_name)
+            for ev in q.global_events:
+                if ev.abi_name:
+                    ev.abi = load(ev.abi_name)
+
+    return Schema(
+        queries=queries,
+        variables=variables,
+        start_time=int(start_time) if start_time is not None else None,
+        end_time=int(end_time) if end_time is not None else None,
+    )
+
+
+def parse_schema_file(path: str | Path) -> Schema:
+    path = Path(path)
+    return parse_schema(path.read_text(), confdir=path.parent)

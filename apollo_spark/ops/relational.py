@@ -1,0 +1,102 @@
+"""Relational operators Spark lacks as single calls, built shuffle-consciously.
+
+The reference has no joins at all (SURVEY §2.7); these exist for (a) the
+pipeline's balance/token_balance enrichment (as-of lookup on a point-in-time
+table, replacing per-row RPC at /root/reference/chainservice/chainservice.go:
+244-291) and (b) the general analytics surface the north-star requires.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    suffix: str = "",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` (backward; forward = earliest >=) matching the
+    equi-keys.
+
+    Scale design: implemented as union + window (one shuffle on ``on``,
+    linear in |L|+|R|) instead of a non-equi join + aggregation (which
+    explodes to |L|x|R| per key before reducing). This is the classic
+    skew-safe formulation; at 1000 executors the only hotspot is a genuinely
+    hot key, which AQE skew-split handles since the window partitions by key.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    value_cols = list(value_cols) if value_cols is not None else [c for c in right.columns if c not in on and c != right_ts]
+    on = list(on)
+
+    payload = F.struct(*[F.col(c) for c in value_cols], F.col(right_ts).cast("long").alias("__asof_ts"))
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).cast("long").alias("__ts"),
+        payload.alias("__payload"),
+        F.lit(0).alias("__side"),
+    )
+    l = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).cast("long").alias("__ts"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
+    )
+    r = r.withColumn("__row", F.lit(None).cast(l.schema["__row"].dataType))
+    unioned = l.select(*on, "__ts", "__payload", "__side", "__row").unionByName(
+        r.select(*on, "__ts", "__payload", "__side", "__row")
+    )
+    if direction == "backward":
+        # right rows sort before left rows at equal ts -> inclusive match
+        w = Window.partitionBy(*on).orderBy(F.col("__ts").asc(), F.col("__side").asc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        filled = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    else:
+        w = Window.partitionBy(*on).orderBy(F.col("__ts").desc(), F.col("__side").asc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        filled = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    out = filled.filter(F.col("__side") == 1).select(
+        *[F.col("__row")[c].alias(c) for c in left.columns],
+        *[F.col("__match")[c].alias(c + suffix) for c in value_cols],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_point: str | Column,
+    right_lo: str | Column,
+    right_hi: str | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join with equi-key prefix so Catalyst gets a hash
+    join + residual range predicate rather than a pure cartesian."""
+    lp = F.col(left_point) if isinstance(left_point, str) else left_point
+    lo = F.col(right_lo) if isinstance(right_lo, str) else right_lo
+    hi = F.col(right_hi) if isinstance(right_hi, str) else right_hi
+    cond = (lp >= lo) & (lp < hi)
+    for k in on:
+        cond = cond & (left[k] == right[k])
+    return left.join(right, cond, how)
+
+
+def top_k(df: DataFrame, partition_by: Sequence[str], order_by: Sequence[Column], k: int) -> DataFrame:
+    """Per-group top-k via row_number window (map-side partial sort; one
+    shuffle on the group key)."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn("__rank", F.row_number().over(w)).filter(F.col("__rank") <= k).drop("__rank")

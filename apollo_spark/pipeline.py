@@ -1,0 +1,363 @@
+"""Pipeline compiler: QuerySpec -> DataFrame.
+
+The Spark realization of apollo's per-row eval loop
+(/root/reference/main.go:173-193, dsl/schema.go:174-211): one declarative
+plan per query —
+
+    source (logs decode | method grid | landed table)
+      -> withColumns(transform)        EvalTransforms, dsl/schema.go:87-127
+      -> filter(AND(filters))          EvalFilter,     dsl/schema.go:131-164
+      -> select(save aliases)          save decode,    dsl/schema.go:203-206
+
+Catalyst then collapses the projections, pushes the filter into the scan, and
+runs the whole tail in whole-stage codegen — the row loop disappears.
+
+Scoping matches the reference: each (contract | global event) gets its own
+transform environment (identifier scoping, dsl/schema.go:94,112); filters and
+save see context vars + that scope's transform vars + query ``variables``.
+Multi-contract / multi-event queries become a unionByName of per-scope plans
+(same shape by construction — one save block per query).
+
+``balance()`` / ``token_balance()`` enrichments compile to as-of joins
+against landed ``balances`` (+ broadcast ``token_metadata``) tables — the
+scale-correct replacement for per-row ``eth_getBalance`` RPC
+(chainservice/chainservice.go:244-291).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apollo_spark.dsl.ast import Body
+from apollo_spark.dsl.compiler import CompilerContext, Enrichment, ExpressionCompiler
+from apollo_spark.dsl.schema import ContractSpec, EventSpec, QuerySpec, Schema
+from apollo_spark.ops.relational import asof_join
+from apollo_spark.sources.calls import ClientFactory, method_call_source
+from apollo_spark.sources.logs import decoded_event_source
+from apollo_spark.sources.tables import Catalog
+
+
+class PipelineError(ValueError):
+    pass
+
+
+@dataclass
+class PipelineOptions:
+    realtime: bool = False
+    rate_limit: float | None = None
+    client_factory: ClientFactory | None = None
+
+
+def _scope_env(df: DataFrame, variables: dict[str, Any], chain: str | None) -> dict[str, Any]:
+    """Context vars (GenerateContextVars, dsl/schema.go:485-521): every source
+    column by name, plus ``blocknumber`` aliasing block_number."""
+    env: dict[str, Any] = {c: F.col(c) for c in df.columns}
+    if "block_number" in df.columns:
+        env["blocknumber"] = F.col("block_number")
+    if chain is not None:
+        env["chain"] = F.lit(chain)
+    env.update(variables)
+    return env
+
+
+def _apply_enrichments(df: DataFrame, enrichments: list[Enrichment], catalog: Catalog) -> DataFrame:
+    for e in enrichments:
+        if e.func == "balance":
+            if not catalog.has("balances"):
+                raise PipelineError("balance() needs a landed 'balances' table")
+            balances = catalog.table("balances").filter(F.col("token_address").isNull())
+            addr = e.args[0] if isinstance(e.args[0], Column) else F.lit(e.args[0])
+            df = df.withColumn("__addr", addr)
+            joined = asof_join(
+                df,
+                balances.select(
+                    F.col("chain"),
+                    F.col("address").alias("__addr"),
+                    F.col("block_number").alias("__bal_block"),
+                    F.col("raw_balance"),
+                ),
+                on=["chain", "__addr"],
+                left_ts="block_number",
+                right_ts="__bal_block",
+                value_cols=["raw_balance"],
+            )
+            # native balance scaled /1e18 -> float64 (chainservice.go:254-258)
+            df = joined.withColumn(e.placeholder, F.col("raw_balance").cast("double") / F.lit(1e18)).drop(
+                "raw_balance", "__addr"
+            )
+        elif e.func == "token_balance":
+            if not (catalog.has("balances") and catalog.has("token_metadata")):
+                raise PipelineError("token_balance() needs landed 'balances' + 'token_metadata' tables")
+            addr = e.args[0] if isinstance(e.args[0], Column) else F.lit(e.args[0])
+            token = e.args[1] if isinstance(e.args[1], Column) else F.lit(e.args[1])
+            df = df.withColumn("__addr", addr).withColumn("__token", token)
+            balances = catalog.table("balances").filter(F.col("token_address").isNotNull())
+            joined = asof_join(
+                df,
+                balances.select(
+                    F.col("chain"),
+                    F.col("address").alias("__addr"),
+                    F.col("token_address").alias("__token"),
+                    F.col("block_number").alias("__bal_block"),
+                    F.col("raw_balance"),
+                ),
+                on=["chain", "__addr", "__token"],
+                left_ts="block_number",
+                right_ts="__bal_block",
+                value_cols=["raw_balance"],
+            )
+            # scaled by the token's decimals() — immutable-call cache becomes
+            # a broadcast dim join (cached_client.go:59-70 -> SURVEY §4)
+            meta = catalog.table("token_metadata").select(
+                F.col("chain").alias("__m_chain"),
+                F.col("token_address").alias("__m_token"),
+                F.col("decimals").alias("__m_decimals"),
+            )
+            joined = joined.join(
+                F.broadcast(meta),
+                (joined["chain"] == meta["__m_chain"]) & (joined["__token"] == meta["__m_token"]),
+                "left",
+            )
+            df = joined.withColumn(
+                e.placeholder,
+                F.col("raw_balance").cast("double") / F.pow(F.lit(10.0), F.coalesce(F.col("__m_decimals"), F.lit(18)).cast("double")),
+            ).drop("raw_balance", "__addr", "__token", "__m_chain", "__m_token", "__m_decimals")
+        else:
+            raise PipelineError(f"unknown enrichment {e.func}")
+    return df
+
+
+def _eval_tail(
+    df: DataFrame,
+    *,
+    transform: Body | None,
+    filters: list,
+    save: Body | None,
+    variables: dict[str, Any],
+    chain: str | None,
+    catalog: Catalog,
+) -> DataFrame:
+    """transform -> filter -> save over an already-decoded source frame."""
+    env = _scope_env(df, variables, chain)
+    ctx = CompilerContext(env=env)
+    compiler = ExpressionCompiler(ctx)
+
+    transform_cols: dict[str, Column] = {}
+    if transform is not None:
+        for name, attr in transform.attributes.items():
+            col = compiler.compile(attr.expr)
+            transform_cols[name] = col
+            env[name] = col  # later transforms/filters/save may reference it
+
+    filter_col: Column | None = None
+    if filters:
+        preds = [compiler.compile(fexpr) for fexpr in filters]
+        filter_col = reduce(lambda a, b: a & b, preds)
+
+    save_cols: list[Column] = []
+    if save is not None:
+        for name, attr in save.attributes.items():
+            save_cols.append(compiler.compile(attr.expr).alias(name))
+
+    df = _apply_enrichments(df, ctx.enrichments, catalog)
+    if transform_cols:
+        df = df.withColumns(transform_cols)
+    if filter_col is not None:
+        df = df.filter(filter_col)
+    if save_cols:
+        df = df.select(*save_cols)
+    elif transform_cols:
+        # no save block: emit context + transform vars (diagnostic parity
+        # with apollo, which requires save for sink output)
+        pass
+    return df
+
+
+def _contract_event_frame(
+    spark: SparkSession,
+    catalog: Catalog,
+    query: QuerySpec,
+    contract: ContractSpec,
+    event: EventSpec,
+    schema: Schema,
+) -> DataFrame:
+    logs = catalog.table("logs")
+    blocks = catalog.table("blocks") if catalog.has("blocks") else None
+    abi = contract.abi
+    if abi is None:
+        raise PipelineError(f"contract {contract.address}: ABI not loaded")
+    if event.name not in abi.events:
+        raise PipelineError(f"event {event.name} not in ABI {contract.abi_name}")
+    df = decoded_event_source(
+        logs,
+        abi.events[event.name],
+        chain=query.chain,
+        address=contract.address,
+        from_block=query.start_block,
+        to_block=query.end_block,
+        outputs=event.outputs or None,
+        blocks=blocks,
+    )
+    # event-attached method calls (S7, events.go:93-104): enrichment join on
+    # (contract, block_number + offset) against the landed method-result table
+    for m in event.methods:
+        if not catalog.has("method_results"):
+            raise PipelineError("event-attached methods need a landed 'method_results' table")
+        mr = catalog.table("method_results")
+        wanted = m.outputs or [c for c in mr.columns if c not in ("chain", "contract_address", "block_number")]
+        mr = mr.select(
+            F.col("chain").alias("__m_chain"),
+            F.col("contract_address").alias("__m_addr"),
+            F.col("block_number").alias("__m_block"),
+            *[F.col(c) for c in wanted],
+        )
+        df = df.join(
+            mr,
+            (df["chain"] == mr["__m_chain"])
+            & (df["contract_address"] == mr["__m_addr"])
+            & (mr["__m_block"] == df["block_number"] + m.block_offset),
+            "inner",
+        ).drop("__m_chain", "__m_addr", "__m_block")
+    return df
+
+
+def compile_query(
+    spark: SparkSession,
+    catalog: Catalog,
+    query: QuerySpec,
+    schema: Schema,
+    options: PipelineOptions | None = None,
+) -> DataFrame:
+    """Compile one QuerySpec into its result DataFrame."""
+    options = options or PipelineOptions()
+    variables = dict(schema.variables)
+    if query.item is not None:
+        variables.setdefault("item", query.item)
+    frames: list[DataFrame] = []
+
+    if query.source_table is not None:
+        # v2 table query: already-decoded rows; transform at query level
+        df = catalog.table(query.source_table)
+        frames.append(
+            _eval_tail(
+                df,
+                transform=query.transform,
+                filters=query.filters,
+                save=query.save,
+                variables=variables,
+                chain=None,
+                catalog=catalog,
+            )
+        )
+    for contract in query.contracts:
+        for event in contract.events:
+            df = _contract_event_frame(spark, catalog, query, contract, event, schema)
+            frames.append(
+                _eval_tail(
+                    df,
+                    transform=contract.transform,
+                    filters=query.filters,
+                    save=query.save,
+                    variables=variables,
+                    chain=query.chain,
+                    catalog=catalog,
+                )
+            )
+        if contract.methods:
+            if options.client_factory is not None:
+                if query.start_block is None or query.end_block is None or query.block_interval is None:
+                    raise PipelineError(f"query {query.name}: method calls need block range + interval")
+                df = method_call_source(
+                    spark,
+                    contract,
+                    chain=query.chain,
+                    start_block=query.start_block,
+                    end_block=query.end_block,
+                    interval=query.block_interval,
+                    client_factory=options.client_factory,
+                    rate_limit=options.rate_limit,
+                )
+            elif catalog.has("method_results"):
+                df = catalog.table("method_results").filter(
+                    (F.col("chain") == query.chain) & (F.col("contract_address") == contract.address)
+                )
+                if query.start_block is not None:
+                    df = df.filter(F.col("block_number") >= query.start_block)
+                if query.end_block is not None:
+                    df = df.filter(F.col("block_number") <= query.end_block)
+                if query.block_interval:
+                    df = df.filter((F.col("block_number") - (query.start_block or 0)) % query.block_interval == 0)
+            else:
+                raise PipelineError(f"query {query.name}: no RPC client and no landed method_results table")
+            if catalog.has("blocks") and "timestamp" not in df.columns:
+                hdr = catalog.table("blocks").select(
+                    F.col("chain").alias("__b_chain"),
+                    F.col("block_number").alias("__b_number"),
+                    "timestamp",
+                )
+                df = df.join(
+                    F.broadcast(hdr),
+                    (df["chain"] == hdr["__b_chain"]) & (df["block_number"] == hdr["__b_number"]),
+                    "left",
+                ).drop("__b_chain", "__b_number")
+            frames.append(
+                _eval_tail(
+                    df,
+                    transform=contract.transform,
+                    filters=query.filters,
+                    save=query.save,
+                    variables=variables,
+                    chain=query.chain,
+                    catalog=catalog,
+                )
+            )
+    for event in query.global_events:
+        # global events: address-unfiltered scan (events.go:121-216)
+        abi = event.abi
+        if abi is None or event.name not in abi.events:
+            raise PipelineError(f"global event {event.name}: ABI missing")
+        df = decoded_event_source(
+            catalog.table("logs"),
+            abi.events[event.name],
+            chain=query.chain,
+            address=None,
+            from_block=query.start_block,
+            to_block=query.end_block,
+            outputs=event.outputs or None,
+            blocks=catalog.table("blocks") if catalog.has("blocks") else None,
+        )
+        frames.append(
+            _eval_tail(
+                df,
+                transform=event.transform,
+                filters=query.filters,
+                save=query.save,
+                variables=variables,
+                chain=query.chain,
+                catalog=catalog,
+            )
+        )
+
+    if not frames:
+        raise PipelineError(f"query {query.name}: no sources")
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def compile_schema(
+    spark: SparkSession,
+    catalog: Catalog,
+    schema: Schema,
+    options: PipelineOptions | None = None,
+) -> dict[str, DataFrame]:
+    """All queries; loop-expanded queries with the same name are unioned
+    (Q2/Q3 semantics: one output table per query name)."""
+    out: dict[str, DataFrame] = {}
+    for q in schema.queries:
+        df = compile_query(spark, catalog, q, schema, options)
+        out[q.name] = out[q.name].unionByName(df) if q.name in out else df
+    return out

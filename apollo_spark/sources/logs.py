@@ -1,0 +1,149 @@
+"""EVM event source: raw ``logs`` table -> decoded, typed event DataFrame.
+
+Spark-first realization of FilterEvents / FilterGlobalEvents / HandleLog
+(/root/reference/chainservice/events.go:23-216,410-484):
+
+* address + topic0 + block-range selection is a DataFrame filter — Catalyst
+  pushes it into the parquet scan (the moral equivalent of apollo's
+  server-side ``eth_getLogs`` filter, events.go:65,158).
+* ABI decode runs in one Arrow-batched ``mapInPandas`` pass (the only Python
+  in the plan; everything downstream is codegen'd Columns).
+* block timestamps come from a broadcast join with the ``blocks`` table
+  instead of apollo's per-log ``HeaderByNumber`` RPC (events.go:425) — one
+  shuffle-free hash join vs N network calls.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from apollo_spark.abi import AbiEvent, decode_log
+
+# Fixed context columns every decoded event row carries
+# (types.CallResult, /root/reference/types/types.go:39-58).
+CONTEXT_FIELDS = [
+    ("chain", T.StringType()),
+    ("contract_address", T.StringType()),
+    ("block_number", T.LongType()),
+    ("block_hash", T.StringType()),
+    ("tx_hash", T.StringType()),
+    ("tx_index", T.IntegerType()),
+    ("event_name", T.StringType()),
+]
+
+
+def abi_type_to_spark(abi_type: str) -> T.DataType:
+    """ABI -> Spark type policy (SURVEY §1.2): integers as Decimal(38,0)
+    (uint256 escape hatch = string), addresses/hashes/bytes as string."""
+    if abi_type.endswith("[]"):
+        return T.ArrayType(abi_type_to_spark(abi_type[:-2]))
+    if abi_type.startswith(("uint", "int")):
+        return T.DecimalType(38, 0)
+    if abi_type == "bool":
+        return T.BooleanType()
+    return T.StringType()  # address, bytesN, bytes, string
+
+
+def event_output_schema(event: AbiEvent, outputs: list[str] | None = None) -> T.StructType:
+    fields = [T.StructField(n, t) for n, t in CONTEXT_FIELDS]
+    wanted = set(outputs) if outputs else None
+    for p in event.inputs:
+        if wanted is None or p.name in wanted:
+            fields.append(T.StructField(p.name, abi_type_to_spark(p.type)))
+    return T.StructType(fields)
+
+
+def _coerce(value, spark_type: T.DataType):
+    if isinstance(spark_type, T.DecimalType) and value is not None:
+        return Decimal(value)
+    return value
+
+
+def decoded_event_source(
+    logs: DataFrame,
+    event: AbiEvent,
+    *,
+    chain: str | None = None,
+    address: str | None = None,
+    from_block: int | None = None,
+    to_block: int | None = None,
+    outputs: list[str] | None = None,
+    blocks: DataFrame | None = None,
+) -> DataFrame:
+    """Select + decode logs for one event shape.
+
+    ``address=None`` is the global-event path (events.go:121-216): any
+    contract emitting the signature. Returns context columns + one typed
+    column per requested output; malformed rows are dropped with HandleLog's
+    exact rules (empty data, missing indexed topics, undecodable payload even
+    after the 32-byte left-pad retry — events.go:410-484).
+    """
+    topic0 = event.topic0
+    df = logs.filter(F.col("topics")[0] == topic0)
+    if chain is not None:
+        df = df.filter(F.col("chain") == chain)
+    if address is not None:
+        df = df.filter(F.col("address") == address.lower())
+    if from_block is not None:
+        df = df.filter(F.col("block_number") >= from_block)
+    if to_block is not None:
+        df = df.filter(F.col("block_number") <= to_block)
+    # malformed-row fast path (F3): empty data / missing topics dropped before
+    # the Python stage so the UDF sees less data
+    n_indexed = len(event.indexed_inputs)
+    df = df.filter(F.length("data") > 0).filter(F.size("topics") > n_indexed)
+
+    schema = event_output_schema(event, outputs)
+    out_params = [f.name for f in schema.fields[len(CONTEXT_FIELDS) :]]
+    out_types = {f.name: f.dataType for f in schema.fields}
+    ev = event  # close over the plan-time constant; topic0 already applied
+
+    in_cols = ["chain", "address", "block_number", "block_hash", "tx_hash", "tx_index", "topics", "data"]
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                data = bytes(r.data) if r.data is not None else b""
+                decoded = decode_log(ev, list(r.topics), data)
+                if decoded is None:
+                    continue
+                row = {
+                    "chain": r.chain,
+                    "contract_address": r.address,
+                    "block_number": r.block_number,
+                    "block_hash": r.block_hash,
+                    "tx_hash": r.tx_hash,
+                    "tx_index": r.tx_index,
+                    "event_name": ev.name,
+                }
+                for name in out_params:
+                    row[name] = _coerce(decoded.get(name), out_types[name])
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    decoded = df.select(*in_cols).mapInPandas(decode_batches, schema=schema)
+
+    if blocks is not None:
+        # timestamp via broadcast join to block headers (replaces per-row
+        # HeaderByNumber, events.go:425; strictly better per SURVEY §4)
+        hdr = blocks.select(
+            F.col("chain").alias("__b_chain"),
+            F.col("block_number").alias("__b_number"),
+            F.col("timestamp").alias("timestamp"),
+        )
+        decoded = decoded.join(
+            F.broadcast(hdr),
+            (decoded["chain"] == hdr["__b_chain"]) & (decoded["block_number"] == hdr["__b_number"]),
+            "left",
+        ).drop("__b_chain", "__b_number")
+    else:
+        decoded = decoded.withColumn("timestamp", F.lit(None).cast("long"))
+    return decoded

@@ -1,0 +1,137 @@
+"""DSL tests: lexer/parser shapes, constant evaluation semantics
+(/root/reference/dsl/schema.go three-phase decode), Go date layouts, and
+Column compilation via a live Spark session."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from apollo_spark.dsl.ast import Binary, Call, Conditional, Literal, Template, Variable
+from apollo_spark.dsl.compiler import CompileError, compile_expr, eval_const
+from apollo_spark.dsl.functions import format_date_py, go_layout_to_java
+from apollo_spark.dsl.parser import parse_document, parse_expression
+from apollo_spark.dsl.schema import SchemaError, parse_schema, parse_schema_file
+
+
+def test_parse_expression_shapes():
+    e = parse_expression("a + b * 2 == 7 ? upper(name) : \"x${y}z\"")
+    assert isinstance(e, Conditional)
+    assert isinstance(e.cond, Binary) and e.cond.op == "=="
+    assert isinstance(e.then, Call) and e.then.func == "upper"
+    assert isinstance(e.otherwise, Template)
+
+
+def test_precedence():
+    # 1 + 2 * 3 -> 7 ; (1+2)*3 -> 9 ; unary minus binds tight
+    assert eval_const(parse_expression("1 + 2 * 3"), {}) == 7
+    assert eval_const(parse_expression("(1 + 2) * 3"), {}) == 9
+    assert eval_const(parse_expression("-2 * 3"), {}) == -6
+    assert eval_const(parse_expression("4 / 2 / 2"), {}) == 1.0
+    assert eval_const(parse_expression("1 < 2 && 3 > 2"), {}) is True
+    assert eval_const(parse_expression("!false || false"), {}) is True
+
+
+def test_template_and_object():
+    env = {"item": {"chain": "arbitrum", "n": 3}}
+    assert eval_const(parse_expression('"${item.chain}-x"'), env) == "arbitrum-x"
+    assert eval_const(parse_expression("item.n + 1"), env) == 4
+    obj = eval_const(parse_expression('{a = 1, b = "two"}'), {})
+    assert obj == {"a": 1, "b": "two"}
+    lst = eval_const(parse_expression('["a", "b"][1]'), {})
+    assert lst == "b"
+
+
+def test_const_functions():
+    assert eval_const(parse_expression('upper("eth_buy")'), {}) == "ETH_BUY"
+    assert eval_const(parse_expression("parse_decimals(1500000, 6)"), {}) == 1.5
+    assert eval_const(parse_expression("abs(0 - 5)"), {}) == 5
+
+
+def test_go_date_layout():
+    assert go_layout_to_java("02-01-2006 15:04") == "dd-MM-yyyy HH:mm"
+    assert go_layout_to_java("2006-01-02") == "yyyy-MM-dd"
+    # matches the reference example: 25-05-2022 12:00 UTC
+    assert format_date_py("02-01-2006 15:04", "25-05-2022 12:00") == 1653480000
+
+
+def test_parse_reference_example_schema():
+    src = Path("/root/reference/schema.example.hcl").read_text()
+    s = parse_schema(src, confdir="/root/reference/test")
+    assert s.variables == {"b": "ETH_BUY", "s": "ETH_SELL"}
+    assert s.start_time == 1653480000
+    q = s.queries[0]
+    assert q.name == "usdc_eth_swaps" and q.chain == "arbitrum"
+    assert q.contracts[0].events[0].name == "Swap"
+    assert list(q.save.attributes) == [
+        "timestamp", "block", "contract", "tx_hash", "swap_price", "direction", "size_in_udsc",
+    ]
+    s.validate()
+
+
+def test_parse_reference_loop_schema():
+    s = parse_schema_file("/root/reference/test/schema.hcl")
+    assert [(q.name, q.chain) for q in s.queries] == [("pairs_created", "ethereum"), ("pairs_created", "arbitrum")]
+    ev = s.queries[0].global_events[0]
+    assert ev.name == "PairCreated" and ev.abi is not None
+
+
+def test_validation_rules():
+    # historical events with an interval must fail (dsl/schema.go:213-250)
+    src = """
+query bad {
+  chain = "ethereum"
+  block_interval = 10
+  event Transfer { abi = "erc20.abi.json" outputs = ["value"] }
+  save { v = value }
+}
+"""
+    s = parse_schema(src, confdir="/root/reference/test")
+    with pytest.raises(SchemaError):
+        s.validate(realtime=False)
+    # unknown chain
+    s2 = parse_schema('query q { chain = "dogechain" \n save { a = 1 } }')
+    with pytest.raises(SchemaError):
+        s2.validate()
+
+
+def test_unknown_variable_and_function():
+    with pytest.raises(CompileError):
+        eval_const(parse_expression("nope + 1"), {})
+    with pytest.raises(CompileError):
+        eval_const(parse_expression("nope()"), {})
+
+
+def test_comments_and_newlines():
+    doc = parse_document(
+        """
+// line comment
+a = 1 # hash comment
+/* block
+   comment */
+b = "two"
+blk "lbl" {
+  c = a
+}
+"""
+    )
+    assert set(doc.attributes) == {"a", "b"}
+    assert doc.blocks[0].labels == ["lbl"]
+
+
+def test_column_compilation(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(2.0, 10, "abc"), (0.0, 4, "xyz")], "x double, y long, s string")
+    env = {c: F.col(c) for c in df.columns}
+    col = compile_expr(parse_expression('x != 0 ? y / x : 0 - 1'), env)
+    out = df.select(col.alias("r")).collect()
+    assert [r.r for r in out] == [5.0, -1.0]
+    col2 = compile_expr(parse_expression('upper(s)'), env)
+    assert [r[0] for r in df.select(col2).collect()] == ["ABC", "XYZ"]
+    col3 = compile_expr(parse_expression('"v=${y}"'), env)
+    assert [r[0] for r in df.select(col3).collect()] == ["v=10", "v=4"]
+    # parse_decimals: double division semantics (dsl/functions.go:33-42)
+    col4 = compile_expr(parse_expression("parse_decimals(y, 1)"), env)
+    assert [r[0] for r in df.select(col4).collect()] == [1.0, 0.4]
