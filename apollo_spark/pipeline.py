@@ -260,7 +260,7 @@ def compile_query(
             frames.append(
                 _eval_tail(
                     df,
-                    transform=contract.transform,
+                    transform=contract.transform or query.transform,
                     filters=query.filters,
                     save=query.save,
                     variables=variables,
@@ -308,7 +308,7 @@ def compile_query(
             frames.append(
                 _eval_tail(
                     df,
-                    transform=contract.transform,
+                    transform=contract.transform or query.transform,
                     filters=query.filters,
                     save=query.save,
                     variables=variables,
@@ -334,7 +334,7 @@ def compile_query(
         frames.append(
             _eval_tail(
                 df,
-                transform=event.transform,
+                transform=event.transform or query.transform,
                 filters=query.filters,
                 save=query.save,
                 variables=variables,

@@ -1,0 +1,369 @@
+"""End-to-end pipeline tests: reference schemas over deterministic fixtures,
+value-compared against DuckDB oracles (the project's correctness bar,
+BASELINE.md t2)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import duckdb
+import pytest
+
+from apollo_spark.dsl.schema import parse_schema
+from apollo_spark.pipeline import PipelineOptions, compile_query, compile_schema
+from apollo_spark.sources.tables import Catalog
+
+FLAGSHIP_SCHEMA = """
+variables = {
+  b = upper("eth_buy")
+  s = upper("eth_sell")
+}
+
+query usdc_eth_swaps {
+  chain = "arbitrum"
+  contract {
+    address = "0x905dfCD5649217c42684f23958568e533C711Aa3"
+    abi = "unipair.abi.json"
+    event Swap {
+      outputs = ["amount1In", "amount0Out", "amount0In", "amount1Out"]
+    }
+    transform {
+      usdc_sold = parse_decimals(amount1In, 6)
+      eth_sold = parse_decimals(amount0In, 18)
+      usdc_bought = parse_decimals(amount1Out, 6)
+      eth_bought = parse_decimals(amount0Out, 18)
+      buy = amount0Out != 0
+    }
+  }
+  filter = [
+    eth_bought != 0
+  ]
+  save {
+    timestamp = timestamp
+    block = blocknumber
+    contract = contract_address
+    tx_hash = tx_hash
+    swap_price = eth_bought != 0 ? (usdc_sold / eth_bought) : (usdc_bought / eth_sold)
+    direction = buy ? b : s
+    size_in_usdc = eth_bought != 0 ? usdc_sold : usdc_bought
+  }
+}
+"""
+
+ORACLE_FLAGSHIP = """
+SELECT timestamp,
+       block_number AS block,
+       contract_address AS contract,
+       tx_hash,
+       (CAST(amount1In AS DOUBLE) / 1e6) / (CAST(amount0Out AS DOUBLE) / 1e18) AS swap_price,
+       CASE WHEN CAST(amount0Out AS DOUBLE) <> 0 THEN 'ETH_BUY' ELSE 'ETH_SELL' END AS direction,
+       CAST(amount1In AS DOUBLE) / 1e6 AS size_in_usdc
+FROM swap_events
+WHERE contract_address = '0x905dfcd5649217c42684f23958568e533c711aa3'
+  AND CAST(amount0Out AS DOUBLE) / 1e18 <> 0
+"""
+
+
+def _duck(evm_dir: Path):
+    con = duckdb.connect()
+    for t in ("swap_events", "transfers", "blocks", "method_results", "balances", "token_metadata"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{evm_dir}/{t}.parquet'")
+    return con
+
+
+def assert_frames_match(spark_df, duck_rel, sort_cols, approx_cols=(), tol=1e-9):
+    import decimal
+
+    import numpy as np
+
+    sp = spark_df.toPandas().sort_values(sort_cols).reset_index(drop=True)
+    du = duck_rel.df().sort_values(sort_cols).reset_index(drop=True)
+    assert len(sp) == len(du), f"row count {len(sp)} vs oracle {len(du)}"
+    assert list(sp.columns) == list(du.columns), f"{list(sp.columns)} vs {list(du.columns)}"
+
+    def is_numericish(s):
+        if s.dtype.kind in "fiu":
+            return True
+        probe = s.dropna()
+        return len(probe) > 0 and isinstance(probe.iloc[0], decimal.Decimal)
+
+    for c in sp.columns:
+        a, b = sp[c], du[c]
+        if c in approx_cols or (is_numericish(a) and is_numericish(b)):
+            af = a.astype(float).to_numpy()
+            bf = b.astype(float).to_numpy()
+            rt = tol if c in approx_cols else 0.0
+            assert np.allclose(af, bf, rtol=rt, atol=0.0, equal_nan=True), f"column {c} differs"
+        else:
+            mism = (a.astype(str) != b.astype(str)).sum()
+            assert mism == 0, f"column {c}: {mism} mismatching values"
+
+
+def test_flagship_swaps_query_vs_oracle(spark, catalog, evm_dir):
+    schema = parse_schema(FLAGSHIP_SCHEMA, confdir="/root/reference/test")
+    schema.validate()
+    df = compile_query(spark, catalog, schema.queries[0], schema)
+    con = _duck(evm_dir)
+    assert_frames_match(
+        df,
+        con.sql(ORACLE_FLAGSHIP),
+        sort_cols=["tx_hash"],
+        approx_cols=("swap_price", "size_in_usdc"),
+    )
+    assert df.count() > 500  # flagship pair gets ~1/6 of 8k swaps, half are buys
+
+
+def test_decode_drops_malformed(spark, catalog, evm_dir):
+    """~2% of swap logs have empty data and must be dropped silently."""
+    from apollo_spark.abi import Abi
+    from apollo_spark.sources.logs import decoded_event_source
+
+    abi = Abi.from_file("/root/reference/test/unipair.abi.json")
+    df = decoded_event_source(catalog.table("logs"), abi.events["Swap"], chain="arbitrum")
+    con = _duck(evm_dir)
+    expected = con.sql("SELECT count(*) FROM swap_events").fetchone()[0]
+    assert df.count() == expected
+
+
+def test_decoded_values_match_golden(spark, catalog, evm_dir):
+    """Full decode path (topics+data -> typed columns) equals the golden
+    swap_events table, including timestamps from the blocks join."""
+    from apollo_spark.abi import Abi
+    from apollo_spark.sources.logs import decoded_event_source
+
+    abi = Abi.from_file("/root/reference/test/unipair.abi.json")
+    df = decoded_event_source(
+        catalog.table("logs"),
+        abi.events["Swap"],
+        chain="arbitrum",
+        outputs=["amount0In", "amount1In", "amount0Out", "amount1Out"],
+        blocks=catalog.table("blocks"),
+    ).select("tx_hash", "block_number", "timestamp", "contract_address", "amount0In", "amount1In", "amount0Out", "amount1Out")
+    con = _duck(evm_dir)
+    assert_frames_match(
+        df,
+        con.sql(
+            "SELECT tx_hash, block_number, timestamp, contract_address, amount0In, amount1In, amount0Out, amount1Out FROM swap_events"
+        ),
+        sort_cols=["tx_hash"],
+    )
+
+
+def test_global_event_query(spark, catalog, evm_dir):
+    """Standalone event block = address-unfiltered scan (events.go:121-216)."""
+    src = """
+query all_transfers {
+  chain = "ethereum"
+  event Transfer {
+    abi = "erc20.abi.json"
+    outputs = ["from", "to", "value"]
+  }
+  save {
+    block = blocknumber
+    token = contract_address
+    sender = from
+    receiver = to
+    amount = parse_decimals(value, 18)
+  }
+}
+"""
+    schema = parse_schema(src, confdir="/root/reference/test")
+    df = compile_query(spark, catalog, schema.queries[0], schema)
+    con = _duck(evm_dir)
+    assert_frames_match(
+        df,
+        con.sql(
+            'SELECT block_number AS block, contract_address AS token, "from" AS sender, "to" AS receiver,'
+            " CAST(value AS DOUBLE) / 1e18 AS amount FROM transfers"
+        ),
+        sort_cols=["block", "token", "sender", "receiver", "amount"],
+        approx_cols=("amount",),
+    )
+
+
+def test_method_query_landed_table(spark, catalog, evm_dir):
+    """Interval method caller against the landed method_results table
+    (S5 semantics without live RPC)."""
+    src = """
+query reserves {
+  chain = "arbitrum"
+  start_block = 10000000
+  end_block = 10000500
+  block_interval = 50
+  contract {
+    address = "0x905dfCD5649217c42684f23958568e533C711Aa3"
+    abi = "unipair.abi.json"
+    method getReserves { outputs = ["_reserve0", "_reserve1"] }
+  }
+  transform {
+    mid_price = (parse_decimals(_reserve1, 6)) / (parse_decimals(_reserve0, 18))
+  }
+  save {
+    block = blocknumber
+    price = mid_price
+  }
+}
+"""
+    schema = parse_schema(src, confdir="/root/reference/test")
+    schema.validate()
+    df = compile_query(spark, catalog, schema.queries[0], schema)
+    con = _duck(evm_dir)
+    assert_frames_match(
+        df,
+        con.sql(
+            """
+            SELECT block_number AS block,
+                   (CAST(_reserve1 AS DOUBLE)/1e6) / (CAST(_reserve0 AS DOUBLE)/1e18) AS price
+            FROM method_results
+            WHERE contract_address = '0x905dfcd5649217c42684f23958568e533c711aa3'
+              AND block_number BETWEEN 10000000 AND 10000500
+              AND (block_number - 10000000) % 50 = 0
+            """
+        ),
+        sort_cols=["block"],
+        approx_cols=("price",),
+    )
+
+
+def test_method_query_rpc_client(spark, catalog):
+    """Live-RPC path with an injectable deterministic client (SURVEY §7 hard
+    part #2): spark.range grid -> mapInPandas eth_call."""
+    from apollo_spark.abi import abi_encode
+
+    src = """
+query reserves_rpc {
+  chain = "arbitrum"
+  start_block = 10000000
+  end_block = 10000100
+  block_interval = 10
+  contract {
+    address = "0x905dfCD5649217c42684f23958568e533C711Aa3"
+    abi = "unipair.abi.json"
+    method getReserves { outputs = ["_reserve0", "_reserve1"] }
+  }
+  save {
+    block = blocknumber
+    r0 = _reserve0
+    r1 = _reserve1
+  }
+}
+"""
+
+    class FakeClient:
+        def call(self, chain, to, data, block):
+            # deterministic pure function of (block)
+            return abi_encode(["uint112", "uint112", "uint32"], [block * 3, block * 5, 1650000000])
+
+    schema = parse_schema(src, confdir="/root/reference/test")
+    df = compile_query(
+        spark, catalog, schema.queries[0], schema, PipelineOptions(client_factory=lambda: FakeClient())
+    )
+    rows = {r.block: (int(r.r0), int(r.r1)) for r in df.collect()}
+    assert len(rows) == 10
+    assert rows[10000000] == (30000000, 50000000)
+    assert rows[10000090] == (30000270, 50000450)
+
+
+def test_loop_expansion_union(spark, catalog, evm_dir):
+    """loop block -> per-item pipelines unioned under one query name (Q2)."""
+    src = """
+loop {
+  items = ["ethereum", "arbitrum"]
+  query multi {
+    chain = item
+    event Transfer {
+      abi = "erc20.abi.json"
+      outputs = ["from", "to", "value"]
+    }
+    save {
+      chain_name = "${item}"
+      block = blocknumber
+      amount = value
+    }
+  }
+}
+"""
+    schema = parse_schema(src, confdir="/root/reference/test")
+    dfs = compile_schema(spark, catalog, schema)
+    assert list(dfs) == ["multi"]
+    out = dfs["multi"]
+    # transfers only exist on ethereum in the fixtures; arbitrum leg is empty
+    chains = {r.chain_name for r in out.select("chain_name").distinct().collect()}
+    assert chains == {"ethereum"}
+    con = _duck(evm_dir)
+    assert out.count() == con.sql("SELECT count(*) FROM transfers").fetchone()[0]
+
+
+def test_event_attached_methods(spark, catalog, evm_dir):
+    """S7: event rows enriched with method results at block+offset via join
+    (events.go:93-104; block_offset dsl/schema.go:300-302)."""
+    src = """
+query swaps_with_reserves {
+  chain = "arbitrum"
+  contract {
+    address = "0x905dfCD5649217c42684f23958568e533C711Aa3"
+    abi = "unipair.abi.json"
+    event Swap {
+      outputs = ["amount0In", "amount1Out"]
+      method getReserves {
+        outputs = ["_reserve0", "_reserve1"]
+        block_offset = 0
+      }
+    }
+  }
+  save {
+    block = blocknumber
+    tx_hash = tx_hash
+    r0 = _reserve0
+    r1 = _reserve1
+  }
+}
+"""
+    schema = parse_schema(src, confdir="/root/reference/test")
+    df = compile_query(spark, catalog, schema.queries[0], schema)
+    con = _duck(evm_dir)
+    expected = con.sql(
+        """
+        SELECT s.block_number AS block, s.tx_hash, m._reserve0 AS r0, m._reserve1 AS r1
+        FROM swap_events s
+        JOIN method_results m
+          ON m.contract_address = s.contract_address AND m.block_number = s.block_number
+        WHERE s.contract_address = '0x905dfcd5649217c42684f23958568e533c711aa3'
+        """
+    )
+    assert_frames_match(df, expected, sort_cols=["tx_hash"])
+
+
+def test_balance_enrichment(spark, catalog, evm_dir):
+    """balance(addr) -> as-of join on the balances table, /1e18 scaling
+    (chainservice/chainservice.go:244-259)."""
+    con = _duck(evm_dir)
+    addr = con.sql("SELECT address FROM balances WHERE token_address IS NULL LIMIT 1").fetchone()[0]
+    src = f"""
+query bal {{
+  chain = "ethereum"
+  event Transfer {{
+    abi = "erc20.abi.json"
+    outputs = ["from", "to", "value"]
+  }}
+  save {{
+    block = blocknumber
+    tx_hash = tx_hash
+    eth_balance = balance("{addr}")
+  }}
+}}
+"""
+    schema = parse_schema(src, confdir="/root/reference/test")
+    df = compile_query(spark, catalog, schema.queries[0], schema)
+    expected = con.sql(
+        f"""
+        SELECT t.block_number AS block, t.tx_hash,
+               (SELECT CAST(b.raw_balance AS DOUBLE) / 1e18
+                FROM balances b
+                WHERE b.token_address IS NULL AND b.address = '{addr}'
+                  AND b.chain = 'ethereum' AND b.block_number <= t.block_number
+                ORDER BY b.block_number DESC LIMIT 1) AS eth_balance
+        FROM transfers t
+        """
+    )
+    assert_frames_match(df, expected, sort_cols=["tx_hash"], approx_cols=("eth_balance",))
