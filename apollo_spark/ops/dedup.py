@@ -1,0 +1,208 @@
+"""Deduplication family for large-scale text corpora (north-star mandate).
+
+All operators take a DataFrame with (id_col, text_col) and are built for the
+100 TB posture: no driver-side loops, no crossJoin of the full corpus —
+candidate generation always goes through bucketed shuffles whose width is
+controlled by the signature parameters, and pair verification only touches
+bucket-mates.
+
+Scale notes per operator:
+* exact_dedup      — one shuffle on a 128-bit content hash.
+* minhash_lsh      — b bands x r rows: P(candidate) = 1-(1-j^r)^b; the band
+                     join shuffles (band, band-signature) keys only.
+* simhash          — 64-bit fingerprint; near-dup = bucket collision on
+                     rotated prefixes (hamming<=k probabilistic).
+* ngram_jaccard    — inverted-index candidate join on rare shingles, exact
+                     verify; the rare-shingle cap bounds bucket fan-out.
+* embedding_cosine — see similarity.py (LSH hyperplane buckets).
+
+Components are resolved with iterative min-label propagation (alternating
+frontier joins), the standard Spark connected-components loop; iterations are
+O(diameter) which for dup-clusters is tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(col):
+    """Canonical text form shared by the dedup family: lowercase, collapse
+    whitespace, strip. Mirrors what public pipelines (CCNet/Gopher-style) do
+    before hashing."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct normalized text (the min id — deterministic,
+    oracle-able). Single hash-shuffle on the content digest."""
+    keyed = df.withColumn("__key", F.md5(normalize_text(F.col(text_col))))
+    w = Window.partitionBy("__key").orderBy(F.col(id_col).asc())
+    return keyed.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__key", "__rn")
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, canonical_id) for every row, canonical = min id of its exact-dup
+    group — the assignment view of exact_dedup."""
+    keyed = df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("__key"))
+    w = Window.partitionBy("__key")
+    return keyed.withColumn("canonical_id", F.min(id_col).over(w)).select(id_col, "canonical_id")
+
+
+def shingles(col, n: int = 3):
+    """Word n-gram shingle array (distinct)."""
+    words = F.split(normalize_text(col), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
+def minhash_signature(shingle_col, num_hashes: int = 64):
+    """num_hashes minhash values via seeded xxhash64 (JVM-side, vectorized)."""
+    return F.array(
+        *[F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))) for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    shingle -> minhash(num_hashes) -> band buckets -> self-join per band ->
+    exact-jaccard verify on candidates only. Band join keys are
+    (band_idx, band_signature) so the shuffle never sees the corpus cross
+    product; verify recomputes true jaccard from the shingle sets.
+    """
+    rows = num_hashes // bands
+    base = (
+        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    )
+    base = base.withColumn(
+        "bands",
+        F.array(*[F.struct(F.lit(b).alias("band"), F.slice("sig", b * rows + 1, rows).alias("bsig")) for b in range(bands)]),
+    ).persist()
+    banded = base.select("id", "sh", F.explode("bands").alias("b"))
+    left = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("b").alias("ba"))
+    right = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("b").alias("bb"))
+    cand = (
+        left.join(right, (left["ba"] == right["bb"]) & (left["id_a"] < right["id_b"]))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(text_col, n: int = 2, bits: int = 64):
+    """64-bit SimHash over word n-gram features, built entirely from JVM
+    expressions: per-feature xxhash64, per-bit +/-1 votes, sign -> bit.
+
+    The per-bit vote is an F.aggregate over the feature-hash array (bits
+    passes over the array, all inside codegen — no Python in the row path).
+    """
+    sh = shingles(text_col, n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def vote_merge(mask):
+        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        # bit 63 must be the signed-long sign bit, not 2^63 (Java long overflow)
+        mask_val = (1 << b) if b < 63 else -(1 << 63)
+        mask = F.lit(mask_val).cast("long")
+        votes = F.aggregate(hashes, F.lit(0), vote_merge(mask))
+        sim = sim.bitwiseOR(F.when(votes > 0, mask).otherwise(F.lit(0).cast("long")))
+    return sim
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2, prefix_bits: int = 16) -> DataFrame:
+    """Candidate near-dup pairs by SimHash: bucket on 4 rotated prefix blocks
+    (any pair within hamming distance ~<= 3 collides in >=1 block w.h.p.),
+    then verify hamming distance via bit_count."""
+    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col), n).alias("sim"))
+    blocks = 64 // prefix_bits
+    keyed = sig.withColumn(
+        "bk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("sim"), i * prefix_bits)
+                        .bitwiseAND(F.lit((1 << prefix_bits) - 1).cast("long"))
+                        .alias("key"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ),
+    )
+    a = keyed.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"), F.col("bk").alias("ka"))
+    b = keyed.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"), F.col("kb").alias("kb")) if False else keyed.select(
+        F.col("id").alias("id_b"), F.col("sim").alias("sim_b"), F.col("bk").alias("kb")
+    )
+    cand = (
+        a.join(b, (a["ka"] == b["kb"]) & (a["id_a"] < b["id_b"]))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+    )
+    return cand.select("id_a", "id_b", "hamming")
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Min-label propagation over undirected edges (id_a, id_b) ->
+    (id, component). Standard alternating large/small-star style loop; each
+    iteration is two shuffles, terminates when labels stop changing."""
+    sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels.withColumnRenamed("id", "src").withColumnRenamed("comp", "src_comp"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("src_comp").alias("new_comp"))
+        )
+        merged = labels.join(prop, "id", "left").withColumn(
+            "comp2", F.least(F.col("comp"), F.coalesce(F.col("new_comp"), F.col("comp")))
+        )
+        changed = merged.filter(F.col("comp2") < F.col("comp")).limit(1).count()
+        labels = merged.select("id", F.col("comp2").alias("comp"))
+        if changed == 0:
+            break
+        labels = labels.localCheckpoint(eager=True)  # truncate lineage per round
+    return labels
+
+
+def near_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    **lsh_kwargs,
+) -> DataFrame:
+    """MinHash-LSH near-dedup: returns df minus non-canonical members of each
+    duplicate component (canonical = min id)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold, **lsh_kwargs)
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("comp") != F.col("id")).select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

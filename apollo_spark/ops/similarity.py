@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers (SURVEY §7 step 9):
+* brute-force cosine top-k — exact; JVM-side zip_with/aggregate dot products,
+  per-group top-k window. Fine when one side broadcasts (query batch).
+* LSH-bucketed (random hyperplanes) — the 100 TB path: each vector lands in
+  a small number of buckets; candidate pairs share a bucket; recall is tuned
+  by (num_planes, num_tables). No full cross product ever materializes.
+
+Hyperplanes are generated driver-side from a fixed seed (deterministic plans)
+and inlined as array literals — they are tiny (num_planes x dim floats).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a):
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b):
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector: broadcast the (small)
+    query side against the corpus, window top-k per query. One shuffle on
+    q_id for the ranking."""
+    q = queries.select(F.col(q_id_col), F.col(q_vec_col))
+    joined = df.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q))
+    scored = joined.withColumn("score", cosine(F.col(vec_col), F.col(q_vec_col)))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "score", "rank")
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim)).tolist()
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Sign-bit bucket id from random hyperplanes: bit i = sign(<v, p_i>)."""
+    bits = [
+        F.when(dot(vec_col, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for p in planes
+    ]
+    bucket = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        bucket = bucket.bitwiseOR(F.shiftleft(b, i))
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int | None = None,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: corpus and queries are bucketed by num_tables
+    independent hyperplane sets; candidates = bucket-mates in any table;
+    exact cosine + top-k over candidates only.
+
+    At 100 TB: corpus bucketing is a narrow map (no shuffle); the join
+    shuffles on (table, bucket) — bucket occupancy ~ N / 2^num_planes
+    controls the fan-out, tune num_planes to data size.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    tables = [(_t, _hyperplanes(dim, num_planes, seed + _t)) for _t in range(num_tables)]
+
+    def bucketize(frame: DataFrame, vcol: str) -> DataFrame:
+        return frame.withColumn(
+            "__tb",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(t).alias("tbl"), lsh_bucket(F.col(vcol), planes).alias("bkt"))
+                        for t, planes in tables
+                    ]
+                )
+            ),
+        )
+
+    corpus = bucketize(df.select(id_col, vec_col), vec_col)
+    qb = bucketize(queries.select(q_id_col, q_vec_col), q_vec_col)
+    cand = (
+        corpus.join(qb, corpus["__tb"] == qb["__tb"])
+        .select(id_col, vec_col, q_id_col, q_vec_col)
+        .dropDuplicates([q_id_col, id_col])
+    )
+    scored = cand.withColumn("score", cosine(F.col(vec_col), F.col(q_vec_col)))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "score", "rank")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold, LSH-bucketed
+    self-join (id_a < id_b)."""
+    dim = len(df.select(vec_col).first()[0])
+    tables = [(_t, _hyperplanes(dim, num_planes, seed + _t)) for _t in range(num_tables)]
+    bucketed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "__tb",
+        F.explode(
+            F.array(
+                *[F.struct(F.lit(t).alias("tbl"), lsh_bucket(F.col("v"), planes).alias("bkt")) for t, planes in tables]
+            )
+        ),
+    )
+    a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("__tb").alias("ta"))
+    b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("__tb").alias("tb"))
+    return (
+        a.join(b, (a["ta"] == b["tb"]) & (a["id_a"] < b["id_b"]))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("score", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )

@@ -1,0 +1,93 @@
+"""Text-analysis operators for training-data pipelines: language ID
+(stopword-hit heuristic), quality scoring, token counting, fingerprinting.
+
+Everything is built from JVM-side column expressions (no Python in the row
+path) with semantics simple enough to reproduce exactly in ANSI SQL for the
+DuckDB oracle — deliberate: these run inside the per-round correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny public stopword seeds per language (subset chosen for determinism, not
+# linguistic completeness — the heuristic is hit-count ratio, CCNet-style).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ein", "zu"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "que"],
+    "es": ["el", "los", "una", "por", "con", "para", "este", "como"],
+}
+
+
+def words(text_col) -> Column:
+    """Whitespace tokenization of the lowercased text."""
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def token_count(text_col) -> Column:
+    """Whitespace token count (empty text -> 0)."""
+    return F.when(F.length(F.trim(text_col)) == 0, F.lit(0)).otherwise(F.size(words(text_col)))
+
+
+def bpe_ish_token_count(text_col) -> Column:
+    """BPE-flavored proxy: count word-piece-ish units = words + punctuation
+    runs + digit runs (regexp-extracted, GPT-2-ish pre-tokenizer shape)."""
+    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+
+
+def stopword_hits(text_col, lang: str) -> Column:
+    w = words(text_col)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    return F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+
+
+def language_id(text_col) -> Column:
+    """argmax over per-language stopword hit counts; ties and zero hits ->
+    'unknown'. Deterministic and SQL-reproducible."""
+    hits = [(lang, stopword_hits(text_col, lang)) for lang in STOPWORDS]
+    best = F.greatest(*[h for _, h in hits])
+    # reversed build so the FIRST language in STOPWORDS wins ties
+    result = F.lit("unknown")
+    for lang, h in reversed(list(hits)):
+        result = F.when((h == best) & (best > 0), F.lit(lang)).otherwise(result)
+    return result
+
+
+def quality_score(text_col) -> Column:
+    """Composite [0,1] quality heuristic (Gopher-rules-flavored):
+    mean word length in sane band, alpha ratio, stopword presence, length."""
+    n_chars = F.length(text_col).cast("double")
+    n_words = token_count(text_col).cast("double")
+    mean_word_len = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(F.lower(text_col), r"[^a-z]", "")).cast("double") / n_chars,
+    ).otherwise(F.lit(0.0))
+    sw_ratio = F.when(n_words > 0, stopword_hits(text_col, "en").cast("double") / n_words).otherwise(F.lit(0.0))
+    len_ok = F.when((n_words >= 5) & (n_words <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    word_len_ok = F.when((mean_word_len >= 3) & (mean_word_len <= 12), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (
+        F.lit(0.3) * len_ok
+        + F.lit(0.2) * word_len_ok
+        + F.lit(0.3) * F.least(alpha_ratio * F.lit(1.25), F.lit(1.0))
+        + F.lit(0.2) * F.least(sw_ratio * F.lit(5.0), F.lit(1.0))
+    )
+
+
+def fingerprint(text_col) -> Column:
+    """Content fingerprint: md5 of the normalized text (lowercase, collapsed
+    whitespace). md5 exists identically in DuckDB -> oracle-able."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")))
+
+
+def rolling_fingerprints(text_col, window: int = 8) -> Column:
+    """Winnowing-style document sketch: xxhash64 over every ``window``-word
+    shingle, keep the per-document minimum 4 (a tiny robust sketch)."""
+    w = words(text_col)
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - window, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i + 1, window))),
+    )
+    return F.slice(F.array_sort(hashes), 1, 4)

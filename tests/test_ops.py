@@ -1,0 +1,246 @@
+"""Operator-library tests: relational helpers, dedup family, similarity
+search, text analysis, multimodal plumbing — validated against DuckDB oracles
+or brute-force numpy where SQL can't express the op."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+# ------------------------------------------------------------- relational
+
+
+def test_asof_join_backward(spark):
+    from apollo_spark.ops.relational import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10), ("a", 25), ("a", 5), ("b", 10)], "k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("a", 8, 1.0), ("a", 20, 2.0), ("b", 12, 3.0)], "k string, ts long, v double"
+    )
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts", value_cols=["v"])
+    got = {(r.k, r.ts): r.v for r in out.collect()}
+    assert got == {("a", 10): 1.0, ("a", 25): 2.0, ("a", 5): None, ("b", 10): None}
+
+
+def test_asof_join_forward_and_ties(spark):
+    from apollo_spark.ops.relational import asof_join
+
+    left = spark.createDataFrame([("a", 10)], "k string, ts long")
+    right = spark.createDataFrame([("a", 10, 7.0), ("a", 30, 9.0)], "k string, ts long, v double")
+    back = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts", value_cols=["v"])
+    fwd = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts", value_cols=["v"], direction="forward")
+    assert back.collect()[0].v == 7.0  # inclusive at equal ts
+    assert fwd.collect()[0].v == 7.0
+
+
+def test_top_k(spark):
+    from apollo_spark.ops.relational import top_k
+
+    df = spark.range(100).withColumn("g", F.col("id") % 4)
+    out = top_k(df, ["g"], [F.col("id").desc()], 3)
+    assert out.count() == 12
+    top_g0 = sorted(r.id for r in out.filter("g = 0").collect())
+    assert top_g0 == [88, 92, 96]
+
+
+# ----------------------------------------------------------------- dedup
+
+
+def test_exact_dedup_vs_oracle(spark, docs):
+    from apollo_spark.ops.dedup import exact_dedup
+
+    out = exact_dedup(docs)
+    con = duckdb.connect()
+    expected = con.sql(
+        f"""
+        SELECT count(*) FROM (
+          SELECT min(doc_id) FROM '{SF}/documents.parquet'
+          GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        )
+        """
+    ).fetchone()[0]
+    assert out.count() == expected
+    # idempotent
+    assert exact_dedup(out).count() == expected
+
+
+def test_minhash_lsh_finds_planted_dups(spark):
+    from apollo_spark.ops.dedup import minhash_lsh_pairs, near_dedup
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+    variant = base.replace("green", "dark")  # high-jaccard near-dup
+    other = "completely different text about spark execution plans and shuffle partitioning strategies overall"
+    rows = [(1, base), (2, variant), (3, other), (4, base + " extra")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, threshold=0.5, n=3, num_hashes=64, bands=16)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 4) in got
+    assert not any(3 in p for p in got)
+    kept = near_dedup(df, threshold=0.5, n=3, num_hashes=64, bands=16)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert ids == {1, 3}  # canonical min-id survives, 2 and 4 drop
+
+
+def test_simhash_hamming(spark):
+    from apollo_spark.ops.dedup import simhash64, simhash_pairs
+
+    base = " ".join(f"word{i}" for i in range(60))
+    near = base.replace("word30", "word30x")
+    rows = [(1, base), (2, base), (3, near), (4, "totally unrelated words describing database query optimizers tonight")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sims = {r.doc_id: r.sim for r in df.select("doc_id", simhash64(F.col("text")).alias("sim")).collect()}
+    assert sims[1] == sims[2]  # identical text -> identical fingerprint
+    ham = lambda a, b: bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1")
+    assert ham(1, 3) < ham(1, 4)  # near-dup closer than unrelated
+    # exact duplicates always collide in every bucket block
+    pairs = simhash_pairs(df)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got.get((1, 2)) == 0
+
+
+def test_connected_components(spark):
+    from apollo_spark.ops.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)], "id_a long, id_b long")
+    comps = connected_components(edges)
+    got = {r.id: r.comp for r in comps.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+# ------------------------------------------------------------- similarity
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    from apollo_spark.ops.similarity import brute_force_topk
+
+    pdf = emb.toPandas()
+    mat = np.array([np.array(v) for v in pdf["embedding"]])
+    q = mat[:3]
+    qdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in q[i]]) for i in range(3)], "q_id long, q_vec array<float>"
+    )
+    out = brute_force_topk(emb, qdf, k=5).toPandas()
+    norms = np.linalg.norm(mat, axis=1)
+    for qi in range(3):
+        scores = mat @ q[qi] / (norms * np.linalg.norm(q[qi]))
+        expect = set(np.argsort(-scores)[:5])
+        got = set(out[out.q_id == qi].sort_values("rank")["vec_id"])
+        ids = pdf["vec_id"].to_numpy()
+        assert got == {int(ids[j]) for j in expect}
+
+
+def test_lsh_topk_recall(spark, emb):
+    from apollo_spark.ops.similarity import brute_force_topk, lsh_topk
+
+    qdf = spark.createDataFrame(
+        [(int(r.vec_id), r.embedding) for r in emb.limit(5).collect()], "q_id long, q_vec array<float>"
+    )
+    exact = brute_force_topk(emb, qdf, k=10).toPandas()
+    # near-uniform random embeddings are LSH's worst case; wide buckets
+    # (4 planes x 12 tables) still must recover most true neighbors
+    approx = lsh_topk(emb, qdf, k=10, num_planes=4, num_tables=12).toPandas()
+    recalls = []
+    for qid in exact.q_id.unique():
+        e = set(exact[exact.q_id == qid]["vec_id"])
+        a = set(approx[approx.q_id == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5, recalls  # probabilistic but generous bound
+    # the query vector itself is always its own top hit
+    for qid in exact.q_id.unique():
+        top = approx[(approx.q_id == qid) & (approx["rank"] == 1)]["vec_id"].iloc[0]
+        assert top == qid
+
+
+# ------------------------------------------------------------------ text
+
+
+def test_token_count_vs_oracle(spark, docs):
+    from apollo_spark.ops.text import token_count
+
+    out = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens")).toPandas()
+    con = duckdb.connect()
+    expected = con.sql(
+        f"""
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE length(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS n_tokens
+        FROM '{SF}/documents.parquet'
+        """
+    ).df()
+    merged = out.merge(expected, on="doc_id", suffixes=("_s", "_d"))
+    assert (merged.n_tokens_s == merged.n_tokens_d).all()
+
+
+def test_language_id_sane(spark):
+    from apollo_spark.ops.text import language_id
+
+    rows = [
+        (1, "the cat and the dog went to the park in the morning"),
+        (2, "der Hund und die Katze sind nicht in das Haus"),
+        (3, "le chat est dans la maison avec les enfants"),
+        (4, "xyzzy plugh 12345"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.lang for r in df.select("id", language_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "unknown"}
+
+
+def test_fingerprint_matches_duckdb(spark, docs):
+    from apollo_spark.ops.text import fingerprint
+
+    out = docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).toPandas()
+    con = duckdb.connect()
+    expected = con.sql(
+        f"SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM '{SF}/documents.parquet'"
+    ).df()
+    merged = out.merge(expected, on="doc_id", suffixes=("_s", "_d"))
+    assert (merged.fp_s == merged.fp_d).all()
+
+
+def test_quality_score_range(spark, docs):
+    from apollo_spark.ops.text import quality_score
+
+    stats = docs.select(quality_score(F.col("text")).alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    ).collect()[0]
+    assert 0.0 <= stats.lo <= stats.hi <= 1.0
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def test_multimodal_features_deterministic(spark):
+    from apollo_spark.ops.multimodal import extract_features, fake_media_table
+
+    media = fake_media_table(spark, n=30)
+    f1 = extract_features(media, dim=16).toPandas().sort_values("media_id").reset_index(drop=True)
+    f2 = extract_features(media, dim=16).toPandas().sort_values("media_id").reset_index(drop=True)
+    assert len(f1) == 30 and all(len(v) == 16 for v in f1["features"])
+    for a, b in zip(f1["features"], f2["features"]):
+        assert list(a) == list(b)
+
+
+def test_multimodal_frame_sampling(spark):
+    from apollo_spark.ops.multimodal import fake_media_table, sample_frames
+
+    media = fake_media_table(spark, n=30)
+    frames = sample_frames(media, every_ms=1000)
+    n_videos = media.filter("kind = 'video'").count()
+    assert frames.count() == n_videos * 5  # 5000ms / 1000ms
+    assert frames.schema["frame"].dataType.typeName() == "binary"
