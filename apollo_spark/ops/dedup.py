@@ -51,21 +51,34 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def shingles(col, n: int = 3):
-    """Word n-gram shingle array (distinct)."""
-    words = F.split(normalize_text(col), " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        )
-    )
+    """Word n-gram shingle array (distinct).
+
+    Built from n whole-array slices + arrays_zip (linear) — a per-position
+    ``slice`` lambda is O(words^2) per document and dominated the minhash
+    runtime before. Texts shorter than n words yield one whole-text shingle.
+    """
+    w = F.split(normalize_text(col), " ")
+    if n == 1:
+        return F.array_distinct(w)
+    m = F.greatest(F.size(w) - (n - 1), F.lit(0))  # number of shingles
+    shifted = [F.slice(w, i + 1, m).alias(f"w{i}") for i in range(n)]
+    zipped = F.slice(F.arrays_zip(*shifted), 1, m)
+    grams = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(n)]))
+    return F.array_distinct(F.when(F.size(w) < n, F.array(F.concat_ws(" ", w))).otherwise(grams))
 
 
 def minhash_signature(shingle_col, num_hashes: int = 64):
-    """num_hashes minhash values via seeded xxhash64 (JVM-side, vectorized)."""
-    return F.array(
-        *[F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))) for i in range(num_hashes)]
-    )
+    """num_hashes minhash values: ONE xxhash64 over each shingle string, then
+    per-slot re-hash of that 8-byte long with a seed column — fixed-width
+    re-hashing is ~the cost of a multiply but can't overflow under ANSI mode,
+    and xxhash64 gives a proper independent family."""
+    base = F.transform(shingle_col, lambda s: F.xxhash64(s))
+
+    def make_remix(i: int):
+        return lambda h: F.xxhash64(h, F.lit(i))
+
+    sig = [F.array_min(F.transform(base, make_remix(i))) for i in range(num_hashes)]
+    return F.array(*sig)
 
 
 def minhash_lsh_pairs(
@@ -85,22 +98,51 @@ def minhash_lsh_pairs(
     product; verify recomputes true jaccard from the shingle sets.
     """
     rows = num_hashes // bands
+    spark = df.sparkSession
+    # small corpora arrive as one parquet split; spread the CPU-bound
+    # shingle/hash work across cores (at lake scale the scan is already
+    # multi-split and this coalesces to the shuffle width, not a blow-up)
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     base = (
-        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+        df.repartition(parts, F.col(id_col))
+        .select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
         .filter(F.size("sh") > 0)
-        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+        .persist()
     )
-    base = base.withColumn(
-        "bands",
-        F.array(*[F.struct(F.lit(b).alias("band"), F.slice("sig", b * rows + 1, rows).alias("bsig")) for b in range(bands)]),
-    ).persist()
-    banded = base.select("id", "sh", F.explode("bands").alias("b"))
-    left = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("b").alias("ba"))
-    right = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("b").alias("bb"))
+    # signature via explode + grouped min: each shingle is string-hashed ONCE,
+    # each of the num_hashes slots is a cheap fixed-width re-hash, and the
+    # groupBy gets map-side partial mins (array_min-over-transform x64 would
+    # re-evaluate the base hash array per slot — 64x the work)
+    hashed = base.select("id", F.explode("sh").alias("s")).select("id", F.xxhash64("s").alias("h"))
+    sig = hashed.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
+    )
+    # band key = xxhash64(band_idx, r signature slots): a scalar long, so the
+    # self-join is a plain shuffled hash join (array-typed keys would force a
+    # nested-loop plan); hash collisions are harmless because the verify stage
+    # recomputes exact jaccard.
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(F.lit(b), *[F.col(f"m{b * rows + j}") for j in range(rows)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bkey"),
+    )
+    left = banded.select(F.col("id").alias("id_a"), F.col("bkey").alias("ka"))
+    right = banded.select(F.col("id").alias("id_b"), F.col("bkey").alias("kb"))
     cand = (
-        left.join(right, (left["ba"] == right["bb"]) & (left["id_a"] < right["id_b"]))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        left.join(right, (left["ka"] == right["kb"]) & (left["id_a"] < right["id_b"]))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_map = base.select("id", "sh")
+    cand = (
+        cand.join(sh_map.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh_map.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))

@@ -1,0 +1,636 @@
+"""Headline query suite over the driver's testdata tables.
+
+Every entry here has BOTH a Spark implementation (`QUERIES[name]`, callable
+(spark, sf_dir) -> DataFrame) and, where SQL can express the op, a DuckDB
+oracle (`ORACLES[name]`) — the per-round correctness gate runs them
+side-by-side and hash-compares values (BASELINE.md t2).
+
+Hash-stability policy (floats are hashed bit-for-bit after rounding):
+* sums/avgs go through DECIMAL(38,6) so addition is exact and
+  order-independent, then cast to double — identical in both engines;
+* per-row doubles are rounded to a fixed number of decimals in BOTH
+  implementations;
+* every output column is explicitly aliased identically on both sides;
+* orderings that feed LIMIT/top-k carry a full deterministic tie-break.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apollo_spark.ops.dedup import exact_dedup, minhash_lsh_pairs
+from apollo_spark.ops.relational import asof_join
+from apollo_spark.ops.similarity import cosine
+from apollo_spark.ops.text import STOPWORDS, fingerprint, language_id, quality_score, token_count
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS); Spark only reads it as a long
+    (nanos) under the legacy conf — set it per-session defensively since the
+    driver builds its own session. Nanos stay in integer arithmetic (`div`):
+    a double round-trip would lose precision above 2^53."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _ts_seconds() -> F.Column:
+    return F.expr("ts div 1000000000")
+
+
+def _ts_micros() -> F.Column:
+    return F.expr("ts div 1000")
+
+
+def dsum(col) -> F.Column:
+    """Order-independent exact sum: decimal(38,6) accumulate, double out."""
+    return F.sum(col.cast("decimal(38,6)")).cast("double")
+
+
+def davg(col, cnt) -> F.Column:
+    return dsum(col) / cnt
+
+
+# --------------------------------------------------------------------------
+# TPC-H-flavored relational tier
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy group-agg. Catalyst gives partial (map-side)
+    aggregation; the shuffle carries only 4 group keys x partials."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            (dsum(F.col("l_quantity")) / n).alias("avg_qty"),
+            (dsum(F.col("l_extendedprice")) / n).alias("avg_price"),
+            (dsum(F.col("l_discount")) / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + top-10. customer is the small side
+    -> broadcast; orders/lineitem shuffle on the join key once."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-01-01"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1996-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join; all dims broadcast, facts shuffle once."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), (l["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+ORACLE_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan+filter+agg — pushdown showcase (explain
+    shows PushedFilters on l_shipdate/l_discount/l_quantity)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+ORACLE_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k: rank customers by acctbal within nation (single shuffle
+    on nationkey; row_number prunes map-side under AQE)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        c.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .select("n_name", "rank", "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy("n_name", "rank")
+    )
+
+
+ORACLE_TOP_CUSTOMERS = """
+SELECT n_name, rank, c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+FROM (
+  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+  FROM customer
+) ranked
+JOIN nation ON c_nationkey = n_nationkey
+WHERE rank <= 3
+ORDER BY n_name, rank
+"""
+
+
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join + agg incl. customers with no orders (coalesce to 0)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum(F.col("o_totalprice")).alias("total_spend")
+    )
+    return (
+        c.join(agg, c["c_custkey"] == agg["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.round(F.coalesce("total_spend", F.lit(0.0)), 2).alias("total_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_CUSTOMER_ORDER_STATS = """
+SELECT c_custkey, c_mktsegment,
+       COALESCE(n_orders, 0) AS n_orders,
+       ROUND(COALESCE(total_spend, 0.0), 2) AS total_spend
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_spend
+  FROM orders GROUP BY o_custkey
+) s ON c_custkey = o_custkey
+ORDER BY c_custkey
+"""
+
+
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    cnt = F.count(F.lit(1))
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            cnt.alias("n_parts"),
+            (dsum(F.col("p_retailprice")) / cnt).alias("avg_price"),
+            F.max("p_size").alias("max_size"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_PART_BRAND = """
+SELECT p_brand, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+       MAX(p_size) AS max_size
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def supplied_not_ordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op tier: parts present in the catalog but never shipped
+    (left_anti == NOT EXISTS)."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    return p.join(l, p["p_partkey"] == l["l_partkey"], "left_anti").select("p_partkey", "p_brand").orderBy("p_partkey")
+
+
+ORACLE_ANTI_PARTS = """
+SELECT p_partkey, p_brand FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+ORDER BY p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# events tier (apollo-semantics DSL + time-series ops)
+# --------------------------------------------------------------------------
+
+EVENTS_DSL = """
+query events_etl {
+  chain = "ethereum"
+  source_table = "events"
+  transform {
+    kind = upper(event_type)
+    magnitude = abs(value)
+    bucket = value < 0 ? "neg" : (value < 100 ? "small" : "large")
+  }
+  filter = [
+    value != 0
+  ]
+  save {
+    event_id = event_id
+    user_id = user_id
+    kind = kind
+    magnitude = magnitude
+    bucket = bucket
+  }
+}
+"""
+
+
+def events_etl_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's extract->transform->filter->save semantics executed by
+    our HCL pipeline compiler over a landed table (SURVEY §2.2-2.3)."""
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import compile_query
+    from apollo_spark.sources.tables import Catalog
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # events.ts
+    schema = parse_schema(EVENTS_DSL)
+    catalog = Catalog(spark, sf_dir)
+    df = compile_query(spark, catalog, schema.queries[0], schema)
+    return df.withColumn("magnitude", F.round("magnitude", 6)).orderBy("event_id")
+
+
+ORACLE_EVENTS_DSL = """
+SELECT event_id, user_id, upper(event_type) AS kind,
+       ROUND(abs(value), 6) AS magnitude,
+       CASE WHEN value < 0 THEN 'neg' WHEN value < 100 THEN 'small' ELSE 'large' END AS bucket
+FROM events
+WHERE value <> 0
+ORDER BY event_id
+"""
+
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    hour = F.date_format(F.date_trunc("hour", F.timestamp_micros(_ts_micros())), "yyyy-MM-dd HH:mm:ss")
+    return (
+        e.groupBy(hour.alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
+def purchases_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior-or-equal
+    click (backward inclusive). Single shuffle on user_id (union+window)."""
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", _ts_seconds().alias("ts_s")
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", _ts_seconds().alias("ts_s"))
+        .agg(F.max("event_id").alias("click_id"), F.round(F.max("value"), 6).alias("click_value"))
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts_s",
+        right_ts="ts_s",
+        value_cols=["click_id", "click_value"],
+    )
+    return out.select("event_id", "user_id", "click_id", "click_value").orderBy("event_id")
+
+
+ORACLE_ASOF = """
+WITH clicks AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         MAX(event_id) AS click_id, ROUND(MAX(value), 6) AS click_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, CAST(floor(epoch(ts)) AS BIGINT)
+)
+SELECT p.event_id, p.user_id,
+       (SELECT c.click_id FROM clicks c
+        WHERE c.user_id = p.user_id AND c.ts_s <= CAST(floor(epoch(p.ts)) AS BIGINT)
+        ORDER BY c.ts_s DESC LIMIT 1) AS click_id,
+       (SELECT c.click_value FROM clicks c
+        WHERE c.user_id = p.user_id AND c.ts_s <= CAST(floor(epoch(p.ts)) AS BIGINT)
+        ORDER BY c.ts_s DESC LIMIT 1) AS click_value
+FROM events p WHERE p.event_type = 'purchase'
+ORDER BY p.event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# LLM-data tier: dedup / text analysis / similarity
+# --------------------------------------------------------------------------
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d).select("doc_id").orderBy("doc_id")
+
+
+ORACLE_DEDUP_EXACT = r"""
+SELECT doc_id FROM (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           ORDER BY doc_id ASC
+         ) AS rn
+  FROM documents
+) t WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+ORACLE_FINGERPRINTS = r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("double")
+    alpha = F.length(F.regexp_replace(F.lower("text"), r"[^a-z]", "")).cast("double")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(F.when(n_chars > 0, alpha / n_chars).otherwise(0.0), 6).alias("alpha_ratio"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _sql_toks() -> str:
+    return r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+def _sql_hits(lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({_sql_toks()}, x -> list_contains([{arr}], x)))"
+
+
+ORACLE_TEXT_STATS = rf"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END AS n_tokens,
+       length(text) AS n_chars,
+       ROUND(CASE WHEN length(text) > 0
+             THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+             ELSE 0.0 END, 6) AS alpha_ratio,
+       ROUND(
+         0.3 * (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
+       + 0.2 * (CASE WHEN mwl >= 3 AND mwl <= 12 THEN 1.0 ELSE 0.0 END)
+       + 0.3 * LEAST(ar * 1.25, 1.0)
+       + 0.2 * LEAST(swr * 5.0, 1.0), 6) AS quality
+FROM (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END AS n_tok,
+         CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END) > 0
+              THEN CAST(length(text) AS DOUBLE) / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END)
+              ELSE 0.0 END AS mwl,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS ar,
+         CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END) > 0
+              THEN CAST({_sql_hits('en')} AS DOUBLE) / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END)
+              ELSE 0.0 END AS swr
+  FROM documents
+) base
+ORDER BY doc_id
+"""
+
+
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", language_id(F.col("text")).alias("pred_lang")).orderBy("doc_id")
+
+
+ORACLE_LANG_ID = rf"""
+SELECT doc_id, lang,
+       CASE
+         WHEN h_en = best AND best > 0 THEN 'en'
+         WHEN h_de = best AND best > 0 THEN 'de'
+         WHEN h_fr = best AND best > 0 THEN 'fr'
+         WHEN h_es = best AND best > 0 THEN 'es'
+         ELSE 'unknown'
+       END AS pred_lang
+FROM (
+  SELECT doc_id, lang,
+         {_sql_hits('en')} AS h_en, {_sql_hits('de')} AS h_de,
+         {_sql_hits('fr')} AS h_fr, {_sql_hits('es')} AS h_es,
+         GREATEST({_sql_hits('en')}, {_sql_hits('de')}, {_sql_hits('fr')}, {_sql_hits('es')}) AS best
+  FROM documents
+) h
+ORDER BY doc_id
+"""
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 3 probe vectors drawn from the corpus.
+    Rank-only output + rounded score keeps the hash FP-stable."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    scored = e.crossJoin(F.broadcast(q)).withColumn("score", cosine(F.col("v"), F.col("qv")))
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "vec_id", "rank", F.round("score", 4).alias("score"))
+        .orderBy("q_id", "rank")
+    )
+
+
+ORACLE_KNN = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS score
+  FROM e CROSS JOIN q
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, rank, ROUND(score, 4) AS score
+FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    from apollo_spark.ops.similarity import l2_norm
+
+    return e.select("vec_id", F.round(l2_norm(F.col("v")), 4).alias("l2"), F.size("v").alias("dim")).orderBy("vec_id")
+
+
+ORACLE_NORMS = """
+SELECT vec_id,
+       ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) AS l2,
+       len(embedding) AS dim
+FROM embeddings ORDER BY vec_id
+"""
+
+
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (word 3-gram shingles, jaccard>=0.6).
+    Probabilistic candidate generation -> no SQL oracle (rows-only check).
+
+    Band geometry r=8,b=8: P(candidate | j=0.3) ~ 5e-4 so low-similarity
+    pairs (which dominate O(n^2)) almost never reach the verify stage —
+    that's the property that keeps this runnable at corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        minhash_lsh_pairs(d, n=3, num_hashes=64, bands=8, threshold=0.6)
+        .withColumn("jaccard", F.round("jaccard", 6))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_revenue_forecast": q6_revenue_forecast,
+    "top_customers_per_nation": top_customers_per_nation,
+    "customer_order_stats": customer_order_stats,
+    "part_brand_stats": part_brand_stats,
+    "supplied_not_ordered_parts": supplied_not_ordered_parts,
+    "events_etl_dsl": events_etl_dsl,
+    "events_hourly_rollup": events_hourly_rollup,
+    "purchases_asof_click": purchases_asof_click,
+    "dedup_exact_docs": dedup_exact_docs,
+    "doc_fingerprints": doc_fingerprints,
+    "doc_text_stats": doc_text_stats,
+    "doc_language_id": doc_language_id,
+    "knn_bruteforce": knn_bruteforce,
+    "embedding_norms": embedding_norms,
+    "minhash_near_dup_pairs": minhash_near_dup_pairs,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": ORACLE_Q1,
+    "q3_shipping_priority": ORACLE_Q3,
+    "q5_local_supplier_volume": ORACLE_Q5,
+    "q6_revenue_forecast": ORACLE_Q6,
+    "top_customers_per_nation": ORACLE_TOP_CUSTOMERS,
+    "customer_order_stats": ORACLE_CUSTOMER_ORDER_STATS,
+    "part_brand_stats": ORACLE_PART_BRAND,
+    "supplied_not_ordered_parts": ORACLE_ANTI_PARTS,
+    "events_etl_dsl": ORACLE_EVENTS_DSL,
+    "events_hourly_rollup": ORACLE_EVENTS_HOURLY,
+    "purchases_asof_click": ORACLE_ASOF,
+    "dedup_exact_docs": ORACLE_DEDUP_EXACT,
+    "doc_fingerprints": ORACLE_FINGERPRINTS,
+    "doc_text_stats": ORACLE_TEXT_STATS,
+    "doc_language_id": ORACLE_LANG_ID,
+    "knn_bruteforce": ORACLE_KNN,
+    "embedding_norms": ORACLE_NORMS,
+    # minhash_near_dup_pairs: probabilistic candidates -> rows-only check
+}
