@@ -1,0 +1,105 @@
+"""CLI entry point: the Spark replacement for apollo's binary
+(/root/reference/main.go:33-65, flags.go:8-50).
+
+    python -m apollo_spark --confdir ./conf --csv --stdout
+    python -m apollo_spark --confdir ./conf --realtime --db jdbc:...
+
+Flags mirror the reference: --realtime, --stdout, --csv, --db, --rate-limit,
+--log-level; plus Spark-era additions --data-dir (the landed-table catalog
+root), --output-dir, --master. The schema is always <confdir>/schema.hcl
+(dsl/schema.go:381-383).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("apollo_spark", description=__doc__)
+    p.add_argument("--confdir", required=True, help="directory with schema.hcl + ABI json files")
+    p.add_argument("--data-dir", required=True, help="landed-table catalog root (parquet)")
+    p.add_argument("--realtime", action="store_true", help="streaming mode (flags.go:10-14)")
+    p.add_argument("--stdout", action="store_true", help="log rows to stdout (flags.go:24-29)")
+    p.add_argument("--csv", action="store_true", help="write csv per query (flags.go:17-22)")
+    p.add_argument("--db", default=None, help="JDBC URL for the db sink")
+    p.add_argument("--output-dir", default="./output", help="csv/parquet sink root")
+    p.add_argument("--rate-limit", type=float, default=100.0, help="RPC rps cap (flags.go:31-36)")
+    p.add_argument("--log-level", default="WARN")
+    p.add_argument("--master", default=None, help="Spark master override")
+    p.add_argument("--bridge-dir", default=None, help="realtime: WS->JSONL bridge directory")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from apollo_spark.dsl.schema import parse_schema_file
+    from apollo_spark.pipeline import PipelineOptions, compile_schema
+    from apollo_spark.session import get_spark
+    from apollo_spark.sinks import SinkConfig, SinkWriter
+    from apollo_spark.sources.tables import Catalog
+
+    schema_path = Path(args.confdir) / "schema.hcl"
+    if not schema_path.exists():
+        print(f"schema not found: {schema_path}", file=sys.stderr)
+        return 2
+    schema = parse_schema_file(schema_path)
+    schema.validate(realtime=args.realtime)
+
+    spark = get_spark("apollo_spark_cli", master=args.master)
+    spark.sparkContext.setLogLevel(args.log_level)
+    catalog = Catalog(spark, args.data_dir)
+    options = PipelineOptions(realtime=args.realtime, rate_limit=args.rate_limit)
+
+    sink_cfg = SinkConfig(
+        stdout=args.stdout,
+        csv_dir=str(Path(args.output_dir)) if args.csv else None,
+        jdbc_url=args.db,
+        single_file=True,
+    )
+    writer = SinkWriter(sink_cfg)
+
+    if not args.realtime:
+        frames = compile_schema(spark, catalog, schema, options)
+        for name, df in frames.items():
+            writer.write(df, name)
+        return 0
+
+    # realtime: one stream per query's event source via the bridge directory
+    if not args.bridge_dir:
+        print("--realtime requires --bridge-dir (WS->JSONL bridge)", file=sys.stderr)
+        return 2
+    from apollo_spark.sources.streaming import event_stream
+
+    queries = []
+    for q in schema.queries:
+        for contract in q.contracts:
+            for ev in contract.events:
+                abi = contract.abi
+                stream = event_stream(
+                    spark, args.bridge_dir, abi.events[ev.name],
+                    chain=q.chain, address=contract.address, outputs=ev.outputs or None,
+                )
+                queries.append(
+                    stream.writeStream.foreachBatch(writer.foreach_batch(q.name))
+                    .option("checkpointLocation", str(Path(args.output_dir) / "_ckpt" / q.name))
+                    .start()
+                )
+        for ev in q.global_events:
+            stream = event_stream(
+                spark, args.bridge_dir, ev.abi.events[ev.name], chain=q.chain, outputs=ev.outputs or None
+            )
+            queries.append(
+                stream.writeStream.foreachBatch(writer.foreach_batch(q.name))
+                .option("checkpointLocation", str(Path(args.output_dir) / "_ckpt" / q.name))
+                .start()
+            )
+    for q_ in queries:
+        q_.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,79 @@
+"""Sinks: console / CSV / parquet / JDBC with fan-out (SURVEY §2.6).
+
+Apollo's output layer (/root/reference/output/output.go:82-173) writes one
+CSV per query, logs rows to stdout, and on first row drops+creates a Postgres
+table then INSERTs per row with string-quoted SQL (generate/sql.go:18-52 —
+SQL-injectable; we use Spark's parameterized JDBC writer instead, a
+documented improvement). Spark mapping:
+
+* stdout  -> df.show() / streaming format("console")
+* csv     -> df.write.csv(<dir>/<query>) with header (one directory of part
+             files per query — the distributed replacement for one flushed
+             file; see coalesce note below)
+* db      -> df.write.jdbc(mode="overwrite" first, "append" after) matching
+             apollo's DROP TABLE IF EXISTS + CREATE lifecycle (sql.go:24)
+* fan-out -> any subset simultaneously (output.go:82-124); streaming via one
+             foreachBatch that writes each sink per micro-batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class SinkConfig:
+    stdout: bool = False
+    csv_dir: str | None = None
+    parquet_dir: str | None = None
+    jdbc_url: str | None = None
+    jdbc_properties: dict[str, str] = field(default_factory=dict)
+    # single_file=True coalesces CSV to 1 partition for apollo-style one-file
+    # output — fine for query results, wrong for bulk exports (bottleneck)
+    single_file: bool = False
+
+
+class SinkWriter:
+    def __init__(self, config: SinkConfig):
+        self.config = config
+        self._jdbc_initialized: set[str] = set()
+
+    def write(self, df: DataFrame, query_name: str) -> None:
+        cfg = self.config
+        if cfg.stdout:
+            df.show(truncate=False)
+        if cfg.csv_dir:
+            out = df.coalesce(1) if cfg.single_file else df
+            out.write.mode("overwrite").option("header", "true").csv(str(Path(cfg.csv_dir) / query_name))
+        if cfg.parquet_dir:
+            df.write.mode("overwrite").parquet(str(Path(cfg.parquet_dir) / query_name))
+        if cfg.jdbc_url:
+            # apollo lifecycle: drop+create on first batch, append after
+            mode = "append" if query_name in self._jdbc_initialized else "overwrite"
+            df.write.jdbc(cfg.jdbc_url, table=query_name, mode=mode, properties=cfg.jdbc_properties)
+            self._jdbc_initialized.add(query_name)
+
+    def foreach_batch(self, query_name: str):
+        """foreachBatch hook for streaming fan-out: every micro-batch goes to
+        all configured sinks (exactly-once per sink relies on the stream's
+        checkpoint + idempotent/transactional targets)."""
+
+        def _write(batch_df: DataFrame, batch_id: int) -> None:
+            cfg = self.config
+            if cfg.stdout:
+                batch_df.show(truncate=False)
+            if cfg.csv_dir:
+                batch_df.write.mode("append").option("header", "true").csv(
+                    str(Path(cfg.csv_dir) / query_name)
+                )
+            if cfg.parquet_dir:
+                batch_df.write.mode("append").parquet(str(Path(cfg.parquet_dir) / query_name))
+            if cfg.jdbc_url:
+                mode = "append" if query_name in self._jdbc_initialized else "overwrite"
+                batch_df.write.jdbc(cfg.jdbc_url, table=query_name, mode=mode, properties=cfg.jdbc_properties)
+                self._jdbc_initialized.add(query_name)
+
+        return _write

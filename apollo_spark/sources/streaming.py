@@ -1,0 +1,172 @@
+"""Structured Streaming sources: realtime event stream + interval method
+caller (SURVEY §2.1 S3/S4/S6, §7 step 7).
+
+Apollo's realtime mode is a WS subscription per query with per-log goroutines
+and wall-clock timestamps (/root/reference/chainservice/events.go:221-407)
+and a ticker-driven method caller (chainservice/chainservice.go:173-179).
+Spark can't hold a websocket inside a task; the production topology is a tiny
+bridge process (WS -> append-only files / Kafka) + ``readStream`` here. The
+transform/filter/save tail is the SAME compiled plan as batch — Spark's
+batch/streaming unification replaces apollo's shared EvalSave loop
+(main.go:173-193).
+
+Improvements over the reference, by design:
+* checkpointed exactly-once sink delivery vs apollo's at-most-once with
+  silent drops (main.go:174-177);
+* watermarks for late data — apollo has none (SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from apollo_spark.abi import AbiEvent
+from apollo_spark.dsl.schema import ContractSpec
+from apollo_spark.sources.calls import ClientFactory
+from apollo_spark.sources.logs import decoded_event_source
+
+# Schema the WS->files bridge writes (one JSON object per line), mirroring
+# the raw log shape of the logs table (FIXTURES.md §2) minus block metadata
+# that realtime mode doesn't wait for.
+RAW_LOG_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("chain", T.StringType()),
+        T.StructField("block_number", T.LongType()),
+        T.StructField("block_hash", T.StringType()),
+        T.StructField("tx_hash", T.StringType()),
+        T.StructField("tx_index", T.IntegerType()),
+        T.StructField("log_index", T.IntegerType()),
+        T.StructField("address", T.StringType()),
+        T.StructField("topics", T.ArrayType(T.StringType())),
+        T.StructField("data_hex", T.StringType()),  # hex because JSON lines
+    ]
+)
+
+
+def raw_log_stream(spark: SparkSession, bridge_dir: str) -> DataFrame:
+    """readStream over the bridge's JSONL directory -> raw logs frame with
+    binary ``data``, shaped exactly like the batch logs table."""
+    return (
+        spark.readStream.schema(RAW_LOG_STREAM_SCHEMA)
+        .json(bridge_dir)
+        .withColumn("data", F.unhex(F.regexp_replace(F.col("data_hex"), "^0x", "")))
+        .drop("data_hex")
+    )
+
+
+def event_stream(
+    spark: SparkSession,
+    bridge_dir: str,
+    event: AbiEvent,
+    *,
+    chain: str | None = None,
+    address: str | None = None,
+    outputs: list[str] | None = None,
+) -> DataFrame:
+    """Realtime contract/global event stream (S3/S4): same decode pipeline as
+    batch, wall-clock ``timestamp`` stamped per row (events.go:310 semantics
+    — realtime mode overwrites block time with receipt time)."""
+    logs = raw_log_stream(spark, bridge_dir)
+    decoded = decoded_event_source(
+        logs, event, chain=chain, address=address, outputs=outputs, blocks=None
+    )
+    return decoded.withColumn("timestamp", F.unix_timestamp(F.current_timestamp()))
+
+
+def method_call_stream(
+    spark: SparkSession,
+    contract: ContractSpec,
+    *,
+    chain: str,
+    interval_seconds: int,
+    client_factory: ClientFactory,
+) -> DataFrame:
+    """Realtime interval method caller (S6): rate source ticks once per
+    interval (chainservice.go:173-179's ticker); each tick issues the
+    contract's calls at the latest block (block=None -> 'latest')."""
+    from apollo_spark.abi import decode_return, encode_calldata
+    from apollo_spark.sources.calls import method_result_schema
+    from apollo_spark.sources.logs import _coerce
+
+    methods = contract.methods
+    schema = method_result_schema(contract, methods)
+    # realtime rows get a wall-clock timestamp column (events.go:310)
+    schema = T.StructType(list(schema.fields) + [T.StructField("timestamp", T.LongType())])
+    abi = contract.abi
+    assert abi is not None
+    address = contract.address
+    col_types = {f.name: f.dataType for f in schema.fields}
+    col_names = [f.name for f in schema.fields]
+    calls = []
+    for m in methods:
+        fn = abi.functions[m.name]
+        args = [m.inputs[p.name] for p in fn.inputs] if fn.inputs else []
+        calls.append((m, fn, encode_calldata(fn, args)))
+
+    # rate source only takes integer rates: tick at 1/s, keep every Nth
+    ticks = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .filter(F.col("value") % int(max(interval_seconds, 1)) == 0)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = client_factory()
+        for pdf in batches:
+            rows = []
+            for _ in range(len(pdf)):
+                row = {"chain": chain, "contract_address": address, "block_number": None}
+                ok = True
+                for m, fn, calldata in calls:
+                    try:
+                        ret = client.call(chain, address, calldata, None)  # latest
+                        decoded = decode_return(fn, ret)
+                    except Exception:
+                        ok = False
+                        break
+                    wanted = set(m.outputs) if m.outputs else None
+                    for k, v in decoded.items():
+                        if wanted is None or k in wanted:
+                            row[k] = _coerce(v, col_types[k])
+                row["timestamp"] = int(time.time())
+                if ok:
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=col_names)
+
+    return ticks.mapInPandas(run, schema=schema)
+
+
+def windowed_event_counts(
+    decoded_stream: DataFrame,
+    *,
+    window_seconds: int = 60,
+    watermark_seconds: int = 120,
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Stateful tier apollo lacks entirely (SURVEY §2.7): watermarked tumbling
+    window counts per (contract, event) with late-data tolerance."""
+    with_ts = decoded_stream.withColumn("__event_time", F.col(ts_col).cast("timestamp"))
+    return (
+        with_ts.withWatermark("__event_time", f"{watermark_seconds} seconds")
+        .groupBy(
+            F.window("__event_time", f"{window_seconds} seconds").alias("w"),
+            "contract_address",
+            "event_name",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "contract_address",
+            "event_name",
+            "n_events",
+        )
+    )

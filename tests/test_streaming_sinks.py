@@ -1,0 +1,186 @@
+"""Streaming source + sink fan-out + BlockDater tests."""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from apollo_spark.abi import Abi, abi_encode
+
+
+@pytest.fixture(scope="module")
+def unipair():
+    return Abi.from_file("/root/reference/test/unipair.abi.json")
+
+
+def _write_bridge_files(dir_: Path, abi: Abi, n: int = 20):
+    """Emulate the WS->JSONL bridge output."""
+    ev = abi.events["Swap"]
+    rows = []
+    for i in range(n):
+        data = abi_encode(["uint256"] * 4, [i, 0, i * 2, 0])
+        rows.append(
+            {
+                "chain": "arbitrum",
+                "block_number": 10_000_000 + i,
+                "block_hash": "0x" + f"{i:064x}",
+                "tx_hash": "0x" + f"{i + 7:064x}",
+                "tx_index": i % 5,
+                "log_index": 0,
+                "address": "0x905dfcd5649217c42684f23958568e533c711aa3",
+                "topics": [ev.topic0, "0x" + "11" * 32, "0x" + "22" * 32],
+                "data_hex": "0x" + data.hex(),
+            }
+        )
+    dir_.mkdir(parents=True, exist_ok=True)
+    (dir_ / "batch0.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def test_event_stream_decodes(spark, tmp_path, unipair):
+    """S3 path: bridge JSONL -> readStream -> decode -> memory sink."""
+    from apollo_spark.sources.streaming import event_stream
+
+    bridge = tmp_path / "bridge"
+    _write_bridge_files(bridge, unipair, n=20)
+    stream = event_stream(
+        spark,
+        str(bridge),
+        unipair.events["Swap"],
+        chain="arbitrum",
+        address="0x905dfcd5649217c42684f23958568e533c711aa3",
+        outputs=["amount0In", "amount0Out"],
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("swaps_rt")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("SELECT * FROM swaps_rt").collect()
+    assert len(out) == 20
+    by_block = {r.block_number: r for r in out}
+    assert int(by_block[10_000_005].amount0In) == 5
+    assert int(by_block[10_000_005].amount0Out) == 10
+    # realtime semantics: wall-clock timestamp, not block time (events.go:310)
+    now = int(time.time())
+    assert all(abs(r.timestamp - now) < 300 for r in out)
+
+
+def test_windowed_event_counts(spark, tmp_path, unipair):
+    """Watermarked tumbling-window aggregation over the decoded stream."""
+    from apollo_spark.sources.streaming import event_stream, windowed_event_counts
+
+    bridge = tmp_path / "bridge2"
+    _write_bridge_files(bridge, unipair, n=12)
+    stream = event_stream(spark, str(bridge), unipair.events["Swap"], chain="arbitrum")
+    counts = windowed_event_counts(stream, window_seconds=3600, watermark_seconds=60)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("swap_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    # append mode emits only closed windows; the current window is open, so
+    # assert the query ran and the state machinery accepted the watermark
+    assert q.lastProgress is not None
+    spark.sql("SELECT * FROM swap_counts").collect()  # schema materializes
+
+
+def test_method_call_stream_builds(spark, unipair):
+    """S6: rate-ticker method stream constructs a valid streaming plan."""
+    from apollo_spark.dsl.schema import ContractSpec, MethodSpec
+    from apollo_spark.sources.streaming import method_call_stream
+
+    contract = ContractSpec(
+        address="0x905dfcd5649217c42684f23958568e533c711aa3",
+        abi_name="unipair.abi.json",
+        methods=[MethodSpec(name="getReserves", outputs=["_reserve0", "_reserve1"])],
+        abi=unipair,
+    )
+    stream = method_call_stream(
+        spark, contract, chain="arbitrum", interval_seconds=5, client_factory=lambda: None
+    )
+    assert stream.isStreaming
+    assert {"chain", "contract_address", "_reserve0", "_reserve1", "timestamp"} <= set(stream.columns)
+
+
+def test_sink_fanout_batch(spark, tmp_path):
+    from apollo_spark.sinks import SinkConfig, SinkWriter
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    cfg = SinkConfig(csv_dir=str(tmp_path / "csv"), parquet_dir=str(tmp_path / "pq"), single_file=True)
+    writer = SinkWriter(cfg)
+    writer.write(df, "my_query")
+    csv_back = spark.read.option("header", "true").csv(str(tmp_path / "csv" / "my_query"))
+    assert {(int(r.id), r.s) for r in csv_back.collect()} == {(1, "a"), (2, "b")}
+    pq_back = spark.read.parquet(str(tmp_path / "pq" / "my_query"))
+    assert pq_back.count() == 2
+
+
+def test_streaming_sink_fanout(spark, tmp_path, unipair):
+    """foreachBatch fan-out: one stream feeding csv + parquet sinks."""
+    from apollo_spark.sinks import SinkConfig, SinkWriter
+    from apollo_spark.sources.streaming import event_stream
+
+    bridge = tmp_path / "bridge3"
+    _write_bridge_files(bridge, unipair, n=10)
+    stream = event_stream(spark, str(bridge), unipair.events["Swap"], chain="arbitrum")
+    writer = SinkWriter(SinkConfig(csv_dir=str(tmp_path / "scsv"), parquet_dir=str(tmp_path / "spq")))
+    q = (
+        stream.writeStream.foreachBatch(writer.foreach_batch("rt_swaps"))
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert spark.read.parquet(str(tmp_path / "spq" / "rt_swaps")).count() == 10
+    assert spark.read.option("header", "true").csv(str(tmp_path / "scsv" / "rt_swaps")).count() == 10
+
+
+def test_blockdater_table_lookup(spark, catalog):
+    from apollo_spark.blockdater import blocks_table_lookup, resolve_query_range
+
+    blocks = catalog.table("blocks")
+    # arbitrum fixtures: block 10_000_000 at ts 1_650_000_000, 1s spacing
+    assert blocks_table_lookup(blocks.filter("chain='arbitrum'"), "arbitrum", 1_650_000_100) == 10_000_100
+    sb, eb, bi = resolve_query_range(
+        start_time=1_650_000_100,
+        end_time=1_650_000_200,
+        time_interval=10,
+        blocks=blocks,
+        chain="arbitrum",
+    )
+    assert (sb, eb, bi) == (10_000_100, 10_000_200, 10)
+
+
+def test_blockdater_interpolation():
+    from apollo_spark.blockdater import BlockDater
+
+    class FakeHeaders:
+        """13s chain starting at ts 1_600_000_000, 1M blocks."""
+
+        calls = 0
+
+        def header(self, chain, block):
+            FakeHeaders.calls += 1
+            if block is None:
+                block = 1_000_000
+            return block, 1_600_000_000 + block * 13
+
+    dater = BlockDater(FakeHeaders(), "ethereum")
+    target_ts = 1_600_000_000 + 500_000 * 13
+    got = dater.block_by_timestamp(target_ts)
+    assert abs(got - 500_000) * 13 <= dater.tolerance_s
+    # interpolation on a linear chain converges in O(1) probes, not O(log n)
+    assert FakeHeaders.calls <= 6
+    assert dater.seconds_to_block_interval(130) == 10
