@@ -210,6 +210,52 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return cand.select("id_a", "id_b", "hamming")
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
+
+    Candidate generation is a lossless inverted-index self-join: any pair
+    with jaccard > 0 shares at least one shingle, so joining on exploded
+    shingles (then dedup) reaches every qualifying pair — no probabilistic
+    recall loss, unlike MinHash. The shuffle fans out by document frequency
+    of each shingle; at 100 TB you cap hot shingles (drop shingles with
+    df > k since pairs sharing ONLY ultra-common shingles are below any
+    useful threshold anyway) — left uncapped here for oracle-exactness.
+    """
+    spark = df.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = (
+        df.repartition(parts, F.col(id_col))
+        .select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    ex = base.select("id", F.explode("sh").alias("s"))
+    cand = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_map = base.select("id", "sh")
+    cand = (
+        cand.join(sh_map.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh_map.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """Min-label propagation over undirected edges (id_a, id_b) ->
     (id, component). Standard alternating large/small-star style loop; each

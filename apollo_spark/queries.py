@@ -590,6 +590,245 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# window / grouping-set / set-op tier
+# --------------------------------------------------------------------------
+
+
+def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per customer over order date (window frame, one shuffle
+    on o_custkey)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double"), 2).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+ORACLE_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (status, priority) with ALL placeholders."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual pivot: one column per order status (conditional aggregation —
+    identical shape in ANSI SQL, unlike PIVOT syntax)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_filled"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_pending"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_PIVOT = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (o_orderstatus = 'F') AS n_filled,
+       COUNT(*) FILTER (o_orderstatus = 'P') AS n_pending
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def clickers_and_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op tier: users who both click AND purchase (INTERSECT)."""
+    e = _events(spark, sf_dir)
+    clickers = e.filter(F.col("event_type") == "click").select("user_id")
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.intersect(buyers).orderBy("user_id")
+
+
+ORACLE_INTERSECT = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# LLM tier (continued)
+# --------------------------------------------------------------------------
+
+
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data selection pipeline: English, quality >= 0.6, in a token
+    band — the composition a corpus-cleaning job runs."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            language_id(F.col("text")).alias("pred_lang"),
+            F.round(quality_score(F.col("text")), 6).alias("quality"),
+            token_count(F.col("text")).alias("n_tokens"),
+        )
+        .filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.6) & (F.col("n_tokens") >= 10))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_QUALITY_FILTER = rf"""
+WITH scored AS (
+  SELECT doc_id,
+       CASE
+         WHEN h_en = best AND best > 0 THEN 'en'
+         WHEN h_de = best AND best > 0 THEN 'de'
+         WHEN h_fr = best AND best > 0 THEN 'fr'
+         WHEN h_es = best AND best > 0 THEN 'es'
+         ELSE 'unknown'
+       END AS pred_lang,
+       ROUND(
+         0.3 * (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
+       + 0.2 * (CASE WHEN mwl >= 3 AND mwl <= 12 THEN 1.0 ELSE 0.0 END)
+       + 0.3 * LEAST(ar * 1.25, 1.0)
+       + 0.2 * LEAST(swr * 5.0, 1.0), 6) AS quality,
+       n_tok AS n_tokens
+  FROM (
+    SELECT doc_id,
+           {_sql_hits('en')} AS h_en, {_sql_hits('de')} AS h_de,
+           {_sql_hits('fr')} AS h_fr, {_sql_hits('es')} AS h_es,
+           GREATEST({_sql_hits('en')}, {_sql_hits('de')}, {_sql_hits('fr')}, {_sql_hits('es')}) AS best,
+           CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END AS n_tok,
+           CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END) > 0
+                THEN CAST(length(text) AS DOUBLE) / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END)
+                ELSE 0.0 END AS mwl,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+                ELSE 0.0 END AS ar,
+           CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END) > 0
+                THEN CAST({_sql_hits('en')} AS DOUBLE) / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END)
+                ELSE 0.0 END AS swr
+    FROM documents
+  )
+)
+SELECT doc_id, pred_lang, quality, n_tokens FROM scored
+WHERE pred_lang = 'en' AND quality >= 0.6 AND n_tokens >= 10
+ORDER BY doc_id
+"""
+
+
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apollo_spark.ops.text import bpe_ish_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_units")).orderBy("doc_id")
+
+
+ORACLE_BPE = r"""
+SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_units
+FROM documents ORDER BY doc_id
+"""
+
+
+def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT bigram-Jaccard pairs >= 0.2 (lossless inverted-index candidates
+    -> SQL-oracle-able, unlike MinHash)."""
+    from apollo_spark.ops.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(d, n=2, threshold=0.2)
+        .withColumn("jaccard", F.round("jaccard", 6))
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLE_NGRAM_JACCARD = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents)
+  WHERE len(t) >= 1
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
+def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs (>= 0.4). Exact all-pairs is the oracle
+    tier; the 100 TB path is the LSH-bucketed embedding_near_dups op."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("score", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("score") >= 0.4)
+        .select("id_a", "id_b", F.round("score", 4).alias("score"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLE_EMB_NEAR_DUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS score
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+def simhash_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (xxhash64-based -> not reproducible in
+    ANSI SQL; rows-only check)."""
+    from apollo_spark.ops.dedup import simhash64
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64(F.col("text")).alias("simhash")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -612,6 +851,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_bruteforce": knn_bruteforce,
     "embedding_norms": embedding_norms,
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
+    "orders_running_total": orders_running_total,
+    "orders_rollup": orders_rollup,
+    "orders_status_pivot": orders_status_pivot,
+    "clickers_and_buyers": clickers_and_buyers,
+    "doc_quality_filter": doc_quality_filter,
+    "doc_bpe_token_counts": doc_bpe_token_counts,
+    "ngram_jaccard_dup_pairs": ngram_jaccard_dup_pairs,
+    "embedding_near_dup_exact": embedding_near_dup_exact,
+    "simhash_doc_signatures": simhash_doc_signatures,
 }
 
 ORACLES: dict[str, str] = {
@@ -633,4 +881,13 @@ ORACLES: dict[str, str] = {
     "knn_bruteforce": ORACLE_KNN,
     "embedding_norms": ORACLE_NORMS,
     # minhash_near_dup_pairs: probabilistic candidates -> rows-only check
+    "orders_running_total": ORACLE_RUNNING_TOTAL,
+    "orders_rollup": ORACLE_ROLLUP,
+    "orders_status_pivot": ORACLE_PIVOT,
+    "clickers_and_buyers": ORACLE_INTERSECT,
+    "doc_quality_filter": ORACLE_QUALITY_FILTER,
+    "doc_bpe_token_counts": ORACLE_BPE,
+    "ngram_jaccard_dup_pairs": ORACLE_NGRAM_JACCARD,
+    "embedding_near_dup_exact": ORACLE_EMB_NEAR_DUP,
+    # simhash_doc_signatures: xxhash64-based -> rows-only check
 }
