@@ -235,25 +235,25 @@ def ngram_jaccard_pairs(
         .filter(F.size("sh") > 0)
         .persist()
     )
+    # shingles() is distinct per doc, so |A ∩ B| = the number of shared
+    # shingle postings per pair — a count aggregate over the inverted-index
+    # join, and |A ∪ B| = |A| + |B| - |A ∩ B|. Counting instead of carrying
+    # full shingle arrays through the shuffle (array_intersect/union per
+    # candidate) cuts shuffle width from O(doc length) to O(1) per posting.
+    sizes = base.select("id", F.size("sh").alias("n"))
     ex = base.select("id", F.explode("sh").alias("s"))
-    cand = (
+    inter = (
         ex.alias("a")
         .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sh_map = base.select("id", "sh")
-    cand = (
-        cand.join(sh_map.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh_map.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    j = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .withColumn("jaccard", F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"))
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        cand.withColumn("jaccard", inter.cast("double") / union.cast("double"))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:

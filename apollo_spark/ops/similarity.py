@@ -127,6 +127,65 @@ def lsh_topk(
     )
 
 
+def all_pairs_cosine_exact(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs cosine >= threshold (id_a < id_b), no recall loss.
+
+    Candidate generation is a blocked float64 matmul: the L2-normalized
+    corpus matrix is broadcast once, and each task scores its row-block
+    against it with BLAS inside mapInPandas, emitting only pairs above
+    (threshold - margin). Survivors are then re-scored JVM-side with the
+    sequential-fold ``cosine`` expression, so final values are bit-identical
+    to naive pairwise evaluation regardless of BLAS summation order, and the
+    margin swallows any ulp-level disagreement at the threshold boundary.
+
+    Scale posture: one corpus copy must fit per executor (dim x 8 bytes/row
+    — the broadcast-join constraint; ~0.5 GB per million rows at dim=64).
+    Beyond that, use embedding_near_dups (LSH) — this is the exact tier.
+    Requires an integral id column.
+    """
+    spark = df.sparkSession
+    src = df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
+    pdf = src.toPandas()
+    ids = np.asarray(pdf["id"], dtype=np.int64)
+    mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    bc = spark.sparkContext.broadcast((ids, mat / norms[:, None]))
+    margin = 1e-9
+
+    def gen(batches):
+        import pandas as pd
+
+        all_ids, m = bc.value
+        for pdf_b in batches:
+            if pdf_b.empty:
+                continue
+            b_ids = pdf_b["id"].to_numpy(dtype=np.int64)
+            b = np.stack(pdf_b["v"].to_numpy()).astype(np.float64)
+            bn = np.linalg.norm(b, axis=1)
+            bn[bn == 0.0] = 1.0
+            sims = (b / bn[:, None]) @ m.T
+            rows, cols = np.nonzero((sims >= threshold - margin) & (b_ids[:, None] < all_ids[None, :]))
+            if len(rows):
+                yield pd.DataFrame({"id_a": b_ids[rows], "id_b": all_ids[cols]})
+
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cand = src.select("id", "v").repartition(parts).mapInPandas(gen, schema="id_a long, id_b long")
+    with_a = src.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")).join(F.broadcast(cand), "id_a")
+    rescored = (
+        src.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+        .join(F.broadcast(with_a), "id_b")
+        .withColumn("score", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("score") >= threshold)
+    )
+    return rescored.select("id_a", "id_b", "score")
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,

@@ -793,17 +793,16 @@ ORDER BY id_a, id_b
 
 
 def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine near-dup pairs (>= 0.4). Exact all-pairs is the oracle
-    tier; the 100 TB path is the LSH-bucketed embedding_near_dups op."""
+    """Exact cosine near-dup pairs (>= 0.4): blocked-matmul candidates +
+    sequential-fold exact re-score (ops.similarity.all_pairs_cosine_exact).
+    The 100 TB path is the LSH-bucketed embedding_near_dups op."""
+    from apollo_spark.ops.similarity import all_pairs_cosine_exact
+
     e = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id"), F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("score", cosine(F.col("v_a"), F.col("v_b")))
-        .filter(F.col("score") >= 0.4)
+        all_pairs_cosine_exact(e, threshold=0.4, id_col="vec_id", vec_col="v")
         .select("id_a", "id_b", F.round("score", 4).alias("score"))
         .orderBy("id_a", "id_b")
     )
