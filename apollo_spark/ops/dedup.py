@@ -256,13 +256,48 @@ def ngram_jaccard_pairs(
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Min-label propagation over undirected edges (id_a, id_b) ->
-    (id, component). Standard alternating large/small-star style loop; each
-    iteration is two shuffles, terminates when labels stop changing."""
-    sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
-        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+def connected_components(edges: DataFrame, max_iter: int = 20, driver_threshold: int = 2_000_000) -> DataFrame:
+    """Undirected edges (id_a, id_b) -> (id, comp) with comp = min id in the
+    component.
+
+    Near-dup candidate graphs are tiny relative to the corpus (edges ~= dup
+    pairs, not documents), so up to driver_threshold edges this runs
+    path-compressed union-find on the driver — one collect, no iterative
+    shuffles. Above it, distributed min-label propagation (two shuffles per
+    iteration, lineage truncated per round) takes over."""
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        # materialize once: everything below re-reads sym (the driver path
+        # counts then collects; the loop runs 2 actions per iteration), and
+        # without this the entire upstream edge-generation DAG (e.g. a
+        # shingle self-join) re-executes per action
+        .localCheckpoint(eager=True)
     )
+    if sym.count() <= driver_threshold:
+        pairs = sym.collect()  # read the checkpoint, NOT edges (whose DAG would re-execute)
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in pairs:
+            a, b = find(r[0]), find(r[1])
+            if a != b:
+                lo, hi = (a, b) if (a < b) else (b, a)
+                parent[hi] = lo
+        nodes = {v for r in pairs for v in (r[0], r[1])}
+        out = [(n, find(n)) for n in sorted(nodes)]
+        id_type = sym.schema["src"].dataType
+        spark = edges.sparkSession
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(out, T.StructType([T.StructField("id", id_type), T.StructField("comp", id_type)]))
     labels = sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     for _ in range(max_iter):
         prop = (

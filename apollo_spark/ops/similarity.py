@@ -127,6 +127,129 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    iters: int = 10,
+    seed: int = 42,
+    sample_rows: int = 100_000,
+) -> np.ndarray:
+    """Driver-side spherical k-means (Lloyd on L2-normalized vectors) over a
+    bounded sample — the standard IVF training step. At 100 TB the sample cap
+    keeps driver memory flat (sample_rows x dim x 8 bytes); assignment of the
+    full corpus stays distributed in ivf_assign."""
+    pdf = df.select(vec_col).limit(sample_rows).toPandas()
+    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    norms[norms == 0.0] = 1.0
+    x = x / norms[:, None]
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding", out_col: str = "__cluster"):
+    """Nearest-centroid id per row via Arrow-batched matmul against the
+    broadcast centroid matrix (narrow map, no shuffle)."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+    fields = df.schema.fields
+
+    def run(batches):
+        cent = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0.0] = 1.0
+            pdf = pdf.copy()
+            pdf[out_col] = np.argmax((m / n[:, None]) @ cent.T, axis=1).astype(np.int32)
+            yield pdf
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(list(fields) + [T.StructField(out_col, T.IntegerType())])
+    return df.mapInPandas(run, schema=schema)
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into n_clusters inverted
+    lists by nearest centroid; each query probes its n_probe nearest lists
+    and re-scores candidates exactly (JVM-side cosine + top-k window).
+
+    n_probe = n_clusters makes it EXACT (== brute_force_topk). Scale: the
+    candidate join shuffles on cluster id — expected fan-in per query is
+    n_probe/n_clusters of the corpus, tune n_clusters ~ sqrt(N) so each
+    inverted list stays partition-sized."""
+    cent = train_ivf_centroids(df, vec_col=vec_col, n_clusters=n_clusters, seed=seed)
+    corpus = ivf_assign(df.select(id_col, vec_col), cent, vec_col=vec_col)
+    # queries probe their n_probe nearest centroids: explode a per-row array
+    probed = ivf_probe(queries.select(q_id_col, q_vec_col), cent, n_probe, vec_col=q_vec_col)
+    cand = corpus.join(probed, corpus["__cluster"] == probed["__probe"]).select(
+        id_col, vec_col, q_id_col, q_vec_col
+    )
+    scored = cand.withColumn("score", cosine(F.col(vec_col), F.col(q_vec_col)))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "score", "rank")
+    )
+
+
+def ivf_probe(queries: DataFrame, centroids: np.ndarray, n_probe: int, vec_col: str = "q_vec"):
+    """(query, probed cluster id) pairs — top-n_probe centroids by cosine."""
+    import pandas as pd
+
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+    cols = queries.columns
+
+    def run(batches):
+        cent = bc.value
+        p = min(n_probe, len(cent))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0.0] = 1.0
+            sims = (m / n[:, None]) @ cent.T
+            top = np.argsort(-sims, axis=1)[:, :p]
+            out = pdf.loc[pdf.index.repeat(p)].reset_index(drop=True)
+            out["__probe"] = top.reshape(-1).astype(np.int32)
+            yield out
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(list(queries.schema.fields) + [T.StructField("__probe", T.IntegerType())])
+    return queries.mapInPandas(run, schema=schema)
+
+
 def all_pairs_cosine_exact(
     df: DataFrame,
     threshold: float,

@@ -818,6 +818,130 @@ ORDER BY id_a, id_b
 """
 
 
+def orders_by_year_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join: o_orderdate into broadcast year intervals
+    (ops.relational.range_join -> BroadcastNestedLoopJoin on a 7-row dim),
+    then aggregate per interval."""
+    from datetime import date
+
+    from apollo_spark.ops.relational import range_join
+
+    o = _t(spark, sf_dir, "orders")
+    intervals = spark.createDataFrame(
+        [(y, date(y, 1, 1), date(y + 1, 1, 1)) for y in range(1992, 1999)],
+        "order_year int, lo date, hi date",
+    )
+    return (
+        range_join(o, F.broadcast(intervals), on=[], left_point="o_orderdate", right_lo="lo", right_hi="hi")
+        .groupBy("order_year")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+        .orderBy("order_year")
+    )
+
+
+ORACLE_RANGEJOIN = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders WHERE year(o_orderdate) BETWEEN 1992 AND 1998
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over exact bigram-Jaccard >= 0.2 edges:
+    iterative min-label propagation (ops.dedup.connected_components), the
+    grouping step of near-dedup. Oracle = recursive-CTE min reachability."""
+    from apollo_spark.ops.dedup import connected_components, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(d, n=2, threshold=0.2).select("id_a", "id_b")
+    return (
+        connected_components(edges)
+        .select(F.col("id").cast("long").alias("doc_id"), F.col("comp").cast("long").alias("component"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_NEAR_DUP_CC = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents)
+  WHERE len(t) >= 1
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
+def knn_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with n_probe = n_clusters: probing every inverted list makes
+    IVF EXACT, so the brute-force oracle applies — this pins the correctness
+    of the cluster/probe/rescore machinery itself."""
+    from apollo_spark.ops.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    return (
+        ivf_topk(e, q, k=5, n_clusters=8, n_probe=8, id_col="vec_id", vec_col="v", q_id_col="q_id", q_vec_col="qv")
+        .select("q_id", "vec_id", "rank", F.round("score", 4).alias("score"))
+        .orderBy("q_id", "rank")
+    )
+
+
+def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 probing 4/16 lists — the 100 TB ANN path (approximate ->
+    rows-only check; recall vs brute force is pinned in tests/test_ops.py)."""
+    from apollo_spark.ops.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    return (
+        ivf_topk(e, q, k=5, n_clusters=16, n_probe=4, id_col="vec_id", vec_col="v", q_id_col="q_id", q_vec_col="qv")
+        .select("q_id", "vec_id", "rank", F.round("score", 4).alias("score"))
+        .orderBy("q_id", "rank")
+    )
+
+
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end on driver data: documents' text bytes
+    as opaque binary payloads -> Arrow-batched mapInPandas feature extraction
+    (deterministic fake encoder; real codec slots into the same stage).
+    Hash-seeded gaussians aren't SQL-expressible -> rows-only check."""
+    from apollo_spark.ops.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    feats = extract_features(d, dim=16)
+    return feats.select(
+        "media_id",
+        F.round(F.aggregate(F.transform("features", lambda x: x.cast("double")), F.lit(0.0), lambda a, v: a + v * v), 4).alias(
+            "feat_sq_norm"
+        ),
+        F.size("features").alias("dim"),
+    ).orderBy("media_id")
+
+
 def simhash_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (xxhash64-based -> not reproducible in
     ANSI SQL; rows-only check)."""
@@ -859,6 +983,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_dup_pairs": ngram_jaccard_dup_pairs,
     "embedding_near_dup_exact": embedding_near_dup_exact,
     "simhash_doc_signatures": simhash_doc_signatures,
+    "orders_by_year_rangejoin": orders_by_year_rangejoin,
+    "near_dup_components": near_dup_components,
+    "knn_ivf_full_probe": knn_ivf_full_probe,
+    "knn_ivf_approx": knn_ivf_approx,
+    "media_feature_extract": media_feature_extract,
 }
 
 ORACLES: dict[str, str] = {
@@ -889,4 +1018,9 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_dup_pairs": ORACLE_NGRAM_JACCARD,
     "embedding_near_dup_exact": ORACLE_EMB_NEAR_DUP,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
+    "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
+    "near_dup_components": ORACLE_NEAR_DUP_CC,
+    "knn_ivf_full_probe": ORACLE_KNN,
+    # knn_ivf_approx: approximate ANN -> rows-only; recall pinned in tests
+    # media_feature_extract: hash-seeded fake encoder -> rows-only check
 }

@@ -244,3 +244,39 @@ def test_multimodal_frame_sampling(spark):
     n_videos = media.filter("kind = 'video'").count()
     assert frames.count() == n_videos * 5  # 5000ms / 1000ms
     assert frames.schema["frame"].dataType.typeName() == "binary"
+
+def test_ivf_full_probe_is_exact(spark, emb):
+    from apollo_spark.ops.similarity import brute_force_topk, ivf_topk
+
+    qdf = spark.createDataFrame(
+        [(int(r.vec_id), r.embedding) for r in emb.limit(3).collect()], "q_id long, q_vec array<float>"
+    )
+    exact = brute_force_topk(emb, qdf, k=5).toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+    full = (
+        ivf_topk(emb, qdf, k=5, n_clusters=8, n_probe=8)
+        .toPandas()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert (exact["vec_id"] == full["vec_id"]).all()
+    assert np.allclose(exact["score"], full["score"])
+
+
+def test_ivf_partial_probe_recall(spark, emb):
+    from apollo_spark.ops.similarity import brute_force_topk, ivf_topk
+
+    qdf = spark.createDataFrame(
+        [(int(r.vec_id), r.embedding) for r in emb.limit(5).collect()], "q_id long, q_vec array<float>"
+    )
+    exact = brute_force_topk(emb, qdf, k=10).toPandas()
+    approx = ivf_topk(emb, qdf, k=10, n_clusters=8, n_probe=4).toPandas()
+    recalls = []
+    for qid in exact.q_id.unique():
+        e = set(exact[exact.q_id == qid]["vec_id"])
+        a = set(approx[approx.q_id == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5, recalls
+    # probing half the lists must always include the query's own list
+    for qid in exact.q_id.unique():
+        top = approx[(approx.q_id == qid) & (approx["rank"] == 1)]["vec_id"].iloc[0]
+        assert top == qid
