@@ -1,0 +1,96 @@
+"""Physical-plan audits: pin the scale-critical plan properties so a
+regression (lost pushdown, broadcast degrading to sort-merge/cartesian,
+widened scans) fails CI before it costs anything at 100 TB.
+
+These assert on `.explain("formatted")` output of the headline queries at
+sf0.001 — plan shape is scale-invariant, so the small inputs are fine.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from apollo_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(spark, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, SF).explain("formatted")
+    return buf.getvalue()
+
+
+def scan_blocks(p: str) -> list[str]:
+    """The per-scan detail blocks (PushedFilters/ReadSchema lines grouped)."""
+    return re.split(r"\n\(\d+\) ", p)
+
+
+def test_q6_filters_pushed_and_columns_pruned(spark):
+    p = plan(spark, "q6_revenue_forecast")
+    # every predicate reaches the parquet reader
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_quantity,24.0)" in p
+    assert "GreaterThanOrEqual(l_discount,0.03)" in p
+    # scan reads exactly the 4 referenced columns of lineitem's 16
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    }
+
+
+def test_q5_all_joins_broadcast(spark):
+    p = plan(spark, "q5_local_supplier_volume")
+    # 5 dim joins, every one a broadcast hash join; the only shuffles are the
+    # final aggregation/sort, never a join
+    assert p.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" not in p
+    # the region filter is pushed into the region scan, not applied post-join
+    assert "EqualTo(r_name,ASIA)" in p
+
+
+def test_dsl_pipeline_filter_pushdown(spark):
+    # HCL schema -> Column compilation must stay Catalyst-transparent: the
+    # compiled filter expression lands in the parquet PushedFilters
+    p = plan(spark, "events_etl_dsl")
+    assert "Not(EqualTo(value,0.0))" in p
+    assert "Filter" in p or "PushedFilters: [IsNotNull(value)" in p
+
+
+def test_asof_join_is_single_window_no_join(spark):
+    # union+window as-of formulation: no join node at all, and both scans
+    # push their event_type predicate
+    p = plan(spark, "purchases_asof_click")
+    assert "Window" in p
+    assert "Join" not in p
+    assert "EqualTo(event_type,purchase)" in p
+    assert "EqualTo(event_type,click)" in p
+
+
+def test_range_join_broadcasts_interval_side(spark):
+    p = plan(spark, "orders_by_year_rangejoin")
+    assert "BroadcastNestedLoopJoin" in p  # 7-row interval dim: broadcast, not shuffle
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {"o_totalprice", "o_orderdate"}
+
+
+def test_knn_broadcasts_query_side(spark):
+    p = plan(spark, "knn_bruteforce")
+    assert "BroadcastExchange" in p
+    assert "LessThan(vec_id,3)" in p  # probe-set predicate pushed to its scan
+    assert "SortMergeJoin" not in p
+
+
+def test_top_customers_single_shuffle_window(spark):
+    p = plan(spark, "top_customers_per_nation")
+    assert "SortMergeJoin" not in p  # nation dim must broadcast
+    assert "Window" in p
