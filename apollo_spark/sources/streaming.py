@@ -170,3 +170,55 @@ def windowed_event_counts(
             "n_events",
         )
     )
+
+
+def stateful_running_totals(
+    stream: DataFrame,
+    *,
+    key_col: str = "contract_address",
+    value_col: str = "value",
+    ttl_seconds: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running (count, total) maintained across micro-batches, emitting the
+    updated aggregate for every key touched in a batch.
+
+    This is the arbitrary-keyed-state tier beyond watermarked windows —
+    apollo's realtime mode is stateless per-row (SURVEY §2.7), so cumulative
+    metrics there require the Postgres sink. State is partitioned by key
+    (scales with distinct keys, not events); an optional processing-time TTL
+    bounds the state store for unbounded key domains at 100 TB.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+    )
+    timeout = GroupStateTimeout.ProcessingTimeTimeout if ttl_seconds else GroupStateTimeout.NoTimeout
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            vals = pd.to_numeric(pdf[value_col], errors="coerce").fillna(0.0)
+            n += len(pdf)
+            total += float(vals.sum())
+        state.update((n, total))
+        if ttl_seconds:
+            state.setTimeoutDuration(ttl_seconds * 1000)
+        yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total]})
+
+    return (
+        stream.select(F.col(key_col).cast("string").alias("key"), F.col(value_col))
+        .groupBy("key")
+        .applyInPandasWithState(update, out_schema, state_schema, "update", timeout)
+    )

@@ -184,3 +184,51 @@ def test_blockdater_interpolation():
     # interpolation on a linear chain converges in O(1) probes, not O(log n)
     assert FakeHeaders.calls <= 6
     assert dater.seconds_to_block_interval(130) == 10
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-key state must survive across micro-batches
+    (restart from checkpoint), accumulating counts/totals."""
+    import json
+
+    from apollo_spark.sources.streaming import stateful_running_totals
+
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_state")
+    out_dir = str(tmp_path / "totals_out")
+
+    def write_batch(fname, rows):
+        (src / fname).write_text("\n".join(json.dumps(r) for r in rows))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user string, value double").json(str(src))
+        )
+        totals = stateful_running_totals(stream, key_col="user", value_col="value")
+        q = (
+            totals.writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch("b1.json", [{"user": "a", "value": 1.0}, {"user": "a", "value": 2.0}, {"user": "b", "value": 5.0}])
+    run_once()
+    first = {r.key: (r.n, r.total) for r in spark.read.parquet(out_dir).collect()}
+    assert first["a"] == (2, 3.0) and first["b"] == (1, 5.0)
+
+    write_batch("b2.json", [{"user": "a", "value": 4.0}])
+    run_once()
+    rows = spark.read.parquet(out_dir).collect()
+    latest = {}
+    for r in rows:
+        if r.key not in latest or r.n > latest[r.key][0]:
+            latest[r.key] = (r.n, r.total)
+    # state restored from checkpoint: 'a' continues from (2, 3.0)
+    assert latest["a"] == (3, 7.0)
+    assert latest["b"] == (1, 5.0)
