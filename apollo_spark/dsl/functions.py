@@ -146,3 +146,24 @@ CONST_FUNCTIONS = {
     "parse_decimals": lambda raw, d: float(raw) / (10.0 ** float(d)),
     "format_date": format_date_py,
 }
+
+
+# v2 aggregate-block functions (SURVEY §2.7/§7 step 8 — the relational tier
+# apollo left on its roadmap, ROADMAP.md:77). Only legal inside `aggregate`
+# blocks; the pipeline swaps these into the compiler's function table there.
+# `sum`/`avg` accumulate in DECIMAL(38,6) and emit double so results are
+# summation-order-independent (hash-stable against any SQL oracle).
+AGG_FUNCTIONS = {
+    "count": lambda *a: F.count(_as_col(a[0])) if a else F.count(F.lit(1)),
+    "count_distinct": lambda *a: F.count_distinct(*[_as_col(x) for x in a]),
+    "sum": lambda c: F.sum(_as_col(c).cast("decimal(38,6)")).cast("double"),
+    "avg": lambda c: F.avg(_as_col(c).cast("decimal(38,6)")).cast("double"),
+    "min": lambda c: F.min(_as_col(c)),
+    "max": lambda c: F.max(_as_col(c)),
+}
+
+# sort-list helpers (only legal inside `sort = [...]`)
+SORT_FUNCTIONS = {
+    "desc": lambda c: _as_col(c).desc(),
+    "asc": lambda c: _as_col(c).asc(),
+}

@@ -59,6 +59,19 @@ class ContractSpec:
 
 
 @dataclass
+class JoinSpec:
+    """v2 `join` block: equi-join the query frame to another catalog table
+    (SURVEY §2.7 — apollo has no joins; here they're one declarative block)."""
+
+    table: str
+    left_on: list[str]
+    right_on: list[str]
+    how: str = "inner"
+    broadcast: bool = False  # small dims: force broadcast, never shuffle
+    select: list[str] | None = None  # right-side columns to keep (None = all)
+
+
+@dataclass
 class QuerySpec:
     name: str
     chain: str
@@ -66,6 +79,12 @@ class QuerySpec:
     global_events: list[EventSpec] = field(default_factory=list)
     filters: list[Node] = field(default_factory=list)
     save: Body | None = None
+    # v2 relational tier (§7 step 8): joins -> transform -> filter ->
+    # aggregate (group_by/having) -> save -> sort/limit
+    joins: list[JoinSpec] = field(default_factory=list)
+    aggregate: Body | None = None
+    sort: list[Node] = field(default_factory=list)
+    limit: int | None = None
     start_block: int | None = None
     end_block: int | None = None
     block_interval: int | None = None
@@ -182,9 +201,41 @@ def _parse_query(block: Block, env: dict[str, Any], item: Any = None) -> QuerySp
         v = _const(b, attr, env)
         return int(v) if v is not None else None
 
+    def _parse_join(jb: Block) -> JoinSpec:
+        jbody = jb.body
+        table = jb.labels[0] if jb.labels else str(_const(jbody, "table", env))
+        left_on = _const(jbody, "left_on", env) or _const(jbody, "on", env)
+        right_on = _const(jbody, "right_on", env) or _const(jbody, "on", env)
+        if left_on is None:
+            raise SchemaError(f"query {name}: join {table!r} needs on or left_on/right_on")
+        as_list = lambda v: [v] if isinstance(v, str) else list(v)
+        sel = _const(jbody, "select", env)
+        return JoinSpec(
+            table=table,
+            left_on=as_list(left_on),
+            right_on=as_list(right_on),
+            how=str(_const(jbody, "how", env, "inner")),
+            broadcast=bool(_const(jbody, "broadcast", env, False)),
+            select=(as_list(sel) if sel is not None else None),
+        )
+
+    sort_expr = b.attr("sort")
+    sort_items: list[Node] = []
+    if sort_expr is not None:
+        from apollo_spark.dsl.ast import ListExpr
+
+        if not isinstance(sort_expr, ListExpr):
+            raise SchemaError(f"query {name}: sort must be a list of expressions")
+        sort_items = list(sort_expr.items)
+
+    agg_blocks = b.blocks_of("aggregate")
     transform_blocks = b.blocks_of("transform")
     return QuerySpec(
         name=name,
+        joins=[_parse_join(jb) for jb in b.blocks_of("join")],
+        aggregate=agg_blocks[0].body if agg_blocks else None,
+        sort=sort_items,
+        limit=(int(_const(b, "limit", env)) if b.attr("limit") is not None else None),
         chain=str(_const(b, "chain", env)),
         contracts=[_parse_contract(cb, env) for cb in b.blocks_of("contract")],
         global_events=[_parse_event(eb, env, standalone=True) for eb in b.blocks_of("event")],

@@ -132,6 +132,29 @@ def _apply_enrichments(df: DataFrame, enrichments: list[Enrichment], catalog: Ca
     return df
 
 
+def _apply_joins(df: DataFrame, joins: list, catalog: Catalog) -> DataFrame:
+    """v2 `join` blocks: equi-join to catalog tables before the eval tail.
+    `broadcast = true` forces the small side JVM-broadcast (no shuffle)."""
+    for j in joins:
+        right = catalog.table(j.table)
+        if j.select is not None:
+            right = right.select(*dict.fromkeys(list(j.right_on) + list(j.select)))
+        if len(j.left_on) != len(j.right_on):
+            raise PipelineError(f"join {j.table}: left_on/right_on arity mismatch")
+        cond = reduce(
+            lambda a, b: a & b,
+            [df[l] == right[r] for l, r in zip(j.left_on, j.right_on)],
+        )
+        r = F.broadcast(right) if j.broadcast else right
+        joined = df.join(r, cond, j.how)
+        # drop the duplicate right-side key columns (equi-join convention)
+        for rk, lk in zip(j.right_on, j.left_on):
+            if rk != lk:
+                joined = joined.drop(right[rk])
+        df = joined
+    return df
+
+
 def _eval_tail(
     df: DataFrame,
     *,
@@ -141,8 +164,15 @@ def _eval_tail(
     variables: dict[str, Any],
     chain: str | None,
     catalog: Catalog,
+    joins: list | None = None,
+    aggregate: Body | None = None,
+    sort: list | None = None,
+    limit: int | None = None,
 ) -> DataFrame:
-    """transform -> filter -> save over an already-decoded source frame."""
+    """joins -> transform -> filter -> aggregate -> save -> sort/limit over an
+    already-decoded source frame."""
+    if joins:
+        df = _apply_joins(df, joins, catalog)
     env = _scope_env(df, variables, chain)
     ctx = CompilerContext(env=env)
     compiler = ExpressionCompiler(ctx)
@@ -160,7 +190,9 @@ def _eval_tail(
         filter_col = reduce(lambda a, b: a & b, preds)
 
     save_cols: list[Column] = []
-    if save is not None:
+    if aggregate is None and save is not None:
+        # compile save BEFORE applying enrichments so balance()/token_balance()
+        # calls inside save register their join placeholders
         for name, attr in save.attributes.items():
             save_cols.append(compiler.compile(attr.expr).alias(name))
 
@@ -169,13 +201,75 @@ def _eval_tail(
         df = df.withColumns(transform_cols)
     if filter_col is not None:
         df = df.filter(filter_col)
+
+    if aggregate is not None:
+        df = _apply_aggregate(df, aggregate, variables, chain)
+        if save is not None:
+            # save sees the aggregated shape: compile against its columns
+            # (enrichment functions aren't supported post-aggregate)
+            agg_env = _scope_env(df, variables, chain)
+            agg_compiler = ExpressionCompiler(CompilerContext(env=agg_env))
+            save_cols = [agg_compiler.compile(attr.expr).alias(name) for name, attr in save.attributes.items()]
     if save_cols:
         df = df.select(*save_cols)
-    elif transform_cols:
-        # no save block: emit context + transform vars (diagnostic parity
-        # with apollo, which requires save for sink output)
-        pass
+
+    if sort:
+        from apollo_spark.dsl.functions import SORT_FUNCTIONS
+
+        sort_env = _scope_env(df, variables, chain)
+        sort_ctx = CompilerContext(env=sort_env, functions=dict(SORT_FUNCTIONS))
+        sort_compiler = ExpressionCompiler(sort_ctx)
+        df = df.orderBy(*[sort_compiler.compile(s) for s in sort])
+    if limit is not None:
+        df = df.limit(limit)
     return df
+
+
+def _apply_aggregate(df: DataFrame, aggregate: Body, variables: dict[str, Any], chain: str | None) -> DataFrame:
+    """v2 `aggregate` block (the tier apollo left on its roadmap,
+    ROADMAP.md:77): `group_by = [exprs]`, named aggregate attrs using
+    AGG_FUNCTIONS, optional `having = [post-agg predicates]`."""
+    from apollo_spark.dsl.ast import ListExpr
+    from apollo_spark.dsl.functions import AGG_FUNCTIONS
+
+    env = _scope_env(df, variables, chain)
+    ctx = CompilerContext(env=env, functions=dict(AGG_FUNCTIONS))
+    compiler = ExpressionCompiler(ctx)
+
+    group_attr = aggregate.attr("group_by")
+    group_cols: list[Column] = []
+    if group_attr is not None:
+        if not isinstance(group_attr, ListExpr):
+            raise PipelineError("aggregate.group_by must be a list")
+        # alias grouping exprs by their source text so bare column refs keep
+        # their name and computed keys get a stable one
+        from apollo_spark.dsl.ast import Variable
+
+        for i, g in enumerate(group_attr.items):
+            col = compiler.compile(g)
+            group_cols.append(col if isinstance(g, Variable) else col.alias(f"group_{i}"))
+
+    agg_cols: list[Column] = []
+    for name, attr in aggregate.attributes.items():
+        if name in ("group_by", "having"):
+            continue
+        agg_cols.append(compiler.compile(attr.expr).alias(name))
+    if not agg_cols:
+        raise PipelineError("aggregate block needs at least one aggregate expression")
+
+    out = df.groupBy(*group_cols).agg(*agg_cols) if group_cols else df.agg(*agg_cols)
+
+    having_attr = aggregate.attr("having")
+    if having_attr is not None:
+        if not isinstance(having_attr, ListExpr):
+            raise PipelineError("aggregate.having must be a list")
+        henv = {c: F.col(c) for c in out.columns}
+        henv.update(variables)
+        hctx = CompilerContext(env=henv)
+        hcompiler = ExpressionCompiler(hctx)
+        preds = [hcompiler.compile(h) for h in having_attr.items]
+        out = out.filter(reduce(lambda a, b: a & b, preds))
+    return out
 
 
 def _contract_event_frame(
@@ -252,6 +346,10 @@ def compile_query(
                 variables=variables,
                 chain=None,
                 catalog=catalog,
+                joins=query.joins,
+                aggregate=query.aggregate,
+                sort=query.sort,
+                limit=query.limit,
             )
         )
     for contract in query.contracts:
@@ -266,6 +364,10 @@ def compile_query(
                     variables=variables,
                     chain=query.chain,
                     catalog=catalog,
+                    joins=query.joins,
+                    aggregate=query.aggregate,
+                    sort=query.sort,
+                    limit=query.limit,
                 )
             )
         if contract.methods:
@@ -314,6 +416,10 @@ def compile_query(
                     variables=variables,
                     chain=query.chain,
                     catalog=catalog,
+                    joins=query.joins,
+                    aggregate=query.aggregate,
+                    sort=query.sort,
+                    limit=query.limit,
                 )
             )
     for event in query.global_events:
@@ -340,6 +446,10 @@ def compile_query(
                 variables=variables,
                 chain=query.chain,
                 catalog=catalog,
+                joins=query.joins,
+                aggregate=query.aggregate,
+                sort=query.sort,
+                limit=query.limit,
             )
         )
 

@@ -350,6 +350,93 @@ ORDER BY event_id
 """
 
 
+EVENTS_DSL_AGG = """
+query events_agg {
+  chain = "ethereum"
+  source_table = "events"
+  transform {
+    v = abs(value)
+  }
+  filter = [
+    value != 0
+  ]
+  aggregate {
+    group_by = [event_type]
+    n = count()
+    total = sum(v)
+    max_v = max(v)
+    having = [n > 10]
+  }
+  sort = [event_type]
+}
+"""
+
+
+def events_dsl_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 `aggregate` DSL block (group_by/having/sort) — the relational tier
+    apollo left on its roadmap (ROADMAP.md:77), one declarative block here."""
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import compile_query
+    from apollo_spark.sources.tables import Catalog
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = parse_schema(EVENTS_DSL_AGG)
+    return compile_query(spark, Catalog(spark, sf_dir), schema.queries[0], schema)
+
+
+ORACLE_EVENTS_DSL_AGG = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(abs(value) AS DECIMAL(38,6))) AS DOUBLE) AS total,
+       MAX(abs(value)) AS max_v
+FROM events WHERE value <> 0
+GROUP BY event_type HAVING COUNT(*) > 10 ORDER BY event_type
+"""
+
+
+EVENTS_DSL_JOIN = """
+query events_by_segment {
+  chain = "ethereum"
+  source_table = "events"
+  join customer {
+    left_on = "user_id"
+    right_on = "c_custkey"
+    broadcast = true
+    select = ["c_mktsegment"]
+  }
+  filter = [
+    event_type == "purchase"
+  ]
+  aggregate {
+    group_by = [c_mktsegment]
+    n = count()
+    revenue = sum(value)
+  }
+  sort = [desc(revenue), c_mktsegment]
+}
+"""
+
+
+def events_dsl_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 `join` DSL block: broadcast dim join (customer) + aggregate —
+    apollo has no joins at all (SURVEY §2.7)."""
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import compile_query
+    from apollo_spark.sources.tables import Catalog
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = parse_schema(EVENTS_DSL_JOIN)
+    return compile_query(spark, Catalog(spark, sf_dir), schema.queries[0], schema)
+
+
+ORACLE_EVENTS_DSL_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE event_type = 'purchase'
+GROUP BY c_mktsegment ORDER BY revenue DESC, c_mktsegment
+"""
+
+
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     hour = F.date_format(F.date_trunc("hour", F.timestamp_micros(_ts_micros())), "yyyy-MM-dd HH:mm:ss")
@@ -965,6 +1052,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_brand_stats": part_brand_stats,
     "supplied_not_ordered_parts": supplied_not_ordered_parts,
     "events_etl_dsl": events_etl_dsl,
+    "events_dsl_agg": events_dsl_agg,
+    "events_dsl_join_agg": events_dsl_join_agg,
     "events_hourly_rollup": events_hourly_rollup,
     "purchases_asof_click": purchases_asof_click,
     "dedup_exact_docs": dedup_exact_docs,
@@ -1000,6 +1089,8 @@ ORACLES: dict[str, str] = {
     "part_brand_stats": ORACLE_PART_BRAND,
     "supplied_not_ordered_parts": ORACLE_ANTI_PARTS,
     "events_etl_dsl": ORACLE_EVENTS_DSL,
+    "events_dsl_agg": ORACLE_EVENTS_DSL_AGG,
+    "events_dsl_join_agg": ORACLE_EVENTS_DSL_JOIN,
     "events_hourly_rollup": ORACLE_EVENTS_HOURLY,
     "purchases_asof_click": ORACLE_ASOF,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT,

@@ -135,3 +135,41 @@ def test_column_compilation(spark):
     # parse_decimals: double division semantics (dsl/functions.go:33-42)
     col4 = compile_expr(parse_expression("parse_decimals(y, 1)"), env)
     assert [r[0] for r in df.select(col4).collect()] == [1.0, 0.4]
+
+
+def test_parse_v2_relational_blocks():
+    """v2 join/aggregate/sort/limit blocks parse into QuerySpec fields."""
+    from apollo_spark.dsl.schema import parse_schema
+
+    schema = parse_schema(
+        """
+query seg_revenue {
+  chain = "ethereum"
+  source_table = "events"
+  join customer {
+    left_on = "user_id"
+    right_on = "c_custkey"
+    how = "left"
+    broadcast = true
+    select = ["c_mktsegment", "c_name"]
+  }
+  aggregate {
+    group_by = [c_mktsegment]
+    n = count()
+    revenue = sum(value)
+    having = [n > 5]
+  }
+  sort = [desc(revenue)]
+  limit = 10
+}
+"""
+    )
+    q = schema.queries[0]
+    assert len(q.joins) == 1
+    j = q.joins[0]
+    assert j.table == "customer" and j.left_on == ["user_id"] and j.right_on == ["c_custkey"]
+    assert j.how == "left" and j.broadcast is True and j.select == ["c_mktsegment", "c_name"]
+    assert q.aggregate is not None
+    assert {a for a in q.aggregate.attributes} == {"group_by", "n", "revenue", "having"}
+    assert len(q.sort) == 1
+    assert q.limit == 10
