@@ -299,6 +299,94 @@ ORDER BY p_partkey
 """
 
 
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14 shape: conditional aggregation over a fact-dim join (part
+    side broadcast by AQE/stats). Single-row global aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                (F.lit(100.0) * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0).cast("decimal(38,6)"))).cast("double"))
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("economy_share")
+        )
+    )
+
+
+ORACLE_PROMO_SHARE = """
+SELECT ROUND(
+  100.0 * CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+                        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                        ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS economy_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape: IN-subquery with HAVING -> groupBy + filter + join
+    back to orders (one shuffle on l_orderkey, order keys then broadcast)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_LARGE_ORDERS = """
+SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_custkey, o_orderdate, o_totalprice
+HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 200
+ORDER BY o_orderkey
+"""
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 shape: correlated scalar subquery (per-part avg quantity)
+    as aggregate + self-join. Comparison uses the exact integer identity
+    2*cnt*qty < sum_qty, avoiding FP-average boundary flips vs the oracle."""
+    l = _t(spark, sf_dir, "lineitem")
+    per_part = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("l_quantity").alias("sq"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        l.join(per_part, l["l_partkey"] == per_part["pk"])
+        .filter(F.col("l_quantity") * 2 * F.col("cnt") < F.col("sq"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+ORACLE_SMALL_QTY = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+FROM lineitem l JOIN (
+  SELECT l_partkey AS pk, SUM(l_quantity) AS sq, COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+) t ON l.l_partkey = t.pk
+WHERE l.l_quantity * 2 * t.cnt < t.sq
+"""
+
+
 # --------------------------------------------------------------------------
 # events tier (apollo-semantics DSL + time-series ops)
 # --------------------------------------------------------------------------
@@ -1051,6 +1139,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_order_stats": customer_order_stats,
     "part_brand_stats": part_brand_stats,
     "supplied_not_ordered_parts": supplied_not_ordered_parts,
+    "promo_revenue_share": promo_revenue_share,
+    "large_quantity_orders": large_quantity_orders,
+    "small_quantity_revenue": small_quantity_revenue,
     "events_etl_dsl": events_etl_dsl,
     "events_dsl_agg": events_dsl_agg,
     "events_dsl_join_agg": events_dsl_join_agg,
@@ -1088,6 +1179,9 @@ ORACLES: dict[str, str] = {
     "customer_order_stats": ORACLE_CUSTOMER_ORDER_STATS,
     "part_brand_stats": ORACLE_PART_BRAND,
     "supplied_not_ordered_parts": ORACLE_ANTI_PARTS,
+    "promo_revenue_share": ORACLE_PROMO_SHARE,
+    "large_quantity_orders": ORACLE_LARGE_ORDERS,
+    "small_quantity_revenue": ORACLE_SMALL_QTY,
     "events_etl_dsl": ORACLE_EVENTS_DSL,
     "events_dsl_agg": ORACLE_EVENTS_DSL_AGG,
     "events_dsl_join_agg": ORACLE_EVENTS_DSL_JOIN,
