@@ -100,3 +100,28 @@ def top_k(df: DataFrame, partition_by: Sequence[str], order_by: Sequence[Column]
     shuffle on the group key)."""
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     return df.withColumn("__rank", F.row_number().over(w)).filter(F.col("__rank") <= k).drop("__rank")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: explode the (small-ish) right side `salt`
+    ways and scatter the left side across the replicas, so one hot key's rows
+    land on `salt` tasks instead of one.
+
+    Complements AQE skew-split (which rebalances post-shuffle sizes but not a
+    single giant hash-map build): use when one key dominates the LEFT side —
+    the classic 100 TB null-key / power-law join. Cost: right side is
+    replicated `salt`x, so keep `salt` ~ the observed skew factor.
+
+    Exact same result set as a plain equi-join (the salt column is internal).
+    """
+    on = list(on)
+    l = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    r = right.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    out = l.join(r, on + ["__salt"], how)
+    return out.drop("__salt")

@@ -280,3 +280,16 @@ def test_ivf_partial_probe_recall(spark, emb):
     for qid in exact.q_id.unique():
         top = approx[(approx.q_id == qid) & (approx["rank"] == 1)]["vec_id"].iloc[0]
         assert top == qid
+
+
+def test_salted_join_matches_plain_join(spark):
+    from apollo_spark.ops.relational import salted_join
+
+    # power-law key distribution: key 0 holds half the rows
+    left = spark.range(0, 2000).selectExpr("CASE WHEN id % 2 = 0 THEN 0 ELSE id END AS k", "id AS v")
+    right = spark.createDataFrame([(i, f"r{i}") for i in range(0, 100)], "k long, label string")
+    plain = left.join(right, "k").select("k", "v", "label").toPandas()
+    salted = salted_join(left, right, on=["k"], salt=8).select("k", "v", "label").toPandas()
+    key = lambda df: df.sort_values(["k", "v", "label"]).reset_index(drop=True)
+    a, b = key(plain), key(salted)
+    assert len(a) == len(b) and (a.values == b.values).all()
