@@ -545,6 +545,115 @@ ORDER BY hour, event_type
 """
 
 
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands): new session when a user is idle
+    > 1800 s. Two stacked windows on one user_id shuffle; integer-second
+    arithmetic keeps the gap compare exact."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_s").asc(), F.col("event_id").asc())
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    base = e.select("event_id", "user_id", _ts_seconds().alias("ts_s"))
+    prev = F.lag("ts_s").over(w)
+    is_new = (prev.isNull() | ((F.col("ts_s") - prev) > 1800)).cast("int")
+    return (
+        base.withColumn("session_id", F.sum(is_new).over(wrun))
+        .select("user_id", "event_id", "ts_s", "session_id")
+        .orderBy("user_id", "ts_s", "event_id")
+    )
+
+
+ORACLE_SESSIONS = """
+WITH base AS (
+  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_s FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_s,
+         CASE WHEN LAG(ts_s) OVER w IS NULL OR ts_s - LAG(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC)
+)
+SELECT user_id, event_id, ts_s,
+       SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+FROM flagged ORDER BY user_id, ts_s, event_id
+"""
+
+
+EVENTS_DSL_LOOP = """
+loop {
+  items = ["click", "purchase"]
+  query per_type_etl {
+    chain = "ethereum"
+    source_table = "events"
+    transform {
+      t = upper(item)
+    }
+    filter = [
+      event_type == item
+    ]
+    save {
+      event_id = event_id
+      t = t
+      value = value
+    }
+  }
+}
+"""
+
+
+def events_dsl_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 `loop` semantics: macro-expansion binds `item` per element and the
+    per-item pipelines union under one query name (test/schema.hcl:1-25,
+    dsl/schema.go:427-442)."""
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import compile_schema
+    from apollo_spark.sources.tables import Catalog
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = parse_schema(EVENTS_DSL_LOOP)
+    out = compile_schema(spark, Catalog(spark, sf_dir), schema)
+    return out["per_type_etl"].orderBy("event_id")
+
+
+ORACLE_EVENTS_DSL_LOOP = """
+SELECT event_id, upper(event_type) AS t, value
+FROM events WHERE event_type IN ('click', 'purchase')
+ORDER BY event_id
+"""
+
+
+def term_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics: per-term document frequency + IDF, top 20.
+    explode(distinct terms) -> one groupBy shuffle; at 100 TB add a
+    map-side partial agg (free) and a hot-term cap."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    ex = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(F.array_distinct(toks)).alias("term"))
+    )
+    return (
+        ex.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .withColumn("idf", F.round(F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6))
+        .orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+ORACLE_TERM_DF = r"""
+WITH ex AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT term, COUNT(*) AS doc_freq,
+       ROUND(ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / COUNT(*)), 6) AS idf
+FROM ex GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 20
+"""
+
+
 def purchases_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's latest prior-or-equal
     click (backward inclusive). Single shuffle on user_id (union+window)."""
@@ -1146,6 +1255,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_dsl_agg": events_dsl_agg,
     "events_dsl_join_agg": events_dsl_join_agg,
     "events_hourly_rollup": events_hourly_rollup,
+    "events_dsl_loop": events_dsl_loop,
+    "user_sessions": user_sessions,
+    "term_doc_frequency": term_doc_frequency,
     "purchases_asof_click": purchases_asof_click,
     "dedup_exact_docs": dedup_exact_docs,
     "doc_fingerprints": doc_fingerprints,
@@ -1186,6 +1298,9 @@ ORACLES: dict[str, str] = {
     "events_dsl_agg": ORACLE_EVENTS_DSL_AGG,
     "events_dsl_join_agg": ORACLE_EVENTS_DSL_JOIN,
     "events_hourly_rollup": ORACLE_EVENTS_HOURLY,
+    "events_dsl_loop": ORACLE_EVENTS_DSL_LOOP,
+    "user_sessions": ORACLE_SESSIONS,
+    "term_doc_frequency": ORACLE_TERM_DF,
     "purchases_asof_click": ORACLE_ASOF,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT,
     "doc_fingerprints": ORACLE_FINGERPRINTS,
