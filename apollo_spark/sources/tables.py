@@ -28,3 +28,32 @@ class Catalog:
         if not path.exists():
             raise FileNotFoundError(f"catalog table {name!r} not found at {path}")
         return self.spark.read.parquet(str(path))
+
+    def land_bucketed(
+        self,
+        name: str,
+        df: DataFrame,
+        bucket_cols: list[str],
+        buckets: int = 8,
+        sort_cols: list[str] | None = None,
+        path: str | None = None,
+    ) -> DataFrame:
+        """Land a table bucketed (and optionally sorted) by join key.
+
+        Two fact tables bucketed the same way join with ZERO exchanges —
+        the shuffle is paid once at landing time and amortized over every
+        subsequent join/aggregate on the key. This is the 100 TB answer to
+        repeated lineitem⨝orders-shaped joins; bucket count should be sized
+        so each bucket file is a few hundred MB at the target scale.
+        """
+        writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *bucket_cols)
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        if path is not None:
+            writer = writer.option("path", path)
+        writer.saveAsTable(name)
+        return self.spark.table(name)
+
+    def bucketed_table(self, name: str) -> DataFrame:
+        """A table previously landed via land_bucketed (session catalog)."""
+        return self.spark.table(name)

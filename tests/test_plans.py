@@ -94,3 +94,30 @@ def test_top_customers_single_shuffle_window(spark):
     p = plan(spark, "top_customers_per_nation")
     assert "SortMergeJoin" not in p  # nation dim must broadcast
     assert "Window" in p
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-located join: both sides bucketed on the key -> SortMergeJoin with
+    ZERO Exchange operators (the shuffle was paid once at landing)."""
+    from apollo_spark.sources.tables import Catalog
+
+    cat = Catalog(spark, SF)
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    o = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_totalprice")
+    lb = cat.land_bucketed("li_b", li, ["l_orderkey"], buckets=4, sort_cols=["l_orderkey"], path=str(tmp_path / "li_b"))
+    ob = cat.land_bucketed("o_b", o, ["o_orderkey"], buckets=4, sort_cols=["o_orderkey"], path=str(tmp_path / "o_b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        p = buf.getvalue()
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, p
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
