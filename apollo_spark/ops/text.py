@@ -91,3 +91,30 @@ def rolling_fingerprints(text_col, window: int = 8) -> Column:
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i + 1, window))),
     )
     return F.slice(F.array_sort(hashes), 1, 4)
+
+
+def chunk_documents(
+    df,
+    size: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Fixed-size character chunks with overlap (stride = size - overlap) —
+    the standard context-window prep for training/embedding pipelines.
+    Pure JVM expressions (sequence + posexplode + substring): a narrow map,
+    no shuffle, no Python. Empty documents yield no chunks."""
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    step = size - overlap
+    starts = F.sequence(F.lit(0), F.greatest(F.length(text_col) - 1, F.lit(0)), F.lit(step))
+    return (
+        df.filter(F.length(text_col) > 0)
+        .select(F.col(id_col), F.col(text_col), F.posexplode(starts).alias("chunk_id", "__start"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.substring(F.col(text_col), F.col("__start") + 1, size).alias("chunk"),
+        )
+        .withColumn("n_chars", F.length("chunk"))
+    )

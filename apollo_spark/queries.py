@@ -1047,6 +1047,25 @@ FROM documents ORDER BY doc_id
 """
 
 
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (512 chars, 64 overlap) — narrow map, no
+    shuffle (ops.text.chunk_documents)."""
+    from apollo_spark.ops.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, size=512, overlap=64).orderBy("doc_id", "chunk_id")
+
+
+ORACLE_DOC_CHUNKS = """
+SELECT doc_id, CAST(i // 448 AS INT) AS chunk_id,
+       substring(text, i + 1, 512) AS chunk,
+       length(substring(text, i + 1, 512)) AS n_chars
+FROM documents, unnest(generate_series(0, greatest(length(text) - 1, 0), 448)) AS t(i)
+WHERE length(text) > 0
+ORDER BY doc_id, chunk_id
+"""
+
+
 def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT bigram-Jaccard pairs >= 0.2 (lossless inverted-index candidates
     -> SQL-oracle-able, unlike MinHash)."""
@@ -1272,6 +1291,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clickers_and_buyers": clickers_and_buyers,
     "doc_quality_filter": doc_quality_filter,
     "doc_bpe_token_counts": doc_bpe_token_counts,
+    "doc_chunks": doc_chunks,
     "ngram_jaccard_dup_pairs": ngram_jaccard_dup_pairs,
     "embedding_near_dup_exact": embedding_near_dup_exact,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -1315,6 +1335,7 @@ ORACLES: dict[str, str] = {
     "clickers_and_buyers": ORACLE_INTERSECT,
     "doc_quality_filter": ORACLE_QUALITY_FILTER,
     "doc_bpe_token_counts": ORACLE_BPE,
+    "doc_chunks": ORACLE_DOC_CHUNKS,
     "ngram_jaccard_dup_pairs": ORACLE_NGRAM_JACCARD,
     "embedding_near_dup_exact": ORACLE_EMB_NEAR_DUP,
     # simhash_doc_signatures: xxhash64-based -> rows-only check

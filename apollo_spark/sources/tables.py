@@ -20,14 +20,33 @@ class Catalog:
         self.spark = spark
         self.root = Path(root)
 
+    # formats a training-data lake actually lands in; parquet first so the
+    # columnar path wins when multiple encodings of a table exist
+    FORMATS = (".parquet", ".jsonl", ".json", ".csv", ".csv.gz", ".tsv")
+
+    def _find(self, name: str):
+        for ext in self.FORMATS:
+            p = self.root / f"{name}{ext}"
+            if p.exists():
+                return p, ext
+        return None, None
+
     def has(self, name: str) -> bool:
-        return (self.root / f"{name}.parquet").exists()
+        return self._find(name)[0] is not None
 
     def table(self, name: str) -> DataFrame:
-        path = self.root / f"{name}.parquet"
-        if not path.exists():
-            raise FileNotFoundError(f"catalog table {name!r} not found at {path}")
-        return self.spark.read.parquet(str(path))
+        path, ext = self._find(name)
+        if path is None:
+            raise FileNotFoundError(f"catalog table {name!r} not found under {self.root}")
+        if ext == ".parquet":
+            return self.spark.read.parquet(str(path))
+        if ext in (".jsonl", ".json"):
+            return self.spark.read.json(str(path))
+        if ext in (".csv", ".csv.gz"):
+            return self.spark.read.csv(str(path), header=True, inferSchema=True)
+        if ext == ".tsv":
+            return self.spark.read.csv(str(path), header=True, inferSchema=True, sep="\t")
+        raise FileNotFoundError(f"unsupported format {ext}")
 
     def land_bucketed(
         self,

@@ -293,3 +293,31 @@ def test_salted_join_matches_plain_join(spark):
     key = lambda df: df.sort_values(["k", "v", "label"]).reset_index(drop=True)
     a, b = key(plain), key(salted)
     assert len(a) == len(b) and (a.values == b.values).all()
+
+
+def test_catalog_reads_jsonl_and_csv(spark, tmp_path):
+    import json as _json
+
+    from apollo_spark.sources.tables import Catalog
+
+    (tmp_path / "docs.jsonl").write_text("\n".join(_json.dumps({"id": i, "t": f"x{i}"}) for i in range(5)))
+    (tmp_path / "dim.csv").write_text("k,v\n1,a\n2,b\n")
+    cat = Catalog(spark, tmp_path)
+    assert cat.has("docs") and cat.has("dim") and not cat.has("nope")
+    assert cat.table("docs").count() == 5
+    rows = {r.k: r.v for r in cat.table("dim").collect()}
+    assert rows == {1: "a", 2: "b"}
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from apollo_spark.ops.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a" * 1000), (2, "b" * 10), (3, "")], "doc_id long, text string")
+    out = chunk_documents(df, size=512, overlap=64).toPandas()
+    d1 = out[out.doc_id == 1].sort_values("chunk_id")
+    # stride 448: starts 0,448,896 -> 3 chunks, last truncated to 104 chars
+    assert list(d1.n_chars) == [512, 512, 104]
+    # consecutive chunks overlap by exactly 64 chars
+    assert d1.iloc[0].chunk[-64:] == d1.iloc[1].chunk[:64]
+    assert list(out[out.doc_id == 2].n_chars) == [10]
+    assert (out.doc_id != 3).all()  # empty doc -> no chunks
