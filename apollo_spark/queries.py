@@ -387,6 +387,86 @@ WHERE l.l_quantity * 2 * t.cnt < t.sq
 """
 
 
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape (no partsupp table in this corpus): correlated MIN —
+    suppliers whose observed unit price equals the part's global minimum.
+    MIN is order-independent and per-row division is deterministic IEEE, so
+    the double equality against the oracle is exact."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    mins = l.groupBy(F.col("l_partkey").alias("pk")).agg(F.min("unit_price").alias("min_price"))
+    return (
+        l.join(mins, (l["l_partkey"] == mins["pk"]) & (l["unit_price"] == mins["min_price"]))
+        .select("l_partkey", "l_suppkey", F.col("min_price").alias("min_unit_price"))
+        .dropDuplicates(["l_partkey", "l_suppkey"])
+        .orderBy("l_partkey", "l_suppkey")
+    )
+
+
+ORACLE_CHEAPEST_SUPP = """
+WITH up AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price FROM lineitem
+),
+mins AS (SELECT l_partkey AS pk, MIN(unit_price) AS min_price FROM up GROUP BY 1)
+SELECT DISTINCT l_partkey, l_suppkey, min_price AS min_unit_price
+FROM up JOIN mins ON l_partkey = pk AND unit_price = min_price
+ORDER BY l_partkey, l_suppkey
+"""
+
+
+def embedding_label_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label z-score of vector norms. Variance via the decimal-exact
+    identity E[x^2] - E[x]^2 (decimal(38,6) sums) instead of Welford
+    stddev, whose result depends on accumulation order across partitions."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v * v,
+            )
+        ).alias("norm"),
+    )
+    stats = e.groupBy(F.col("label").alias("lb")).agg(
+        (dsum(F.col("norm")) / F.count(F.lit(1))).alias("mean"),
+        F.sqrt(
+            dsum(F.col("norm") * F.col("norm")) / F.count(F.lit(1))
+            - (dsum(F.col("norm")) / F.count(F.lit(1))) * (dsum(F.col("norm")) / F.count(F.lit(1)))
+        ).alias("std"),
+    )
+    return (
+        e.join(F.broadcast(stats), e["label"] == stats["lb"])
+        .select(
+            "vec_id",
+            "label",
+            F.when(F.col("std") > 0, (F.col("norm") - F.col("mean")) / F.col("std")).otherwise(F.lit(0.0)).alias("z"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_EMB_ZSCORE = """
+WITH e AS (
+  SELECT vec_id, label, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+  FROM embeddings
+),
+stats AS (
+  SELECT label AS lb,
+         CAST(SUM(CAST(norm AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean,
+         sqrt(CAST(SUM(CAST(norm * norm AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+              - (CAST(SUM(CAST(norm AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*))
+                * (CAST(SUM(CAST(norm AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*))) AS std
+  FROM e GROUP BY 1
+)
+SELECT vec_id, label, CASE WHEN std > 0 THEN (norm - mean) / std ELSE 0.0 END AS z
+FROM e JOIN stats ON label = lb
+ORDER BY vec_id
+"""
+
+
 # --------------------------------------------------------------------------
 # events tier (apollo-semantics DSL + time-series ops)
 # --------------------------------------------------------------------------
@@ -1270,6 +1350,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promo_revenue_share": promo_revenue_share,
     "large_quantity_orders": large_quantity_orders,
     "small_quantity_revenue": small_quantity_revenue,
+    "cheapest_supplier_per_part": cheapest_supplier_per_part,
+    "embedding_label_zscore": embedding_label_zscore,
     "events_etl_dsl": events_etl_dsl,
     "events_dsl_agg": events_dsl_agg,
     "events_dsl_join_agg": events_dsl_join_agg,
@@ -1314,6 +1396,8 @@ ORACLES: dict[str, str] = {
     "promo_revenue_share": ORACLE_PROMO_SHARE,
     "large_quantity_orders": ORACLE_LARGE_ORDERS,
     "small_quantity_revenue": ORACLE_SMALL_QTY,
+    "cheapest_supplier_per_part": ORACLE_CHEAPEST_SUPP,
+    "embedding_label_zscore": ORACLE_EMB_ZSCORE,
     "events_etl_dsl": ORACLE_EVENTS_DSL,
     "events_dsl_agg": ORACLE_EVENTS_DSL_AGG,
     "events_dsl_join_agg": ORACLE_EVENTS_DSL_JOIN,
