@@ -218,3 +218,25 @@ def generate_evm_fixtures(root: str | Path, n_swaps: int = 8000, n_transfers: in
 
     marker.write_text("ok")
     return root
+
+
+class FakeLogNode:
+    """eth_getLogs fake for rpc_log_source tests: rejects ranges wider than
+    ``cap`` blocks (RangeTooLargeError) and records every call. Lives here
+    (not in the test module) so Spark workers can unpickle it."""
+
+    def __init__(self, logs_by_block: dict, cap: int):
+        self.logs_by_block = logs_by_block
+        self.cap = cap
+        self.calls: list = []
+
+    def get_logs(self, chain, address, topic0, from_block, to_block):
+        from apollo_spark.sources.rpc_logs import RangeTooLargeError
+
+        self.calls.append((from_block, to_block))
+        if to_block - from_block + 1 > self.cap:
+            raise RangeTooLargeError(f"{from_block}-{to_block}")
+        out = []
+        for b in range(from_block, to_block + 1):
+            out.extend(self.logs_by_block.get(b, []))
+        return out

@@ -232,3 +232,78 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     # state restored from checkpoint: 'a' continues from (2, 3.0)
     assert latest["a"] == (3, 7.0)
     assert latest["b"] == (1, 5.0)
+
+
+from apollo_spark.testing import FakeLogNode as _DenseFakeLogNode
+
+
+def _mklog(block, i):
+    return {
+        "chain": "ethereum",
+        "block_number": block,
+        "block_hash": f"0x{block:064x}",
+        "tx_hash": f"0x{block * 1000 + i:064x}",
+        "tx_index": i,
+        "log_index": i,
+        "address": "0x" + "ab" * 20,
+        "topics": ["0x" + "11" * 32],
+        "data": b"\x00" * 32,
+    }
+
+
+def test_rpc_log_source_bisects_only_failing_ranges(spark):
+    from apollo_spark.sources.rpc_logs import rpc_log_source
+
+    logs_by_block = {b: [_mklog(b, i) for i in range(3)] for b in range(100, 164)}
+    df = rpc_log_source(
+        spark,
+        lambda: _DenseFakeLogNode(logs_by_block, cap=8),
+        chain="ethereum",
+        from_block=100,
+        to_block=163,
+        parts=2,  # 2 partitions x 32 blocks, each must bisect down to <=8
+    )
+    out = df.toPandas()
+    assert len(out) == 64 * 3  # every log exactly once despite splits
+    assert sorted(out["block_number"].unique()) == list(range(100, 164))
+
+    # driver-side replay of one partition's walk: bisection touches only the
+    # failing subranges (apollo restarts the whole scan instead)
+    node = _DenseFakeLogNode(logs_by_block, cap=8)
+    stack = [(100, 131)]
+    while stack:
+        a, b = stack.pop()
+        try:
+            node.get_logs("ethereum", None, None, a, b)
+        except Exception:
+            mid = (a + b) // 2
+            stack.extend([(mid + 1, b), (a, mid)])
+    fetched = [c for c in node.calls if c[1] - c[0] + 1 <= 8]
+    assert sorted(fetched) == [(100 + 8 * i, 107 + 8 * i) for i in range(4)]
+
+
+def test_rpc_log_source_composes_with_decoder(spark, unipair):
+    from apollo_spark.sources.logs import decoded_event_source
+    from apollo_spark.sources.rpc_logs import rpc_log_source
+
+    swap = unipair.events["Swap"]
+
+    def swap_log(b):
+        log = _mklog(b, 0)
+        log["topics"] = [swap.topic0, "0x" + "11" * 32, "0x" + "22" * 32]
+        log["data"] = abi_encode(["uint256"] * 4, [b, 0, 2 * b, 0])
+        return log
+
+    logs_by_block = {b: [swap_log(b)] for b in range(10, 20)}
+    raw = rpc_log_source(
+        spark,
+        lambda: _DenseFakeLogNode(logs_by_block, cap=100),
+        chain="ethereum",
+        from_block=10,
+        to_block=19,
+        parts=2,
+    )
+    decoded = decoded_event_source(raw, swap, chain="ethereum", address=None)
+    pdf = decoded.toPandas().sort_values("block_number")
+    assert len(pdf) == 10
+    assert [int(x) for x in pdf["amount0In"]] == list(range(10, 20))
