@@ -51,18 +51,30 @@ def abi_type_to_spark(abi_type: str) -> T.DataType:
     return T.StringType()  # address, bytesN, bytes, string
 
 
-def event_output_schema(event: AbiEvent, outputs: list[str] | None = None) -> T.StructType:
+def event_output_schema(
+    event: AbiEvent, outputs: list[str] | None = None, uint_as_string: bool = False
+) -> T.StructType:
     fields = [T.StructField(n, t) for n, t in CONTEXT_FIELDS]
     wanted = set(outputs) if outputs else None
     for p in event.inputs:
         if wanted is None or p.name in wanted:
-            fields.append(T.StructField(p.name, abi_type_to_spark(p.type)))
+            t = abi_type_to_spark(p.type)
+            if uint_as_string and isinstance(t, T.DecimalType):
+                t = T.StringType()  # uint256 escape hatch (SURVEY §1.2)
+            fields.append(T.StructField(p.name, t))
     return T.StructType(fields)
 
 
 def _coerce(value, spark_type: T.DataType):
     if isinstance(spark_type, T.DecimalType) and value is not None:
+        # Decimal(38,0) holds 38 digits; a full uint256 needs 78. Values
+        # beyond the policy cap become NULL (documented degradation) — use
+        # uint_as_string=True for lossless passage of such columns.
+        if isinstance(value, int) and len(str(abs(value))) > 38:
+            return None
         return Decimal(value)
+    if isinstance(spark_type, T.StringType) and isinstance(value, int):
+        return str(value)  # uint_as_string path
     return value
 
 
@@ -76,6 +88,7 @@ def decoded_event_source(
     to_block: int | None = None,
     outputs: list[str] | None = None,
     blocks: DataFrame | None = None,
+    uint_as_string: bool = False,
 ) -> DataFrame:
     """Select + decode logs for one event shape.
 
@@ -100,7 +113,7 @@ def decoded_event_source(
     n_indexed = len(event.indexed_inputs)
     df = df.filter(F.length("data") > 0).filter(F.size("topics") > n_indexed)
 
-    schema = event_output_schema(event, outputs)
+    schema = event_output_schema(event, outputs, uint_as_string=uint_as_string)
     out_params = [f.name for f in schema.fields[len(CONTEXT_FIELDS) :]]
     out_types = {f.name: f.dataType for f in schema.fields}
     ev = event  # close over the plan-time constant; topic0 already applied

@@ -222,3 +222,27 @@ def stateful_running_totals(
         .groupBy("key")
         .applyInPandasWithState(update, out_schema, state_schema, "update", timeout)
     )
+
+
+def dedup_event_stream(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    *,
+    watermark_seconds: int = 600,
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Exactly-once log delivery over a re-emitting bridge: watermark-bounded
+    streaming dedup on the log identity (tx_hash, tx_index by default).
+
+    A WS bridge reconnecting after a gap re-sends overlapping logs; apollo
+    would sink them twice (at-most-once per row, but replays duplicate).
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only for the
+    watermark horizon — bounded state at 100 TB/day event rates, unlike an
+    unbounded ``dropDuplicates``."""
+    keys = list(keys) if keys else ["tx_hash", "tx_index"]
+    with_ts = stream.withColumn("__event_time", F.col(ts_col).cast("timestamp"))
+    return (
+        with_ts.withWatermark("__event_time", f"{watermark_seconds} seconds")
+        .dropDuplicatesWithinWatermark(keys)
+        .drop("__event_time")
+    )

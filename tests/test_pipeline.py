@@ -367,3 +367,40 @@ query bal {{
         """
     )
     assert_frames_match(df, expected, sort_cols=["tx_hash"], approx_cols=("eth_balance",))
+
+
+def test_uint256_escape_hatch(spark, unipair_abi_or_none=None):
+    """SURVEY §1.2 policy: Decimal(38,0) default nulls out >38-digit values;
+    uint_as_string=True passes the full uint256 losslessly."""
+    from apollo_spark.abi import Abi, abi_encode
+    from apollo_spark.sources.logs import decoded_event_source
+
+    abi = Abi.from_file("/root/reference/test/unipair.abi.json")
+    swap = abi.events["Swap"]
+    huge = 2**255 + 12345  # 77 digits
+    small = 42
+    rows = []
+    for i, a0 in enumerate([huge, small]):
+        rows.append(
+            (
+                "ethereum", 100 + i, f"0x{i:064x}", f"0x{i+7:064x}", 0, i,
+                "0x" + "ab" * 20,
+                [swap.topic0, "0x" + "11" * 32, "0x" + "22" * 32],
+                bytearray(abi_encode(["uint256"] * 4, [a0, 0, 1, 0])),
+            )
+        )
+    logs = spark.createDataFrame(
+        rows,
+        "chain string, block_number long, block_hash string, tx_hash string, "
+        "tx_index int, log_index int, address string, topics array<string>, data binary",
+    )
+    dec = decoded_event_source(logs, swap, chain="ethereum").toPandas().sort_values("block_number")
+    assert dec.iloc[0]["amount0In"] is None  # 77 digits -> NULL under Decimal(38,0)
+    assert int(dec.iloc[1]["amount0In"]) == small
+    s = (
+        decoded_event_source(logs, swap, chain="ethereum", uint_as_string=True)
+        .toPandas()
+        .sort_values("block_number")
+    )
+    assert s.iloc[0]["amount0In"] == str(huge)  # lossless as string
+    assert s.iloc[1]["amount0In"] == str(small)

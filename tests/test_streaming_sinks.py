@@ -307,3 +307,29 @@ def test_rpc_log_source_composes_with_decoder(spark, unipair):
     pdf = decoded.toPandas().sort_values("block_number")
     assert len(pdf) == 10
     assert [int(x) for x in pdf["amount0In"]] == list(range(10, 20))
+
+
+def test_dedup_event_stream_drops_bridge_replays(spark, tmp_path, unipair):
+    """A reconnecting bridge re-emits overlapping logs; the watermarked dedup
+    must deliver each (tx_hash, tx_index) exactly once."""
+    from apollo_spark.sources.streaming import dedup_event_stream, event_stream
+
+    bridge = tmp_path / "bridge_dup"
+    _write_bridge_files(bridge, unipair, n=10)
+    # replay: same 10 logs again in a second file (overlap after reconnect)
+    first = (bridge / "batch0.jsonl").read_text()
+    (bridge / "batch1.jsonl").write_text(first)
+
+    stream = event_stream(spark, str(bridge), unipair.events["Swap"], chain="arbitrum")
+    deduped = dedup_event_stream(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_rt")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("SELECT tx_hash, tx_index FROM dedup_rt").collect()
+    assert len(out) == 10
+    assert len({(r.tx_hash, r.tx_index) for r in out}) == 10
