@@ -121,3 +121,19 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_partitioned_logs_prune_by_chain(spark, tmp_path, catalog):
+    """100 TB layout: logs partitioned by chain -> a chain-filtered scan must
+    prune partitions (PartitionFilters), not read-and-filter."""
+    logs = catalog.table("logs")
+    part_dir = str(tmp_path / "logs_part")
+    logs.write.partitionBy("chain").parquet(part_dir)
+    df = spark.read.parquet(part_dir).filter("chain = 'arbitrum'")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert re.search(r"PartitionFilters: \[.*chain.*arbitrum", p), p
+    # the chain predicate is satisfied by pruning alone — no row-level filter
+    assert df.count() == logs.filter("chain = 'arbitrum'").count()
