@@ -1127,6 +1127,35 @@ FROM documents ORDER BY doc_id
 """
 
 
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repetition heuristic: share of tokens taken by the most
+    frequent token. explode -> two-level aggregate, one shuffle on doc_id
+    after the (doc_id, term) combine; integer-ratio division is exact."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    ex = d.filter(F.length(F.trim("text")) > 0).select("doc_id", F.explode(toks).alias("term"))
+    counts = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(F.max("c").alias("top_n"), F.sum("c").alias("n_tokens"))
+        .withColumn("rep_ratio", F.col("top_n").cast("double") / F.col("n_tokens").cast("double"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_REPETITION = r"""
+WITH ex AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+counts AS (SELECT doc_id, term, COUNT(*) AS c FROM ex GROUP BY 1, 2)
+SELECT doc_id, MAX(c) AS top_n, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_ratio
+FROM counts GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (512 chars, 64 overlap) — narrow map, no
     shuffle (ops.text.chunk_documents)."""
@@ -1373,6 +1402,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clickers_and_buyers": clickers_and_buyers,
     "doc_quality_filter": doc_quality_filter,
     "doc_bpe_token_counts": doc_bpe_token_counts,
+    "doc_repetition": doc_repetition,
     "doc_chunks": doc_chunks,
     "ngram_jaccard_dup_pairs": ngram_jaccard_dup_pairs,
     "embedding_near_dup_exact": embedding_near_dup_exact,
@@ -1419,6 +1449,7 @@ ORACLES: dict[str, str] = {
     "clickers_and_buyers": ORACLE_INTERSECT,
     "doc_quality_filter": ORACLE_QUALITY_FILTER,
     "doc_bpe_token_counts": ORACLE_BPE,
+    "doc_repetition": ORACLE_REPETITION,
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "ngram_jaccard_dup_pairs": ORACLE_NGRAM_JACCARD,
     "embedding_near_dup_exact": ORACLE_EMB_NEAR_DUP,
