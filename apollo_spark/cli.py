@@ -24,6 +24,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--realtime", action="store_true", help="streaming mode (flags.go:10-14)")
     p.add_argument("--stdout", action="store_true", help="log rows to stdout (flags.go:24-29)")
     p.add_argument("--csv", action="store_true", help="write csv per query (flags.go:17-22)")
+    p.add_argument("--json", action="store_true", help="write jsonl per query (ROADMAP.md:67-76, unshipped in apollo)")
     p.add_argument("--db", default=None, help="JDBC URL for the db sink")
     p.add_argument("--output-dir", default="./output", help="csv/parquet sink root")
     p.add_argument("--rate-limit", type=float, default=100.0, help="RPC rps cap (flags.go:31-36)")
@@ -56,6 +57,7 @@ def main(argv: list[str] | None = None) -> int:
     sink_cfg = SinkConfig(
         stdout=args.stdout,
         csv_dir=str(Path(args.output_dir)) if args.csv else None,
+        json_dir=str(Path(args.output_dir)) if args.json else None,
         jdbc_url=args.db,
         single_file=True,
     )

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 class SinkConfig:
     stdout: bool = False
     csv_dir: str | None = None
+    json_dir: str | None = None  # JSONL output (apollo ROADMAP.md:67-76, unshipped there)
     parquet_dir: str | None = None
     jdbc_url: str | None = None
     jdbc_properties: dict[str, str] = field(default_factory=dict)
@@ -48,6 +49,9 @@ class SinkWriter:
         if cfg.csv_dir:
             out = df.coalesce(1) if cfg.single_file else df
             out.write.mode("overwrite").option("header", "true").csv(str(Path(cfg.csv_dir) / query_name))
+        if cfg.json_dir:
+            out = df.coalesce(1) if cfg.single_file else df
+            out.write.mode("overwrite").json(str(Path(cfg.json_dir) / query_name))
         if cfg.parquet_dir:
             df.write.mode("overwrite").parquet(str(Path(cfg.parquet_dir) / query_name))
         if cfg.jdbc_url:
@@ -69,6 +73,8 @@ class SinkWriter:
                 batch_df.write.mode("append").option("header", "true").csv(
                     str(Path(cfg.csv_dir) / query_name)
                 )
+            if cfg.json_dir:
+                batch_df.write.mode("append").json(str(Path(cfg.json_dir) / query_name))
             if cfg.parquet_dir:
                 batch_df.write.mode("append").parquet(str(Path(cfg.parquet_dir) / query_name))
             if cfg.jdbc_url:

@@ -118,11 +118,18 @@ def test_sink_fanout_batch(spark, tmp_path):
     from apollo_spark.sinks import SinkConfig, SinkWriter
 
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
-    cfg = SinkConfig(csv_dir=str(tmp_path / "csv"), parquet_dir=str(tmp_path / "pq"), single_file=True)
+    cfg = SinkConfig(
+        csv_dir=str(tmp_path / "csv"),
+        json_dir=str(tmp_path / "js"),
+        parquet_dir=str(tmp_path / "pq"),
+        single_file=True,
+    )
     writer = SinkWriter(cfg)
     writer.write(df, "my_query")
     csv_back = spark.read.option("header", "true").csv(str(tmp_path / "csv" / "my_query"))
     assert {(int(r.id), r.s) for r in csv_back.collect()} == {(1, "a"), (2, "b")}
+    js_back = spark.read.json(str(tmp_path / "js" / "my_query"))
+    assert {(int(r.id), r.s) for r in js_back.collect()} == {(1, "a"), (2, "b")}
     pq_back = spark.read.parquet(str(tmp_path / "pq" / "my_query"))
     assert pq_back.count() == 2
 
