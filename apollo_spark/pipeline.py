@@ -127,6 +127,51 @@ def _apply_enrichments(df: DataFrame, enrichments: list[Enrichment], catalog: Ca
                 e.placeholder,
                 F.col("raw_balance").cast("double") / F.pow(F.lit(10.0), F.coalesce(F.col("__m_decimals"), F.lit(18)).cast("double")),
             ).drop("raw_balance", "__addr", "__token", "__m_chain", "__m_token", "__m_decimals")
+        elif e.func == "is_contract":
+            # roadmap item the reference never shipped (ROADMAP.md:81):
+            # membership in the landed code-bearing-address dim, broadcast
+            if not catalog.has("contracts"):
+                raise PipelineError("is_contract() needs a landed 'contracts' table")
+            addr = e.args[0] if isinstance(e.args[0], Column) else F.lit(str(e.args[0]).lower())
+            contracts = catalog.table("contracts").select(
+                F.col("chain").alias("__c_chain"),
+                F.col("address").alias("__c_addr"),
+                F.lit(True).alias("__c_hit"),
+            )
+            df = df.withColumn("__probe_addr", F.lower(addr))
+            df = (
+                df.join(
+                    F.broadcast(contracts),
+                    (df["chain"] == contracts["__c_chain"]) & (df["__probe_addr"] == contracts["__c_addr"]),
+                    "left",
+                )
+                .withColumn(e.placeholder, F.coalesce(F.col("__c_hit"), F.lit(False)))
+                .drop("__c_chain", "__c_addr", "__c_hit", "__probe_addr")
+            )
+        elif e.func == "get_price":
+            # get_price(token) at the row's block: as-of join on the landed
+            # prices table (commented-out stub, dsl/functions.go:105-121)
+            if not catalog.has("prices"):
+                raise PipelineError("get_price() needs a landed 'prices' table")
+            token = e.args[0] if isinstance(e.args[0], Column) else F.lit(str(e.args[0]).lower())
+            df = df.withColumn("__price_token", F.lower(token))
+            prices = catalog.table("prices").select(
+                F.col("chain"),
+                F.col("token_address").alias("__price_token"),
+                F.col("block_number").alias("__p_block"),
+                F.col("price_usd"),
+            )
+            joined = asof_join(
+                df,
+                prices,
+                on=["chain", "__price_token"],
+                left_ts="block_number",
+                right_ts="__p_block",
+                value_cols=["price_usd"],
+            )
+            df = joined.withColumn(e.placeholder, F.col("price_usd").cast("double")).drop(
+                "price_usd", "__price_token"
+            )
         else:
             raise PipelineError(f"unknown enrichment {e.func}")
     return df

@@ -48,7 +48,7 @@ def dec38(values) -> pa.Array:
 def generate_evm_fixtures(root: str | Path, n_swaps: int = 8000, n_transfers: int = 6000) -> Path:
     root = Path(root)
     marker = root / "_FIXTURES_OK"
-    if marker.exists():
+    if marker.exists() and marker.read_text() == "v2":
         return root
     root.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(SEED)
@@ -216,7 +216,28 @@ def generate_evm_fixtures(root: str | Path, n_swaps: int = 8000, n_transfers: in
         "raw_balance": dec38(bal["raw_balance"]),
     }), root / "balances.parquet")
 
-    marker.write_text("ok")
+    # ---- contracts (code-bearing addresses; is_contract ROADMAP.md:81) ----
+    pq.write_table(
+        pa.table(
+            {
+                "chain": ["arbitrum"] * len(pairs) + ["ethereum"] * len(tokens),
+                "address": list(pairs) + list(tokens),
+            }
+        ),
+        root / "contracts.parquet",
+    )
+
+    # ---- prices (get_price, commented out at dsl/functions.go:105-121) ----
+    pr = {k: [] for k in ("chain", "token_address", "block_number", "price_usd")}
+    for i, tok in enumerate(tokens):
+        for blk in range(START_BLOCK, START_BLOCK + N_BLOCKS, 100):
+            pr["chain"].append("ethereum")
+            pr["token_address"].append(tok)
+            pr["block_number"].append(blk)
+            pr["price_usd"].append(round(1.0 + i + (blk - START_BLOCK) / 1e5, 6))
+    pq.write_table(pa.table(pr), root / "prices.parquet")
+
+    marker.write_text("v2")
     return root
 
 

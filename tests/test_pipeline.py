@@ -66,7 +66,7 @@ WHERE contract_address = '0x905dfcd5649217c42684f23958568e533c711aa3'
 
 def _duck(evm_dir: Path):
     con = duckdb.connect()
-    for t in ("swap_events", "transfers", "blocks", "method_results", "balances", "token_metadata"):
+    for t in ("swap_events", "transfers", "blocks", "method_results", "balances", "token_metadata", "contracts", "prices"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{evm_dir}/{t}.parquet'")
     return con
 
@@ -404,3 +404,75 @@ def test_uint256_escape_hatch(spark, unipair_abi_or_none=None):
     )
     assert s.iloc[0]["amount0In"] == str(huge)  # lossless as string
     assert s.iloc[1]["amount0In"] == str(small)
+
+
+def test_is_contract_enrichment(spark, catalog, evm_dir):
+    """is_contract(addr): membership in the landed code-bearing-address dim
+    (roadmap item apollo never shipped, ROADMAP.md:81). Booleans are KEPT in
+    output — documented deviation from the reference's bool-drop quirk
+    (output/output.go:64-77)."""
+    con = _duck(evm_dir)
+    wallet = con.sql("SELECT address FROM balances WHERE token_address IS NULL LIMIT 1").fetchone()[0]
+    src = f"""
+query contracts_flag {{
+  chain = "ethereum"
+  event Transfer {{
+    abi = "erc20.abi.json"
+    outputs = ["from", "to", "value"]
+  }}
+  save {{
+    tx_hash = tx_hash
+    emitter_is_contract = is_contract(contract_address)
+    wallet_is_contract = is_contract("{wallet}")
+  }}
+}}
+"""
+    schema = parse_schema(src, confdir="/root/reference/test")
+    df = compile_query(spark, catalog, schema.queries[0], schema)
+    expected = con.sql(
+        f"""
+        SELECT t.tx_hash,
+               EXISTS (SELECT 1 FROM contracts c
+                       WHERE c.chain = 'ethereum' AND c.address = t.contract_address) AS emitter_is_contract,
+               EXISTS (SELECT 1 FROM contracts c
+                       WHERE c.chain = 'ethereum' AND c.address = '{wallet}') AS wallet_is_contract
+        FROM transfers t
+        """
+    )
+    assert_frames_match(df, expected, sort_cols=["tx_hash"])
+    # the emitting erc20 token must actually be flagged true
+    assert df.filter("emitter_is_contract").count() == df.count()
+    assert df.filter("wallet_is_contract").count() == 0
+
+
+def test_get_price_enrichment(spark, catalog, evm_dir):
+    """get_price(token) at the row's block via as-of join on the landed
+    prices table (the stub apollo left commented out, dsl/functions.go:105-121)."""
+    con = _duck(evm_dir)
+    token = con.sql("SELECT token_address FROM prices LIMIT 1").fetchone()[0]
+    src = f"""
+query priced {{
+  chain = "ethereum"
+  event Transfer {{
+    abi = "erc20.abi.json"
+    outputs = ["value"]
+  }}
+  save {{
+    tx_hash = tx_hash
+    px = get_price("{token}")
+  }}
+}}
+"""
+    schema = parse_schema(src, confdir="/root/reference/test")
+    df = compile_query(spark, catalog, schema.queries[0], schema)
+    expected = con.sql(
+        f"""
+        SELECT t.tx_hash,
+               (SELECT p.price_usd FROM prices p
+                WHERE p.chain = 'ethereum' AND p.token_address = '{token}'
+                  AND p.block_number <= t.block_number
+                ORDER BY p.block_number DESC LIMIT 1) AS px
+        FROM transfers t
+        """
+    )
+    assert_frames_match(df, expected, sort_cols=["tx_hash"], approx_cols=("px",))
