@@ -48,7 +48,7 @@ def dec38(values) -> pa.Array:
 def generate_evm_fixtures(root: str | Path, n_swaps: int = 8000, n_transfers: int = 6000) -> Path:
     root = Path(root)
     marker = root / "_FIXTURES_OK"
-    if marker.exists() and marker.read_text() == "v2":
+    if marker.exists() and marker.read_text() == "v3":
         return root
     root.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(SEED)
@@ -237,7 +237,28 @@ def generate_evm_fixtures(root: str | Path, n_swaps: int = 8000, n_transfers: in
             pr["price_usd"].append(round(1.0 + i + (blk - START_BLOCK) / 1e5, 6))
     pq.write_table(pa.table(pr), root / "prices.parquet")
 
-    marker.write_text("v2")
+    # ---- transactions (tx/mempool monitoring, ROADMAP.md:67-76) ----
+    tx = {k: [] for k in ("chain", "block_number", "block_hash", "tx_hash", "tx_index", "from_address", "to_address", "value", "gas_used", "timestamp")}
+    for i in range(5000):
+        blk = START_BLOCK + int(rng.integers(0, N_BLOCKS))
+        tx["chain"].append("ethereum")
+        tx["block_number"].append(blk)
+        tx["block_hash"].append(block_hash[("ethereum", blk)])
+        tx["tx_hash"].append(_hash(rng))
+        tx["tx_index"].append(int(rng.integers(0, 200)))
+        tx["from_address"].append(wallets[int(rng.integers(0, len(wallets)))])
+        tx["to_address"].append(
+            tokens[int(rng.integers(0, len(tokens)))] if i % 3 == 0 else wallets[int(rng.integers(0, len(wallets)))]
+        )
+        tx["value"].append(int(rng.uniform(0, 5e18)))
+        tx["gas_used"].append(int(rng.integers(21_000, 500_000)))
+        tx["timestamp"].append(block_ts[("ethereum", blk)])
+    pq.write_table(
+        pa.table({**{k: pa.array(v) for k, v in tx.items() if k != "value"}, "value": dec38(tx["value"])}),
+        root / "transactions.parquet",
+    )
+
+    marker.write_text("v3")
     return root
 
 

@@ -476,3 +476,55 @@ query priced {{
         """
     )
     assert_frames_match(df, expected, sort_cols=["tx_hash"], approx_cols=("px",))
+
+
+def test_transaction_source_filters_match_oracle(spark, catalog, evm_dir):
+    """Roadmap tier (ROADMAP.md:67-76): historical tx monitoring with
+    declarative filters; predicates must also match a DuckDB oracle."""
+    import duckdb
+
+    from apollo_spark.sources.transactions import transaction_source
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW transactions AS SELECT * FROM '{evm_dir}/transactions.parquet'")
+    to_addr = con.sql("SELECT to_address FROM transactions GROUP BY 1 ORDER BY count(*) DESC LIMIT 1").fetchone()[0]
+    df = transaction_source(
+        catalog, chain="ethereum", to_address=to_addr, min_value=1e18
+    ).select("tx_hash", "from_address", "value")
+    expected = con.sql(
+        f"""
+        SELECT tx_hash, from_address, value FROM transactions
+        WHERE chain = 'ethereum' AND to_address = '{to_addr}' AND CAST(value AS DOUBLE) >= 1e18
+        """
+    )
+    assert df.count() > 0
+    assert_frames_match(df, expected, sort_cols=["tx_hash"])
+
+
+def test_transaction_stream_pending_filter(spark, tmp_path):
+    """Mempool mode: pending txs (null block) stream through the same filter
+    tail; availableNow drain into memory sink."""
+    import json
+
+    from apollo_spark.sources.transactions import transaction_stream
+
+    bridge = tmp_path / "txbridge"
+    bridge.mkdir()
+    rows = [
+        {"chain": "ethereum", "block_number": None, "tx_hash": f"0x{i:064x}",
+         "from_address": "0x" + "aa" * 20, "to_address": "0x" + "bb" * 20,
+         "value": str(i * 10**18), "gas_used": 21000}
+        for i in range(6)
+    ]
+    (bridge / "pending0.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = transaction_stream(spark, str(bridge), to_address="0x" + "bb" * 20, min_value=2e18)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory").queryName("pending_txs")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tx"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("SELECT * FROM pending_txs").collect()
+    assert len(out) == 4  # values 2..5 ETH pass the >= 2 ETH filter
+    assert all(r.block_number is None for r in out)
