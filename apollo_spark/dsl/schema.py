@@ -91,6 +91,8 @@ class QuerySpec:
     time_interval: int | None = None
     # v2 extension: run over an already-decoded landed table (no EVM source)
     source_table: str | None = None
+    # read_sql source (schema-ideas.hcl:124-126): ANSI SQL over catalog views
+    source_sql: str | None = None
     # contract-level transform for table queries lives at query level too (v2)
     transform: Body | None = None
     # loop binding that produced this query (None outside loops)
@@ -175,10 +177,31 @@ def _parse_contract(block: Block, env: dict[str, Any]) -> ContractSpec:
     b = block.body
     address = block.labels[0] if block.labels else str(_const(b, "address", env))
     transform_blocks = b.blocks_of("transform")
+    events = [_parse_event(eb, env, standalone=False) for eb in b.blocks_of("event")]
+    abi_name = _const(b, "abi", env)
+    template_name = _const(b, "template", env)
+    if template_name is not None:
+        # template expansion (ROADMAP.md:82-87): standard events prepended,
+        # explicitly-declared events override same-named template entries
+        from apollo_spark.dsl.templates import TEMPLATES
+
+        tpl = TEMPLATES.get(str(template_name))
+        if tpl is None:
+            raise SchemaError(f"unknown contract template {template_name!r}")
+        abi_name = abi_name or tpl["abi"]
+        declared = {e.name for e in events}
+        wanted = _const(b, "template_events", env)  # subset selection; None = all
+        events = [
+            EventSpec(name=n, outputs=list(outs))
+            for n, outs in tpl["events"].items()
+            if n not in declared and (wanted is None or n in list(wanted))
+        ] + events
+    if abi_name is None:
+        raise SchemaError(f"contract {address}: abi is required (or use template)")
     return ContractSpec(
         address=address.lower(),
-        abi_name=str(_const(b, "abi", env)),
-        events=[_parse_event(eb, env, standalone=False) for eb in b.blocks_of("event")],
+        abi_name=str(abi_name),
+        events=events,
         methods=[_parse_method(mb, env) for mb in b.blocks_of("method")],
         transform=transform_blocks[0].body if transform_blocks else None,
     )
@@ -246,6 +269,7 @@ def _parse_query(block: Block, env: dict[str, Any], item: Any = None) -> QuerySp
         block_interval=opt_int("block_interval"),
         time_interval=opt_int("time_interval"),
         source_table=(str(_const(b, "source_table", env)) if b.attr("source_table") is not None else None),
+        source_sql=(str(_const(b, "source_sql", env)) if b.attr("source_sql") is not None else None),
         transform=transform_blocks[0].body if transform_blocks else None,
         item=item,
     )

@@ -379,6 +379,26 @@ def compile_query(
         variables.setdefault("item", query.item)
     frames: list[DataFrame] = []
 
+    if query.source_sql is not None:
+        # read_sql source (schema-ideas.hcl:124-126): ANSI SQL over the
+        # catalog's tables as views — full Catalyst SQL surface inside the
+        # schema DSL, sharing the transform/filter/save tail
+        catalog.register_views()
+        frames.append(
+            _eval_tail(
+                spark.sql(query.source_sql),
+                transform=query.transform,
+                filters=query.filters,
+                save=query.save,
+                variables=variables,
+                chain=None,
+                catalog=catalog,
+                joins=query.joins,
+                aggregate=query.aggregate,
+                sort=query.sort,
+                limit=query.limit,
+            )
+        )
     if query.source_table is not None:
         # v2 table query: already-decoded rows; transform at query level
         df = catalog.table(query.source_table)

@@ -76,3 +76,18 @@ class Catalog:
     def bucketed_table(self, name: str) -> DataFrame:
         """A table previously landed via land_bucketed (session catalog)."""
         return self.spark.table(name)
+
+    def names(self) -> list[str]:
+        """All table names available in this catalog root."""
+        out = set()
+        for p in self.root.iterdir() if self.root.exists() else []:
+            for ext in self.FORMATS:
+                if p.name.endswith(ext):
+                    out.add(p.name[: -len(ext)])
+                    break
+        return sorted(out)
+
+    def register_views(self) -> None:
+        """Expose every catalog table as a temp view for read_sql queries."""
+        for name in self.names():
+            self.table(name).createOrReplaceTempView(name)

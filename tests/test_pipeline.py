@@ -528,3 +528,59 @@ def test_transaction_stream_pending_filter(spark, tmp_path):
     out = spark.sql("SELECT * FROM pending_txs").collect()
     assert len(out) == 4  # values 2..5 ETH pass the >= 2 ETH filter
     assert all(r.block_number is None for r in out)
+
+
+def test_template_expansion_runs_flagship(spark, catalog, evm_dir):
+    """`template = "uniswapv2"` (ROADMAP.md:82-87) expands the standard event
+    set; subset selection keeps the save shape single-event."""
+    con = _duck(evm_dir)
+    src = """
+query tpl_swaps {
+  chain = "arbitrum"
+  contract "0x905dfcd5649217c42684f23958568e533c711aa3" {
+    template = "uniswapv2"
+    template_events = ["Swap"]
+  }
+  save {
+    tx_hash = tx_hash
+    eth_out = parse_decimals(amount0Out, 18)
+  }
+}
+"""
+    schema = parse_schema(src, confdir="/root/reference/test")
+    c = schema.queries[0].contracts[0]
+    assert c.abi_name == "unipair.abi.json"  # template default
+    assert [e.name for e in c.events] == ["Swap"]
+    df = compile_query(spark, catalog, schema.queries[0], schema)
+    expected = con.sql(
+        """
+        SELECT tx_hash, CAST(amount0Out AS DOUBLE) / 1e18 AS eth_out
+        FROM swap_events WHERE contract_address = '0x905dfcd5649217c42684f23958568e533c711aa3'
+        """
+    )
+    assert_frames_match(df, expected, sort_cols=["tx_hash"], approx_cols=("eth_out",))
+
+
+def test_read_sql_source(spark, catalog, evm_dir):
+    """read_sql (schema-ideas.hcl:124-126): ANSI SQL source over catalog
+    views, sharing the DSL tail."""
+    con = _duck(evm_dir)
+    src = """
+query sql_src {
+  chain = "ethereum"
+  source_sql = "SELECT contract_address, COUNT(*) AS n FROM swap_events GROUP BY contract_address"
+  filter = [
+    n > 0
+  ]
+  save {
+    contract_address = contract_address
+    n = n
+  }
+}
+"""
+    schema = parse_schema(src)
+    df = compile_query(spark, catalog, schema.queries[0], schema)
+    expected = con.sql(
+        "SELECT contract_address, COUNT(*) AS n FROM swap_events GROUP BY 1 ORDER BY 1"
+    )
+    assert_frames_match(df, expected, sort_cols=["contract_address"])
