@@ -64,8 +64,12 @@ class Enrichment:
 class CompilerContext:
     env: dict[str, Any]  # variable -> Column | python constant
     functions: dict[str, Callable[..., Any]] = field(default_factory=dict)
+    # user-defined DSL functions (ROADMAP.md:58-60): name -> (params, body
+    # AST); expanded macro-style at compile, so they cost nothing at runtime
+    user_functions: dict[str, tuple[list[str], Any]] = field(default_factory=dict)
     enrichments: list[Enrichment] = field(default_factory=list)
     _counter: int = 0
+    _depth: int = 0
 
     def placeholder(self, func: str) -> str:
         self._counter += 1
@@ -192,6 +196,26 @@ class ExpressionCompiler:
         raise CompileError(f"bad operator {op}")
 
     def _call(self, node: Call) -> Any:
+        if node.func in self.ctx.user_functions:
+            params, body = self.ctx.user_functions[node.func]
+            if len(node.args) != len(params):
+                raise CompileError(f"{node.func}() takes {len(params)} args, got {len(node.args)}")
+            if self.ctx._depth > 16:
+                raise CompileError(f"user function {node.func!r}: expansion too deep (recursive?)")
+            args = [self._eval(a) for a in node.args]
+            child_env = dict(self.ctx.env)
+            child_env.update(dict(zip(params, args)))
+            child_ctx = CompilerContext(
+                env=child_env,
+                functions=self.ctx.functions,
+                user_functions=self.ctx.user_functions,
+                enrichments=self.ctx.enrichments,  # shared: placeholders propagate
+                _counter=self.ctx._counter,
+                _depth=self.ctx._depth + 1,
+            )
+            result = ExpressionCompiler(child_ctx)._eval(body)
+            self.ctx._counter = child_ctx._counter
+            return result
         if node.func in CHAIN_FUNCTIONS:
             args = [self._eval(a) for a in node.args]
             ph = self.ctx.placeholder(node.func)

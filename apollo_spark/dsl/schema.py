@@ -115,6 +115,8 @@ class QuerySpec:
 class Schema:
     queries: list[QuerySpec]
     variables: dict[str, Any] = field(default_factory=dict)
+    # user-defined functions (ROADMAP.md:58-60): name -> (params, body AST)
+    functions: dict[str, tuple[list[str], Any]] = field(default_factory=dict)
     start_time: int | None = None  # epoch seconds (resolved at parse)
     end_time: int | None = None
 
@@ -289,6 +291,16 @@ def parse_schema(src: str, confdir: str | Path | None = None) -> Schema:
     start_time = _const(doc, "start_time", env)
     end_time = _const(doc, "end_time", env)
 
+    # user function definitions: `function f { params = ["x"]; expr = x * 2 }`
+    functions: dict[str, tuple[list[str], Any]] = {}
+    for fb in doc.blocks_of("function"):
+        fname = fb.labels[0] if fb.labels else str(_const(fb.body, "name", env))
+        params = _const(fb.body, "params", env) or []
+        expr = fb.body.attr("expr")
+        if expr is None:
+            raise SchemaError(f"function {fname}: expr attribute required")
+        functions[fname] = ([str(p) for p in params], expr)
+
     # phase (b): query blocks + loop expansion (dsl/schema.go:427-442)
     queries: list[QuerySpec] = []
     for qb in doc.blocks_of("query"):
@@ -324,6 +336,7 @@ def parse_schema(src: str, confdir: str | Path | None = None) -> Schema:
     return Schema(
         queries=queries,
         variables=variables,
+        functions=functions,
         start_time=int(start_time) if start_time is not None else None,
         end_time=int(end_time) if end_time is not None else None,
     )

@@ -213,13 +213,14 @@ def _eval_tail(
     aggregate: Body | None = None,
     sort: list | None = None,
     limit: int | None = None,
+    user_functions: dict | None = None,
 ) -> DataFrame:
     """joins -> transform -> filter -> aggregate -> save -> sort/limit over an
     already-decoded source frame."""
     if joins:
         df = _apply_joins(df, joins, catalog)
     env = _scope_env(df, variables, chain)
-    ctx = CompilerContext(env=env)
+    ctx = CompilerContext(env=env, user_functions=user_functions or {})
     compiler = ExpressionCompiler(ctx)
 
     transform_cols: dict[str, Column] = {}
@@ -248,12 +249,12 @@ def _eval_tail(
         df = df.filter(filter_col)
 
     if aggregate is not None:
-        df = _apply_aggregate(df, aggregate, variables, chain)
+        df = _apply_aggregate(df, aggregate, variables, chain, user_functions)
         if save is not None:
             # save sees the aggregated shape: compile against its columns
             # (enrichment functions aren't supported post-aggregate)
             agg_env = _scope_env(df, variables, chain)
-            agg_compiler = ExpressionCompiler(CompilerContext(env=agg_env))
+            agg_compiler = ExpressionCompiler(CompilerContext(env=agg_env, user_functions=user_functions or {}))
             save_cols = [agg_compiler.compile(attr.expr).alias(name) for name, attr in save.attributes.items()]
     if save_cols:
         df = df.select(*save_cols)
@@ -270,7 +271,9 @@ def _eval_tail(
     return df
 
 
-def _apply_aggregate(df: DataFrame, aggregate: Body, variables: dict[str, Any], chain: str | None) -> DataFrame:
+def _apply_aggregate(
+    df: DataFrame, aggregate: Body, variables: dict[str, Any], chain: str | None, user_functions: dict | None = None
+) -> DataFrame:
     """v2 `aggregate` block (the tier apollo left on its roadmap,
     ROADMAP.md:77): `group_by = [exprs]`, named aggregate attrs using
     AGG_FUNCTIONS, optional `having = [post-agg predicates]`."""
@@ -278,7 +281,7 @@ def _apply_aggregate(df: DataFrame, aggregate: Body, variables: dict[str, Any], 
     from apollo_spark.dsl.functions import AGG_FUNCTIONS
 
     env = _scope_env(df, variables, chain)
-    ctx = CompilerContext(env=env, functions=dict(AGG_FUNCTIONS))
+    ctx = CompilerContext(env=env, functions=dict(AGG_FUNCTIONS), user_functions=user_functions or {})
     compiler = ExpressionCompiler(ctx)
 
     group_attr = aggregate.attr("group_by")
@@ -397,6 +400,7 @@ def compile_query(
                 aggregate=query.aggregate,
                 sort=query.sort,
                 limit=query.limit,
+                user_functions=schema.functions,
             )
         )
     if query.source_table is not None:
@@ -415,6 +419,7 @@ def compile_query(
                 aggregate=query.aggregate,
                 sort=query.sort,
                 limit=query.limit,
+                user_functions=schema.functions,
             )
         )
     for contract in query.contracts:
@@ -433,6 +438,7 @@ def compile_query(
                     aggregate=query.aggregate,
                     sort=query.sort,
                     limit=query.limit,
+                    user_functions=schema.functions,
                 )
             )
         if contract.methods:
@@ -485,6 +491,7 @@ def compile_query(
                     aggregate=query.aggregate,
                     sort=query.sort,
                     limit=query.limit,
+                    user_functions=schema.functions,
                 )
             )
     for event in query.global_events:
@@ -515,6 +522,7 @@ def compile_query(
                 aggregate=query.aggregate,
                 sort=query.sort,
                 limit=query.limit,
+                user_functions=schema.functions,
             )
         )
 

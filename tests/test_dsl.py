@@ -173,3 +173,67 @@ query seg_revenue {
     assert {a for a in q.aggregate.attributes} == {"group_by", "n", "revenue", "having"}
     assert len(q.sort) == 1
     assert q.limit == 10
+
+
+def test_user_defined_functions():
+    """ROADMAP.md:58-60 custom function definitions: macro-expanded at
+    compile, usable in transform/filter/save, composable and nestable."""
+    from pyspark.sql import functions as F
+
+    from apollo_spark.dsl.compiler import CompilerContext, ExpressionCompiler
+    from apollo_spark.dsl.schema import parse_schema
+
+    schema = parse_schema(
+        """
+function eth {
+  params = ["x"]
+  expr = x / 1000000000000000000
+}
+function spread {
+  params = ["a", "b"]
+  expr = eth(a) - eth(b)
+}
+query q {
+  chain = "ethereum"
+  source_table = "events"
+  save {
+    s = spread(value, value)
+  }
+}
+"""
+    )
+    assert set(schema.functions) == {"eth", "spread"}
+    ctx = CompilerContext(env={"value": F.col("value")}, user_functions=schema.functions)
+    col = ExpressionCompiler(ctx).compile(schema.queries[0].save.attributes["s"].expr)
+    assert "value" in str(col)
+
+
+def test_user_function_e2e(spark):
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import compile_query
+    from apollo_spark.sources.tables import Catalog
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = parse_schema(
+        """
+function double_it {
+  params = ["x"]
+  expr = x * 2
+}
+query doubled {
+  chain = "ethereum"
+  source_table = "events"
+  filter = [
+    double_it(value) > 100
+  ]
+  save {
+    event_id = event_id
+    v2 = double_it(value)
+  }
+}
+"""
+    )
+    df = compile_query(spark, Catalog(spark, "/root/testdata/sf0.001"), schema.queries[0], schema)
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert (pdf["v2"] > 100).all()
