@@ -605,6 +605,41 @@ GROUP BY c_mktsegment ORDER BY revenue DESC, c_mktsegment
 """
 
 
+EVENTS_DSL_SQL = """
+function norm_value {
+  params = ["x"]
+  expr = abs(x) / 100
+}
+query events_sql {
+  chain = "ethereum"
+  source_sql = "SELECT event_id, event_type, value FROM events WHERE value <> 0"
+  save {
+    event_id = event_id
+    event_type = event_type
+    nv = norm_value(value)
+  }
+}
+"""
+
+
+def events_dsl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_sql source + user-defined function (both apollo roadmap items)
+    through the full DSL tail."""
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import compile_query
+    from apollo_spark.sources.tables import Catalog
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = parse_schema(EVENTS_DSL_SQL)
+    return compile_query(spark, Catalog(spark, sf_dir), schema.queries[0], schema).orderBy("event_id")
+
+
+ORACLE_EVENTS_DSL_SQL = """
+SELECT event_id, event_type, abs(value) / 100 AS nv
+FROM events WHERE value <> 0 ORDER BY event_id
+"""
+
+
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     hour = F.date_format(F.date_trunc("hour", F.timestamp_micros(_ts_micros())), "yyyy-MM-dd HH:mm:ss")
@@ -1384,6 +1419,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_etl_dsl": events_etl_dsl,
     "events_dsl_agg": events_dsl_agg,
     "events_dsl_join_agg": events_dsl_join_agg,
+    "events_dsl_sql": events_dsl_sql,
     "events_hourly_rollup": events_hourly_rollup,
     "events_dsl_loop": events_dsl_loop,
     "user_sessions": user_sessions,
@@ -1431,6 +1467,7 @@ ORACLES: dict[str, str] = {
     "events_etl_dsl": ORACLE_EVENTS_DSL,
     "events_dsl_agg": ORACLE_EVENTS_DSL_AGG,
     "events_dsl_join_agg": ORACLE_EVENTS_DSL_JOIN,
+    "events_dsl_sql": ORACLE_EVENTS_DSL_SQL,
     "events_hourly_rollup": ORACLE_EVENTS_HOURLY,
     "events_dsl_loop": ORACLE_EVENTS_DSL_LOOP,
     "user_sessions": ORACLE_SESSIONS,
