@@ -48,6 +48,21 @@ class RangeTooLargeError(Exception):
     'response size exceeded' / 'more than 10000 results' family)."""
 
 
+class RpcMetrics:
+    """Accumulator-backed counters — the Spark equivalent of apollo's
+    per-chain request/cache metrics dumped at exit
+    (/root/reference/chainservice/chainservice.go:293-307). Accumulators
+    aggregate across executors; read ``.value`` driver-side after an action."""
+
+    def __init__(self, spark: SparkSession):
+        sc = spark.sparkContext
+        self.requests = sc.accumulator(0)
+        self.range_splits = sc.accumulator(0)
+
+    def report(self) -> dict[str, int]:
+        return {"rpc_requests": self.requests.value, "range_splits": self.range_splits.value}
+
+
 class EvmLogClient(Protocol):
     def get_logs(
         self, chain: str, address: str | None, topic0: str | None, from_block: int, to_block: int
@@ -68,6 +83,7 @@ def rpc_log_source(
     topic0: str | None = None,
     parts: int = 50,
     rate_limit: float | None = None,
+    metrics: RpcMetrics | None = None,
 ) -> DataFrame:
     """Distributed log scan over [from_block, to_block] (inclusive).
 
@@ -101,9 +117,13 @@ def rpc_log_source(
                         if wait > 0:
                             time.sleep(wait)
                         last = time.monotonic()
+                    if metrics is not None:
+                        metrics.requests.add(1)
                     try:
                         rows.extend(client.get_logs(chain, address, topic0, a, b))
                     except RangeTooLargeError:
+                        if metrics is not None:
+                            metrics.range_splits.add(1)
                         if a == b:
                             raise  # single block too large: genuinely fatal
                         mid = (a + b) // 2

@@ -259,9 +259,10 @@ def _mklog(block, i):
 
 
 def test_rpc_log_source_bisects_only_failing_ranges(spark):
-    from apollo_spark.sources.rpc_logs import rpc_log_source
+    from apollo_spark.sources.rpc_logs import RpcMetrics, rpc_log_source
 
     logs_by_block = {b: [_mklog(b, i) for i in range(3)] for b in range(100, 164)}
+    metrics = RpcMetrics(spark)
     df = rpc_log_source(
         spark,
         lambda: _DenseFakeLogNode(logs_by_block, cap=8),
@@ -269,9 +270,12 @@ def test_rpc_log_source_bisects_only_failing_ranges(spark):
         from_block=100,
         to_block=163,
         parts=2,  # 2 partitions x 32 blocks, each must bisect down to <=8
+        metrics=metrics,
     )
     out = df.toPandas()
     assert len(out) == 64 * 3  # every log exactly once despite splits
+    # per partition: 1 call @32 (fail) + 2 @16 (fail) + 4 @8 (ok) = 7 calls, 3 splits
+    assert metrics.report() == {"rpc_requests": 14, "range_splits": 6}
     assert sorted(out["block_number"].unique()) == list(range(100, 164))
 
     # driver-side replay of one partition's walk: bisection touches only the
