@@ -769,6 +769,39 @@ FROM ex GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 20
 """
 
 
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-row trailing moving average of event value per user (window frame
+    ROWS 4 PRECEDING..CURRENT). Decimal-exact numerator so the average is
+    summation-order-independent; one shuffle on user_id."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_s").asc(), F.col("event_id").asc()).rowsBetween(-4, 0)
+    base = e.select("event_id", "user_id", _ts_seconds().alias("ts_s"), "value")
+    return (
+        base.withColumn(
+            "mavg",
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+                / F.count(F.lit(1)).over(w),
+                6,
+            ),
+        )
+        .select("user_id", "event_id", "ts_s", "mavg")
+        .orderBy("user_id", "ts_s", "event_id")
+    )
+
+
+ORACLE_MOVING_AVG = """
+WITH base AS (
+  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_s, value FROM events
+)
+SELECT user_id, event_id, ts_s,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) / COUNT(*) OVER w, 6) AS mavg
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts_s, event_id
+"""
+
+
 def purchases_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's latest prior-or-equal
     click (backward inclusive). Single shuffle on user_id (union+window)."""
@@ -1423,6 +1456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly_rollup": events_hourly_rollup,
     "events_dsl_loop": events_dsl_loop,
     "user_sessions": user_sessions,
+    "events_moving_avg": events_moving_avg,
     "term_doc_frequency": term_doc_frequency,
     "purchases_asof_click": purchases_asof_click,
     "dedup_exact_docs": dedup_exact_docs,
@@ -1471,6 +1505,7 @@ ORACLES: dict[str, str] = {
     "events_hourly_rollup": ORACLE_EVENTS_HOURLY,
     "events_dsl_loop": ORACLE_EVENTS_DSL_LOOP,
     "user_sessions": ORACLE_SESSIONS,
+    "events_moving_avg": ORACLE_MOVING_AVG,
     "term_doc_frequency": ORACLE_TERM_DF,
     "purchases_asof_click": ORACLE_ASOF,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT,
