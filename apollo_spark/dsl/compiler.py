@@ -240,24 +240,17 @@ def _const_str(v: Any) -> str:
 
 def _const_binary(op: str, left: Any, right: Any) -> Any:
     if op in _ARITH:
+        # dispatch lazily: an eager dict literal would evaluate EVERY op,
+        # so `0 + 0` used to raise ZeroDivisionError via the unused "/" entry
+        # (caught by the hypothesis property test)
+        import operator as _op
+
         lf, rf = float(left), float(right)
-        out = {
-            "+": lf + rf,
-            "-": lf - rf,
-            "*": lf * rf,
-            "/": lf / rf,
-            "%": lf % rf,
-        }[op]
-        return out
+        return {"+": _op.add, "-": _op.sub, "*": _op.mul, "/": _op.truediv, "%": _op.mod}[op](lf, rf)
     if op in _COMPARE:
-        return {
-            "==": left == right,
-            "!=": left != right,
-            "<": left < right,
-            ">": left > right,
-            "<=": left <= right,
-            ">=": left >= right,
-        }[op]
+        import operator as _op
+
+        return {"==": _op.eq, "!=": _op.ne, "<": _op.lt, ">": _op.gt, "<=": _op.le, ">=": _op.ge}[op](left, right)
     if op == "&&":
         return bool(left) and bool(right)
     if op == "||":

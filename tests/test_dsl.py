@@ -237,3 +237,55 @@ query doubled {
     pdf = df.toPandas()
     assert len(pdf) > 0
     assert (pdf["v2"] > 100).all()
+
+
+def test_compiler_column_path_matches_const_path(spark):
+    """Property: for random arithmetic/comparison/ternary trees, compiling
+    against Columns and evaluating on a row must agree with the constant
+    folder evaluating the same tree over plain Python values (both are IEEE
+    double semantics, so equality is exact)."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from apollo_spark.dsl.ast import Binary, Conditional, Literal, Variable
+    from apollo_spark.dsl.compiler import CompilerContext, ExpressionCompiler, eval_const
+
+    nums = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False)
+
+    def leaves():
+        return st.one_of(
+            st.builds(Literal, nums),
+            st.sampled_from([Variable("x"), Variable("y")]),
+        )
+
+    def trees(children):
+        arith = st.builds(Binary, st.sampled_from(["+", "-", "*"]), children, children)
+        # division: nonzero literal divisor only (ANSI mode throws on /0)
+        div = st.builds(
+            Binary, st.just("/"), children,
+            st.builds(Literal, nums.filter(lambda v: abs(v) > 1e-3)),
+        )
+        cmp_ = st.builds(Binary, st.sampled_from(["<", ">", "<=", ">=", "==", "!="]), children, children)
+        tern = st.builds(Conditional, cmp_, children, children)
+        return st.one_of(arith, div, tern)
+
+    exprs = st.recursive(leaves(), trees, max_leaves=8)
+
+    @settings(max_examples=20, deadline=None)
+    @given(expr=exprs, x=nums, y=nums)
+    def check(expr, x, y):
+        expected = eval_const(expr, {"x": x, "y": y})
+        ctx = CompilerContext(env={"x": F.col("x"), "y": F.col("y")})
+        col = ExpressionCompiler(ctx).compile(expr)
+        row = spark.createDataFrame([(x, y)], "x double, y double").select(col.alias("r")).first()
+        got = row.r
+        assert got is not None and expected is not None
+        if isinstance(expected, bool):
+            assert bool(got) == expected
+        else:
+            assert math.isclose(float(got), float(expected), rel_tol=0, abs_tol=0) or float(got) == float(expected)
+
+    check()
