@@ -802,6 +802,54 @@ ORDER BY user_id, ts_s, event_id
 """
 
 
+TS_PATTERN = [100.0, 80.0, 60.0, 40.0, 20.0, 40.0, 60.0, 80.0]  # V-shape motif
+
+
+def ts_window_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (EDBT'19-style): euclidean distance of
+    every 8-event sliding window per user against a broadcast query pattern,
+    global top-20. All JVM-side: collect_list window frame + zip_with/
+    aggregate fold — sequential adds, so distances match the SQL oracle
+    bit-for-bit. One shuffle on user_id + one top-k reduction."""
+    e = _events(spark, sf_dir)
+    L = len(TS_PATTERN)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_s").asc(), F.col("event_id").asc()).rowsBetween(0, L - 1)
+    base = e.select("event_id", "user_id", _ts_seconds().alias("ts_s"), "value")
+    pat = F.array(*[F.lit(v) for v in TS_PATTERN])
+    win = base.withColumn("win", F.collect_list("value").over(w)).filter(F.size("win") == L)
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("win", pat, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        win.select("user_id", F.col("event_id").alias("start_event_id"), F.round(dist, 6).alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col("user_id").asc(), F.col("start_event_id").asc())
+        .limit(20)
+    )
+
+
+ORACLE_TS_MOTIFS = """
+WITH base AS (
+  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_s, value FROM events
+),
+win AS (
+  SELECT user_id, event_id AS start_event_id,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC
+                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w
+  FROM base
+)
+SELECT user_id, start_event_id,
+       ROUND(sqrt(list_sum(list_transform(generate_series(1, 8),
+             i -> (w[i] - ([100.0, 80.0, 60.0, 40.0, 20.0, 40.0, 60.0, 80.0])[i])
+                * (w[i] - ([100.0, 80.0, 60.0, 40.0, 20.0, 40.0, 60.0, 80.0])[i])))), 6) AS dist
+FROM win WHERE len(w) = 8
+ORDER BY dist ASC, user_id ASC, start_event_id ASC LIMIT 20
+"""
+
+
 def purchases_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's latest prior-or-equal
     click (backward inclusive). Single shuffle on user_id (union+window)."""
@@ -1457,6 +1505,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_dsl_loop": events_dsl_loop,
     "user_sessions": user_sessions,
     "events_moving_avg": events_moving_avg,
+    "ts_window_motifs": ts_window_motifs,
     "term_doc_frequency": term_doc_frequency,
     "purchases_asof_click": purchases_asof_click,
     "dedup_exact_docs": dedup_exact_docs,
@@ -1506,6 +1555,7 @@ ORACLES: dict[str, str] = {
     "events_dsl_loop": ORACLE_EVENTS_DSL_LOOP,
     "user_sessions": ORACLE_SESSIONS,
     "events_moving_avg": ORACLE_MOVING_AVG,
+    "ts_window_motifs": ORACLE_TS_MOTIFS,
     "term_doc_frequency": ORACLE_TERM_DF,
     "purchases_asof_click": ORACLE_ASOF,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT,
