@@ -158,6 +158,42 @@ def train_ivf_centroids(
     return cent
 
 
+def save_ivf_centroids(spark, centroids: np.ndarray, path: str) -> None:
+    """Persist trained centroids as a tiny (cluster_id, centroid) parquet
+    table so the IVF index is trained once and reused across queries and
+    jobs. Writing through Spark keeps the artifact on the cluster filesystem
+    (HDFS/S3/...), not driver-local disk — required for 1000-executor reuse."""
+    rows = [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)]
+    (
+        spark.createDataFrame(rows, "cluster_id INT, centroid ARRAY<DOUBLE>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_ivf_centroids(spark, path: str) -> np.ndarray:
+    """Load centroids saved by save_ivf_centroids, row-order restored from
+    cluster_id (parquet carries no ordering guarantee)."""
+    pdf = spark.read.parquet(path).orderBy("cluster_id").toPandas()
+    return np.stack(pdf["centroid"].to_numpy()).astype(np.float64)
+
+
+def train_or_load_ivf_centroids(df: DataFrame, path: str, **train_kw) -> np.ndarray:
+    """Reuse a persisted IVF index if one exists at `path`, else train and
+    persist. Makes repeated ANN queries over the same corpus pay the k-means
+    cost once instead of per query."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    spark = df.sparkSession
+    try:
+        return load_ivf_centroids(spark, path)
+    except AnalysisException:
+        cent = train_ivf_centroids(df, **train_kw)
+        save_ivf_centroids(spark, cent, path)
+        return cent
+
+
 def ivf_assign(df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding", out_col: str = "__cluster"):
     """Nearest-centroid id per row via Arrow-batched matmul against the
     broadcast centroid matrix (narrow map, no shuffle)."""

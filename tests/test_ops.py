@@ -282,6 +282,30 @@ def test_ivf_partial_probe_recall(spark, emb):
         assert top == qid
 
 
+def test_ivf_centroid_persistence_roundtrip(spark, emb, tmp_path):
+    from apollo_spark.ops.similarity import (
+        load_ivf_centroids,
+        save_ivf_centroids,
+        train_ivf_centroids,
+        train_or_load_ivf_centroids,
+    )
+
+    path = str(tmp_path / "ivf_centroids")
+    cent = train_ivf_centroids(emb, n_clusters=8)
+    save_ivf_centroids(spark, cent, path)
+    loaded = load_ivf_centroids(spark, path)
+    assert loaded.shape == cent.shape
+    assert np.allclose(loaded, cent)
+    # train_or_load must return the persisted index, not retrain (a retrain
+    # with different params would diverge; identical array proves reuse)
+    reused = train_or_load_ivf_centroids(emb, path, n_clusters=4)
+    assert reused.shape == cent.shape and np.allclose(reused, cent)
+    # cold path: trains and persists
+    path2 = str(tmp_path / "ivf_fresh")
+    fresh = train_or_load_ivf_centroids(emb, path2, n_clusters=8)
+    assert np.allclose(fresh, load_ivf_centroids(spark, path2))
+
+
 def test_salted_join_matches_plain_join(spark):
     from apollo_spark.ops.relational import salted_join
 
