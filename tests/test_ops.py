@@ -282,6 +282,29 @@ def test_ivf_partial_probe_recall(spark, emb):
         assert top == qid
 
 
+def test_range_join_precasts_widening_bounds(spark):
+    from datetime import date, datetime
+
+    from apollo_spark.ops.relational import range_join
+
+    left = spark.createDataFrame(
+        [(i, datetime(1995 + i % 4, 6, 15)) for i in range(200)], "id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(y, date(y, 1, 1), date(y + 1, 1, 1)) for y in range(1995, 1999)], "yr int, lo date, hi date"
+    )
+    out = range_join(left, right, on=[], left_point="ts", right_lo="lo", right_hi="hi")
+    # helper columns must not leak; every row lands in its year bucket
+    assert set(out.columns) == {"id", "ts", "yr", "lo", "hi"}
+    pdf = out.toPandas()
+    assert len(pdf) == 200 and (pdf["yr"] == pdf["ts"].dt.year).all()
+    # the widening cast must run on the 4-row build side, not per join pair:
+    # the join condition in the physical plan carries no cast
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    join_line = next(ln for ln in plan.splitlines() if (("Join" in ln) or ("CartesianProduct" in ln)) and ">=" in ln)
+    assert "cast(" not in join_line, join_line
+
+
 def test_ivf_centroid_persistence_roundtrip(spark, emb, tmp_path):
     from apollo_spark.ops.similarity import (
         load_ivf_centroids,
