@@ -1066,6 +1066,63 @@ ORDER BY dist ASC, user_id ASC, start_event_id ASC LIMIT 20
 """
 
 
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the events.props JSON column with a
+    declared schema (from_json stays in codegen — no Python, no UDF) and
+    aggregate the extracted field per event type. Integer sums are exact in
+    both engines, so no decimal detour is needed."""
+    e = _events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_JSON_PROPS = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def docs_by_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus quality rollup — the provenance view a training-data
+    pipeline filters on: doc counts, exact char totals, and language purity
+    (share of docs whose tagged lang is the corpus-dominant 'en')."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("en_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_QUALITY = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en_docs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 def purchases_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's latest prior-or-equal
     click (backward inclusive). Single shuffle on user_id (union+window)."""
@@ -1729,6 +1786,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_moving_avg": events_moving_avg,
     "ts_window_motifs": ts_window_motifs,
     "term_doc_frequency": term_doc_frequency,
+    "events_json_props": events_json_props,
+    "docs_by_source_quality": docs_by_source_quality,
     "purchases_asof_click": purchases_asof_click,
     "dedup_exact_docs": dedup_exact_docs,
     "doc_fingerprints": doc_fingerprints,
@@ -1785,6 +1844,8 @@ ORACLES: dict[str, str] = {
     "events_moving_avg": ORACLE_MOVING_AVG,
     "ts_window_motifs": ORACLE_TS_MOTIFS,
     "term_doc_frequency": ORACLE_TERM_DF,
+    "events_json_props": ORACLE_JSON_PROPS,
+    "docs_by_source_quality": ORACLE_SOURCE_QUALITY,
     "purchases_asof_click": ORACLE_ASOF,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT,
     "doc_fingerprints": ORACLE_FINGERPRINTS,
