@@ -83,6 +83,52 @@ def test_range_join_broadcasts_interval_side(spark):
     assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {"o_totalprice", "o_orderdate"}
 
 
+def test_semijoin_stays_semi_and_prunes(spark):
+    p = plan(spark, "order_priority_semijoin")
+    # EXISTS must compile to a semi join (match set never materialized),
+    # and the orders date range must reach the scan
+    assert "LeftSemi" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    # lineitem side reads only the two columns the condition needs
+    ms = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    li = [m for m in ms if "l_orderkey" in m]
+    assert li and set(c.split(":")[0] for c in li[0].split(",")) == {"l_orderkey", "l_shipdate"}
+
+
+def test_disjunctive_join_broadcasts_and_prunes(spark):
+    p = plan(spark, "disjunctive_part_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # Catalyst pushes each side's projection of the OR clause to its scan:
+    # the brand/size disjunction to part, the quantity disjunction to lineitem
+    assert "Or(Or(And(EqualTo(p_brand,Brand#1)" in p
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in p
+    ms = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    li = [m for m in ms if "l_partkey" in m]
+    assert li and set(c.split(":")[0] for c in li[0].split(",")) == {
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    }
+
+
+def test_trade_volume_dims_broadcast(spark):
+    p = plan(spark, "nation_trade_volume")
+    # both nation aliases + supplier broadcast; no cartesian anywhere
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_returned_items_takeordered_not_full_sort(spark):
+    p = plan(spark, "returned_items_report")
+    # top-20 must plan as TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in p
+    # returnflag filter reaches the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in p
+
+
 def test_knn_broadcasts_query_side(spark):
     p = plan(spark, "knn_bruteforce")
     assert "BroadcastExchange" in p
