@@ -1066,6 +1066,86 @@ ORDER BY dist ASC, user_id ASC, start_event_id ASC LIMIT 20
 """
 
 
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets in one pass —
+    Catalyst expands then aggregates once, vs 4 separate scans. Null group
+    cells are coalesced to 'ALL' on both sides so the hash compare never
+    depends on engine null-sort order."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+ORACLE_ORDERS_CUBE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+def median_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90) of l_quantity per return
+    flag. Quantities are integral doubles, so the linear interpolation lands
+    on .0/.5 exactly — bit-identical across engines, unlike percentiles of
+    arbitrary floats."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.5).alias("p50_qty"),
+            F.percentile("l_quantity", 0.9).alias("p90_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_MEDIAN_QTY = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def clickers_not_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT): users who clicked but made no purchase on or
+    after 2024-01-28 (the synthetic corpus is dense — every user does every
+    event type, so the raw difference is empty; the cutoff makes the gate
+    non-trivial). Compiles to a null-safe left-anti aggregate — one shuffle
+    on user_id. Cutoff compared in integer epoch seconds (ts is nanos)."""
+    e = _events(spark, sf_dir)
+    cutoff_s = 1706400000  # 2024-01-28T00:00:00Z
+    clickers = e.filter(F.col("event_type") == "click").select("user_id")
+    buyers = e.filter((F.col("event_type") == "purchase") & (_ts_seconds() >= cutoff_s)).select("user_id")
+    return clickers.subtract(buyers).orderBy("user_id")
+
+
+ORACLE_EXCEPT = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events
+WHERE event_type = 'purchase' AND epoch_ns(ts) // 1000000000 >= 1706400000
+ORDER BY user_id
+"""
+
+
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: parse the events.props JSON column with a
     declared schema (from_json stays in codegen — no Python, no UDF) and
@@ -1788,6 +1868,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_doc_frequency": term_doc_frequency,
     "events_json_props": events_json_props,
     "docs_by_source_quality": docs_by_source_quality,
+    "orders_cube": orders_cube,
+    "median_quantity_by_flag": median_quantity_by_flag,
+    "clickers_not_buyers": clickers_not_buyers,
     "purchases_asof_click": purchases_asof_click,
     "dedup_exact_docs": dedup_exact_docs,
     "doc_fingerprints": doc_fingerprints,
@@ -1846,6 +1929,9 @@ ORACLES: dict[str, str] = {
     "term_doc_frequency": ORACLE_TERM_DF,
     "events_json_props": ORACLE_JSON_PROPS,
     "docs_by_source_quality": ORACLE_SOURCE_QUALITY,
+    "orders_cube": ORACLE_ORDERS_CUBE,
+    "median_quantity_by_flag": ORACLE_MEDIAN_QTY,
+    "clickers_not_buyers": ORACLE_EXCEPT,
     "purchases_asof_click": ORACLE_ASOF,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT,
     "doc_fingerprints": ORACLE_FINGERPRINTS,
