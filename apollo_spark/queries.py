@@ -904,8 +904,8 @@ flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC)
 )
 SELECT user_id, event_id, ts_s,
-       SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
 FROM flagged ORDER BY user_id, ts_s, event_id
 """
 
@@ -1836,7 +1836,19 @@ def simhash_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 # --------------------------------------------------------------------------
 
+# Ordering contract: every oracle-backed query precedes every rows-only one.
+# The round-1 gate evaluated only the first 50 entries, so the five
+# previously-ungated oracle-backed queries lead the dict, and the four
+# rows-only queries (no ORACLES entry) close it.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- oracle-backed, ungated in round 1: gate these first ---------------
+    "ngram_jaccard_dup_pairs": ngram_jaccard_dup_pairs,
+    "embedding_near_dup_exact": embedding_near_dup_exact,
+    "orders_by_year_rangejoin": orders_by_year_rangejoin,
+    "near_dup_components": near_dup_components,
+    "knn_ivf_full_probe": knn_ivf_full_probe,
+    "user_sessions": user_sessions,
+    # -- oracle-backed, green in round 1 -----------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1862,7 +1874,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_dsl_sql": events_dsl_sql,
     "events_hourly_rollup": events_hourly_rollup,
     "events_dsl_loop": events_dsl_loop,
-    "user_sessions": user_sessions,
     "events_moving_avg": events_moving_avg,
     "ts_window_motifs": ts_window_motifs,
     "term_doc_frequency": term_doc_frequency,
@@ -1878,7 +1889,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_language_id": doc_language_id,
     "knn_bruteforce": knn_bruteforce,
     "embedding_norms": embedding_norms,
-    "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "orders_running_total": orders_running_total,
     "orders_rollup": orders_rollup,
     "orders_status_pivot": orders_status_pivot,
@@ -1887,12 +1897,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bpe_token_counts": doc_bpe_token_counts,
     "doc_repetition": doc_repetition,
     "doc_chunks": doc_chunks,
-    "ngram_jaccard_dup_pairs": ngram_jaccard_dup_pairs,
-    "embedding_near_dup_exact": embedding_near_dup_exact,
+    # -- rows-only (no SQL-expressible oracle): keep last ------------------
+    "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
-    "orders_by_year_rangejoin": orders_by_year_rangejoin,
-    "near_dup_components": near_dup_components,
-    "knn_ivf_full_probe": knn_ivf_full_probe,
     "knn_ivf_approx": knn_ivf_approx,
     "media_feature_extract": media_feature_extract,
 }
