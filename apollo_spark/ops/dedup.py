@@ -209,9 +209,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         ),
     )
     a = keyed.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"), F.col("bk").alias("ka"))
-    b = keyed.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"), F.col("kb").alias("kb")) if False else keyed.select(
-        F.col("id").alias("id_b"), F.col("sim").alias("sim_b"), F.col("bk").alias("kb")
-    )
+    b = keyed.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"), F.col("bk").alias("kb"))
     cand = (
         a.join(b, (a["ka"] == b["kb"]) & (a["id_a"] < b["id_b"]))
         .dropDuplicates(["id_a", "id_b"])
@@ -226,16 +224,24 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 2,
     threshold: float = 0.2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
 
     Candidate generation is a lossless inverted-index self-join: any pair
     with jaccard > 0 shares at least one shingle, so joining on exploded
     shingles (then dedup) reaches every qualifying pair — no probabilistic
-    recall loss, unlike MinHash. The shuffle fans out by document frequency
-    of each shingle; at 100 TB you cap hot shingles (drop shingles with
-    df > k since pairs sharing ONLY ultra-common shingles are below any
-    useful threshold anyway) — left uncapped here for oracle-exactness.
+    recall loss, unlike MinHash. The shuffle fans out quadratically in the
+    document frequency of each shingle — one hot bigram ("of the") at 100 TB
+    is a df^2 explosion on a single join key.
+
+    ``max_df`` bounds that fan-out: shingles with document frequency > max_df
+    are dropped from the inverted index (candidate generation only — Jaccard
+    is still computed over FULL shingle sets, so scores stay exact). A pair
+    whose shared shingles are all hotter than max_df is missed; such pairs
+    share only ultra-common n-grams and sit far below any useful threshold.
+    Default None = lossless (the oracle-gated config); set it (e.g. 10_000)
+    for the 100 TB path.
     """
     spark = df.sparkSession
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -252,16 +258,46 @@ def ngram_jaccard_pairs(
     # candidate) cuts shuffle width from O(doc length) to O(1) per posting.
     sizes = base.select("id", F.size("sh").alias("n"))
     ex = base.select("id", F.explode("sh").alias("s"))
-    inter = (
-        ex.alias("a")
-        .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    if max_df is None:
+        # lossless path: the pruned-index intersection count IS the exact
+        # intersection, so jaccard falls out of counts alone
+        inter = (
+            ex.alias("a")
+            .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        j = (
+            inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+            .withColumn(
+                "jaccard",
+                F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+            )
+        )
+        return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    # capped path: the pruned index only GENERATES candidates (bounded
+    # per-key fan-out); intersection counts over it are undercounts for pairs
+    # that also share hot shingles, so re-score candidates exactly from the
+    # full shingle arrays — candidates are few, so the wide arrays only flow
+    # through a small join
+    hot = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > max_df)
+    pruned = ex.join(F.broadcast(hot.select("s")), "s", "left_anti")
+    cand = (
+        pruned.alias("a")
+        .join(pruned.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
     j = (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
-        .withColumn("jaccard", F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"))
+        cand.join(base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
+        )
     )
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 

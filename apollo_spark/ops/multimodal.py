@@ -96,14 +96,16 @@ def sample_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
+            # keyed by id_col, not a literal, so output columns always match
+            # out_schema for any caller-supplied id column name
+            rows = {id_col: [], "frame_idx": [], "ts_ms": [], "frame": []}
             for mid, payload, meta in zip(pdf[id_col], pdf["payload"], pdf["meta"]):
                 if not fake:
                     raise NotImplementedError("real video decode requires a codec library")
                 duration = int(meta["duration_ms"] or 0) if meta is not None else 0
                 payload = bytes(payload) if payload is not None else b""
                 for i, ts in enumerate(range(0, duration, every_ms)):
-                    rows["media_id"].append(int(mid))
+                    rows[id_col].append(int(mid))
                     rows["frame_idx"].append(i)
                     rows["ts_ms"].append(ts)
                     rows["frame"].append(hashlib.md5(payload + ts.to_bytes(8, "big")).digest())

@@ -155,8 +155,19 @@ def salted_join(
     the classic 100 TB null-key / power-law join. Cost: right side is
     replicated `salt`x, so keep `salt` ~ the observed skew factor.
 
-    Exact same result set as a plain equi-join (the salt column is internal).
+    Exact same result set as a plain equi-join (the salt column is internal)
+    for ``how`` in {'inner', 'left', 'left_semi', 'left_anti', 'cross'}.
+    'right'/'full' are rejected: every unmatched right row exists once per
+    replica, so those modes would emit it `salt` times — salt the other way
+    around (swap the sides) instead.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}): right-preserving joins would emit "
+            f"unmatched right rows {salt}x (one per salt replica); swap the "
+            "sides and use 'left', or use a plain join with AQE skew handling"
+        )
     on = list(on)
     l = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     r = right.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))

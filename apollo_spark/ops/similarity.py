@@ -136,10 +136,20 @@ def train_ivf_centroids(
     sample_rows: int = 100_000,
 ) -> np.ndarray:
     """Driver-side spherical k-means (Lloyd on L2-normalized vectors) over a
-    bounded sample — the standard IVF training step. At 100 TB the sample cap
-    keeps driver memory flat (sample_rows x dim x 8 bytes); assignment of the
-    full corpus stays distributed in ivf_assign."""
-    pdf = df.select(vec_col).limit(sample_rows).toPandas()
+    bounded RANDOM sample — the standard IVF training step. At 100 TB the
+    sample cap keeps driver memory flat (sample_rows x dim x 8 bytes);
+    assignment of the full corpus stays distributed in ivf_assign.
+
+    Sampling must be uniform: a bare ``limit()`` takes the first partitions,
+    and on sorted/clustered data (by source, by date) that trains centroids
+    on one slice of the distribution — IVF recall then degrades silently for
+    everything else. Seeded ``sample()`` touches every partition."""
+    sample = df.select(vec_col)
+    n = sample.count()
+    if n > sample_rows:
+        # 1.2x oversample so the post-sample limit() almost never undershoots
+        sample = sample.sample(fraction=min(1.0, 1.2 * sample_rows / n), seed=seed).limit(sample_rows)
+    pdf = sample.toPandas()
     x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(x, axis=1)
     norms[norms == 0.0] = 1.0
@@ -291,50 +301,75 @@ def all_pairs_cosine_exact(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """EXACT all-pairs cosine >= threshold (id_a < id_b), no recall loss.
 
-    Candidate generation is a blocked float64 matmul: the L2-normalized
-    corpus matrix is broadcast once, and each task scores its row-block
-    against it with BLAS inside mapInPandas, emitting only pairs above
-    (threshold - margin). Survivors are then re-scored JVM-side with the
-    sequential-fold ``cosine`` expression, so final values are bit-identical
-    to naive pairwise evaluation regardless of BLAS summation order, and the
-    margin swallows any ulp-level disagreement at the threshold boundary.
+    Candidate generation is a block-pair matmul: rows hash into ``n_blocks``
+    blocks, every unordered block pair (i <= j) becomes one applyInPandas
+    group holding both member sets, and the group scores block_i x block_j
+    with one BLAS matmul, emitting only pairs above (threshold - margin).
+    Survivors are re-scored JVM-side with the sequential-fold ``cosine``
+    expression, so final values are bit-identical to naive pairwise
+    evaluation regardless of BLAS summation order, and the margin swallows
+    ulp-level disagreement at the threshold boundary.
 
-    Scale posture: one corpus copy must fit per executor (dim x 8 bytes/row
-    — the broadcast-join constraint; ~0.5 GB per million rows at dim=64).
-    Beyond that, use embedding_near_dups (LSH) — this is the exact tier.
+    Scale posture: NO full-corpus copy exists anywhere — not on the driver,
+    not per executor. Each task holds two blocks (~2N/n_blocks rows); total
+    shuffle volume is N x (n_blocks + 1) rows. Compute is the irreducible
+    O(N^2) dot products — raise n_blocks as N grows to keep per-task memory
+    flat, or use embedding_near_dups (LSH) beyond the exact tier.
     Requires an integral id column.
     """
     spark = df.sparkSession
     src = df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
-    pdf = src.toPandas()
-    ids = np.asarray(pdf["id"], dtype=np.int64)
-    mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0.0] = 1.0
-    bc = spark.sparkContext.broadcast((ids, mat / norms[:, None]))
+    blocked = src.withColumn("__b", F.pmod(F.hash("id"), F.lit(n_blocks)).cast("int"))
+    pair_rows = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    pairs = spark.createDataFrame(pair_rows, "bi int, bj int")
+    a_side = blocked.join(F.broadcast(pairs), blocked["__b"] == pairs["bi"]).select(
+        "bi", "bj", F.lit("a").alias("side"), "id", "v"
+    )
+    b_side = blocked.join(F.broadcast(pairs), blocked["__b"] == pairs["bj"]).select(
+        "bi", "bj", F.lit("b").alias("side"), "id", "v"
+    )
     margin = 1e-9
 
-    def gen(batches):
+    def score_block_pair(key, pdf):
         import pandas as pd
 
-        all_ids, m = bc.value
-        for pdf_b in batches:
-            if pdf_b.empty:
-                continue
-            b_ids = pdf_b["id"].to_numpy(dtype=np.int64)
-            b = np.stack(pdf_b["v"].to_numpy()).astype(np.float64)
-            bn = np.linalg.norm(b, axis=1)
-            bn[bn == 0.0] = 1.0
-            sims = (b / bn[:, None]) @ m.T
-            rows, cols = np.nonzero((sims >= threshold - margin) & (b_ids[:, None] < all_ids[None, :]))
-            if len(rows):
-                yield pd.DataFrame({"id_a": b_ids[rows], "id_b": all_ids[cols]})
+        bi, bj = key
+        am = pdf[pdf["side"] == "a"]
+        bm = pdf[pdf["side"] == "b"]
+        if am.empty or bm.empty:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+        a_ids = am["id"].to_numpy(dtype=np.int64)
+        b_ids = bm["id"].to_numpy(dtype=np.int64)
+        a = np.stack(am["v"].to_numpy()).astype(np.float64)
+        b = np.stack(bm["v"].to_numpy()).astype(np.float64)
+        an = np.linalg.norm(a, axis=1)
+        an[an == 0.0] = 1.0
+        bn = np.linalg.norm(b, axis=1)
+        bn[bn == 0.0] = 1.0
+        sims = (a / an[:, None]) @ (b / bn[:, None]).T
+        mask = sims >= threshold - margin
+        if bi == bj:
+            # diagonal: both sides are the same rows — strict < dedups the
+            # (x,y)/(y,x) double emission and drops self-pairs
+            mask &= a_ids[:, None] < b_ids[None, :]
+        rows, cols = np.nonzero(mask)
+        if not len(rows):
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+        # off-diagonal blocks see each unordered pair once, in arbitrary id
+        # order — normalize to id_a < id_b here
+        lo = np.minimum(a_ids[rows], b_ids[cols])
+        hi = np.maximum(a_ids[rows], b_ids[cols])
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
 
-    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    cand = src.select("id", "v").repartition(parts).mapInPandas(gen, schema="id_a long, id_b long")
+    cand = (
+        a_side.unionByName(b_side)
+        .groupBy("bi", "bj")
+        .applyInPandas(score_block_pair, schema="id_a long, id_b long")
+    )
     with_a = src.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")).join(F.broadcast(cand), "id_a")
     rescored = (
         src.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
@@ -353,10 +388,13 @@ def embedding_near_dups(
     num_planes: int = 8,
     num_tables: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold, LSH-bucketed
-    self-join (id_a < id_b)."""
-    dim = len(df.select(vec_col).first()[0])
+    self-join (id_a < id_b). Pass ``dim`` when known — the fallback
+    inference runs an eager ``first()`` job at plan-build time."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     tables = [(_t, _hyperplanes(dim, num_planes, seed + _t)) for _t in range(num_tables)]
     bucketed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
         "__tb",

@@ -78,8 +78,14 @@ class SinkWriter:
             if cfg.parquet_dir:
                 batch_df.write.mode("append").parquet(str(Path(cfg.parquet_dir) / query_name))
             if cfg.jdbc_url:
-                mode = "append" if query_name in self._jdbc_initialized else "overwrite"
+                # Streaming NEVER overwrites. The batch path's drop+create
+                # lifecycle keyed on in-memory state would, after a restart
+                # from checkpoint, replay the first micro-batch in overwrite
+                # mode and wipe every previously committed batch. Overwrite
+                # only on the stream's true first batch (batch_id == 0 —
+                # stable across restarts because a replayed batch keeps its
+                # id); any restart resumes with append.
+                mode = "overwrite" if batch_id == 0 else "append"
                 batch_df.write.jdbc(cfg.jdbc_url, table=query_name, mode=mode, properties=cfg.jdbc_properties)
-                self._jdbc_initialized.add(query_name)
 
         return _write

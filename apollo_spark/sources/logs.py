@@ -35,6 +35,7 @@ CONTEXT_FIELDS = [
     ("block_hash", T.StringType()),
     ("tx_hash", T.StringType()),
     ("tx_index", T.IntegerType()),
+    ("log_index", T.IntegerType()),
     ("event_name", T.StringType()),
 ]
 
@@ -118,7 +119,7 @@ def decoded_event_source(
     out_types = {f.name: f.dataType for f in schema.fields}
     ev = event  # close over the plan-time constant; topic0 already applied
 
-    in_cols = ["chain", "address", "block_number", "block_hash", "tx_hash", "tx_index", "topics", "data"]
+    in_cols = ["chain", "address", "block_number", "block_hash", "tx_hash", "tx_index", "log_index", "topics", "data"]
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -135,6 +136,7 @@ def decoded_event_source(
                     "block_hash": r.block_hash,
                     "tx_hash": r.tx_hash,
                     "tx_index": r.tx_index,
+                    "log_index": r.log_index,
                     "event_name": ev.name,
                 }
                 for name in out_params:

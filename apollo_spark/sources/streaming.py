@@ -232,14 +232,17 @@ def dedup_event_stream(
     ts_col: str = "timestamp",
 ) -> DataFrame:
     """Exactly-once log delivery over a re-emitting bridge: watermark-bounded
-    streaming dedup on the log identity (tx_hash, tx_index by default).
+    streaming dedup on the log identity (tx_hash, log_index by default).
 
-    A WS bridge reconnecting after a gap re-sends overlapping logs; apollo
-    would sink them twice (at-most-once per row, but replays duplicate).
-    ``dropDuplicatesWithinWatermark`` keeps per-key state only for the
-    watermark horizon — bounded state at 100 TB/day event rates, unlike an
+    ``log_index`` — not ``tx_index`` — is the per-log identity: every log of
+    one transaction shares (tx_hash, tx_index), so deduping on tx_index would
+    silently drop legitimate repeated events (e.g. two ERC-20 Transfers in one
+    swap tx). A WS bridge reconnecting after a gap re-sends overlapping logs;
+    apollo would sink them twice (at-most-once per row, but replays
+    duplicate). ``dropDuplicatesWithinWatermark`` keeps per-key state only for
+    the watermark horizon — bounded state at 100 TB/day event rates, unlike an
     unbounded ``dropDuplicates``."""
-    keys = list(keys) if keys else ["tx_hash", "tx_index"]
+    keys = list(keys) if keys else ["tx_hash", "log_index"]
     with_ts = stream.withColumn("__event_time", F.col(ts_col).cast("timestamp"))
     return (
         with_ts.withWatermark("__event_time", f"{watermark_seconds} seconds")

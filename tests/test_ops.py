@@ -244,6 +244,41 @@ def test_multimodal_frame_sampling(spark):
     n_videos = media.filter("kind = 'video'").count()
     assert frames.count() == n_videos * 5  # 5000ms / 1000ms
     assert frames.schema["frame"].dataType.typeName() == "binary"
+    # non-default id column: output columns must track the parameter
+    renamed = media.withColumnRenamed("media_id", "vid")
+    fr2 = sample_frames(renamed, every_ms=1000, id_col="vid")
+    assert fr2.columns[0] == "vid" and fr2.count() == n_videos * 5
+
+
+def test_ngram_jaccard_max_df_cap_keeps_scores_exact(spark):
+    """The hot-shingle cap prunes candidate generation only; surviving pairs
+    must carry the SAME exact jaccard as the lossless path (full-set
+    re-score), and near-dup pairs that share at least one sub-cap shingle
+    are still found."""
+    from apollo_spark.ops.dedup import ngram_jaccard_pairs
+
+    # 3 near-dup pairs + filler docs all sharing one hot phrase
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(30):
+        rows.append((i, f"{hot} filler text number {i} unique tail {i * 7}"))
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101, "alpha beta gamma delta epsilon zeta eta iota"),
+        (102, "one two three four five six seven eight nine"),
+        (103, "one two three four five six seven eight ten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = ngram_jaccard_pairs(df, threshold=0.3).toPandas()
+    capped = ngram_jaccard_pairs(df, threshold=0.3, max_df=10).toPandas()
+    key = lambda p: p.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    e, c = key(exact), key(capped)
+    # planted pairs survive the cap with identical scores
+    planted = {(100, 101), (102, 103)}
+    assert planted <= set(zip(c["id_a"], c["id_b"]))
+    ce = c.merge(e, on=["id_a", "id_b"], suffixes=("_c", "_e"))
+    assert len(ce) == len(c)  # capped ⊆ exact (no false positives)
+    assert (ce["jaccard_c"] == ce["jaccard_e"]).all()  # scores bit-identical
 
 def test_ivf_full_probe_is_exact(spark, emb):
     from apollo_spark.ops.similarity import brute_force_topk, ivf_topk
@@ -340,6 +375,16 @@ def test_salted_join_matches_plain_join(spark):
     key = lambda df: df.sort_values(["k", "v", "label"]).reset_index(drop=True)
     a, b = key(plain), key(salted)
     assert len(a) == len(b) and (a.values == b.values).all()
+    # left join parity: unmatched LEFT rows appear exactly once
+    plain_l = left.join(right, "k", "left").select("k", "v", "label").toPandas()
+    salted_l = salted_join(left, right, on=["k"], salt=8, how="left").select("k", "v", "label").toPandas()
+    kl = lambda df: df.fillna("__null__").sort_values(["k", "v", "label"]).reset_index(drop=True)
+    al, bl = kl(plain_l), kl(salted_l)
+    assert len(al) == len(bl) and (al.values == bl.values).all()
+    # right-preserving modes would emit unmatched right rows salt x: rejected
+    for bad in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(left, right, on=["k"], salt=8, how=bad)
 
 
 def test_catalog_reads_jsonl_and_csv(spark, tmp_path):

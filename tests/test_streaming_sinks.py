@@ -154,6 +154,40 @@ def test_streaming_sink_fanout(spark, tmp_path, unipair):
     assert spark.read.option("header", "true").csv(str(tmp_path / "scsv" / "rt_swaps")).count() == 10
 
 
+def test_foreach_batch_jdbc_never_overwrites_after_restart():
+    """A restart from checkpoint replays the in-flight micro-batch; the JDBC
+    mode must depend on the durable batch_id, not in-memory writer state —
+    otherwise the replayed batch runs in overwrite mode and wipes every
+    previously committed batch."""
+    from apollo_spark.sinks import SinkConfig, SinkWriter
+
+    class _RecordingWrite:
+        def __init__(self, log):
+            self._log = log
+
+        def jdbc(self, url, table, mode, properties):
+            self._log.append((table, mode))
+
+    class _FakeBatchDF:
+        def __init__(self, log):
+            self.write = _RecordingWrite(log)
+
+    cfg = SinkConfig(jdbc_url="jdbc:fake://db")
+    log: list = []
+    writer = SinkWriter(cfg)
+    hook = writer.foreach_batch("q")
+    hook(_FakeBatchDF(log), 0)  # true first batch: drop+create
+    hook(_FakeBatchDF(log), 1)
+    assert log == [("q", "overwrite"), ("q", "append")]
+
+    # restart: fresh writer object (in-memory state gone), batch 1 replayed
+    log2: list = []
+    hook2 = SinkWriter(cfg).foreach_batch("q")
+    hook2(_FakeBatchDF(log2), 1)
+    hook2(_FakeBatchDF(log2), 2)
+    assert log2 == [("q", "append"), ("q", "append")]
+
+
 def test_blockdater_table_lookup(spark, catalog):
     from apollo_spark.blockdater import blocks_table_lookup, resolve_query_range
 
@@ -322,14 +356,36 @@ def test_rpc_log_source_composes_with_decoder(spark, unipair):
 
 def test_dedup_event_stream_drops_bridge_replays(spark, tmp_path, unipair):
     """A reconnecting bridge re-emits overlapping logs; the watermarked dedup
-    must deliver each (tx_hash, tx_index) exactly once."""
+    must deliver each (tx_hash, log_index) exactly once — while KEEPING
+    legitimate repeated events inside one transaction (same tx_hash/tx_index,
+    distinct log_index: e.g. two Transfers emitted by one swap)."""
+    import json
+
     from apollo_spark.sources.streaming import dedup_event_stream, event_stream
 
     bridge = tmp_path / "bridge_dup"
     _write_bridge_files(bridge, unipair, n=10)
-    # replay: same 10 logs again in a second file (overlap after reconnect)
+    # two same-shape Swap events in ONE transaction: identical tx identity,
+    # different log_index — a real multi-event tx, not a replay
+    ev = unipair.events["Swap"]
+    multi = [
+        {
+            "chain": "arbitrum",
+            "block_number": 10_000_050,
+            "block_hash": "0x" + "50" * 32,
+            "tx_hash": "0x" + "aa" * 32,
+            "tx_index": 3,
+            "log_index": li,
+            "address": "0x905dfcd5649217c42684f23958568e533c711aa3",
+            "topics": [ev.topic0, "0x" + "11" * 32, "0x" + "22" * 32],
+            "data_hex": "0x" + abi_encode(["uint256"] * 4, [100 + li, 0, 0, 0]).hex(),
+        }
+        for li in (0, 1)
+    ]
+    (bridge / "multi.jsonl").write_text("\n".join(json.dumps(r) for r in multi))
+    # replay: everything again in a second file (overlap after reconnect)
     first = (bridge / "batch0.jsonl").read_text()
-    (bridge / "batch1.jsonl").write_text(first)
+    (bridge / "batch1.jsonl").write_text(first + "\n" + "\n".join(json.dumps(r) for r in multi))
 
     stream = event_stream(spark, str(bridge), unipair.events["Swap"], chain="arbitrum")
     deduped = dedup_event_stream(stream)
@@ -341,6 +397,9 @@ def test_dedup_event_stream_drops_bridge_replays(spark, tmp_path, unipair):
         .start()
     )
     q.awaitTermination(60)
-    out = spark.sql("SELECT tx_hash, tx_index FROM dedup_rt").collect()
-    assert len(out) == 10
-    assert len({(r.tx_hash, r.tx_index) for r in out}) == 10
+    out = spark.sql("SELECT tx_hash, tx_index, log_index FROM dedup_rt").collect()
+    # 10 single-log txs + 2 logs of the multi-event tx, each exactly once
+    assert len(out) == 12
+    assert len({(r.tx_hash, r.log_index) for r in out}) == 12
+    multi_rows = [r for r in out if r.tx_hash == "0x" + "aa" * 32]
+    assert sorted(r.log_index for r in multi_rows) == [0, 1]
