@@ -25,7 +25,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stdout", action="store_true", help="log rows to stdout (flags.go:24-29)")
     p.add_argument("--csv", action="store_true", help="write csv per query (flags.go:17-22)")
     p.add_argument("--json", action="store_true", help="write jsonl per query (ROADMAP.md:67-76, unshipped in apollo)")
-    p.add_argument("--db", default=None, help="JDBC URL for the db sink")
+    p.add_argument("--db", default=None, help="JDBC URL for the db sink (overrides config.yml postgres block)")
+    p.add_argument(
+        "--config",
+        default=None,
+        help="config.yml path (default: <confdir>/config.yml, then "
+        "$XDG_CONFIG_HOME/apollo_spark/config.yml) — per-chain RPC endpoints + DB creds",
+    )
     p.add_argument("--output-dir", default="./output", help="csv/parquet sink root")
     p.add_argument("--rate-limit", type=float, default=100.0, help="RPC rps cap (flags.go:31-36)")
     p.add_argument("--log-level", default="WARN")
@@ -36,6 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    from apollo_spark.config import find_config
     from apollo_spark.dsl.schema import parse_schema_file
     from apollo_spark.pipeline import PipelineOptions, compile_schema
     from apollo_spark.session import get_spark
@@ -49,16 +56,38 @@ def main(argv: list[str] | None = None) -> int:
     schema = parse_schema_file(schema_path)
     schema.validate(realtime=args.realtime)
 
+    # config.yml: per-chain RPC endpoints + DB creds (config.go:13-31)
+    app_cfg = find_config(args.confdir, args.config)
+
     spark = get_spark("apollo_spark_cli", master=args.master)
     spark.sparkContext.setLogLevel(args.log_level)
-    catalog = Catalog(spark, args.data_dir)
-    options = PipelineOptions(realtime=args.realtime, rate_limit=args.rate_limit)
 
+    from apollo_spark.metrics import RunMetrics
+
+    metrics = RunMetrics(spark)
+    client_factory = None
+    if app_cfg and app_cfg.rpc:
+        from apollo_spark.sources.rpc_client import http_client_factory
+
+        client_factory = http_client_factory(
+            app_cfg.http_endpoints(), rate_limit=args.rate_limit, metrics=metrics
+        )
+    catalog = Catalog(spark, args.data_dir)
+    options = PipelineOptions(
+        realtime=args.realtime, rate_limit=args.rate_limit, client_factory=client_factory
+    )
+
+    jdbc_url, jdbc_props = args.db, {}
+    if jdbc_url is None and app_cfg:
+        resolved = app_cfg.resolve_jdbc()
+        if resolved:
+            jdbc_url, jdbc_props = resolved
     sink_cfg = SinkConfig(
         stdout=args.stdout,
         csv_dir=str(Path(args.output_dir)) if args.csv else None,
         json_dir=str(Path(args.output_dir)) if args.json else None,
-        jdbc_url=args.db,
+        jdbc_url=jdbc_url,
+        jdbc_properties=jdbc_props,
         single_file=True,
     )
     writer = SinkWriter(sink_cfg)
@@ -67,6 +96,8 @@ def main(argv: list[str] | None = None) -> int:
         frames = compile_schema(spark, catalog, schema, options)
         for name, df in frames.items():
             writer.write(df, name)
+        # exit-time metrics report (DumpMetrics, chainservice.go:293-307)
+        metrics.dump()
         return 0
 
     # realtime: one stream per query's event source via the bridge directory
