@@ -100,10 +100,32 @@ def main(argv: list[str] | None = None) -> int:
         metrics.dump()
         return 0
 
-    # realtime: one stream per query's event source via the bridge directory
-    if not args.bridge_dir:
-        print("--realtime requires --bridge-dir (WS->JSONL bridge)", file=sys.stderr)
+    # realtime: one stream per query's event source via the bridge directory.
+    # With a ws endpoint in config.yml the bridge daemon is spawned in-process
+    # (apollo's per-query eth_subscribe, events.go:221-320); an external
+    # bridge writing --bridge-dir works too.
+    bridge_dir = args.bridge_dir
+    if not bridge_dir and app_cfg and app_cfg.ws:
+        import threading
+
+        from apollo_spark.sources.ws_bridge import run_bridge
+
+        bridge_dir = str(Path(args.output_dir) / "_bridge")
+        for q in schema.queries:
+            ws_url = app_cfg.ws_endpoint(q.chain)
+            threading.Thread(
+                target=run_bridge,
+                args=(ws_url, bridge_dir, q.chain),
+                daemon=True,
+            ).start()
+    if not bridge_dir:
+        print(
+            "--realtime requires --bridge-dir (external WS->JSONL bridge) "
+            "or a ws:// endpoint in config.yml",
+            file=sys.stderr,
+        )
         return 2
+    args.bridge_dir = bridge_dir
     from apollo_spark.sources.streaming import event_stream
 
     queries = []
