@@ -1,0 +1,112 @@
+"""Corpus curation ops for training-data pipelines: token-budget sampling,
+deterministic training order, and benchmark decontamination.
+
+These are the selection/ordering steps between "deduped documents" and "a
+training mix": cap each source at a token budget, shuffle deterministically
+(so the run is reproducible and resumable), and drop documents that overlap
+eval benchmarks. All three are pure JVM column plans — one shuffle each, no
+Python in the row path — so they hold at 100 TB:
+
+* token budget: one window over (by) — partition-parallel across sources;
+* training order: one global sort on a hash key (Spark's range-partitioned
+  sort, the standard distributed shuffle-for-training);
+* decontamination: benchmark n-grams are tiny (eval sets are small by
+  definition) — broadcast them; the corpus side is a narrow explode+join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def whitespace_tokens(col: Column) -> Column:
+    """Whitespace tokenization with an empty-string guard (split('') yields
+    [''] — one phantom token)."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    by: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep documents per ``by`` group, in ``order_col`` order, until the
+    group's cumulative whitespace-token count exceeds ``budget_tokens``
+    (the document that crosses the budget is the last one kept).
+
+    The standard "cap each source at N tokens" mix step. One shuffle on
+    ``by``; the running sum is a window over the group — per-source
+    parallelism, no global bottleneck. Deterministic given ``order_col``
+    (use a hash order upstream for an unbiased cap)."""
+    w = Window.partitionBy(by).orderBy(F.col(order_col).asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        df.withColumn("n_tokens", F.size(whitespace_tokens(F.col(text_col))).cast("long"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter((F.col("cum_tokens") - F.col("n_tokens")) < budget_tokens)
+    )
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic pseudo-random global order: rank by md5(salt || id).
+
+    Training runs need a shuffled-but-reproducible document order; md5 is
+    engine-portable (same bytes in Spark, DuckDB, Python) unlike xxhash64
+    whose seeds differ per engine. Spark executes this as a range-partitioned
+    sort — the distributed shuffle, no single-node ordering step. Change
+    ``salt`` per epoch for a fresh permutation."""
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.orderBy(h.asc(), F.col(id_col).asc())
+    return df.withColumn("shuffle_key", h).withColumn(
+        "train_rank", F.row_number().over(w).cast("long")
+    )
+
+
+def word_ngrams(text_col: Column, n: int) -> Column:
+    """Lowercased word n-grams as space-joined strings (array; empty when
+    the document has fewer than n words)."""
+    w = F.split(F.lower(F.trim(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """(id, n_shared) for corpus documents sharing >= 1 word ``n``-gram with
+    any benchmark document — the eval-contamination scan (the n-gram-overlap
+    method used by large-LM training pipelines).
+
+    Benchmark sets are small, so their distinct grams broadcast; the corpus
+    side explodes to (id, gram) — narrow, no self-join, shuffle only for the
+    final per-doc count. n_shared counts DISTINCT shared grams."""
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("g")).distinct()
+    )
+    doc_grams = (
+        docs.select(F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+        .dropDuplicates([id_col, "g"])
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

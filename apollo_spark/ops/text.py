@@ -118,3 +118,29 @@ def chunk_documents(
         )
         .withColumn("n_chars", F.length("chunk"))
     )
+
+
+# -- PII detection / redaction ------------------------------------------------
+# Patterns are deliberately RE2-compatible (no lookarounds/backrefs) so the
+# SAME strings run in Spark (java.util.regex) and in DuckDB/RE2 oracles.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d\- ]{7,}\d",
+}
+
+
+def pii_counts(text_col) -> dict[str, Column]:
+    """Per-kind PII occurrence counts (non-overlapping scan, JVM-side
+    regexp_count — no Python in the row path)."""
+    return {kind: F.regexp_count(text_col, F.lit(pat)) for kind, pat in PII_PATTERNS.items()}
+
+
+def pii_scrub(text_col) -> Column:
+    """Redact every PII match with a typed placeholder. Order matters:
+    emails first (an email contains digit runs the phone pattern could
+    partially eat), then IPs, then phones."""
+    out = text_col
+    for kind in ("email", "ipv4", "phone"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out

@@ -1833,6 +1833,281 @@ def simhash_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# corpus curation tier: sampling, ordering, decontamination, PII
+# --------------------------------------------------------------------------
+
+
+def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mix step: cap every source at 600 whitespace tokens in
+    doc_id order (the crossing document is kept). One shuffle on source;
+    per-source window — the 100 TB mix-building primitive."""
+    from apollo_spark.ops.corpus import token_budget_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        token_budget_sample(d, budget_tokens=600, by="source", order_col="doc_id")
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TOKEN_BUDGET = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM cum WHERE cum_tokens - n_tokens < 600 ORDER BY doc_id
+"""
+
+
+def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: global rank by md5(doc_id) —
+    reproducible pseudo-random order, executed as a range-partitioned
+    distributed sort (no single-node ordering)."""
+    from apollo_spark.ops.corpus import training_order
+
+    d = _t(spark, sf_dir, "documents")
+    return training_order(d, id_col="doc_id").select("doc_id", "shuffle_key", "train_rank").orderBy("train_rank")
+
+
+ORACLE_TRAIN_ORDER = """
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT) AS train_rank
+FROM documents ORDER BY train_rank
+"""
+
+
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: documents sharing any word 4-gram with the
+    'benchmark' slice (doc_id % 29 == 0 stands in for a held-out eval set).
+    Benchmark grams broadcast (eval sets are tiny); corpus side is a narrow
+    explode + broadcast join + one count shuffle."""
+    from apollo_spark.ops.corpus import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 29 == 0)
+    corpus = d.filter(F.col("doc_id") % 29 != 0)
+    return (
+        decontaminate(corpus, bench, id_col="doc_id", text_col="text", n=4)
+        .withColumn("n_shared", F.col("n_shared").cast("long"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DECONTAM = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+  FROM words, LATERAL (SELECT unnest(range(1, len(w) - 2)) AS i) t(i)
+  WHERE len(w) >= 4
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 0),
+docg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 29 <> 0)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM docg JOIN bench USING (g) GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over a derived column that plants synthetic PII
+    (the corpus itself is clean, so the plant makes the gate non-trivial):
+    per-source totals of emails/IPs/phones found plus scrubbed length delta.
+    All JVM regexp_count/regexp_replace — no Python in the row path."""
+    from apollo_spark.ops.text import pii_counts, pii_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel +1 555-01"),
+        F.format_string("%02d", (F.col("doc_id") % 100).cast("int")),
+    )
+    counts = pii_counts(planted)
+    return (
+        d.withColumn("__p", planted)
+        .select(
+            "source",
+            counts["email"].alias("__e"),
+            counts["ipv4"].alias("__i"),
+            counts["phone"].alias("__ph"),
+            (F.length("__p") - F.length(pii_scrub(F.col("__p")))).alias("__delta"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("__e").alias("n_emails"),
+            F.sum("__i").alias("n_ips"),
+            F.sum("__ph").alias("n_phones"),
+            F.sum("__delta").alias("redacted_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_PII = r"""
+WITH planted AS (
+  SELECT source,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.7 tel +1 555-01' || format('{:02d}', doc_id % 100) AS p
+  FROM documents
+),
+scored AS (
+  SELECT source,
+         len(regexp_extract_all(p, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+         len(regexp_extract_all(p, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS i,
+         len(regexp_extract_all(p, '\+?\d[\d\- ]{7,}\d')) AS ph,
+         length(p) - length(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(p, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+             '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g')
+         ) AS delta
+  FROM planted
+)
+SELECT source, CAST(SUM(e) AS BIGINT) AS n_emails, CAST(SUM(i) AS BIGINT) AS n_ips,
+       CAST(SUM(ph) AS BIGINT) AS n_phones, CAST(SUM(delta) AS BIGINT) AS redacted_chars
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# additional TPC-H-shaped relational queries
+# --------------------------------------------------------------------------
+
+
+def shipping_delay_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q12-shaped: bucket order->ship delay into 30-day bands, conditional
+    counts of high- vs low-priority orders per band. One fact-fact join on
+    orderkey + one agg shuffle."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .filter(delay >= 0)
+        .withColumn("delay_band", F.floor(delay / 30).cast("long"))
+        .groupBy("delay_band")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_lines"),
+        )
+        .orderBy("delay_band")
+    )
+
+
+ORACLE_SHIPMODE = """
+SELECT CAST(FLOOR(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) / 30.0) AS BIGINT) AS delay_band,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) >= 0
+GROUP BY 1 ORDER BY delay_band
+"""
+
+
+def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11-shaped: parts whose revenue exceeds 1/1400 of total revenue.
+    Both the per-part and the global sum accumulate in decimal from base
+    rows (order-independent), so the threshold compare is deterministic;
+    the one-row global side is a broadcast cross join."""
+    l = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = l.groupBy("l_partkey").agg(dsum(rev).alias("value"))
+    total = l.agg(dsum(rev).alias("__total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") * 1400 > F.col("__total"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), F.col("l_partkey").asc())
+    )
+
+
+ORACLE_PART_CONC = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS value
+  FROM lineitem GROUP BY l_partkey
+),
+total AS (
+  SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS t
+  FROM lineitem
+)
+SELECT l_partkey, value FROM per_part, total
+WHERE value * 1400 > t ORDER BY value DESC, l_partkey ASC
+"""
+
+
+def late_delivery_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21-shaped semi+anti combo: suppliers that shipped > 60 days after
+    the order date on a multi-supplier order where NO other supplier was
+    late — the classic 'who alone held up the order' scan. Three passes over
+    lineitem keyed on l_orderkey (co-partitioned shuffles) + broadcast
+    supplier dim."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    late = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .filter(delay > 60)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    all_pairs = l.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")).distinct()
+    other_exists = late.alias("x").join(
+        all_pairs.alias("y"),
+        (F.col("x.ok") == F.col("y.ok")) & (F.col("x.sk") != F.col("y.sk")),
+        "left_semi",
+    )
+    no_other_late = other_exists.alias("x").join(
+        late.alias("z"),
+        (F.col("x.ok") == F.col("z.ok")) & (F.col("x.sk") != F.col("z.sk")),
+        "left_anti",
+    )
+    return (
+        no_other_late.groupBy("sk")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("sk") == s["s_suppkey"])
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+ORACLE_LATE_SUPP = """
+WITH late AS (
+  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60
+),
+all_pairs AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+sole AS (
+  SELECT x.ok, x.sk FROM late x
+  WHERE EXISTS (SELECT 1 FROM all_pairs y WHERE y.ok = x.ok AND y.sk <> x.sk)
+    AND NOT EXISTS (SELECT 1 FROM late z WHERE z.ok = x.ok AND z.sk <> x.sk)
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM sole JOIN supplier ON sk = s_suppkey
+GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1897,6 +2172,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bpe_token_counts": doc_bpe_token_counts,
     "doc_repetition": doc_repetition,
     "doc_chunks": doc_chunks,
+    # -- oracle-backed, new in round 2 -------------------------------------
+    "corpus_token_budget_sample": corpus_token_budget_sample,
+    "training_order_shuffle": training_order_shuffle,
+    "benchmark_decontamination": benchmark_decontamination,
+    "pii_scrub_stats": pii_scrub_stats,
+    "shipping_delay_by_priority": shipping_delay_by_priority,
+    "part_value_concentration": part_value_concentration,
+    "late_delivery_suppliers": late_delivery_suppliers,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -1957,6 +2240,13 @@ ORACLES: dict[str, str] = {
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "ngram_jaccard_dup_pairs": ORACLE_NGRAM_JACCARD,
     "embedding_near_dup_exact": ORACLE_EMB_NEAR_DUP,
+    "corpus_token_budget_sample": ORACLE_TOKEN_BUDGET,
+    "training_order_shuffle": ORACLE_TRAIN_ORDER,
+    "benchmark_decontamination": ORACLE_DECONTAM,
+    "pii_scrub_stats": ORACLE_PII,
+    "shipping_delay_by_priority": ORACLE_SHIPMODE,
+    "part_value_concentration": ORACLE_PART_CONC,
+    "late_delivery_suppliers": ORACLE_LATE_SUPP,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

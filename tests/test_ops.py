@@ -413,3 +413,73 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert d1.iloc[0].chunk[-64:] == d1.iloc[1].chunk[:64]
     assert list(out[out.doc_id == 2].n_chars) == [10]
     assert (out.doc_id != 3).all()  # empty doc -> no chunks
+
+
+def test_token_budget_sample_keeps_crossing_doc(spark):
+    from apollo_spark.ops.corpus import token_budget_sample
+
+    rows = [
+        (1, "s1", "a b c"),        # 3 tokens, cum 3
+        (2, "s1", "d e f g"),      # 4 tokens, cum 7  <- crosses budget 6, kept
+        (3, "s1", "h i"),          # prev cum 7 >= 6 -> dropped
+        (4, "s2", ""),             # empty doc: 0 tokens, kept
+        (5, "s2", "  x   y  "),    # ragged whitespace: 2 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = token_budget_sample(df, budget_tokens=6, by="source", order_col="doc_id").toPandas()
+    assert sorted(out["doc_id"]) == [1, 2, 4, 5]
+    got = dict(zip(out["doc_id"], out["n_tokens"]))
+    assert got[4] == 0 and got[5] == 2
+
+
+def test_training_order_deterministic_and_salted(spark):
+    from apollo_spark.ops.corpus import training_order
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    a = training_order(df).select("doc_id", "train_rank").toPandas().sort_values("doc_id")
+    b = training_order(df).select("doc_id", "train_rank").toPandas().sort_values("doc_id")
+    assert (a.values == b.values).all()  # reproducible
+    assert sorted(a["train_rank"]) == list(range(1, 101))  # a permutation
+    assert list(a["train_rank"]) != list(range(1, 101))  # ...that actually shuffles
+    c = training_order(df, salt="epoch2").select("doc_id", "train_rank").toPandas().sort_values("doc_id")
+    assert list(c["train_rank"]) != list(a["train_rank"])  # new salt, new order
+
+
+def test_decontaminate_finds_planted_overlap(spark):
+    from apollo_spark.ops.corpus import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "contaminated copy the quick brown fox jumps here"),  # shares 4-grams
+            (2, "completely different words without any overlap at all"),
+            (3, "QUICK Brown Fox Jumps elsewhere"),  # case-folded match
+        ],
+        "doc_id long, text string",
+    )
+    out = decontaminate(docs, bench, n=4).toPandas()
+    assert set(out["doc_id"]) == {1, 3}
+    # doc 1 shares 'the quick brown fox'+'quick brown fox jumps' = 2 grams
+    assert int(out.set_index("doc_id").loc[1, "n_shared"]) == 2
+    # benchmark side is broadcast (eval sets are tiny)
+    plan = decontaminate(docs, bench, n=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_scrub_and_counts(spark):
+    from apollo_spark.ops.text import pii_counts, pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail a.user+x@sub.example.org from 192.168.1.77 call +44 20-7946 0958 done")],
+        "id long, text string",
+    )
+    counts = pii_counts(F.col("text"))
+    row = df.select(
+        counts["email"].alias("e"), counts["ipv4"].alias("i"), counts["phone"].alias("p"),
+        pii_scrub(F.col("text")).alias("s"),
+    ).collect()[0]
+    assert (row.e, row.i, row.p) == (1, 1, 1)
+    assert "<EMAIL>" in row.s and "<IPV4>" in row.s and "<PHONE>" in row.s
+    assert "example.org" not in row.s and "192.168" not in row.s
