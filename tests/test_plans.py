@@ -183,3 +183,39 @@ def test_partitioned_logs_prune_by_chain(spark, tmp_path, catalog):
     assert re.search(r"PartitionFilters: \[.*chain.*arbitrum", p), p
     # the chain predicate is satisfied by pruning alone — no row-level filter
     assert df.count() == logs.filter("chain = 'arbitrum'").count()
+
+
+def test_part_value_concentration_total_is_broadcast(spark):
+    """The one-row global total must broadcast into the threshold filter,
+    never shuffle the per-part side against it."""
+    p = plan(spark, "part_value_concentration")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_late_delivery_suppliers_join_strategies(spark):
+    """Semi stays semi, anti stays anti (no materialized intermediate), and
+    the supplier dim broadcasts."""
+    p = plan(spark, "late_delivery_suppliers")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_token_budget_sample_single_group_shuffle(spark):
+    """One hash exchange on source for the running-sum window — the mix
+    step must stay per-source parallel with no global sort."""
+    p = plan(spark, "corpus_token_budget_sample")
+    # exactly 2 exchanges: window partition + final presentation orderBy
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    assert "hashpartitioning(source" in p
+    # no Python in the row path
+    assert "EvalPython" not in p
+
+
+def test_pii_and_shuffle_queries_stay_jvm_side(spark):
+    """Regex PII scan and the deterministic shuffle compile to pure JVM
+    expressions — no Arrow/Python eval stage anywhere."""
+    for name in ("pii_scrub_stats", "training_order_shuffle", "benchmark_decontamination"):
+        p = plan(spark, name)
+        assert "EvalPython" not in p, name
