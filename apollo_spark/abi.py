@@ -7,9 +7,12 @@ ABI spec and the Keccak reference algorithm — no external deps. keccak runs
 only at plan-build time (one hash per event/method signature), so speed is
 irrelevant; decode runs inside Arrow-batched pandas UDFs.
 
-Supported types cover the reference's test ABIs (test/unipair.abi.json,
-test/erc20.abi.json): address, uintN/intN, bool, bytesN, bytes, string, and
-one-dimensional dynamic arrays thereof.
+Supported types cover go-ethereum's full ABI surface (the reference inherits
+it): address, uintN/intN, bool, bytesN, bytes, string, tuples (structs,
+declared via ``components`` and canonicalized to ``(t1,t2,...)``), and
+arbitrarily nested fixed ``T[k]`` / dynamic ``T[]`` arrays of any of these.
+Tuple values decode to python tuples; the Spark type policy renders them as
+JSON strings (SURVEY §1.2 escape-hatch convention).
 """
 
 from __future__ import annotations
@@ -155,19 +158,33 @@ class Abi:
             raw = raw.get("abi", [])
         events: dict[str, AbiEvent] = {}
         functions: dict[str, AbiFunction] = {}
+
+        def canon(p: dict) -> str:
+            """Canonical type string: 'tuple...' + components become
+            '(t1,t2,...)...' — the form signature hashing requires
+            (solidity ABI spec; go-ethereum abi.NewType does the same)."""
+            t = p["type"]
+            if t.startswith("tuple"):
+                inner = ",".join(canon(c) for c in p.get("components", []))
+                return f"({inner})" + t[len("tuple") :]
+            return t
+
         for item in raw:
             kind = item.get("type")
             if kind == "event":
                 ev = AbiEvent(
                     item["name"],
-                    tuple(AbiParam(p.get("name", ""), p["type"], bool(p.get("indexed"))) for p in item.get("inputs", [])),
+                    tuple(
+                        AbiParam(p.get("name", ""), canon(p), bool(p.get("indexed")))
+                        for p in item.get("inputs", [])
+                    ),
                 )
                 events[ev.name] = ev
             elif kind == "function":
                 fn = AbiFunction(
                     item["name"],
-                    tuple(AbiParam(p.get("name", ""), p["type"]) for p in item.get("inputs", [])),
-                    tuple(AbiParam(p.get("name", ""), p["type"]) for p in item.get("outputs", [])),
+                    tuple(AbiParam(p.get("name", ""), canon(p)) for p in item.get("inputs", [])),
+                    tuple(AbiParam(p.get("name", ""), canon(p)) for p in item.get("outputs", [])),
                 )
                 functions[fn.name] = fn
         return cls(events, functions)
@@ -180,11 +197,67 @@ class Abi:
 # ------------------------------------------------------------- encode/decode
 
 
-def _is_dynamic(typ: str) -> bool:
-    return typ in ("bytes", "string") or typ.endswith("[]")
+@dataclass(frozen=True)
+class _Type:
+    """Parsed ABI type tree: elementary base or tuple components, plus array
+    suffixes innermost-first (``None`` = dynamic ``[]``, int = fixed ``[k]``)."""
+
+    base: str
+    arr: tuple[int | None, ...] = ()
+    components: tuple["_Type", ...] = ()
+
+
+def _parse_type(typ: str) -> _Type:
+    arr: list[int | None] = []
+    while typ.endswith("]"):
+        o = typ.rindex("[")
+        inside = typ[o + 1 : -1]
+        arr.insert(0, None if inside == "" else int(inside))
+        typ = typ[:o]
+    if typ.startswith("("):
+        if not typ.endswith(")"):
+            raise ValueError(f"malformed tuple type {typ!r}")
+        comps: list[_Type] = []
+        depth, start, inner = 0, 0, typ[1:-1]
+        for i, ch in enumerate(inner):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                comps.append(_parse_type(inner[start:i]))
+                start = i + 1
+        if inner[start:]:
+            comps.append(_parse_type(inner[start:]))
+        return _Type("tuple", tuple(arr), tuple(comps))
+    return _Type(typ, tuple(arr))
+
+
+def _type_is_dynamic(t: _Type) -> bool:
+    if any(k is None for k in t.arr):
+        return True
+    if t.base in ("bytes", "string"):
+        return True
+    if t.base == "tuple":
+        return any(_type_is_dynamic(c) for c in t.components)
+    return False
+
+
+def _static_size(t: _Type) -> int:
+    """Encoded byte size of a STATIC type (head/tail spec: static tuples and
+    fixed arrays occupy multiple 32-byte words inline)."""
+    if t.arr:
+        inner = _Type(t.base, t.arr[:-1], t.components)
+        k = t.arr[-1]
+        assert k is not None
+        return k * _static_size(inner)
+    if t.base == "tuple":
+        return sum(_static_size(c) for c in t.components)
+    return 32
 
 
 def _decode_static(typ: str, word: bytes):
+    """Single-word elementary decode (also used for indexed topics)."""
     if typ == "address":
         return normalize_address("0x" + word[-20:].hex())
     if typ.startswith("uint"):
@@ -199,29 +272,68 @@ def _decode_static(typ: str, word: bytes):
     raise ValueError(f"unsupported static ABI type {typ!r}")
 
 
+def _decode_at(t: _Type, data: bytes, pos: int):
+    """Decode one value whose encoding starts inline at ``pos`` (static) —
+    callers resolve dynamic pointers before descending."""
+    if t.arr:
+        inner = _Type(t.base, t.arr[:-1], t.components)
+        k = t.arr[-1]
+        if k is None:  # dynamic array tail: len word + element area
+            n = int.from_bytes(data[pos : pos + 32], "big")
+            return _decode_seq(inner, data, pos + 32, n)
+        return _decode_seq(inner, data, pos, k)
+    if t.base == "tuple":
+        return tuple(_decode_seq_hetero(t.components, data, pos))
+    if t.base == "string":
+        n = int.from_bytes(data[pos : pos + 32], "big")
+        return data[pos + 32 : pos + 32 + n].decode("utf-8", errors="replace")
+    if t.base == "bytes":
+        n = int.from_bytes(data[pos : pos + 32], "big")
+        return "0x" + data[pos + 32 : pos + 32 + n].hex()
+    word = data[pos : pos + 32]
+    if len(word) < 32:
+        raise ValueError("ABI data too short")
+    return _decode_static(t.base, word)
+
+
+def _decode_seq(elem: _Type, data: bytes, base: int, n: int) -> list:
+    """n same-typed elements starting at ``base``: inline when static,
+    head-pointers (relative to ``base``) when dynamic."""
+    out = []
+    if _type_is_dynamic(elem):
+        for j in range(n):
+            off = int.from_bytes(data[base + j * 32 : base + (j + 1) * 32], "big")
+            out.append(_decode_at(elem, data, base + off))
+    else:
+        size = _static_size(elem)
+        for j in range(n):
+            out.append(_decode_at(elem, data, base + j * size))
+    return out
+
+
+def _decode_seq_hetero(types: tuple[_Type, ...], data: bytes, base: int) -> list:
+    """Heterogeneous head/tail sequence (tuple bodies, top-level blobs):
+    static members inline, dynamic members behind base-relative pointers."""
+    out = []
+    pos = base
+    for t in types:
+        if _type_is_dynamic(t):
+            off = int.from_bytes(data[pos : pos + 32], "big")
+            out.append(_decode_at(t, data, base + off))
+            pos += 32
+        else:
+            out.append(_decode_at(t, data, pos))
+            pos += _static_size(t)
+    return out
+
+
 def abi_decode(types: list[str], data: bytes) -> list:
-    """Decode a head/tail ABI blob into python values."""
-    values = []
-    for i, typ in enumerate(types):
-        head = data[i * 32 : (i + 1) * 32]
-        if len(head) < 32:
-            raise ValueError("ABI data too short")
-        if not _is_dynamic(typ):
-            values.append(_decode_static(typ, head))
-            continue
-        off = int.from_bytes(head, "big")
-        if typ in ("bytes", "string"):
-            ln = int.from_bytes(data[off : off + 32], "big")
-            blob = data[off + 32 : off + 32 + ln]
-            values.append(blob.decode("utf-8", errors="replace") if typ == "string" else "0x" + blob.hex())
-        else:  # T[]
-            elem = typ[:-2]
-            if _is_dynamic(elem):
-                raise ValueError(f"nested dynamic arrays unsupported: {typ}")
-            ln = int.from_bytes(data[off : off + 32], "big")
-            body_off = off + 32
-            values.append([_decode_static(elem, data[body_off + j * 32 : body_off + (j + 1) * 32]) for j in range(ln)])
-    return values
+    """Decode a head/tail ABI blob into python values (full go-ethereum type
+    surface: tuples, fixed + dynamic arrays, arbitrary nesting)."""
+    parsed = tuple(_parse_type(t) for t in types)
+    if len(data) < sum(32 if _type_is_dynamic(t) else _static_size(t) for t in parsed):
+        raise ValueError("ABI data too short")
+    return _decode_seq_hetero(parsed, data, 0)
 
 
 def decode_log(event: AbiEvent, topics: list[str], data: bytes) -> dict | None:
@@ -244,7 +356,13 @@ def decode_log(event: AbiEvent, topics: list[str], data: bytes) -> dict | None:
     out: dict = {}
     for i, p in enumerate(idx):
         word = bytes.fromhex(topics[i + 1].removeprefix("0x"))
-        out[p.name] = _decode_static(p.type, word)
+        t = _parse_type(p.type)
+        if _type_is_dynamic(t) or t.arr or t.base == "tuple":
+            # indexed dynamic/composite params are stored as keccak(encoding)
+            # — only the hash is recoverable (go-ethereum behaves the same)
+            out[p.name] = "0x" + word.hex()
+        else:
+            out[p.name] = _decode_static(p.type, word)
     data_params = event.data_inputs
     types = [p.type for p in data_params]
     try:
@@ -274,25 +392,57 @@ def _encode_static(typ: str, value) -> bytes:
     raise ValueError(f"unsupported static ABI type {typ!r}")
 
 
-def abi_encode(types: list[str], values: list) -> bytes:
+def _encode_value(t: _Type, value) -> bytes:
+    """Full encoding of one value (the bytes a head pointer would target)."""
+    if t.arr:
+        inner = _Type(t.base, t.arr[:-1], t.components)
+        k = t.arr[-1]
+        if k is None:
+            return len(value).to_bytes(32, "big") + _encode_seq(inner, list(value))
+        if len(value) != k:
+            raise ValueError(f"fixed array length mismatch: want {k}, got {len(value)}")
+        return _encode_seq(inner, list(value))
+    if t.base == "tuple":
+        return _encode_seq_hetero(t.components, list(value))
+    if t.base == "string":
+        blob = value.encode()
+        return len(blob).to_bytes(32, "big") + blob + bytes((32 - len(blob) % 32) % 32)
+    if t.base == "bytes":
+        blob = bytes.fromhex(str(value).removeprefix("0x"))
+        return len(blob).to_bytes(32, "big") + blob + bytes((32 - len(blob) % 32) % 32)
+    return _encode_static(t.base, value)
+
+
+def _encode_seq(elem: _Type, values: list) -> bytes:
+    if _type_is_dynamic(elem):
+        tails = [_encode_value(elem, v) for v in values]
+        head_len = 32 * len(values)
+        head, off = [], head_len
+        for tl in tails:
+            head.append(off.to_bytes(32, "big"))
+            off += len(tl)
+        return b"".join(head) + b"".join(tails)
+    return b"".join(_encode_value(elem, v) for v in values)
+
+
+def _encode_seq_hetero(types: tuple[_Type, ...], values: list) -> bytes:
+    head_len = sum(32 if _type_is_dynamic(t) else _static_size(t) for t in types)
     head: list[bytes] = []
     tail: list[bytes] = []
-    head_len = 32 * len(types)
-    for typ, val in zip(types, values):
-        if not _is_dynamic(typ):
-            head.append(_encode_static(typ, val))
-            continue
-        offset = head_len + sum(len(t) for t in tail)
-        head.append(offset.to_bytes(32, "big"))
-        if typ in ("bytes", "string"):
-            blob = val.encode() if typ == "string" else bytes.fromhex(str(val).removeprefix("0x"))
-            padded = blob + bytes((32 - len(blob) % 32) % 32)
-            tail.append(len(blob).to_bytes(32, "big") + padded)
+    off = head_len
+    for t, v in zip(types, values):
+        if _type_is_dynamic(t):
+            blob = _encode_value(t, v)
+            head.append(off.to_bytes(32, "big"))
+            tail.append(blob)
+            off += len(blob)
         else:
-            elem = typ[:-2]
-            body = b"".join(_encode_static(elem, v) for v in val)
-            tail.append(len(val).to_bytes(32, "big") + body)
+            head.append(_encode_value(t, v))
     return b"".join(head) + b"".join(tail)
+
+
+def abi_encode(types: list[str], values: list) -> bytes:
+    return _encode_seq_hetero(tuple(_parse_type(t) for t in types), list(values))
 
 
 def encode_calldata(fn: AbiFunction, args: list) -> bytes:

@@ -42,9 +42,12 @@ CONTEXT_FIELDS = [
 
 def abi_type_to_spark(abi_type: str) -> T.DataType:
     """ABI -> Spark type policy (SURVEY §1.2): integers as Decimal(38,0)
-    (uint256 escape hatch = string), addresses/hashes/bytes as string."""
-    if abi_type.endswith("[]"):
-        return T.ArrayType(abi_type_to_spark(abi_type[:-2]))
+    (uint256 escape hatch = string), addresses/hashes/bytes as string,
+    tuples (structs) as JSON strings — the composite escape hatch."""
+    if abi_type.startswith("("):  # tuple or array-of-tuple: JSON string
+        return T.StringType()
+    if abi_type.endswith("]"):  # T[] / T[k]
+        return T.ArrayType(abi_type_to_spark(abi_type[: abi_type.rindex("[")]))
     if abi_type.startswith(("uint", "int")):
         return T.DecimalType(38, 0)
     if abi_type == "bool":
@@ -76,6 +79,13 @@ def _coerce(value, spark_type: T.DataType):
         return Decimal(value)
     if isinstance(spark_type, T.StringType) and isinstance(value, int):
         return str(value)  # uint_as_string path
+    if isinstance(spark_type, T.StringType) and isinstance(value, (tuple, list)):
+        import json as _json
+
+        # tuple/struct escape hatch: composite values land as JSON text
+        return _json.dumps(value, default=str)
+    if isinstance(spark_type, T.ArrayType) and isinstance(value, list):
+        return [_coerce(v, spark_type.elementType) for v in value]
     return value
 
 

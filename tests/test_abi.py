@@ -104,3 +104,144 @@ def test_single_unnamed_return_positional():
     fn = AbiFunction("totalSupply", (), (AbiParam("", "uint256"),))
     out = decode_return(fn, abi_encode(["uint256"], [999]))
     assert out == {"totalSupply": 999}
+
+
+# ---------------------------------------------------- tuples / nested arrays
+
+
+def test_abi_spec_vector_f():
+    """Exact bytes from the Solidity ABI spec's worked example:
+    f(uint256 0x123, uint32[] [0x456,0x789], bytes10 '1234567890',
+      bytes 'Hello, world!')."""
+    from apollo_spark.abi import abi_decode, abi_encode
+
+    expected = bytes.fromhex(
+        "0000000000000000000000000000000000000000000000000000000000000123"
+        "0000000000000000000000000000000000000000000000000000000000000080"
+        "3132333435363738393000000000000000000000000000000000000000000000"
+        "00000000000000000000000000000000000000000000000000000000000000e0"
+        "0000000000000000000000000000000000000000000000000000000000000002"
+        "0000000000000000000000000000000000000000000000000000000000000456"
+        "0000000000000000000000000000000000000000000000000000000000000789"
+        "000000000000000000000000000000000000000000000000000000000000000d"
+        "48656c6c6f2c20776f726c642100000000000000000000000000000000000000"
+    )
+    types = ["uint256", "uint32[]", "bytes10", "bytes"]
+    vals = [0x123, [0x456, 0x789], "0x31323334353637383930", "0x48656c6c6f2c20776f726c6421"]
+    assert abi_encode(types, vals) == expected
+    assert abi_decode(types, expected) == vals
+
+
+def test_abi_spec_vector_g_nested_dynamic():
+    """Spec example g(uint256[][],string[]) with ([[1,2],[3]],
+    ['one','two','three']) — nested dynamic arrays, previously unsupported."""
+    from apollo_spark.abi import abi_decode, abi_encode
+
+    expected = bytes.fromhex(
+        "0000000000000000000000000000000000000000000000000000000000000040"
+        "0000000000000000000000000000000000000000000000000000000000000140"
+        "0000000000000000000000000000000000000000000000000000000000000002"
+        "0000000000000000000000000000000000000000000000000000000000000040"
+        "00000000000000000000000000000000000000000000000000000000000000a0"
+        "0000000000000000000000000000000000000000000000000000000000000002"
+        "0000000000000000000000000000000000000000000000000000000000000001"
+        "0000000000000000000000000000000000000000000000000000000000000002"
+        "0000000000000000000000000000000000000000000000000000000000000001"
+        "0000000000000000000000000000000000000000000000000000000000000003"
+        "0000000000000000000000000000000000000000000000000000000000000003"
+        "0000000000000000000000000000000000000000000000000000000000000060"
+        "00000000000000000000000000000000000000000000000000000000000000a0"
+        "00000000000000000000000000000000000000000000000000000000000000e0"
+        "0000000000000000000000000000000000000000000000000000000000000003"
+        "6f6e650000000000000000000000000000000000000000000000000000000000"
+        "0000000000000000000000000000000000000000000000000000000000000003"
+        "74776f0000000000000000000000000000000000000000000000000000000000"
+        "0000000000000000000000000000000000000000000000000000000000000005"
+        "7468726565000000000000000000000000000000000000000000000000000000"
+    )
+    types = ["uint256[][]", "string[]"]
+    vals = [[[1, 2], [3]], ["one", "two", "three"]]
+    assert abi_encode(types, vals) == expected
+    assert abi_decode(types, expected) == vals
+
+
+def test_tuple_roundtrip_and_static_layout():
+    from apollo_spark.abi import abi_decode, abi_encode
+
+    # static tuple: multi-word inline layout, no pointer
+    types = ["(uint256,address,bool)", "uint8"]
+    vals = [(42, "0x" + "ab" * 20, True), 7]
+    blob = abi_encode(types, vals)
+    assert len(blob) == 4 * 32  # 3 inline tuple words + trailing uint8
+    assert abi_decode(types, blob) == vals
+    # dynamic tuple (contains string) + fixed array of tuples
+    types2 = ["(uint256,string)", "(uint32,uint32)[2]"]
+    vals2 = [(9, "hello world"), [(1, 2), (3, 4)]]
+    assert abi_decode(types2, abi_encode(types2, vals2)) == vals2
+    # tuples nested in dynamic arrays of tuples
+    types3 = ["(address,(uint256,bytes))[]"]
+    vals3 = [[("0x" + "01" * 20, (5, "0xdead")), ("0x" + "02" * 20, (6, "0xbeef"))]]
+    assert abi_decode(types3, abi_encode(types3, vals3)) == vals3
+    # fixed array of static elements: no length word
+    types4 = ["uint256[3]"]
+    blob4 = abi_encode(types4, [[10, 20, 30]])
+    assert len(blob4) == 3 * 32
+    assert abi_decode(types4, blob4) == [[10, 20, 30]]
+
+
+def test_tuple_abi_json_canonicalization_and_event_decode():
+    """ABI JSON with components: signature uses the canonical (t1,t2) form
+    (topic0 must hash it) and the decoder handles a struct-carrying event."""
+    import json
+
+    from apollo_spark.abi import Abi, abi_encode, decode_log, keccak256
+
+    abi = Abi.from_json(json.dumps([
+        {
+            "type": "event",
+            "name": "OrderPlaced",
+            "inputs": [
+                {"name": "maker", "type": "address", "indexed": True},
+                {
+                    "name": "order",
+                    "type": "tuple",
+                    "components": [
+                        {"name": "id", "type": "uint256"},
+                        {"name": "parts", "type": "uint32[2]"},
+                        {"name": "note", "type": "string"},
+                    ],
+                },
+            ],
+        }
+    ]))
+    ev = abi.events["OrderPlaced"]
+    assert ev.signature == "OrderPlaced(address,(uint256,uint32[2],string))"
+    assert ev.topic0 == "0x" + keccak256(ev.signature.encode()).hex()
+    order = (77, [1, 2], "limit")
+    data = abi_encode(["(uint256,uint32[2],string)"], [order])
+    maker = "0x" + "cd" * 20
+    out = decode_log(ev, [ev.topic0, "0x" + maker.removeprefix("0x").rjust(64, "0")], data)
+    assert out == {"maker": maker, "order": order}
+
+
+def test_indexed_dynamic_param_yields_topic_hash():
+    """Indexed string/array/tuple params store keccak(encoding) in the topic;
+    the decoder must surface the hash, not attempt (impossible) recovery."""
+    import json
+
+    from apollo_spark.abi import Abi, abi_encode, decode_log
+
+    abi = Abi.from_json(json.dumps([
+        {
+            "type": "event",
+            "name": "Named",
+            "inputs": [
+                {"name": "name", "type": "string", "indexed": True},
+                {"name": "v", "type": "uint256"},
+            ],
+        }
+    ]))
+    ev = abi.events["Named"]
+    topic_hash = "0x" + "7a" * 32
+    out = decode_log(ev, [ev.topic0, topic_hash], abi_encode(["uint256"], [5]))
+    assert out == {"name": topic_hash, "v": 5}

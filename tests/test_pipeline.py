@@ -584,3 +584,53 @@ query sql_src {
         "SELECT contract_address, COUNT(*) AS n FROM swap_events GROUP BY 1 ORDER BY 1"
     )
     assert_frames_match(df, expected, sort_cols=["contract_address"])
+
+
+def test_struct_event_decodes_to_json_column(spark):
+    """Tuple-typed (struct) event params flow through the full Spark decode
+    path as JSON strings — the composite escape hatch of the §1.2 type
+    policy (go-ethereum supports struct events; apollo inherits them)."""
+    import json as _json
+
+    from apollo_spark.abi import Abi, abi_encode
+    from apollo_spark.sources.logs import decoded_event_source
+
+    abi = Abi.from_json(_json.dumps([
+        {
+            "type": "event",
+            "name": "OrderPlaced",
+            "inputs": [
+                {"name": "maker", "type": "address", "indexed": True},
+                {
+                    "name": "order",
+                    "type": "tuple",
+                    "components": [
+                        {"name": "id", "type": "uint256"},
+                        {"name": "qty", "type": "uint32[2]"},
+                        {"name": "note", "type": "string"},
+                    ],
+                },
+            ],
+        }
+    ]))
+    ev = abi.events["OrderPlaced"]
+    maker = "0x" + "cd" * 20
+    rows = [
+        (
+            "ethereum", 100 + i, f"0x{i:064x}", f"0x{i+7:064x}", 0, i,
+            "0x" + "ab" * 20,
+            [ev.topic0, "0x" + maker.removeprefix("0x").rjust(64, "0")],
+            bytearray(abi_encode(["(uint256,uint32[2],string)"], [(i, [i, i + 1], f"n{i}")])),
+        )
+        for i in range(3)
+    ]
+    logs = spark.createDataFrame(
+        rows,
+        "chain string, block_number long, block_hash string, tx_hash string, "
+        "tx_index int, log_index int, address string, topics array<string>, data binary",
+    )
+    dec = decoded_event_source(logs, ev, chain="ethereum").toPandas().sort_values("block_number")
+    assert len(dec) == 3
+    assert list(dec["maker"]) == [maker] * 3
+    parsed = [_json.loads(v) for v in dec["order"]]
+    assert parsed[1] == [1, [1, 2], "n1"]  # JSON renders the tuple faithfully
