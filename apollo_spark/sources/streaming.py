@@ -249,3 +249,108 @@ def dedup_event_stream(
         .dropDuplicatesWithinWatermark(keys)
         .drop("__event_time")
     )
+
+
+def event_triggered_calls(
+    decoded_stream: DataFrame,
+    contract: ContractSpec,
+    *,
+    chain: str,
+    client_factory: ClientFactory,
+) -> DataFrame:
+    """Realtime S7: event-attached method calls. Apollo's realtime mode
+    issues the event block's ``eth_call``s the moment a subscribed log
+    arrives (chainservice/events.go:280-307 CallMethods); batch mode's
+    equi-join against landed method_results can't do that for live blocks.
+
+    Same executor topology as the interval caller: one client per partition
+    (connection + LRU reuse), Arrow-batched rows, calls pinned to each
+    event's block_number so the answer is the state AT the event, not
+    'latest'. Failed calls drop the row (main.go:174-177 semantics).
+    Works identically on a batch frame (useful for tests/backfills)."""
+    from apollo_spark.abi import decode_return, encode_calldata
+    from apollo_spark.sources.logs import _coerce
+
+    methods = contract.methods
+    abi = contract.abi
+    assert abi is not None
+    address = contract.address
+    calls = []
+    out_fields: list[T.StructField] = []
+    for m in methods:
+        fn = abi.functions[m.name]
+        args = [m.inputs[p.name] for p in fn.inputs] if fn.inputs else []
+        calls.append((m, fn, encode_calldata(fn, args)))
+        wanted = set(m.outputs) if m.outputs else None
+        for i, p in enumerate(fn.outputs):
+            name = p.name or (fn.name if len(fn.outputs) == 1 else f"out{i}")
+            if wanted is None or name in wanted:
+                from apollo_spark.sources.logs import abi_type_to_spark
+
+                out_fields.append(T.StructField(name, abi_type_to_spark(p.type)))
+
+    schema = T.StructType(list(decoded_stream.schema.fields) + out_fields)
+    col_types = {f.name: f.dataType for f in schema.fields}
+    col_names = [f.name for f in schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = client_factory()
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                blk = rec.get("block_number")
+                ok = True
+                for m, fn, calldata in calls:
+                    try:
+                        ret = client.call(chain, address, calldata, None if blk is None else int(blk))
+                        decoded = decode_return(fn, ret)
+                    except Exception:
+                        ok = False
+                        break
+                    wanted = set(m.outputs) if m.outputs else None
+                    for k, v in decoded.items():
+                        if wanted is None or k in wanted:
+                            rec[k] = _coerce(v, col_types[k])
+                if ok:
+                    rows.append(rec)
+            yield pd.DataFrame(rows, columns=col_names)
+
+    return decoded_stream.mapInPandas(run, schema=schema)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str = "timestamp",
+    right_ts: str = "timestamp",
+    lookback_seconds: int = 3600,
+    watermark_seconds: int = 600,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left event picks up
+    every right event with the same key from the preceding
+    ``lookback_seconds`` window (right.ts in (left.ts - lookback, left.ts]).
+
+    The stateful tier apollo lacks entirely (SURVEY §2.7): correlating two
+    live feeds (e.g. a swap stream against a transfer stream) requires
+    buffering both sides; the watermark bounds that state — each side keeps
+    only lookback+watermark seconds of rows, so state is O(rate x horizon)
+    regardless of stream age. Both inputs need event-time columns in epoch
+    seconds."""
+    lw = left.withColumn("__lts", F.col(left_ts).cast("timestamp")).withWatermark(
+        "__lts", f"{watermark_seconds} seconds"
+    )
+    rcols = [F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
+    rw = (
+        right.select(*rcols)
+        .withColumn("__rts", F.col(f"{right_prefix}{right_ts}").cast("timestamp"))
+        .withWatermark("__rts", f"{watermark_seconds} seconds")
+    )
+    cond = (
+        (F.col(on) == F.col(f"{right_prefix}{on}"))
+        & (F.col("__rts") > F.col("__lts") - F.expr(f"INTERVAL {lookback_seconds} SECONDS"))
+        & (F.col("__rts") <= F.col("__lts"))
+    )
+    return lw.join(rw, cond, "inner").drop("__lts", "__rts")

@@ -403,3 +403,122 @@ def test_dedup_event_stream_drops_bridge_replays(spark, tmp_path, unipair):
     assert len({(r.tx_hash, r.log_index) for r in out}) == 12
     multi_rows = [r for r in out if r.tx_hash == "0x" + "aa" * 32]
     assert sorted(r.log_index for r in multi_rows) == [0, 1]
+
+
+def test_event_triggered_calls_streaming(spark, tmp_path, unipair):
+    """Realtime S7: each decoded event row triggers the contract's method
+    calls pinned at the event's block; merged columns land in the stream."""
+    from apollo_spark.dsl.schema import ContractSpec, MethodSpec
+    from apollo_spark.sources.streaming import event_stream, event_triggered_calls
+
+    class FakeClient:
+        def call(self, chain, to, data, block):
+            # state AT the event's block: must receive the row's block_number
+            assert block is not None
+            return abi_encode(["uint112", "uint112", "uint32"], [block * 3, block * 5, 1])
+
+    contract = ContractSpec(
+        address="0x905dfcd5649217c42684f23958568e533c711aa3",
+        abi_name="unipair.abi.json",
+        methods=[MethodSpec(name="getReserves", outputs=["_reserve0", "_reserve1"])],
+        abi=unipair,
+    )
+    bridge = tmp_path / "bridge_s7"
+    _write_bridge_files(bridge, unipair, n=8)
+    stream = event_stream(
+        spark, str(bridge), unipair.events["Swap"],
+        chain="arbitrum", address=contract.address, outputs=["amount0In"],
+    )
+    enriched = event_triggered_calls(
+        stream, contract, chain="arbitrum", client_factory=lambda: FakeClient()
+    )
+    assert enriched.isStreaming
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("s7_rt")
+        .option("checkpointLocation", str(tmp_path / "ckpt_s7"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("SELECT block_number, _reserve0, _reserve1 FROM s7_rt").collect()
+    assert len(out) == 8
+    for r in out:
+        assert int(r._reserve0) == r.block_number * 3
+        assert int(r._reserve1) == r.block_number * 5
+
+
+def test_event_triggered_calls_drops_failed_rows(spark, tmp_path, unipair):
+    """A reverting call drops the row (main.go:174-177), never poisons the
+    batch."""
+    from apollo_spark.dsl.schema import ContractSpec, MethodSpec
+    from apollo_spark.sources.streaming import event_triggered_calls
+
+    class FlakyClient:
+        def call(self, chain, to, data, block):
+            if block % 2 == 0:
+                raise RuntimeError("execution reverted")
+            return abi_encode(["uint112", "uint112", "uint32"], [1, 2, 3])
+
+    contract = ContractSpec(
+        address="0x905dfcd5649217c42684f23958568e533c711aa3",
+        abi_name="unipair.abi.json",
+        methods=[MethodSpec(name="getReserves", outputs=["_reserve0"])],
+        abi=unipair,
+    )
+    # batch-frame mode: same operator, backfill path
+    events = spark.createDataFrame(
+        [(b, f"0x{b:x}") for b in range(100, 110)], "block_number long, tx_hash string"
+    )
+    out = event_triggered_calls(
+        events, contract, chain="arbitrum", client_factory=lambda: FlakyClient()
+    ).collect()
+    assert sorted(r.block_number for r in out) == [101, 103, 105, 107, 109]
+
+
+def test_stream_interval_join_windows_and_watermark(spark, tmp_path):
+    """Watermarked stream-stream interval join: each left event matches only
+    same-key right events from its lookback window."""
+    import json
+
+    from apollo_spark.sources.streaming import stream_interval_join
+
+    ldir, rdir = tmp_path / "left", tmp_path / "right"
+    ldir.mkdir(), rdir.mkdir()
+    base = 1_700_000_000
+    (ldir / "l.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user_id": 1, "timestamp": base + 1000, "order": "A"},
+                {"user_id": 1, "timestamp": base + 5000, "order": "B"},
+                {"user_id": 2, "timestamp": base + 1000, "order": "C"},
+            ]
+        )
+    )
+    (rdir / "r.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user_id": 1, "timestamp": base + 400, "click": "x"},   # in A+B? A: within 3600 of +1000 yes; B(+5000): 5000-400=4600 > 3600 no
+                {"user_id": 1, "timestamp": base + 4500, "click": "y"},  # after A -> only B
+                {"user_id": 2, "timestamp": base + 900, "click": "z"},   # C only
+                {"user_id": 2, "timestamp": base + 2000, "click": "w"},  # after C -> nothing
+            ]
+        )
+    )
+    left = spark.readStream.schema("user_id long, timestamp long, order string").json(str(ldir))
+    right = spark.readStream.schema("user_id long, timestamp long, click string").json(str(rdir))
+    joined = stream_interval_join(
+        left, right, on="user_id", lookback_seconds=3600, watermark_seconds=60
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {(r.order, r.r_click) for r in spark.sql("SELECT order, r_click FROM ssj").collect()}
+    assert got == {("A", "x"), ("B", "y"), ("C", "z")}
