@@ -110,3 +110,29 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def hash_bucket(id_col: Column, buckets: int = 100) -> Column:
+    """Deterministic integer hash bucket (Knuth multiplicative): pure BIGINT
+    arithmetic, so any engine computes the identical bucket — the primitive
+    for reproducible sampling that survives reruns and engine swaps."""
+    return (id_col.cast("long") * F.lit(2654435761)) % buckets
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict[str, int] | None,
+    by: str = "source",
+    id_col: str = "doc_id",
+    default_pct: int = 30,
+) -> DataFrame:
+    """Per-group deterministic sampling: keep a row iff its id's hash bucket
+    falls under the group's percentage. Unlike ``sample()``, membership is a
+    pure function of the id — stable across reruns, partitionings, and
+    engines (the property training-data pipelines need for resumability).
+    A narrow filter: no shuffle, no RNG state."""
+    bucket = hash_bucket(F.col(id_col))
+    rate: Column = F.lit(default_pct)
+    for k, v in (rates or {}).items():
+        rate = F.when(F.col(by) == k, F.lit(v)).otherwise(rate)
+    return df.withColumn("bucket", bucket).filter(F.col("bucket") < rate)

@@ -413,3 +413,85 @@ def embedding_near_dups(
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster embeddings (spherical
+    k-means), then inside each cluster greedily drop any vector whose cosine
+    to an already-kept lower-id vector exceeds ``threshold``. Returns the
+    kept (id) rows with their cluster id.
+
+    The cluster pass bounds the pairwise work to O(k x (N/k)^2) instead of
+    O(N^2) — the published SemDeDup tradeoff: near-dups split across
+    clusters are missed, which is accepted for the ~100x cost cut. Per-group
+    memory is one cluster's matrix; raise n_clusters as N grows (k ~ sqrt(N)
+    keeps clusters partition-sized). Deterministic given the seed: greedy
+    order is ascending id."""
+    import pandas as pd
+
+    cent = train_ivf_centroids(df, vec_col=vec_col, n_clusters=n_clusters, seed=seed)
+    assigned = ivf_assign(df.select(id_col, vec_col), cent, vec_col=vec_col)
+
+    def prune(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        m = m / norms[:, None]
+        keep: list[int] = []
+        kept_rows: list[np.ndarray] = []
+        for i in range(len(pdf)):
+            v = m[i]
+            if kept_rows and float(np.max(np.stack(kept_rows) @ v)) >= threshold:
+                continue
+            keep.append(i)
+            kept_rows.append(v)
+        out = pdf.iloc[keep][[id_col]].copy()
+        out["cluster"] = int(key[0])
+        return out
+
+    return assigned.groupBy("__cluster").applyInPandas(
+        prune, schema=f"{id_col} long, cluster int"
+    )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector scalar int8 quantization: code_i = floor((x_i - min) /
+    scale + 0.5) with scale = (max - min)/255 — the storage-shrink step
+    (4 bytes -> 1 byte per dim) before ANN serving.
+
+    Everything is a JVM array expression (array_min/max + transform): a
+    narrow map, no shuffle, no Python. floor(x + 0.5) is used instead of
+    round() because round's tie behavior differs across engines while floor
+    is IEEE-exact everywhere — the codes are engine-portable. Constant
+    vectors (max == min) quantize to all-zero codes."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mn = F.array_min(v)
+    mx = F.array_max(v)
+    scale = (mx - mn) / F.lit(255.0)
+    codes = F.when(
+        mx == mn, F.transform(v, lambda x: F.lit(0).cast("int"))
+    ).otherwise(F.transform(v, lambda x: F.floor((x - mn) / scale + F.lit(0.5)).cast("int")))
+    return df.select(
+        F.col(id_col),
+        mn.alias("vmin"),
+        mx.alias("vmax"),
+        codes.alias("codes"),
+    )
+
+
+def dequantize_int8(codes: "F.Column", vmin: "F.Column", vmax: "F.Column"):
+    """Reconstruct the approximate vector: x_i ~ vmin + code_i * scale."""
+    scale = (vmax - vmin) / F.lit(255.0)
+    return F.transform(codes, lambda c: vmin + c.cast("double") * scale)

@@ -1984,6 +1984,77 @@ FROM scored GROUP BY source ORDER BY source
 """
 
 
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of every embedding: per-vector min/max +
+    an md5 digest of the code array (digest instead of the raw array so the
+    hash compare is engine-portable). Narrow map, no shuffle; floor(x+0.5)
+    rounding because round() tie behavior differs across engines."""
+    from apollo_spark.ops.similarity import quantize_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = quantize_int8(e, id_col="vec_id", vec_col="embedding")
+    return q.select(
+        "vec_id",
+        "vmin",
+        "vmax",
+        F.md5(F.concat_ws(",", F.transform(F.col("codes"), lambda c: c.cast("string")))).alias(
+            "code_digest"
+        ),
+    ).orderBy("vec_id")
+
+
+ORACLE_QUANT = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings
+),
+s AS (
+  SELECT vec_id, vv, list_min(vv) AS vmin, list_max(vv) AS vmax FROM v
+)
+SELECT vec_id, vmin, vmax,
+       md5(array_to_string(
+         CASE WHEN vmax = vmin THEN list_transform(vv, x -> 0)
+              ELSE list_transform(vv, x -> CAST(FLOOR((x - vmin) / ((vmax - vmin) / 255.0) + 0.5) AS INT))
+         END, ',')) AS code_digest
+FROM s ORDER BY vec_id
+"""
+
+
+def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-source sampling: keep a doc iff its Knuth hash
+    bucket falls under the source's rate (src0 60%, src1 10%, default 30%).
+    Membership is a pure function of doc_id — stable across reruns,
+    partitionings, and engines; a narrow filter with no shuffle or RNG."""
+    from apollo_spark.ops.corpus import stratified_hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        stratified_hash_sample(d, rates={"src0": 60, "src1": 10}, by="source", id_col="doc_id")
+        .select("doc_id", "source", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_STRAT_SAMPLE = """
+WITH b AS (
+  SELECT doc_id, source, (doc_id * 2654435761) % 100 AS bucket FROM documents
+)
+SELECT doc_id, source, bucket FROM b
+WHERE bucket < CASE source WHEN 'src0' THEN 60 WHEN 'src1' THEN 10 ELSE 30 END
+ORDER BY doc_id
+"""
+
+
+def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: cluster, then greedily keep the
+    lowest-id representative of every >=0.93-cosine group inside each
+    cluster. k-means makes it non-SQL-expressible -> rows-only gate; the
+    planted-duplicate behavior is pinned in tests/test_ops.py."""
+    from apollo_spark.ops.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, threshold=0.93, n_clusters=8).orderBy("vec_id")
+
+
 # --------------------------------------------------------------------------
 # additional TPC-H-shaped relational queries
 # --------------------------------------------------------------------------
@@ -2180,11 +2251,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_delay_by_priority": shipping_delay_by_priority,
     "part_value_concentration": part_value_concentration,
     "late_delivery_suppliers": late_delivery_suppliers,
+    "embedding_quantization": embedding_quantization,
+    "stratified_doc_sample": stratified_doc_sample,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
     "knn_ivf_approx": knn_ivf_approx,
     "media_feature_extract": media_feature_extract,
+    "semantic_dedup_docs": semantic_dedup_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2247,6 +2321,8 @@ ORACLES: dict[str, str] = {
     "shipping_delay_by_priority": ORACLE_SHIPMODE,
     "part_value_concentration": ORACLE_PART_CONC,
     "late_delivery_suppliers": ORACLE_LATE_SUPP,
+    "embedding_quantization": ORACLE_QUANT,
+    "stratified_doc_sample": ORACLE_STRAT_SAMPLE,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

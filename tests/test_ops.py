@@ -483,3 +483,63 @@ def test_pii_scrub_and_counts(spark):
     assert (row.e, row.i, row.p) == (1, 1, 1)
     assert "<EMAIL>" in row.s and "<IPV4>" in row.s and "<PHONE>" in row.s
     assert "example.org" not in row.s and "192.168" not in row.s
+
+
+def test_semantic_dedup_drops_planted_dups(spark, emb):
+    """SemDeDup: planted near-identical embeddings collapse to the lowest-id
+    representative; distinct vectors all survive."""
+    from apollo_spark.ops.similarity import semantic_dedup
+
+    base = emb.limit(40)
+    pdf = base.toPandas()
+    planted = []
+    for j in range(3):  # 3 near-copies of vector 0, tiny perturbation
+        v = [float(x) * (1.0 + 1e-4 * (j + 1)) for x in pdf["embedding"].iloc[0]]
+        planted.append((10_000 + j, v, 0))
+    dup = spark.createDataFrame(planted, "vec_id long, embedding array<float>, label int")
+    df = base.unionByName(dup)
+    kept = semantic_dedup(df, threshold=0.99, n_clusters=4).toPandas()
+    ids = set(kept["vec_id"])
+    # scaled copies have cosine 1.0 with the original: only the original stays
+    assert not ({10_000, 10_001, 10_002} & ids)
+    assert int(pdf["vec_id"].iloc[0]) in ids
+    # distinct random vectors survive (cosine ~0 pairwise)
+    assert len(ids) == 40
+    # deterministic across runs
+    kept2 = semantic_dedup(df, threshold=0.99, n_clusters=4).toPandas()
+    assert ids == set(kept2["vec_id"])
+
+
+def test_quantize_roundtrip_error_bounded(spark, emb):
+    """int8 quantize/dequantize reconstruction error is bounded by scale/2
+    per dimension."""
+    from apollo_spark.ops.similarity import dequantize_int8, quantize_int8
+
+    q = quantize_int8(emb.limit(50))
+    joined = emb.limit(50).join(q, "vec_id")
+    err = joined.select(
+        F.array_max(
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                dequantize_int8(F.col("codes"), F.col("vmin"), F.col("vmax")),
+                lambda a, b: F.abs(a - b),
+            )
+        ).alias("max_err"),
+        ((F.col("vmax") - F.col("vmin")) / 255.0 / 2.0 * 1.0001).alias("bound"),
+    ).toPandas()
+    assert (err["max_err"] <= err["bound"]).all()
+    # codes are genuine int8 range
+    rng = q.select(F.array_min("codes").alias("lo"), F.array_max("codes").alias("hi")).toPandas()
+    assert (rng["lo"] >= 0).all() and (rng["hi"] <= 255).all()
+
+
+def test_stratified_hash_sample_deterministic(spark, docs):
+    from apollo_spark.ops.corpus import stratified_hash_sample
+
+    a = stratified_hash_sample(docs, rates={"src0": 50}, default_pct=20).toPandas()
+    b = stratified_hash_sample(docs, rates={"src0": 50}, default_pct=20).toPandas()
+    assert set(a["doc_id"]) == set(b["doc_id"])  # pure function of id
+    # rates roughly honored (hash buckets are uniform-ish)
+    src0 = a[a.source == "src0"]
+    n0_total = docs.filter("source = 'src0'").count()
+    assert 0.25 * n0_total <= len(src0) <= 0.75 * n0_total
