@@ -354,3 +354,35 @@ def stream_interval_join(
         & (F.col("__rts") <= F.col("__lts"))
     )
     return lw.join(rw, cond, "inner").drop("__lts", "__rts")
+
+
+def session_window_stats(
+    stream: DataFrame,
+    *,
+    key_col: str = "user_id",
+    gap_seconds: int = 1800,
+    watermark_seconds: int = 600,
+    ts_col: str = "timestamp",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Streaming sessionization via event-time session windows: a session
+    closes after ``gap_seconds`` of per-key inactivity, emitting (key,
+    session start/end, n_events[, sum_value]) — the streaming analog of the
+    batch gaps-and-islands `user_sessions` query, but incremental: state per
+    OPEN session only, closed sessions are emitted and dropped once the
+    watermark passes (bounded state at any stream age)."""
+    with_ts = stream.withColumn("__event_time", F.col(ts_col).cast("timestamp"))
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col).cast("decimal(38,6)")).cast("double").alias("sum_value"))
+    return (
+        with_ts.withWatermark("__event_time", f"{watermark_seconds} seconds")
+        .groupBy(F.session_window("__event_time", f"{gap_seconds} seconds").alias("w"), key_col)
+        .agg(*aggs)
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *(["n_events"] + (["sum_value"] if value_col else [])),
+        )
+    )

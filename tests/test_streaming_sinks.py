@@ -522,3 +522,49 @@ def test_stream_interval_join_windows_and_watermark(spark, tmp_path):
     q.awaitTermination(60)
     got = {(r.order, r.r_click) for r in spark.sql("SELECT order, r_click FROM ssj").collect()}
     assert got == {("A", "x"), ("B", "y"), ("C", "z")}
+
+
+def test_session_window_stats_closes_on_gap(spark, tmp_path):
+    """Event-time session windows: events within the gap merge into one
+    session; a quiet period splits sessions; watermark advance emits the
+    closed ones."""
+    import json
+
+    from apollo_spark.sources.streaming import session_window_stats
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    base = 1_700_000_000
+    rows = [
+        {"user_id": 1, "timestamp": base + 0, "value": 1.0},
+        {"user_id": 1, "timestamp": base + 100, "value": 2.0},    # same session (gap 300)
+        {"user_id": 1, "timestamp": base + 1000, "value": 4.0},   # 900s quiet -> new session
+        {"user_id": 2, "timestamp": base + 50, "value": 8.0},
+        # watermark pusher: far-future event advances event time so all
+        # earlier sessions close and land in the append-mode sink
+        {"user_id": 99, "timestamp": base + 100_000, "value": 0.0},
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("user_id long, timestamp long, value double").json(str(src))
+    sessions = session_window_stats(
+        stream, key_col="user_id", gap_seconds=300, watermark_seconds=60, value_col="value"
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_rt")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = {
+        (r.user_id, int(r.session_start.timestamp())): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM sess_rt").collect()
+        if r.user_id != 99
+    }
+    assert out == {
+        (1, base + 0): (2, 3.0),     # two events merged, 300s gap honored
+        (1, base + 1000): (1, 4.0),  # quiet period split
+        (2, base + 50): (1, 8.0),
+    }
