@@ -2178,6 +2178,102 @@ GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 20
 """
 
 
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q8-shaped market share: per order-year, the fraction of ASIA-region
+    revenue supplied by NATION_3's suppliers. 6-way join — every dim side
+    broadcasts, lineitem-orders co-shuffle on orderkey; numerator/denominator
+    both decimal-exact conditional sums so the ratio is deterministic."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cust_region = (
+        c.join(F.broadcast(n.withColumnRenamed("n_nationkey", "__ck")), c["c_nationkey"] == F.col("__ck"))
+        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+        .filter(F.col("r_name") == "ASIA")
+        .select(F.col("c_custkey").alias("__cust"))
+    )
+    supp_nation = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("supp_nation"))),
+        s["s_nationkey"] == F.col("__sk"),
+    ).select(F.col("s_suppkey").alias("__supp"), "supp_nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(cust_region, o["o_custkey"] == F.col("__cust"))  # ASIA customers only
+        .join(F.broadcast(supp_nation), l["l_suppkey"] == F.col("__supp"))
+        .withColumn("o_year", F.year(F.to_date("o_orderdate")).cast("long"))
+    )
+    target = F.when(F.col("supp_nation") == "NATION_3", rev.cast("decimal(38,6)")).otherwise(
+        F.lit(0).cast("decimal(38,6)")
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.sum(target).cast("double").alias("nation_revenue"),
+            dsum(rev).alias("total_revenue"),
+        )
+        .withColumn("mkt_share", F.col("nation_revenue") / F.col("total_revenue"))
+        .orderBy("o_year")
+    )
+
+
+ORACLE_MKT_SHARE = """
+WITH base AS (
+  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS rev, n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN CAST(rev AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS nation_revenue,
+       CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN CAST(rev AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+         / CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+FROM base GROUP BY o_year ORDER BY o_year
+"""
+
+
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q15-shaped: suppliers whose total revenue equals the global maximum.
+    The max is a window over the aggregated (small) per-supplier frame —
+    one agg shuffle + one single-partition window over |suppliers| rows;
+    equality is exact because both sides are the same decimal-derived
+    doubles."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = l.groupBy("l_suppkey").agg(dsum(rev).alias("total_revenue"))
+    w = Window.orderBy(F.lit(1)).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        per_supp.withColumn("__max", F.max("total_revenue").over(w))
+        .filter(F.col("total_revenue") == F.col("__max"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_TOP_SUPP = """
+WITH per_supp AS (
+  SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM per_supp)
+ORDER BY s_suppkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2253,6 +2349,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "late_delivery_suppliers": late_delivery_suppliers,
     "embedding_quantization": embedding_quantization,
     "stratified_doc_sample": stratified_doc_sample,
+    "nation_market_share": nation_market_share,
+    "top_revenue_suppliers": top_revenue_suppliers,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -2323,6 +2421,8 @@ ORACLES: dict[str, str] = {
     "late_delivery_suppliers": ORACLE_LATE_SUPP,
     "embedding_quantization": ORACLE_QUANT,
     "stratified_doc_sample": ORACLE_STRAT_SAMPLE,
+    "nation_market_share": ORACLE_MKT_SHARE,
+    "top_revenue_suppliers": ORACLE_TOP_SUPP,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,
