@@ -245,3 +245,84 @@ def test_indexed_dynamic_param_yields_topic_hash():
     topic_hash = "0x" + "7a" * 32
     out = decode_log(ev, [ev.topic0, topic_hash], abi_encode(["uint256"], [5]))
     assert out == {"name": topic_hash, "v": 5}
+
+
+# ----------------------------------------------------- property-based codec
+
+
+def test_abi_codec_roundtrip_property():
+    """decode(encode(v)) == v over randomized type trees: elementary types,
+    tuples, fixed/dynamic arrays, nested to depth 3."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apollo_spark.abi import abi_decode, abi_encode
+
+    elementary = st.sampled_from(["uint256", "uint32", "int64", "address", "bool", "bytes4", "bytes", "string"])
+
+    def extend(children):
+        return st.one_of(
+            # tuple of 1-3 child types
+            st.lists(children, min_size=1, max_size=3).map(lambda ts: f"({','.join(ts)})"),
+            # fixed or dynamic array of a child type
+            st.tuples(children, st.sampled_from(["[]", "[1]", "[2]", "[3]"])).map(lambda p: p[0] + p[1]),
+        )
+
+    types = st.recursive(elementary, extend, max_leaves=6)
+
+    def value_for(t: str):
+        if t.endswith("]"):
+            o = t.rindex("[")
+            inside, elem = t[o + 1 : -1], t[:o]
+            n = st.integers(0, 3) if inside == "" else st.just(int(inside))
+            return n.flatmap(lambda k: st.lists(value_for(elem), min_size=k, max_size=k))
+        if t.startswith("("):
+            comps, depth, start = [], 0, 0
+            inner = t[1:-1]
+            for i, ch in enumerate(inner):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    comps.append(inner[start:i])
+                    start = i + 1
+            comps.append(inner[start:])
+            return st.tuples(*[value_for(c) for c in comps])
+        if t.startswith("uint"):
+            return st.integers(0, 2 ** int(t[4:]) - 1)
+        if t.startswith("int"):
+            bits = int(t[3:])
+            return st.integers(-(2 ** (bits - 1)), 2 ** (bits - 1) - 1)
+        if t == "address":
+            return st.binary(min_size=20, max_size=20).map(lambda b: "0x" + b.hex())
+        if t == "bool":
+            return st.booleans()
+        if t == "bytes":
+            return st.binary(min_size=0, max_size=40).map(lambda b: "0x" + b.hex())
+        if t.startswith("bytes"):
+            n = int(t[5:])
+            return st.binary(min_size=n, max_size=n).map(lambda b: "0x" + b.hex())
+        if t == "string":
+            return st.text(max_size=20).map(lambda s: s.encode("utf-8", "replace").decode("utf-8", "replace"))
+        raise AssertionError(t)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(types, min_size=1, max_size=3).flatmap(
+        lambda ts: st.tuples(st.just(ts), st.tuples(*[value_for(t) for t in ts]))
+    ))
+    def roundtrip(case):
+        ts, vals = case
+        vals = list(vals)
+        blob = abi_encode(ts, vals)
+        assert len(blob) % 32 == 0
+        decoded = abi_decode(ts, blob)
+
+        def norm(v):
+            if isinstance(v, (list, tuple)):
+                return [norm(x) for x in v]
+            return v
+
+        assert norm(decoded) == norm(vals)
+
+    roundtrip()

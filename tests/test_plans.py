@@ -219,3 +219,13 @@ def test_pii_and_shuffle_queries_stay_jvm_side(spark):
     for name in ("pii_scrub_stats", "training_order_shuffle", "benchmark_decontamination"):
         p = plan(spark, name)
         assert "EvalPython" not in p, name
+
+
+def test_market_share_dims_broadcast_facts_coshuffle(spark):
+    """q8 shape: all 4 dimension joins broadcast; the only sort-merge-able
+    pair is lineitem-orders (fact-fact) — and no cartesian anywhere."""
+    p = plan(spark, "nation_market_share")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p
+    # region filter pushed into the region scan
+    assert "EqualTo(r_name,ASIA)" in p
