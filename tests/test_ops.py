@@ -543,3 +543,47 @@ def test_stratified_hash_sample_deterministic(spark, docs):
     src0 = a[a.source == "src0"]
     n0_total = docs.filter("source = 'src0'").count()
     assert 0.25 * n0_total <= len(src0) <= 0.75 * n0_total
+
+
+def test_continuous_rollup_incremental_and_lambda_read(spark, tmp_path):
+    """Continuous aggregate: refresh materializes only complete new buckets,
+    re-refresh is a no-op, and read() == full recompute at any refresh lag."""
+    from apollo_spark.ops.rollup import ContinuousRollup
+
+    def mkraw(rows):
+        return spark.createDataFrame(rows, "ts_s long, user_id long, value double")
+
+    base = (1_700_000_000 // 3600 + 1) * 3600  # bucket-aligned epoch
+    rows1 = [(base + b * 3600 + o, b % 3, float(b + o)) for b in range(4) for o in (0, 100)]
+    raw1 = mkraw(rows1)
+    roll = ContinuousRollup(
+        str(tmp_path / "roll"),
+        bucket_seconds=3600,
+        keys=["user_id"],
+        aggs={"n_events": F.count(F.lit(1)), "sum_value": F.sum(F.col("value").cast("decimal(38,6)")).cast("double")},
+    )
+    # buckets 0..2 are complete (bucket 3 holds the max event -> incomplete)
+    assert roll.refresh(raw1) == 3
+    assert roll.high_water(spark) == base + 2 * 3600
+    # idempotent: nothing new -> no writes
+    assert roll.refresh(raw1) == 0
+
+    def full(df):
+        return {
+            (r.bucket_start, r.user_id): (r.n_events, r.sum_value)
+            for r in roll._aggregate(df).collect()
+        }
+
+    # lambda read covers the unmaterialized tail (bucket 3)
+    assert {
+        (r.bucket_start, r.user_id): (r.n_events, r.sum_value) for r in roll.read(raw1).collect()
+    } == full(raw1)
+
+    # new data arrives: bucket 4 closes bucket 3
+    rows2 = rows1 + [(base + 4 * 3600 + 50, 9, 1.0)]
+    raw2 = mkraw(rows2)
+    assert roll.refresh(raw2) == 1  # only bucket 3 materializes
+    assert roll.high_water(spark) == base + 3 * 3600
+    assert {
+        (r.bucket_start, r.user_id): (r.n_events, r.sum_value) for r in roll.read(raw2).collect()
+    } == full(raw2)
