@@ -62,6 +62,7 @@ class WsConnection:
             raw = ssl.create_default_context().wrap_socket(raw, server_hostname=p.hostname)
         self.sock = raw
         self._buf = b""
+        self._parts: list[bytes] = []  # fragment reassembly, timeout-survivable
         key = base64.b64encode(secrets.token_bytes(16)).decode()
         path = p.path or "/"
         if p.query:
@@ -126,24 +127,55 @@ class WsConnection:
     def send_text(self, text: str) -> None:
         self._send_frame(0x1, text.encode())
 
+    def _try_parse_frame(self) -> tuple[int, int, bytes] | None:
+        """Parse one complete frame from the buffer WITHOUT consuming any
+        bytes until the whole frame is present. This makes recv timeouts
+        restartable: a timeout mid-frame leaves the buffer intact, so the
+        next call resumes the SAME frame instead of desyncing by treating
+        payload bytes as a header."""
+        buf = self._buf
+        if len(buf) < 2:
+            return None
+        b0, b1 = buf[0], buf[1]
+        n = b1 & 0x7F
+        pos = 2
+        if n == 126:
+            if len(buf) < 4:
+                return None
+            (n,) = struct.unpack("!H", buf[2:4])
+            pos = 4
+        elif n == 127:
+            if len(buf) < 10:
+                return None
+            (n,) = struct.unpack("!Q", buf[2:10])
+            pos = 10
+        masked = bool(b1 & 0x80)
+        total = pos + (4 if masked else 0) + n
+        if len(buf) < total:
+            return None
+        if masked:  # masked server frame: legal to unmask, unusual
+            mask = buf[pos : pos + 4]
+            raw = buf[pos + 4 : total]
+            payload = bytes(b ^ mask[i % 4] for i, b in enumerate(raw))
+        else:
+            payload = buf[pos:total]
+        self._buf = buf[total:]
+        return b0 & 0x0F, b0 & 0x80, payload
+
     def recv_text(self) -> str:
         """Next complete text message (fragments reassembled); answers pings
-        inline; raises WsError on close."""
-        parts: list[bytes] = []
+        inline; raises WsError on close. Safe to retry after a socket
+        timeout — partial frames stay buffered and collected fragments live
+        on the connection (``_parts``), so nothing is lost."""
         while True:
-            b0, b1 = self._read_exact(2)
-            opcode = b0 & 0x0F
-            fin = b0 & 0x80
-            n = b1 & 0x7F
-            if n == 126:
-                (n,) = struct.unpack("!H", self._read_exact(2))
-            elif n == 127:
-                (n,) = struct.unpack("!Q", self._read_exact(8))
-            if b1 & 0x80:  # masked server frame: legal to unmask, unusual
-                mask = self._read_exact(4)
-                payload = bytes(b ^ mask[i % 4] for i, b in enumerate(self._read_exact(n)))
-            else:
-                payload = self._read_exact(n)
+            frame = self._try_parse_frame()
+            if frame is None:
+                chunk = self.sock.recv(65536)  # may raise timeout: harmless
+                if not chunk:
+                    raise WsError("connection closed mid-frame")
+                self._buf += chunk
+                continue
+            opcode, fin, payload = frame
             if opcode == 0x9:  # ping -> pong, keep reading
                 self._send_frame(0xA, payload)
                 continue
@@ -151,9 +183,11 @@ class WsConnection:
                 continue
             if opcode == 0x8:
                 raise WsError("server closed the websocket")
-            parts.append(payload)
+            self._parts.append(payload)
             if fin:
-                return b"".join(parts).decode()
+                msg = b"".join(self._parts).decode()
+                self._parts = []
+                return msg
 
     def close(self) -> None:
         try:

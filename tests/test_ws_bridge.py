@@ -237,3 +237,51 @@ def test_bridge_to_stream_end_to_end(spark, tmp_path):
     out = spark.sql("SELECT block_number, amount0In FROM ws_rt").collect()
     assert sorted(r.block_number for r in out) == list(range(300, 310))  # replay deduped
     assert {int(r.amount0In) for r in out} == set(range(300, 310))
+
+
+def test_ws_frame_survives_timeout_mid_frame(tmp_path):
+    """A recv timeout mid-frame must not desync the stream: the buffered
+    partial frame resumes on the next call and the message arrives whole."""
+    import struct as _struct
+
+    from apollo_spark.sources.ws_bridge import WsConnection
+
+    srv = socket.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    msg = json.dumps({"k": "v" * 200})  # long enough for a 126-length frame
+
+    def serve():
+        conn, _ = srv.accept()
+        req = b""
+        while b"\r\n\r\n" not in req:
+            req += conn.recv(65536)
+        key = [l.split(b":", 1)[1].strip().decode() for l in req.split(b"\r\n") if l.lower().startswith(b"sec-websocket-key")][0]
+        accept = base64.b64encode(hashlib.sha1((key + _GUID).encode()).digest()).decode()
+        conn.sendall((
+            "HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n"
+            f"Connection: Upgrade\r\nSec-WebSocket-Accept: {accept}\r\n\r\n"
+        ).encode())
+        data = msg.encode()
+        frame = _struct.pack("!BBH", 0x81, 126, len(data)) + data
+        # trickle: header+3 bytes, pause past the client timeout, then the rest
+        conn.sendall(frame[:7])
+        time.sleep(0.8)
+        conn.sendall(frame[7:])
+        time.sleep(0.5)
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    ws = WsConnection(f"ws://127.0.0.1:{port}")
+    ws.sock.settimeout(0.2)  # shorter than the server's mid-frame pause
+    timeouts = 0
+    while True:
+        try:
+            got = ws.recv_text()
+            break
+        except TimeoutError:
+            timeouts += 1
+            assert timeouts < 50
+    assert got == msg
+    assert timeouts >= 1  # the pause really did interrupt mid-frame
+    srv.close()
