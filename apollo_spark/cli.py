@@ -108,14 +108,23 @@ def main(argv: list[str] | None = None) -> int:
     if not bridge_dir and app_cfg and app_cfg.ws:
         import threading
 
+        from apollo_spark.config import ConfigError
         from apollo_spark.sources.ws_bridge import run_bridge
 
         bridge_dir = str(Path(args.output_dir) / "_bridge")
-        for q in schema.queries:
-            ws_url = app_cfg.ws_endpoint(q.chain)
+        # ONE subscription per distinct chain — per-query bridges would
+        # subscribe to the same chain's full log feed N times and append
+        # every log N times into the shared bridge directory
+        chains = sorted({q.chain for q in schema.queries})
+        try:
+            endpoints = {c: app_cfg.ws_endpoint(c) for c in chains}
+        except ConfigError as e:
+            print(f"--realtime: {e}", file=sys.stderr)
+            return 2
+        for chain, ws_url in endpoints.items():
             threading.Thread(
                 target=run_bridge,
-                args=(ws_url, bridge_dir, q.chain),
+                args=(ws_url, bridge_dir, chain),
                 daemon=True,
             ).start()
     if not bridge_dir:
@@ -126,31 +135,21 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 2
     args.bridge_dir = bridge_dir
-    from apollo_spark.sources.streaming import event_stream
+    from apollo_spark.pipeline import compile_streaming_query
 
+    # ONE stream per query: all of a query's event sources union into a
+    # single plan with the same transform/filter/save tail as batch
+    # (main.go:173-193's shared EvalSave loop), so each query has exactly
+    # one sink writer and one checkpoint — no per-stream checkpoint
+    # collisions, no concurrent writers appending to one table.
     queries = []
     for q in schema.queries:
-        for contract in q.contracts:
-            for ev in contract.events:
-                abi = contract.abi
-                stream = event_stream(
-                    spark, args.bridge_dir, abi.events[ev.name],
-                    chain=q.chain, address=contract.address, outputs=ev.outputs or None,
-                )
-                queries.append(
-                    stream.writeStream.foreachBatch(writer.foreach_batch(q.name))
-                    .option("checkpointLocation", str(Path(args.output_dir) / "_ckpt" / q.name))
-                    .start()
-                )
-        for ev in q.global_events:
-            stream = event_stream(
-                spark, args.bridge_dir, ev.abi.events[ev.name], chain=q.chain, outputs=ev.outputs or None
-            )
-            queries.append(
-                stream.writeStream.foreachBatch(writer.foreach_batch(q.name))
-                .option("checkpointLocation", str(Path(args.output_dir) / "_ckpt" / q.name))
-                .start()
-            )
+        sdf = compile_streaming_query(spark, catalog, q, schema, args.bridge_dir, options)
+        queries.append(
+            sdf.writeStream.foreachBatch(writer.foreach_batch(q.name))
+            .option("checkpointLocation", str(Path(args.output_dir) / "_ckpt" / q.name))
+            .start()
+        )
     for q_ in queries:
         q_.awaitTermination()
     return 0

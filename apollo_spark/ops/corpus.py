@@ -75,12 +75,17 @@ def training_order(
 
 def word_ngrams(text_col: Column, n: int) -> Column:
     """Lowercased word n-grams as space-joined strings (array; empty when
-    the document has fewer than n words)."""
+    the document has fewer than n words).
+
+    Linear construction: n whole-array slices zipped positionally (the same
+    form as dedup.shingles) — the per-position ``slice`` lambda alternative
+    is one slice per word, O(words^2) per document, and dominated runtime on
+    long documents."""
     w = F.split(F.lower(F.trim(text_col)), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - (n - 1)),
-        lambda i: F.array_join(F.slice(w, i, n), " "),
-    )
+    m = F.greatest(F.size(w) - (n - 1), F.lit(0))  # number of n-grams
+    shifted = [F.slice(w, i + 1, m).alias(f"w{i}") for i in range(n)]
+    zipped = F.slice(F.arrays_zip(*shifted), 1, m)
+    grams = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(n)]))
     return F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 

@@ -75,7 +75,8 @@ class ContinuousRollup:
     def refresh(self, raw: DataFrame) -> int:
         """Materialize complete buckets newer than the high-water mark.
         A bucket is complete when the raw table holds events past its end
-        (same completeness rule as a watermark). Returns # buckets written.
+        (same completeness rule as a watermark). Returns # aggregated rows
+        written (buckets x key combinations).
         Idempotent: partition-overwrite on bucket_start."""
         spark = raw.sparkSession
         hw = self.high_water(spark)
@@ -86,15 +87,20 @@ class ContinuousRollup:
         fresh = raw.filter(self._bucket() < last_complete)
         if hw is not None:
             fresh = fresh.filter(self._bucket() > hw)
-        out = self._aggregate(fresh)
-        n = out.count()
-        if n:
-            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                out.write.mode("overwrite").partitionBy("bucket_start").parquet(self.path)
-            finally:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # persist: the emptiness check and the write must not each re-run
+        # the full filter+aggregate over the raw table
+        out = self._aggregate(fresh).persist()
+        try:
+            n = out.count()
+            if n:
+                prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+                try:
+                    out.write.mode("overwrite").partitionBy("bucket_start").parquet(self.path)
+                finally:
+                    spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        finally:
+            out.unpersist()
         return n
 
     def read(self, raw: DataFrame) -> DataFrame:

@@ -544,3 +544,109 @@ def compile_schema(
         df = compile_query(spark, catalog, q, schema, options)
         out[q.name] = out[q.name].unionByName(df) if q.name in out else df
     return out
+
+
+def compile_streaming_query(
+    spark: SparkSession,
+    catalog: Catalog,
+    query: QuerySpec,
+    schema: Schema,
+    bridge_dir: str,
+    options: PipelineOptions | None = None,
+) -> DataFrame:
+    """Realtime compile: apollo runs the SAME transform/filter/save tail over
+    live subscription rows as over historical ones (main.go:173-193's shared
+    EvalSave loop; events.go:280-320) — this is the Spark mirror, returning
+    ONE streaming DataFrame per query:
+
+    * each contract/global event becomes a bridge-fed ``event_stream`` with
+      watermarked replay dedup (exactly-once over a reconnecting bridge);
+    * interval method calls (S6) tick via ``method_call_stream`` when the
+      query declares ``time_interval`` and an RPC client is configured;
+    * every source goes through the same ``_eval_tail`` column plan as batch
+      (Spark's batch/streaming unification — the plan compiles identically);
+    * the per-source tails are unioned into one stream, so a query has ONE
+      sink writer and ONE checkpoint regardless of how many events feed it
+      (several independent writers appending to one table is how data races
+      start; several frames into one union is just a plan).
+
+    ``sort``/``limit``/``aggregate`` blocks are batch-only: append-mode
+    streams can't globally sort, and unbounded aggregation needs an output
+    mode the CSV/JDBC sinks don't model — the error says so up front instead
+    of failing at .start()."""
+    from apollo_spark.sources.streaming import (
+        dedup_event_stream,
+        event_stream,
+        method_call_stream,
+    )
+
+    options = options or PipelineOptions()
+    variables = dict(schema.variables)
+    if query.item is not None:
+        variables.setdefault("item", query.item)
+    if query.sort or query.limit is not None or query.aggregate is not None:
+        raise PipelineError(
+            f"query {query.name}: sort/limit/aggregate are batch-only "
+            "(append-mode streams have no global order and the row sinks "
+            "don't model update semantics)"
+        )
+
+    def tail(df: DataFrame, transform: Body | None) -> DataFrame:
+        return _eval_tail(
+            df,
+            transform=transform,
+            filters=query.filters,
+            save=query.save,
+            variables=variables,
+            chain=query.chain,
+            catalog=catalog,
+            joins=query.joins,
+            user_functions=schema.functions,
+        )
+
+    frames: list[DataFrame] = []
+    for contract in query.contracts:
+        abi = contract.abi
+        for event in contract.events:
+            if abi is None or event.name not in abi.events:
+                raise PipelineError(f"event {event.name} not in ABI {contract.abi_name}")
+            stream = event_stream(
+                spark,
+                bridge_dir,
+                abi.events[event.name],
+                chain=query.chain,
+                address=contract.address,
+                outputs=event.outputs or None,
+            )
+            frames.append(tail(dedup_event_stream(stream), contract.transform or query.transform))
+        if contract.methods:
+            if options.client_factory is None:
+                raise PipelineError(
+                    f"query {query.name}: realtime method calls need an RPC client "
+                    "(rpc endpoints in config.yml)"
+                )
+            interval = query.time_interval or (query.block_interval or 1) * 12
+            stream = method_call_stream(
+                spark,
+                contract,
+                chain=query.chain,
+                interval_seconds=int(interval),
+                client_factory=options.client_factory,
+            )
+            frames.append(tail(stream, contract.transform or query.transform))
+    for event in query.global_events:
+        abi = event.abi
+        if abi is None or event.name not in abi.events:
+            raise PipelineError(f"global event {event.name}: ABI missing")
+        stream = event_stream(
+            spark,
+            bridge_dir,
+            abi.events[event.name],
+            chain=query.chain,
+            outputs=event.outputs or None,
+        )
+        frames.append(tail(dedup_event_stream(stream), event.transform or query.transform))
+
+    if not frames:
+        raise PipelineError(f"query {query.name}: no realtime sources")
+    return reduce(lambda a, b: a.unionByName(b), frames)

@@ -78,14 +78,16 @@ class SinkWriter:
             if cfg.parquet_dir:
                 batch_df.write.mode("append").parquet(str(Path(cfg.parquet_dir) / query_name))
             if cfg.jdbc_url:
-                # Streaming NEVER overwrites. The batch path's drop+create
-                # lifecycle keyed on in-memory state would, after a restart
-                # from checkpoint, replay the first micro-batch in overwrite
-                # mode and wipe every previously committed batch. Overwrite
-                # only on the stream's true first batch (batch_id == 0 —
-                # stable across restarts because a replayed batch keeps its
-                # id); any restart resumes with append.
-                mode = "overwrite" if batch_id == 0 else "append"
-                batch_df.write.jdbc(cfg.jdbc_url, table=query_name, mode=mode, properties=cfg.jdbc_properties)
+                # Streaming NEVER overwrites — not even on batch_id == 0.
+                # Several streams of one query (multi-event schemas) share a
+                # table, each with its own batch-id sequence starting at 0;
+                # an overwrite from whichever stream's batch 0 commits last
+                # would drop rows the other streams already committed. Spark's
+                # JDBC append creates the table when it doesn't exist, which
+                # covers apollo's create-on-first-row lifecycle without the
+                # destructive drop. Replay of an uncommitted batch after a
+                # restart is at-least-once here; exactly-once needs an
+                # idempotent/transactional target keyed on batch_id.
+                batch_df.write.jdbc(cfg.jdbc_url, table=query_name, mode="append", properties=cfg.jdbc_properties)
 
         return _write

@@ -33,7 +33,7 @@ import json
 import threading
 import time
 from collections import OrderedDict
-from http.client import HTTPConnection, HTTPSConnection
+from http.client import HTTPConnection, HTTPException, HTTPSConnection
 from urllib.parse import urlparse
 
 # selectors cached without block number (immutable ERC20 metadata;
@@ -189,7 +189,11 @@ class JsonRpcHttpClient:
             except RpcError:
                 time.sleep(self.backoff_s * (2**attempt))
                 continue
-            except (OSError, ValueError) as e:  # transport / malformed body
+            # HTTPException covers IncompleteRead (connection dropped
+            # mid-body) and CannotSendRequest (keep-alive desync) — neither
+            # is an OSError, and un-caught either would fail the whole Spark
+            # task on one transient hiccup instead of retrying.
+            except (OSError, ValueError, HTTPException) as e:  # transport / malformed body
                 self._conns.pop(url, None)  # drop the broken keep-alive conn
                 last_err = e
                 time.sleep(self.backoff_s * (2**attempt))

@@ -232,17 +232,21 @@ def dedup_event_stream(
     ts_col: str = "timestamp",
 ) -> DataFrame:
     """Exactly-once log delivery over a re-emitting bridge: watermark-bounded
-    streaming dedup on the log identity (tx_hash, log_index by default).
+    streaming dedup on the log identity (tx_hash, log_index, block_hash by
+    default).
 
     ``log_index`` — not ``tx_index`` — is the per-log identity: every log of
     one transaction shares (tx_hash, tx_index), so deduping on tx_index would
     silently drop legitimate repeated events (e.g. two ERC-20 Transfers in one
-    swap tx). A WS bridge reconnecting after a gap re-sends overlapping logs;
-    apollo would sink them twice (at-most-once per row, but replays
-    duplicate). ``dropDuplicatesWithinWatermark`` keeps per-key state only for
-    the watermark horizon — bounded state at 100 TB/day event rates, unlike an
-    unbounded ``dropDuplicates``."""
-    keys = list(keys) if keys else ["tx_hash", "log_index"]
+    swap tx). ``block_hash`` is in the key for reorg correctness: a log
+    re-included in a new block after a reorg keeps its (tx_hash, log_index)
+    but gets a new block_hash — without it in the key, the re-inclusion would
+    be dropped as a 'replay' and the sink kept the orphaned block's metadata
+    forever. Exact replays (bridge reconnect re-sending the same delivery)
+    share all three. ``dropDuplicatesWithinWatermark`` keeps per-key state
+    only for the watermark horizon — bounded state at 100 TB/day event rates,
+    unlike an unbounded ``dropDuplicates``."""
+    keys = list(keys) if keys else ["tx_hash", "log_index", "block_hash"]
     with_ts = stream.withColumn("__event_time", F.col(ts_col).cast("timestamp"))
     return (
         with_ts.withWatermark("__event_time", f"{watermark_seconds} seconds")

@@ -20,7 +20,10 @@ Design points:
 * **Reconnect with capped backoff** (events.go:257-262's resubscribe): on
   any socket error the daemon redials and resubscribes. Overlapping logs
   after a reconnect are expected; the downstream ``dedup_event_stream``
-  (keys tx_hash+log_index) makes delivery exactly-once.
+  (keys tx_hash+log_index+block_hash) makes delivery exactly-once.
+* **Reorg policy**: ``removed: true`` notifications are dropped (an
+  append-only bridge can't retract the row it already wrote); the
+  re-included log carries a new block_hash, so dedup keeps it.
 * Rows are shaped exactly like RAW_LOG_STREAM_SCHEMA (streaming.py:38-50):
   chain, block_number, block_hash, tx_hash, tx_index, log_index, address,
   topics, data_hex.
@@ -211,6 +214,11 @@ class BridgeWriter:
         self._rows: list[str] = []
         self._opened = time.monotonic()
         self._seq = 0
+        # random token: pid alone is NOT unique — the CLI runs one bridge
+        # thread per chain in one process, and two writers flushing within
+        # the same millisecond would collide on (pid, seq, ms) and rename()
+        # would silently replace the earlier batch
+        self._uid = secrets.token_hex(4)
 
     def add(self, row: dict) -> None:
         self._rows.append(json.dumps(row, separators=(",", ":")))
@@ -221,8 +229,9 @@ class BridgeWriter:
         if not self._rows:
             self._opened = time.monotonic()
             return
-        # name carries (pid, seq, ms) so concurrent bridges never collide
-        name = f"bridge-{os.getpid()}-{self._seq:08d}-{int(time.time() * 1000)}.jsonl"
+        # name carries (pid, writer-uid, seq, ms) so concurrent bridges —
+        # including threads within ONE process — never collide
+        name = f"bridge-{os.getpid()}-{self._uid}-{self._seq:08d}-{int(time.time() * 1000)}.jsonl"
         tmp = self.dir / ("." + name + ".tmp")
         tmp.write_text("\n".join(self._rows) + "\n")
         tmp.rename(self.dir / name)  # atomic: the stream never sees partials
@@ -293,7 +302,18 @@ def run_bridge(
                     writer.flush()  # time-based rotation while quiet
                     continue
                 if msg.get("method") == "eth_subscription":
-                    writer.add(_log_to_row(chain, msg["params"]["result"]))
+                    lg = msg["params"]["result"]
+                    # Reorg: the node re-sends orphaned logs with
+                    # removed=true. An append-only bridge cannot retract the
+                    # already-written row, but it must NOT write the phantom
+                    # again as a fresh event — and when the log is
+                    # re-included in the new block it arrives with
+                    # removed=false and a NEW block_hash, which the
+                    # downstream dedup (keys tx_hash, log_index, block_hash)
+                    # correctly treats as a distinct delivery.
+                    if lg.get("removed"):
+                        continue
+                    writer.add(_log_to_row(chain, lg))
         except (OSError, WsError, json.JSONDecodeError, KeyError):
             failures += 1
             if max_reconnects is not None and failures > max_reconnects:

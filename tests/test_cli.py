@@ -60,6 +60,122 @@ query flagship_swaps {
     assert len(csv_files[0].read_text().splitlines()) > 100
 
 
+def test_cli_realtime_multi_stream(tmp_path, evm_dir):
+    """Realtime mode with TWO event sources in one query (two contracts):
+    both must feed the query's single unioned stream (regression: per-event
+    streams once shared one checkpoint dir, so the second .start() refused
+    with a duplicate query id) and rows from BOTH contracts must land in the
+    query's CSV sink exactly once."""
+    import json
+    import os
+    import signal
+    import time
+
+    from apollo_spark.abi import Abi, abi_encode
+
+    confdir = tmp_path / "conf"
+    confdir.mkdir()
+    shutil.copy("/root/reference/test/unipair.abi.json", confdir / "unipair.abi.json")
+    addr_a = "0x905dfcd5649217c42684f23958568e533c711aa3"
+    addr_b = "0x1111111111111111111111111111111111111111"
+    (confdir / "schema.hcl").write_text(
+        f"""
+query rt_two_pools {{
+  chain = "arbitrum"
+  contract {{
+    address = "{addr_a}"
+    abi = "unipair.abi.json"
+    event Swap {{
+      outputs = ["amount0In"]
+    }}
+  }}
+  contract {{
+    address = "{addr_b}"
+    abi = "unipair.abi.json"
+    event Swap {{
+      outputs = ["amount0In"]
+    }}
+  }}
+}}
+"""
+    )
+    # pre-populated bridge dir: 3 logs per contract
+    abi = Abi.from_file(str(confdir / "unipair.abi.json"))
+    ev = abi.events["Swap"]
+    bridge = tmp_path / "bridge"
+    bridge.mkdir()
+    rows = []
+    for j, addr in enumerate((addr_a, addr_b)):
+        for i in range(3):
+            rows.append(
+                {
+                    "chain": "arbitrum",
+                    "block_number": 10_000_000 + i,
+                    "block_hash": "0x" + f"{i:064x}",
+                    "tx_hash": "0x" + f"{j * 100 + i + 7:064x}",
+                    "tx_index": 0,
+                    "log_index": j,
+                    "address": addr,
+                    "topics": [ev.topic0, "0x" + "11" * 32, "0x" + "22" * 32],
+                    "data_hex": "0x" + abi_encode(["uint256"] * 4, [j * 10 + i, 0, 0, 0]).hex(),
+                }
+            )
+    (bridge / "batch0.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+
+    out_dir = tmp_path / "out"
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "apollo_spark",
+            "--confdir", str(confdir),
+            "--data-dir", str(evm_dir),
+            "--realtime",
+            "--bridge-dir", str(bridge),
+            "--csv",
+            "--output-dir", str(out_dir),
+            "--log-level", "ERROR",
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        cwd="/root/repo",
+    )
+    try:
+        csv_dir = out_dir / "rt_two_pools"
+        deadline = time.monotonic() + 240
+        seen: set[str] = set()
+        while time.monotonic() < deadline:
+            if proc.poll() is not None:
+                _, err = proc.communicate()
+                raise AssertionError(f"cli exited early rc={proc.returncode}: {err[-2000:]}")
+            seen = set()
+            for f in csv_dir.glob("*.csv") if csv_dir.exists() else []:
+                lines = [ln for ln in f.read_text().splitlines() if ln and not ln.startswith("chain")]
+                for ln in lines:
+                    seen.add(ln)
+            addrs = {ln.split(",")[1] for ln in seen if "," in ln}
+            if addr_a in addrs and addr_b in addrs:
+                break
+            time.sleep(2)
+        # settle + re-scan: the poll above may have caught a file mid-write
+        time.sleep(3)
+        seen = set()
+        for f in csv_dir.glob("*.csv"):
+            for ln in f.read_text().splitlines():
+                if ln and not ln.startswith("chain") and ln.count(",") >= 8:
+                    seen.add(ln)
+        addrs = {ln.split(",")[1] for ln in seen}
+        assert addr_a in addrs and addr_b in addrs, f"rows seen: {sorted(seen)[:10]}"
+        # each log delivered exactly once (dedup active, no double-sink)
+        assert len(seen) == 6, sorted(seen)
+    finally:
+        if proc.poll() is None:
+            os.kill(proc.pid, signal.SIGTERM)
+            try:
+                proc.wait(30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+
+
 def test_cli_missing_schema(tmp_path):
     proc = subprocess.run(
         [sys.executable, "-m", "apollo_spark", "--confdir", str(tmp_path), "--data-dir", str(tmp_path)],

@@ -155,10 +155,11 @@ def test_streaming_sink_fanout(spark, tmp_path, unipair):
 
 
 def test_foreach_batch_jdbc_never_overwrites_after_restart():
-    """A restart from checkpoint replays the in-flight micro-batch; the JDBC
-    mode must depend on the durable batch_id, not in-memory writer state —
-    otherwise the replayed batch runs in overwrite mode and wipes every
-    previously committed batch."""
+    """The streaming JDBC path must append unconditionally — restarts replay
+    the in-flight micro-batch, and multiple streams of one query share the
+    table with independent batch-id sequences, so ANY overwrite (in-memory
+    first-write state or batch_id == 0) wipes rows a co-writer or a previous
+    incarnation already committed."""
     from apollo_spark.sinks import SinkConfig, SinkWriter
 
     class _RecordingWrite:
@@ -176,9 +177,9 @@ def test_foreach_batch_jdbc_never_overwrites_after_restart():
     log: list = []
     writer = SinkWriter(cfg)
     hook = writer.foreach_batch("q")
-    hook(_FakeBatchDF(log), 0)  # true first batch: drop+create
+    hook(_FakeBatchDF(log), 0)  # even the true first batch appends
     hook(_FakeBatchDF(log), 1)
-    assert log == [("q", "overwrite"), ("q", "append")]
+    assert log == [("q", "append"), ("q", "append")]
 
     # restart: fresh writer object (in-memory state gone), batch 1 replayed
     log2: list = []
@@ -186,6 +187,87 @@ def test_foreach_batch_jdbc_never_overwrites_after_restart():
     hook2(_FakeBatchDF(log2), 1)
     hook2(_FakeBatchDF(log2), 2)
     assert log2 == [("q", "append"), ("q", "append")]
+
+    # a second stream of the same query (own batch-id sequence from 0)
+    # must never overwrite the shared table
+    log3: list = []
+    hook3 = writer.foreach_batch("q")
+    hook3(_FakeBatchDF(log3), 0)
+    assert log3 == [("q", "append")]
+
+
+def test_compile_streaming_query_applies_dsl_tail(spark, tmp_path, catalog, unipair):
+    """Realtime EvalSave parity (main.go:173-193): the streaming compile must
+    run the SAME transform/filter/save tail as batch over the bridge stream —
+    and union a query's sources into one stream."""
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import compile_streaming_query
+
+    bridge = tmp_path / "bridge_dsl"
+    _write_bridge_files(bridge, unipair, n=8)  # amount0In = 0..7
+    schema = parse_schema(
+        """
+query rt_dsl {
+  chain = "arbitrum"
+  contract {
+    address = "0x905dfcd5649217c42684f23958568e533c711aa3"
+    abi = "unipair.abi.json"
+    event Swap {
+      outputs = ["amount0In"]
+    }
+    transform {
+      doubled = amount0In * 2
+    }
+  }
+  filter = [ amount0In != 0 ]
+  save {
+    block = blocknumber
+    v = doubled
+  }
+}
+""",
+        confdir="/root/reference/test",
+    )
+    q = schema.queries[0]
+    sdf = compile_streaming_query(spark, catalog, q, schema, str(bridge))
+    assert sdf.isStreaming
+    assert sdf.columns == ["block", "v"]
+    sq = (
+        sdf.writeStream.format("memory")
+        .queryName("rt_dsl_tail")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dsl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(60)
+    rows = spark.sql("SELECT block, v FROM rt_dsl_tail").collect()
+    # row 0 filtered out (amount0In == 0); v = amount0In * 2
+    assert sorted((int(r.block), int(r.v)) for r in rows) == [
+        (10_000_000 + i, 2 * i) for i in range(1, 8)
+    ]
+
+
+def test_compile_streaming_query_rejects_batch_only_blocks(spark, tmp_path, catalog):
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import PipelineError, compile_streaming_query
+
+    schema = parse_schema(
+        """
+query rt_bad {
+  chain = "arbitrum"
+  contract {
+    address = "0x905dfcd5649217c42684f23958568e533c711aa3"
+    abi = "unipair.abi.json"
+    event Swap {}
+  }
+  limit = 5
+}
+""",
+        confdir="/root/reference/test",
+    )
+    q = schema.queries[0]
+    with pytest.raises(PipelineError, match="batch-only"):
+        compile_streaming_query(spark, catalog, q, schema, str(tmp_path))
 
 
 def test_blockdater_table_lookup(spark, catalog):
@@ -386,6 +468,10 @@ def test_dedup_event_stream_drops_bridge_replays(spark, tmp_path, unipair):
     # replay: everything again in a second file (overlap after reconnect)
     first = (bridge / "batch0.jsonl").read_text()
     (bridge / "batch1.jsonl").write_text(first + "\n" + "\n".join(json.dumps(r) for r in multi))
+    # reorg re-inclusion: same (tx_hash, log_index) lands in a NEW block —
+    # a distinct delivery that dedup must KEEP, not drop as a replay
+    reorged = dict(multi[0], block_number=10_000_051, block_hash="0x" + "51" * 32)
+    (bridge / "batch2.jsonl").write_text(json.dumps(reorged))
 
     stream = event_stream(spark, str(bridge), unipair.events["Swap"], chain="arbitrum")
     deduped = dedup_event_stream(stream)
@@ -397,12 +483,17 @@ def test_dedup_event_stream_drops_bridge_replays(spark, tmp_path, unipair):
         .start()
     )
     q.awaitTermination(60)
-    out = spark.sql("SELECT tx_hash, tx_index, log_index FROM dedup_rt").collect()
-    # 10 single-log txs + 2 logs of the multi-event tx, each exactly once
-    assert len(out) == 12
-    assert len({(r.tx_hash, r.log_index) for r in out}) == 12
+    out = spark.sql("SELECT tx_hash, tx_index, log_index, block_hash FROM dedup_rt").collect()
+    # 10 single-log txs + 2 logs of the multi-event tx + 1 reorg
+    # re-inclusion (new block_hash), each exactly once
+    assert len(out) == 13
+    assert len({(r.tx_hash, r.log_index, r.block_hash) for r in out}) == 13
     multi_rows = [r for r in out if r.tx_hash == "0x" + "aa" * 32]
-    assert sorted(r.log_index for r in multi_rows) == [0, 1]
+    assert sorted(r.log_index for r in multi_rows) == [0, 0, 1]
+    assert {r.block_hash for r in multi_rows if r.log_index == 0} == {
+        "0x" + "50" * 32,
+        "0x" + "51" * 32,
+    }
 
 
 def test_event_triggered_calls_streaming(spark, tmp_path, unipair):
