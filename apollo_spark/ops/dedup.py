@@ -302,6 +302,73 @@ def ngram_jaccard_pairs(
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def strip_hot_lines(
+    df: DataFrame,
+    max_line_df: int | None = None,
+    max_df_frac: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = ". ",
+) -> DataFrame:
+    """Corpus-level boilerplate removal: drop text segments that repeat
+    across more than ``max_line_df`` documents (or more than ``max_df_frac``
+    of the corpus) and reassemble each document from its surviving segments
+    in original order — the C4/RefinedWeb "remove lines duplicated across
+    documents" curation step (navboxes, cookie banners, license footers).
+
+    Exactly one of ``max_line_df`` (absolute document-frequency cap) and
+    ``max_df_frac`` (fraction of corpus size — scale-stable across SFs) must
+    be given. ``sep`` picks the segment granularity: ``"\\n"`` for true
+    lines, ``". "`` for sentences, ``" "`` for tokens.
+
+    Output: (id, clean_text, n_lines, n_removed) for EVERY input document
+    (a fully-boilerplate document comes back with clean_text = '').
+
+    Scale: one shuffle to count per-segment document frequency, an anti-join
+    against the hot set (shuffled, NOT broadcast — at 100 TB the hot-segment
+    set is itself large), and one groupBy to reassemble. The fractional
+    threshold joins a 1-row corpus-size aggregate (crossJoin of a scalar) —
+    declarative, no driver-side count action at plan-build time.
+    """
+    if (max_line_df is None) == (max_df_frac is None):
+        raise ValueError("exactly one of max_line_df / max_df_frac is required")
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias("__pos", "__line"),
+    )
+    keyed = lines.withColumn("__lkey", F.md5(normalize_text(F.col("__line"))))
+    dfreq = keyed.groupBy("__lkey").agg(F.count_distinct("__id").alias("__ldf"))
+    if max_line_df is not None:
+        hot = dfreq.filter(F.col("__ldf") > max_line_df)
+    else:
+        total = keyed.agg(F.count_distinct("__id").alias("__n_docs"))
+        hot = dfreq.crossJoin(total).filter(
+            F.col("__ldf").cast("double") > F.lit(float(max_df_frac)) * F.col("__n_docs")
+        )
+    kept = keyed.join(hot.select("__lkey"), "__lkey", "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))), lambda s: s["__line"]
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    totals = lines.groupBy("__id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("__n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )
+
+
 def connected_components(edges: DataFrame, max_iter: int = 20, driver_threshold: int = 2_000_000) -> DataFrame:
     """Undirected edges (id_a, id_b) -> (id, comp) with comp = min id in the
     component.

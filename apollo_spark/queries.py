@@ -1644,6 +1644,48 @@ ORDER BY doc_id, chunk_id
 """
 
 
+def doc_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level hot-segment scrub (the C4/RefinedWeb 'remove lines
+    duplicated across documents' step) at token granularity with a
+    fractional df cap: segments appearing in more than half the corpus are
+    stripped and every document is reassembled from its survivors in
+    original order. ops.dedup.strip_hot_lines; threshold is a declarative
+    1-row crossJoin, not a driver count."""
+    from apollo_spark.ops.dedup import strip_hot_lines
+
+    d = _t(spark, sf_dir, "documents")
+    return strip_hot_lines(d, max_df_frac=0.5, sep=" ").orderBy("doc_id")
+
+
+ORACLE_BOILERPLATE_SCRUB = r"""
+WITH parts AS (SELECT doc_id, string_split(text, ' ') AS ps FROM documents),
+lines AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, ps[CAST(i AS INT)] AS line
+  FROM parts, unnest(generate_series(1, len(ps))) AS t(i)
+),
+keyed AS (
+  SELECT doc_id, pos, line,
+         md5(trim(regexp_replace(lower(line), '\s+', ' ', 'g'))) AS lkey
+  FROM lines
+),
+hot AS (
+  SELECT lkey FROM keyed GROUP BY lkey
+  HAVING CAST(COUNT(DISTINCT doc_id) AS DOUBLE) > 0.5 * (SELECT COUNT(DISTINCT doc_id) FROM keyed)
+),
+kept AS (SELECT k.doc_id, k.pos, k.line FROM keyed k ANTI JOIN hot h USING (lkey)),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text, COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_lines FROM keyed GROUP BY doc_id)
+SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT bigram-Jaccard pairs >= 0.2 (lossless inverted-index candidates
     -> SQL-oracle-able, unlike MinHash)."""
@@ -2351,6 +2393,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_doc_sample": stratified_doc_sample,
     "nation_market_share": nation_market_share,
     "top_revenue_suppliers": top_revenue_suppliers,
+    "doc_boilerplate_scrub": doc_boilerplate_scrub,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -2423,6 +2466,7 @@ ORACLES: dict[str, str] = {
     "stratified_doc_sample": ORACLE_STRAT_SAMPLE,
     "nation_market_share": ORACLE_MKT_SHARE,
     "top_revenue_suppliers": ORACLE_TOP_SUPP,
+    "doc_boilerplate_scrub": ORACLE_BOILERPLATE_SCRUB,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

@@ -587,3 +587,54 @@ def test_continuous_rollup_incremental_and_lambda_read(spark, tmp_path):
     assert {
         (r.bucket_start, r.user_id): (r.n_events, r.sum_value) for r in roll.read(raw2).collect()
     } == full(raw2)
+
+
+def test_strip_hot_lines_removes_corpus_boilerplate(spark):
+    """C4-style line dedup: segments repeated across > max_line_df docs are
+    stripped, documents reassemble in original order, fully-boilerplate docs
+    come back empty rather than vanishing."""
+    from apollo_spark.ops.dedup import strip_hot_lines
+
+    banner = "subscribe to our newsletter"
+    rows = [
+        (1, f"{banner}. unique alpha text. more alpha"),
+        (2, f"unique beta text. {banner}. beta tail"),
+        (3, f"gamma head. {banner}"),
+        (4, banner),  # fully boilerplate
+        (5, "only unique delta content"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in strip_hot_lines(df, max_line_df=2, sep=". ").collect()}
+    assert len(out) == 5
+    assert out[1].clean_text == "unique alpha text. more alpha"
+    assert out[2].clean_text == "unique beta text. beta tail"
+    assert out[3].clean_text == "gamma head"
+    assert out[4].clean_text == ""  # kept, emptied
+    assert out[5].clean_text == "only unique delta content"
+    assert (out[1].n_lines, out[1].n_removed) == (3, 1)
+    assert (out[4].n_lines, out[4].n_removed) == (1, 1)
+    # normalization: case/whitespace variants of the banner count as one key
+    rows2 = [
+        (1, "Subscribe  To Our Newsletter. keep me"),
+        (2, "subscribe to our newsletter. also keep"),
+        (3, "SUBSCRIBE TO OUR NEWSLETTER"),
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id int, text string")
+    out2 = {r.doc_id: r.clean_text for r in strip_hot_lines(df2, max_line_df=2, sep=". ").collect()}
+    assert out2 == {1: "keep me", 2: "also keep", 3: ""}
+
+
+def test_strip_hot_lines_fractional_threshold(spark):
+    """max_df_frac scales with corpus size: a token in >50% of docs is
+    stripped without any absolute tuning."""
+    from apollo_spark.ops.dedup import strip_hot_lines
+
+    rows = [(i, f"common w{i}") for i in range(10)]  # 'common' in 10/10 docs
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in strip_hot_lines(df, max_df_frac=0.5, sep=" ").collect()}
+    assert all(out[i].clean_text == f"w{i}" for i in range(10))
+    assert all(out[i].n_removed == 1 for i in range(10))
+    with pytest.raises(ValueError):
+        strip_hot_lines(df)
+    with pytest.raises(ValueError):
+        strip_hot_lines(df, max_line_df=1, max_df_frac=0.5)
