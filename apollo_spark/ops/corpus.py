@@ -141,3 +141,78 @@ def stratified_hash_sample(
     for k, v in (rates or {}).items():
         rate = F.when(F.col(by) == k, F.lit(v)).otherwise(rate)
     return df.withColumn("bucket", bucket).filter(F.col("bucket") < rate)
+
+
+def hashed_ngram_features(text_col: Column, buckets: int = 1024, n: int = 2) -> Column:
+    """Hashed unigram+``n``-gram feature buckets (one entry per occurrence,
+    multiplicity preserved — DSIR counts features, not distinct features).
+    Bucket = first 8 md5 hex chars as an integer mod ``buckets`` — the
+    engine-portable hash (xxhash64 seeds differ between Spark and DuckDB;
+    md5 does not). Unigrams are lowercased to match ``word_ngrams`` (one
+    canonical token form across feature orders)."""
+    grams = F.concat(whitespace_tokens(F.lower(text_col)), word_ngrams(text_col, n))
+    return F.transform(
+        grams,
+        lambda g: (F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long") % buckets).cast("int"),
+    )
+
+
+def dsir_importance(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al., NeurIPS 2023):
+    per-document log importance weight log w(x) = sum_f count_f(x) *
+    ln(p_target(f) / p_corpus(f)) over hashed n-gram features — the standard
+    cheap way to upweight corpus documents that look like a target domain
+    before resampling a training mix.
+
+    Spark shape: both distributions are ``buckets``-row aggregates with
+    Laplace smoothing ((c + alpha) / (total + alpha*buckets)); the log-ratio
+    table is broadcast (it is at most ``buckets`` rows regardless of corpus
+    size) and joined against per-document bucket counts — one explode + two
+    shuffles total, no Python in the row path. Per-bucket contributions are
+    cast to DECIMAL(38,6) before the per-document sum, making the total
+    independent of summation order (exact oracle parity; ln() itself is the
+    only cross-engine ulp risk and is absorbed by the 6dp quantization).
+
+    Returns (id, logw) for every corpus document (docs with zero features
+    get logw = 0).
+    """
+    feats = lambda df: df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(hashed_ngram_features(F.col(text_col), buckets)).alias("__b"),
+    )
+    tgt = feats(target).groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    cor = feats(corpus).groupBy("__b").agg(F.count(F.lit(1)).alias("__cc"))
+    tgt_total = tgt.agg(F.sum("__ct").alias("__tt"))
+    cor_total = cor.agg(F.sum("__cc").alias("__ct_all"))
+    # full bucket domain so unseen-in-target buckets still get smoothed mass
+    dom = corpus.sparkSession.range(buckets).select(F.col("id").cast("int").alias("__b"))
+    ratios = (
+        dom.join(tgt, "__b", "left")
+        .join(cor, "__b", "left")
+        .crossJoin(tgt_total)
+        .crossJoin(cor_total)
+        .select(
+            "__b",
+            F.log(
+                ((F.coalesce("__ct", F.lit(0)) + F.lit(alpha)) / (F.col("__tt") + F.lit(alpha * buckets)))
+                / ((F.coalesce("__cc", F.lit(0)) + F.lit(alpha)) / (F.col("__ct_all") + F.lit(alpha * buckets)))
+            ).alias("__lr"),
+        )
+    )
+    doc_counts = feats(corpus).groupBy("__id", "__b").agg(F.count(F.lit(1)).alias("__n"))
+    contribs = doc_counts.join(F.broadcast(ratios), "__b").withColumn(
+        "__c", (F.col("__n") * F.col("__lr")).cast("decimal(38,6)")
+    )
+    per_doc = contribs.groupBy("__id").agg(F.sum("__c").cast("double").alias("logw"))
+    return (
+        corpus.select(F.col(id_col).alias("__id"))
+        .join(per_doc, "__id", "left")
+        .select(F.col("__id").alias(id_col), F.coalesce("logw", F.lit(0.0)).alias("logw"))
+    )

@@ -144,3 +144,61 @@ def pii_scrub(text_col) -> Column:
     for kind in ("email", "ipv4", "phone"):
         out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return out
+
+
+def bm25_scores(
+    df,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 relevance of every matching document to a small query-term
+    set (Robertson/Sparck Jones; the Lucene-practical form with
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    All JVM column expressions: one token explode feeds document lengths,
+    term frequencies, and document frequencies; N and avgdl are 1-row
+    aggregates crossJoined in (scalars, not driver actions). Per-term
+    contributions are cast to DECIMAL(38,6) before the per-document sum so
+    the total is independent of summation order — exact-parity safe for the
+    DuckDB gate (per oracle-fp conventions). avgdl is exact: an integer sum
+    divided by an integer count is one IEEE division in both engines.
+
+    Returns (id, bm25) for documents containing >= 1 query term.
+    """
+    from pyspark.sql import functions as F
+
+    terms = sorted({t.lower() for t in query_terms})
+    # empty documents would otherwise contribute a phantom '' token to N and
+    # avgdl (split('') -> ['']) — exclude them from the collection stats
+    src = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    toks = src.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("term"))
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / norm
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__c", contrib.cast("decimal(38,6)"))
+        .groupBy(id_col)
+        .agg(F.sum("__c").cast("double").alias("bm25"))
+    )

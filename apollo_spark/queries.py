@@ -1686,6 +1686,100 @@ ORDER BY doc_id
 """
 
 
+def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a 3-term query (ops.text.bm25_scores): corpus
+    relevance search as one token explode + scalar (N, avgdl) crossJoins.
+    Per-term contributions sum through DECIMAL(38,6), so the score — and
+    therefore the top-k ordering — is bit-identical across engines."""
+    from apollo_spark.ops.text import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        bm25_scores(d, ["stream", "window", "hash"], k1=1.2, b=0.75)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+ORACLE_BM25 = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM doclen
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ('hash', 'stream', 'window') GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+SELECT doc_id,
+       CAST(SUM(CAST(
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       AS DECIMAL(38,6))) AS DOUBLE) AS bm25
+FROM tf JOIN dfreq USING (term) JOIN doclen USING (doc_id) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al., NeurIPS 2023) log importance weights of every
+    document toward a target domain (source src0/src1) over 256 hashed
+    uni+bigram buckets — ops.corpus.dsir_importance; the log-ratio table is
+    a broadcast of at most `buckets` rows regardless of corpus size."""
+    from apollo_spark.ops.corpus import dsir_importance
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.filter(F.col("source").isin("src0", "src1"))
+    return dsir_importance(d, target, buckets=256).orderBy("doc_id")
+
+
+ORACLE_DSIR = r"""
+WITH w AS (
+  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents WHERE length(trim(text)) > 0
+),
+feats AS (
+  SELECT doc_id, source, g FROM (
+    SELECT doc_id, source, unnest(ws) AS g FROM w
+    UNION ALL
+    SELECT doc_id, source, array_to_string(ws[i:i+1], ' ') AS g
+    FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t(i)
+    WHERE len(ws) >= 2
+  )
+),
+bucketed AS (
+  SELECT doc_id, source,
+         CAST((('0x' || substring(md5(g), 1, 8))::BIGINT % 256) AS INT) AS b
+  FROM feats
+),
+tgt AS (SELECT b, COUNT(*) AS ct FROM bucketed WHERE source IN ('src0', 'src1') GROUP BY b),
+cor AS (SELECT b, COUNT(*) AS cc FROM bucketed GROUP BY b),
+tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt FROM tgt),
+ca AS (SELECT CAST(SUM(cc) AS BIGINT) AS ca FROM cor),
+dom AS (SELECT CAST(unnest(range(0, 256)) AS INT) AS b),
+ratios AS (
+  SELECT d.b,
+         ln(((coalesce(t.ct, 0) + 1.0) / (tt + 256.0))
+            / ((coalesce(c.cc, 0) + 1.0) / (ca + 256.0))) AS lr
+  FROM dom d LEFT JOIN tgt t USING (b) LEFT JOIN cor c USING (b) CROSS JOIN tt CROSS JOIN ca
+),
+doc_counts AS (SELECT doc_id, b, COUNT(*) AS n FROM bucketed GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(CAST(n * lr AS DECIMAL(38,6))) AS DOUBLE) AS logw
+  FROM doc_counts JOIN ratios USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(p.logw, 0.0) AS logw
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT bigram-Jaccard pairs >= 0.2 (lossless inverted-index candidates
     -> SQL-oracle-able, unlike MinHash)."""
@@ -2394,6 +2488,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_market_share": nation_market_share,
     "top_revenue_suppliers": top_revenue_suppliers,
     "doc_boilerplate_scrub": doc_boilerplate_scrub,
+    "bm25_doc_search": bm25_doc_search,
+    "dsir_importance_weights": dsir_importance_weights,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -2467,6 +2563,8 @@ ORACLES: dict[str, str] = {
     "nation_market_share": ORACLE_MKT_SHARE,
     "top_revenue_suppliers": ORACLE_TOP_SUPP,
     "doc_boilerplate_scrub": ORACLE_BOILERPLATE_SCRUB,
+    "bm25_doc_search": ORACLE_BM25,
+    "dsir_importance_weights": ORACLE_DSIR,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

@@ -638,3 +638,43 @@ def test_strip_hot_lines_fractional_threshold(spark):
         strip_hot_lines(df)
     with pytest.raises(ValueError):
         strip_hot_lines(df, max_line_df=1, max_df_frac=0.5)
+
+
+def test_bm25_ranks_relevance(spark):
+    """BM25 semantics: more query-term occurrences rank higher; documents
+    without any query term are absent; rarer terms contribute more idf."""
+    from apollo_spark.ops.text import bm25_scores
+
+    rows = [
+        (1, "spark spark spark streaming engine"),
+        (2, "spark appears once here in a much longer document " + "filler " * 20),
+        (3, "completely unrelated text about cooking"),
+        (4, "rare unicorn word document"),
+        (5, "common words only " + "filler " * 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r.bm25 for r in bm25_scores(df, ["spark", "unicorn"]).collect()}
+    assert set(out) == {1, 2, 4}  # doc 3/5 match nothing
+    assert out[1] > out[2]  # tf=3 short doc beats tf=1 long doc
+    # 'unicorn' (df=1) outweighs 'spark' (df=2) for a single occurrence
+    assert out[4] > out[2]
+    assert all(v > 0 for v in out.values())
+
+
+def test_dsir_importance_upweights_target_domain(spark):
+    """DSIR: documents sharing the target domain's n-gram distribution get
+    higher log importance weights than off-domain documents."""
+    from apollo_spark.ops.corpus import dsir_importance
+
+    target_rows = [(100 + i, f"machine learning model training run {i}") for i in range(5)]
+    corpus_rows = [
+        (1, "machine learning model training pipeline"),  # in-domain
+        (2, "grilled cheese sandwich recipe with tomato soup"),  # off-domain
+        (3, "machine learning training data quality"),  # in-domain
+        (4, "weather forecast rain tomorrow afternoon"),  # off-domain
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id int, text string")
+    target = spark.createDataFrame(target_rows, "doc_id int, text string")
+    out = {r.doc_id: r.logw for r in dsir_importance(corpus, target, buckets=128).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert min(out[1], out[3]) > max(out[2], out[4])
