@@ -1,0 +1,107 @@
+"""Iterative graph algorithms over edge DataFrames.
+
+The family connected_components (ops/dedup.py) belongs to, generalized: the
+standard Spark iterative-join loop — per-iteration state is a small (node,
+value) frame co-shuffled with the edge list, lineage truncated every
+iteration with an eager localCheckpoint so the k-th iteration's action
+doesn't re-execute the previous k-1 (the classic Spark iterative-algorithm
+trap). At 100 TB the edge list dwarfs the node state: edges are scanned once
+per iteration with map-side contribution combines; state never leaves the
+cluster.
+
+Engine-reproducible float policy (see memory: oracle-fp conventions): every
+cross-row sum goes through DECIMAL(38,6) (order-independent), and the rank
+state is re-quantized to DECIMAL(38,6) each iteration, so the whole
+trajectory is bit-identical between Spark and any ANSI engine — PageRank is
+gate-able against a DuckDB oracle with unrolled iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank with uniform dangling-mass redistribution, a fixed
+    number of synchronous iterations (the deterministic formulation — no
+    convergence test, so the result is a pure function of the graph):
+
+        r_{t+1}(v) = (1-d)/N + d * (sum_{u->v} r_t(u) * w(u,v)/wout(u)
+                                    + dangling_t / N)
+
+    ``weight`` defaults to 1 per edge; integral weights (e.g. transition
+    counts) keep every sum exact. Returns (node, rank) for every node that
+    appears as a source or destination.
+
+    Float policy — the whole trajectory lives on an INTEGER lattice: ranks
+    are micro-units (rank * 1e6) held as BIGINT, every per-edge/per-node
+    rounding is the engine-portable floor(x + 0.5), and every cross-row sum
+    is an exact integer sum. DECIMAL(38,6) quantization was tried first and
+    diverged: quantized ranks times binary-exact w/wout ratios (1/2, 1/4)
+    land EXACTLY on .5 boundaries where Spark's HALF_UP double->decimal cast
+    and DuckDB's disagree; floor on a deterministic double never does.
+
+    Scale notes: node count and dangling mass are 1-row aggregates
+    (crossJoined scalars, no driver actions); contributions combine map-side
+    before the shuffle on dst; ranks are checkpointed eagerly per iteration
+    to truncate lineage. Mirrors the reference's absence — apollo has no
+    iterative tier at all (SURVEY §2.7 gap family).
+    """
+    from decimal import Decimal
+
+    scale = 1_000_000
+    # (1-d) on the micro-lattice, computed in decimal space: for d=0.85 this
+    # is exactly 150000 — Python's (1.0-0.85)*1e6 would be 150000.00000000003
+    base_u = float(int((Decimal(1) - Decimal(str(damping))) * scale))
+    w = (F.col(weight) if weight else F.lit(1)).cast("double")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # integral edge weights sum exactly in double; wout is an exact integer
+    outw = e.groupBy("src").agg(F.sum("w").alias("wout"))
+    ed = e.join(outw, "src").persist()
+    nodes_n = nodes.crossJoin(F.broadcast(nn)).persist()
+    # initial rank 1/N in micro-units
+    ranks = nodes_n.select("node", F.floor(F.lit(float(scale)) / F.col("n") + F.lit(0.5)).alias("ru"))
+    for _ in range(iterations):
+        contribs = ed.join(ranks, ed["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"),
+            # ru*w is an exact integer product (< 2^53); /wout is one IEEE
+            # division; floor(x+0.5) rounds identically in any engine
+            F.floor(F.col("ru") * F.col("w") / F.col("wout") + F.lit(0.5)).alias("cu"),
+        )
+        insum = contribs.groupBy("node").agg(F.sum("cu").alias("iu"))  # exact long sum
+        dang = ranks.join(outw, ranks["node"] == outw["src"], "left_anti").agg(
+            F.coalesce(F.sum("ru"), F.lit(0)).alias("du")
+        )
+        ranks = (
+            nodes_n.join(insum, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                F.floor(
+                    F.lit(base_u) / F.col("n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("iu", F.lit(0)).cast("double")
+                        + F.col("du").cast("double") / F.col("n")
+                    )
+                    + F.lit(0.5)
+                ).alias("ru"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", (F.col("ru").cast("double") / F.lit(float(scale))).alias("rank"))

@@ -1780,6 +1780,85 @@ ORDER BY d.doc_id
 """
 
 
+def item_transition_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, 5 synchronous iterations) over the item-to-item
+    transition graph: consecutive events per user define weighted directed
+    edges between their props.k items (the Markov-chain navigation graph).
+    ops.graph.pagerank — the iterative tier done the Spark way: per-iteration
+    eager checkpoints truncate lineage, sums are DECIMAL(38,6)-exact, state
+    re-quantized per iteration so the whole trajectory is engine-identical
+    (the oracle unrolls the same 5 iterations in SQL)."""
+    from apollo_spark.ops.graph import pagerank
+
+    e = _events(spark, sf_dir)
+    item = F.get_json_object("props", "$.k").cast("int")
+    seq = e.select("user_id", F.col("ts").alias("tsn"), "event_id", item.alias("item"))
+    w = Window.partitionBy("user_id").orderBy(F.col("tsn").asc(), F.col("event_id").asc())
+    trans = seq.withColumn("prev", F.lag("item").over(w)).filter(F.col("prev").isNotNull())
+    edges = trans.groupBy(F.col("prev").alias("src"), F.col("item").alias("dst")).agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    return pagerank(edges, damping=0.85, iterations=5, weight="w").orderBy("node")
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Unrolled-iteration DuckDB mirror of ops.graph.pagerank over the item
+    transition graph — same integer micro-unit lattice: BIGINT ranks
+    (rank*1e6), floor(x+0.5) portable rounding, exact integer sums. DuckDB
+    `/` promotes to DOUBLE (the same IEEE division Spark performs)."""
+    base_u, d = "150000.0", "0.85"
+    prev = "r0"
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(
+            f"""i{i} AS (
+  SELECT e.dst AS node,
+         CAST(SUM(CAST(FLOOR(r.ru * e.w / o.wout + 0.5) AS BIGINT)) AS BIGINT) AS iu
+  FROM edges e JOIN outw o USING (src) JOIN {prev} r ON r.node = e.src
+  GROUP BY e.dst
+),
+d{i} AS (
+  SELECT CAST(coalesce(SUM(ru), 0) AS BIGINT) AS du
+  FROM {prev} r ANTI JOIN outw o ON r.node = o.src
+),
+r{i} AS (
+  SELECT nodes.node,
+         CAST(FLOOR({base_u} / n + {d} * (CAST(coalesce(iu, 0) AS DOUBLE) + CAST(du AS DOUBLE) / n) + 0.5) AS BIGINT) AS ru
+  FROM nodes CROSS JOIN nn CROSS JOIN d{i} LEFT JOIN i{i} USING (node)
+)"""
+        )
+        prev = f"r{i}"
+    return (
+        """
+WITH seq AS (
+  SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+         CAST(props->>'$.k' AS INT) AS item
+  FROM events
+),
+trans AS (
+  SELECT LAG(item) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS src,
+         item AS dst
+  FROM seq
+),
+edges AS (
+  SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM trans WHERE src IS NOT NULL GROUP BY 1, 2
+),
+nodes AS (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outw AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(FLOOR(1000000.0 / n + 0.5) AS BIGINT) AS ru FROM nodes CROSS JOIN nn),
+"""
+        + ",\n".join(iters)
+        + f"\nSELECT node, ru / 1000000.0 AS rank FROM {prev} ORDER BY node"
+    )
+
+
+ORACLE_PAGERANK = _pagerank_oracle(5)
+
+
 def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT bigram-Jaccard pairs >= 0.2 (lossless inverted-index candidates
     -> SQL-oracle-able, unlike MinHash)."""
@@ -2490,6 +2569,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_boilerplate_scrub": doc_boilerplate_scrub,
     "bm25_doc_search": bm25_doc_search,
     "dsir_importance_weights": dsir_importance_weights,
+    "item_transition_pagerank": item_transition_pagerank,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -2565,6 +2645,7 @@ ORACLES: dict[str, str] = {
     "doc_boilerplate_scrub": ORACLE_BOILERPLATE_SCRUB,
     "bm25_doc_search": ORACLE_BM25,
     "dsir_importance_weights": ORACLE_DSIR,
+    "item_transition_pagerank": ORACLE_PAGERANK,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

@@ -678,3 +678,29 @@ def test_dsir_importance_upweights_target_domain(spark):
     out = {r.doc_id: r.logw for r in dsir_importance(corpus, target, buckets=128).collect()}
     assert set(out) == {1, 2, 3, 4}
     assert min(out[1], out[3]) > max(out[2], out[4])
+
+
+def test_pagerank_known_graph(spark):
+    """PageRank sanity on a hand-checkable graph: symmetric pair has equal
+    ranks, a hub everyone links to ranks highest, dangling mass is
+    redistributed so total rank stays ~1."""
+    from apollo_spark.ops.graph import pagerank
+
+    # 1<->2 symmetric, 3/4/5 -> hub 6; 6 dangling (no out-edges)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 6), (4, 6), (5, 6)], "src int, dst int"
+    )
+    out = {r.node: r.rank for r in pagerank(edges, iterations=10).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    assert out[1] == out[2]  # symmetry
+    assert out[6] > out[3]  # the hub outranks its leaf contributors
+    assert out[1] > out[6]  # the closed 2-cycle retains mass and beats the hub
+    assert abs(sum(out.values()) - 1.0) < 1e-3  # mass conserved (dangling redistributed)
+    assert out[3] == out[4] == out[5]
+
+    # weighted: heavier edge pulls more rank
+    wedges = spark.createDataFrame(
+        [(1, 2, 9.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)], "src int, dst int, w double"
+    )
+    wout = {r.node: r.rank for r in pagerank(wedges, iterations=10, weight="w").collect()}
+    assert wout[2] > wout[3]

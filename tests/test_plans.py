@@ -229,3 +229,48 @@ def test_market_share_dims_broadcast_facts_coshuffle(spark):
     assert "CartesianProduct" not in p
     # region filter pushed into the region scan
     assert "EqualTo(r_name,ASIA)" in p
+
+
+def test_bm25_scalars_broadcast_no_python(spark):
+    """BM25: df table and the 1-row (N, avgdl) stats both broadcast; the only
+    real shuffles are the token aggregations. Pure JVM — no Python eval."""
+    p = plan(spark, "bm25_doc_search")
+    assert p.count("BroadcastExchange") >= 2  # dfreq + stats (+ possibly doclen)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p  # scalar crossJoin plans as broadcast NLJ
+    assert "TakeOrderedAndProject" in p  # top-20 never global-sorts
+
+
+def test_dsir_ratio_table_broadcast_no_python(spark):
+    """DSIR: the log-ratio table (<= buckets rows) broadcasts into the
+    per-doc join; corpus-side work is explode + hash aggregations only."""
+    p = plan(spark, "dsir_importance_weights")
+    assert "BroadcastExchange" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_boilerplate_scrub_anti_join_unhinted_and_jvm_side(spark):
+    """strip_hot_lines: the hot-segment anti-join carries NO broadcast hint —
+    the optimizer may broadcast a hot set it estimates small (it is, at this
+    SF), but nothing in the plan forces that when the hot set is huge at
+    100 TB (AQE falls back to a shuffled join from runtime stats). Verified
+    by planning with autoBroadcastJoinThreshold=-1: an unhinted plan degrades
+    to a shuffled anti-join; a hinted one would still broadcast."""
+    import contextlib
+    import io
+
+    p = plan(spark, "doc_boilerplate_scrub")
+    assert "LeftAnti" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            QUERIES["doc_boilerplate_scrub"](spark, SF).explain("formatted")
+        p2 = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    anti2 = [b for b in scan_blocks(p2) if "LeftAnti" in b]
+    assert anti2 and not any("Broadcast" in b for b in anti2)
