@@ -659,3 +659,65 @@ def test_session_window_stats_closes_on_gap(spark, tmp_path):
         (1, base + 1000): (1, 4.0),  # quiet period split
         (2, base + 50): (1, 8.0),
     }
+
+
+def test_stream_restart_recovers_without_dup_or_loss(spark, tmp_path, unipair):
+    """Restart-from-checkpoint e2e: run 1 sinks the first bridge batch; the
+    'process' then dies (new SinkWriter + new query object, same checkpoint
+    dir); run 2 sees a second bridge file containing replays + new rows.
+    The file source must not re-read batch0, and the dedup state store must
+    survive the restart so the cross-restart replays are dropped — parquet
+    ends with every distinct log exactly once."""
+    import json
+
+    from apollo_spark.sinks import SinkConfig, SinkWriter
+    from apollo_spark.sources.streaming import dedup_event_stream, event_stream
+
+    bridge = tmp_path / "bridge_restart"
+    _write_bridge_files(bridge, unipair, n=10)  # batch0.jsonl: rows 0..9
+    ckpt = str(tmp_path / "ckpt_restart")
+    pq_dir = tmp_path / "pq_restart"
+
+    def run_once(qname: str) -> None:
+        stream = event_stream(spark, str(bridge), unipair.events["Swap"], chain="arbitrum")
+        writer = SinkWriter(SinkConfig(parquet_dir=str(pq_dir)))  # fresh writer = restarted process
+        q = (
+            dedup_event_stream(stream)
+            .writeStream.foreachBatch(writer.foreach_batch("rt"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run_once("run1")
+    out1 = spark.read.parquet(str(pq_dir / "rt"))
+    assert out1.count() == 10
+
+    # second bridge file: 3 replays of run-1 logs + 2 genuinely new logs
+    ev = unipair.events["Swap"]
+    first = (bridge / "batch0.jsonl").read_text().splitlines()
+    new_rows = []
+    for i in (100, 101):
+        new_rows.append(
+            {
+                "chain": "arbitrum",
+                "block_number": 10_000_000 + i,
+                "block_hash": "0x" + f"{i:064x}",
+                "tx_hash": "0x" + f"{i + 7:064x}",
+                "tx_index": 0,
+                "log_index": 0,
+                "address": "0x905dfcd5649217c42684f23958568e533c711aa3",
+                "topics": [ev.topic0, "0x" + "11" * 32, "0x" + "22" * 32],
+                "data_hex": (bridge / "batch0.jsonl").read_text().splitlines()[0].split('"data_hex": "')[-1].rstrip('"}'),
+            }
+        )
+    (bridge / "batch1.jsonl").write_text(
+        "\n".join(first[:3] + [json.dumps(r) for r in new_rows])
+    )
+    run_once("run2")
+
+    out2 = spark.read.parquet(str(pq_dir / "rt"))
+    rows = out2.select("tx_hash", "log_index", "block_hash").collect()
+    assert len(rows) == 12  # 10 originals + 2 new; 3 replays dropped across the restart
+    assert len({(r.tx_hash, r.log_index, r.block_hash) for r in rows}) == 12
