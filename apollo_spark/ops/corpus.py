@@ -101,19 +101,21 @@ def decontaminate(
     method used by large-LM training pipelines).
 
     Benchmark sets are small, so their distinct grams broadcast; the corpus
-    side explodes to (id, gram) — narrow, no self-join, shuffle only for the
-    final per-doc count. n_shared counts DISTINCT shared grams."""
+    side explodes to (id, gram) — narrow, no self-join. The broadcast join is
+    map-side, so it runs BEFORE any shuffle: the only wide exchange is the
+    per-doc distinct count over grams that actually hit the benchmark set (a
+    tiny fraction of the corpus), never over the full corpus gram stream.
+    n_shared counts DISTINCT shared grams."""
     bench_grams = (
         benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("g")).distinct()
     )
-    doc_grams = (
-        docs.select(F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
-        .dropDuplicates([id_col, "g"])
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
     )
     return (
         doc_grams.join(F.broadcast(bench_grams), "g")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(F.count_distinct("g").alias("n_shared"))
     )
 
 

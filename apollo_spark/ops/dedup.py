@@ -256,24 +256,39 @@ def ngram_jaccard_pairs(
     # join, and |A ∪ B| = |A| + |B| - |A ∩ B|. Counting instead of carrying
     # full shingle arrays through the shuffle (array_intersect/union per
     # candidate) cuts shuffle width from O(doc length) to O(1) per posting.
-    sizes = base.select("id", F.size("sh").alias("n"))
-    ex = base.select("id", F.explode("sh").alias("s"))
+    # Length filter (Arasu et al. / PPJoin lemma): jaccard(A,B) <= min/max of
+    # the set sizes, so any pair with min(n_a,n_b) < t*max(n_a,n_b) cannot
+    # reach the threshold. Applying it AS A JOIN PREDICATE kills those pairs
+    # before the per-pair aggregation instead of after it; the 1e-9 slack
+    # keeps the prune conservative against double rounding at the boundary
+    # (the final exact `jaccard >= threshold` filter still decides inclusion).
+    # Carrying n in the postings costs 8 bytes/posting and removes both
+    # post-aggregation size joins — sizes ride along as grouping keys (they
+    # are functionally dependent on the ids).
+    ex = base.select("id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    len_ok = (F.col("a.n") >= threshold * F.col("b.n") - 1e-9) & (
+        F.col("b.n") >= threshold * F.col("a.n") - 1e-9
+    )
     if max_df is None:
         # lossless path: the pruned-index intersection count IS the exact
         # intersection, so jaccard falls out of counts alone
         inter = (
             ex.alias("a")
-            .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .join(
+                ex.alias("b"),
+                (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")) & len_ok,
+            )
+            .groupBy(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.n").alias("n_a"),
+                F.col("b.n").alias("n_b"),
+            )
             .agg(F.count(F.lit(1)).alias("inter"))
         )
-        j = (
-            inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
-            .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
-            .withColumn(
-                "jaccard",
-                F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
-            )
+        j = inter.withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
         )
         return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
     # capped path: the pruned index only GENERATES candidates (bounded
@@ -285,7 +300,10 @@ def ngram_jaccard_pairs(
     pruned = ex.join(F.broadcast(hot.select("s")), "s", "left_anti")
     cand = (
         pruned.alias("a")
-        .join(pruned.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .join(
+            pruned.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")) & len_ok,
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
