@@ -460,3 +460,52 @@ def near_dedup(
     comps = connected_components(pairs)
     losers = comps.filter(F.col("comp") != F.col("id")).select(F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Span-level exact-duplicate detection (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499 — the
+    ExactSubstr criterion re-expressed relationally): slide a ``w``-token
+    window over every document; a window POSITION is duplicated iff its
+    w-token string occurs >= ``min_count`` times anywhere in the corpus
+    (any document, including repeats within the same one — the paper's
+    definition, which also catches internal boilerplate).
+
+    The reference paper builds a corpus-wide suffix array; on Spark the same
+    predicate falls out of two bounded shuffles — (1) global window counts,
+    (2) a many-to-one join of window positions against those counts — with
+    no suffix structure, no driver state, and per-key fan-out bounded by the
+    window count of the hottest span (positions join against ONE count row
+    each, so even a boilerplate span that appears a million times costs a
+    million join rows, never a million-squared).
+
+    Output, for every document with >= w tokens:
+      (id, n_windows, n_dup_windows, dup_frac)
+    where dup_frac = n_dup_windows / n_windows (one BIGINT/BIGINT IEEE
+    division — engine-exact for the oracle gate).
+    """
+    from apollo_spark.ops.corpus import word_ngrams
+
+    wins = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), w)).alias("win"),
+    )
+    counts = wins.groupBy("win").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        wins.join(counts, "win")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("c") >= min_count, 1).otherwise(0)).alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_frac", F.col("n_dup_windows").cast("double") / F.col("n_windows").cast("double")
+        )
+        .select(F.col("id").alias(id_col), "n_windows", "n_dup_windows", "dup_frac")
+    )

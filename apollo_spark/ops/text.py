@@ -202,3 +202,63 @@ def bm25_scores(
         .groupBy(id_col)
         .agg(F.sum("__c").cast("double").alias("bm25"))
     )
+
+
+def lm_cross_entropy(
+    docs,
+    ref,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Unigram-LM cross-entropy quality score (the CCNet recipe, Wenzek et
+    al. 2020 LREC — KenLM stood in by an add-one-smoothed unigram model
+    trained in-engine on ``ref``, the trusted/target-domain slice):
+
+        ce(d) = -(1/|d|) * sum_{tok in d} ln p(tok)
+        p(tok) = (c_ref(tok) + 1) / (T_ref + V_ref + 1)
+
+    Lower ce = closer to the reference domain; pipelines keep the head/middle
+    buckets and drop the tail (CCNet partitions at the ppl terciles).
+
+    Engine-exactness (drives the DuckDB gate): p is a BIGINT/BIGINT IEEE
+    division (identical in both engines), ln() is one libm call on identical
+    doubles, per-token terms are cast DECIMAL(38,6) before the per-document
+    sum (order-independent), and the final divide is one IEEE op — the same
+    conventions the BM25 operator pins.
+
+    Scale: the LM is a groupBy over the REFERENCE slice only (small by
+    construction — it's the curated target domain) and broadcasts; the corpus
+    side is one token explode + map-side broadcast join + one per-doc
+    aggregation. T/V are a 1-row aggregate crossJoined in, not driver
+    actions. For reference vocabularies too large to broadcast, hash the
+    terms into buckets first (the DSIR operator's layout in ops/corpus.py).
+
+    Returns (id, n_tokens, ce) for documents with >= 1 token.
+    """
+    from pyspark.sql import functions as F
+
+    ref_toks = (
+        ref.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.explode(words(F.col(text_col))).alias("term"))
+    )
+    counts = ref_toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    scal = counts.agg(
+        F.sum("c").alias("t_ref"), F.count(F.lit(1)).alias("v_ref")
+    )
+    toks = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.explode(words(F.col(text_col))).alias("term"))
+    )
+    p = (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)) / (
+        F.col("t_ref") + F.col("v_ref") + F.lit(1)
+    )
+    return (
+        toks.join(F.broadcast(counts), "term", "left")
+        .crossJoin(F.broadcast(scal))
+        .withColumn("__t", F.log(p).cast("decimal(38,6)"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum("__t").cast("double") / F.count(F.lit(1)).cast("double")).alias("ce"),
+        )
+    )

@@ -2489,6 +2489,80 @@ ORDER BY s_suppkey
 """
 
 
+def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-duplicate scan (Lee et al. 2022 ExactSubstr): per-doc
+    count/fraction of 8-token windows that occur >= 2 times corpus-wide.
+    Two bounded shuffles (global window counts + many-to-one positions join);
+    dup_frac is a BIGINT/BIGINT IEEE division — engine-exact."""
+    from apollo_spark.ops.dedup import duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        duplicated_spans(d, w=8, min_count=2)
+        .filter(F.col("n_dup_windows") > 0)
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SPAN_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+  FROM toks WHERE len(t) >= 8
+),
+wins AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS win FROM pos),
+counts AS (SELECT win, COUNT(*) AS c FROM wins GROUP BY win)
+SELECT doc_id,
+       COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       CAST(CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+FROM wins JOIN counts USING (win)
+GROUP BY doc_id
+HAVING CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) > 0
+ORDER BY doc_id
+"""
+
+
+def doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score: add-one unigram LM trained on the
+    doc_id % 7 == 0 slice (stand-in for the curated target domain), every
+    document scored by per-token cross-entropy in nats. Reference LM
+    broadcasts; corpus side is one explode + map-side join + one agg."""
+    from apollo_spark.ops.text import lm_cross_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 7 == 0)
+    return lm_cross_entropy(d, ref).orderBy("doc_id")
+
+
+ORACLE_LM_QUALITY = r"""
+WITH ref AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE doc_id % 7 = 0 AND length(trim(text)) > 0
+),
+counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM ref GROUP BY term),
+scal AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t_ref, CAST(COUNT(*) AS BIGINT) AS v_ref
+  FROM counts
+),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       -CAST(SUM(CAST(ln((COALESCE(c, 0) + 1) / (t_ref + v_ref + 1)) AS DECIMAL(38,6))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS ce
+FROM toks LEFT JOIN counts USING (term) CROSS JOIN scal
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2570,6 +2644,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_doc_search": bm25_doc_search,
     "dsir_importance_weights": dsir_importance_weights,
     "item_transition_pagerank": item_transition_pagerank,
+    "substring_span_dedup": substring_span_dedup,
+    "doc_lm_quality": doc_lm_quality,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -2646,6 +2722,8 @@ ORACLES: dict[str, str] = {
     "bm25_doc_search": ORACLE_BM25,
     "dsir_importance_weights": ORACLE_DSIR,
     "item_transition_pagerank": ORACLE_PAGERANK,
+    "substring_span_dedup": ORACLE_SPAN_DEDUP,
+    "doc_lm_quality": ORACLE_LM_QUALITY,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

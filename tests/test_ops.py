@@ -704,3 +704,57 @@ def test_pagerank_known_graph(spark):
     )
     wout = {r.node: r.rank for r in pagerank(wedges, iterations=10, weight="w").collect()}
     assert wout[2] > wout[3]
+
+
+def test_duplicated_spans_flags_planted_span(spark):
+    """A 8-token span planted in two docs is counted at every position it
+    covers in both docs; a doc with no shared span reports zero dups (and is
+    filterable); within-doc repeats also count (the Lee et al. definition)."""
+    from apollo_spark.ops.dedup import duplicated_spans
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"intro words here {span} trailing tail tokens"),
+        (2, f"{span} other material entirely different closing"),
+        (3, "totally unrelated text with enough tokens to window over fine"),
+        (4, f"{span} and again {span}"),  # internal repeat
+        (5, "short text"),  # < w tokens -> no output row
+    ]
+    out = (
+        duplicated_spans(spark.createDataFrame(rows, "doc_id long, text string"), w=8)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert 5 not in out.index  # too short to window
+    assert int(out.loc[3, "n_dup_windows"]) == 0
+    # every doc containing the planted span has >= 1 duplicated position
+    assert int(out.loc[1, "n_dup_windows"]) >= 1
+    assert int(out.loc[2, "n_dup_windows"]) >= 1
+    assert int(out.loc[4, "n_dup_windows"]) >= 2  # both copies count
+    assert (out["dup_frac"] <= 1.0).all() and (out["dup_frac"] >= 0.0).all()
+
+
+def test_lm_cross_entropy_separates_domains(spark):
+    """Docs drawn from the reference vocabulary score lower cross-entropy
+    than out-of-domain gibberish; n_tokens is the whitespace token count."""
+    from apollo_spark.ops.text import lm_cross_entropy
+
+    ref = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "the dog sat on the rug")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the rug"),      # in-domain
+            (2, "zyx qwv jkl pqr mno stu"),     # all OOV
+        ],
+        "doc_id long, text string",
+    )
+    out = lm_cross_entropy(docs, ref).toPandas().set_index("doc_id")
+    assert int(out.loc[1, "n_tokens"]) == 6
+    assert out.loc[1, "ce"] < out.loc[2, "ce"]
+    # OOV-only doc: every token gets the same smoothed floor probability
+    import math
+    t_ref, v_ref = 12, 7  # 12 ref tokens, 7 distinct
+    floor_ce = -math.log(1.0 / (t_ref + v_ref + 1))
+    assert abs(out.loc[2, "ce"] - floor_ce) < 1e-5
