@@ -25,6 +25,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stdout", action="store_true", help="log rows to stdout (flags.go:24-29)")
     p.add_argument("--csv", action="store_true", help="write csv per query (flags.go:17-22)")
     p.add_argument("--json", action="store_true", help="write jsonl per query (ROADMAP.md:67-76, unshipped in apollo)")
+    p.add_argument(
+        "--tx-table",
+        action="store_true",
+        help="write a manifest-committed transactional parquet table per query "
+        "(atomic snapshots, time travel, exactly-once streaming; table_format.py)",
+    )
     p.add_argument("--db", default=None, help="JDBC URL for the db sink (overrides config.yml postgres block)")
     p.add_argument(
         "--config",
@@ -86,6 +92,7 @@ def main(argv: list[str] | None = None) -> int:
         stdout=args.stdout,
         csv_dir=str(Path(args.output_dir)) if args.csv else None,
         json_dir=str(Path(args.output_dir)) if args.json else None,
+        tx_table_dir=str(Path(args.output_dir) / "tables") if args.tx_table else None,
         jdbc_url=jdbc_url,
         jdbc_properties=jdbc_props,
         single_file=True,

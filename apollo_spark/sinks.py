@@ -32,6 +32,10 @@ class SinkConfig:
     parquet_dir: str | None = None
     jdbc_url: str | None = None
     jdbc_properties: dict[str, str] = field(default_factory=dict)
+    # manifest-committed transactional parquet (table_format.TxTable):
+    # batch writes commit an atomic overwrite snapshot; streaming batches
+    # commit exactly-once (batch_id rides the manifest, replays are no-ops)
+    tx_table_dir: str | None = None
     # single_file=True coalesces CSV to 1 partition for apollo-style one-file
     # output — fine for query results, wrong for bulk exports (bottleneck)
     single_file: bool = False
@@ -54,6 +58,10 @@ class SinkWriter:
             out.write.mode("overwrite").json(str(Path(cfg.json_dir) / query_name))
         if cfg.parquet_dir:
             df.write.mode("overwrite").parquet(str(Path(cfg.parquet_dir) / query_name))
+        if cfg.tx_table_dir:
+            from apollo_spark.table_format import TxTable
+
+            TxTable(str(Path(cfg.tx_table_dir) / query_name)).write(df, mode="overwrite")
         if cfg.jdbc_url:
             # apollo lifecycle: drop+create on first batch, append after
             mode = "append" if query_name in self._jdbc_initialized else "overwrite"
@@ -77,6 +85,14 @@ class SinkWriter:
                 batch_df.write.mode("append").json(str(Path(cfg.json_dir) / query_name))
             if cfg.parquet_dir:
                 batch_df.write.mode("append").parquet(str(Path(cfg.parquet_dir) / query_name))
+            if cfg.tx_table_dir:
+                # exactly-once: (query_name, batch_id) rides the manifest, so
+                # a post-restart replay of a committed batch is a no-op
+                from apollo_spark.table_format import TxTable
+
+                TxTable(str(Path(cfg.tx_table_dir) / query_name)).write(
+                    batch_df, mode="append", txn_app=query_name, txn_batch=int(batch_id)
+                )
             if cfg.jdbc_url:
                 # Streaming NEVER overwrites — not even on batch_id == 0.
                 # Several streams of one query (multi-event schemas) share a

@@ -186,3 +186,57 @@ def test_cli_missing_schema(tmp_path):
     )
     assert proc.returncode == 2
     assert "schema not found" in proc.stderr
+
+
+def test_cli_batch_tx_table(tmp_path, evm_dir):
+    """--tx-table: the CLI commits each query's result as a transactional
+    snapshot; a reader opens the manifest (not the directory) and sees
+    exactly the committed rows."""
+    confdir = tmp_path / "conf"
+    confdir.mkdir()
+    shutil.copy("/root/reference/test/unipair.abi.json", confdir / "unipair.abi.json")
+    (confdir / "schema.hcl").write_text(
+        """
+query flagship_swaps {
+  chain = "arbitrum"
+  contract {
+    address = "0x905dfCD5649217c42684f23958568e533C711Aa3"
+    abi = "unipair.abi.json"
+    event Swap {
+      outputs = ["amount1In", "amount0Out"]
+    }
+  }
+  save {
+    block = blocknumber
+    tx_hash = tx_hash
+  }
+}
+"""
+    )
+    out_dir = tmp_path / "out"
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "apollo_spark",
+            "--confdir", str(confdir),
+            "--data-dir", str(evm_dir),
+            "--tx-table",
+            "--output-dir", str(out_dir),
+            "--log-level", "ERROR",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    from apollo_spark.table_format import TxTable
+
+    t = TxTable(str(out_dir / "tables" / "flagship_swaps"))
+    assert t.current_version() == 1
+    # read through a fresh session-independent manifest open
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.master("local[4]").getOrCreate()
+    df = t.read(spark)
+    assert df.columns == ["block", "tx_hash"]
+    assert df.count() > 100

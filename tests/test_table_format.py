@@ -1,0 +1,160 @@
+"""Transactional parquet table format: atomicity, snapshot isolation, time
+travel, commit CAS races, exactly-once streaming, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from apollo_spark.table_format import CommitConflict, TxTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string")
+
+
+def test_append_read_roundtrip_and_history(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    assert t.current_version() is None
+    v1 = t.write(_df(spark, [(1, "a"), (2, "b")]))
+    v2 = t.write(_df(spark, [(3, "c")]))
+    assert (v1, v2) == (1, 2)
+    out = t.read(spark).orderBy("id").collect()
+    assert [(r.id, r.v) for r in out] == [(1, "a"), (2, "b"), (3, "c")]
+    hist = t.history()
+    assert [h["version"] for h in hist] == [2, 1]
+    assert all(h["mode"] == "append" for h in hist)
+
+
+def test_overwrite_replaces_but_time_travel_sees_old(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "old")]))
+    t.write(_df(spark, [(2, "new")]), mode="overwrite")
+    assert [(r.id, r.v) for r in t.read(spark).collect()] == [(2, "new")]
+    # snapshot 1 still fully readable: overwrite never mutates old files
+    assert [(r.id, r.v) for r in t.read(spark, version=1).collect()] == [(1, "old")]
+
+
+def test_uncommitted_data_is_invisible(spark, tmp_path):
+    """Torn-write atomicity: part files without a manifest don't exist for
+    readers (the crash-between-data-and-commit case)."""
+    t = TxTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]))
+    # simulate a writer that died after its data landed but before commit
+    _df(spark, [(99, "ghost")]).write.parquet(str(t.data_dir / "txn-dead"))
+    out = t.read(spark).collect()
+    assert [(r.id, r.v) for r in out] == [(1, "a")]
+
+
+def test_commit_cas_retries_on_conflict(spark, tmp_path):
+    """If another writer claims version N+1 between head-read and link, the
+    commit retries against the new head and both writes survive."""
+    t = TxTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]))
+
+    real_link = os.link
+    raced = {"done": False}
+
+    def racing_link(src, dst, *a, **kw):
+        # first link attempt: sneak a competing commit in underneath
+        if not raced["done"]:
+            raced["done"] = True
+            t2 = TxTable(str(tmp_path / "t"))
+            t2.write(_df(spark, [(50, "rival")]))
+        return real_link(src, dst, *a, **kw)
+
+    os.link = racing_link
+    try:
+        v = t.write(_df(spark, [(2, "b")]))
+    finally:
+        os.link = real_link
+    assert v == 3  # rival took 2, our retry landed 3
+    out = sorted((r.id, r.v) for r in t.read(spark).collect())
+    assert out == [(1, "a"), (2, "b"), (50, "rival")]
+
+
+def test_append_schema_mismatch_raises(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]))
+    other = spark.createDataFrame([(1.5,)], "x double")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.write(other)
+    # overwrite may change schema
+    t.write(other, mode="overwrite")
+    assert t.read(spark).columns == ["x"]
+
+
+def test_exactly_once_batch_replay_skipped(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    sink = t.foreach_batch(app_id="job1")
+    sink(_df(spark, [(1, "a")]), 0)
+    sink(_df(spark, [(2, "b")]), 1)
+    sink(_df(spark, [(1, "a")]), 0)  # checkpoint-restart replay
+    assert t.current_version() == 2
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+    # a different app's batch 0 is NOT a replay
+    t.foreach_batch(app_id="job2")(_df(spark, [(3, "c")]), 0)
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]
+
+
+def test_streaming_foreach_batch_end_to_end(spark, tmp_path):
+    """Real writeStream -> TxTable.foreach_batch with availableNow; restart
+    from the same checkpoint commits nothing new."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(json.dumps({"id": i, "v": f"r{i}"}) for i in range(5)))
+    t = TxTable(str(tmp_path / "t"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema("id long, v string").json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(t.foreach_batch(app_id="e2e"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run()
+    assert t.read(spark).count() == 5
+    v = t.current_version()
+    run()  # no new source data: no new commit
+    assert t.current_version() == v and t.read(spark).count() == 5
+
+
+def test_vacuum_deletes_only_unreferenced(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]))
+    t.write(_df(spark, [(2, "b")]), mode="overwrite")  # v1 files now dead
+    t.write(_df(spark, [(3, "c")]))  # v3 = v2 files + new
+    deleted = t.vacuum(retain_last=2)
+    assert len(deleted) >= 1  # v1's files gone
+    # retained snapshots fully readable
+    assert sorted(r.id for r in t.read(spark).collect()) == [2, 3]
+    assert sorted(r.id for r in t.read(spark, version=2).collect()) == [2]
+    # time travel past the horizon is gone
+    with pytest.raises(FileNotFoundError):
+        t._manifest(1)
+
+
+def test_sinkwriter_tx_table_fanout(spark, tmp_path):
+    """SinkConfig.tx_table_dir: batch write = atomic overwrite snapshot;
+    streaming foreach_batch = exactly-once append keyed on batch_id."""
+    from apollo_spark.sinks import SinkConfig, SinkWriter
+
+    cfg = SinkConfig(tx_table_dir=str(tmp_path / "tables"))
+    w = SinkWriter(cfg)
+    w.write(_df(spark, [(1, "a")]), "q")
+    w.write(_df(spark, [(2, "b")]), "q")  # re-run replaces, not appends
+    t = TxTable(str(tmp_path / "tables" / "q"))
+    assert [(r.id, r.v) for r in t.read(spark).collect()] == [(2, "b")]
+
+    fb = w.foreach_batch("rt")
+    fb(_df(spark, [(1, "a")]), 0)
+    fb(_df(spark, [(1, "a")]), 0)  # replay dropped
+    fb(_df(spark, [(2, "b")]), 1)
+    rt = TxTable(str(tmp_path / "tables" / "rt"))
+    assert sorted(r.id for r in rt.read(spark).collect()) == [1, 2]
