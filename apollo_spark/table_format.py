@@ -51,6 +51,49 @@ class CommitConflict(RuntimeError):
     """Another writer claimed the target version (after retries)."""
 
 
+def _file_stats(path: Path) -> dict[str, list] | None:
+    """Per-column [min, max] from the parquet footer (row-group statistics
+    aggregated) — the manifest-side scan-pruning index, Iceberg-style. One
+    footer read per NEW file at commit time (never the old files); columns
+    without stats (nested, all-null) are simply absent. Returns None when
+    the footer is unreadable."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(str(path)).metadata
+    except Exception:
+        return None
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name:  # nested leaves: skip (not prunable columns here)
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes) or isinstance(hi, bytes):
+                continue  # undecoded physical bytes: not comparable portably
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return {k: [_json_safe(mins[k]), _json_safe(maxs[k])] for k in mins}
+
+
+def _json_safe(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return v
+
+
 def _schema_key(schema: StructType) -> list[list[str]]:
     """Order-sensitive (name, type) pairs — nullability deliberately ignored
     (it flips freely across writers and engines)."""
@@ -140,6 +183,9 @@ class TxTable:
         new_files = sorted(
             str(p.relative_to(self.root)) for p in txn_dir.glob("*.parquet")
         )
+        new_stats = {
+            f: s for f in new_files if (s := _file_stats(self.root / f)) is not None
+        }
         schema_key = _schema_key(df.schema)
 
         for _ in range(self.MAX_RETRIES):
@@ -152,8 +198,10 @@ class TxTable:
                         f"write has {schema_key}"
                     )
                 files = prev["files"] + new_files
+                stats = {**prev.get("stats", {}), **new_stats}
             else:
                 files = list(new_files)
+                stats = dict(new_stats)
             target = (cur or 0) + 1
             # idempotence re-check under the new version (a concurrent writer
             # may have just committed our batch id)
@@ -163,6 +211,7 @@ class TxTable:
                 "version": target,
                 "mode": mode,
                 "files": files,
+                "stats": stats,
                 "schema": df.schema.json(),
                 "schema_key": schema_key,
                 "txn": txn,
@@ -170,16 +219,73 @@ class TxTable:
                 "txn_batch": txn_batch,
                 "ts": time.time(),
             }
-            tmp = self.commits_dir / f".tmp-{txn}-{target}.json"
-            tmp.write_text(json.dumps(manifest))
-            try:
-                os.link(tmp, self.commits_dir / f"{target}.json")  # atomic CAS
+            if self._try_commit(manifest, target, txn):
                 return target
-            except FileExistsError:
-                continue  # lost the race: re-read the head and retry
-            finally:
-                tmp.unlink(missing_ok=True)
         raise CommitConflict(f"could not commit after {self.MAX_RETRIES} attempts")
+
+    def _try_commit(self, manifest: dict, target: int, txn: str) -> bool:
+        """One CAS attempt: link a temp manifest to the target version name.
+        False = another writer claimed the version first."""
+        tmp = self.commits_dir / f".tmp-{txn}-{target}.json"
+        tmp.write_text(json.dumps(manifest))
+        try:
+            os.link(tmp, self.commits_dir / f"{target}.json")  # atomic CAS
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            tmp.unlink(missing_ok=True)
+
+    def compact(
+        self,
+        spark: SparkSession,
+        num_files: int = 1,
+        sort_by: list[str] | None = None,
+    ) -> int:
+        """Rewrite the current snapshot into ``num_files`` files (the
+        small-files OPTIMIZE: thousands of streaming micro-batch files become
+        a handful of scan-friendly ones), optionally range-clustered on
+        ``sort_by`` — clustered files have disjoint key ranges, so the
+        manifest stats turn point/range reads into single-file opens.
+
+        Logically a no-op: the new version holds identical rows. Concurrency:
+        the commit requires the head to still be the version that was read
+        (compacting over a concurrent append would silently drop it) —
+        a lost race raises CommitConflict and the caller just re-runs;
+        orphaned rewrite files are vacuum()-able.
+        """
+        base = self.current_version()
+        if base is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        df = self.read(spark, version=base)
+        if sort_by:
+            df = df.repartitionByRange(num_files, *sort_by).sortWithinPartitions(*sort_by)
+        else:
+            df = df.coalesce(num_files)
+        txn = uuid.uuid4().hex
+        txn_dir = self.data_dir / f"txn-{txn}"
+        df.write.mode("errorifexists").parquet(str(txn_dir))
+        new_files = sorted(str(p.relative_to(self.root)) for p in txn_dir.glob("*.parquet"))
+        prev = self._manifest(base)
+        manifest = {
+            "version": base + 1,
+            "mode": "compact",
+            "files": new_files,
+            "stats": {
+                f: s for f in new_files if (s := _file_stats(self.root / f)) is not None
+            },
+            "schema": prev["schema"],
+            "schema_key": prev["schema_key"],
+            "txn": txn,
+            "txn_app": None,
+            "txn_batch": None,
+            "ts": time.time(),
+        }
+        if not self._try_commit(manifest, base + 1, txn):
+            raise CommitConflict(
+                f"concurrent commit during compact of v{base}; re-run compact"
+            )
+        return base + 1
 
     def foreach_batch(self, mode: str = "append", app_id: str = "stream"):
         """Streaming sink: ``writeStream.foreachBatch(table.foreach_batch())``.
@@ -193,20 +299,65 @@ class TxTable:
 
     # -- read path -----------------------------------------------------------
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def files_for(
+        self,
+        version: int | None = None,
+        prune: dict[str, tuple] | None = None,
+    ) -> list[str]:
+        """The snapshot's file list, optionally pruned by manifest stats:
+        ``prune`` maps column -> (lo, hi) (either bound None = unbounded);
+        a file is skipped iff its recorded [min, max] cannot intersect the
+        requested range. Files without stats are always kept — pruning is
+        sound (never drops a matching row), the caller still applies the
+        real filter."""
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        m = self._manifest(version)
+        if not prune:
+            return list(m["files"])
+        stats = m.get("stats", {})
+        keep = []
+        for f in m["files"]:
+            s = stats.get(f)
+            skip = False
+            if s:
+                for col, (lo, hi) in prune.items():
+                    cs = s.get(col)
+                    if cs is None:
+                        continue
+                    f_lo, f_hi = cs
+                    if (hi is not None and f_lo is not None and f_lo > hi) or (
+                        lo is not None and f_hi is not None and f_hi < lo
+                    ):
+                        skip = True
+                        break
+            if not skip:
+                keep.append(f)
+        return keep
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        prune: dict[str, tuple] | None = None,
+    ) -> DataFrame:
         """Open a snapshot (default: latest). Reads exactly the committed
-        file list — no directory listing, torn writes invisible."""
+        file list — no directory listing, torn writes invisible. ``prune``
+        applies manifest-stats file skipping (see files_for); the returned
+        frame still contains every row of the surviving files, so apply the
+        actual predicate on top."""
         if version is None:
             version = self.current_version()
         if version is None:
             raise FileNotFoundError(f"no commits at {self.root}")
         m = self._manifest(version)
         schema = StructType.fromJson(json.loads(m["schema"]))
-        if not m["files"]:
+        files = self.files_for(version, prune)
+        if not files:
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(
-            *[str(self.root / f) for f in m["files"]]
-        )
+        return spark.read.schema(schema).parquet(*[str(self.root / f) for f in files])
 
     # -- maintenance ---------------------------------------------------------
 

@@ -158,3 +158,88 @@ def test_sinkwriter_tx_table_fanout(spark, tmp_path):
     fb(_df(spark, [(2, "b")]), 1)
     rt = TxTable(str(tmp_path / "tables" / "rt"))
     assert sorted(r.id for r in rt.read(spark).collect()) == [1, 2]
+
+
+def test_compact_merges_files_preserving_rows_and_history(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    for i in range(5):  # five tiny commits -> >= 5 files
+        t.write(_df(spark, [(i, f"r{i}")]))
+    pre_files = t.files_for()
+    assert len(pre_files) >= 5
+    v = t.compact(spark, num_files=1)
+    assert v == 6 and len(t.files_for()) == 1
+    assert sorted(r.id for r in t.read(spark).collect()) == [0, 1, 2, 3, 4]
+    # pre-compaction snapshot still time-travelable
+    assert sorted(r.id for r in t.read(spark, version=5).collect()) == [0, 1, 2, 3, 4]
+    # appends continue on top of the compacted snapshot
+    t.write(_df(spark, [(99, "z")]))
+    assert sorted(r.id for r in t.read(spark).collect()) == [0, 1, 2, 3, 4, 99]
+
+
+def test_compact_refuses_to_drop_concurrent_append(spark, tmp_path):
+    """A commit landing between compact's snapshot read and its CAS must
+    fail the compaction, not vanish."""
+    from apollo_spark.table_format import CommitConflict as CC
+
+    t = TxTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]))
+
+    real_link = os.link
+    state = {"raced": False}
+
+    def racing_link(src, dst, *a, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            TxTable(str(tmp_path / "t")).write(_df(spark, [(2, "late")]))
+        return real_link(src, dst, *a, **kw)
+
+    os.link = racing_link
+    try:
+        with pytest.raises(CC):
+            t.compact(spark)
+    finally:
+        os.link = real_link
+    # nothing lost: both writes visible, compact re-run succeeds
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+    t.compact(spark)
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+
+
+def test_manifest_stats_prune_files(spark, tmp_path):
+    """Disjoint-range appends -> manifest min/max stats skip files that
+    cannot match; pruned read + real filter == full read + real filter."""
+    t = TxTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(i, f"a{i}") for i in range(0, 10)]).coalesce(1))
+    t.write(_df(spark, [(i, f"b{i}") for i in range(100, 110)]).coalesce(1))
+    t.write(_df(spark, [(i, f"c{i}") for i in range(200, 210)]).coalesce(1))
+    assert len(t.files_for()) == 3
+    pruned = t.files_for(prune={"id": (100, 150)})
+    assert len(pruned) == 1  # only the middle file can match
+    got = (
+        t.read(spark, prune={"id": (100, 150)})
+        .filter("id between 100 and 150")
+        .count()
+    )
+    assert got == 10
+    # unbounded side: id >= 200
+    assert len(t.files_for(prune={"id": (200, None)})) == 1
+    # string stats prune too
+    assert len(t.files_for(prune={"v": ("b", "b~")})) == 1
+
+
+def test_compact_sort_by_clusters_ranges(spark, tmp_path):
+    """Range-clustered compaction yields files with disjoint key ranges, so
+    a point-range prune opens a single file."""
+    import random
+
+    rows = [(i, f"r{i}") for i in range(400)]
+    random.Random(7).shuffle(rows)
+    t = TxTable(str(tmp_path / "t"))
+    for k in range(4):  # interleaved unsorted commits
+        t.write(_df(spark, rows[k * 100 : (k + 1) * 100]))
+    # before clustering: every file overlaps the probe range
+    assert len(t.files_for(prune={"id": (40, 60)})) > 1
+    t.compact(spark, num_files=4, sort_by=["id"])
+    assert len(t.files_for()) == 4
+    assert len(t.files_for(prune={"id": (40, 60)})) <= 2  # disjoint ranges
+    assert t.read(spark).count() == 400
