@@ -262,3 +262,68 @@ def lm_cross_entropy(
             (-F.sum("__t").cast("double") / F.count(F.lit(1)).cast("double")).alias("ce"),
         )
     )
+
+
+def gopher_repetition(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_sep: str = ". ",
+):
+    """The Gopher repetition-filter signals (Rae et al. 2021, arXiv:2112.11446
+    Table A1): per-document duplicate-segment fraction and top-bigram /
+    top-trigram token share — the standard "remove self-repetitive documents"
+    curation rules.
+
+        dup_seg_frac = (n_segments - n_distinct_segments) / n_segments
+        top2_frac    = count(most frequent bigram)  / n_bigrams
+        top3_frac    = count(most frequent trigram) / n_trigrams
+
+    All three are integer-ratio IEEE divisions — engine-exact for the gate.
+    Documents too short for an n-gram level report 0.0 at that level (the
+    Gopher rules pass short docs through; the length rules are separate).
+
+    One token/segment explode per signal with map-side combines; everything
+    shuffles on (id, gram) then id — no self-joins, no Python in the row
+    path. Returns (id, n_segments, dup_seg_frac, top2_frac, top3_frac).
+    """
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from apollo_spark.ops.corpus import word_ngrams
+
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    )
+    segs = base.select(
+        "id", F.explode(F.split("__t", _re.escape(seg_sep), -1)).alias("seg")
+    )
+    seg_stats = segs.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.count_distinct("seg").alias("n_distinct"),
+    )
+
+    def top_share(n: int, out: str):
+        grams = base.select("id", F.explode(word_ngrams(F.col("__t"), n)).alias("g"))
+        counts = grams.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+        return counts.groupBy("id").agg(
+            (F.max("c").cast("double") / F.sum("c").cast("double")).alias(out)
+        )
+
+    return (
+        seg_stats.withColumn(
+            "dup_seg_frac",
+            (F.col("n_segments") - F.col("n_distinct")).cast("double")
+            / F.col("n_segments").cast("double"),
+        )
+        .join(top_share(2, "top2_frac"), "id", "left")
+        .join(top_share(3, "top3_frac"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_segments",
+            "dup_seg_frac",
+            F.coalesce("top2_frac", F.lit(0.0)).alias("top2_frac"),
+            F.coalesce("top3_frac", F.lit(0.0)).alias("top3_frac"),
+        )
+    )

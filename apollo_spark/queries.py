@@ -2563,6 +2563,119 @@ ORDER BY doc_id
 """
 
 
+def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-filter signals (Rae et al. 2021 Table A1): per-doc
+    duplicate-segment fraction + top-bigram/trigram token shares. Integer-
+    ratio divisions only — engine-exact."""
+    from apollo_spark.ops.text import gopher_repetition
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_repetition(d).orderBy("doc_id")
+
+
+ORACLE_GOPHER_REP = r"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
+segs AS (SELECT doc_id, unnest(string_split(text, '. ')) AS seg FROM base),
+seg_stats AS (
+  SELECT doc_id, COUNT(*) AS n_segments, COUNT(DISTINCT seg) AS n_distinct
+  FROM segs GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM base
+),
+pos2 AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+  FROM toks WHERE len(t) >= 2
+),
+c2 AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g, COUNT(*) AS c
+  FROM pos2 GROUP BY 1, 2
+),
+t2 AS (
+  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top2_frac
+  FROM c2 GROUP BY doc_id
+),
+pos3 AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+),
+c3 AS (
+  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g, COUNT(*) AS c
+  FROM pos3 GROUP BY 1, 2
+),
+t3 AS (
+  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top3_frac
+  FROM c3 GROUP BY doc_id
+)
+SELECT doc_id, n_segments,
+       CAST(n_segments - n_distinct AS DOUBLE) / CAST(n_segments AS DOUBLE) AS dup_seg_frac,
+       COALESCE(top2_frac, 0.0) AS top2_frac,
+       COALESCE(top3_frac, 0.0) AS top3_frac
+FROM seg_stats LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet head/middle/tail partition: documents terciled by unigram-LM
+    cross-entropy against the doc_id%7==0 reference slice. The global NTILE
+    runs over the per-doc SCORE table (already reduced — not the corpus); at
+    lake scale you'd swap it for approx-quantile cutoffs. Fully deterministic
+    order (ce, doc_id) keeps both engines' tile assignment identical."""
+    from apollo_spark.ops.text import lm_cross_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    scored = lm_cross_entropy(d, d.filter(F.col("doc_id") % 7 == 0))
+    w = Window.orderBy("ce", "doc_id")
+    lab = (
+        F.when(F.col("nt") == 1, "head").when(F.col("nt") == 2, "middle").otherwise("tail")
+    )
+    return (
+        scored.withColumn("nt", F.ntile(3).over(w))
+        .withColumn("bucket", lab)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("ce").alias("min_ce"),
+            F.max("ce").alias("max_ce"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_CCNET_BUCKETS = r"""
+WITH ref AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE doc_id % 7 = 0 AND length(trim(text)) > 0
+),
+counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM ref GROUP BY term),
+scal AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t_ref, CAST(COUNT(*) AS BIGINT) AS v_ref
+  FROM counts
+),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+scored AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tokens,
+         -CAST(SUM(CAST(ln((COALESCE(c, 0) + 1) / (t_ref + v_ref + 1)) AS DECIMAL(38,6))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS ce
+  FROM toks LEFT JOIN counts USING (term) CROSS JOIN scal
+  GROUP BY doc_id
+),
+b AS (SELECT *, NTILE(3) OVER (ORDER BY ce, doc_id) AS nt FROM scored)
+SELECT CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(ce) AS min_ce,
+       MAX(ce) AS max_ce
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2646,6 +2759,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "item_transition_pagerank": item_transition_pagerank,
     "substring_span_dedup": substring_span_dedup,
     "doc_lm_quality": doc_lm_quality,
+    "doc_gopher_repetition": doc_gopher_repetition,
+    "ccnet_quality_buckets": ccnet_quality_buckets,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -2724,6 +2839,8 @@ ORACLES: dict[str, str] = {
     "item_transition_pagerank": ORACLE_PAGERANK,
     "substring_span_dedup": ORACLE_SPAN_DEDUP,
     "doc_lm_quality": ORACLE_LM_QUALITY,
+    "doc_gopher_repetition": ORACLE_GOPHER_REP,
+    "ccnet_quality_buckets": ORACLE_CCNET_BUCKETS,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

@@ -758,3 +758,23 @@ def test_lm_cross_entropy_separates_domains(spark):
     t_ref, v_ref = 12, 7  # 12 ref tokens, 7 distinct
     floor_ce = -math.log(1.0 / (t_ref + v_ref + 1))
     assert abs(out.loc[2, "ce"] - floor_ce) < 1e-5
+
+
+def test_gopher_repetition_flags_repetitive_doc(spark):
+    from apollo_spark.ops.text import gopher_repetition
+
+    rows = [
+        (1, "spam spam spam spam spam spam"),                      # one bigram dominates
+        (2, "every token here is completely distinct wording"),
+        (3, "buy now. buy now. buy now. limited offer"),           # duplicate segments
+        (4, "x"),                                                  # too short for 2/3-grams
+    ]
+    out = (
+        gopher_repetition(spark.createDataFrame(rows, "doc_id long, text string"))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "top2_frac"] == 1.0 and out.loc[1, "top3_frac"] == 1.0
+    assert out.loc[2, "top2_frac"] < 0.5 and out.loc[2, "dup_seg_frac"] == 0.0
+    assert out.loc[3, "dup_seg_frac"] == 0.5  # 4 segments, 2 are repeats
+    assert out.loc[4, "top2_frac"] == 0.0 and out.loc[4, "top3_frac"] == 0.0
