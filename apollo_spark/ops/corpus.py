@@ -218,3 +218,75 @@ def dsir_importance(
         .join(per_doc, "__id", "left")
         .select(F.col("__id").alias(id_col), F.coalesce("logw", F.lit(0.0)).alias("logw"))
     )
+
+
+def unimax_weights(
+    lang_tokens: DataFrame,
+    budget_tokens: int | Column,
+    max_epochs: int = 4,
+    lang_col: str = "lang",
+    tokens_col: str = "lang_tokens",
+) -> DataFrame:
+    """UniMax language-mixture allocation (Chung et al. 2023): spread a token
+    budget across languages as uniformly as possible, capping each language
+    at ``max_epochs`` passes over its data.
+
+    Waterfilling closed form: sort languages by cap u_i = c_i * E ascending;
+    a language is *capped* (gets all of u_i) while
+    ``u_i * (n - i + 1) + prefix_{i-1} <= B`` — with ascending u this flag is
+    a prefix, so the water level is ``tau = (B - prefix_k) / (n - k)`` for k =
+    last capped index, and every uncapped language gets exactly tau.
+
+    Scale posture: the frame has one row per LANGUAGE (hundreds at most), so
+    the single-partition global window is the right plan — the heavy part is
+    the upstream per-language token count, one map-side-combined groupBy. The
+    condition arithmetic is all BIGINT-exact; tau and the weights are single
+    IEEE divisions of exact integers, deterministic across engines (no
+    order-dependent float summation anywhere).
+
+    Output per language: cap_tokens, is_capped, alloc_tokens, weight (share
+    of the realized budget), epochs_used.
+    """
+    w_ord = Window.orderBy("__u", lang_col)
+    w_all = Window.partitionBy()
+    n = F.count(F.lit(1)).over(w_all)
+    prefix = F.sum("__u").over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    b = F.lit(budget_tokens) if isinstance(budget_tokens, int) else budget_tokens
+    base = (
+        lang_tokens.select(
+            F.col(lang_col),
+            F.col(tokens_col).cast("long").alias("__c"),
+            (F.col(tokens_col).cast("long") * F.lit(max_epochs)).alias("__u"),
+            b.cast("long").alias("__b"),
+        )
+        .withColumn("__i", F.row_number().over(w_ord))
+        .withColumn("__n", n)
+        .withColumn("__prefix", prefix)
+        .withColumn(
+            "__capped",
+            (F.col("__u") * (F.col("__n") - F.col("__i") + 1) + F.col("__prefix") - F.col("__u"))
+            <= F.col("__b"),
+        )
+    )
+    k = F.sum(F.when(F.col("__capped"), 1).otherwise(0)).over(w_all)
+    prefix_k = F.coalesce(
+        F.max(F.when(F.col("__capped"), F.col("__prefix"))).over(w_all), F.lit(0)
+    )
+    base = base.withColumn("__k", k).withColumn("__pk", prefix_k)
+    tau = F.when(
+        F.col("__n") > F.col("__k"),
+        (F.col("__b") - F.col("__pk")).cast("double")
+        / (F.col("__n") - F.col("__k")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    base = base.withColumn("__tau", tau)
+    alloc = F.when(F.col("__capped"), F.col("__u").cast("double")).otherwise(F.col("__tau"))
+    total = F.col("__pk").cast("double") + F.col("__tau") * (F.col("__n") - F.col("__k")).cast("double")
+    return base.select(
+        F.col(lang_col),
+        F.col("__c").alias("lang_tokens"),
+        F.col("__u").alias("cap_tokens"),
+        F.col("__capped").cast("int").alias("is_capped"),
+        alloc.alias("alloc_tokens"),
+        (alloc / total).alias("weight"),
+        (alloc / F.col("__c").cast("double")).alias("epochs_used"),
+    )

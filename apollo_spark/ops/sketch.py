@@ -1,0 +1,249 @@
+"""Mergeable approximate sketches: HyperLogLog distinct counting and
+count–min-sketch frequency estimation / heavy hitters.
+
+The reference delegates all analytics to Postgres (SURVEY.md §0) and ships no
+sketches; large-scale OLAP engines (Druid, Trino/Presto, BigQuery) treat
+HLL/CMS as first-class because exact ``COUNT(DISTINCT ...)`` over 100 TB
+forces a full shuffle of every key.  A sketch is a tiny, *mergeable* summary:
+per-partition partial sketches combine associatively, so the only wide
+exchange moves O(registers) bytes per group instead of O(distinct keys).
+
+Engine-portable determinism: every hash here is the repo's standard
+md5-prefix hash (first 15 hex chars -> 60-bit integer), which DuckDB can
+reproduce exactly (``('0x' || substr(md5(x),1,15))::BIGINT``) — so the
+*register states and scaled harmonic sums* are integers the correctness gate
+can hash-match.  Only the final cardinality estimate involves floating point;
+it is pinned by pytest against exact counts (error bound ~1.04/sqrt(m)), not
+by the SQL oracle.
+
+All column expressions are JVM-side built-ins — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_BITS = 60  # 15 md5 hex chars; fits signed 64-bit in both engines
+
+
+def portable_hash60(col: Column, salt: str = "") -> Column:
+    """60-bit non-negative integer hash reproducible in DuckDB SQL."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 15), 16, 10).cast("long")
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog
+# --------------------------------------------------------------------------
+
+
+def hll_alpha(m: int) -> float:
+    """Standard HLL bias-correction constant (Flajolet et al. 2007)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str | Column,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-group HLL register state: (group..., reg_idx, reg) with
+    ``reg = max(rho)`` over values hashing into that register.
+
+    The top ``p`` hash bits pick the register, the remaining ``60-p`` bits
+    feed rho (1-based position of the first 1-bit; all-zeros -> 60-p+1).
+    Registers are the *mergeable* representation: a max-combine of two
+    register sets is the sketch of the union — at 100 TB each executor emits
+    <= 2^p rows per group, and that is all the shuffle carries.
+    """
+    group_cols = list(group_cols or [])
+    rbits = HASH_BITS - p
+    h = portable_hash60(F.col(value_col) if isinstance(value_col, str) else value_col, salt)
+    idx = F.shiftright(h, rbits)  # top p bits (integer shift — double division would lose precision past 2^53)
+    w = h % F.lit(1 << rbits)
+    # bit_length(w) via base-2 conv; conv("0") == "0" so guard w == 0
+    rho = F.when(w == 0, F.lit(rbits + 1)).otherwise(
+        F.lit(rbits + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return (
+        df.select(*group_cols, idx.alias("reg_idx"), rho.alias("rho"))
+        .groupBy(*group_cols, "reg_idx")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_merge(registers_a: DataFrame, registers_b: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Union two register sets (same p/salt): per-register max."""
+    group_cols = list(group_cols or [])
+    return (
+        registers_a.unionByName(registers_b)
+        .groupBy(*group_cols, "reg_idx")
+        .agg(F.max("reg").alias("reg"))
+    )
+
+
+def hll_summary(registers: DataFrame, group_cols: list[str] | None = None, p: int = 10) -> DataFrame:
+    """Exact-integer gate view of a register set, per group:
+
+    * ``n_registers``  — registers with at least one hit,
+    * ``zero_registers`` — m - n_registers,
+    * ``harmonic_scaled`` — sum(2^-reg) over ALL m registers, scaled by
+      2^(rbits+1) so it is an exact BIGINT (empty registers contribute 2^0);
+      max value m * 2^(rbits+1) = 2^61 < 2^63,
+    * ``register_digest`` — md5 over the sorted "idx:reg" pairs.
+
+    Everything here is integer/string-exact -> hash-matchable by the DuckDB
+    oracle; the float estimate lives in :func:`hll_estimate`.
+    """
+    group_cols = list(group_cols or [])
+    m = 1 << p
+    rbits = HASH_BITS - p
+    k = rbits + 1  # scale exponent: reg in [1, rbits+1] -> 2^(k-reg) integer >= 1
+    return registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        (F.lit(m) - F.count(F.lit(1))).alias("zero_registers"),
+        (
+            (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << k)
+            # SQL-expr shift: the Python shiftleft() helper only takes a
+            # literal int shift amount, not a per-row column
+            + F.expr(f"sum(shiftleft(cast(1 as bigint), cast({k} as int) - cast(reg as int)))")
+        ).alias("harmonic_scaled"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.sort_array(F.collect_list(F.concat_ws(":", F.col("reg_idx"), F.col("reg")))),
+            )
+        ).alias("register_digest"),
+    )
+
+
+def hll_estimate(summary: DataFrame, p: int = 10) -> DataFrame:
+    """Cardinality estimate from the exact summary (adds ``estimate`` DOUBLE).
+
+    E = alpha_m * m^2 / Z with Z = harmonic_scaled / 2^(rbits+1); linear
+    counting (m * ln(m/zeros)) below the 2.5m small-range threshold."""
+    m = 1 << p
+    k = HASH_BITS - p + 1
+    raw = F.lit(hll_alpha(m) * m * m * float(1 << k)) / F.col("harmonic_scaled").cast("double")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zero_registers").cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (F.col("zero_registers") > 0), linear).otherwise(raw)
+    return summary.withColumn("estimate", est)
+
+
+def hll_count_distinct(
+    df: DataFrame,
+    value_col: str | Column,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+    salt: str = "hll",
+) -> DataFrame:
+    """One-call convenience: registers -> summary -> estimate."""
+    regs = hll_registers(df, value_col, group_cols, p=p, salt=salt)
+    return hll_estimate(hll_summary(regs, group_cols, p=p), p=p)
+
+
+# --------------------------------------------------------------------------
+# Count–min sketch
+# --------------------------------------------------------------------------
+
+
+def cms_counts(
+    df: DataFrame,
+    item_col: str | Column,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+    weight_col: str | Column | None = None,
+) -> DataFrame:
+    """Count–min sketch of item frequencies: rows (r, bucket, cnt) for
+    ``depth`` independent hash rows of ``width`` buckets.
+
+    The sketch is depth x width integers regardless of corpus size — the
+    groupBy shuffles at most depth*width rows per partition (map-side partial
+    aggregation), so the wide exchange is O(sketch), not O(items). Counts are
+    exact integers -> fully oracle-able.
+    """
+    item = F.col(item_col) if isinstance(item_col, str) else item_col
+    wcol = (
+        F.lit(1)
+        if weight_col is None
+        else (F.col(weight_col) if isinstance(weight_col, str) else weight_col)
+    )
+    rows = df.select(
+        item.alias("__item"),
+        wcol.cast("long").alias("__w"),
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+    )
+    bucket = portable_hash60(
+        F.concat(F.col("r").cast("string"), F.lit("|"), F.col("__item")), salt
+    ) % F.lit(width)
+    return (
+        rows.withColumn("bucket", bucket)
+        .groupBy("r", "bucket")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counts: DataFrame,
+    candidates: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query the sketch for each candidate item: est = min over the
+    depth rows of the bucket count (classic CMS upper bound: est >= truth,
+    overestimate <= eps*N with prob 1-delta). The join is on (r, bucket) —
+    at most depth rows per candidate against a depth*width table, so the
+    sketch side always broadcasts."""
+    cand = candidates.select(
+        F.col(item_col),
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+    )
+    bucket = portable_hash60(
+        F.concat(F.col("r").cast("string"), F.lit("|"), F.col(item_col)), salt
+    ) % F.lit(width)
+    cand = cand.withColumn("bucket", bucket)
+    joined = cand.join(F.broadcast(counts), ["r", "bucket"], "left").fillna({"cnt": 0})
+    return joined.groupBy(item_col).agg(F.min("cnt").alias("cms_count"))
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    min_count: int,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Items whose CMS estimate >= min_count (superset of the true heavy
+    hitters; no false negatives). Candidate set = distinct items — at 100 TB
+    feed a pre-filtered candidate stream (e.g. per-partition local top-k)
+    instead of the full distinct."""
+    counts = cms_counts(df, item_col, depth=depth, width=width, salt=salt)
+    cands = df.select(item_col).distinct()
+    est = cms_estimate(counts, cands, item_col, depth=depth, width=width, salt=salt)
+    return est.filter(F.col("cms_count") >= F.lit(min_count))
+
+
+__all__ = [
+    "portable_hash60",
+    "hll_alpha",
+    "hll_registers",
+    "hll_merge",
+    "hll_summary",
+    "hll_estimate",
+    "hll_count_distinct",
+    "cms_counts",
+    "cms_estimate",
+    "cms_heavy_hitters",
+]

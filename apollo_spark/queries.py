@@ -2677,6 +2677,257 @@ FROM b GROUP BY bucket ORDER BY bucket
 
 
 # --------------------------------------------------------------------------
+# sketch tier: HyperLogLog distinct counting + count-min heavy hitters
+# --------------------------------------------------------------------------
+
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HyperLogLog user cardinality — the mergeable-sketch
+    answer to COUNT(DISTINCT) at 100 TB (shuffle carries <= 2^p register rows
+    per group instead of every distinct key). Gate view is the exact-integer
+    register state (register digest + scaled harmonic sum); the float
+    estimate is pinned by pytest against exact counts.
+
+    Reference ships no sketches (analytics delegated to Postgres,
+    /root/reference/ROADMAP.md:77); this is Druid/Trino-style OLAP surface."""
+    from apollo_spark.ops.sketch import hll_registers, hll_summary
+
+    e = _t(spark, sf_dir, "events")
+    regs = hll_registers(e, F.col("user_id").cast("string"), ["event_type"], p=10)
+    return hll_summary(regs, ["event_type"], p=10).orderBy("event_type")
+
+
+ORACLE_HLL_USERS = r"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5('hll' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+),
+rr AS (
+  SELECT event_type, hv >> 50 AS reg_idx,
+         CASE WHEN hv % 1125899906842624 = 0 THEN 51
+              ELSE 51 - length(format('{:b}', hv % 1125899906842624)) END AS rho
+  FROM h
+),
+regs AS (SELECT event_type, reg_idx, MAX(rho) AS reg FROM rr GROUP BY 1, 2)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_registers,
+       CAST(1024 - COUNT(*) AS BIGINT) AS zero_registers,
+       CAST((1024 - COUNT(*)) * 2251799813685248
+            + SUM((CAST(1 AS BIGINT)) << (51 - reg)) AS BIGINT) AS harmonic_scaled,
+       md5(string_agg(CAST(reg_idx AS VARCHAR) || ':' || CAST(reg AS VARCHAR), ','
+                      ORDER BY CAST(reg_idx AS VARCHAR) || ':' || CAST(reg AS VARCHAR))) AS register_digest
+FROM regs
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–min-sketch heavy hitters over document tokens: tokens whose CMS
+    estimate is >= 0.5% of the corpus (no false negatives; estimates are
+    exact integers -> fully oracle-able). The sketch is depth x width = 4096
+    cells no matter the corpus size; at 100 TB the candidate probe side
+    would be per-partition local top-k instead of full distinct."""
+    from apollo_spark.ops.sketch import cms_counts, cms_estimate
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = d.select(
+        F.explode(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")).alias("token")
+    )
+    counts = cms_counts(toks, "token", depth=4, width=1024)
+    est = cms_estimate(counts, toks.distinct(), "token", depth=4, width=1024)
+    truth = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
+    total = toks.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        est.join(truth, "token")
+        .crossJoin(total)
+        .filter(F.col("cms_count") * 200 >= F.col("__n"))
+        .select("token", "cms_count", "true_count")
+        .orderBy("token")
+    )
+
+
+ORACLE_CMS_TOKENS = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+),
+salts AS (SELECT unnest([0, 1, 2, 3]) AS r),
+buckets AS (
+  SELECT r,
+         ('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '|' || token), 1, 15))::BIGINT % 1024 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks, salts
+  GROUP BY 1, 2
+),
+cand AS (SELECT DISTINCT token FROM toks),
+est AS (
+  SELECT c.token, MIN(COALESCE(b.cnt, 0)) AS cms_count
+  FROM cand c
+  CROSS JOIN salts s
+  LEFT JOIN buckets b
+    ON b.r = s.r
+   AND b.bucket = ('0x' || substr(md5('cms' || CAST(s.r AS VARCHAR) || '|' || c.token), 1, 15))::BIGINT % 1024
+  GROUP BY c.token
+),
+truth AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count FROM toks GROUP BY token),
+tot AS (SELECT COUNT(*) AS n FROM toks)
+SELECT e.token, CAST(e.cms_count AS BIGINT) AS cms_count, t.true_count
+FROM est e
+JOIN truth t USING (token), tot
+WHERE e.cms_count * 200 >= tot.n
+ORDER BY e.token
+"""
+
+
+# --------------------------------------------------------------------------
+# training-mixture tier: UniMax language allocation
+# --------------------------------------------------------------------------
+
+
+def unimax_language_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture weights (Chung et al. 2023) over the documents corpus:
+    waterfill half the corpus token budget across languages, capping each at
+    4 epochs. Integer waterfill conditions + single-division floats keep
+    both engines bit-identical (see ops/corpus.py::unimax_weights)."""
+    from apollo_spark.ops.corpus import unimax_weights, whitespace_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    lt = d.groupBy("lang").agg(
+        F.sum(F.size(whitespace_tokens(F.col("text")))).cast("long").alias("lang_tokens")
+    )
+    lt = lt.crossJoin(lt.agg(F.expr("sum(lang_tokens) div 2").alias("__budget")))
+    return unimax_weights(lt, F.col("__budget"), max_epochs=4).orderBy("lang")
+
+
+ORACLE_UNIMAX = r"""
+WITH lt AS (
+  SELECT lang,
+         CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS lang_tokens
+  FROM documents
+  GROUP BY lang
+),
+b AS (SELECT CAST(SUM(lang_tokens) // 2 AS BIGINT) AS budget FROM lt),
+ranked AS (
+  SELECT lang, lang_tokens, lang_tokens * 4 AS cap,
+         ROW_NUMBER() OVER (ORDER BY lang_tokens * 4, lang) AS i,
+         COUNT(*) OVER () AS n,
+         SUM(lang_tokens * 4) OVER (ORDER BY lang_tokens * 4, lang
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+         budget
+  FROM lt, b
+),
+flagged AS (
+  SELECT *, (cap * (n - i + 1) + prefix - cap) <= budget AS capped FROM ranked
+),
+agg AS (
+  SELECT *,
+         SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
+         COALESCE(MAX(CASE WHEN capped THEN prefix END) OVER (), 0) AS pk
+  FROM flagged
+),
+lvl AS (
+  SELECT *,
+         CASE WHEN n > k THEN CAST(budget - pk AS DOUBLE) / CAST(n - k AS DOUBLE)
+              ELSE 0.0 END AS tau
+  FROM agg
+)
+SELECT lang,
+       lang_tokens,
+       cap AS cap_tokens,
+       CAST(capped AS INT) AS is_capped,
+       CASE WHEN capped THEN CAST(cap AS DOUBLE) ELSE tau END AS alloc_tokens,
+       (CASE WHEN capped THEN CAST(cap AS DOUBLE) ELSE tau END)
+         / (CAST(pk AS DOUBLE) + tau * CAST(n - k AS DOUBLE)) AS weight,
+       (CASE WHEN capped THEN CAST(cap AS DOUBLE) ELSE tau END)
+         / CAST(lang_tokens AS DOUBLE) AS epochs_used
+FROM lvl
+ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# more TPC-H shapes: q9 (profit by nation/year), q16 (supplier counts)
+# --------------------------------------------------------------------------
+
+
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp table in the driver set -> supply cost
+    modeled as 60% of p_retailprice): per-nation per-year profit on 'red'
+    parts. Dims (part-filtered, supplier, nation) broadcast; the one wide
+    exchange is lineitem x orders on l_orderkey, then a map-side-combined
+    group-agg over (nation, year)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red")).select(
+        "p_partkey", "p_retailprice"
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(dsum(profit).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+ORACLE_PROFIT_NATION_YEAR = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity
+                     AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def supplier_count_by_part_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp emulated by observed lineitem supplier-part
+    pairs): distinct supplier count per (brand, type, size-bucket) excluding
+    one brand and negative-balance suppliers. distinct(suppkey) per group is
+    the shuffle; the excluded-supplier side is a broadcast anti-join."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "BRAND#1")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", (F.col("p_size") % 5).alias("size_bucket"))
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "size_bucket")
+    )
+
+
+ORACLE_SUPPLIER_COUNT = """
+SELECT p_brand, p_type, p_size % 5 AS size_bucket,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'BRAND#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size % 5
+ORDER BY supplier_cnt DESC, p_brand, p_type, size_bucket
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2761,6 +3012,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lm_quality": doc_lm_quality,
     "doc_gopher_repetition": doc_gopher_repetition,
     "ccnet_quality_buckets": ccnet_quality_buckets,
+    "hll_distinct_users": hll_distinct_users,
+    "cms_heavy_tokens": cms_heavy_tokens,
+    "unimax_language_weights": unimax_language_weights,
+    "profit_by_nation_year": profit_by_nation_year,
+    "supplier_count_by_part_type": supplier_count_by_part_type,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -2841,6 +3097,11 @@ ORACLES: dict[str, str] = {
     "doc_lm_quality": ORACLE_LM_QUALITY,
     "doc_gopher_repetition": ORACLE_GOPHER_REP,
     "ccnet_quality_buckets": ORACLE_CCNET_BUCKETS,
+    "hll_distinct_users": ORACLE_HLL_USERS,
+    "cms_heavy_tokens": ORACLE_CMS_TOKENS,
+    "unimax_language_weights": ORACLE_UNIMAX,
+    "profit_by_nation_year": ORACLE_PROFIT_NATION_YEAR,
+    "supplier_count_by_part_type": ORACLE_SUPPLIER_COUNT,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

@@ -778,3 +778,101 @@ def test_gopher_repetition_flags_repetitive_doc(spark):
     assert out.loc[2, "top2_frac"] < 0.5 and out.loc[2, "dup_seg_frac"] == 0.0
     assert out.loc[3, "dup_seg_frac"] == 0.5  # 4 segments, 2 are repeats
     assert out.loc[4, "top2_frac"] == 0.0 and out.loc[4, "top3_frac"] == 0.0
+
+
+# ------------------------------------------------------------- sketches
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """HLL(p=10) standard error is 1.04/sqrt(1024) ~ 3.3%; assert the
+    estimate lands within 4 sigma of the exact distinct count."""
+    from apollo_spark.ops.sketch import hll_count_distinct
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    est = {
+        r["event_type"]: r["estimate"]
+        for r in hll_count_distinct(e, F.col("user_id").cast("string"), ["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n < 4 * 1.04 / 32.0, (k, est[k], n)
+
+
+def test_hll_merge_equals_whole(spark):
+    """Mergeability: sketch(A) max-merged with sketch(B) == sketch(A ∪ B) —
+    the property that makes partial sketches shuffle-cheap at 100 TB."""
+    from apollo_spark.ops.sketch import hll_merge, hll_registers, hll_summary
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    val = F.col("user_id").cast("string")
+    whole = hll_summary(hll_registers(e, val, ["event_type"]), ["event_type"]).collect()
+    a = hll_registers(e.filter(F.col("event_id") % 2 == 0), val, ["event_type"])
+    b = hll_registers(e.filter(F.col("event_id") % 2 == 1), val, ["event_type"])
+    merged = hll_summary(hll_merge(a, b, ["event_type"]), ["event_type"]).collect()
+    key = lambda rows: {r["event_type"]: (r["harmonic_scaled"], r["register_digest"]) for r in rows}
+    assert key(whole) == key(merged)
+
+
+def test_cms_never_underestimates(spark, docs):
+    """CMS guarantee: estimate >= true count for every item, and the
+    overestimate is bounded by e/width * total (with margin)."""
+    from apollo_spark.ops.sketch import cms_counts, cms_estimate
+
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        F.explode(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")).alias("t")
+    )
+    total = toks.count()
+    counts = cms_counts(toks, "t", depth=4, width=1024)
+    est = cms_estimate(counts, toks.distinct(), "t", depth=4, width=1024)
+    truth = toks.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    rows = est.join(truth, "t").collect()
+    assert rows
+    for r in rows:
+        assert r["cms_count"] >= r["n"], r
+        assert r["cms_count"] - r["n"] <= 3 * total / 1024, r
+
+
+def test_unimax_waterfill_invariants(spark, docs):
+    """Budget-binding case: capped languages get exactly cap_tokens, uncapped
+    ones share one common water level tau <= every uncapped cap, and the
+    realized allocation sums to the budget."""
+    from apollo_spark.ops.corpus import unimax_weights, whitespace_tokens
+
+    lt = docs.groupBy("lang").agg(
+        F.sum(F.size(whitespace_tokens(F.col("text")))).cast("long").alias("lang_tokens")
+    )
+    rows = lt.collect()
+    total = sum(r["lang_tokens"] for r in rows)
+    budget = total // 2
+    out = unimax_weights(lt, budget, max_epochs=4).collect()
+    assert len(out) == len(rows)
+    alloc_sum = sum(r["alloc_tokens"] for r in out)
+    assert abs(alloc_sum - budget) < 1e-6 * budget
+    taus = {r["alloc_tokens"] for r in out if not r["is_capped"]}
+    assert len(taus) <= 1  # single water level
+    for r in out:
+        if r["is_capped"]:
+            assert r["alloc_tokens"] == float(r["cap_tokens"])
+        else:
+            assert r["alloc_tokens"] <= r["cap_tokens"] + 1e-9
+            assert abs(r["epochs_used"] - r["alloc_tokens"] / r["lang_tokens"]) < 1e-12
+        assert abs(r["weight"] - r["alloc_tokens"] / alloc_sum) < 1e-12
+
+
+def test_unimax_all_capped_when_budget_exceeds_caps(spark, docs):
+    """Non-binding budget: every language is capped at max_epochs and the
+    leftover budget is simply unspent (UniMax semantics)."""
+    from apollo_spark.ops.corpus import unimax_weights, whitespace_tokens
+
+    lt = docs.groupBy("lang").agg(
+        F.sum(F.size(whitespace_tokens(F.col("text")))).cast("long").alias("lang_tokens")
+    )
+    total = sum(r["lang_tokens"] for r in lt.collect())
+    out = unimax_weights(lt, total * 100, max_epochs=4).collect()
+    assert all(r["is_capped"] == 1 for r in out)
+    assert all(r["alloc_tokens"] == float(r["cap_tokens"]) for r in out)
+    assert all(abs(r["epochs_used"] - 4.0) < 1e-12 for r in out)
