@@ -2928,6 +2928,210 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, size_bucket
 
 
 # --------------------------------------------------------------------------
+# product-analytics tier: funnel + retention cohorts; corpus collocations
+# --------------------------------------------------------------------------
+
+
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase with a 7-day step window:
+    per-user first view, first click after it, first purchase after that.
+    Each stage is one map-side-combined groupBy(user) min; stage tables
+    shrink monotonically and broadcast into the next stage's filter — no
+    wide join anywhere. Integer-second arithmetic end to end; the three
+    conversion rates are single IEEE divisions (engine-deterministic)."""
+    e = _events(spark, sf_dir).select("user_id", "event_type", _ts_seconds().alias("ts_s"))
+    step = 7 * 86400
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts_s").alias("t1"))
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter((F.col("ts_s") > F.col("t1")) & (F.col("ts_s") <= F.col("t1") + step))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter((F.col("ts_s") > F.col("t2")) & (F.col("ts_s") <= F.col("t2") + step))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t3"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("view_users"))
+    nc = c.agg(F.count(F.lit(1)).alias("click_users"))
+    np_ = p.agg(F.count(F.lit(1)).alias("purchase_users"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "view_users",
+            "click_users",
+            "purchase_users",
+            (F.col("click_users").cast("double") / F.col("view_users").cast("double")).alias(
+                "view_to_click"
+            ),
+            (F.col("purchase_users").cast("double") / F.col("click_users").cast("double")).alias(
+                "click_to_purchase"
+            ),
+            (F.col("purchase_users").cast("double") / F.col("view_users").cast("double")).alias(
+                "overall_conversion"
+            ),
+        )
+    )
+
+
+ORACLE_FUNNEL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS ts_s FROM events
+),
+v AS (SELECT user_id, MIN(ts_s) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts_s) AS t2
+  FROM e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts_s > v.t1 AND e.ts_s <= v.t1 + 604800
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts_s) AS t3
+  FROM e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts_s > c.t2 AND e.ts_s <= c.t2 + 604800
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS view_users,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS click_users,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS purchase_users,
+       CAST((SELECT COUNT(*) FROM c) AS DOUBLE) / CAST((SELECT COUNT(*) FROM v) AS DOUBLE) AS view_to_click,
+       CAST((SELECT COUNT(*) FROM p) AS DOUBLE) / CAST((SELECT COUNT(*) FROM c) AS DOUBLE) AS click_to_purchase,
+       CAST((SELECT COUNT(*) FROM p) AS DOUBLE) / CAST((SELECT COUNT(*) FROM v) AS DOUBLE) AS overall_conversion
+"""
+
+
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users cohorted by first-active week (epoch
+    week index — integer div, no calendar ambiguity), then distinct-active
+    counts per (cohort, offset). Two shuffles: groupBy(user) for cohorts and
+    groupBy(cohort, offset) over user-distinct activity; cohort sizes
+    broadcast back for the rate."""
+    e = _events(spark, sf_dir).select(
+        "user_id", F.expr("ts div 1000000000 div 604800").alias("wk")
+    )
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = first.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("cohort_users"))
+    act = (
+        e.distinct()
+        .join(first, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+    return (
+        act.join(F.broadcast(sizes), "cohort_wk")
+        .select(
+            "cohort_wk",
+            "week_offset",
+            "active_users",
+            "cohort_users",
+            (F.col("active_users").cast("double") / F.col("cohort_users").cast("double")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_wk", "week_offset")
+    )
+
+
+ORACLE_RETENTION = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000000000 // 604800 AS wk FROM events
+),
+first AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id),
+sizes AS (SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_users FROM first GROUP BY cohort_wk),
+act AS (
+  SELECT f.cohort_wk, d.wk - f.cohort_wk AS week_offset,
+         CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS active_users
+  FROM (SELECT DISTINCT user_id, wk FROM e) d
+  JOIN first f ON d.user_id = f.user_id
+  GROUP BY f.cohort_wk, d.wk - f.cohort_wk
+)
+SELECT a.cohort_wk, a.week_offset, a.active_users, s.cohort_users,
+       CAST(a.active_users AS DOUBLE) / CAST(s.cohort_users AS DOUBLE) AS retention
+FROM act a JOIN sizes s USING (cohort_wk)
+ORDER BY cohort_wk, week_offset
+"""
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by pointwise mutual information: PMI =
+    ln(p(ab) / (p(a) p(b))) over adjacent-token bigrams, min count 5, top 20.
+    Counts are exact integer groupBys (map-side combined); the PMI ratio is
+    one fixed-order float expression + ln + round(6) — the same
+    cross-engine-stable recipe the idf/BM25 queries pin. Unigram totals ride
+    along as 1-row crossJoins (declarative scalars, no driver collect)."""
+    from apollo_spark.ops.corpus import word_ngrams
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = d.select(
+        F.explode(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")).alias("tok")
+    )
+    bi = d.select(F.explode(word_ngrams(F.col("text"), 2)).alias("bigram"))
+    uni_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    bi_counts = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_ab")).filter(F.col("n_ab") >= 5)
+    n_uni = toks.agg(F.count(F.lit(1)).alias("nu"))
+    n_bi = bi.agg(F.count(F.lit(1)).alias("nb"))
+    parts = F.split(F.col("bigram"), " ")
+    a = bi_counts.withColumn("w1", parts.getItem(0)).withColumn("w2", parts.getItem(1))
+    ua = uni_counts.select(F.col("tok").alias("w1"), F.col("n_tok").alias("n_a"))
+    ub = uni_counts.select(F.col("tok").alias("w2"), F.col("n_tok").alias("n_b"))
+    ratio = (
+        F.col("n_ab").cast("double")
+        * F.col("nu").cast("double")
+        * F.col("nu").cast("double")
+        / (F.col("nb").cast("double") * F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return (
+        a.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(n_uni)
+        .crossJoin(n_bi)
+        .select(
+            "bigram",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(F.log(ratio), 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+ORACLE_PMI = r"""
+WITH d AS (
+  SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+toks AS (SELECT unnest(regexp_split_to_array(t, ' ')) AS tok FROM d),
+bi AS (
+  SELECT w[i] || ' ' || w[i + 1] AS bigram
+  FROM (SELECT regexp_split_to_array(t, ' ') AS w FROM d),
+       LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+),
+uni_counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks GROUP BY tok),
+bi_counts AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_ab FROM bi GROUP BY bigram HAVING COUNT(*) >= 5
+),
+nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM toks),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bi)
+SELECT b.bigram, b.n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
+       ROUND(LN(CAST(b.n_ab AS DOUBLE) * CAST(nu.nu AS DOUBLE) * CAST(nu.nu AS DOUBLE)
+                / (CAST(nb.nb AS DOUBLE) * CAST(ua.n_tok AS DOUBLE) * CAST(ub.n_tok AS DOUBLE))), 6) AS pmi
+FROM bi_counts b
+JOIN uni_counts ua ON ua.tok = string_split(b.bigram, ' ')[1]
+JOIN uni_counts ub ON ub.tok = string_split(b.bigram, ' ')[2]
+CROSS JOIN nu CROSS JOIN nb
+ORDER BY pmi DESC, bigram ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3017,6 +3221,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unimax_language_weights": unimax_language_weights,
     "profit_by_nation_year": profit_by_nation_year,
     "supplier_count_by_part_type": supplier_count_by_part_type,
+    "event_funnel_conversion": event_funnel_conversion,
+    "weekly_retention_cohorts": weekly_retention_cohorts,
+    "pmi_collocations": pmi_collocations,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -3102,6 +3309,9 @@ ORACLES: dict[str, str] = {
     "unimax_language_weights": ORACLE_UNIMAX,
     "profit_by_nation_year": ORACLE_PROFIT_NATION_YEAR,
     "supplier_count_by_part_type": ORACLE_SUPPLIER_COUNT,
+    "event_funnel_conversion": ORACLE_FUNNEL,
+    "weekly_retention_cohorts": ORACLE_RETENTION,
+    "pmi_collocations": ORACLE_PMI,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,
