@@ -3132,6 +3132,58 @@ LIMIT 20
 
 
 # --------------------------------------------------------------------------
+# lakehouse clustering: Z-order keys (file-skipping on several dimensions)
+# --------------------------------------------------------------------------
+
+
+def orders_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering keys over (o_custkey, price-cents): the
+    key both engines must agree on bit-for-bit for zorder_write's clustered
+    TxTable layout to be trustworthy. All-integer rank normalization +
+    fixed shift/mask interleave (ops/zorder.py); floats enter only via
+    floor(price*100) fixed-pointing."""
+    from apollo_spark.ops.zorder import with_zorder_key
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
+    )
+    return (
+        with_zorder_key(o, ["o_custkey", "o_cents"], bits=12)
+        .select("o_orderkey", "o_custkey", "o_cents", "zkey")
+        .orderBy("zkey", "o_orderkey")
+        .limit(20)
+    )
+
+
+_ZTERMS = " + ".join(
+    f"(((r{i} >> {b}) & 1) << {b * 2 + i})" for b in range(12) for i in (0, 1)
+)
+
+ORACLE_ZORDER_KEYS = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS o_cents FROM orders
+),
+stats AS (
+  SELECT MIN(o_custkey) AS lo0, MAX(o_custkey) AS hi0,
+         MIN(o_cents) AS lo1, MAX(o_cents) AS hi1
+  FROM base
+),
+ranked AS (
+  SELECT o_orderkey, o_custkey, o_cents,
+         CASE WHEN hi0 = lo0 THEN 0 ELSE (o_custkey - lo0) * 4095 // (hi0 - lo0) END AS r0,
+         CASE WHEN hi1 = lo1 THEN 0 ELSE (o_cents - lo1) * 4095 // (hi1 - lo1) END AS r1
+  FROM base, stats
+)
+SELECT o_orderkey, o_custkey, o_cents, CAST({_ZTERMS} AS BIGINT) AS zkey
+FROM ranked
+ORDER BY zkey, o_orderkey
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3224,6 +3276,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_funnel_conversion": event_funnel_conversion,
     "weekly_retention_cohorts": weekly_retention_cohorts,
     "pmi_collocations": pmi_collocations,
+    "orders_zorder_keys": orders_zorder_keys,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -3312,6 +3365,7 @@ ORACLES: dict[str, str] = {
     "event_funnel_conversion": ORACLE_FUNNEL,
     "weekly_retention_cohorts": ORACLE_RETENTION,
     "pmi_collocations": ORACLE_PMI,
+    "orders_zorder_keys": ORACLE_ZORDER_KEYS,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

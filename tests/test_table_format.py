@@ -243,3 +243,53 @@ def test_compact_sort_by_clusters_ranges(spark, tmp_path):
     assert len(t.files_for()) == 4
     assert len(t.files_for(prune={"id": (40, 60)})) <= 2  # disjoint ranges
     assert t.read(spark).count() == 400
+
+
+def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order clustering vs linear sort: the Morton-clustered table's
+    manifest stats prune files for range predicates on EITHER column; the
+    custkey-sorted table prunes only on custkey."""
+    import pyspark.sql.functions as F
+
+    from apollo_spark.ops.zorder import zorder_write
+
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
+    )
+    zt = TxTable(str(tmp_path / "zorder"))
+    zorder_write(o, zt, ["o_custkey", "o_cents"], bits=12, n_files=16)
+    lt = TxTable(str(tmp_path / "linear"))
+    lt.write(
+        o.repartitionByRange(16, "o_custkey").sortWithinPartitions("o_custkey"),
+        mode="overwrite",
+    )
+
+    n_z, n_l = len(zt.files_for()), len(lt.files_for())
+    assert n_z >= 8 and n_l >= 8  # enough files for skipping to mean anything
+
+    stats = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min("o_cents"), F.max("o_cents")
+    ).first()
+    ck_lo, ck_hi, c_lo, c_hi = stats
+    ck_band = (ck_lo, ck_lo + (ck_hi - ck_lo) // 8)  # bottom 1/8 of custkey
+    cents_band = (c_lo, c_lo + (c_hi - c_lo) // 8)  # bottom 1/8 of price
+
+    z_ck = len(zt.files_for(prune={"o_custkey": ck_band}))
+    z_cents = len(zt.files_for(prune={"o_cents": cents_band}))
+    l_ck = len(lt.files_for(prune={"o_custkey": ck_band}))
+    l_cents = len(lt.files_for(prune={"o_cents": cents_band}))
+
+    # z-order skips meaningfully on BOTH dimensions
+    assert z_ck <= n_z // 2, (z_ck, n_z)
+    assert z_cents <= n_z // 2, (z_cents, n_z)
+    # linear sort: great on its sort column, useless on the other
+    assert l_ck <= n_l // 2, (l_ck, n_l)
+    assert l_cents > n_l // 2, (l_cents, n_l)
+
+    # pruning is sound: pruned read + real filter == full read + real filter
+    pred = (F.col("o_cents") >= cents_band[0]) & (F.col("o_cents") <= cents_band[1])
+    full = zt.read(spark).filter(pred).count()
+    pruned = zt.read(spark, prune={"o_cents": cents_band}).filter(pred).count()
+    assert full == pruned and full > 0
