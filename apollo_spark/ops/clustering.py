@@ -1,0 +1,115 @@
+"""Distributed k-means (Lloyd iterations) as pure relational algebra on an
+engine-exact integer lattice.
+
+Why a lattice: float means are summation-order-dependent, so two engines (or
+two partitionings of the same engine!) disagree in the last ulp and the
+trajectories diverge after a few iterations. Quantizing coordinates to
+``floor((x + offset) * scale)`` BIGINTs makes every step — squared-distance
+sums, argmin assignment, mean update via integer division — exact integer
+arithmetic with one deterministic answer, which is what lets the driver gate
+hash-match a DuckDB oracle running the same unrolled iterations. (Same
+posture as ops/graph.py::pagerank's micro-unit lattice.)
+
+Shape per iteration (N vectors, D dims, K clusters):
+* assignment: long-format (N*D rows) join a BROADCAST centroid table (K*D
+  rows) -> groupBy (vec, cluster) partial-agg distance -> argmin via
+  ``min(struct(dist, cluster))`` (no window shuffle; map-side combinable);
+* update: join assignments (N rows, broadcast when small) back to the long
+  table -> groupBy (cluster, dim) integer-mean. Two shuffles per iteration,
+  both on bounded keys; centroids are localCheckpoint'ed each round so the
+  lineage (and recompute cost) stays flat — the pagerank lesson.
+
+The ``offset`` must make every lattice coordinate non-negative: Spark's
+``div`` truncates toward zero while DuckDB's ``//`` floors, so negative
+integer means would disagree across engines. Distances are offset-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def embedding_lattice(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+    offset: float = 8.0,
+) -> DataFrame:
+    """(id, d, xi): long-format integer-lattice coordinates. ``offset`` must
+    exceed ``-min(x)`` so every xi is non-negative (see module docstring)."""
+    return emb.select(
+        id_col, F.posexplode(vec_col).alias("d", "__x")
+    ).select(
+        id_col,
+        "d",
+        F.floor((F.col("__x").cast("double") + F.lit(offset)) * F.lit(scale))
+        .cast("long")
+        .alias("xi"),
+    )
+
+
+def kmeans_lattice(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+    offset: float = 8.0,
+) -> tuple[DataFrame, DataFrame]:
+    """``iters`` Lloyd rounds seeded from the first ``k`` ids' coordinates
+    (deterministic — no RNG to reconcile across engines).
+
+    Returns ``(assign, centroids)``:
+    * assign: (id, cluster, dist) — final-round argmin assignment with its
+      exact squared lattice distance (ties broken toward the smaller
+      cluster id);
+    * centroids: (cluster, d, ci) — post-update integer centroids (clusters
+      that lost every member disappear, same as the SQL formulation).
+    """
+    long = embedding_lattice(emb, id_col, vec_col, scale, offset)
+    cent = long.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("long").alias("cluster"), "d", F.col("xi").alias("ci")
+    )
+    assign = None
+    for _ in range(iters):
+        diff = F.col("xi") - F.col("ci")
+        dist = (
+            long.join(F.broadcast(cent), "d")
+            .groupBy(id_col, "cluster")
+            .agg(F.sum(diff * diff).alias("dist"))
+        )
+        assign = (
+            dist.groupBy(id_col)
+            .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+            .select(id_col, F.col("m.cluster").alias("cluster"), F.col("m.dist").alias("dist"))
+        )
+        cent = (
+            long.join(assign.select(id_col, "cluster"), id_col)
+            .groupBy("cluster", "d")
+            .agg(F.expr("sum(xi) div count(1)").alias("ci"))
+            .localCheckpoint(eager=True)  # flat lineage across rounds
+        )
+    return assign, cent
+
+
+def kmeans_summary(assign: DataFrame, centroids: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Gate view: per-cluster member count, exact within-cluster sum of
+    squares (against the centroids the final assignment was made from), and
+    an md5 digest of the post-update centroid lattice."""
+    sizes = assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"), F.sum("dist").alias("wcss")
+    )
+    dig = centroids.groupBy("cluster").agg(
+        F.md5(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.concat_ws(":", F.col("d"), F.col("ci"))))
+            )
+        ).alias("centroid_digest")
+    )
+    return sizes.join(dig, "cluster").orderBy("cluster")
+
+
+__all__ = ["embedding_lattice", "kmeans_lattice", "kmeans_summary"]

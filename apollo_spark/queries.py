@@ -3184,6 +3184,74 @@ LIMIT 20
 
 
 # --------------------------------------------------------------------------
+# distributed k-means on the engine-exact integer lattice
+# --------------------------------------------------------------------------
+
+
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 Lloyd rounds, k=8, over the embeddings table on the integer lattice
+    (ops/clustering.py): per-cluster member count, exact within-cluster sum
+    of squares, and a centroid-lattice digest. The whole trajectory is
+    integer arithmetic, so the unrolled DuckDB oracle reproduces it
+    bit-for-bit — same engine-exactness posture as item_transition_pagerank."""
+    from apollo_spark.ops.clustering import kmeans_lattice, kmeans_summary
+
+    e = _t(spark, sf_dir, "embeddings")
+    assign, cent = kmeans_lattice(e, k=8, iters=3)
+    return kmeans_summary(assign, cent)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
+    """Unrolled Lloyd iterations as DuckDB CTEs (mirrors kmeans_lattice)."""
+    ctes = [
+        """long AS (
+  SELECT vec_id, i AS d,
+         CAST(FLOOR((CAST(embedding[i + 1] AS DOUBLE) + 8.0) * 1000000.0) AS BIGINT) AS xi
+  FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i) t(i)
+)""",
+        f"""c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, d, xi AS ci FROM long WHERE vec_id < {k})""",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""a{it} AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT l.vec_id, c.cluster, SUM((l.xi - c.ci) * (l.xi - c.ci)) AS dist,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+                              ORDER BY SUM((l.xi - c.ci) * (l.xi - c.ci)) ASC, c.cluster ASC) AS rn
+    FROM long l JOIN {prev} c USING (d)
+    GROUP BY l.vec_id, c.cluster)
+  WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""c{it} AS (
+  SELECT a.cluster, l.d, SUM(l.xi) // COUNT(*) AS ci
+  FROM long l JOIN a{it} a USING (vec_id)
+  GROUP BY a.cluster, l.d
+)"""
+        )
+        prev = f"c{it}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT s.cluster, s.n_members, s.wcss, g.centroid_digest
+FROM (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(dist) AS BIGINT) AS wcss
+      FROM a{iters} GROUP BY cluster) s
+JOIN (SELECT cluster,
+             md5(string_agg(CAST(d AS VARCHAR) || ':' || CAST(ci AS VARCHAR), ','
+                            ORDER BY CAST(d AS VARCHAR) || ':' || CAST(ci AS VARCHAR))) AS centroid_digest
+      FROM c{iters} GROUP BY cluster) g USING (cluster)
+ORDER BY cluster"""
+    )
+
+
+ORACLE_KMEANS = _kmeans_oracle(k=8, iters=3)
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3277,6 +3345,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weekly_retention_cohorts": weekly_retention_cohorts,
     "pmi_collocations": pmi_collocations,
     "orders_zorder_keys": orders_zorder_keys,
+    "kmeans_embedding_clusters": kmeans_embedding_clusters,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -3366,6 +3435,7 @@ ORACLES: dict[str, str] = {
     "weekly_retention_cohorts": ORACLE_RETENTION,
     "pmi_collocations": ORACLE_PMI,
     "orders_zorder_keys": ORACLE_ZORDER_KEYS,
+    "kmeans_embedding_clusters": ORACLE_KMEANS,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

@@ -876,3 +876,20 @@ def test_unimax_all_capped_when_budget_exceeds_caps(spark, docs):
     assert all(r["is_capped"] == 1 for r in out)
     assert all(r["alloc_tokens"] == float(r["cap_tokens"]) for r in out)
     assert all(abs(r["epochs_used"] - 4.0) < 1e-12 for r in out)
+
+
+def test_kmeans_lattice_converges(spark, emb):
+    """Lloyd monotonicity: total within-cluster sum of squares never
+    increases with more iterations; every vector gets exactly one cluster."""
+    from apollo_spark.ops.clustering import kmeans_lattice
+
+    n = emb.count()
+    wcss = {}
+    for iters in (1, 3):
+        assign, cent = kmeans_lattice(emb, k=4, iters=iters)
+        rows = assign.collect()
+        assert len(rows) == n
+        assert len({r["vec_id"] for r in rows}) == n
+        assert {r["cluster"] for r in rows} <= set(range(4))
+        wcss[iters] = sum(r["dist"] for r in rows)
+    assert wcss[3] <= wcss[1]
