@@ -105,3 +105,65 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", (F.col("ru").cast("double") / F.lit(float(scale))).alias("rank"))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact triangle count via degree-ordered orientation (the
+    node-iterator++ / Latapy algorithm every distributed triangle counter
+    uses): orient each undirected edge from its (degree, id)-smaller
+    endpoint to the larger, build wedges from common out-neighbors, and
+    close them against the oriented edge list.
+
+    Why orientation matters at 100 TB: the naive wedge join fans out
+    quadratically on hub nodes (a node of degree d contributes d^2 wedges).
+    Orientation bounds every out-degree by O(sqrt(m)) — the total wedge count
+    drops from sum(d^2) to O(m^{3/2}), the known worst-case optimum — while
+    still counting each triangle exactly once (all three orientations agree
+    on the unique (low, mid, high) ordering).
+
+    Input edges may be directed/duplicated/self-looped; they are
+    canonicalized first. Returns a 1-row frame: n_nodes, n_edges,
+    max_degree, n_triangles (all exact BIGINTs).
+    """
+    a, b = F.col(src), F.col(dst)
+    canon = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("v"))
+        .unionByName(canon.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    keyed = canon.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    # orient low (deg, id) -> high (deg, id)
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_w"),
+    )
+    o1 = oriented.select(F.col("u"), F.col("w").alias("v"), F.col("deg_w").alias("deg_v"))
+    o2 = oriented.select(F.col("u"), F.col("w").alias("x"), F.col("deg_w").alias("deg_x"))
+    # wedges out of u, pair ordered by the same (deg, id) key to match the
+    # closing edge's orientation exactly once
+    wedges = o1.join(o2, "u").filter(
+        (F.col("deg_v") < F.col("deg_x"))
+        | ((F.col("deg_v") == F.col("deg_x")) & (F.col("v") < F.col("x")))
+    )
+    closing = oriented.select(F.col("u").alias("v"), F.col("w").alias("x"))
+    tri = wedges.join(closing, ["v", "x"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    summary = canon.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"), F.max("deg").alias("max_degree"))
+    )
+    return summary.crossJoin(tri).select("n_nodes", "n_edges", "max_degree", "n_triangles")

@@ -3252,6 +3252,64 @@ ORACLE_KMEANS = _kmeans_oracle(k=8, iters=3)
 
 
 # --------------------------------------------------------------------------
+# graph structure: exact triangle counting (degree-ordered orientation)
+# --------------------------------------------------------------------------
+
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the item co-purchase graph: items are connected
+    when >= 3 distinct users purchased both. The Spark side counts with
+    degree-ordered orientation (O(m^1.5) wedges — ops/graph.py); the oracle
+    counts the canonical a<b<c three-way join. Same exact integers."""
+    from apollo_spark.ops.graph import triangle_count
+
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    ui = e.select(
+        "user_id", F.get_json_object("props", "$.k").cast("int").alias("item")
+    ).distinct()
+    u2 = ui.select(F.col("user_id"), F.col("item").alias("item_b"))
+    edges = (
+        ui.join(u2, "user_id")
+        .filter(F.col("item") < F.col("item_b"))
+        .groupBy("item", "item_b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 3)
+        .select(F.col("item").alias("src"), F.col("item_b").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
+ORACLE_TRIANGLES = """
+WITH ui AS (
+  SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item
+  FROM events WHERE event_type = 'purchase'
+),
+e AS (
+  SELECT u1.item AS a, u2.item AS b
+  FROM ui u1 JOIN ui u2 ON u1.user_id = u2.user_id AND u1.item < u2.item
+  GROUP BY u1.item, u2.item
+  HAVING COUNT(*) >= 3
+),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+  GROUP BY v
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT MAX(deg) FROM deg) AS max_degree,
+       n_triangles
+FROM tri
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3346,6 +3404,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_collocations": pmi_collocations,
     "orders_zorder_keys": orders_zorder_keys,
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
+    "copurchase_triangles": copurchase_triangles,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -3436,6 +3495,7 @@ ORACLES: dict[str, str] = {
     "pmi_collocations": ORACLE_PMI,
     "orders_zorder_keys": ORACLE_ZORDER_KEYS,
     "kmeans_embedding_clusters": ORACLE_KMEANS,
+    "copurchase_triangles": ORACLE_TRIANGLES,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

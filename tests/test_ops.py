@@ -893,3 +893,33 @@ def test_kmeans_lattice_converges(spark, emb):
         assert {r["cluster"] for r in rows} <= set(range(4))
         wcss[iters] = sum(r["dist"] for r in rows)
     assert wcss[3] <= wcss[1]
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-ordered orientation vs itertools brute force on a seeded
+    random graph (plus messy input: duplicates, reversed edges, self-loops)."""
+    import itertools
+    import random
+
+    from apollo_spark.ops.graph import triangle_count
+
+    rng = random.Random(7)
+    nodes = list(range(30))
+    undirected = {tuple(sorted(rng.sample(nodes, 2))) for _ in range(120)}
+    adj = set(undirected)
+    expected = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    rows = []
+    for a, b in undirected:
+        rows.append((a, b))
+        if rng.random() < 0.5:
+            rows.append((b, a))  # reversed duplicate
+    rows.append((3, 3))  # self-loop
+    df = spark.createDataFrame(rows, ["src", "dst"])
+    out = triangle_count(df).first()
+    assert out["n_triangles"] == expected
+    assert out["n_edges"] == len(undirected)
+    assert out["n_nodes"] == len({v for e in undirected for v in e})
