@@ -224,7 +224,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 2,
     threshold: float = 0.2,
-    max_df: int | None = None,
+    max_df: int | None = 100_000,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
 
@@ -236,12 +236,22 @@ def ngram_jaccard_pairs(
     is a df^2 explosion on a single join key.
 
     ``max_df`` bounds that fan-out: shingles with document frequency > max_df
-    are dropped from the inverted index (candidate generation only — Jaccard
-    is still computed over FULL shingle sets, so scores stay exact). A pair
-    whose shared shingles are all hotter than max_df is missed; such pairs
-    share only ultra-common n-grams and sit far below any useful threshold.
-    Default None = lossless (the oracle-gated config); set it (e.g. 10_000)
-    for the 100 TB path.
+    are dropped from the inverted index (candidate generation only — emitted
+    Jaccard scores stay exact). A pair whose shared shingles are ALL hotter
+    than max_df is missed; such pairs share only ultra-common n-grams and sit
+    far below any useful threshold. The DEFAULT is a finite 100_000 cap: at
+    100 TB a single df=10^6 shingle alone would shuffle 10^12 candidate rows,
+    so lossless-by-default is a scale hazard. Pass ``max_df=None`` for the
+    certified-lossless config (the oracle queries do so explicitly).
+
+    Capped-path exactness: intersection counts over the pruned index
+    undercount pairs that also share hot shingles by at most
+    min(hot_a, hot_b) (hot_d = shingles of d dropped from the index). Since
+    jaccard = I/(n_a+n_b-I) is increasing in I, that gives tight per-pair
+    bounds; pairs whose bound interval is a point (or entirely below the
+    threshold) are decided from counts alone, and only the ambiguous sliver
+    is re-scored exactly from the full shingle arrays. With no shingle over
+    the cap the plan degenerates to the lossless one.
     """
     spark = df.sparkSession
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -270,45 +280,58 @@ def ngram_jaccard_pairs(
         F.col("b.n") >= threshold * F.col("a.n") - 1e-9
     )
     if max_df is None:
-        # lossless path: the pruned-index intersection count IS the exact
-        # intersection, so jaccard falls out of counts alone
-        inter = (
-            ex.alias("a")
-            .join(
-                ex.alias("b"),
-                (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")) & len_ok,
-            )
-            .groupBy(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                F.col("a.n").alias("n_a"),
-                F.col("b.n").alias("n_b"),
-            )
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
-        j = inter.withColumn(
-            "jaccard",
-            F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
-        )
-        return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
-    # capped path: the pruned index only GENERATES candidates (bounded
-    # per-key fan-out); intersection counts over it are undercounts for pairs
-    # that also share hot shingles, so re-score candidates exactly from the
-    # full shingle arrays — candidates are few, so the wide arrays only flow
-    # through a small join
-    hot = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > max_df)
-    pruned = ex.join(F.broadcast(hot.select("s")), "s", "left_anti")
-    cand = (
-        pruned.alias("a")
+        idx = ex
+    else:
+        hot = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > max_df)
+        idx = ex.join(F.broadcast(hot.select("s")), "s", "left_anti")
+    inter = (
+        idx.alias("a")
         .join(
-            pruned.alias("b"),
+            idx.alias("b"),
             (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")) & len_ok,
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    j = (
-        cand.join(base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+
+    def _jac(i):
+        return i.cast("double") / (F.col("n_a") + F.col("n_b") - i).cast("double")
+
+    if max_df is None:
+        # lossless: the pruned-index intersection count IS the exact
+        # intersection, so jaccard falls out of counts alone
+        j = inter.withColumn("jaccard", _jac(F.col("inter")))
+        return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    # capped: bound the hot-shingle undercount per pair. hot_d = full size -
+    # rows surviving the prune; true I is in [inter, inter + min(hot_a, hot_b)].
+    kept = idx.groupBy("id").agg(F.count(F.lit(1)).alias("n_kept"))
+    hot_of = ex.select("id", "n").dropDuplicates(["id"]).join(kept, "id", "left").select(
+        "id", (F.col("n") - F.coalesce("n_kept", F.lit(0))).alias("n_hot")
+    )
+    bounded = (
+        inter.join(hot_of.select(F.col("id").alias("id_a"), F.col("n_hot").alias("hot_a")), "id_a")
+        .join(hot_of.select(F.col("id").alias("id_b"), F.col("n_hot").alias("hot_b")), "id_b")
+        .withColumn("i_max", F.col("inter") + F.least("hot_a", "hot_b"))
+    )
+    # decided from counts: bound interval is a point (no shared-hot ambiguity)
+    tight = (
+        bounded.filter(F.col("i_max") == F.col("inter"))
+        .withColumn("jaccard", _jac(F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    # ambiguous sliver: upper bound clears the threshold but I isn't pinned —
+    # re-score exactly from full shingle arrays (few rows carry wide arrays)
+    maybe = bounded.filter(
+        (F.col("i_max") > F.col("inter")) & (_jac(F.col("i_max")) >= threshold)
+    ).select("id_a", "id_b")
+    rescored = (
+        maybe.join(base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
@@ -316,8 +339,10 @@ def ngram_jaccard_pairs(
             F.col("inter").cast("double")
             / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
         )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
-    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    return tight.unionByName(rescored)
 
 
 def strip_hot_lines(

@@ -370,10 +370,17 @@ def all_pairs_cosine_exact(
         .groupBy("bi", "bj")
         .applyInPandas(score_block_pair, schema="id_a long, id_b long")
     )
-    with_a = src.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")).join(F.broadcast(cand), "id_a")
+    # Candidate volume is threshold-dependent and unknowable at plan time: at
+    # dedup-like thresholds `cand` is tiny, but a low threshold makes it
+    # quadratic — a forced broadcast hint here would OOM the driver. Leave the
+    # joins unhinted: AQE converts them to broadcast at runtime iff the
+    # materialized candidate set is actually under
+    # spark.sql.adaptive.autoBroadcastJoinThreshold, and keeps a shuffle join
+    # otherwise. (session.py enables AQE; on a cluster the same conf governs.)
+    with_a = src.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")).join(cand, "id_a")
     rescored = (
         src.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-        .join(F.broadcast(with_a), "id_b")
+        .join(with_a, "id_b")
         .withColumn("score", cosine(F.col("v_a"), F.col("v_b")))
         .filter(F.col("score") >= threshold)
     )

@@ -31,13 +31,46 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def normalize_ts_nanos(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to epoch-nanosecond BIGINT no matter how
+    the parquet writer encoded it (the driver has shipped both):
+
+    * ``timestamp[us]`` read as TIMESTAMP_NTZ — measured against an NTZ epoch
+      literal via ``timestampdiff``, so the result is independent of
+      ``spark.sql.session.timeZone`` and matches DuckDB ``epoch_ns()`` on the
+      same naive values bit-for-bit;
+    * TIMESTAMP (tz-adjusted) — ``unix_micros`` (already tz-independent);
+    * BIGINT — parquet TIMESTAMP(NANOS) read under
+      ``spark.sql.legacy.parquet.nanosAsLong``; already epoch nanos.
+
+    Downstream arithmetic stays integer (``div``): a double round-trip would
+    lose precision above 2^53 ns.
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    t = df.schema[col].dataType
+    if isinstance(t, LongType):
+        return df
+    if isinstance(t, TimestampNTZType):
+        micros = F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})")
+    elif isinstance(t, TimestampType):
+        micros = F.unix_micros(F.col(col))
+    else:
+        raise TypeError(f"events.{col}: expected timestamp or long, got {t}")
+    return df.withColumn(col, micros * F.lit(1000))
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS); Spark only reads it as a long
-    (nanos) under the legacy conf — set it per-session defensively since the
-    driver builds its own session. Nanos stay in integer arithmetic (`div`):
-    a double round-trip would lose precision above 2^53."""
+    """Events with ``ts`` normalized to epoch-nanos BIGINT (see
+    normalize_ts_nanos). The legacy conf is set defensively so a
+    TIMESTAMP(NANOS)-annotated file reads as long instead of erroring; it is
+    a no-op for the current timestamp[us] encoding. Session tz is pinned UTC
+    so tz-sensitive formatting (date_trunc/date_format) matches the DuckDB
+    oracle's naive-timestamp semantics even when the driver built the session
+    without our factory."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return normalize_ts_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _ts_seconds() -> F.Column:
@@ -1866,7 +1899,9 @@ def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return (
-        ngram_jaccard_pairs(d, n=2, threshold=0.2)
+        # max_df=None = the certified-lossless oracle config; production
+        # default is a finite cap (ops/dedup.py ngram_jaccard_pairs docstring)
+        ngram_jaccard_pairs(d, n=2, threshold=0.2, max_df=None)
         .withColumn("jaccard", F.round("jaccard", 6))
         .orderBy("id_a", "id_b")
     )
@@ -1950,7 +1985,7 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apollo_spark.ops.dedup import connected_components, ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    edges = ngram_jaccard_pairs(d, n=2, threshold=0.2).select("id_a", "id_b")
+    edges = ngram_jaccard_pairs(d, n=2, threshold=0.2, max_df=None).select("id_a", "id_b")
     return (
         connected_components(edges)
         .select(F.col("id").cast("long").alias("doc_id"), F.col("comp").cast("long").alias("component"))

@@ -32,11 +32,19 @@ def main() -> None:
     # queries, not session bring-up
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # per-query isolation: one broken query must never abort the run and
+    # lose every other number (that is exactly what round 2's ts bug did)
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+        except Exception as exc:  # noqa: BLE001 — record and keep going
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name].splitlines()[0]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
@@ -49,6 +57,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

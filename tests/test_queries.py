@@ -5,6 +5,7 @@ the per-round CORRECTNESS check performs."""
 from __future__ import annotations
 
 import decimal
+import os
 
 import duckdb
 import numpy as np
@@ -12,7 +13,9 @@ import pytest
 
 from apollo_spark.queries import ORACLES, QUERIES
 
-SF = "/root/testdata/sf0.001"
+# Default gate corpus is sf0.001 (fast dev loop); set SPARK_GRAFT_GATE_SF to
+# /root/testdata/sf0.01 to rehearse under the exact driver conditions.
+SF = os.environ.get("SPARK_GRAFT_GATE_SF", "/root/testdata/sf0.001")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
 
 
