@@ -4,16 +4,25 @@ The Spark-side contract for image/audio/video at 100 TB (north-star mandate):
 media travels as a ``binary`` column plus a metadata struct; decode /
 feature-extract / resize / frame-sample run as Arrow-batched ``mapInPandas``
 stages so each task streams record batches without materializing the
-partition. The actual codec calls are STUBBED here (no image/audio libraries
-in this container): ``decode_image``/``decode_audio`` raise
-NotImplementedError unless ``fake=True``, in which case a deterministic fake
-(seeded by content hash) produces stable feature vectors — the Spark plumbing
-(schemas, batch iteration, partitioning) is real and tested either way.
+partition.
+
+Codec tiers:
+* REAL, in-tree (pure numpy/stdlib, no external libs): PPM images
+  (``decode_ppm``/``encode_ppm``, P6 binary + P3 ascii) and PCM WAV audio
+  (``decode_wav`` via stdlib ``wave``). ``extract_features(..., fake=False)``
+  dispatches on payload magic bytes and runs these end-to-end.
+* STUBBED (container has no codec libraries): compressed formats
+  (png/jpeg/mp3/mp4) raise NotImplementedError with the dispatch point
+  marked — a real deployment swaps PIL/ffmpeg in at that exact seam.
+* FAKE (``fake=True``): deterministic content-hash-seeded vectors for
+  plumbing tests that only care about schemas/batching, not pixels.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -50,6 +59,117 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
 
 
+# ---------------------------------------------------------------- real codecs
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a PPM image (P6 binary or P3 ascii, maxval <= 65535) to an
+    (h, w, 3) uint8/uint16 array. Pure numpy — no image library needed."""
+    tokens: list[bytes] = []
+    pos = 0
+    # header = 4 whitespace-separated tokens (magic, w, h, maxval) with
+    # '#'-to-EOL comments allowed anywhere between them
+    while len(tokens) < 4:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if magic == b"P6":
+        pos += 1  # exactly one whitespace byte separates header from raster
+        dtype = np.dtype(">u2") if maxval > 255 else np.uint8
+        raster = np.frombuffer(payload, dtype=dtype, count=w * h * 3, offset=pos)
+        out_dtype = np.uint16 if maxval > 255 else np.uint8
+        return raster.reshape(h, w, 3).astype(out_dtype)
+    if magic == b"P3":
+        vals = np.array(payload[pos:].split(), dtype=np.uint32)[: w * h * 3]
+        return vals.reshape(h, w, 3).astype(np.uint16 if maxval > 255 else np.uint8)
+    raise NotImplementedError(f"unsupported image magic {magic!r} (PPM P3/P6 only in-container)")
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 array -> binary P6 PPM bytes."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode PCM WAV bytes -> (mono float32 samples in [-1, 1], sample_rate).
+    stdlib ``wave`` handles the RIFF container; 8/16/32-bit PCM supported."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        n_ch, width, rate = f.getnchannels(), f.getsampwidth(), f.getframerate()
+        raw = f.readframes(f.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif width == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"unsupported PCM sample width {width}")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """mono float samples in [-1, 1] -> 16-bit PCM WAV bytes."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def image_features(img: np.ndarray, dim: int) -> np.ndarray:
+    """Grayscale block-mean thumbnail feature (a dim-length vector): the
+    classic pHash-style descriptor, resize-by-block-average so any input
+    size maps to the same feature length without an image library."""
+    side = max(int(np.sqrt(dim)), 1)
+    gray = np.asarray(img, dtype=np.float64).mean(axis=2)
+    blocks = [np.array_split(row_blk, side, axis=1) for row_blk in np.array_split(gray, side, axis=0)]
+    thumb = np.array([[b.mean() if b.size else 0.0 for b in row] for row in blocks])
+    feat = np.zeros(dim, dtype=np.float32)
+    feat[: side * side] = (thumb / 255.0).ravel().astype(np.float32)
+    return feat
+
+
+def audio_features(samples: np.ndarray, rate: int, dim: int) -> np.ndarray:
+    """Log-magnitude spectrum binned to ``dim`` bands (0..rate/2) — a
+    deterministic numpy-only spectral fingerprint."""
+    if len(samples) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    mag = np.abs(np.fft.rfft(samples.astype(np.float64)))
+    bands = np.array([b.mean() if b.size else 0.0 for b in np.array_split(mag, dim)])
+    return np.log1p(bands).astype(np.float32)
+
+
+def decode_features(payload: bytes, dim: int) -> np.ndarray:
+    """Magic-byte dispatch to the in-tree codecs; the NotImplementedError
+    branch is the seam where PIL/ffmpeg plug in on a real cluster."""
+    if payload[:2] in (b"P6", b"P3"):
+        return image_features(decode_ppm(payload), dim)
+    if payload[:4] == b"RIFF":
+        return audio_features(*decode_wav(payload), dim)
+    raise NotImplementedError(
+        f"no in-container codec for payload magic {payload[:4]!r}; "
+        "wire PIL/ffmpeg here for png/jpeg/mp3/mp4"
+    )
+
+
 def extract_features(
     df: DataFrame,
     dim: int = 64,
@@ -65,13 +185,11 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires an image/audio library; wire it here"
-                )
-            feats = [
-                _fake_features(bytes(p) if p is not None else b"", dim).tolist() for p in pdf[payload_col]
-            ]
+            payloads = (bytes(p) if p is not None else b"" for p in pdf[payload_col])
+            if fake:
+                feats = [_fake_features(p, dim).tolist() for p in payloads]
+            else:
+                feats = [decode_features(p, dim).tolist() for p in payloads]
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "features": feats})
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
@@ -112,6 +230,35 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return df.filter(F.col("kind") == "video").select(id_col, "payload", "meta").mapInPandas(run, schema=out_schema)
+
+
+def real_media_table(spark, n: int = 16, seed: int = 42) -> DataFrame:
+    """Media fixture with REAL decodable payloads: gradient P6 PPM images and
+    sine-wave 16-bit PCM WAV clips (both synthesized in numpy, both round-trip
+    through the in-tree codecs)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = 24 + (i % 3) * 8, 16 + (i % 5) * 4
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [(xx * 255 // max(w - 1, 1)), (yy * 255 // max(h - 1, 1)), np.full((h, w), i * 7 % 256)],
+                axis=2,
+            ).astype(np.uint8)
+            rows.append(
+                (i, "image", bytearray(encode_ppm(img)),
+                 {"mime": "image/x-portable-pixmap", "width": w, "height": h, "duration_ms": None})
+            )
+        else:
+            rate, dur_ms = 8000, 250
+            freq = 200.0 + 120.0 * i + float(rng.integers(0, 40))
+            t = np.arange(int(rate * dur_ms / 1000)) / rate
+            rows.append(
+                (i, "audio", bytearray(encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate)),
+                 {"mime": "audio/wav", "width": None, "height": None, "duration_ms": dur_ms})
+            )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def fake_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:

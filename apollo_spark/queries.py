@@ -2073,6 +2073,55 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def media_real_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-gated end-to-end: a 4x4 P6 PPM is synthesized
+    JVM-side per document (md5-derived raster bytes), decoded by the in-tree
+    pure-numpy PPM codec inside Arrow-batched mapInPandas, reduced to the
+    16-dim block-mean feature, and the float32 feature math is mirrored
+    bit-for-bit in DuckDB (hex-pair bytes + CAST AS FLOAT truncation). This is
+    the multimodal tier with no fake anywhere in the path."""
+    from apollo_spark.ops.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    hx = F.concat(
+        F.md5(F.encode(F.col("text"), "utf-8")),
+        F.md5(F.encode(F.concat(F.col("text"), F.lit("a")), "utf-8")),
+        F.md5(F.encode(F.concat(F.col("text"), F.lit("b")), "utf-8")),
+    )
+    payload = F.concat(F.encode(F.lit("P6\n4 4\n255\n"), "utf-8"), F.unhex(hx))
+    media = d.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    feats = extract_features(media, dim=16, fake=False)
+    sq = F.aggregate(
+        F.transform("features", lambda x: x.cast("double")), F.lit(0.0), lambda a, v: a + v * v
+    )
+    return feats.select("media_id", F.round(sq, 6).alias("feat_sq_norm")).orderBy("media_id")
+
+
+def _media_real_oracle() -> str:
+    """Mirror of media_real_image_features: pixel p's gray block-mean is
+    ((b(3p)+b(3p+1)+b(3p+2))/3)/255 truncated to float32; squares sum in the
+    same left-assoc order as the Spark-side sequential fold."""
+    terms = []
+    for p in range(16):
+        bs = [f"CAST('0x' || substr(hx, {2 * k + 1}, 2) AS INT)" for k in range(3 * p, 3 * p + 3)]
+        gray = f"(({' + '.join(bs)}) / 3.0) / 255.0"
+        terms.append(f"CAST(CAST({gray} AS FLOAT) AS DOUBLE)")
+    acc = "0.0"
+    for t in terms:
+        acc = f"({acc} + __T__)".replace("__T__", f"{t} * {t}")
+    return f"""
+WITH h AS (
+  SELECT doc_id, md5(text) || md5(text || 'a') || md5(text || 'b') AS hx
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id AS media_id, ROUND({acc}, 6) AS feat_sq_norm
+FROM h ORDER BY media_id
+"""
+
+
+ORACLE_MEDIA_REAL = _media_real_oracle()
+
+
 def simhash_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (xxhash64-based -> not reproducible in
     ANSI SQL; rows-only check)."""
@@ -3440,6 +3489,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_zorder_keys": orders_zorder_keys,
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "copurchase_triangles": copurchase_triangles,
+    "media_real_image_features": media_real_image_features,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -3531,6 +3581,7 @@ ORACLES: dict[str, str] = {
     "orders_zorder_keys": ORACLE_ZORDER_KEYS,
     "kmeans_embedding_clusters": ORACLE_KMEANS,
     "copurchase_triangles": ORACLE_TRIANGLES,
+    "media_real_image_features": ORACLE_MEDIA_REAL,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

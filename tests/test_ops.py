@@ -923,3 +923,92 @@ def test_triangle_count_matches_bruteforce(spark):
     assert out["n_triangles"] == expected
     assert out["n_edges"] == len(undirected)
     assert out["n_nodes"] == len({v for e in undirected for v in e})
+
+
+def test_all_pairs_cosine_low_threshold_quadratic_candidates(spark):
+    """A low threshold makes the candidate set quadratic; the re-score joins
+    must not force a driver-sized broadcast of it (AQE decides at runtime).
+    Full N*(N-1)/2 output with scores matching numpy pins correctness of the
+    unhinted-join path."""
+    import numpy as np
+
+    from apollo_spark.ops.similarity import all_pairs_cosine_exact
+
+    rng = np.random.default_rng(7)
+    n, dim = 40, 8
+    vecs = rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    out = all_pairs_cosine_exact(df, threshold=-1.0).toPandas()
+    assert len(out) == n * (n - 1) // 2
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs / norms[:, None]) @ (vecs / norms[:, None]).T
+    got = {(int(r.id_a), int(r.id_b)): r.score for r in out.itertuples()}
+    for (a, b), s in got.items():
+        assert abs(s - sims[a, b]) < 1e-9, (a, b)
+
+
+def test_ppm_codec_roundtrip():
+    import numpy as np
+
+    from apollo_spark.ops.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    # ascii P3 with a comment line parses to the same pixels
+    flat = " ".join(str(v) for v in img.ravel())
+    p3 = f"P3\n# a comment\n7 11\n255\n{flat}\n".encode()
+    assert (decode_ppm(p3) == img).all()
+
+
+def test_wav_codec_roundtrip_and_spectral_peak():
+    import numpy as np
+
+    from apollo_spark.ops.multimodal import audio_features, decode_wav, encode_wav
+
+    rate, freq = 8000, 440.0
+    t = np.arange(rate) / rate  # 1s
+    x = 0.5 * np.sin(2 * np.pi * freq * t)
+    y, got_rate = decode_wav(encode_wav(x, rate))
+    assert got_rate == rate and len(y) == len(x)
+    assert np.abs(y - x).max() < 1e-3  # 16-bit quantization error only
+    # the spectral fingerprint peaks in the band holding 440 Hz
+    feat = audio_features(y, rate, dim=64)
+    n_bins = len(np.fft.rfft(y))
+    peak_bin = int(round(freq * len(y) / rate))
+    expected_band = next(
+        i for i, b in enumerate(np.array_split(np.arange(n_bins), 64)) if peak_bin in b
+    )
+    assert int(np.argmax(feat)) == expected_band
+
+
+def test_extract_features_real_codecs(spark):
+    """fake=False end-to-end over genuinely decodable payloads — the codec
+    tier is executable in-container for PPM and WAV (VERDICT r2 item 7)."""
+    import numpy as np
+
+    from apollo_spark.ops.multimodal import (
+        decode_features,
+        extract_features,
+        real_media_table,
+    )
+
+    media = real_media_table(spark, n=10)
+    out = extract_features(media, dim=64, fake=False).toPandas()
+    assert len(out) == 10
+    local = {int(r.media_id): decode_features(bytes(r.payload), 64) for r in media.toPandas().itertuples()}
+    for r in out.itertuples():
+        assert np.allclose(np.array(r.features, dtype=np.float32), local[int(r.media_id)])
+    # image features are block-mean gray in [0,1]; audio spectra are nonneg
+    assert all(np.isfinite(v).all() for v in (np.array(r.features) for r in out.itertuples()))
+
+
+def test_extract_features_unsupported_magic_is_explicit(spark):
+    import pytest as _pytest
+
+    from apollo_spark.ops.multimodal import decode_features
+
+    with _pytest.raises(NotImplementedError):
+        decode_features(b"\x89PNG\r\n\x1a\n....", 64)
