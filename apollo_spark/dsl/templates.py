@@ -25,4 +25,42 @@ TEMPLATES: dict[str, dict] = {
             "Approval": ["owner", "spender", "value"],
         },
     },
+    # remaining ROADMAP.md:82-87 protocol set; ABIs land under
+    # tests/fixtures/abis (public interface signatures, hand-written)
+    "uniswapv3": {
+        "abi": "univ3pool.abi.json",
+        "events": {
+            "Swap": ["amount0", "amount1", "sqrtPriceX96", "liquidity", "tick"],
+            "Mint": ["amount", "amount0", "amount1"],
+            "Burn": ["amount", "amount0", "amount1"],
+            "Collect": ["amount0", "amount1"],
+            "Initialize": ["sqrtPriceX96", "tick"],
+        },
+    },
+    "compound": {
+        "abi": "ctoken.abi.json",
+        "events": {
+            "Mint": ["minter", "mintAmount", "mintTokens"],
+            "Redeem": ["redeemer", "redeemAmount", "redeemTokens"],
+            "Borrow": ["borrower", "borrowAmount", "accountBorrows", "totalBorrows"],
+            "RepayBorrow": ["payer", "borrower", "repayAmount", "accountBorrows", "totalBorrows"],
+            "LiquidateBorrow": ["liquidator", "borrower", "repayAmount", "cTokenCollateral", "seizeTokens"],
+        },
+    },
+    "aave": {
+        "abi": "aave_lendingpool.abi.json",
+        "events": {
+            "Deposit": ["reserve", "user", "onBehalfOf", "amount"],
+            "Withdraw": ["reserve", "user", "to", "amount"],
+            "Borrow": ["reserve", "user", "onBehalfOf", "amount", "borrowRate"],
+            "Repay": ["reserve", "user", "repayer", "amount"],
+            "FlashLoan": ["target", "initiator", "asset", "amount", "premium"],
+        },
+    },
+    "makerdao": {
+        "abi": "makerdao_cdpmanager.abi.json",
+        "events": {
+            "NewCdp": ["usr", "own", "cdp"],
+        },
+    },
 }

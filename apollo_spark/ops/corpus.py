@@ -290,3 +290,93 @@ def unimax_weights(
         (alloc / total).alias("weight"),
         (alloc / F.col("__c").cast("double")).alias("epochs_used"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """GPT-style concat-then-chunk sequence packing: documents, in a
+    deterministic pseudo-random order, are laid end-to-end on one global
+    token tape; training sequence k owns tape positions
+    [k*seq_len, (k+1)*seq_len). Each document reports where it landed:
+    start_pos, the first/last sequence it touches, and its offset inside the
+    first sequence. No padding waste; documents may straddle boundaries (the
+    standard pretraining tradeoff).
+
+    Scale posture — the global running sum is NOT a single global window
+    (that collapses 100 TB into one task). The order key md5(salt||id)
+    is uniform, so its first two hex chars define 256 ORDERED buckets:
+    per-bucket running sums are a partitionBy window (256-way parallel,
+    AQE-balanced), and the global offset of each bucket is a broadcast of 256
+    cumulative totals. Exact global order = (bucket, h, id); everything is
+    BIGINT arithmetic, so the layout is bit-reproducible in any engine.
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    base = df.select(
+        F.col(id_col),
+        h.alias("__h"),
+        F.substring(h, 1, 2).alias("__b"),
+        F.size(whitespace_tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w_in = Window.partitionBy("__b").orderBy(F.col("__h").asc(), F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    base = base.withColumn("__cum_in", F.sum("n_tokens").over(w_in))
+    # 256 rows: cumulative token mass of all preceding buckets
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        base.groupBy("__b")
+        .agg(F.sum("n_tokens").alias("__bt"))
+        .withColumn("__off", F.coalesce(F.sum("__bt").over(w_b), F.lit(0)))
+        .select("__b", "__off")
+    )
+    start = F.col("__off") + F.col("__cum_in") - F.col("n_tokens")
+    end = F.col("__off") + F.col("__cum_in") - 1  # inclusive last token pos
+    return (
+        base.join(F.broadcast(offs), "__b")
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            id_col,
+            "n_tokens",
+            start.alias("start_pos"),
+            F.floor(start / F.lit(seq_len)).cast("long").alias("seq_first"),
+            F.floor(end / F.lit(seq_len)).cast("long").alias("seq_last"),
+            (start % F.lit(seq_len)).alias("offset_in_seq"),
+        )
+    )
+
+
+def mixture_weights_temperature(
+    group_tokens: DataFrame,
+    alpha: float,
+    by: str = "source",
+    tokens_col: str = "group_tokens",
+) -> DataFrame:
+    """Temperature-based sampling weights (multilingual-pretraining
+    standard, e.g. XLM-R): p_i = n_i^alpha / sum_j n_j^alpha. alpha=1 is
+    proportional sampling, alpha->0 approaches uniform; 0.3-0.7 are the
+    usual smoothing values.
+
+    Float policy: n^alpha is one pow() on an exact BIGINT (same IEEE result
+    in any engine), quantized to DECIMAL(38,6) so the normalizing sum is
+    exact and order-independent; the final weight is a single double
+    division. Frame is one row per group — the broadcast crossJoin of the
+    total is the whole shuffle story; the heavy groupBy that produced
+    ``group_tokens`` happens upstream."""
+    p = F.round(F.pow(F.col(tokens_col).cast("double"), F.lit(float(alpha))), 6).cast(
+        "decimal(38,6)"
+    )
+    scored = group_tokens.select(
+        F.col(by), F.col(tokens_col).cast("long").alias("n_tokens"), p.alias("__p")
+    )
+    tot = scored.agg(F.sum("__p").alias("__tot"))
+    return scored.crossJoin(F.broadcast(tot)).select(
+        by,
+        "n_tokens",
+        F.col("__p").cast("double").alias("smoothed_mass"),
+        (F.col("__p").cast("double") / F.col("__tot").cast("double")).alias("weight"),
+    )

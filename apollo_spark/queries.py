@@ -2168,6 +2168,85 @@ FROM cum WHERE cum_tokens - n_tokens < 600 ORDER BY doc_id
 """
 
 
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (ops.corpus.pack_sequences):
+    deterministic md5-ordered token tape, chunked into 512-token training
+    sequences. Bucketed running sums (256-way parallel) + broadcast bucket
+    offsets — NOT a single global window; exact BIGINT layout is
+    reproduced by the oracle's windowed cumulative sums."""
+    from apollo_spark.ops.corpus import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, seq_len=512).orderBy("doc_id")
+
+
+ORACLE_SEQ_PACKING = r"""
+WITH base AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, b, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY b ORDER BY h ASC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_in
+  FROM base
+),
+boff AS (
+  SELECT b, CAST(COALESCE(SUM(bt) OVER (ORDER BY b ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM (SELECT b, SUM(n_tokens) AS bt FROM base GROUP BY b)
+)
+SELECT doc_id, n_tokens,
+       off + cum_in - n_tokens AS start_pos,
+       CAST(FLOOR((off + cum_in - n_tokens) / 512) AS BIGINT) AS seq_first,
+       CAST(FLOOR((off + cum_in - 1) / 512) AS BIGINT) AS seq_last,
+       (off + cum_in - n_tokens) % 512 AS offset_in_seq
+FROM cum JOIN boff USING (b)
+WHERE n_tokens > 0
+ORDER BY doc_id
+"""
+
+
+def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed source mixture (alpha=0.5, XLM-R style) over
+    per-source token mass (ops.corpus.mixture_weights_temperature). The pow
+    is one IEEE op on an exact integer; the normalizing sum rides
+    DECIMAL(38,6) so it is order-independent in both engines."""
+    from apollo_spark.ops.corpus import mixture_weights_temperature, whitespace_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(whitespace_tokens(F.col("text"))).cast("long")).alias("group_tokens")
+    )
+    out = mixture_weights_temperature(per_src, alpha=0.5, by="source")
+    return out.select(
+        "source", "n_tokens", "smoothed_mass", F.round("weight", 6).alias("weight")
+    ).orderBy("source")
+
+
+ORACLE_TEMPERATURE_WEIGHTS = r"""
+WITH t AS (
+  SELECT source,
+         CAST(SUM(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+p AS (
+  SELECT source, n_tokens,
+         CAST(ROUND(pow(CAST(n_tokens AS DOUBLE), 0.5), 6) AS DECIMAL(38,6)) AS pm
+  FROM t
+)
+SELECT source, n_tokens,
+       CAST(pm AS DOUBLE) AS smoothed_mass,
+       ROUND(CAST(pm AS DOUBLE) / CAST((SELECT SUM(pm) FROM p) AS DOUBLE), 6) AS weight
+FROM p ORDER BY source
+"""
+
+
 def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle: global rank by md5(doc_id) —
     reproducible pseudo-random order, executed as a range-partitioned
@@ -3490,6 +3569,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "copurchase_triangles": copurchase_triangles,
     "media_real_image_features": media_real_image_features,
+    "sequence_packing": sequence_packing,
+    "source_temperature_weights": source_temperature_weights,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -3582,6 +3663,8 @@ ORACLES: dict[str, str] = {
     "kmeans_embedding_clusters": ORACLE_KMEANS,
     "copurchase_triangles": ORACLE_TRIANGLES,
     "media_real_image_features": ORACLE_MEDIA_REAL,
+    "sequence_packing": ORACLE_SEQ_PACKING,
+    "source_temperature_weights": ORACLE_TEMPERATURE_WEIGHTS,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

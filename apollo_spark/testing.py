@@ -28,6 +28,13 @@ N_BLOCKS = 2_000
 # the flagship example's pair address (schema.example.hcl:15)
 FLAGSHIP_PAIR = "0x905dfcd5649217c42684f23958568e533c711aa3"
 
+# synthetic uniswapv3 pool for the template fixtures (polygon chain so the
+# ethereum/arbitrum log counts other tests pin stay untouched)
+FLAGSHIP_V3_POOL = "0x45dda9cb7c25131df268515131f647d726f50608"
+
+# hand-written public-interface ABIs for the protocol templates
+ABI_FIXTURES_DIR = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "abis"
+
 
 def _addr(rng: np.random.Generator) -> str:
     return "0x" + bytes(rng.integers(0, 256, 20, dtype=np.uint8)).hex()
@@ -48,7 +55,7 @@ def dec38(values) -> pa.Array:
 def generate_evm_fixtures(root: str | Path, n_swaps: int = 8000, n_transfers: int = 6000) -> Path:
     root = Path(root)
     marker = root / "_FIXTURES_OK"
-    if marker.exists() and marker.read_text() == "v3":
+    if marker.exists() and marker.read_text() == "v4":
         return root
     root.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(SEED)
@@ -118,6 +125,42 @@ def generate_evm_fixtures(root: str | Path, n_swaps: int = 8000, n_transfers: in
         add_log(chain, blk, tx_hash, tx_index, int(rng.integers(0, 10)), pair,
                 [swap_t0, _pad_topic(sender), _pad_topic(to)], data)
 
+    # ---- uniswapv3 swaps (polygon pools; int256 amounts, signed tick) ----
+    univ3 = Abi.from_file(ABI_FIXTURES_DIR / "univ3pool.abi.json")
+    v3_t0 = univ3.events["Swap"].topic0
+    v3_pools = [FLAGSHIP_V3_POOL] + [_addr(rng) for _ in range(2)]
+    v3 = {k: [] for k in ("chain", "block_number", "block_hash", "timestamp", "contract_address", "event_name", "tx_hash", "tx_index", "amount0", "amount1", "sqrtPriceX96", "liquidity", "tick")}
+    for i in range(2000):
+        chain = "polygon"
+        blk = int(rng.integers(START_BLOCK, START_BLOCK + N_BLOCKS))
+        pool = v3_pools[int(rng.integers(0, len(v3_pools)))]
+        eth_amt = int(rng.uniform(1e15, 1e21))
+        usdc_amt = int(rng.uniform(1e6, 1e11))
+        # v3 semantics: one amount positive (paid in), the other negative (out)
+        if bool(rng.integers(0, 2)):
+            a0, a1 = eth_amt, -usdc_amt
+        else:
+            a0, a1 = -eth_amt, usdc_amt
+        sqrt_px = int(rng.uniform(1e27, 1e29))
+        liq = int(rng.uniform(1e15, 1e20))
+        tick = int(rng.integers(-887_272, 887_273))
+        tx_hash = _hash(rng)
+        tx_index = int(rng.integers(0, 200))
+        sender, rec = wallets[int(rng.integers(0, 50))], wallets[int(rng.integers(0, 50))]
+        data = abi_encode(
+            ["int256", "int256", "uint160", "uint128", "int24"], [a0, a1, sqrt_px, liq, tick]
+        )
+        add_log(chain, blk, tx_hash, tx_index, int(rng.integers(0, 10)), pool,
+                [v3_t0, _pad_topic(sender), _pad_topic(rec)], data)
+        for col, val in (
+            ("chain", chain), ("block_number", blk), ("block_hash", block_hash[(chain, blk)]),
+            ("timestamp", block_ts[(chain, blk)]), ("contract_address", pool),
+            ("event_name", "Swap"), ("tx_hash", tx_hash), ("tx_index", tx_index),
+            ("amount0", a0), ("amount1", a1), ("sqrtPriceX96", sqrt_px),
+            ("liquidity", liq), ("tick", tick),
+        ):
+            v3[col].append(val)
+
     # ---- global ERC20 transfers (ethereum, many token contracts) ----
     tokens = [_addr(rng) for _ in range(20)]
     tr = {k: [] for k in ("chain", "block_number", "timestamp", "contract_address", "event_name", "tx_hash", "tx_index", "from", "to", "value")}
@@ -164,6 +207,14 @@ def generate_evm_fixtures(root: str | Path, n_swaps: int = 8000, n_transfers: in
         "value": dec38(tr["value"]),
     })
     pq.write_table(tr_table, root / "transfers.parquet")
+
+    v3_table = pa.table({
+        **{k: pa.array(v3[k]) for k in ("chain", "block_number", "block_hash", "timestamp", "contract_address", "event_name", "tx_hash")},
+        "tx_index": pa.array(v3["tx_index"], type=pa.int32()),
+        **{k: dec38(v3[k]) for k in ("amount0", "amount1", "sqrtPriceX96", "liquidity")},
+        "tick": pa.array(v3["tick"], type=pa.int32()),
+    })
+    pq.write_table(v3_table, root / "univ3_swap_events.parquet")
 
     # ---- method_results: getReserves() per pair every 10 blocks ----
     mr = {k: [] for k in ("chain", "contract_address", "block_number", "timestamp", "_reserve0", "_reserve1", "_blockTimestampLast")}
@@ -258,7 +309,7 @@ def generate_evm_fixtures(root: str | Path, n_swaps: int = 8000, n_transfers: in
         root / "transactions.parquet",
     )
 
-    marker.write_text("v3")
+    marker.write_text("v4")
     return root
 
 

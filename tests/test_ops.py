@@ -1012,3 +1012,48 @@ def test_extract_features_unsupported_magic_is_explicit(spark):
 
     with _pytest.raises(NotImplementedError):
         decode_features(b"\x89PNG\r\n\x1a\n....", 64)
+
+
+def test_pack_sequences_tape_is_contiguous(spark):
+    """The bucketed two-phase running sum must equal a naive global cumsum:
+    documents tile the token tape with no gaps or overlaps, and sequence
+    spans follow from start_pos arithmetic."""
+    from apollo_spark.ops.corpus import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (1 + (i * 13) % 40))) for i in range(200)]
+    rows.append((999, "   "))  # empty doc: dropped, occupies no tape
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, seq_len=64).toPandas()
+    assert 999 not in set(out["doc_id"])
+    laid = out.sort_values("start_pos").reset_index(drop=True)
+    # no gaps/overlaps: each start = previous start + previous length
+    expect = 0
+    for r in laid.itertuples():
+        assert r.start_pos == expect
+        assert r.seq_first == r.start_pos // 64
+        assert r.seq_last == (r.start_pos + r.n_tokens - 1) // 64
+        assert r.offset_in_seq == r.start_pos % 64
+        expect += r.n_tokens
+    # deterministic: same input -> same layout
+    again = pack_sequences(df, seq_len=64).toPandas().sort_values("start_pos").reset_index(drop=True)
+    assert (again["doc_id"].to_numpy() == laid["doc_id"].to_numpy()).all()
+
+
+def test_mixture_weights_temperature_limits(spark):
+    """alpha=1 reproduces proportional sampling; small alpha flattens toward
+    uniform; weights always sum to ~1."""
+    import numpy as np
+
+    from apollo_spark.ops.corpus import mixture_weights_temperature
+
+    df = spark.createDataFrame(
+        [("a", 1000), ("b", 100), ("c", 10)], "source string, group_tokens long"
+    )
+    w1 = {r.source: r.weight for r in mixture_weights_temperature(df, alpha=1.0).collect()}
+    assert abs(w1["a"] - 1000 / 1110) < 1e-6
+    w0 = {r.source: r.weight for r in mixture_weights_temperature(df, alpha=0.01).collect()}
+    assert abs(sum(w0.values()) - 1.0) < 1e-6
+    assert max(w0.values()) - min(w0.values()) < 0.05  # near uniform
+    spread1 = w1["a"] - w1["c"]
+    w5 = {r.source: r.weight for r in mixture_weights_temperature(df, alpha=0.5).collect()}
+    assert w5["a"] - w5["c"] < spread1  # smoothing monotone in alpha

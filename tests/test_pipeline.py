@@ -66,7 +66,7 @@ WHERE contract_address = '0x905dfcd5649217c42684f23958568e533c711aa3'
 
 def _duck(evm_dir: Path):
     con = duckdb.connect()
-    for t in ("swap_events", "transfers", "blocks", "method_results", "balances", "token_metadata", "contracts", "prices"):
+    for t in ("swap_events", "univ3_swap_events", "transfers", "blocks", "method_results", "balances", "token_metadata", "contracts", "prices"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{evm_dir}/{t}.parquet'")
     return con
 
@@ -634,3 +634,79 @@ def test_struct_event_decodes_to_json_column(spark):
     assert list(dec["maker"]) == [maker] * 3
     parsed = [_json.loads(v) for v in dec["order"]]
     assert parsed[1] == [1, [1, 2], "n1"]  # JSON renders the tuple faithfully
+
+
+def test_uniswapv3_template_end_to_end(spark, catalog, evm_dir):
+    """`template = "uniswapv3"` (reference ROADMAP.md:82-87): the public
+    IUniswapV3Pool Swap signature (int256 amounts, signed tick) expands,
+    decodes from raw logs, and matches the golden fixture table."""
+    from apollo_spark.testing import ABI_FIXTURES_DIR
+
+    con = _duck(evm_dir)
+    src = """
+query v3_swaps {
+  chain = "polygon"
+  contract "0x45dda9cb7c25131df268515131f647d726f50608" {
+    template = "uniswapv3"
+    template_events = ["Swap"]
+  }
+  save {
+    tx_hash = tx_hash
+    eth_delta = parse_decimals(amount0, 18)
+    tick = tick
+  }
+}
+"""
+    schema = parse_schema(src, confdir=ABI_FIXTURES_DIR)
+    c = schema.queries[0].contracts[0]
+    assert c.abi_name == "univ3pool.abi.json"
+    assert [e.name for e in c.events] == ["Swap"]
+    assert c.events[0].outputs == ["amount0", "amount1", "sqrtPriceX96", "liquidity", "tick"]
+    df = compile_query(spark, catalog, schema.queries[0], schema)
+    expected = con.sql(
+        """
+        SELECT tx_hash, CAST(amount0 AS DOUBLE) / 1e18 AS eth_delta, CAST(tick AS BIGINT) AS tick
+        FROM univ3_swap_events
+        WHERE contract_address = '0x45dda9cb7c25131df268515131f647d726f50608'
+        """
+    )
+    assert_frames_match(df, expected, sort_cols=["tx_hash"], approx_cols=("eth_delta",))
+    # signed decode really happened: both directions present
+    neg = df.filter("eth_delta < 0").count()
+    assert 0 < neg < df.count()
+
+
+def test_protocol_template_expansion_shapes():
+    """compound / aave / makerdao templates parse, resolve their fixture
+    ABIs, and expand the documented event sets."""
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.dsl.templates import TEMPLATES
+    from apollo_spark.testing import ABI_FIXTURES_DIR
+
+    for tpl_name, want_first in (
+        ("compound", "Mint"),
+        ("aave", "Deposit"),
+        ("makerdao", "NewCdp"),
+    ):
+        src = f"""
+query t {{
+  chain = "ethereum"
+  contract "0x{'ab' * 20}" {{
+    template = "{tpl_name}"
+  }}
+  save {{
+    tx_hash = tx_hash
+  }}
+}}
+"""
+        schema = parse_schema(src, confdir=ABI_FIXTURES_DIR)
+        c = schema.queries[0].contracts[0]
+        assert c.abi_name == TEMPLATES[tpl_name]["abi"]
+        assert [e.name for e in c.events] == list(TEMPLATES[tpl_name]["events"])
+        assert c.events[0].name == want_first
+        # every expanded event resolves against the ABI with its outputs
+        assert c.abi is not None
+        for ev in c.events:
+            abi_ev = c.abi.events[ev.name]
+            abi_names = {p.name for p in abi_ev.inputs}
+            assert set(ev.outputs) <= abi_names, (tpl_name, ev.name)
