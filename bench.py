@@ -29,8 +29,24 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers once so per-query numbers measure the
-    # queries, not session bring-up
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # queries, not session bring-up (the first heavy corpus scan otherwise
+    # absorbs all first-touch JIT/footer cost — BASELINE.md's 2.8s-vs-8s
+    # ngram spread was exactly this)
+    for t in ("lineitem", "orders", "documents", "embeddings", "events"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    # JIT the shuffle/join/window/explode machinery: the first shuffle-heavy
+    # query otherwise pays ~5s of JVM warmup that belongs to the session,
+    # not the plan (measured: identical query 7.0s first run, 1.8s after)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = spark.range(200_000).select(F.col("id"), (F.col("id") % 997).alias("k"))
+    (
+        w.alias("a").join(w.alias("b"), "k")
+        .groupBy("k").count()
+        .withColumn("r", F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("k")))
+        .select(F.explode(F.array("k", "count")).alias("x")).count()
+    )
 
     # per-query isolation: one broken query must never abort the run and
     # lose every other number (that is exactly what round 2's ts bug did)
