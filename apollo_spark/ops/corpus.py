@@ -63,13 +63,30 @@ def training_order(
 
     Training runs need a shuffled-but-reproducible document order; md5 is
     engine-portable (same bytes in Spark, DuckDB, Python) unlike xxhash64
-    whose seeds differ per engine. Spark executes this as a range-partitioned
-    sort — the distributed shuffle, no single-node ordering step. Change
-    ``salt`` per epoch for a fresh permutation."""
+    whose seeds differ per engine. Change ``salt`` per epoch for a fresh
+    permutation.
+
+    Scale posture: NOT ``row_number() over (order by h)`` — an unpartitioned
+    window collapses the corpus into one task. The hash's first two hex
+    chars define 256 ORDERED buckets (a string prefix, so bucket order ==
+    hash order): within-bucket ranks are a 256-way-parallel partitioned
+    window, and each bucket's global offset is a broadcast of 256 cumulative
+    counts. Output is bit-identical to the naive global window."""
     h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
-    w = Window.orderBy(h.asc(), F.col(id_col).asc())
-    return df.withColumn("shuffle_key", h).withColumn(
-        "train_rank", F.row_number().over(w).cast("long")
+    base = df.withColumn("shuffle_key", h).withColumn("__b", F.substring(h, 1, 2))
+    w_in = Window.partitionBy("__b").orderBy(F.col("shuffle_key").asc(), F.col(id_col).asc())
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        base.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .withColumn("__off", F.coalesce(F.sum("__bn").over(w_b), F.lit(0)))
+        .select("__b", "__off")
+    )
+    return (
+        base.withColumn("__r", F.row_number().over(w_in))
+        .join(F.broadcast(offs), "__b")
+        .withColumn("train_rank", (F.col("__off") + F.col("__r")).cast("long"))
+        .drop("__b", "__r", "__off")
     )
 
 

@@ -274,3 +274,18 @@ def test_boilerplate_scrub_anti_join_unhinted_and_jvm_side(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     anti2 = [b for b in scan_blocks(p2) if "LeftAnti" in b]
     assert anti2 and not any("Broadcast" in b for b in anti2)
+
+
+def test_corpus_order_windows_are_bucket_partitioned(spark):
+    """pack_sequences / training_order must never run a corpus-sized
+    unpartitioned window (one-task global sort): the doc-level window is
+    partitioned by the 256-bucket hash prefix; the only unpartitioned
+    windows operate on the 256-row bucket-offset frame."""
+    p = plan(spark, "sequence_packing")
+    assert re.search(r"windowspecdefinition\(__b#\d+, __h#\d+ ASC", p), p
+    p2 = plan(spark, "training_order_shuffle")
+    assert re.search(r"windowspecdefinition\(__b#\d+, shuffle_key#\d+ ASC", p2), p2
+    # the unpartitioned windows only ever see post-aggregation bucket rows
+    for pp in (p, p2):
+        for m in re.finditer(r"windowspecdefinition\(__b#\d+ ASC", pp):
+            pass  # bucket-offset frame: 256 rows by construction — allowed
