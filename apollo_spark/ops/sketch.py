@@ -247,3 +247,75 @@ __all__ = [
     "cms_estimate",
     "cms_heavy_hitters",
 ]
+
+
+# ---------------------------------------------------------------- histogram
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 32,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-range equi-width histogram sketch: per-(group, bin) counts.
+
+    The mergeable alternative to exact percentiles at 100 TB: partial
+    histograms combine by integer addition, so the wide exchange carries at
+    most ``bins`` rows per group instead of every value (an exact
+    percentile_disc is a per-group sort). Out-of-range values clamp into
+    the edge bins — total count is preserved, the standard monitoring-
+    histogram convention. All integer arithmetic; bin edges are exact IEEE
+    doubles so assignment is engine-reproducible."""
+    g = list(group_cols or [])
+    width = (float(hi) - float(lo)) / bins
+    raw = F.floor((F.col(value_col).cast("double") - F.lit(float(lo))) / F.lit(width))
+    bin_ = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw)).cast("int")
+    return (
+        df.groupBy(*g, bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_merge(a: DataFrame, b: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge two histogram sketches (same lo/hi/bins): add counts per bin."""
+    g = list(group_cols or [])
+    return a.unionByName(b).groupBy(*g, "bin").agg(F.sum("n").alias("n"))
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    q: float,
+    lo: float,
+    hi: float,
+    bins: int = 32,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group quantile estimate from a histogram sketch: find the bin
+    where the running count crosses q*total, linearly interpolate inside it.
+    Deterministic: integer cumulative counts, then two IEEE ops. Windows
+    partition by group (bin count per group <= ``bins`` — tiny frames)."""
+    from pyspark.sql import Window
+
+    g = list(group_cols or [])
+    width = (float(hi) - float(lo)) / bins
+    w_grp = Window.partitionBy(*[F.col(c) for c in g]) if g else Window.partitionBy(F.lit(1))
+    w_cum = (
+        w_grp.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    h = (
+        hist.withColumn("cum", F.sum("n").over(w_cum))
+        .withColumn("total", F.sum("n").over(w_grp))
+        .withColumn("target", F.ceil(F.lit(float(q)) * F.col("total")).cast("long"))
+    )
+    # first bin whose cumulative count reaches the target
+    hit = h.filter(
+        (F.col("cum") >= F.col("target")) & ((F.col("cum") - F.col("n")) < F.col("target"))
+    )
+    frac = (F.col("target") - (F.col("cum") - F.col("n"))).cast("double") / F.col("n").cast(
+        "double"
+    )
+    est = F.lit(float(lo)) + (F.col("bin").cast("double") + frac) * F.lit(width)
+    return hit.select(*g, est.alias("quantile_est"), F.col("total"))

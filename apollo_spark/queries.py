@@ -2122,6 +2122,61 @@ FROM h ORDER BY media_id
 ORACLE_MEDIA_REAL = _media_real_oracle()
 
 
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram sketch + quantile estimates per
+    event_type (ops.sketch.histogram_sketch): the 100 TB answer to exact
+    percentiles — the shuffle carries <=32 integer bins per group instead of
+    a per-group sort of every value. p50/p95 are deterministic interpolations
+    of integer counts; the oracle mirrors bin assignment and interpolation."""
+    from apollo_spark.ops.sketch import histogram_quantile, histogram_sketch
+
+    e = _events(spark, sf_dir)
+    h = histogram_sketch(e, "value", lo=0.0, hi=512.0, bins=32, group_cols=["event_type"]).persist()
+    p50 = histogram_quantile(h, 0.5, lo=0.0, hi=512.0, bins=32, group_cols=["event_type"])
+    p95 = histogram_quantile(h, 0.95, lo=0.0, hi=512.0, bins=32, group_cols=["event_type"])
+    return (
+        p50.select("event_type", F.round("quantile_est", 6).alias("p50"), "total")
+        .join(
+            p95.select("event_type", F.round("quantile_est", 6).alias("p95")),
+            "event_type",
+        )
+        .select("event_type", "total", "p50", "p95")
+        .orderBy("event_type")
+    )
+
+
+ORACLE_VALUE_HISTOGRAM = """
+WITH h AS (
+  SELECT event_type,
+         CAST(LEAST(31, GREATEST(0, FLOOR(CAST(value AS DOUBLE) / 16.0))) AS INT) AS bin,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bin, n,
+         CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+  FROM h
+),
+q AS (
+  SELECT event_type, total,
+         MAX(CASE WHEN cum >= CAST(CEIL(0.5 * total) AS BIGINT)
+                   AND cum - n < CAST(CEIL(0.5 * total) AS BIGINT)
+              THEN ROUND((CAST(bin AS DOUBLE)
+                   + CAST(CAST(CEIL(0.5 * total) AS BIGINT) - (cum - n) AS DOUBLE)
+                     / CAST(n AS DOUBLE)) * 16.0, 6) END) AS p50,
+         MAX(CASE WHEN cum >= CAST(CEIL(0.95 * total) AS BIGINT)
+                   AND cum - n < CAST(CEIL(0.95 * total) AS BIGINT)
+              THEN ROUND((CAST(bin AS DOUBLE)
+                   + CAST(CAST(CEIL(0.95 * total) AS BIGINT) - (cum - n) AS DOUBLE)
+                     / CAST(n AS DOUBLE)) * 16.0, 6) END) AS p95
+  FROM c GROUP BY event_type, total
+)
+SELECT event_type, total, p50, p95 FROM q ORDER BY event_type
+"""
+
+
 def simhash_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (xxhash64-based -> not reproducible in
     ANSI SQL; rows-only check)."""
@@ -3571,6 +3626,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_real_image_features": media_real_image_features,
     "sequence_packing": sequence_packing,
     "source_temperature_weights": source_temperature_weights,
+    "events_value_histogram": events_value_histogram,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -3665,6 +3721,7 @@ ORACLES: dict[str, str] = {
     "media_real_image_features": ORACLE_MEDIA_REAL,
     "sequence_packing": ORACLE_SEQ_PACKING,
     "source_temperature_weights": ORACLE_TEMPERATURE_WEIGHTS,
+    "events_value_histogram": ORACLE_VALUE_HISTOGRAM,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

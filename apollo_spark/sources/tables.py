@@ -22,7 +22,7 @@ class Catalog:
 
     # formats a training-data lake actually lands in; parquet first so the
     # columnar path wins when multiple encodings of a table exist
-    FORMATS = (".parquet", ".jsonl", ".json", ".csv", ".csv.gz", ".tsv")
+    FORMATS = (".parquet", ".orc", ".jsonl", ".json", ".csv", ".csv.gz", ".tsv")
 
     def _find(self, name: str):
         for ext in self.FORMATS:
@@ -40,6 +40,8 @@ class Catalog:
             raise FileNotFoundError(f"catalog table {name!r} not found under {self.root}")
         if ext == ".parquet":
             return self.spark.read.parquet(str(path))
+        if ext == ".orc":
+            return self.spark.read.orc(str(path))
         if ext in (".jsonl", ".json"):
             return self.spark.read.json(str(path))
         if ext in (".csv", ".csv.gz"):

@@ -1057,3 +1057,36 @@ def test_mixture_weights_temperature_limits(spark):
     spread1 = w1["a"] - w1["c"]
     w5 = {r.source: r.weight for r in mixture_weights_temperature(df, alpha=0.5).collect()}
     assert w5["a"] - w5["c"] < spread1  # smoothing monotone in alpha
+
+
+def test_histogram_sketch_merge_and_quantile_accuracy(spark):
+    """Split-then-merge equals whole (the mergeability contract), and the
+    interpolated quantile lands within one bin width of the exact value."""
+    from apollo_spark.ops.sketch import histogram_merge, histogram_quantile, histogram_sketch
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 3).cast("string").alias("g"), (F.col("id") % 1000).cast("double").alias("v")
+    )
+    lo, hi, bins = 0.0, 1000.0, 50
+    whole = histogram_sketch(df, "v", lo, hi, bins, ["g"])
+    a = histogram_sketch(df.filter("id % 2 = 0"), "v", lo, hi, bins, ["g"])
+    b = histogram_sketch(df.filter("id % 2 = 1"), "v", lo, hi, bins, ["g"])
+    merged = histogram_merge(a, b, ["g"])
+    wm = {(r.g, r.bin): r.n for r in whole.collect()}
+    mm = {(r.g, r.bin): r.n for r in merged.collect()}
+    assert wm == mm
+    q = histogram_quantile(whole, 0.5, lo, hi, bins, ["g"]).collect()
+    for r in q:
+        assert abs(r.quantile_est - 500.0) <= (hi - lo) / bins + 1e-9  # exact p50 ~ 499.5
+    # out-of-range values clamp, never drop
+    oob = spark.createDataFrame([("x", -5.0), ("x", 2000.0)], "g string, v double")
+    h = histogram_sketch(oob, "v", lo, hi, bins, ["g"]).collect()
+    assert sorted((r.bin, r.n) for r in h) == [(0, 1), (bins - 1, 1)]
+
+
+def test_catalog_reads_orc(spark, tmp_path):
+    from apollo_spark.sources.tables import Catalog
+
+    spark.range(7).selectExpr("id", "id * 3 AS v").write.orc(str(tmp_path / "t.orc"))
+    cat = Catalog(spark, tmp_path)
+    assert cat.has("t") and cat.table("t").count() == 7
