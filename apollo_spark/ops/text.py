@@ -327,3 +327,89 @@ def gopher_repetition(
             F.coalesce("top3_frac", F.lit(0.0)).alias("top3_frac"),
         )
     )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    max_word_len: int = 24,
+) -> DataFrame:
+    """Learn byte-pair-encoding merge rules from a corpus — the tokenizer-
+    TRAINING step (Sennrich et al. 2016), distributed as relational
+    iterations instead of the usual single-node dictionary loop.
+
+    State is the classic BPE word table: (word as a symbol string, corpus
+    frequency) — one row per DISTINCT word, so each round's cost scales with
+    vocabulary size, not corpus size; the corpus is scanned exactly once by
+    the initial word count. Each round: explode adjacent symbol pairs
+    weighted by word frequency (one map-side-combined groupBy), take the
+    max-count pair under a deterministic (count desc, left asc, right asc)
+    tie-break, then apply the merge to every word.
+
+    Merge application uses the DOUBLED-SPACE invariant: symbols are joined
+    by two spaces (" a  b  c "), so each pair occurrence " l  r " owns its
+    boundary spaces exclusively and a plain left-to-right non-overlapping
+    ``replace`` — identical semantics in Spark, DuckDB, Python — performs
+    exactly the greedy BPE merge scan ("a a a a" -> "aa aa", never "aa a a"
+    or overlap artifacts). That makes the whole trajectory engine-exact, so
+    the op carries a DuckDB oracle with unrolled iterations.
+
+    Words are truncated to ``max_word_len`` chars (standard: length-cap the
+    word table so pathological tokens don't dominate). Returns
+    (merge_rank, left, right, pair_count) — the ordered rule table a
+    tokenizer applies at encode time.
+
+    Scale notes: the per-round driver `first()` on the 1-row argmax is the
+    synchronization point every iterative algorithm has; the word table is
+    re-persisted per round and old state unpersisted. For thousands of
+    merges, batch rules per round (top-k non-conflicting) — not needed for
+    the gate sizes here.
+    """
+    spark = df.sparkSession
+
+    toks = F.explode(words(F.col(text_col))).alias("w")
+    sym = F.concat(
+        F.lit(" "),
+        F.concat_ws("  ", F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit(""))),
+        F.lit(" "),
+    )
+    wf = (
+        df.select(toks)
+        .filter((F.length("w") > 0) & (F.length("w") <= max_word_len))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(sym.alias("s"), "n")
+        .persist()
+    )
+    rules: list[tuple[int, str, str, int]] = []
+    cur = wf
+    for rank in range(1, n_merges + 1):
+        arr = F.split(F.trim("s"), "  ")
+        m = F.greatest(F.size(arr) - 1, F.lit(0))
+        zipped = F.slice(
+            F.arrays_zip(F.slice(arr, 1, m).alias("l"), F.slice(arr, 2, m).alias("r")), 1, m
+        )
+        pairs = cur.select("n", F.explode(zipped).alias("p")).select(
+            F.col("p")["l"].alias("l"), F.col("p")["r"].alias("r"), "n"
+        )
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .first()
+        )
+        if best is None or best["c"] is None:
+            break
+        l, r, c = best["l"], best["r"], int(best["c"])
+        rules.append((rank, l, r, c))
+        pat, rep = F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
+        nxt = cur.select(F.replace(F.col("s"), pat, rep).alias("s"), "n").persist()
+        if cur is not wf:
+            cur.unpersist()
+        cur = nxt
+    if cur is not wf:
+        cur.unpersist()
+    wf.unpersist()
+    return spark.createDataFrame(rules, "merge_rank int, left string, right string, pair_count long")

@@ -2177,6 +2177,58 @@ SELECT event_type, total, p50, p95 FROM q ORDER BY event_type
 """
 
 
+def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (ops.text.bpe_learn_merges): 8
+    merge rounds over the documents corpus, each round one word-table
+    groupBy + a deterministic argmax + a greedy merge via the doubled-space
+    replace invariant. The oracle unrolls the same 8 rounds in SQL — the
+    whole trajectory (counts, tie-breaks, merge applications) is
+    engine-exact integer/string arithmetic."""
+    from apollo_spark.ops.text import bpe_learn_merges
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_learn_merges(d, n_merges=8).orderBy("merge_rank")
+
+
+def _bpe_oracle(n_merges: int = 8, max_word_len: int = 24) -> str:
+    """Unrolled-iteration DuckDB mirror of bpe_learn_merges."""
+    parts = [
+        f"""WITH w0 AS (
+  SELECT ' ' || array_to_string(list_filter(string_split(w, ''), x -> x <> ''), '  ') || ' ' AS s, n
+  FROM (
+    SELECT w, COUNT(*) AS n FROM (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents
+    ) WHERE length(w) BETWEEN 1 AND {max_word_len} GROUP BY w
+  )
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f"""p{i} AS (
+  SELECT p[1] AS l, p[2] AS r, CAST(SUM(n) AS BIGINT) AS c
+  FROM (
+    SELECT n, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS p
+    FROM (SELECT string_split(trim(s), '  ') AS a, n FROM {prev})
+  ) GROUP BY 1, 2
+),
+b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+w{i} AS (
+  SELECT replace(s, ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS s, n
+  FROM {prev} CROSS JOIN b{i} b
+)"""
+        )
+        # the merged-word table w{i} feeds the next round
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, l AS left, r AS right, c AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return ",\n".join(parts) + f"\n{selects}\nORDER BY merge_rank"
+
+
+ORACLE_BPE_MERGES = _bpe_oracle(8)
+
+
 def simhash_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (xxhash64-based -> not reproducible in
     ANSI SQL; rows-only check)."""
@@ -3627,6 +3679,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_packing": sequence_packing,
     "source_temperature_weights": source_temperature_weights,
     "events_value_histogram": events_value_histogram,
+    "bpe_merge_rules": bpe_merge_rules,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -3722,6 +3775,7 @@ ORACLES: dict[str, str] = {
     "sequence_packing": ORACLE_SEQ_PACKING,
     "source_temperature_weights": ORACLE_TEMPERATURE_WEIGHTS,
     "events_value_histogram": ORACLE_VALUE_HISTOGRAM,
+    "bpe_merge_rules": ORACLE_BPE_MERGES,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

@@ -1090,3 +1090,55 @@ def test_catalog_reads_orc(spark, tmp_path):
     spark.range(7).selectExpr("id", "id * 3 AS v").write.orc(str(tmp_path / "t.orc"))
     cat = Catalog(spark, tmp_path)
     assert cat.has("t") and cat.table("t").count() == 7
+
+
+def test_bpe_learn_merges_matches_greedy_reference(spark):
+    """Full trajectory equality with a pure-python greedy BPE learner —
+    including the run-merge edge cases ('aaaa' -> 'aa aa', never 'aa a a')
+    that a naive single-space string replace gets wrong."""
+    import re as _re
+    from collections import Counter
+
+    from apollo_spark.ops.text import bpe_learn_merges
+
+    texts = [
+        "the theater thesis then there other breathe",
+        "banana bandana ananas banana banana",
+        "aaaa aaaaa aa aaaa",
+        "the the the other theory",
+    ]
+
+    wc = Counter()
+    for t in texts:
+        for w in _re.split(r"\s+", t.strip().lower()):
+            if 0 < len(w) <= 24:
+                wc[w] += 1
+    words = {w: list(w) for w in wc}
+    expected = []
+    for rank in range(1, 7):
+        pc = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        best_c = max(pc.values())
+        l, r = sorted(k for k, v in pc.items() if v == best_c)[0]
+        expected.append((rank, l, r, pc[(l, r)]))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in bpe_learn_merges(df, 6).orderBy("merge_rank").collect()
+    ]
+    assert got == expected
