@@ -73,9 +73,23 @@ def pagerank(
     # integral edge weights sum exactly in double; wout is an exact integer
     outw = e.groupBy("src").agg(F.sum("w").alias("wout"))
     ed = e.join(outw, "src").persist()
-    nodes_n = nodes.crossJoin(F.broadcast(nn)).persist()
+    # dangling membership is a property of the GRAPH, not the iteration:
+    # compute the flag once and carry it through the rank state, so the
+    # per-iteration dangling mass is a conditional aggregate over `ranks`
+    # instead of five rebuilt anti-joins against the edge table
+    has_out = (
+        outw.select(F.col("src").alias("node")).withColumn("__has_out", F.lit(True))
+    )
+    nodes_n = (
+        nodes.join(has_out, "node", "left")
+        .withColumn("__has_out", F.coalesce("__has_out", F.lit(False)))
+        .crossJoin(F.broadcast(nn))
+        .persist()
+    )
     # initial rank 1/N in micro-units
-    ranks = nodes_n.select("node", F.floor(F.lit(float(scale)) / F.col("n") + F.lit(0.5)).alias("ru"))
+    ranks = nodes_n.select(
+        "node", "__has_out", F.floor(F.lit(float(scale)) / F.col("n") + F.lit(0.5)).alias("ru")
+    )
     for _ in range(iterations):
         contribs = ed.join(ranks, ed["src"] == ranks["node"]).select(
             F.col("dst").alias("node"),
@@ -84,14 +98,15 @@ def pagerank(
             F.floor(F.col("ru") * F.col("w") / F.col("wout") + F.lit(0.5)).alias("cu"),
         )
         insum = contribs.groupBy("node").agg(F.sum("cu").alias("iu"))  # exact long sum
-        dang = ranks.join(outw, ranks["node"] == outw["src"], "left_anti").agg(
-            F.coalesce(F.sum("ru"), F.lit(0)).alias("du")
+        dang = ranks.agg(
+            F.coalesce(F.sum(F.when(~F.col("__has_out"), F.col("ru"))), F.lit(0)).alias("du")
         )
         ranks = (
             nodes_n.join(insum, "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
+                "__has_out",
                 F.floor(
                     F.lit(base_u) / F.col("n")
                     + F.lit(damping)
@@ -102,6 +117,12 @@ def pagerank(
                     + F.lit(0.5)
                 ).alias("ru"),
             )
+            # eager per-iteration checkpoint is load-bearing twice over:
+            # truncates lineage AND materializes `ranks`, which the next
+            # iteration reads TWICE (contributions + dangling mass) —
+            # checkpointing every 2nd iteration was measured SLOWER (5.8s
+            # vs 4.3s warm at sf0.1) because both subtrees recompute the
+            # uncheckpointed iteration
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", (F.col("ru").cast("double") / F.lit(float(scale))).alias("rank"))
