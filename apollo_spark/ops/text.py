@@ -413,3 +413,52 @@ def bpe_learn_merges(
         cur.unpersist()
     wf.unpersist()
     return spark.createDataFrame(rules, "merge_rank int, left string, right string, pair_count long")
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    rules: list[tuple[str, str]],
+    text_col: str = "text",
+    group_col: str = "source",
+    max_word_len: int = 24,
+) -> DataFrame:
+    """Apply an ordered BPE merge-rule list at ENCODE time and report token
+    mass per group: (group, n_words, n_chars, n_bpe_tokens).
+
+    The encode cost trick mirrors training: merges are applied to the
+    DISTINCT word table (vocabulary-sized), then per-group token counts are
+    an exact-integer join-and-sum against per-(group, word) occurrence
+    counts — the corpus is scanned once and no merge work repeats per
+    occurrence. Words longer than ``max_word_len`` bypass BPE (they were
+    never in the training table) and count one token per character, keeping
+    encode and training caps consistent. All integer arithmetic; oracle-exact.
+    """
+    toks = F.explode(words(F.col(text_col))).alias("w")
+    occ = (
+        df.select(F.col(group_col).alias("g"), toks)
+        .filter(F.length("w") > 0)
+        .groupBy("g", "w")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    sym = F.concat(
+        F.lit(" "),
+        F.concat_ws("  ", F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit(""))),
+        F.lit(" "),
+    )
+    enc = occ.select("w").distinct().filter(F.length("w") <= max_word_len).select(
+        "w", sym.alias("s")
+    )
+    s = F.col("s")
+    for l, r in rules:
+        s = F.replace(s, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+    enc = enc.select("w", F.size(F.split(F.trim(s), "  ")).cast("long").alias("n_sym"))
+    joined = occ.join(enc, "w", "left")
+    n_tok = F.coalesce("n_sym", F.length("w").cast("long"))
+    return (
+        joined.groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.sum("n_occ").alias("n_words"),
+            F.sum(F.col("n_occ") * F.length("w")).cast("long").alias("n_chars"),
+            F.sum(F.col("n_occ") * n_tok).cast("long").alias("n_bpe_tokens"),
+        )
+    )

@@ -2190,11 +2190,13 @@ def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn_merges(d, n_merges=8).orderBy("merge_rank")
 
 
-def _bpe_oracle(n_merges: int = 8, max_word_len: int = 24) -> str:
-    """Unrolled-iteration DuckDB mirror of bpe_learn_merges."""
+def _bpe_ctes(n_merges: int = 8, max_word_len: int = 24) -> str:
+    """Shared unrolled-iteration CTE chain mirroring bpe_learn_merges: the
+    word table w0..wk (word carried alongside its symbol string) and the
+    per-round best pairs b1..bk."""
     parts = [
         f"""WITH w0 AS (
-  SELECT ' ' || array_to_string(list_filter(string_split(w, ''), x -> x <> ''), '  ') || ' ' AS s, n
+  SELECT w, ' ' || array_to_string(list_filter(string_split(w, ''), x -> x <> ''), '  ') || ' ' AS s, n
   FROM (
     SELECT w, COUNT(*) AS n FROM (
       SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents
@@ -2214,19 +2216,61 @@ def _bpe_oracle(n_merges: int = 8, max_word_len: int = 24) -> str:
 ),
 b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
 w{i} AS (
-  SELECT replace(s, ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS s, n
+  SELECT w, replace(s, ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS s, n
   FROM {prev} CROSS JOIN b{i} b
 )"""
         )
         # the merged-word table w{i} feeds the next round
+    return ",\n".join(parts)
+
+
+def _bpe_oracle(n_merges: int = 8, max_word_len: int = 24) -> str:
+    """Unrolled-iteration DuckDB mirror of bpe_learn_merges."""
     selects = "\nUNION ALL\n".join(
         f"SELECT {i} AS merge_rank, l AS left, r AS right, c AS pair_count FROM b{i}"
         for i in range(1, n_merges + 1)
     )
-    return ",\n".join(parts) + f"\n{selects}\nORDER BY merge_rank"
+    return _bpe_ctes(n_merges, max_word_len) + f"\n{selects}\nORDER BY merge_rank"
 
 
 ORACLE_BPE_MERGES = _bpe_oracle(8)
+
+
+def bpe_encode_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE parity: learn 8 merges on the corpus, then apply them to
+    the distinct-word table and report exact per-source token mass
+    (ops.text.bpe_token_counts). Long words bypass BPE one-char-per-token;
+    the oracle replays training AND encoding in one unrolled SQL chain."""
+    from apollo_spark.ops.text import bpe_learn_merges, bpe_token_counts
+
+    d = _t(spark, sf_dir, "documents")
+    rules = [(r.left, r.right) for r in bpe_learn_merges(d, 8).orderBy("merge_rank").collect()]
+    return bpe_token_counts(d, rules).orderBy("source")
+
+
+def _bpe_encode_oracle(n_merges: int = 8, max_word_len: int = 24) -> str:
+    return (
+        _bpe_ctes(n_merges, max_word_len)
+        + f""",
+occ AS (
+  SELECT source AS g, w, COUNT(*) AS n_occ FROM (
+    SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents
+  ) WHERE length(w) > 0 GROUP BY 1, 2
+),
+enc AS (
+  SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sym FROM w{n_merges}
+)
+SELECT g AS source,
+       CAST(SUM(n_occ) AS BIGINT) AS n_words,
+       CAST(SUM(n_occ * length(w)) AS BIGINT) AS n_chars,
+       CAST(SUM(n_occ * COALESCE(n_sym, length(w))) AS BIGINT) AS n_bpe_tokens
+FROM occ LEFT JOIN enc USING (w)
+GROUP BY g ORDER BY source
+"""
+    )
+
+
+ORACLE_BPE_ENCODE = _bpe_encode_oracle(8)
 
 
 def simhash_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3680,6 +3724,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_temperature_weights": source_temperature_weights,
     "events_value_histogram": events_value_histogram,
     "bpe_merge_rules": bpe_merge_rules,
+    "bpe_encode_by_source": bpe_encode_by_source,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -3776,6 +3821,7 @@ ORACLES: dict[str, str] = {
     "source_temperature_weights": ORACLE_TEMPERATURE_WEIGHTS,
     "events_value_histogram": ORACLE_VALUE_HISTOGRAM,
     "bpe_merge_rules": ORACLE_BPE_MERGES,
+    "bpe_encode_by_source": ORACLE_BPE_ENCODE,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,
