@@ -188,3 +188,66 @@ def triangle_count(
         deg.agg(F.count(F.lit(1)).alias("n_nodes"), F.max("deg").alias("max_degree"))
     )
     return summary.crossJoin(tri).select("n_nodes", "n_edges", "max_degree", "n_triangles")
+
+def local_clustering(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient
+    (Watts-Strogatz): c(v) = 2*tri(v) / (deg(v)*(deg(v)-1)), 0 for
+    degree<2 nodes.
+
+    Same degree-ordered orientation as triangle_count — the wedge fan-out
+    stays O(m^1.5) — but each closed triangle (u,v,x) is exploded back to
+    its three member nodes for the per-node census. One extra groupBy on
+    node versus the global count; the coefficient itself is one IEEE
+    division of exact integers. Returns (node, deg, n_tri, coeff)."""
+    a, b = F.col(src), F.col(dst)
+    canon = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        canon.select(F.col("a").alias("v"))
+        .unionByName(canon.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    keyed = canon.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_w"),
+    )
+    o1 = oriented.select(F.col("u"), F.col("w").alias("v"), F.col("deg_w").alias("deg_v"))
+    o2 = oriented.select(F.col("u"), F.col("w").alias("x"), F.col("deg_w").alias("deg_x"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("deg_v") < F.col("deg_x"))
+        | ((F.col("deg_v") == F.col("deg_x")) & (F.col("v") < F.col("x")))
+    )
+    closing = oriented.select(F.col("u").alias("v"), F.col("w").alias("x"))
+    tri_nodes = (
+        wedges.join(closing, ["v", "x"])
+        .select(F.explode(F.array("u", "v", "x")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    coeff = F.when(
+        F.col("deg") >= 2,
+        F.lit(2.0) * F.col("n_tri").cast("double")
+        / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.select(F.col("v").alias("node"), "deg")
+        .join(tri_nodes, "node", "left")
+        .withColumn("n_tri", F.coalesce("n_tri", F.lit(0)))
+        .select("node", "deg", "n_tri", coeff.alias("coeff"))
+    )

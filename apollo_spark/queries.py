@@ -3593,6 +3593,70 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients of the co-purchase graph
+    (ops.graph.local_clustering): same oriented-wedge machinery as the
+    triangle census but with per-node attribution; oracle recounts via the
+    canonical a<b<c triple join exploded to member nodes."""
+    from apollo_spark.ops.graph import local_clustering
+
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    ui = e.select(
+        "user_id", F.get_json_object("props", "$.k").cast("int").alias("item")
+    ).distinct()
+    u2 = ui.select(F.col("user_id"), F.col("item").alias("item_b"))
+    edges = (
+        ui.join(u2, "user_id")
+        .filter(F.col("item") < F.col("item_b"))
+        .groupBy("item", "item_b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 3)
+        .select(F.col("item").alias("src"), F.col("item_b").alias("dst"))
+    )
+    return (
+        local_clustering(edges)
+        .select("node", "deg", "n_tri", F.round("coeff", 6).alias("coeff"))
+        .orderBy("node")
+    )
+
+
+ORACLE_CLUSTERING = """
+WITH ui AS (
+  SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item
+  FROM events WHERE event_type = 'purchase'
+),
+e AS (
+  SELECT u1.item AS a, u2.item AS b
+  FROM ui u1 JOIN ui u2 ON u1.user_id = u2.user_id AND u1.item < u2.item
+  GROUP BY u1.item, u2.item
+  HAVING COUNT(*) >= 3
+),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+  GROUP BY v
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pt AS (
+  SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS n_tri
+  FROM (SELECT unnest([x, y, z]) AS v FROM tri)
+  GROUP BY v
+)
+SELECT d.v AS node, d.deg, COALESCE(pt.n_tri, 0) AS n_tri,
+       CASE WHEN d.deg >= 2
+            THEN ROUND(2.0 * CAST(COALESCE(pt.n_tri, 0) AS DOUBLE)
+                 / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6)
+            ELSE 0.0 END AS coeff
+FROM deg d LEFT JOIN pt ON pt.node = d.v
+ORDER BY node
+"""
+
+
 ORACLE_TRIANGLES = """
 WITH ui AS (
   SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item
@@ -3725,6 +3789,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_histogram": events_value_histogram,
     "bpe_merge_rules": bpe_merge_rules,
     "bpe_encode_by_source": bpe_encode_by_source,
+    "copurchase_clustering": copurchase_clustering,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -3822,6 +3887,7 @@ ORACLES: dict[str, str] = {
     "events_value_histogram": ORACLE_VALUE_HISTOGRAM,
     "bpe_merge_rules": ORACLE_BPE_MERGES,
     "bpe_encode_by_source": ORACLE_BPE_ENCODE,
+    "copurchase_clustering": ORACLE_CLUSTERING,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

@@ -1142,3 +1142,18 @@ def test_bpe_learn_merges_matches_greedy_reference(spark):
         for r in bpe_learn_merges(df, 6).orderBy("merge_rank").collect()
     ]
     assert got == expected
+
+
+def test_local_clustering_known_graph(spark):
+    """K4 plus a pendant: every K4 node closes all its K4 wedges; the
+    pendant-attached node's coefficient dilutes; degree-1 node is 0."""
+    from apollo_spark.ops.graph import local_clustering
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    edges = spark.createDataFrame(k4 + [(4, 5)], "src long, dst long")
+    got = {r.node: (r.deg, r.n_tri, round(r.coeff, 6)) for r in local_clustering(edges).collect()}
+    assert got[1] == (3, 3, 1.0)
+    assert got[2] == (3, 3, 1.0)
+    assert got[3] == (3, 3, 1.0)
+    assert got[4] == (4, 3, 0.5)  # 3 triangles of C(4,2)=6 possible pairs
+    assert got[5] == (1, 0, 0.0)
