@@ -164,7 +164,10 @@ def triangle_count(
     )
     da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
-    keyed = canon.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    # degree table size is O(nodes) — forced broadcast would OOM on a
+    # billion-node graph; leave unhinted and let AQE broadcast at runtime
+    # when the actual build side is small (it is, for item-vocab graphs)
+    keyed = canon.join(da, "a").join(db, "b")
     # orient low (deg, id) -> high (deg, id)
     a_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
@@ -218,7 +221,10 @@ def local_clustering(
     )
     da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
-    keyed = canon.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    # degree table size is O(nodes) — forced broadcast would OOM on a
+    # billion-node graph; leave unhinted and let AQE broadcast at runtime
+    # when the actual build side is small (it is, for item-vocab graphs)
+    keyed = canon.join(da, "a").join(db, "b")
     a_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )

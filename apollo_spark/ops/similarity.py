@@ -502,3 +502,34 @@ def dequantize_int8(codes: "F.Column", vmin: "F.Column", vmax: "F.Column"):
     """Reconstruct the approximate vector: x_i ~ vmin + code_i * scale."""
     scale = (vmax - vmin) / F.lit(255.0)
     return F.transform(codes, lambda c: vmin + c.cast("double") * scale)
+
+
+def hard_negatives(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    q_label_col: str = "q_label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the top-k
+    most-similar corpus vectors with a DIFFERENT label (the negatives that
+    sit closest to the decision boundary). Same broadcast-queries +
+    windowed-top-k shape as brute_force_topk; the label inequality prunes
+    before ranking so the window only sees admissible candidates."""
+    q = queries.select(F.col(q_id_col), F.col(q_vec_col), F.col(q_label_col))
+    joined = (
+        df.select(F.col(id_col), F.col(vec_col), F.col(label_col))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col(label_col) != F.col(q_label_col))
+    )
+    scored = joined.withColumn("score", cosine(F.col(vec_col), F.col(q_vec_col)))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, F.col(label_col), "score", "rank")
+    )

@@ -1423,6 +1423,47 @@ FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
 """
 
 
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives (ops.similarity.hard_negatives):
+    for each of 3 query vectors, the 5 most-cosine-similar vectors carrying
+    a DIFFERENT label — the near-boundary negatives a contrastive loss
+    wants. Broadcast queries, label-pruned before the top-k window."""
+    from apollo_spark.ops.similarity import hard_negatives
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"), "label"
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("label").alias("q_label")
+    )
+    out = hard_negatives(
+        e, q, k=5, id_col="vec_id", vec_col="v", label_col="label",
+        q_id_col="q_id", q_vec_col="qv", q_label_col="q_label",
+    )
+    return out.select(
+        "q_id", "vec_id", "label", "rank", F.round("score", 4).alias("score")
+    ).orderBy("q_id", "rank")
+
+
+ORACLE_HARD_NEG = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e WHERE vec_id < 3),
+scored AS (
+  SELECT q.q_id, e.vec_id, e.label,
+         list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS score
+  FROM e CROSS JOIN q
+  WHERE e.label <> q.q_label
+),
+ranked AS (
+  SELECT q_id, vec_id, label, score,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, label, rank, ROUND(score, 4) AS score
+FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
+
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -3790,6 +3831,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merge_rules": bpe_merge_rules,
     "bpe_encode_by_source": bpe_encode_by_source,
     "copurchase_clustering": copurchase_clustering,
+    "hard_negative_mining": hard_negative_mining,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -3888,6 +3930,7 @@ ORACLES: dict[str, str] = {
     "bpe_merge_rules": ORACLE_BPE_MERGES,
     "bpe_encode_by_source": ORACLE_BPE_ENCODE,
     "copurchase_clustering": ORACLE_CLUSTERING,
+    "hard_negative_mining": ORACLE_HARD_NEG,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,
