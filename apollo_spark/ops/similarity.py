@@ -533,3 +533,38 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select(q_id_col, id_col, F.col(label_col), "score", "rank")
     )
+
+
+def embedding_dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension corpus statistics over an array<float> column:
+    (dim, n, mean, std) — the normalization table feature-scaling and
+    whitening start from.
+
+    posexplode turns N vectors of d dims into N*d (pos, value) rows; one
+    map-side-combined groupBy on pos does the rest — no driver collect, no
+    per-row Python. Sums ride DECIMAL(38,6) so mean/variance are
+    summation-order-independent (E[x^2]-E[x]^2 on exact sums, never
+    running Welford); the only floats are two final IEEE divisions and a
+    sqrt. Output is d rows — tiny for any d."""
+    ex = df.select(F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))))
+    n = F.count(F.lit(1))
+    s1 = F.sum(F.col("col").cast("decimal(38,6)")).cast("double")
+    s2 = F.sum((F.col("col") * F.col("col")).cast("decimal(38,6)")).cast("double")
+    return (
+        ex.groupBy(F.col("pos").alias("dim"))
+        .agg(n.alias("n"), s1.alias("__s1"), s2.alias("__s2"))
+        .select(
+            "dim",
+            "n",
+            (F.col("__s1") / F.col("n")).alias("mean"),
+            F.sqrt(
+                F.greatest(
+                    F.col("__s2") / F.col("n") - (F.col("__s1") / F.col("n")) * (F.col("__s1") / F.col("n")),
+                    F.lit(0.0),
+                )
+            ).alias("std"),
+        )
+    )

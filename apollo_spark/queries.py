@@ -1464,6 +1464,38 @@ FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
 """
 
 
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std of the embedding corpus
+    (ops.similarity.embedding_dim_stats): posexplode + one map-side-combined
+    groupBy on position — the feature-scaling stats table, N*d rows through
+    a d-group shuffle, decimal-exact sums."""
+    from apollo_spark.ops.similarity import embedding_dim_stats as dim_stats
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = dim_stats(e)
+    return out.select(
+        "dim", "n", F.round("mean", 6).alias("mean"), F.round("std", 6).alias("std")
+    ).orderBy("dim")
+
+
+ORACLE_DIM_STATS = """
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS arr FROM embeddings),
+ex AS (
+  SELECT i - 1 AS dim, arr[i] AS v
+  FROM e, unnest(generate_series(1, len(arr))) AS t(i)
+),
+agg AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) AS s2
+  FROM ex GROUP BY dim
+)
+SELECT dim, n, ROUND(s1 / n, 6) AS mean,
+       ROUND(sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0.0)), 6) AS std
+FROM agg ORDER BY dim
+"""
+
+
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -3832,6 +3864,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode_by_source": bpe_encode_by_source,
     "copurchase_clustering": copurchase_clustering,
     "hard_negative_mining": hard_negative_mining,
+    "embedding_dim_stats": embedding_dim_stats,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -3931,6 +3964,7 @@ ORACLES: dict[str, str] = {
     "bpe_encode_by_source": ORACLE_BPE_ENCODE,
     "copurchase_clustering": ORACLE_CLUSTERING,
     "hard_negative_mining": ORACLE_HARD_NEG,
+    "embedding_dim_stats": ORACLE_DIM_STATS,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,
