@@ -53,6 +53,8 @@ def fetch_abi(
         envelope = json.loads(raw)
     except json.JSONDecodeError as e:
         raise AbiFetchError(f"non-JSON response: {raw[:120]!r}") from e
+    if not isinstance(envelope, dict):
+        raise AbiFetchError(f"unexpected response shape: {type(envelope).__name__}")
     if str(envelope.get("status")) != "1":
         raise AbiFetchError(f"API error for {address}: {envelope.get('result')}")
     abi = json.loads(envelope["result"])

@@ -54,6 +54,24 @@ def token_budget_sample(
     )
 
 
+def _bucket_offsets(base: DataFrame, weight: Column) -> DataFrame:
+    """The 256-row cumulative-offset frame of the two-phase global-order
+    pattern: ``base`` must carry ``__b`` (first two hex chars of the md5
+    order key — a string PREFIX, so bucket order == hash order, which is the
+    correctness invariant of the whole scheme). Returns (__b, __off) where
+    __off = total ``weight`` mass of all preceding buckets. Combined with a
+    256-way-parallel per-bucket window, this reproduces a global running
+    sum/rank bit-exactly without ever collapsing the corpus into the single
+    task an unpartitioned window would."""
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        base.groupBy("__b")
+        .agg(F.sum(weight).alias("__bm"))
+        .withColumn("__off", F.coalesce(F.sum("__bm").over(w_b), F.lit(0)))
+        .select("__b", "__off")
+    )
+
+
 def training_order(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -64,27 +82,15 @@ def training_order(
     Training runs need a shuffled-but-reproducible document order; md5 is
     engine-portable (same bytes in Spark, DuckDB, Python) unlike xxhash64
     whose seeds differ per engine. Change ``salt`` per epoch for a fresh
-    permutation.
-
-    Scale posture: NOT ``row_number() over (order by h)`` — an unpartitioned
-    window collapses the corpus into one task. The hash's first two hex
-    chars define 256 ORDERED buckets (a string prefix, so bucket order ==
-    hash order): within-bucket ranks are a 256-way-parallel partitioned
-    window, and each bucket's global offset is a broadcast of 256 cumulative
-    counts. Output is bit-identical to the naive global window."""
+    permutation. Global rank = per-bucket row_number + broadcast bucket
+    offsets (_bucket_offsets) — bit-identical to the naive global window,
+    256-way parallel."""
     h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     base = df.withColumn("shuffle_key", h).withColumn("__b", F.substring(h, 1, 2))
     w_in = Window.partitionBy("__b").orderBy(F.col("shuffle_key").asc(), F.col(id_col).asc())
-    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    offs = (
-        base.groupBy("__b")
-        .agg(F.count(F.lit(1)).alias("__bn"))
-        .withColumn("__off", F.coalesce(F.sum("__bn").over(w_b), F.lit(0)))
-        .select("__b", "__off")
-    )
     return (
         base.withColumn("__r", F.row_number().over(w_in))
-        .join(F.broadcast(offs), "__b")
+        .join(F.broadcast(_bucket_offsets(base, F.lit(1))), "__b")
         .withColumn("train_rank", (F.col("__off") + F.col("__r")).cast("long"))
         .drop("__b", "__r", "__off")
     )
@@ -343,14 +349,7 @@ def pack_sequences(
         Window.unboundedPreceding, 0
     )
     base = base.withColumn("__cum_in", F.sum("n_tokens").over(w_in))
-    # 256 rows: cumulative token mass of all preceding buckets
-    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    offs = (
-        base.groupBy("__b")
-        .agg(F.sum("n_tokens").alias("__bt"))
-        .withColumn("__off", F.coalesce(F.sum("__bt").over(w_b), F.lit(0)))
-        .select("__b", "__off")
-    )
+    offs = _bucket_offsets(base, F.col("n_tokens"))
     start = F.col("__off") + F.col("__cum_in") - F.col("n_tokens")
     end = F.col("__off") + F.col("__cum_in") - 1  # inclusive last token pos
     return (

@@ -252,6 +252,14 @@ def ngram_jaccard_pairs(
     threshold) are decided from counts alone, and only the ambiguous sliver
     is re-scored exactly from the full shingle arrays. With no shingle over
     the cap the plan degenerates to the lossless one.
+
+    Mega-cluster recovery: documents whose shingles are ALL hotter than the
+    cap (content duplicated more than max_df times — the most important
+    dedup target) are re-covered via an exact shingle-set hash, emitted as
+    jaccard-1.0 STAR pairs (cluster-canonical min id -> member, not the
+    inherently quadratic all-pairs) — connected components reconstruct the
+    full cluster. The residual recall loss of the cap is only
+    near-identical-but-unequal members of such clusters.
     """
     spark = df.sparkSession
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -342,7 +350,25 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return tight.unionByName(rescored)
+    # mega-cluster recovery: a document duplicated more often than max_df has
+    # EVERY shingle pruned (n_kept is null) and would otherwise vanish from
+    # the index entirely — the worst possible miss, since the most-duplicated
+    # content is the primary dedup target. Those fully-pruned docs are
+    # re-covered by an exact set-hash: identical shingle SETS pair up with
+    # jaccard 1.0 through a groupBy on md5(sorted shingles) — shuffle cost is
+    # one row per fully-pruned doc, never df^2. Near-identical-but-unequal
+    # members of a mega-cluster remain the documented recall loss of the cap.
+    pruned_out = (
+        base.join(kept, base["id"] == kept["id"], "left_anti")
+        .select("id", F.md5(F.to_json(F.array_sort("sh"))).alias("seth"))
+    )
+    w_set = Window.partitionBy("seth").orderBy("id")
+    exact_pairs = (
+        pruned_out.withColumn("id_a", F.first("id").over(w_set))
+        .filter(F.col("id") != F.col("id_a"))
+        .select("id_a", F.col("id").alias("id_b"), F.lit(1.0).alias("jaccard"))
+    )
+    return tight.unionByName(rescored).unionByName(exact_pairs)
 
 
 def strip_hot_lines(

@@ -128,84 +128,19 @@ def pagerank(
     return ranks.select("node", (F.col("ru").cast("double") / F.lit(float(scale))).alias("rank"))
 
 
-def triangle_count(
-    edges: DataFrame,
-    src: str = "src",
-    dst: str = "dst",
-) -> DataFrame:
-    """Exact triangle count via degree-ordered orientation (the
-    node-iterator++ / Latapy algorithm every distributed triangle counter
-    uses): orient each undirected edge from its (degree, id)-smaller
-    endpoint to the larger, build wedges from common out-neighbors, and
-    close them against the oriented edge list.
+def _oriented_wedges(edges: DataFrame, src: str, dst: str):
+    """Shared triangle machinery: canonicalize (undirected, no self-loops,
+    distinct), compute degrees, orient each edge low->high by (degree, id),
+    and build the ordered wedge + closing-edge frames.
 
-    Why orientation matters at 100 TB: the naive wedge join fans out
-    quadratically on hub nodes (a node of degree d contributes d^2 wedges).
-    Orientation bounds every out-degree by O(sqrt(m)) — the total wedge count
-    drops from sum(d^2) to O(m^{3/2}), the known worst-case optimum — while
-    still counting each triangle exactly once (all three orientations agree
-    on the unique (low, mid, high) ordering).
-
-    Input edges may be directed/duplicated/self-looped; they are
-    canonicalized first. Returns a 1-row frame: n_nodes, n_edges,
-    max_degree, n_triangles (all exact BIGINTs).
-    """
-    a, b = F.col(src), F.col(dst)
-    canon = (
-        edges.filter(a != b)
-        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
-        .distinct()
-    )
-    deg = (
-        canon.select(F.col("a").alias("v"))
-        .unionByName(canon.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
-    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
-    # degree table size is O(nodes) — forced broadcast would OOM on a
-    # billion-node graph; leave unhinted and let AQE broadcast at runtime
-    # when the actual build side is small (it is, for item-vocab graphs)
-    keyed = canon.join(da, "a").join(db, "b")
-    # orient low (deg, id) -> high (deg, id)
-    a_first = (F.col("deg_a") < F.col("deg_b")) | (
-        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
-    )
-    oriented = keyed.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
-        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_w"),
-    )
-    o1 = oriented.select(F.col("u"), F.col("w").alias("v"), F.col("deg_w").alias("deg_v"))
-    o2 = oriented.select(F.col("u"), F.col("w").alias("x"), F.col("deg_w").alias("deg_x"))
-    # wedges out of u, pair ordered by the same (deg, id) key to match the
-    # closing edge's orientation exactly once
-    wedges = o1.join(o2, "u").filter(
-        (F.col("deg_v") < F.col("deg_x"))
-        | ((F.col("deg_v") == F.col("deg_x")) & (F.col("v") < F.col("x")))
-    )
-    closing = oriented.select(F.col("u").alias("v"), F.col("w").alias("x"))
-    tri = wedges.join(closing, ["v", "x"]).agg(F.count(F.lit(1)).alias("n_triangles"))
-    summary = canon.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
-        deg.agg(F.count(F.lit(1)).alias("n_nodes"), F.max("deg").alias("max_degree"))
-    )
-    return summary.crossJoin(tri).select("n_nodes", "n_edges", "max_degree", "n_triangles")
-
-def local_clustering(
-    edges: DataFrame,
-    src: str = "src",
-    dst: str = "dst",
-) -> DataFrame:
-    """Per-node triangle participation + local clustering coefficient
-    (Watts-Strogatz): c(v) = 2*tri(v) / (deg(v)*(deg(v)-1)), 0 for
-    degree<2 nodes.
-
-    Same degree-ordered orientation as triangle_count — the wedge fan-out
-    stays O(m^1.5) — but each closed triangle (u,v,x) is exploded back to
-    its three member nodes for the per-node census. One extra groupBy on
-    node versus the global count; the coefficient itself is one IEEE
-    division of exact integers. Returns (node, deg, n_tri, coeff)."""
+    Orientation bounds every out-degree by O(sqrt(m)), so total wedges are
+    O(m^{3/2}) — the known worst-case optimum — instead of sum(d^2), which a
+    hub node makes quadratic. Degree joins are UNHINTED: the degree table is
+    O(nodes) (forced broadcast would OOM on a billion-node graph); AQE still
+    broadcasts small build sides at runtime. Returns (canon, deg, wedges,
+    closing); wedge rows carry (u, v, x) with (v, x) ordered by the same
+    (degree, id) key the closing edges use, so each triangle closes exactly
+    once."""
     a, b = F.col(src), F.col(dst)
     canon = (
         edges.filter(a != b)
@@ -221,9 +156,6 @@ def local_clustering(
     )
     da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
-    # degree table size is O(nodes) — forced broadcast would OOM on a
-    # billion-node graph; leave unhinted and let AQE broadcast at runtime
-    # when the actual build side is small (it is, for item-vocab graphs)
     keyed = canon.join(da, "a").join(db, "b")
     a_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
@@ -240,6 +172,37 @@ def local_clustering(
         | ((F.col("deg_v") == F.col("deg_x")) & (F.col("v") < F.col("x")))
     )
     closing = oriented.select(F.col("u").alias("v"), F.col("w").alias("x"))
+    return canon, deg, wedges, closing
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact global triangle census via degree-ordered orientation (the
+    node-iterator++ / Latapy algorithm; see _oriented_wedges for the scale
+    argument). Input edges may be directed/duplicated/self-looped. Returns a
+    1-row frame: n_nodes, n_edges, max_degree, n_triangles (exact BIGINTs)."""
+    canon, deg, wedges, closing = _oriented_wedges(edges, src, dst)
+    tri = wedges.join(closing, ["v", "x"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    summary = canon.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"), F.max("deg").alias("max_degree"))
+    )
+    return summary.crossJoin(tri).select("n_nodes", "n_edges", "max_degree", "n_triangles")
+
+
+def local_clustering(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient
+    (Watts-Strogatz): c(v) = 2*tri(v) / (deg(v)*(deg(v)-1)), 0 for
+    degree<2 nodes. Same oriented wedges as triangle_count; each closed
+    triangle (u,v,x) explodes back to its three member nodes for the
+    per-node census. Returns (node, deg, n_tri, coeff)."""
+    _, deg, wedges, closing = _oriented_wedges(edges, src, dst)
     tri_nodes = (
         wedges.join(closing, ["v", "x"])
         .select(F.explode(F.array("u", "v", "x")).alias("node"))

@@ -137,13 +137,16 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 def image_features(img: np.ndarray, dim: int) -> np.ndarray:
     """Grayscale block-mean thumbnail feature (a dim-length vector): the
     classic pHash-style descriptor, resize-by-block-average so any input
-    size maps to the same feature length without an image library."""
+    size maps to the same feature length without an image library.
+    Normalization follows the pixel dtype (255 / 65535), so 8-bit and
+    16-bit images of the same scene produce comparable [0,1] features."""
     side = max(int(np.sqrt(dim)), 1)
+    maxval = 65535.0 if np.asarray(img).dtype == np.uint16 else 255.0
     gray = np.asarray(img, dtype=np.float64).mean(axis=2)
     blocks = [np.array_split(row_blk, side, axis=1) for row_blk in np.array_split(gray, side, axis=0)]
     thumb = np.array([[b.mean() if b.size else 0.0 for b in row] for row in blocks])
     feat = np.zeros(dim, dtype=np.float32)
-    feat[: side * side] = (thumb / 255.0).ravel().astype(np.float32)
+    feat[: side * side] = (thumb / maxval).ravel().astype(np.float32)
     return feat
 
 
@@ -176,21 +179,40 @@ def extract_features(
     payload_col: str = "payload",
     id_col: str = "media_id",
     fake: bool = True,
+    on_error: str = "skip",
 ) -> DataFrame:
-    """media rows -> (media_id, feature array<float>). Real decoder goes where
-    the NotImplementedError is; the mapInPandas shape is production-real."""
+    """media rows -> (media_id, feature array<float>).
+
+    ``on_error='skip'`` (default) drops rows whose payload fails to decode
+    (null, truncated, unsupported format) — one poison blob must never kill
+    a 100 TB extract, the same malformed-row posture as the ABI log decoder
+    and the Kafka adapter. ``on_error='raise'`` propagates the first decode
+    error for debugging."""
+    if on_error not in ("skip", "raise"):
+        raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("features", T.ArrayType(T.FloatType()))]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = (bytes(p) if p is not None else b"" for p in pdf[payload_col])
-            if fake:
-                feats = [_fake_features(p, dim).tolist() for p in payloads]
-            else:
-                feats = [decode_features(p, dim).tolist() for p in payloads]
-            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "features": feats})
+            ids, feats = [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(p) if p is not None else b""
+                try:
+                    f = _fake_features(payload, dim) if fake else decode_features(payload, dim)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                ids.append(int(mid))
+                feats.append(f.tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "features": pd.Series(feats, dtype="object"),
+                }
+            )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 

@@ -274,7 +274,11 @@ def histogram_sketch(
     raw = F.floor((F.col(value_col).cast("double") - F.lit(float(lo))) / F.lit(width))
     bin_ = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw)).cast("int")
     return (
-        df.groupBy(*g, bin_.alias("bin"))
+        # NULL values carry no position in the distribution: binning them
+        # would emit a NULL bin that sorts differently per engine and skews
+        # every cumulative count downstream
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*g, bin_.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
 

@@ -383,7 +383,7 @@ def bpe_learn_merges(
         .persist()
     )
     rules: list[tuple[int, str, str, int]] = []
-    cur = wf
+    cur, prev = wf, None
     for rank in range(1, n_merges + 1):
         arr = F.split(F.trim("s"), "  ")
         m = F.greatest(F.size(arr) - 1, F.lit(0))
@@ -400,15 +400,18 @@ def bpe_learn_merges(
             .limit(1)
             .first()
         )
+        # the argmax action above materialized `cur`'s cache (its first use)
+        # — only NOW is the previous round's table safe to drop; unpersisting
+        # it before this action would force every round to rebuild the whole
+        # replace chain from wf (O(n_merges^2) recomputation)
+        if prev is not None and prev is not wf:
+            prev.unpersist()
         if best is None or best["c"] is None:
             break
         l, r, c = best["l"], best["r"], int(best["c"])
         rules.append((rank, l, r, c))
         pat, rep = F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
-        nxt = cur.select(F.replace(F.col("s"), pat, rep).alias("s"), "n").persist()
-        if cur is not wf:
-            cur.unpersist()
-        cur = nxt
+        cur, prev = cur.select(F.replace(F.col("s"), pat, rep).alias("s"), "n").persist(), cur
     if cur is not wf:
         cur.unpersist()
     wf.unpersist()

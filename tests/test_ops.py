@@ -1157,3 +1157,60 @@ def test_local_clustering_known_graph(spark):
     assert got[3] == (3, 3, 1.0)
     assert got[4] == (4, 3, 0.5)  # 3 triangles of C(4,2)=6 possible pairs
     assert got[5] == (1, 0, 0.0)
+
+
+def test_extract_features_skips_poison_payloads(spark):
+    """One null/truncated/unsupported payload must drop, not kill the job
+    (the malformed-row posture of the ABI decoder and Kafka adapter)."""
+    from apollo_spark.ops.multimodal import MEDIA_SCHEMA, encode_ppm, extract_features
+    import numpy as np
+    import pytest as _pytest
+
+    good = encode_ppm(np.zeros((4, 4, 3), dtype=np.uint8))
+    meta = {"mime": None, "width": None, "height": None, "duration_ms": None}
+    rows = [
+        (1, "image", bytearray(good), meta),
+        (2, "image", None, meta),                      # null payload
+        (3, "image", bytearray(b"P6\n4 4\n255\n\x00"), meta),  # truncated raster
+        (4, "image", bytearray(b"\x89PNG...."), meta),  # unsupported format
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_features(df, dim=16, fake=False).toPandas()
+    assert list(out["media_id"]) == [1]
+    with _pytest.raises(Exception):
+        extract_features(df, dim=16, fake=False, on_error="raise").toPandas()
+
+
+def test_image_features_16bit_normalization():
+    """8-bit and 16-bit renderings of the same scene must produce the same
+    [0,1] feature vector (normalization follows pixel dtype)."""
+    import numpy as np
+
+    from apollo_spark.ops.multimodal import decode_ppm, image_features
+
+    img8 = np.full((4, 4, 3), 128, dtype=np.uint8)
+    img16 = (img8.astype(np.uint16) * 257)  # 0..255 -> 0..65535 scale
+    f8 = image_features(img8, 16)
+    f16 = image_features(img16, 16)
+    assert np.allclose(f8, f16, atol=1e-6)
+    assert f16.max() <= 1.0
+    # and a decoded 16-bit P6 stays in range end-to-end
+    hdr = b"P6\n2 2\n65535\n" + img16[:2, :2].astype(">u2").tobytes()
+    assert image_features(decode_ppm(hdr), 16).max() <= 1.0
+
+
+def test_ngram_jaccard_cap_recovers_mega_duplicate_clusters(spark):
+    """Documents duplicated more often than max_df lose ALL shingles to the
+    prune; the exact set-hash recovery must still emit their jaccard-1.0
+    star pairs (canonical min id -> member)."""
+    from apollo_spark.ops.dedup import ngram_jaccard_pairs
+
+    dup = "exact duplicate boilerplate page content here"
+    rows = [(i, dup) for i in range(12)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta"), (101, "alpha beta gamma delta epsilon eta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_jaccard_pairs(df, threshold=0.3, max_df=5).toPandas()
+    star = {(r.id_a, r.id_b): r.jaccard for r in out.itertuples() if r.id_b < 100}
+    assert set(star) == {(0, i) for i in range(1, 12)}  # min-id star over the cluster
+    assert all(v == 1.0 for v in star.values())
+    assert (100, 101) in {(r.id_a, r.id_b) for r in out.itertuples()}  # normal pairs intact

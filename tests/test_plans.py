@@ -285,7 +285,11 @@ def test_corpus_order_windows_are_bucket_partitioned(spark):
     assert re.search(r"windowspecdefinition\(__b#\d+, __h#\d+ ASC", p), p
     p2 = plan(spark, "training_order_shuffle")
     assert re.search(r"windowspecdefinition\(__b#\d+, shuffle_key#\d+ ASC", p2), p2
-    # the unpartitioned windows only ever see post-aggregation bucket rows
+    # every UNPARTITIONED window spec (sort-spec-first, no leading partition
+    # column) must be over the 256-row bucket-offset frame (__b), never a
+    # corpus-sized input
     for pp in (p, p2):
-        for m in re.finditer(r"windowspecdefinition\(__b#\d+ ASC", pp):
-            pass  # bucket-offset frame: 256 rows by construction — allowed
+        unpartitioned = re.findall(r"windowspecdefinition\((\S+) ASC", pp)
+        assert unpartitioned, pp  # the bucket-offset window must exist
+        for col in unpartitioned:
+            assert col.startswith("__b#"), (col, pp)
