@@ -220,3 +220,53 @@ def local_clustering(
         .withColumn("n_tri", F.coalesce("n_tri", F.lit(0)))
         .select("node", "deg", "n_tri", coeff.alias("coeff"))
     )
+
+
+def k_core_peel(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling: each round removes every
+    node whose CURRENT degree is < k together with its incident edges; after
+    enough rounds the survivors are exactly the k-core (the standard
+    dense-subgraph extractor — e.g. keeping only strongly-connected
+    communities of a near-dup graph).
+
+    Deterministic formulation: a FIXED number of synchronous rounds (like
+    pagerank's fixed iterations), so the result is a pure function of
+    (graph, k, rounds) and engine-reproducible — an unrolled SQL oracle
+    replays it exactly. With rounds >= the peeling depth the result IS the
+    k-core fixpoint; fewer rounds give the partially-peeled graph, same in
+    both engines.
+
+    Scale: each round is one degree groupBy + two semi-joins on the
+    surviving edge list, lineage truncated per round with an eager
+    localCheckpoint (the edge list is the big side; state never leaves the
+    cluster). Returns (node, deg) of the surviving subgraph."""
+    a, b = F.col(src), F.col(dst)
+    alive = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    for _ in range(rounds):
+        keep = degrees(alive).filter(F.col("deg") >= k).select("node")
+        alive = (
+            alive.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return degrees(alive)

@@ -3730,6 +3730,69 @@ ORDER BY node
 """
 
 
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph (ops.graph.k_core_peel, 4 synchronous
+    peel rounds): the dense backbone after iteratively shedding weakly-
+    connected items. Unrolled-round SQL oracle replays the identical peel."""
+    from apollo_spark.ops.graph import k_core_peel
+
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    ui = e.select(
+        "user_id", F.get_json_object("props", "$.k").cast("int").alias("item")
+    ).distinct()
+    u2 = ui.select(F.col("user_id"), F.col("item").alias("item_b"))
+    edges = (
+        ui.join(u2, "user_id")
+        .filter(F.col("item") < F.col("item_b"))
+        .groupBy("item", "item_b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 3)
+        .select(F.col("item").alias("src"), F.col("item_b").alias("dst"))
+    )
+    return k_core_peel(edges, k=3, rounds=4).orderBy("node")
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 4) -> str:
+    parts = [
+        """WITH ui AS (
+  SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item
+  FROM events WHERE event_type = 'purchase'
+),
+e0 AS (
+  SELECT u1.item AS a, u2.item AS b
+  FROM ui u1 JOIN ui u2 ON u1.user_id = u2.user_id AND u1.item < u2.item
+  GROUP BY u1.item, u2.item
+  HAVING COUNT(*) >= 3
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"e{i - 1}"
+        parts.append(
+            f"""d{i} AS (
+  SELECT v AS node, COUNT(*) AS deg
+  FROM (SELECT a AS v FROM {prev} UNION ALL SELECT b AS v FROM {prev})
+  GROUP BY v
+),
+k{i} AS (SELECT node FROM d{i} WHERE deg >= {k}),
+e{i} AS (
+  SELECT a, b FROM {prev}
+  WHERE a IN (SELECT node FROM k{i}) AND b IN (SELECT node FROM k{i})
+)"""
+        )
+    last = f"e{rounds}"
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS deg
+FROM (SELECT a AS v FROM {last} UNION ALL SELECT b AS v FROM {last})
+GROUP BY v ORDER BY node
+"""
+    )
+
+
+ORACLE_KCORE = _kcore_oracle(3, 4)
+
+
 ORACLE_TRIANGLES = """
 WITH ui AS (
   SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item
@@ -3865,6 +3928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copurchase_clustering": copurchase_clustering,
     "hard_negative_mining": hard_negative_mining,
     "embedding_dim_stats": embedding_dim_stats,
+    "copurchase_kcore": copurchase_kcore,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -3965,6 +4029,7 @@ ORACLES: dict[str, str] = {
     "copurchase_clustering": ORACLE_CLUSTERING,
     "hard_negative_mining": ORACLE_HARD_NEG,
     "embedding_dim_stats": ORACLE_DIM_STATS,
+    "copurchase_kcore": ORACLE_KCORE,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

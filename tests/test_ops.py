@@ -1214,3 +1214,19 @@ def test_ngram_jaccard_cap_recovers_mega_duplicate_clusters(spark):
     assert set(star) == {(0, i) for i in range(1, 12)}  # min-id star over the cluster
     assert all(v == 1.0 for v in star.values())
     assert (100, 101) in {(r.id_a, r.id_b) for r in out.itertuples()}  # normal pairs intact
+
+
+def test_k_core_peel_known_graph(spark):
+    """Triangle + tail: 2-core peels the tail chain (iteratively — the chain
+    end keeps cascading), leaving exactly the triangle with degree 2 each."""
+    from apollo_spark.ops.graph import k_core_peel
+
+    # triangle 1-2-3 plus a chain 3-4-5
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r.node: r.deg for r in k_core_peel(edges, k=2, rounds=3).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # one round only removes node 5; node 4 survives round 1 with deg 2
+    got1 = {r.node: r.deg for r in k_core_peel(edges, k=2, rounds=1).collect()}
+    assert set(got1) == {1, 2, 3, 4}
