@@ -396,3 +396,46 @@ def mixture_weights_temperature(
         F.col("__p").cast("double").alias("smoothed_mass"),
         (F.col("__p").cast("double") / F.col("__tot").cast("double")).alias("weight"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    by: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row draws u ~ Uniform(0,1) from an md5 hash of its
+    id and ranks by u^(1/w) — the top-k of that key is an exact weighted
+    sample. Used to pick a quality-weighted corpus subset reproducibly.
+
+    Everything is engine-portable: u = (h+1)/(16^13+1) from the md5 prefix
+    (same bytes in Spark/DuckDB), the key compared in log space
+    (ln(u)/w — monotone in u^(1/w), one ln + one division, identical IEEE
+    results), ties broken by id. ``by`` makes it a per-group top-k (window);
+    global top-k otherwise (TakeOrdered — no full sort materializes).
+    Rows with weight <= 0 are excluded (zero-probability mass)."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 13), 16, 10).cast(
+        "decimal(20,0)"
+    )
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(16**13 + 1))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    scored = (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("__key", key)
+    )
+    if by is not None:
+        w = Window.partitionBy(by).orderBy(F.col("__key").desc(), F.col(id_col).asc())
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k)
+            .drop("__r")
+            .withColumnRenamed("__key", "sample_key")
+        )
+    return (
+        scored.orderBy(F.col("__key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumnRenamed("__key", "sample_key")
+    )

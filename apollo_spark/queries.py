@@ -1496,6 +1496,38 @@ FROM agg ORDER BY dim
 """
 
 
+def weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Efraimidis-Spirakis weighted sample (ops.corpus.
+    weighted_sample): per source, 5 documents drawn without replacement with
+    probability proportional to n_chars — the reproducible quality-weighted
+    subset selection step. Hash-uniform u, log-space keys, id tie-break;
+    identical IEEE arithmetic in the oracle."""
+    from apollo_spark.ops.corpus import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = weighted_sample(d, k=5, weight_col="n_chars", by="source")
+    return out.select(
+        "source", "doc_id", "n_chars", F.round("sample_key", 6).alias("sample_key")
+    ).orderBy("source", "doc_id")
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+WITH s AS (
+  SELECT source, doc_id, n_chars,
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1.0)
+            / 4503599627370497.0) / CAST(n_chars AS DOUBLE) AS key
+  FROM documents WHERE n_chars > 0
+),
+r AS (
+  SELECT source, doc_id, n_chars, key,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY key DESC, doc_id ASC) AS rn
+  FROM s
+)
+SELECT source, doc_id, n_chars, ROUND(key, 6) AS sample_key
+FROM r WHERE rn <= 5 ORDER BY source, doc_id
+"""
+
+
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -3929,6 +3961,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negative_mining": hard_negative_mining,
     "embedding_dim_stats": embedding_dim_stats,
     "copurchase_kcore": copurchase_kcore,
+    "weighted_corpus_sample": weighted_corpus_sample,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -4030,6 +4063,7 @@ ORACLES: dict[str, str] = {
     "hard_negative_mining": ORACLE_HARD_NEG,
     "embedding_dim_stats": ORACLE_DIM_STATS,
     "copurchase_kcore": ORACLE_KCORE,
+    "weighted_corpus_sample": ORACLE_WEIGHTED_SAMPLE,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

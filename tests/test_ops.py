@@ -1230,3 +1230,20 @@ def test_k_core_peel_known_graph(spark):
     # one round only removes node 5; node 4 survives round 1 with deg 2
     got1 = {r.node: r.deg for r in k_core_peel(edges, k=2, rounds=1).collect()}
     assert set(got1) == {1, 2, 3, 4}
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    from apollo_spark.ops.corpus import weighted_sample
+
+    rows = [(i, 1000.0 if i == 0 else 1.0) for i in range(40)]
+    rows.append((99, 0.0))  # zero weight: never sampled
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    hits = 0
+    for salt in map(str, range(12)):
+        picked = {r.doc_id for r in weighted_sample(df, k=3, weight_col="w", salt=salt).collect()}
+        assert 99 not in picked and len(picked) == 3
+        hits += 0 in picked
+    assert hits >= 10  # ~1000x the mass of any other doc -> nearly always in
+    a = [r.doc_id for r in weighted_sample(df, k=5, weight_col="w").collect()]
+    b = [r.doc_id for r in weighted_sample(df, k=5, weight_col="w").collect()]
+    assert a == b  # reproducible
