@@ -128,6 +128,27 @@ def pagerank(
     return ranks.select("node", (F.col("ru").cast("double") / F.lit(float(scale))).alias("rank"))
 
 
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected canonical form: drop self-loops, order endpoints
+    (least, greatest), distinct."""
+    a, b = F.col(src), F.col(dst)
+    return (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+
+
+def _degrees(canon: DataFrame) -> DataFrame:
+    """(node, deg) of a canonical edge list — union both endpoints, count."""
+    return (
+        canon.select(F.col("a").alias("v"))
+        .unionByName(canon.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
 def _oriented_wedges(edges: DataFrame, src: str, dst: str):
     """Shared triangle machinery: canonicalize (undirected, no self-loops,
     distinct), compute degrees, orient each edge low->high by (degree, id),
@@ -141,19 +162,11 @@ def _oriented_wedges(edges: DataFrame, src: str, dst: str):
     closing); wedge rows carry (u, v, x) with (v, x) ordered by the same
     (degree, id) key the closing edges use, so each triangle closes exactly
     once."""
-    a, b = F.col(src), F.col(dst)
-    canon = (
-        edges.filter(a != b)
-        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
-        .distinct()
-        .persist()
-    )
-    deg = (
-        canon.select(F.col("a").alias("v"))
-        .unionByName(canon.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    # persist is MEMORY_AND_DISK and LRU-evictable — a long session running
+    # many graph queries sheds these blocks under pressure; callers needing a
+    # hard release can spark.catalog.clearCache()
+    canon = _canonical_edges(edges, src, dst).persist()
+    deg = _degrees(canon)
     da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
     keyed = canon.join(da, "a").join(db, "b")
@@ -246,27 +259,12 @@ def k_core_peel(
     surviving edge list, lineage truncated per round with an eager
     localCheckpoint (the edge list is the big side; state never leaves the
     cluster). Returns (node, deg) of the surviving subgraph."""
-    a, b = F.col(src), F.col(dst)
-    alive = (
-        edges.filter(a != b)
-        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-
-    def degrees(e: DataFrame) -> DataFrame:
-        return (
-            e.select(F.col("a").alias("node"))
-            .unionByName(e.select(F.col("b").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-
+    alive = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
     for _ in range(rounds):
-        keep = degrees(alive).filter(F.col("deg") >= k).select("node")
+        keep = _degrees(alive).filter(F.col("deg") >= k).select(F.col("v").alias("node"))
         alive = (
             alive.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
             .localCheckpoint(eager=True)
         )
-    return degrees(alive)
+    return _degrees(alive).select(F.col("v").alias("node"), "deg")

@@ -65,6 +65,13 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
 def decode_ppm(payload: bytes) -> np.ndarray:
     """Decode a PPM image (P6 binary or P3 ascii, maxval <= 65535) to an
     (h, w, 3) uint8/uint16 array. Pure numpy — no image library needed."""
+    return _parse_ppm(payload)[0]
+
+
+def _parse_ppm(payload: bytes) -> tuple[np.ndarray, int]:
+    """decode_ppm plus the header maxval — normalization must use the
+    DECLARED maxval, not the storage dtype (a 10-bit image lands in uint16
+    but its white point is 1023, not 65535)."""
     tokens: list[bytes] = []
     pos = 0
     # header = 4 whitespace-separated tokens (magic, w, h, maxval) with
@@ -88,10 +95,10 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         dtype = np.dtype(">u2") if maxval > 255 else np.uint8
         raster = np.frombuffer(payload, dtype=dtype, count=w * h * 3, offset=pos)
         out_dtype = np.uint16 if maxval > 255 else np.uint8
-        return raster.reshape(h, w, 3).astype(out_dtype)
+        return raster.reshape(h, w, 3).astype(out_dtype), maxval
     if magic == b"P3":
         vals = np.array(payload[pos:].split(), dtype=np.uint32)[: w * h * 3]
-        return vals.reshape(h, w, 3).astype(np.uint16 if maxval > 255 else np.uint8)
+        return vals.reshape(h, w, 3).astype(np.uint16 if maxval > 255 else np.uint8), maxval
     raise NotImplementedError(f"unsupported image magic {magic!r} (PPM P3/P6 only in-container)")
 
 
@@ -134,14 +141,18 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     return buf.getvalue()
 
 
-def image_features(img: np.ndarray, dim: int) -> np.ndarray:
+def image_features(img: np.ndarray, dim: int, maxval: int | None = None) -> np.ndarray:
     """Grayscale block-mean thumbnail feature (a dim-length vector): the
     classic pHash-style descriptor, resize-by-block-average so any input
     size maps to the same feature length without an image library.
-    Normalization follows the pixel dtype (255 / 65535), so 8-bit and
-    16-bit images of the same scene produce comparable [0,1] features."""
+    Pass the format's declared ``maxval`` (white point) when known — a
+    10-bit image stores in uint16 but its white point is 1023; dtype is
+    only the fallback inference — so every bit depth of one scene maps to
+    the same [0,1] features."""
     side = max(int(np.sqrt(dim)), 1)
-    maxval = 65535.0 if np.asarray(img).dtype == np.uint16 else 255.0
+    if maxval is None:
+        maxval = 65535 if np.asarray(img).dtype == np.uint16 else 255
+    maxval = float(maxval)
     gray = np.asarray(img, dtype=np.float64).mean(axis=2)
     blocks = [np.array_split(row_blk, side, axis=1) for row_blk in np.array_split(gray, side, axis=0)]
     thumb = np.array([[b.mean() if b.size else 0.0 for b in row] for row in blocks])
@@ -164,7 +175,8 @@ def decode_features(payload: bytes, dim: int) -> np.ndarray:
     """Magic-byte dispatch to the in-tree codecs; the NotImplementedError
     branch is the seam where PIL/ffmpeg plug in on a real cluster."""
     if payload[:2] in (b"P6", b"P3"):
-        return image_features(decode_ppm(payload), dim)
+        img, maxval = _parse_ppm(payload)
+        return image_features(img, dim, maxval=maxval)
     if payload[:4] == b"RIFF":
         return audio_features(*decode_wav(payload), dim)
     raise NotImplementedError(
@@ -198,14 +210,19 @@ def extract_features(
         for pdf in batches:
             ids, feats = [], []
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
-                payload = bytes(p) if p is not None else b""
+                # id conversion stays inside the guard: a NULL id arrives as
+                # NaN (nullable long -> float64) and int(NaN) throwing outside
+                # the try would be exactly the poison-kills-job failure this
+                # parameter exists to prevent
                 try:
+                    mid_i = int(mid)
+                    payload = bytes(p) if p is not None else b""
                     f = _fake_features(payload, dim) if fake else decode_features(payload, dim)
                 except Exception:
                     if on_error == "raise":
                         raise
                     continue
-                ids.append(int(mid))
+                ids.append(mid_i)
                 feats.append(f.tolist())
             yield pd.DataFrame(
                 {

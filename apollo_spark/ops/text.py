@@ -414,6 +414,8 @@ def bpe_learn_merges(
         cur, prev = cur.select(F.replace(F.col("s"), pat, rep).alias("s"), "n").persist(), cur
     if cur is not wf:
         cur.unpersist()
+    if prev is not None and prev is not wf and prev is not cur:
+        prev.unpersist()  # normal exhaustion leaves the penultimate table cached
     wf.unpersist()
     return spark.createDataFrame(rules, "merge_rank int, left string, right string, pair_count long")
 

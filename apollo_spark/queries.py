@@ -2255,7 +2255,7 @@ WITH h AS (
   SELECT event_type,
          CAST(LEAST(31, GREATEST(0, FLOOR(CAST(value AS DOUBLE) / 16.0))) AS INT) AS bin,
          COUNT(*) AS n
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ),
 c AS (
   SELECT event_type, bin, n,

@@ -1247,3 +1247,34 @@ def test_weighted_sample_bias_and_determinism(spark):
     a = [r.doc_id for r in weighted_sample(df, k=5, weight_col="w").collect()]
     b = [r.doc_id for r in weighted_sample(df, k=5, weight_col="w").collect()]
     assert a == b  # reproducible
+
+
+def test_image_features_header_maxval_normalization():
+    """Normalization must follow the PPM header's declared white point, not
+    the storage dtype: a 10-bit image (maxval=1023, stored uint16) and the
+    8-bit rendering of the same scene produce the same features."""
+    import numpy as np
+
+    from apollo_spark.ops.multimodal import decode_features
+
+    # same scene at two bit depths: gray level 50% everywhere
+    img8 = b"P6\n2 2\n255\n" + bytes([128] * 12)
+    img10 = b"P6\n2 2\n1023\n" + np.full(12, 512, dtype=">u2").tobytes()
+    f8 = decode_features(img8, 4)
+    f10 = decode_features(img10, 4)
+    assert np.allclose(f8, f10, atol=2e-3)  # 128/255 vs 512/1023
+    assert f10.max() <= 1.0
+
+
+def test_extract_features_skips_null_media_id(spark):
+    from apollo_spark.ops.multimodal import MEDIA_SCHEMA, encode_ppm, extract_features
+    import numpy as np
+
+    good = encode_ppm(np.zeros((4, 4, 3), dtype=np.uint8))
+    meta = {"mime": None, "width": None, "height": None, "duration_ms": None}
+    df = spark.createDataFrame(
+        [(7, "image", bytearray(good), meta), (None, "image", bytearray(good), meta)],
+        MEDIA_SCHEMA,
+    )
+    out = extract_features(df, dim=16, fake=False).toPandas()
+    assert list(out["media_id"]) == [7]

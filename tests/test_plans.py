@@ -289,7 +289,7 @@ def test_corpus_order_windows_are_bucket_partitioned(spark):
     # column) must be over the 256-row bucket-offset frame (__b), never a
     # corpus-sized input
     for pp in (p, p2):
-        unpartitioned = re.findall(r"windowspecdefinition\((\S+) ASC", pp)
+        unpartitioned = re.findall(r"windowspecdefinition\((\S+) (?:ASC|DESC)", pp)
         assert unpartitioned, pp  # the bucket-offset window must exist
         for col in unpartitioned:
             assert col.startswith("__b#"), (col, pp)
