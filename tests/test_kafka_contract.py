@@ -149,3 +149,42 @@ def test_kafka_adapter_drops_poison_messages(spark):
         KAFKA_WIRE_SCHEMA,
     )
     assert kafka_log_stream(wire).count() == 0
+
+
+def test_kafka_adapter_streaming_end_to_end(spark, tmp_path):
+    """kafka_log_stream over a real readStream (Kafka-wire-shaped parquet
+    files standing in for the broker): the adapter output must flow through
+    a streaming sink with the same rows as the batch path."""
+    import datetime
+
+    from apollo_spark.sources.kafka_bridge import (
+        KAFKA_WIRE_SCHEMA,
+        kafka_log_stream,
+        record_key,
+        record_value,
+        topic_for,
+    )
+
+    rows = _rows()
+    ts = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    wire = spark.createDataFrame(
+        [(record_key(r), record_value(r), topic_for(r["chain"]), 0, i, ts, 0)
+         for i, r in enumerate(rows)],
+        KAFKA_WIRE_SCHEMA,
+    )
+    src = tmp_path / "wire"
+    wire.write.parquet(str(src))
+    stream = spark.readStream.schema(KAFKA_WIRE_SCHEMA).parquet(str(src))
+    assert stream.isStreaming
+    q = (
+        kafka_log_stream(stream)
+        .writeStream.format("memory")
+        .queryName("kafka_stream_e2e")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("SELECT block_hash, tx_hash, log_index FROM kafka_stream_e2e").collect()
+    assert {(r.block_hash, r.tx_hash, r.log_index) for r in got} == {
+        (r["block_hash"], r["tx_hash"], r["log_index"]) for r in rows
+    }
