@@ -1,0 +1,47 @@
+"""End-to-end corpus curation: the standard pretraining-data chain as one
+composable call.
+
+Every step is an already-gated operator; this module is the recipe that
+strings them together the way a training-data job actually runs them:
+
+    raw documents
+      -> exact dedup              (one content-digest shuffle)
+      -> language / quality / length filter   (narrow, no shuffle)
+      -> concat-then-chunk sequence packing   (bucketed two-phase layout)
+
+The composition stays one lazy Catalyst plan end-to-end — no intermediate
+materialization, filters run before the packing shuffle, and the whole
+output layout is deterministic (hash order), so a re-run resumes to
+byte-identical sequences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def curate(
+    df: DataFrame,
+    seq_len: int = 512,
+    lang: str = "en",
+    min_quality: float = 0.6,
+    min_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """raw docs -> packed training sequences (see module docstring).
+
+    Returns pack_sequences' layout columns (id, n_tokens, start_pos,
+    seq_first, seq_last, offset_in_seq) for every surviving document."""
+    from apollo_spark.ops.corpus import pack_sequences
+    from apollo_spark.ops.dedup import exact_dedup
+    from apollo_spark.ops.text import language_id, quality_score, token_count
+
+    kept = exact_dedup(df, id_col=id_col, text_col=text_col)
+    kept = kept.filter(
+        (language_id(F.col(text_col)) == lang)
+        & (F.round(quality_score(F.col(text_col)), 6) >= min_quality)
+        & (token_count(F.col(text_col)) >= min_tokens)
+    )
+    return pack_sequences(kept, seq_len, id_col=id_col, text_col=text_col)

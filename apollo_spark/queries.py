@@ -2503,6 +2503,61 @@ FROM p ORDER BY source
 """
 
 
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain in one plan (ops.curation.curate): exact
+    dedup -> en/quality/length filter -> 512-token sequence packing. Every
+    stage is individually gated elsewhere; this entry gates their
+    COMPOSITION — the oracle chains the same dedup, quality, and packing
+    SQL over the intersected survivor set."""
+    from apollo_spark.ops.curation import curate
+
+    d = _t(spark, sf_dir, "documents")
+    return curate(d, seq_len=512).orderBy("doc_id")
+
+
+def _curation_oracle(seq_len: int = 512) -> str:
+    dedup_ids = ORACLE_DEDUP_EXACT.strip().removesuffix("ORDER BY doc_id").strip()
+    quality_q = ORACLE_QUALITY_FILTER.strip().removesuffix("ORDER BY doc_id").strip()
+    return rf"""
+WITH sel AS (
+  SELECT doc_id FROM ({dedup_ids})
+  INTERSECT
+  SELECT doc_id FROM ({quality_q})
+),
+src AS (SELECT d.doc_id, d.text FROM documents d JOIN sel USING (doc_id)),
+pbase AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM src
+),
+pcum AS (
+  SELECT doc_id, b, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY b ORDER BY h ASC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_in
+  FROM pbase
+),
+pboff AS (
+  SELECT b, CAST(COALESCE(SUM(bt) OVER (ORDER BY b ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM (SELECT b, SUM(n_tokens) AS bt FROM pbase GROUP BY b)
+)
+SELECT doc_id, n_tokens,
+       off + cum_in - n_tokens AS start_pos,
+       CAST(FLOOR((off + cum_in - n_tokens) / {seq_len}) AS BIGINT) AS seq_first,
+       CAST(FLOOR((off + cum_in - 1) / {seq_len}) AS BIGINT) AS seq_last,
+       (off + cum_in - n_tokens) % {seq_len} AS offset_in_seq
+FROM pcum JOIN pboff USING (b)
+WHERE n_tokens > 0
+ORDER BY doc_id
+"""
+
+
+ORACLE_CURATION = _curation_oracle(512)
+
+
 def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle: global rank by md5(doc_id) —
     reproducible pseudo-random order, executed as a range-partitioned
@@ -3962,6 +4017,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dim_stats": embedding_dim_stats,
     "copurchase_kcore": copurchase_kcore,
     "weighted_corpus_sample": weighted_corpus_sample,
+    "corpus_curation_pipeline": corpus_curation_pipeline,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -4064,6 +4120,7 @@ ORACLES: dict[str, str] = {
     "embedding_dim_stats": ORACLE_DIM_STATS,
     "copurchase_kcore": ORACLE_KCORE,
     "weighted_corpus_sample": ORACLE_WEIGHTED_SAMPLE,
+    "corpus_curation_pipeline": ORACLE_CURATION,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,
