@@ -467,3 +467,28 @@ def bpe_token_counts(
             F.sum(F.col("n_occ") * n_tok).cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def nfc_normalize(text_col) -> Column:
+    """Unicode NFC normalization as an Arrow-batched scalar pandas UDF —
+    the canonical-composition cleanup (é as one codepoint, ligature/width
+    folding stays OUT: NFC is the lossless form dedup and tokenization
+    want before hashing; NFKC would conflate distinct content).
+
+    Python in the row path is the right call here: the JVM has no NFC
+    built-in, unicodedata implements the same UAX#15 tables DuckDB's
+    nfc_normalize uses (oracle-verified identical), and Arrow batching
+    amortizes the crossing. NULLs pass through."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x) if x is not None else None)
+
+    # annotate via __annotations__ so the hint resolver sees pd.Series without
+    # a module-level pandas import in this otherwise JVM-only module
+    import pandas as pd
+
+    _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_nfc, "string")(text_col)

@@ -2558,6 +2558,32 @@ ORDER BY doc_id
 ORACLE_CURATION = _curation_oracle(512)
 
 
+def doc_nfc_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC cleanup (ops.text.nfc_normalize, Arrow-batched pandas
+    UDF): per document, the digest of the canonically-composed text and
+    whether normalization changed it. Python unicodedata and DuckDB's
+    nfc_normalize implement the same UAX#15 tables, so the digests are
+    hash-gateable — a rare oracle-able Python-row-path op."""
+    from apollo_spark.ops.text import nfc_normalize
+
+    d = _t(spark, sf_dir, "documents")
+    norm = nfc_normalize(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("nfc_md5"),
+        (norm != F.col("text")).cast("int").alias("changed"),
+        F.length(norm).alias("n_chars_nfc"),
+    ).orderBy("doc_id")
+
+
+ORACLE_NFC = """
+SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
+       CAST(nfc_normalize(text) <> text AS INT) AS changed,
+       CAST(length(nfc_normalize(text)) AS INT) AS n_chars_nfc
+FROM documents ORDER BY doc_id
+"""
+
+
 def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle: global rank by md5(doc_id) —
     reproducible pseudo-random order, executed as a range-partitioned
@@ -4018,6 +4044,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copurchase_kcore": copurchase_kcore,
     "weighted_corpus_sample": weighted_corpus_sample,
     "corpus_curation_pipeline": corpus_curation_pipeline,
+    "doc_nfc_normalization": doc_nfc_normalization,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -4121,6 +4148,7 @@ ORACLES: dict[str, str] = {
     "copurchase_kcore": ORACLE_KCORE,
     "weighted_corpus_sample": ORACLE_WEIGHTED_SAMPLE,
     "corpus_curation_pipeline": ORACLE_CURATION,
+    "doc_nfc_normalization": ORACLE_NFC,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

@@ -1278,3 +1278,22 @@ def test_extract_features_skips_null_media_id(spark):
     )
     out = extract_features(df, dim=16, fake=False).toPandas()
     assert list(out["media_id"]) == [7]
+
+
+def test_nfc_normalize_composes_and_preserves(spark):
+    import unicodedata
+
+    from apollo_spark.ops.text import nfc_normalize
+
+    rows = [
+        (1, "café olé"),        # decomposed accents -> composed
+        (2, "café"),                   # already NFC: unchanged
+        (3, "ﬁn"),                     # ligature: NFC preserves (not NFKC)
+        (4, None),
+        (5, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n for r in df.select("doc_id", nfc_normalize(F.col("text")).alias("n")).collect()}
+    for i, t in rows:
+        assert got[i] == (unicodedata.normalize("NFC", t) if t is not None else None)
+    assert got[1] == "café olé" and got[3] == "ﬁn"
