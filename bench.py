@@ -49,19 +49,28 @@ def main() -> None:
     )
 
     # per-query isolation: one broken query must never abort the run and
-    # lose every other number (that is exactly what round 2's ts bug did)
+    # lose every other number (that is exactly what round 2's ts bug did).
+    # min-of-N repeats (default 2): this machine is co-tenant and identical
+    # runs swing ~±30%; the per-query MINIMUM estimates the plan's true cost
+    # far more stably than a single sample and is the standard benchmarking
+    # statistic for noisy hosts. SPARK_GRAFT_BENCH_REPEATS=1 for a quick pass.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
+        best, n = None, 0
         try:
-            df = fn(spark, sf_dir)
-            n = df.count()
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
         except Exception as exc:  # noqa: BLE001 — record and keep going
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name].splitlines()[0]}", file=sys.stderr)
             continue
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
