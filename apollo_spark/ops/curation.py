@@ -36,12 +36,8 @@ def curate(
     seq_first, seq_last, offset_in_seq) for every surviving document."""
     from apollo_spark.ops.corpus import pack_sequences
     from apollo_spark.ops.dedup import exact_dedup
-    from apollo_spark.ops.text import language_id, quality_score, token_count
+    from apollo_spark.ops.text import quality_keep
 
     kept = exact_dedup(df, id_col=id_col, text_col=text_col)
-    kept = kept.filter(
-        (language_id(F.col(text_col)) == lang)
-        & (F.round(quality_score(F.col(text_col)), 6) >= min_quality)
-        & (token_count(F.col(text_col)) >= min_tokens)
-    )
+    kept = kept.filter(quality_keep(F.col(text_col), lang, min_quality, min_tokens))
     return pack_sequences(kept, seq_len, id_col=id_col, text_col=text_col)

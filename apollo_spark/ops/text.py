@@ -76,6 +76,18 @@ def quality_score(text_col) -> Column:
     )
 
 
+def quality_keep(text_col, lang: str = "en", min_quality: float = 0.6, min_tokens: int = 10) -> Column:
+    """THE corpus keep predicate (language + rounded quality + token floor)
+    — one definition shared by the doc_quality_filter gate and
+    curation.curate, so the pipeline and its oracle can never silently
+    diverge (round-to-6 matches the SQL mirror's convention)."""
+    return (
+        (language_id(text_col) == lang)
+        & (F.round(quality_score(text_col), 6) >= min_quality)
+        & (token_count(text_col) >= min_tokens)
+    )
+
+
 def fingerprint(text_col) -> Column:
     """Content fingerprint: md5 of the normalized text (lowercase, collapsed
     whitespace). md5 exists identically in DuckDB -> oracle-able."""

@@ -1667,16 +1667,20 @@ ORDER BY user_id
 
 def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data selection pipeline: English, quality >= 0.6, in a token
-    band — the composition a corpus-cleaning job runs."""
+    band — the composition a corpus-cleaning job runs. The predicate is the
+    SHARED ops.text.quality_keep, the same one curation.curate applies, so
+    this gate also pins the pipeline's survivor set."""
+    from apollo_spark.ops.text import quality_keep
+
     d = _t(spark, sf_dir, "documents")
     return (
-        d.select(
+        d.filter(quality_keep(F.col("text")))
+        .select(
             "doc_id",
             language_id(F.col("text")).alias("pred_lang"),
             F.round(quality_score(F.col("text")), 6).alias("quality"),
             token_count(F.col("text")).alias("n_tokens"),
         )
-        .filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.6) & (F.col("n_tokens") >= 10))
         .orderBy("doc_id")
     )
 
@@ -2436,35 +2440,42 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, seq_len=512).orderBy("doc_id")
 
 
-ORACLE_SEQ_PACKING = r"""
-WITH base AS (
+def _packing_sql(source_rel: str, seq_len: int) -> str:
+    """The pack_sequences oracle (CTEs + final select, no leading WITH) over
+    an arbitrary (doc_id, text) relation — ONE definition shared by the
+    standalone gate and the curation-pipeline composition so the layout
+    arithmetic can never silently diverge between them."""
+    return rf"""pk_base AS (
   SELECT doc_id,
          md5(CAST(doc_id AS VARCHAR)) AS h,
          substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b,
          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
-  FROM documents
+  FROM {source_rel}
 ),
-cum AS (
+pk_cum AS (
   SELECT doc_id, b, n_tokens,
          CAST(SUM(n_tokens) OVER (PARTITION BY b ORDER BY h ASC, doc_id ASC
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_in
-  FROM base
+  FROM pk_base
 ),
-boff AS (
+pk_boff AS (
   SELECT b, CAST(COALESCE(SUM(bt) OVER (ORDER BY b ASC
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
-  FROM (SELECT b, SUM(n_tokens) AS bt FROM base GROUP BY b)
+  FROM (SELECT b, SUM(n_tokens) AS bt FROM pk_base GROUP BY b)
 )
 SELECT doc_id, n_tokens,
        off + cum_in - n_tokens AS start_pos,
-       CAST(FLOOR((off + cum_in - n_tokens) / 512) AS BIGINT) AS seq_first,
-       CAST(FLOOR((off + cum_in - 1) / 512) AS BIGINT) AS seq_last,
-       (off + cum_in - n_tokens) % 512 AS offset_in_seq
-FROM cum JOIN boff USING (b)
+       CAST(FLOOR((off + cum_in - n_tokens) / {seq_len}) AS BIGINT) AS seq_first,
+       CAST(FLOOR((off + cum_in - 1) / {seq_len}) AS BIGINT) AS seq_last,
+       (off + cum_in - n_tokens) % {seq_len} AS offset_in_seq
+FROM pk_cum JOIN pk_boff USING (b)
 WHERE n_tokens > 0
 ORDER BY doc_id
 """
+
+
+ORACLE_SEQ_PACKING = "WITH " + _packing_sql("documents", 512)
 
 
 def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2525,34 +2536,7 @@ WITH sel AS (
   SELECT doc_id FROM ({quality_q})
 ),
 src AS (SELECT d.doc_id, d.text FROM documents d JOIN sel USING (doc_id)),
-pbase AS (
-  SELECT doc_id,
-         md5(CAST(doc_id AS VARCHAR)) AS h,
-         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b,
-         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
-  FROM src
-),
-pcum AS (
-  SELECT doc_id, b, n_tokens,
-         CAST(SUM(n_tokens) OVER (PARTITION BY b ORDER BY h ASC, doc_id ASC
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_in
-  FROM pbase
-),
-pboff AS (
-  SELECT b, CAST(COALESCE(SUM(bt) OVER (ORDER BY b ASC
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
-  FROM (SELECT b, SUM(n_tokens) AS bt FROM pbase GROUP BY b)
-)
-SELECT doc_id, n_tokens,
-       off + cum_in - n_tokens AS start_pos,
-       CAST(FLOOR((off + cum_in - n_tokens) / {seq_len}) AS BIGINT) AS seq_first,
-       CAST(FLOOR((off + cum_in - 1) / {seq_len}) AS BIGINT) AS seq_last,
-       (off + cum_in - n_tokens) % {seq_len} AS offset_in_seq
-FROM pcum JOIN pboff USING (b)
-WHERE n_tokens > 0
-ORDER BY doc_id
-"""
+{_packing_sql("src", seq_len)}"""
 
 
 ORACLE_CURATION = _curation_oracle(512)

@@ -54,22 +54,31 @@ def main() -> None:
     # runs swing ~±30%; the per-query MINIMUM estimates the plan's true cost
     # far more stably than a single sample and is the standard benchmarking
     # statistic for noisy hosts. SPARK_GRAFT_BENCH_REPEATS=1 for a quick pass.
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+    try:
+        repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2").strip()))
+    except ValueError:
+        repeats = 2  # a bad env var must not abort the run pre-first-query
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
         best, n = None, 0
-        try:
-            for _ in range(repeats):
-                t0 = time.perf_counter()
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            try:
                 df = fn(spark, sf_dir)
                 n = df.count()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-        except Exception as exc:  # noqa: BLE001 — record and keep going
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            except Exception as exc:  # noqa: BLE001 — record and keep going
+                # a transient failure on a LATER repeat must not discard an
+                # earlier valid sample; only an all-repeats failure is an error
+                if best is None:
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                continue
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        if best is None:
             print(f"# {name}: ERROR {errors[name].splitlines()[0]}", file=sys.stderr)
             continue
+        errors.pop(name, None)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 

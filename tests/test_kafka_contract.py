@@ -99,7 +99,10 @@ def test_kafka_adapter_matches_file_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    try:
+        assert q.awaitTermination(120)  # False = timeout -> partial data
+    finally:
+        q.stop()
     from_files = spark.sql("SELECT * FROM kafka_contract_files").toPandas()
 
     import datetime
@@ -183,7 +186,10 @@ def test_kafka_adapter_streaming_end_to_end(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
     got = spark.sql("SELECT block_hash, tx_hash, log_index FROM kafka_stream_e2e").collect()
     assert {(r.block_hash, r.tx_hash, r.log_index) for r in got} == {
         (r["block_hash"], r["tx_hash"], r["log_index"]) for r in rows
