@@ -323,3 +323,96 @@ def histogram_quantile(
     )
     est = F.lit(float(lo)) + (F.col("bin").cast("double") + frac) * F.lit(width)
     return hit.select(*g, est.alias("quantile_est"), F.col("total"))
+
+
+# --------------------------------------------------------------------------
+# Bloom filter
+# --------------------------------------------------------------------------
+
+BLOOM_WORD_BITS = 63  # bits per BIGINT word; shifts 0..62 stay positive in both engines
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str | Column,
+    m_bits: int = 8192,
+    k: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col``: rows ``(word_idx, bits)``.
+
+    The filter is the *broadcastable* pre-join pruning structure the
+    reference's Postgres-delegated analytics never needed: at 100 TB a
+    semi-join against a small-but-not-broadcastable key set would shuffle
+    the fact table; a Bloom filter of those keys is O(m_bits/63) BIGINT
+    words — kilobytes — that ride a broadcast and drop most non-matching
+    rows *before* the exchange (the same trick as Spark's own runtime
+    bloom-filter join, but explicit, mergeable, and engine-portable).
+
+    Bit state is exact integers (md5-prefix hashes, ``bit_or`` over
+    one-hot words), so the whole filter is hash-matchable by a DuckDB
+    oracle. Map-side partial ``bit_or`` means the shuffle carries at most
+    ``m_bits/63`` rows per partition.
+    """
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    rows = df.select(
+        key.cast("string").alias("__key"),
+        F.explode(F.array(*[F.lit(r) for r in range(k)])).alias("r"),
+    )
+    pos = portable_hash60(
+        F.concat(F.col("r").cast("string"), F.lit("|"), F.col("__key")), salt
+    ) % F.lit(m_bits)
+    return (
+        rows.select(
+            F.floor(pos / F.lit(BLOOM_WORD_BITS)).cast("long").alias("word_idx"),
+            (pos % F.lit(BLOOM_WORD_BITS)).cast("int").alias("__bit"),
+        )
+        .select("word_idx", F.expr("shiftleft(cast(1 as bigint), __bit)").alias("__mask"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("__mask").alias("bits"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two filters built with identical (m_bits, k, salt): OR the words."""
+    return a.unionByName(b).groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    key_col: str | Column,
+    bloom: DataFrame,
+    m_bits: int = 8192,
+    k: int = 4,
+    salt: str = "bloom",
+    out_col: str = "might_member",
+) -> DataFrame:
+    """Add boolean ``out_col``: True iff every one of the ``k`` probe bits is
+    set (no false negatives; false-positive rate ~ (1-e^{-kn/m})^k).
+
+    The filter is packed into one map value carried by a 1-row broadcast
+    crossJoin — never a shuffle of ``df``, never a driver ``collect``.
+    Each probe is a map lookup + mask test, all JVM-side whole-stage
+    codegen (probe positions land as real columns so the per-probe bit
+    shift can be a SQL expression — the Python ``shiftleft`` helper only
+    accepts a literal shift amount).
+    """
+    key = (F.col(key_col) if isinstance(key_col, str) else key_col).cast("string")
+    packed = bloom.agg(
+        F.map_from_entries(F.collect_list(F.struct("word_idx", "bits"))).alias("__bloom_words")
+    )
+    out = df.crossJoin(F.broadcast(packed))
+    pos_cols = []
+    for r in range(k):
+        c = f"__bloom_pos_{r}"
+        out = out.withColumn(
+            c, portable_hash60(F.concat(F.lit(f"{r}|"), key), salt) % F.lit(m_bits)
+        )
+        pos_cols.append(c)
+    w = BLOOM_WORD_BITS
+    cond = " AND ".join(
+        f"(coalesce(element_at(__bloom_words, cast({c} div {w} as bigint)), cast(0 as bigint))"
+        f" & shiftleft(cast(1 as bigint), cast({c} % {w} as int))) != 0"
+        for c in pos_cols
+    )
+    return out.withColumn(out_col, F.expr(cond)).drop("__bloom_words", *pos_cols)

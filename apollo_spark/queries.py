@@ -3265,6 +3265,73 @@ ORDER BY e.token
 """
 
 
+def bloom_order_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning: build an engine-portable Bloom filter
+    over the BUILDING-segment customer keys, probe every order against it,
+    and report per-priority how many orders the filter passes vs the exact
+    semi-join truth (bloom_pass - exact_pass = false positives; false
+    negatives are impossible by construction).
+
+    This is the 100 TB pre-shuffle pruning pattern: the filter is
+    ~m_bits/63 BIGINT words riding a 1-row broadcast, so the fact table is
+    filtered *before* any exchange — the same idea as Spark's runtime
+    bloom-filter join (spark.sql.optimizer.runtime.bloomFilter.enabled),
+    made explicit, mergeable, and bit-exactly reproducible in DuckDB.
+    Reference has no joins at all (SURVEY.md §0); this is beyond-reference
+    OLAP surface."""
+    from apollo_spark.ops.sketch import bloom_build, bloom_might_contain
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    bloom = bloom_build(c, "c_custkey", m_bits=8192, k=4)
+    probed = bloom_might_contain(o, "o_custkey", bloom, m_bits=8192, k=4)
+    dim = c.select("c_custkey").distinct()
+    flagged = probed.join(
+        F.broadcast(dim), probed["o_custkey"] == dim["c_custkey"], "left"
+    ).withColumn("exact_member", F.col("c_custkey").isNotNull())
+    return (
+        flagged.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("might_member"), 1).otherwise(0)).cast("long").alias("bloom_pass"),
+            F.sum(F.when(F.col("exact_member"), 1).otherwise(0)).cast("long").alias("exact_pass"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_BLOOM_PRUNE = r"""
+WITH dim AS (SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+rs AS (SELECT range AS r FROM range(0, 4)),
+bloom AS (
+  SELECT p // 63 AS word_idx, bit_or(1::BIGINT << CAST(p % 63 AS INTEGER)) AS bits
+  FROM (
+    SELECT ('0x' || substr(md5('bloom' || CAST(r AS VARCHAR) || '|' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 8192 AS p
+    FROM dim CROSS JOIN rs
+  )
+  GROUP BY 1
+),
+oprobe AS (
+  SELECT o_orderkey, o_orderpriority, o_custkey,
+         ('0x' || substr(md5('bloom' || CAST(r AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT % 8192 AS p
+  FROM orders CROSS JOIN rs
+),
+pass AS (
+  SELECT o_orderkey,
+         any_value(o_orderpriority) AS o_orderpriority,
+         any_value(o_custkey) AS o_custkey,
+         bool_and(((COALESCE(b.bits, 0) >> CAST(p % 63 AS INTEGER)) & 1) = 1) AS might
+  FROM oprobe LEFT JOIN bloom b ON b.word_idx = p // 63
+  GROUP BY o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE might) AS BIGINT) AS bloom_pass,
+       CAST(count(*) FILTER (WHERE o_custkey IN (SELECT c_custkey FROM dim)) AS BIGINT) AS exact_pass
+FROM pass
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # training-mixture tier: UniMax language allocation
 # --------------------------------------------------------------------------
@@ -4029,6 +4096,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_corpus_sample": weighted_corpus_sample,
     "corpus_curation_pipeline": corpus_curation_pipeline,
     "doc_nfc_normalization": doc_nfc_normalization,
+    "bloom_order_pruning": bloom_order_pruning,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -4111,6 +4179,7 @@ ORACLES: dict[str, str] = {
     "ccnet_quality_buckets": ORACLE_CCNET_BUCKETS,
     "hll_distinct_users": ORACLE_HLL_USERS,
     "cms_heavy_tokens": ORACLE_CMS_TOKENS,
+    "bloom_order_pruning": ORACLE_BLOOM_PRUNE,
     "unimax_language_weights": ORACLE_UNIMAX,
     "profit_by_nation_year": ORACLE_PROFIT_NATION_YEAR,
     "supplier_count_by_part_type": ORACLE_SUPPLIER_COUNT,

@@ -1297,3 +1297,26 @@ def test_nfc_normalize_composes_and_preserves(spark):
     for i, t in rows:
         assert got[i] == (unicodedata.normalize("NFC", t) if t is not None else None)
     assert got[1] == "café olé" and got[3] == "ﬁn"
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from apollo_spark.ops.sketch import bloom_build, bloom_merge, bloom_might_contain
+
+    a = spark.range(0, 300).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(300, 600).select(F.col("id").cast("string").alias("k"))
+    whole = bloom_build(a.unionByName(b), "k", m_bits=4096, k=3)
+    merged = bloom_merge(
+        bloom_build(a, "k", m_bits=4096, k=3), bloom_build(b, "k", m_bits=4096, k=3)
+    )
+    # merge of two halves is bit-identical to building over the union
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+    probe = spark.range(0, 3000).select(F.col("id").cast("string").alias("k"))
+    res = bloom_might_contain(probe, "k", whole, m_bits=4096, k=3)
+    members = res.filter(F.col("id" if "id" in res.columns else "k").cast("long") < 600)
+    # every true member must pass (no false negatives — the Bloom guarantee)
+    assert members.filter(~F.col("might_member")).count() == 0
+    # false-positive rate stays near theory: (1-e^{-kn/m})^k ~ 4.6% here;
+    # allow generous slack for hash variance on 2400 negatives
+    fp = res.filter((F.col("k").cast("long") >= 600) & F.col("might_member")).count()
+    assert fp / 2400 < 0.15
