@@ -568,3 +568,46 @@ def embedding_dim_stats(
             ).alias("std"),
         )
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dims: int = 8,
+    salt: str = "jl",
+    prefix: str = "proj_",
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection: append ``out_dims``
+    columns ``proj_j = (1/sqrt(out_dims)) * sum_i (+-1)_{ij} * v_i`` with the
+    sign drawn from the repo's portable md5-prefix hash of (j, i)
+    (Achlioptas 2003: +-1 entries preserve pairwise distances within
+    (1 +- eps) like Gaussian projections do, and need no stored matrix).
+
+    Fully engine-portable: signs are a pure function of (salt, j, i), the
+    per-row fold runs in array-index order in both Spark (`transform` +
+    ordered `aggregate`) and DuckDB (`list_dot_product` against a
+    `list_transform(range(...))` sign vector), so projected doubles are
+    bit-identical and the correctness gate can hash them. Per row this is
+    O(d * out_dims) JVM-side work — no shuffle, no UDF, no stored
+    projection matrix to broadcast."""
+    from apollo_spark.ops.sketch import portable_hash60
+
+    scale = 1.0 / float(np.sqrt(out_dims))
+
+    def _signed(j: int):
+        # closure factory: a default-arg lambda would grow a third parameter
+        # and break pyspark's higher-order-function arity detection
+        def f(x, i):
+            return F.when(
+                portable_hash60(F.concat(F.lit(f"{j}|"), i.cast("string")), salt) % 2 == 0,
+                x.cast("double"),
+            ).otherwise(-x.cast("double"))
+
+        return f
+
+    cols = []
+    for j in range(out_dims):
+        signed = F.transform(F.col(vec_col), _signed(j))
+        proj = F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v) * F.lit(scale)
+        cols.append(proj.alias(f"{prefix}{j}"))
+    return df.select("*", *cols)

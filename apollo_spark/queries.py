@@ -1496,6 +1496,36 @@ FROM agg ORDER BY dim
 """
 
 
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection to 8 dims
+    (ops.similarity.random_projection): the dimensionality-reduction front
+    end for clustering/ANN at 100 TB — O(d*k) JVM-side work per row, no
+    shuffle, no stored projection matrix (signs are a hash of (j, i)).
+    Projected doubles are bit-identical in DuckDB (ordered fold == ordered
+    list_dot_product against the same +-1 vector), so the gate hashes raw
+    values, not rounded ones."""
+    from apollo_spark.ops.similarity import random_projection
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = random_projection(e, out_dims=8)
+    return out.select("vec_id", *[f"proj_{j}" for j in range(8)]).orderBy("vec_id")
+
+
+ORACLE_JL_PROJECTION = """
+SELECT vec_id,
+  list_dot_product(CAST(embedding AS DOUBLE[]), list_transform(range(0, len(embedding)), i -> CASE WHEN ('0x' || substr(md5('jl' || '0|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) * 0.35355339059327373 AS proj_0,
+  list_dot_product(CAST(embedding AS DOUBLE[]), list_transform(range(0, len(embedding)), i -> CASE WHEN ('0x' || substr(md5('jl' || '1|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) * 0.35355339059327373 AS proj_1,
+  list_dot_product(CAST(embedding AS DOUBLE[]), list_transform(range(0, len(embedding)), i -> CASE WHEN ('0x' || substr(md5('jl' || '2|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) * 0.35355339059327373 AS proj_2,
+  list_dot_product(CAST(embedding AS DOUBLE[]), list_transform(range(0, len(embedding)), i -> CASE WHEN ('0x' || substr(md5('jl' || '3|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) * 0.35355339059327373 AS proj_3,
+  list_dot_product(CAST(embedding AS DOUBLE[]), list_transform(range(0, len(embedding)), i -> CASE WHEN ('0x' || substr(md5('jl' || '4|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) * 0.35355339059327373 AS proj_4,
+  list_dot_product(CAST(embedding AS DOUBLE[]), list_transform(range(0, len(embedding)), i -> CASE WHEN ('0x' || substr(md5('jl' || '5|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) * 0.35355339059327373 AS proj_5,
+  list_dot_product(CAST(embedding AS DOUBLE[]), list_transform(range(0, len(embedding)), i -> CASE WHEN ('0x' || substr(md5('jl' || '6|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) * 0.35355339059327373 AS proj_6,
+  list_dot_product(CAST(embedding AS DOUBLE[]), list_transform(range(0, len(embedding)), i -> CASE WHEN ('0x' || substr(md5('jl' || '7|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) * 0.35355339059327373 AS proj_7
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
 def weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Efraimidis-Spirakis weighted sample (ops.corpus.
     weighted_sample): per source, 5 documents drawn without replacement with
@@ -4097,6 +4127,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation_pipeline": corpus_curation_pipeline,
     "doc_nfc_normalization": doc_nfc_normalization,
     "bloom_order_pruning": bloom_order_pruning,
+    "embedding_jl_projection": embedding_jl_projection,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -4180,6 +4211,7 @@ ORACLES: dict[str, str] = {
     "hll_distinct_users": ORACLE_HLL_USERS,
     "cms_heavy_tokens": ORACLE_CMS_TOKENS,
     "bloom_order_pruning": ORACLE_BLOOM_PRUNE,
+    "embedding_jl_projection": ORACLE_JL_PROJECTION,
     "unimax_language_weights": ORACLE_UNIMAX,
     "profit_by_nation_year": ORACLE_PROFIT_NATION_YEAR,
     "supplier_count_by_part_type": ORACLE_SUPPLIER_COUNT,

@@ -1320,3 +1320,28 @@ def test_bloom_no_false_negatives_and_merge(spark):
     # allow generous slack for hash variance on 2400 negatives
     fp = res.filter((F.col("k").cast("long") >= 600) & F.col("might_member")).count()
     assert fp / 2400 < 0.15
+
+
+def test_random_projection_preserves_distances(spark, emb):
+    from apollo_spark.ops.similarity import random_projection
+
+    sample = emb.limit(40)
+    out = random_projection(sample, out_dims=16).collect()
+    full = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in out}
+    proj = {r.vec_id: np.array([r[f"proj_{j}"] for j in range(16)]) for r in out}
+    ids = sorted(full)
+    # JL lemma sanity: squared-distance ratios concentrate around 1; with
+    # k=16 the per-pair variance is high, so check the MEDIAN ratio tightly
+    # and individual pairs loosely
+    ratios = []
+    for a in ids[:20]:
+        for b in ids[:20]:
+            if a >= b:
+                continue
+            d_full = np.sum((full[a] - full[b]) ** 2)
+            d_proj = np.sum((proj[a] - proj[b]) ** 2)
+            if d_full > 0:
+                ratios.append(d_proj / d_full)
+    med = float(np.median(ratios))
+    assert 0.6 < med < 1.4, med
+    assert all(0.05 < r < 5.0 for r in ratios), (min(ratios), max(ratios))
