@@ -611,3 +611,97 @@ def random_projection(
         proj = F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v) * F.lit(scale)
         cols.append(proj.alias(f"{prefix}{j}"))
     return df.select("*", *cols)
+
+
+def embedding_covariance(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Upper-triangle covariance matrix of an array<float> corpus:
+    rows ``(i, j, n, cov)`` for ``i <= j``.
+
+    The d*(d+1)/2 cross products per row are generated *inside* the row via
+    nested array transforms (no posexplode self-join — that would shuffle
+    N*d rows twice); the groupBy(i, j) then map-side combines to at most
+    d^2 groups per partition, so the only wide exchange is
+    O(partitions * d^2) regardless of corpus size — the correct 100 TB
+    shape for a Gram/covariance accumulation. Sums ride DECIMAL(38,6)
+    (order-independent, engine-exact); the only floats are the final
+    divisions and the mean product."""
+    arr = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    d_col = F.size(arr)
+
+    def _inner(x, i):
+        return F.transform(
+            F.slice(arr, i + 1, d_col - i),
+            lambda y, k: F.struct(i.alias("i"), (i + k).alias("j"), (x * y).alias("xy")),
+        )
+
+    triples = df.select(F.explode(F.flatten(F.transform(arr, _inner))).alias("t")).select(
+        F.col("t.i").alias("i"), F.col("t.j").alias("j"), F.col("t.xy").alias("xy")
+    )
+    gram = triples.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xy").cast("decimal(38,6)")).cast("double").alias("__sxy"),
+    )
+    means = (
+        df.select(F.posexplode(arr))
+        .groupBy(F.col("pos").alias("mi"))
+        .agg(F.sum(F.col("col").cast("decimal(38,6)")).cast("double").alias("__s1"),
+             F.count(F.lit(1)).alias("__mn"))
+        .select("mi", (F.col("__s1") / F.col("__mn")).alias("mean"))
+    )
+    ma = means.select(F.col("mi").alias("__ia"), F.col("mean").alias("__mean_i"))
+    mb = means.select(F.col("mi").alias("__ib"), F.col("mean").alias("__mean_j"))
+    return (
+        gram.join(F.broadcast(ma), gram["i"] == ma["__ia"])
+        .join(F.broadcast(mb), gram["j"] == mb["__ib"])
+        .select(
+            "i",
+            "j",
+            "n",
+            (F.col("__sxy") / F.col("n") - F.col("__mean_i") * F.col("__mean_j")).alias("cov"),
+        )
+    )
+
+
+def pca_components(df: DataFrame, vec_col: str = "embedding", k: int = 8):
+    """Top-k principal components via eigendecomposition of the distributed
+    covariance matrix. The d x d matrix is the ONLY thing collected
+    (d^2 <= a few thousand doubles — same bounded-driver-action class as
+    IVF centroid training); the eigensolve on a d x d symmetric matrix is
+    microseconds on the driver and would be identical on a 1000-executor
+    cluster. Returns (components ndarray [k, d], eigenvalues ndarray [k]),
+    eigenvalue-descending, each component sign-fixed so its
+    largest-magnitude coordinate is positive (removes eigh's sign
+    ambiguity -> deterministic output)."""
+    tri = embedding_covariance(df, vec_col).collect()
+    d = max(r.j for r in tri) + 1
+    cov = np.zeros((d, d))
+    for r in tri:
+        cov[r.i, r.j] = r.cov
+        cov[r.j, r.i] = r.cov
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # [k, d]
+    for c in comps:
+        m = np.argmax(np.abs(c))
+        if c[m] < 0:
+            c *= -1.0
+    return comps, vals[order]
+
+
+def pca_project(
+    df: DataFrame,
+    components: np.ndarray,
+    vec_col: str = "embedding",
+    prefix: str = "pc_",
+) -> DataFrame:
+    """Project rows onto precomputed components: k ordered-fold dot products
+    against inlined array literals — JVM-side, shuffle-free, no UDF."""
+    arr = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cols = []
+    for ci, comp in enumerate(components):
+        lit_comp = F.array(*[F.lit(float(v)) for v in comp])
+        proj = F.aggregate(
+            F.zip_with(arr, lit_comp, lambda x, w: x * w), F.lit(0.0), lambda a, v: a + v
+        )
+        cols.append(proj.alias(f"{prefix}{ci}"))
+    return df.select("*", *cols)

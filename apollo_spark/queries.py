@@ -1526,6 +1526,52 @@ ORDER BY vec_id
 """
 
 
+def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance matrix of the embedding corpus
+    (ops.similarity.embedding_covariance): the PCA/whitening front end.
+    The d*(d+1)/2 cross products are generated inside each row by nested
+    array transforms, then map-side combined to <= d^2 groups per
+    partition — the only wide exchange is O(partitions * d^2) no matter
+    the corpus size. DECIMAL(38,6) sums make every entry engine-exact."""
+    from apollo_spark.ops.similarity import embedding_covariance
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        embedding_covariance(e)
+        .select("i", "j", "n", F.round("cov", 6).alias("cov"))
+        .orderBy("i", "j")
+    )
+
+
+ORACLE_EMB_COVARIANCE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) arr FROM embeddings),
+ex AS (SELECT vec_id, i-1 AS i, arr[i] v FROM e, unnest(generate_series(1, len(arr))) t(i)),
+p AS (SELECT a.i AS i, b.i AS j, a.v * b.v AS xy FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i),
+m AS (SELECT i, CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean FROM ex GROUP BY i),
+g AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(xy AS DECIMAL(38,6))) AS DOUBLE) AS sxy FROM p GROUP BY i, j)
+SELECT g.i, g.j, g.n, ROUND(sxy / n - mi.mean * mj.mean, 6) AS cov
+FROM g JOIN m mi ON mi.i = g.i JOIN m mj ON mj.i = g.j
+ORDER BY g.i, g.j
+"""
+
+
+def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA: top-4 principal components from the distributed covariance
+    matrix (d x d driver eigensolve — the one bounded collect, identical
+    on a 1000-executor cluster), rows projected JVM-side against inlined
+    component literals. Eigenvectors are not SQL-expressible, so this is
+    a rows-only gate; numpy parity + explained-variance ordering are
+    pinned in pytest."""
+    from apollo_spark.ops.similarity import pca_components, pca_project
+
+    e = _t(spark, sf_dir, "embeddings")
+    comps, _ = pca_components(e, k=4)
+    out = pca_project(e, comps)
+    return out.select(
+        "vec_id", *[F.round(f"pc_{j}", 6).alias(f"pc_{j}") for j in range(4)]
+    ).orderBy("vec_id")
+
+
 def weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Efraimidis-Spirakis weighted sample (ops.corpus.
     weighted_sample): per source, 5 documents drawn without replacement with
@@ -4128,12 +4174,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_nfc_normalization": doc_nfc_normalization,
     "bloom_order_pruning": bloom_order_pruning,
     "embedding_jl_projection": embedding_jl_projection,
+    "embedding_covariance_matrix": embedding_covariance_matrix,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
     "knn_ivf_approx": knn_ivf_approx,
     "media_feature_extract": media_feature_extract,
     "semantic_dedup_docs": semantic_dedup_docs,
+    "embedding_pca_projection": embedding_pca_projection,
 }
 
 ORACLES: dict[str, str] = {
@@ -4212,6 +4260,7 @@ ORACLES: dict[str, str] = {
     "cms_heavy_tokens": ORACLE_CMS_TOKENS,
     "bloom_order_pruning": ORACLE_BLOOM_PRUNE,
     "embedding_jl_projection": ORACLE_JL_PROJECTION,
+    "embedding_covariance_matrix": ORACLE_EMB_COVARIANCE,
     "unimax_language_weights": ORACLE_UNIMAX,
     "profit_by_nation_year": ORACLE_PROFIT_NATION_YEAR,
     "supplier_count_by_part_type": ORACLE_SUPPLIER_COUNT,

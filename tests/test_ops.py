@@ -1345,3 +1345,34 @@ def test_random_projection_preserves_distances(spark, emb):
     med = float(np.median(ratios))
     assert 0.6 < med < 1.4, med
     assert all(0.05 < r < 5.0 for r in ratios), (min(ratios), max(ratios))
+
+
+def test_embedding_covariance_and_pca_match_numpy(spark, emb):
+    from apollo_spark.ops.similarity import embedding_covariance, pca_components, pca_project
+
+    pdf = emb.toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    npcov = np.cov(X.T, bias=True)
+
+    tri = embedding_covariance(emb).collect()
+    d = X.shape[1]
+    got = np.zeros((d, d))
+    for r in tri:
+        got[r.i, r.j] = r.cov
+        got[r.j, r.i] = r.cov
+    # decimal-quantized sums: agreement to ~1e-5 absolute
+    assert np.max(np.abs(got - npcov)) < 1e-4
+
+    comps, vals = pca_components(emb, k=4)
+    npvals = np.sort(np.linalg.eigvalsh(npcov))[::-1][:4]
+    assert np.allclose(vals, npvals, atol=1e-3)
+    # components orthonormal, variance-ordered
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-6)
+    assert all(vals[i] >= vals[i + 1] - 1e-12 for i in range(3))
+
+    proj = pca_project(emb, comps).select("vec_id", "pc_0", "pc_1", "pc_2", "pc_3")
+    got_proj = {r.vec_id: np.array([r.pc_0, r.pc_1, r.pc_2, r.pc_3]) for r in proj.collect()}
+    want = X @ comps.T
+    ids = pdf["vec_id"].to_numpy()
+    err = max(np.max(np.abs(got_proj[i] - want[n])) for n, i in enumerate(ids))
+    assert err < 1e-9
