@@ -18,7 +18,7 @@ gate-able against a DuckDB oracle with unrolled iterations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -268,3 +268,53 @@ def k_core_peel(
             .localCheckpoint(eager=True)
         )
     return _degrees(alive).select(F.col("v").alias("node"), "deg")
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et al.
+    2007), made deterministic: every node starts labeled with its own id;
+    each round it adopts the MOST FREQUENT label among its neighbors, ties
+    broken toward the smallest label; isolated votes keep the current
+    label. A FIXED round count makes the result a pure function of
+    (graph, rounds) — an unrolled SQL oracle replays it exactly (the
+    classic async/random-order LPA is unreproducible across engines).
+
+    Distinct from connected components: frequency voting splits a sparse
+    bridge between two dense clusters instead of flooding one min-id over
+    everything reachable.
+
+    Scale: per round one co-partitioned join of the edge list with the
+    label table, a map-side-combined (node, label) count, and a per-node
+    window over that node's distinct neighbor labels (frame = neighbor
+    label count, not corpus). Lineage truncated per round with eager
+    localCheckpoints, same iterative posture as pagerank/k_core_peel."""
+    canon = _canonical_edges(edges, src, dst)
+    und = (
+        canon.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(canon.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().withColumn("label", F.col("node"))
+    for _ in range(rounds):
+        votes = (
+            und.join(labels.withColumnRenamed("node", "__vn"), und["v"] == F.col("__vn"))
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("u").orderBy(F.col("cnt").desc(), F.col("label").asc())
+        best = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("u").alias("node"), F.col("label").alias("__new"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce(F.col("__new"), F.col("label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

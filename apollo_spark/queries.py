@@ -3992,6 +3992,76 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core_peel(edges, k=3, rounds=4).orderBy("node")
 
 
+def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the co-purchase graph by deterministic
+    synchronous label propagation (ops.graph.label_propagation, 3 rounds):
+    each item adopts its neighbors' most frequent label, smallest-label
+    tie-break — frequency voting splits sparse bridges that connected
+    components would flood across. Unrolled-round SQL oracle replays the
+    identical vote/tie-break/adopt sequence."""
+    from apollo_spark.ops.graph import label_propagation
+
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    ui = e.select(
+        "user_id", F.get_json_object("props", "$.k").cast("int").alias("item")
+    ).distinct()
+    u2 = ui.select(F.col("user_id"), F.col("item").alias("item_b"))
+    edges = (
+        ui.join(u2, "user_id")
+        .filter(F.col("item") < F.col("item_b"))
+        .groupBy("item", "item_b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select(F.col("item").alias("src"), F.col("item_b").alias("dst"))
+    )
+    return label_propagation(edges, rounds=3).orderBy("node")
+
+
+def _lpa_oracle(rounds: int = 3, min_w: int = 2) -> str:
+    parts = [
+        f"""WITH ui AS (
+  SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item
+  FROM events WHERE event_type = 'purchase'
+),
+e0 AS (
+  SELECT u1.item AS a, u2.item AS b
+  FROM ui u1 JOIN ui u2 ON u1.user_id = u2.user_id AND u1.item < u2.item
+  GROUP BY u1.item, u2.item
+  HAVING COUNT(*) >= {min_w}
+),
+und AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM und)"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"l{r - 1}"
+        parts.append(
+            f"""v{r} AS (
+  SELECT e.u, l.label, COUNT(*) AS cnt
+  FROM und e JOIN {prev} l ON e.v = l.node
+  GROUP BY e.u, l.label
+),
+b{r} AS (
+  SELECT u, label FROM (
+    SELECT u, label, ROW_NUMBER() OVER (PARTITION BY u ORDER BY cnt DESC, label ASC) AS rn
+    FROM v{r}
+  ) WHERE rn = 1
+),
+l{r} AS (
+  SELECT n.node, COALESCE(b.label, n.label) AS label
+  FROM {prev} n LEFT JOIN b{r} b ON b.u = n.node
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT node, label FROM l{rounds} ORDER BY node
+"""
+    )
+
+
+ORACLE_LPA_COMMUNITIES = _lpa_oracle(3, 2)
+
+
 def _kcore_oracle(k: int = 3, rounds: int = 4) -> str:
     parts = [
         """WITH ui AS (
@@ -4175,6 +4245,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_order_pruning": bloom_order_pruning,
     "embedding_jl_projection": embedding_jl_projection,
     "embedding_covariance_matrix": embedding_covariance_matrix,
+    "copurchase_communities": copurchase_communities,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -4261,6 +4332,7 @@ ORACLES: dict[str, str] = {
     "bloom_order_pruning": ORACLE_BLOOM_PRUNE,
     "embedding_jl_projection": ORACLE_JL_PROJECTION,
     "embedding_covariance_matrix": ORACLE_EMB_COVARIANCE,
+    "copurchase_communities": ORACLE_LPA_COMMUNITIES,
     "unimax_language_weights": ORACLE_UNIMAX,
     "profit_by_nation_year": ORACLE_PROFIT_NATION_YEAR,
     "supplier_count_by_part_type": ORACLE_SUPPLIER_COUNT,

@@ -1376,3 +1376,20 @@ def test_embedding_covariance_and_pca_match_numpy(spark, emb):
     ids = pdf["vec_id"].to_numpy()
     err = max(np.max(np.abs(got_proj[i] - want[n])) for n, i in enumerate(ids))
     assert err < 1e-9
+
+
+def test_label_propagation_splits_bridged_clusters(spark):
+    from apollo_spark.ops.graph import label_propagation
+
+    # two 4-cliques {0..3} and {10..13} joined by one bridge 3-10:
+    # frequency voting must keep two communities (CC would merge them)
+    clique = lambda ns: [(a, b) for a in ns for b in ns if a < b]
+    edges = clique([0, 1, 2, 3]) + clique([10, 11, 12, 13]) + [(3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.label for r in label_propagation(df, rounds=4).collect()}
+    left = {out[n] for n in (0, 1, 2, 3)}
+    right = {out[n] for n in (10, 11, 12, 13)}
+    assert left == {0}
+    assert right == {10} or right == {0, 10} or len(right) == 1
+    # the two cliques must NOT share one label throughout
+    assert {out[0], out[11]} != {out[0]}
