@@ -112,4 +112,51 @@ def kmeans_summary(assign: DataFrame, centroids: DataFrame, id_col: str = "vec_i
     return sizes.join(dig, "cluster").orderBy("cluster")
 
 
-__all__ = ["embedding_lattice", "kmeans_lattice", "kmeans_summary"]
+def pq_codes(
+    emb: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+    offset: float = 8.0,
+) -> DataFrame:
+    """Product quantization (Jegou et al. 2011): split each vector into
+    ``m`` contiguous subspaces of ``dim//m`` dims and run the engine-exact
+    lattice k-means independently in each; a vector's code is its argmin
+    centroid id per subspace — ``m * log2(k)`` bits instead of
+    ``dim * 32``, the codebook trick behind IVF-PQ indexes at billion-vector
+    scale.
+
+    Returns long-format ``(id, subspace, code, dist)`` with ``dist`` the
+    exact squared lattice distance to the chosen sub-centroid. Every step
+    inherits kmeans_lattice's integer determinism, so the full code table
+    is bit-reproducible by an unrolled SQL oracle. Each subspace pass
+    broadcasts its k*(dim/m) centroid table; the m passes share the scan
+    via whatever caching the caller applies upstream."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_d = dim // m
+    outs = []
+    for s in range(m):
+        sub = emb.select(id_col, F.slice(F.col(vec_col), s * sub_d + 1, sub_d).alias("__sub"))
+        assign, _cent = kmeans_lattice(
+            sub, k=k, iters=iters, id_col=id_col, vec_col="__sub", scale=scale, offset=offset
+        )
+        outs.append(
+            assign.select(
+                id_col,
+                F.lit(s).alias("subspace"),
+                F.col("cluster").alias("code"),
+                "dist",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+__all__ = ["embedding_lattice", "kmeans_lattice", "kmeans_summary", "pq_codes"]

@@ -3878,6 +3878,72 @@ ORDER BY cluster"""
 ORACLE_KMEANS = _kmeans_oracle(k=8, iters=3)
 
 
+def pq_embedding_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code table (ops.clustering.pq_codes): 4
+    subspaces x 16 centroids x 2 Lloyd rounds on the integer lattice —
+    each 64-dim float vector compressed to 4 codes (16 bits + exact
+    residual distances). Every subspace trajectory is integer arithmetic,
+    so the unrolled per-subspace DuckDB oracle reproduces the whole code
+    table bit-for-bit."""
+    from apollo_spark.ops.clustering import pq_codes
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_codes(e, dim=64, m=4, k=16, iters=2).orderBy("vec_id", "subspace")
+
+
+def _pq_oracle(dim: int = 64, m: int = 4, k: int = 16, iters: int = 2) -> str:
+    """Per-subspace unrolled Lloyd chains (mirrors pq_codes -> kmeans_lattice
+    over a slice), UNION ALL'd into one code table."""
+    sub_d = dim // m
+    ctes = []
+    selects = []
+    for s in range(m):
+        ctes.append(
+            f"""long{s} AS (
+  SELECT vec_id, i AS d,
+         CAST(FLOOR((CAST(embedding[i + 1 + {s * sub_d}] AS DOUBLE) + 8.0) * 1000000.0) AS BIGINT) AS xi
+  FROM embeddings, LATERAL (SELECT unnest(range(0, {sub_d})) AS i) t(i)
+)"""
+        )
+        ctes.append(
+            f"""s{s}c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, d, xi AS ci FROM long{s} WHERE vec_id < {k})"""
+        )
+        prev = f"s{s}c0"
+        for it in range(1, iters + 1):
+            ctes.append(
+                f"""s{s}a{it} AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT l.vec_id, c.cluster, SUM((l.xi - c.ci) * (l.xi - c.ci)) AS dist,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+                              ORDER BY SUM((l.xi - c.ci) * (l.xi - c.ci)) ASC, c.cluster ASC) AS rn
+    FROM long{s} l JOIN {prev} c USING (d)
+    GROUP BY l.vec_id, c.cluster)
+  WHERE rn = 1
+)"""
+            )
+            ctes.append(
+                f"""s{s}c{it} AS (
+  SELECT a.cluster, l.d, SUM(l.xi) // COUNT(*) AS ci
+  FROM long{s} l JOIN s{s}a{it} a USING (vec_id)
+  GROUP BY a.cluster, l.d
+)"""
+            )
+            prev = f"s{s}c{it}"
+        selects.append(
+            f"SELECT vec_id, {s} AS subspace, cluster AS code, CAST(dist AS BIGINT) AS dist FROM s{s}a{iters}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY vec_id, subspace"
+    )
+
+
+ORACLE_PQ_CODES = _pq_oracle(dim=64, m=4, k=16, iters=2)
+
+
 # --------------------------------------------------------------------------
 # graph structure: exact triangle counting (degree-ordered orientation)
 # --------------------------------------------------------------------------
@@ -4246,6 +4312,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_jl_projection": embedding_jl_projection,
     "embedding_covariance_matrix": embedding_covariance_matrix,
     "copurchase_communities": copurchase_communities,
+    "pq_embedding_codes": pq_embedding_codes,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -4333,6 +4400,7 @@ ORACLES: dict[str, str] = {
     "embedding_jl_projection": ORACLE_JL_PROJECTION,
     "embedding_covariance_matrix": ORACLE_EMB_COVARIANCE,
     "copurchase_communities": ORACLE_LPA_COMMUNITIES,
+    "pq_embedding_codes": ORACLE_PQ_CODES,
     "unimax_language_weights": ORACLE_UNIMAX,
     "profit_by_nation_year": ORACLE_PROFIT_NATION_YEAR,
     "supplier_count_by_part_type": ORACLE_SUPPLIER_COUNT,
