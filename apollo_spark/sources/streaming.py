@@ -255,6 +255,49 @@ def dedup_event_stream(
     )
 
 
+def streaming_hll_rollup(
+    table_dir: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+    salt: str = "hll",
+    app_id: str = "hll_rollup",
+):
+    """foreachBatch sink factory: a continuously-merged HyperLogLog register
+    table — streaming COUNT(DISTINCT) whose state is O(groups * 2^p)
+    forever, no matter how much stream flows through.
+
+    Per micro-batch: sketch the batch (ops.sketch.hll_registers), max-merge
+    with the current register snapshot, commit the merged state as an
+    OVERWRITE version of a TxTable keyed by (app_id, batch_id). The commit
+    is exactly-once across checkpoint replays (the pair rides the
+    manifest), and even a double-applied merge would be a no-op because
+    register max-merge is idempotent. Reading the current version while
+    committing the next is safe: TxTable writes land in a fresh txn dir and
+    reads pin exact manifest file lists.
+
+    Usage::
+
+        stream.writeStream.foreachBatch(
+            streaming_hll_rollup(dir, "user_id", ["event_type"])
+        ).option("checkpointLocation", ckpt).start()
+    """
+    groups = list(group_cols or [])
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from apollo_spark.ops.sketch import hll_merge, hll_registers
+        from apollo_spark.table_format import TxTable
+
+        spark = batch_df.sparkSession
+        table = TxTable(table_dir)
+        regs = hll_registers(batch_df, value_col, groups, p=p, salt=salt)
+        if table.current_version() is not None:
+            regs = hll_merge(table.read(spark), regs, groups)
+        table.write(regs, mode="overwrite", txn_app=app_id, txn_batch=int(batch_id))
+
+    return _sink
+
+
 def event_triggered_calls(
     decoded_stream: DataFrame,
     contract: ContractSpec,

@@ -721,3 +721,55 @@ def test_stream_restart_recovers_without_dup_or_loss(spark, tmp_path, unipair):
     rows = out2.select("tx_hash", "log_index", "block_hash").collect()
     assert len(rows) == 12  # 10 originals + 2 new; 3 replays dropped across the restart
     assert len({(r.tx_hash, r.log_index, r.block_hash) for r in rows}) == 12
+
+
+def test_streaming_hll_rollup_matches_batch_sketch(spark, tmp_path):
+    """The continuously-merged register table after N micro-batches must be
+    bit-identical to a one-shot batch sketch over the union of all data —
+    the mergeability contract, now across the streaming boundary."""
+    import json
+
+    from apollo_spark.ops.sketch import hll_estimate, hll_registers, hll_summary
+    from apollo_spark.sources.streaming import streaming_hll_rollup
+    from apollo_spark.table_format import TxTable
+
+    src = tmp_path / "hll_stream"
+    src.mkdir()
+    state = str(tmp_path / "hll_state")
+    ckpt = str(tmp_path / "hll_ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema("etype string, uid long").json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(
+                streaming_hll_rollup(state, "uid", ["etype"], p=6)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    rows1 = [{"etype": "a", "uid": i} for i in range(200)] + [
+        {"etype": "b", "uid": i} for i in range(50)
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    run_once()
+    rows2 = [{"etype": "a", "uid": i} for i in range(100, 400)]
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+    run_once()
+
+    merged = TxTable(state).read(spark)
+    whole = spark.createDataFrame(
+        [(r["etype"], r["uid"]) for r in rows1 + rows2], "etype string, uid long"
+    )
+    want = hll_registers(whole, "uid", ["etype"], p=6)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, want.collect()))
+
+    # the estimate derived from streamed state tracks the true cardinality
+    est = {
+        r.etype: r.estimate
+        for r in hll_estimate(hll_summary(merged, ["etype"], p=6), p=6).collect()
+    }
+    assert abs(est["a"] - 400) / 400 < 0.35  # p=6 -> ~13% expected error
+    assert abs(est["b"] - 50) / 50 < 0.45
