@@ -88,6 +88,78 @@ def quality_keep(text_col, lang: str = "en", min_quality: float = 0.6, min_token
     )
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_rules(text_col, min_words: int = 20) -> dict[str, Column]:
+    """The named Gopher quality rule set (Rae et al. 2021, table A1) as
+    individual boolean columns — distinct from the composite
+    ``quality_score``: these are the published hard filters a
+    Gopher/MassiveText-style pipeline applies verbatim.
+
+    * word count within [min_words, 100k] (paper: 50; parameterized down
+      for short-doc corpora),
+    * mean word length within [3, 10],
+    * '#'-to-word ratio < 0.1 and '...'-to-word ratio < 0.3,
+    * >= 80% of words contain at least one alphabetic character,
+    * at least 2 of the 8 canonical stop words appear,
+    * < 90% of lines start with a bullet, < 30% end with an ellipsis.
+
+    Every rule is a built-in-function expression (counts, regexes, list
+    filters) — SQL-mirrorable, shuffle-free, whole-stage codegen."""
+    toks = words(text_col)
+    n_words = token_count(text_col).cast("double")
+    nonspace = F.length(F.regexp_replace(text_col, r"\s", "")).cast("double")
+    mean_wl = F.when(n_words > 0, nonspace / n_words).otherwise(F.lit(0.0))
+    n_hash = (F.length(text_col) - F.length(F.regexp_replace(text_col, r"#", ""))).cast("double")
+    n_ellipsis = (
+        (F.length(text_col) - F.length(F.replace(text_col, F.lit("..."), F.lit(""))))
+        / F.lit(3)
+    ).cast("double")
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("double")
+    sw_present = None
+    for s in GOPHER_STOPWORDS:
+        hit = F.when(F.array_contains(toks, s), 1).otherwise(0)
+        sw_present = hit if sw_present is None else sw_present + hit
+    lines = F.split(text_col, r"\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike("^[-*\u2022]\\s"))
+    ).cast("double")
+    ellipsis_lines = F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$"))).cast(
+        "double"
+    )
+    return {
+        "n_words": n_words.cast("long"),
+        "rule_word_count": (n_words >= min_words) & (n_words <= 100_000),
+        "rule_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "rule_hash_ratio": F.when(n_words > 0, n_hash / n_words < 0.1).otherwise(F.lit(False)),
+        "rule_ellipsis_ratio": F.when(n_words > 0, n_ellipsis / n_words < 0.3).otherwise(
+            F.lit(False)
+        ),
+        "rule_alpha_words": F.when(n_words > 0, alpha_words / n_words >= 0.8).otherwise(
+            F.lit(False)
+        ),
+        "rule_stopwords": sw_present >= 2,
+        "rule_bullet_lines": F.when(n_lines > 0, bullet_lines / n_lines < 0.9).otherwise(
+            F.lit(True)
+        ),
+        "rule_ellipsis_lines": F.when(n_lines > 0, ellipsis_lines / n_lines < 0.3).otherwise(
+            F.lit(True)
+        ),
+    }
+
+
+def gopher_quality_keep(text_col, min_words: int = 20) -> Column:
+    """AND of every Gopher hard filter."""
+    rules = gopher_quality_rules(text_col, min_words)
+    keep = F.lit(True)
+    for name, col in rules.items():
+        if name.startswith("rule_"):
+            keep = keep & col
+    return keep
+
+
 def fingerprint(text_col) -> Column:
     """Content fingerprint: md5 of the normalized text (lowercase, collapsed
     whitespace). md5 exists identically in DuckDB -> oracle-able."""

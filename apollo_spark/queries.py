@@ -1741,6 +1741,68 @@ ORDER BY user_id
 # --------------------------------------------------------------------------
 
 
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher hard-filter rule set (Rae et al. 2021, table A1;
+    ops.text.gopher_quality_rules) applied per document: every rule as its
+    own boolean column plus the final AND — the transparency view a corpus
+    curator audits before dropping terabytes (which rule fired, how often).
+    Pure built-in expressions, SQL-mirrored rule for rule."""
+    from apollo_spark.ops.text import gopher_quality_keep, gopher_quality_rules
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    rules = gopher_quality_rules(F.col("text"), min_words=20)
+    return d.select(
+        "doc_id",
+        *[col.alias(name) for name, col in rules.items()],
+        gopher_quality_keep(F.col("text"), min_words=20).alias("keep"),
+    ).orderBy("doc_id")
+
+
+ORACLE_GOPHER_QUALITY = r"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
+x AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) AS n_words,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nonspace,
+         CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS n_hash,
+         (CAST(length(text) AS DOUBLE) - length(replace(text, '...', ''))) / 3 AS n_ellipsis,
+         string_split(text, chr(10)) AS lines
+  FROM d
+),
+r AS (
+  SELECT doc_id,
+         CAST(n_words AS BIGINT) AS n_words,
+         (n_words >= 20 AND n_words <= 100000) AS rule_word_count,
+         (CASE WHEN n_words > 0 THEN nonspace / n_words ELSE 0.0 END >= 3.0
+          AND CASE WHEN n_words > 0 THEN nonspace / n_words ELSE 0.0 END <= 10.0) AS rule_mean_word_len,
+         CASE WHEN n_words > 0 THEN n_hash / n_words < 0.1 ELSE FALSE END AS rule_hash_ratio,
+         CASE WHEN n_words > 0 THEN n_ellipsis / n_words < 0.3 ELSE FALSE END AS rule_ellipsis_ratio,
+         CASE WHEN n_words > 0
+              THEN CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / n_words >= 0.8
+              ELSE FALSE END AS rule_alpha_words,
+         (CAST(list_contains(toks, 'the') AS INT) + CAST(list_contains(toks, 'be') AS INT)
+        + CAST(list_contains(toks, 'to') AS INT) + CAST(list_contains(toks, 'of') AS INT)
+        + CAST(list_contains(toks, 'and') AS INT) + CAST(list_contains(toks, 'that') AS INT)
+        + CAST(list_contains(toks, 'have') AS INT) + CAST(list_contains(toks, 'with') AS INT)) >= 2 AS rule_stopwords,
+         CASE WHEN len(lines) > 0
+              THEN CAST(len(list_filter(lines, ln -> regexp_matches(trim(ln), '^[-*•]\s'))) AS DOUBLE) / len(lines) < 0.9
+              ELSE TRUE END AS rule_bullet_lines,
+         CASE WHEN len(lines) > 0
+              THEN CAST(len(list_filter(lines, ln -> regexp_matches(trim(ln), '\.\.\.$'))) AS DOUBLE) / len(lines) < 0.3
+              ELSE TRUE END AS rule_ellipsis_lines
+  FROM x
+)
+SELECT doc_id, n_words, rule_word_count, rule_mean_word_len, rule_hash_ratio,
+       rule_ellipsis_ratio, rule_alpha_words, rule_stopwords, rule_bullet_lines,
+       rule_ellipsis_lines,
+       (rule_word_count AND rule_mean_word_len AND rule_hash_ratio AND rule_ellipsis_ratio
+        AND rule_alpha_words AND rule_stopwords AND rule_bullet_lines AND rule_ellipsis_lines) AS keep
+FROM r
+ORDER BY doc_id
+"""
+
+
 def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data selection pipeline: English, quality >= 0.6, in a token
     band — the composition a corpus-cleaning job runs. The predicate is the
@@ -4313,6 +4375,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_covariance_matrix": embedding_covariance_matrix,
     "copurchase_communities": copurchase_communities,
     "pq_embedding_codes": pq_embedding_codes,
+    "doc_gopher_quality": doc_gopher_quality,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -4401,6 +4464,7 @@ ORACLES: dict[str, str] = {
     "embedding_covariance_matrix": ORACLE_EMB_COVARIANCE,
     "copurchase_communities": ORACLE_LPA_COMMUNITIES,
     "pq_embedding_codes": ORACLE_PQ_CODES,
+    "doc_gopher_quality": ORACLE_GOPHER_QUALITY,
     "unimax_language_weights": ORACLE_UNIMAX,
     "profit_by_nation_year": ORACLE_PROFIT_NATION_YEAR,
     "supplier_count_by_part_type": ORACLE_SUPPLIER_COUNT,

@@ -1414,3 +1414,32 @@ def test_pq_codes_structure_and_compression_gain(spark, emb):
     out1 = pq_codes(emb, dim=64, m=4, k=1, iters=2).collect()
     tot1 = sum(r.dist for r in out1)
     assert tot8 < 0.95 * tot1, (tot8, tot1)
+
+
+def test_gopher_quality_rules_fire_correctly(spark):
+    from apollo_spark.ops.text import gopher_quality_keep, gopher_quality_rules
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs off to the "
+            "hills with great speed because it must have been chased by hounds "
+            "that would not give up easily on such a fine morning indeed"),
+        (2, "# # # # # # # # # # the of and to be that have with " * 4),  # hash spam
+        (3, "word " * 30),  # no stopwords, repetitive
+        (4, "- item one\n- item two\n- item three\n- item four"),  # all bullets
+        (5, "the story continues... and continues... " * 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rules = gopher_quality_rules(F.col("text"), min_words=20)
+    out = {
+        r.doc_id: r.asDict()
+        for r in df.select(
+            "doc_id",
+            *[c.alias(n) for n, c in rules.items()],
+            gopher_quality_keep(F.col("text"), min_words=20).alias("keep"),
+        ).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["rule_hash_ratio"] is False and out[2]["keep"] is False
+    assert out[3]["rule_stopwords"] is False and out[3]["keep"] is False
+    assert out[4]["rule_bullet_lines"] is False
+    assert out[5]["rule_ellipsis_ratio"] is False
