@@ -293,3 +293,32 @@ def test_corpus_order_windows_are_bucket_partitioned(spark):
         assert unpartitioned, pp  # the bucket-offset window must exist
         for col in unpartitioned:
             assert col.startswith("__b#"), (col, pp)
+
+
+def test_bloom_probe_is_broadcast_only_no_probe_shuffle(spark):
+    """bloom_order_pruning: the orders probe side must see only broadcast
+    exchanges before its aggregation — the whole point of the filter is to
+    prune facts WITHOUT shuffling them. The bloom words and the exact dim
+    both ride broadcasts; the only wide exchange is the final groupBy."""
+    p = plan(spark, "bloom_order_pruning")
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" not in p
+    # exactly one non-broadcast exchange: the per-priority aggregation
+    wide = re.findall(r"Exchange hashpartitioning", p)
+    assert len(wide) <= 2, p  # agg (+AQE may add one for the tiny bloom agg)
+
+
+def test_jl_projection_is_scan_project_only(spark):
+    """embedding_jl_projection must be a pure scan+project (per-row folds):
+    no exchange at all before the final orderBy's range partitioning."""
+    p = plan(spark, "embedding_jl_projection")
+    assert "hashpartitioning" not in p, p
+
+
+def test_covariance_exchange_is_bounded_by_dims(spark):
+    """embedding_covariance_matrix: the wide exchanges must be keyed on
+    dimension indices (i, j) / (pos) — never on vec_id — so the shuffle
+    volume is O(partitions * d^2) regardless of corpus size."""
+    p = plan(spark, "embedding_covariance_matrix")
+    assert re.search(r"hashpartitioning\(i#\d+L?, j#\d+L?", p), "gram groupBy must key on (i, j)"
+    assert not re.search(r"hashpartitioning\(vec_id", p), "no shuffle may be keyed on vec_id"
