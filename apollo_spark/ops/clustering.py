@@ -159,4 +159,77 @@ def pq_codes(
     return out
 
 
-__all__ = ["embedding_lattice", "kmeans_lattice", "kmeans_summary", "pq_codes"]
+__all__ = ["embedding_lattice", "kmeans_lattice", "kmeans_summary", "pq_codes", "pq_adc_topk"]
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+    offset: float = 8.0,
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) search over PQ codebooks: for
+    each query, build the m x k table of exact squared lattice distances
+    from the query's subvectors to every sub-centroid, then score each
+    corpus vector as the SUM of table lookups at its codes — the
+    IVF-PQ-style search that never touches raw corpus vectors at query
+    time.
+
+    Codes here are argmin against the FINAL post-update codebook (one extra
+    assignment pass beyond kmeans_lattice's returned trajectory), which is
+    the codebook ADC must use for consistency. Everything stays on the
+    integer lattice, so the ranked result is engine-exact.
+
+    Scale shape: codebooks (k * dim/m rows) and per-query distance tables
+    (|queries| * k rows per subspace) ride broadcasts; the corpus is never
+    shuffled until the (q_id, id) score aggregation, and at real scale an
+    IVF cell filter in front bounds that fan-out to the probed cells.
+    Ties break toward the smaller corpus id (deterministic ranking)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_d = dim // m
+    qlit = [int(q) for q in query_ids]
+    parts = []
+    for s in range(m):
+        sub = emb.select(id_col, F.slice(F.col(vec_col), s * sub_d + 1, sub_d).alias("__sub"))
+        _, cent = kmeans_lattice(
+            sub, k=k, iters=iters, id_col=id_col, vec_col="__sub", scale=scale, offset=offset
+        )
+        long = embedding_lattice(sub, id_col, "__sub", scale, offset)
+        diff = F.col("xi") - F.col("ci")
+        dist = (
+            long.join(F.broadcast(cent), "d")
+            .groupBy(id_col, "cluster")
+            .agg(F.sum(diff * diff).alias("dist"))
+        )
+        codes = (
+            dist.groupBy(id_col)
+            .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+            .select(id_col, F.col("m.cluster").alias("code"))
+        )
+        qd = (
+            dist.filter(F.col(id_col).isin(qlit))
+            .select(F.col(id_col).alias("q_id"), F.col("cluster").alias("code"), F.col("dist").alias("qd"))
+        )
+        parts.append(
+            codes.join(F.broadcast(qd), "code").select("q_id", id_col, F.lit(s).alias("s"), "qd")
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    scored = allp.groupBy("q_id", id_col).agg(F.sum("qd").alias("adc_dist"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", id_col, "adc_dist", "rank")
+    )

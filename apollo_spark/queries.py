@@ -3953,27 +3953,21 @@ def pq_embedding_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_codes(e, dim=64, m=4, k=16, iters=2).orderBy("vec_id", "subspace")
 
 
-def _pq_oracle(dim: int = 64, m: int = 4, k: int = 16, iters: int = 2) -> str:
-    """Per-subspace unrolled Lloyd chains (mirrors pq_codes -> kmeans_lattice
-    over a slice), UNION ALL'd into one code table."""
-    sub_d = dim // m
-    ctes = []
-    selects = []
-    for s in range(m):
-        ctes.append(
-            f"""long{s} AS (
+def _pq_subspace_ctes(s: int, sub_d: int, k: int, iters: int) -> list[str]:
+    """CTE chain for one PQ subspace: lattice slice + unrolled Lloyd rounds
+    (mirrors pq_codes -> kmeans_lattice over a slice)."""
+    ctes = [
+        f"""long{s} AS (
   SELECT vec_id, i AS d,
          CAST(FLOOR((CAST(embedding[i + 1 + {s * sub_d}] AS DOUBLE) + 8.0) * 1000000.0) AS BIGINT) AS xi
   FROM embeddings, LATERAL (SELECT unnest(range(0, {sub_d})) AS i) t(i)
-)"""
-        )
+)""",
+        f"""s{s}c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, d, xi AS ci FROM long{s} WHERE vec_id < {k})""",
+    ]
+    prev = f"s{s}c0"
+    for it in range(1, iters + 1):
         ctes.append(
-            f"""s{s}c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, d, xi AS ci FROM long{s} WHERE vec_id < {k})"""
-        )
-        prev = f"s{s}c0"
-        for it in range(1, iters + 1):
-            ctes.append(
-                f"""s{s}a{it} AS (
+            f"""s{s}a{it} AS (
   SELECT vec_id, cluster, dist FROM (
     SELECT l.vec_id, c.cluster, SUM((l.xi - c.ci) * (l.xi - c.ci)) AS dist,
            ROW_NUMBER() OVER (PARTITION BY l.vec_id
@@ -3982,15 +3976,24 @@ def _pq_oracle(dim: int = 64, m: int = 4, k: int = 16, iters: int = 2) -> str:
     GROUP BY l.vec_id, c.cluster)
   WHERE rn = 1
 )"""
-            )
-            ctes.append(
-                f"""s{s}c{it} AS (
+        )
+        ctes.append(
+            f"""s{s}c{it} AS (
   SELECT a.cluster, l.d, SUM(l.xi) // COUNT(*) AS ci
   FROM long{s} l JOIN s{s}a{it} a USING (vec_id)
   GROUP BY a.cluster, l.d
 )"""
-            )
-            prev = f"s{s}c{it}"
+        )
+        prev = f"s{s}c{it}"
+    return ctes
+
+
+def _pq_oracle(dim: int = 64, m: int = 4, k: int = 16, iters: int = 2) -> str:
+    """Per-subspace unrolled Lloyd chains, UNION ALL'd into one code table."""
+    sub_d = dim // m
+    ctes, selects = [], []
+    for s in range(m):
+        ctes.extend(_pq_subspace_ctes(s, sub_d, k, iters))
         selects.append(
             f"SELECT vec_id, {s} AS subspace, cluster AS code, CAST(dist AS BIGINT) AS dist FROM s{s}a{iters}"
         )
@@ -4004,6 +4007,74 @@ def _pq_oracle(dim: int = 64, m: int = 4, k: int = 16, iters: int = 2) -> str:
 
 
 ORACLE_PQ_CODES = _pq_oracle(dim=64, m=4, k=16, iters=2)
+
+
+def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-5 search over PQ codebooks (ops.clustering.pq_adc_topk):
+    queries 0-2 scored against the whole corpus purely through m x k
+    distance-table lookups at each vector's codes — the IVF-PQ query path
+    that never touches raw corpus vectors at search time. Integer lattice
+    end to end, so the full ranked result is replayed bit-exactly by the
+    unrolled SQL oracle."""
+    from apollo_spark.ops.clustering import pq_adc_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(e, [0, 1, 2], dim=64, m=4, k=16, iters=2, topk=5).orderBy(
+        "q_id", "rank"
+    )
+
+
+def _adc_oracle(dim: int = 64, m: int = 4, k: int = 16, iters: int = 2, topk: int = 5) -> str:
+    """PQ chains + final-codebook assignment + per-query distance tables +
+    ADC scoring (mirrors pq_adc_topk)."""
+    sub_d = dim // m
+    ctes, selects = [], []
+    for s in range(m):
+        ctes.extend(_pq_subspace_ctes(s, sub_d, k, iters))
+        ctes.append(
+            f"""dist{s} AS (
+  SELECT l.vec_id, c.cluster, SUM((l.xi - c.ci) * (l.xi - c.ci)) AS dist
+  FROM long{s} l JOIN s{s}c{iters} c USING (d)
+  GROUP BY l.vec_id, c.cluster
+)"""
+        )
+        ctes.append(
+            f"""codes{s} AS (
+  SELECT vec_id, cluster AS code FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+    FROM dist{s})
+  WHERE rn = 1
+)"""
+        )
+        selects.append(
+            f"""SELECT q.vec_id AS q_id, cd.vec_id AS vec_id, q.dist AS qd
+FROM codes{s} cd JOIN dist{s} q ON cd.code = q.cluster AND q.vec_id IN (0, 1, 2)"""
+        )
+    nl = chr(10)
+    union = (nl + "UNION ALL" + nl).join(selects)
+    return (
+        "WITH "
+        + ("," + nl).join(ctes)
+        + f""",
+parts AS (
+{union}
+),
+scored AS (
+  SELECT q_id, vec_id, CAST(SUM(qd) AS BIGINT) AS adc_dist
+  FROM parts GROUP BY q_id, vec_id
+)
+SELECT q_id, vec_id, adc_dist, rank FROM (
+  SELECT q_id, vec_id, adc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist ASC, vec_id ASC) AS INT) AS rank
+  FROM scored)
+WHERE rank <= {topk}
+ORDER BY q_id, rank
+"""
+    )
+
+
+ORACLE_ADC_SEARCH = _adc_oracle(dim=64, m=4, k=16, iters=2, topk=5)
 
 
 # --------------------------------------------------------------------------
@@ -4376,6 +4447,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copurchase_communities": copurchase_communities,
     "pq_embedding_codes": pq_embedding_codes,
     "doc_gopher_quality": doc_gopher_quality,
+    "pq_adc_search": pq_adc_search,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -4465,6 +4537,7 @@ ORACLES: dict[str, str] = {
     "copurchase_communities": ORACLE_LPA_COMMUNITIES,
     "pq_embedding_codes": ORACLE_PQ_CODES,
     "doc_gopher_quality": ORACLE_GOPHER_QUALITY,
+    "pq_adc_search": ORACLE_ADC_SEARCH,
     "unimax_language_weights": ORACLE_UNIMAX,
     "profit_by_nation_year": ORACLE_PROFIT_NATION_YEAR,
     "supplier_count_by_part_type": ORACLE_SUPPLIER_COUNT,

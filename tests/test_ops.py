@@ -1443,3 +1443,24 @@ def test_gopher_quality_rules_fire_correctly(spark):
     assert out[3]["rule_stopwords"] is False and out[3]["keep"] is False
     assert out[4]["rule_bullet_lines"] is False
     assert out[5]["rule_ellipsis_ratio"] is False
+
+
+def test_pq_adc_search_minimality_and_shape(spark, emb):
+    from apollo_spark.ops.clustering import pq_adc_topk
+
+    out = pq_adc_topk(emb, [0, 1, 2], dim=64, m=4, k=8, iters=2, topk=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert sorted(by_q) == [0, 1, 2]
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        assert all(rows[i].adc_dist <= rows[i + 1].adc_dist for i in range(4))
+        # the query's own codes are per-subspace argmins, so the query
+        # achieves the global minimum ADC score — it must appear in the
+        # top-5 (rank >1 only behind same-coded vectors with smaller ids)
+        assert any(r.vec_id == q for r in rows), (q, [(r.vec_id, r.adc_dist) for r in rows])
+        top1 = rows[0]
+        self_score = next(r.adc_dist for r in rows if r.vec_id == q)
+        assert top1.adc_dist == self_score
