@@ -293,3 +293,36 @@ def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
     full = zt.read(spark).filter(pred).count()
     pruned = zt.read(spark, prune={"o_cents": cents_band}).filter(pred).count()
     assert full == pruned and full > 0
+
+
+def test_read_changes_incremental_appends(spark, tmp_path):
+    t = TxTable(str(tmp_path / "cdc"))
+    v1 = t.write(_df(spark, [(1, "a"), (2, "b")]))
+    v2 = t.write(_df(spark, [(3, "c")]))
+    v3 = t.write(_df(spark, [(4, "d"), (5, "e")]))
+    # increment since v1 = exactly the rows of v2+v3
+    inc = t.read_changes(spark, since_version=v1).orderBy("id").collect()
+    assert [(r.id, r.v) for r in inc] == [(3, "c"), (4, "d"), (5, "e")]
+    # bounded range
+    inc2 = t.read_changes(spark, since_version=v1, until_version=v2).collect()
+    assert [(r.id, r.v) for r in inc2] == [(3, "c")]
+    # since latest -> empty frame, schema preserved
+    empty = t.read_changes(spark, since_version=v3)
+    assert empty.count() == 0 and empty.columns == ["id", "v"]
+    # since "before the table existed" (0) -> everything
+    assert t.read_changes(spark, 0).count() == 5
+
+
+def test_read_changes_refuses_rewrite_ranges(spark, tmp_path):
+    t = TxTable(str(tmp_path / "cdc2"))
+    v1 = t.write(_df(spark, [(1, "a")]))
+    t.write(_df(spark, [(2, "b")]))
+    t.compact(spark, num_files=1)
+    t.write(_df(spark, [(3, "c")]))
+    with pytest.raises(ValueError, match="compact|overwrite"):
+        t.read_changes(spark, since_version=v1)
+    t2 = TxTable(str(tmp_path / "cdc3"))
+    v1 = t2.write(_df(spark, [(1, "a")]))
+    t2.write(_df(spark, [(9, "z")]), mode="overwrite")
+    with pytest.raises(ValueError, match="overwrite"):
+        t2.read_changes(spark, since_version=v1)
