@@ -234,6 +234,61 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
+def resize_nearest(img: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Nearest-neighbor resize by integer index mapping — pure numpy
+    indexing, deterministic, no interpolation kernel to reconcile across
+    libraries."""
+    if img.ndim != 3 or img.shape[0] == 0 or img.shape[1] == 0:
+        raise ValueError(f"expected HxWxC image, got shape {img.shape}")
+    ys = (np.arange(height) * img.shape[0]) // height
+    xs = (np.arange(width) * img.shape[1]) // width
+    return img[ys][:, xs]
+
+
+def resize_images(
+    df: DataFrame,
+    height: int,
+    width: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "skip",
+) -> DataFrame:
+    """image rows -> (media_id, payload) with each PPM payload resized to
+    ``height x width`` (nearest neighbor) and re-encoded as P6 PPM — the
+    standard normalize-resolution stage before feature extraction, real
+    codec in and out (no fake path needed). Arrow-batched ``mapInPandas``;
+    undecodable payloads follow the extract_features poison posture
+    (``on_error='skip'`` drops the row, 'raise' propagates)."""
+    if on_error not in ("skip", "raise"):
+        raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField(payload_col, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    mid_i = int(mid)
+                    img = decode_ppm(bytes(p) if p is not None else b"")
+                    out = encode_ppm(resize_nearest(img, height, width))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                ids.append(mid_i)
+                payloads.append(out)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    payload_col: pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     every_ms: int = 1000,

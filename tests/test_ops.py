@@ -1464,3 +1464,27 @@ def test_pq_adc_search_minimality_and_shape(spark, emb):
         top1 = rows[0]
         self_score = next(r.adc_dist for r in rows if r.vec_id == q)
         assert top1.adc_dist == self_score
+
+
+def test_resize_images_real_codec_roundtrip(spark):
+    from apollo_spark.ops.multimodal import (
+        decode_ppm,
+        real_media_table,
+        resize_images,
+        resize_nearest,
+    )
+
+    media = real_media_table(spark, n=6).filter(F.col("kind") == "image")
+    out = resize_images(media, height=8, width=12).collect()
+    assert len(out) == media.count()
+    for r in out:
+        img = decode_ppm(bytes(r.payload))
+        assert img.shape == (8, 12, 3)
+    # pixel-level correctness of the index mapping on a known gradient
+    src = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    small = resize_nearest(src, 2, 3)
+    assert small.shape == (2, 3, 3)
+    assert (small == src[[0, 2]][:, [0, 2, 4]]).all()
+    # poison payload is skipped, not fatal
+    bad = spark.createDataFrame([(99, bytearray(b"nonsense"))], "media_id long, payload binary")
+    assert resize_images(bad, 4, 4).count() == 0
