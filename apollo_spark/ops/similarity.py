@@ -705,3 +705,79 @@ def pca_project(
         )
         cols.append(proj.alias(f"{prefix}{ci}"))
     return df.select("*", *cols)
+
+
+def mmr_diverse_topk(
+    emb: DataFrame,
+    query_id: int,
+    pool: int = 50,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+    offset: float = 8.0,
+) -> DataFrame:
+    """Maximal marginal relevance (Carbonell & Goldstein 1998) re-ranking on
+    the engine-exact integer lattice: retrieve a bounded relevance pool
+    (top-``pool`` by squared lattice distance to the query, id tie-break),
+    then greedily pick ``k`` items maximizing
+    ``min_{s in selected} D[x, s] - rel[x]`` — most relevant first, then
+    items far from everything already picked (integer weights; step 1 has
+    no diversity term).
+
+    Scale shape: the corpus-wide relevance scan is one broadcast-join +
+    aggregation; everything after operates on the pool (pool^2 pairwise
+    integer distances, computed distributed, then collected — a bounded
+    driver action like IVF training, pool^2 <= a few thousand ints). The
+    greedy loop itself is sequential by definition; running it on bounded
+    collected integers keeps the whole trajectory engine-exact, and the
+    unrolled SQL oracle replays selection step by step."""
+    from apollo_spark.ops.clustering import embedding_lattice
+
+    long = embedding_lattice(emb, id_col, vec_col, scale, offset)
+    qlong = long.filter(F.col(id_col) == query_id).select(
+        F.col("d").alias("qd"), F.col("xi").alias("qxi")
+    )
+    rel = (
+        long.filter(F.col(id_col) != query_id)  # the query is not a candidate
+        .join(F.broadcast(qlong), long["d"] == qlong["qd"])
+        .groupBy(id_col)
+        .agg(F.sum((F.col("xi") - F.col("qxi")) * (F.col("xi") - F.col("qxi"))).alias("rel"))
+        .orderBy(F.col("rel").asc(), F.col(id_col).asc())
+        .limit(pool)
+    )
+    pool_ids = [r[0] for r in rel.select(id_col).collect()]
+    plong = long.filter(F.col(id_col).isin([int(i) for i in pool_ids]))
+    other = plong.select(
+        F.col(id_col).alias("__y"), F.col("d").alias("__yd"), F.col("xi").alias("__yxi")
+    )
+    pairs = (
+        plong.join(F.broadcast(other), plong["d"] == other["__yd"])
+        .filter(F.col(id_col) < F.col("__y"))
+        .groupBy(id_col, "__y")
+        .agg(F.sum((F.col("xi") - F.col("__yxi")) * (F.col("xi") - F.col("__yxi"))).alias("dd"))
+    )
+    relmap = {r[0]: int(r[1]) for r in rel.collect()}
+    pairmap = {}
+    for r in pairs.collect():
+        pairmap[(r[0], r[1])] = int(r.dd)
+        pairmap[(r[1], r[0])] = int(r.dd)
+    selected: list[tuple[int, int]] = []  # (vec_id, mmr_score)
+    chosen: set[int] = set()
+    for _ in range(min(k, len(relmap))):
+        best = None
+        for x in sorted(relmap):
+            if x in chosen:
+                continue
+            if not chosen:
+                score = -relmap[x]
+            else:
+                score = min(pairmap[(x, s)] for s in chosen) - relmap[x]
+            if best is None or score > best[1] or (score == best[1] and x < best[0]):
+                best = (x, score)
+        chosen.add(best[0])
+        selected.append(best)
+    rows = [(i + 1, int(v), int(s)) for i, (v, s) in enumerate(selected)]
+    return emb.sparkSession.createDataFrame(
+        rows, f"rank INT, {id_col} BIGINT, mmr_score BIGINT"
+    )

@@ -4077,6 +4077,66 @@ ORDER BY q_id, rank
 ORACLE_ADC_SEARCH = _adc_oracle(dim=64, m=4, k=16, iters=2, topk=5)
 
 
+def mmr_diverse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified retrieval
+    (ops.similarity.mmr_diverse_topk): top-50 relevance pool for query 0,
+    then 5 greedy picks maximizing min-distance-to-selected minus
+    relevance — the dedup-aware re-ranking a RAG/retrieval stack runs on
+    its candidate pool. Integer lattice end to end; the unrolled SQL
+    oracle replays every greedy step."""
+    from apollo_spark.ops.similarity import mmr_diverse_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return mmr_diverse_topk(e, query_id=0, pool=50, k=5).orderBy("rank")
+
+
+def _mmr_oracle(query_id: int = 0, pool: int = 50, k: int = 5, dim: int = 64) -> str:
+    nl = chr(10)
+    ctes = [
+        f"""long AS (
+  SELECT vec_id, i AS d,
+         CAST(FLOOR((CAST(embedding[i + 1] AS DOUBLE) + 8.0) * 1000000.0) AS BIGINT) AS xi
+  FROM embeddings, LATERAL (SELECT unnest(range(0, {dim})) AS i) t(i)
+)""",
+        f"""q AS (SELECT d, xi AS qxi FROM long WHERE vec_id = {query_id})""",
+        f"""relall AS (
+  SELECT l.vec_id, SUM((l.xi - q.qxi) * (l.xi - q.qxi)) AS rel
+  FROM long l JOIN q USING (d) WHERE l.vec_id != {query_id} GROUP BY l.vec_id
+)""",
+        f"""pool AS (SELECT vec_id, rel FROM relall ORDER BY rel ASC, vec_id ASC LIMIT {pool})""",
+        """pairs AS (
+  SELECT a.vec_id AS x, b.vec_id AS y, SUM((a.xi - b.xi) * (a.xi - b.xi)) AS dd
+  FROM long a JOIN long b ON a.d = b.d AND a.vec_id < b.vec_id
+  WHERE a.vec_id IN (SELECT vec_id FROM pool) AND b.vec_id IN (SELECT vec_id FROM pool)
+  GROUP BY a.vec_id, b.vec_id
+)""",
+        """pd AS (SELECT x, y, dd FROM pairs UNION ALL SELECT y AS x, x AS y, dd FROM pairs)""",
+        """s1 AS (SELECT vec_id, -rel AS score FROM pool ORDER BY rel ASC, vec_id ASC LIMIT 1)""",
+        """sel1 AS (SELECT vec_id FROM s1)""",
+    ]
+    for t in range(2, k + 1):
+        ctes.append(
+            f"""s{t} AS (
+  SELECT p.vec_id, MIN(pd.dd) - ANY_VALUE(p.rel) AS score
+  FROM pool p JOIN pd ON pd.x = p.vec_id AND pd.y IN (SELECT vec_id FROM sel{t - 1})
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+  GROUP BY p.vec_id
+  ORDER BY score DESC, p.vec_id ASC LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"""sel{t} AS (SELECT vec_id FROM sel{t - 1} UNION ALL SELECT vec_id FROM s{t})"""
+        )
+    finals = [
+        f"SELECT CAST({t} AS INT) AS rank, CAST(vec_id AS BIGINT) AS vec_id, CAST(score AS BIGINT) AS mmr_score FROM s{t}"
+        for t in range(1, k + 1)
+    ]
+    return "WITH " + ("," + nl).join(ctes) + nl + (nl + "UNION ALL" + nl).join(finals) + nl + "ORDER BY rank"
+
+
+ORACLE_MMR_SEARCH = _mmr_oracle(query_id=0, pool=50, k=5, dim=64)
+
+
 # --------------------------------------------------------------------------
 # graph structure: exact triangle counting (degree-ordered orientation)
 # --------------------------------------------------------------------------
@@ -4448,6 +4508,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_embedding_codes": pq_embedding_codes,
     "doc_gopher_quality": doc_gopher_quality,
     "pq_adc_search": pq_adc_search,
+    "mmr_diverse_search": mmr_diverse_search,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
@@ -4538,6 +4599,7 @@ ORACLES: dict[str, str] = {
     "pq_embedding_codes": ORACLE_PQ_CODES,
     "doc_gopher_quality": ORACLE_GOPHER_QUALITY,
     "pq_adc_search": ORACLE_ADC_SEARCH,
+    "mmr_diverse_search": ORACLE_MMR_SEARCH,
     "unimax_language_weights": ORACLE_UNIMAX,
     "profit_by_nation_year": ORACLE_PROFIT_NATION_YEAR,
     "supplier_count_by_part_type": ORACLE_SUPPLIER_COUNT,

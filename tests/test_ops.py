@@ -1488,3 +1488,31 @@ def test_resize_images_real_codec_roundtrip(spark):
     # poison payload is skipped, not fatal
     bad = spark.createDataFrame([(99, bytearray(b"nonsense"))], "media_id long, payload binary")
     assert resize_images(bad, 4, 4).count() == 0
+
+
+def test_mmr_diversifies_over_plain_topk(spark, emb):
+    from apollo_spark.ops.clustering import embedding_lattice
+    from apollo_spark.ops.similarity import mmr_diverse_topk
+
+    out = mmr_diverse_topk(emb, query_id=0, pool=30, k=5).collect()
+    ids = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
+    assert len(set(ids)) == 5 and 0 not in ids
+
+    # exact lattice distances for verification
+    long = {(r[0], r[1]): r[2] for r in embedding_lattice(emb).collect()}
+    dims = sorted({d for _, d in long})
+
+    def dist(a, b):
+        return sum((long[(a, d)] - long[(b, d)]) ** 2 for d in dims)
+
+    # rank 1 must be the true nearest neighbor (query excluded)
+    all_ids = sorted({i for i, _ in long} - {0})
+    nn = min(all_ids, key=lambda x: (dist(0, x), x))
+    assert ids[0] == nn
+
+    # diversity: MMR's min pairwise distance >= plain top-5's
+    plain = sorted(all_ids, key=lambda x: (dist(0, x), x))[:5]
+    min_pair = lambda sel: min(
+        dist(a, b) for i, a in enumerate(sel) for b in sel[i + 1 :]
+    )
+    assert min_pair(ids) >= min_pair(plain), (min_pair(ids), min_pair(plain))
