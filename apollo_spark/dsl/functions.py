@@ -162,6 +162,33 @@ AGG_FUNCTIONS = {
     "max": lambda c: F.max(_as_col(c)),
 }
 
+# window-block functions (only legal inside `window { ... }` blocks).
+# Aggregates run over the running frame (unbounded preceding .. current
+# row); ranking/offset functions use the bare ordered window (Spark
+# rejects explicit frames for them).
+WINDOW_FUNCTIONS = {
+    # aggregates WITHOUT the trailing double-cast of AGG_FUNCTIONS: `.over`
+    # must attach to the aggregate expression itself, so the result cast is
+    # applied after the window wrap (WINDOW_RESULT_CAST)
+    "count": lambda *a: F.count(_as_col(a[0])) if a else F.count(F.lit(1)),
+    "sum": lambda c: F.sum(_as_col(c).cast("decimal(38,6)")),
+    "avg": lambda c: F.avg(_as_col(c).cast("decimal(38,6)")),
+    "min": lambda c: F.min(_as_col(c)),
+    "max": lambda c: F.max(_as_col(c)),
+    "row_number": lambda: F.row_number(),
+    "rank": lambda: F.rank(),
+    "dense_rank": lambda: F.dense_rank(),
+    "lag": lambda c: F.lag(_as_col(c), 1),
+    "lead": lambda c: F.lead(_as_col(c), 1),
+}
+
+# ranking/offset window functions: ordered window, NO explicit frame
+WINDOW_RANKING = {"row_number", "rank", "dense_rank", "lag", "lead"}
+
+# post-.over() result casts (decimal accumulate, double out — same
+# convention as AGG_FUNCTIONS)
+WINDOW_RESULT_CAST = {"sum": "double", "avg": "double"}
+
 # sort-list helpers (only legal inside `sort = [...]`)
 SORT_FUNCTIONS = {
     "desc": lambda c: _as_col(c).desc(),

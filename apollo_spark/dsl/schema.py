@@ -83,6 +83,8 @@ class QuerySpec:
     # aggregate (group_by/having) -> save -> sort/limit
     joins: list[JoinSpec] = field(default_factory=list)
     aggregate: Body | None = None
+    # v2 `window` block: partition_by/order_by + named window-function attrs
+    window: Body | None = None
     sort: list[Node] = field(default_factory=list)
     limit: int | None = None
     start_block: int | None = None
@@ -254,11 +256,13 @@ def _parse_query(block: Block, env: dict[str, Any], item: Any = None) -> QuerySp
         sort_items = list(sort_expr.items)
 
     agg_blocks = b.blocks_of("aggregate")
+    window_blocks = b.blocks_of("window")
     transform_blocks = b.blocks_of("transform")
     return QuerySpec(
         name=name,
         joins=[_parse_join(jb) for jb in b.blocks_of("join")],
         aggregate=agg_blocks[0].body if agg_blocks else None,
+        window=window_blocks[0].body if window_blocks else None,
         sort=sort_items,
         limit=(int(_const(b, "limit", env)) if b.attr("limit") is not None else None),
         chain=str(_const(b, "chain", env)),

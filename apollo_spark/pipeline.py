@@ -211,12 +211,13 @@ def _eval_tail(
     catalog: Catalog,
     joins: list | None = None,
     aggregate: Body | None = None,
+    window: Body | None = None,
     sort: list | None = None,
     limit: int | None = None,
     user_functions: dict | None = None,
 ) -> DataFrame:
-    """joins -> transform -> filter -> aggregate -> save -> sort/limit over an
-    already-decoded source frame."""
+    """joins -> transform -> filter -> window -> aggregate -> save ->
+    sort/limit over an already-decoded source frame."""
     if joins:
         df = _apply_joins(df, joins, catalog)
     env = _scope_env(df, variables, chain)
@@ -236,7 +237,7 @@ def _eval_tail(
         filter_col = reduce(lambda a, b: a & b, preds)
 
     save_cols: list[Column] = []
-    if aggregate is None and save is not None:
+    if aggregate is None and window is None and save is not None:
         # compile save BEFORE applying enrichments so balance()/token_balance()
         # calls inside save register their join placeholders
         for name, attr in save.attributes.items():
@@ -247,6 +248,15 @@ def _eval_tail(
         df = df.withColumns(transform_cols)
     if filter_col is not None:
         df = df.filter(filter_col)
+
+    if window is not None:
+        df = _apply_window(df, window, variables, chain, user_functions)
+        if aggregate is None and save is not None:
+            # save sees the windowed shape (enrichment functions aren't
+            # supported post-window, same caveat as post-aggregate)
+            wenv = _scope_env(df, variables, chain)
+            wcompiler = ExpressionCompiler(CompilerContext(env=wenv, user_functions=user_functions or {}))
+            save_cols = [wcompiler.compile(attr.expr).alias(name) for name, attr in save.attributes.items()]
 
     if aggregate is not None:
         df = _apply_aggregate(df, aggregate, variables, chain, user_functions)
@@ -269,6 +279,67 @@ def _eval_tail(
     if limit is not None:
         df = df.limit(limit)
     return df
+
+
+def _apply_window(
+    df: DataFrame, window: Body, variables: dict[str, Any], chain: str | None, user_functions: dict | None = None
+) -> DataFrame:
+    """v2 `window` block: ``partition_by = [exprs]``, ``order_by = [exprs]``
+    (sort helpers legal), plus named attrs that must each be ONE window
+    function call (WINDOW_FUNCTIONS). Aggregates run over the running frame
+    (unbounded preceding .. current row); ranking/offset functions get the
+    bare ordered window — Spark rejects explicit frames for them. One
+    shuffle on the partition keys, shared by every attr in the block."""
+    from pyspark.sql import Window as W
+
+    from apollo_spark.dsl.ast import Call, ListExpr
+    from apollo_spark.dsl.functions import (
+        SORT_FUNCTIONS,
+        WINDOW_FUNCTIONS,
+        WINDOW_RANKING,
+        WINDOW_RESULT_CAST,
+    )
+
+    env = _scope_env(df, variables, chain)
+    row_ctx = CompilerContext(env=env, functions=dict(SORT_FUNCTIONS), user_functions=user_functions or {})
+    row_compiler = ExpressionCompiler(row_ctx)
+
+    def compile_list(attr_name: str) -> list[Column]:
+        a = window.attr(attr_name)
+        if a is None:
+            return []
+        if not isinstance(a, ListExpr):
+            raise PipelineError(f"window.{attr_name} must be a list")
+        return [row_compiler.compile(x) for x in a.items]
+
+    parts = compile_list("partition_by")
+    orders = compile_list("order_by")
+    base = W.partitionBy(*parts) if parts else W.partitionBy(F.lit(1))
+    ordered = base.orderBy(*orders) if orders else base
+    running = ordered.rowsBetween(W.unboundedPreceding, W.currentRow)
+
+    wctx = CompilerContext(env=env, functions=dict(WINDOW_FUNCTIONS), user_functions=user_functions or {})
+    wcompiler = ExpressionCompiler(wctx)
+    new_cols: dict[str, Column] = {}
+    for name, attr in window.attributes.items():
+        if name in ("partition_by", "order_by"):
+            continue
+        e = attr.expr
+        if not isinstance(e, Call) or e.func not in WINDOW_FUNCTIONS:
+            raise PipelineError(
+                f"window.{name} must be a single window-function call "
+                f"({', '.join(sorted(WINDOW_FUNCTIONS))})"
+            )
+        if e.func in WINDOW_RANKING and not orders:
+            raise PipelineError(f"window.{name}: {e.func}() needs order_by")
+        frame = ordered if e.func in WINDOW_RANKING else (running if orders else base)
+        col = wcompiler.compile(e).over(frame)
+        if e.func in WINDOW_RESULT_CAST:
+            col = col.cast(WINDOW_RESULT_CAST[e.func])
+        new_cols[name] = col
+    if not new_cols:
+        raise PipelineError("window block needs at least one window-function attribute")
+    return df.withColumns(new_cols)
 
 
 def _apply_aggregate(
@@ -398,6 +469,7 @@ def compile_query(
                 catalog=catalog,
                 joins=query.joins,
                 aggregate=query.aggregate,
+                window=query.window,
                 sort=query.sort,
                 limit=query.limit,
                 user_functions=schema.functions,
@@ -417,6 +489,7 @@ def compile_query(
                 catalog=catalog,
                 joins=query.joins,
                 aggregate=query.aggregate,
+                window=query.window,
                 sort=query.sort,
                 limit=query.limit,
                 user_functions=schema.functions,
@@ -436,6 +509,7 @@ def compile_query(
                     catalog=catalog,
                     joins=query.joins,
                     aggregate=query.aggregate,
+                    window=query.window,
                     sort=query.sort,
                     limit=query.limit,
                     user_functions=schema.functions,
@@ -489,6 +563,7 @@ def compile_query(
                     catalog=catalog,
                     joins=query.joins,
                     aggregate=query.aggregate,
+                    window=query.window,
                     sort=query.sort,
                     limit=query.limit,
                     user_functions=schema.functions,
@@ -520,6 +595,7 @@ def compile_query(
                 catalog=catalog,
                 joins=query.joins,
                 aggregate=query.aggregate,
+                window=query.window,
                 sort=query.sort,
                 limit=query.limit,
                 user_functions=schema.functions,
@@ -584,9 +660,9 @@ def compile_streaming_query(
     variables = dict(schema.variables)
     if query.item is not None:
         variables.setdefault("item", query.item)
-    if query.sort or query.limit is not None or query.aggregate is not None:
+    if query.sort or query.limit is not None or query.aggregate is not None or query.window is not None:
         raise PipelineError(
-            f"query {query.name}: sort/limit/aggregate are batch-only "
+            f"query {query.name}: sort/limit/aggregate/window are batch-only "
             "(append-mode streams have no global order and the row sinks "
             "don't model update semantics)"
         )

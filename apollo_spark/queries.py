@@ -767,6 +767,62 @@ ORDER BY event_id
 """
 
 
+EVENTS_DSL_WINDOW = """
+query events_windowed {
+  chain = "ethereum"
+  source_table = "events"
+  filter = [
+    event_type == "purchase"
+  ]
+  window {
+    partition_by = [user_id]
+    order_by = [event_id]
+    running_total = sum(value)
+    seq = row_number()
+    prev_value = lag(value)
+  }
+  save {
+    event_id = event_id
+    user_id = user_id
+    value = value
+    running_total = running_total
+    seq = seq
+    prev_value = prev_value
+  }
+  sort = [event_id]
+}
+"""
+
+
+def events_dsl_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 `window` DSL block: per-user running total, sequence number and
+    previous value as ONE declarative block — the analytic-function tier
+    the reference delegates to Postgres (SURVEY §0), here compiled to a
+    single shared Window spec (one shuffle on the partition keys for all
+    three columns). Aggregates ride the running frame; ranking/offset
+    functions get the bare ordered window."""
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import compile_query
+    from apollo_spark.sources.tables import Catalog
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = parse_schema(EVENTS_DSL_WINDOW)
+    return compile_query(spark, Catalog(spark, sf_dir), schema.queries[0], schema)
+
+
+ORACLE_EVENTS_DSL_WINDOW = """
+SELECT event_id, user_id, value,
+       CAST(SUM(CAST(value AS DECIMAL(38,6)))
+              OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+            AS DOUBLE) AS running_total,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INTEGER) AS seq,
+       LAG(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+FROM events
+WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
+
 EVENTS_DSL_AGG = """
 query events_agg {
   chain = "ethereum"
@@ -4430,6 +4486,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_label_zscore": embedding_label_zscore,
     "events_etl_dsl": events_etl_dsl,
     "events_dsl_agg": events_dsl_agg,
+    "events_dsl_window": events_dsl_window,
     "events_dsl_join_agg": events_dsl_join_agg,
     "events_dsl_sql": events_dsl_sql,
     "events_hourly_rollup": events_hourly_rollup,
@@ -4540,6 +4597,7 @@ ORACLES: dict[str, str] = {
     "embedding_label_zscore": ORACLE_EMB_ZSCORE,
     "events_etl_dsl": ORACLE_EVENTS_DSL,
     "events_dsl_agg": ORACLE_EVENTS_DSL_AGG,
+    "events_dsl_window": ORACLE_EVENTS_DSL_WINDOW,
     "events_dsl_join_agg": ORACLE_EVENTS_DSL_JOIN,
     "events_dsl_sql": ORACLE_EVENTS_DSL_SQL,
     "events_hourly_rollup": ORACLE_EVENTS_HOURLY,

@@ -289,3 +289,38 @@ def test_compiler_column_path_matches_const_path(spark):
             assert math.isclose(float(got), float(expected), rel_tol=0, abs_tol=0) or float(got) == float(expected)
 
     check()
+
+
+def test_window_block_error_paths(spark, tmp_path):
+    import pytest
+
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import PipelineError, compile_query
+    from apollo_spark.sources.tables import Catalog
+
+    events = spark.createDataFrame(
+        [(1, 10, "a", 1.0), (2, 10, "b", 2.0)], "event_id long, user_id long, event_type string, value double"
+    )
+    events.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    catalog = Catalog(spark, str(tmp_path))
+
+    def run(body):
+        schema = parse_schema(
+            "query w {\n  chain = \"ethereum\"\n  source_table = \"events\"\n" + body + "\n}"
+        )
+        return compile_query(spark, catalog, schema.queries[0], schema)
+
+    # ranking needs order_by
+    with pytest.raises(PipelineError, match="needs order_by"):
+        run("window {\n  partition_by = [user_id]\n  r = row_number()\n}").collect()
+    # attrs must be single window-function calls
+    with pytest.raises(PipelineError, match="single window-function call"):
+        run("window {\n  order_by = [event_id]\n  r = value + 1\n}").collect()
+    # empty block
+    with pytest.raises(PipelineError, match="at least one window-function"):
+        run("window {\n  order_by = [event_id]\n}").collect()
+    # happy path: running sum without partition (global frame)
+    out = run(
+        "window {\n  order_by = [event_id]\n  rt = sum(value)\n}\n  save {\n    event_id = event_id\n    rt = rt\n  }\n  sort = [event_id]"
+    ).collect()
+    assert [(r.event_id, r.rt) for r in out] == [(1, 1.0), (2, 3.0)]

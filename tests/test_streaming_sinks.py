@@ -773,3 +773,28 @@ def test_streaming_hll_rollup_matches_batch_sketch(spark, tmp_path):
     }
     assert abs(est["a"] - 400) / 400 < 0.35  # p=6 -> ~13% expected error
     assert abs(est["b"] - 50) / 50 < 0.45
+
+
+def test_compile_streaming_query_rejects_window_block(spark, tmp_path, catalog):
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import PipelineError, compile_streaming_query
+
+    schema = parse_schema(
+        """
+query rt_win {
+  chain = "arbitrum"
+  contract {
+    address = "0x905dfcd5649217c42684f23958568e533c711aa3"
+    abi = "unipair.abi.json"
+    event Swap {}
+  }
+  window {
+    order_by = [block_number]
+    rn = row_number()
+  }
+}
+""",
+        confdir="/root/reference/test",
+    )
+    with pytest.raises(PipelineError, match="batch-only"):
+        compile_streaming_query(spark, catalog, schema.queries[0], schema, str(tmp_path))
