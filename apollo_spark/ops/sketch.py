@@ -416,3 +416,76 @@ def bloom_might_contain(
         for c in pos_cols
     )
     return out.withColumn(out_col, F.expr(cond)).drop("__bloom_words", *pos_cols)
+
+
+# --------------------------------------------------------------------------
+# Theta sketch (fixed-theta sampling mode): distinct counting WITH set algebra
+# --------------------------------------------------------------------------
+
+THETA_HASH_SPACE = 1 << HASH_BITS  # 2^60
+
+
+def theta_threshold(log2_k: int) -> int:
+    """Retention threshold for sampling rate 1/K, K = 2^log2_k (exact integer
+    because the 60-bit hash space is a power of two)."""
+    return THETA_HASH_SPACE >> log2_k
+
+
+def theta_sketch(
+    df: DataFrame,
+    value_col: str | Column,
+    group_cols: list[str] | None = None,
+    log2_k: int = 2,
+    salt: str = "theta",
+) -> DataFrame:
+    """Fixed-theta distinct sketch: per group, the set of DISTINCT 60-bit
+    hashes below ``2^60 / K`` — a uniform 1/K sample of the distinct keys.
+    Rows ``(group..., h)``.
+
+    Where HLL answers only ``|A|``, retained-set sketches support the full
+    set algebra (Dasgupta et al., "Theta Sketch Framework", 2016): union =
+    set union, intersection = set intersection, difference = set minus —
+    all at the same theta, all exact on the sample, so
+    ``estimate = |retained| * K`` for any composed expression.
+
+    100 TB shape: the ``h < T`` filter runs BEFORE the distinct shuffle and
+    is a plain codegen'd comparison on a hash of the key, so the wide
+    exchange moves ~1/K of the distinct keys and 0 payload columns. All
+    integer state (md5-prefix hashes), so sketches AND estimates are
+    engine-portable and oracle-gateable bit-for-bit.
+    """
+    key = F.col(value_col) if isinstance(value_col, str) else value_col
+    g = list(group_cols or [])
+    h = portable_hash60(key.cast("string"), salt)
+    return (
+        df.filter(key.isNotNull())
+        .select(*g, h.alias("h"))
+        .filter(F.col("h") < F.lit(theta_threshold(log2_k)))
+        .distinct()
+    )
+
+
+def theta_union(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union of two sketches built with identical (log2_k, salt)."""
+    return a.unionByName(b).distinct()
+
+
+def theta_intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Intersection — the operation HLL fundamentally cannot do losslessly."""
+    return a.intersect(b)
+
+
+def theta_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """A-minus-B on the retained sets (same theta on both sides)."""
+    return a.subtract(b)
+
+
+def theta_estimate(
+    sk: DataFrame, log2_k: int = 2, group_cols: list[str] | None = None, out_col: str = "distinct_est"
+) -> DataFrame:
+    """Unbiased distinct estimate ``|retained| * K`` — pure integer, so the
+    estimate itself hash-gates against a SQL replay. Relative std err is
+    ~ sqrt((K-1)/|retained|)."""
+    g = list(group_cols or [])
+    agg = sk.groupBy(*g) if g else sk.groupBy()
+    return agg.agg((F.count(F.lit(1)) * F.lit(1 << log2_k)).alias(out_col))

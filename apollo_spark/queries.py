@@ -3401,6 +3401,65 @@ ORDER BY event_type
 """
 
 
+def theta_distinct_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user SET ALGEBRA via fixed-theta sketches (ops.sketch
+    theta_*): |clickers|, |purchasers|, |union|, |INTERSECTION|, |click-only|
+    — intersection being the operation HLL fundamentally cannot answer
+    (Dasgupta et al. 2016). Each sketch is the distinct 1/K hash sample
+    retained below 2^60/K; the ``h < T`` filter precedes the distinct
+    shuffle, so at 100 TB the wide exchange moves ~1/K of distinct keys and
+    zero payload columns. Estimates are |retained|*K — exact integers, so
+    the whole composition hash-gates against a DuckDB replay.
+
+    Reference ships no sketches (analytics delegated to Postgres,
+    /root/reference/ROADMAP.md:77)."""
+    from apollo_spark.ops.sketch import (
+        theta_diff,
+        theta_estimate,
+        theta_intersect,
+        theta_sketch,
+        theta_union,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    a = theta_sketch(
+        e.filter((F.col("event_type") == "click") & (F.col("value") > 150)), "user_id", log2_k=2
+    ).persist()
+    b = theta_sketch(
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 150)), "user_id", log2_k=2
+    ).persist()
+    out = (
+        theta_estimate(a, log2_k=2, out_col="est_click_users")
+        .crossJoin(theta_estimate(b, log2_k=2, out_col="est_purchase_users"))
+        .crossJoin(theta_estimate(theta_union(a, b), log2_k=2, out_col="est_union_users"))
+        .crossJoin(theta_estimate(theta_intersect(a, b), log2_k=2, out_col="est_both_users"))
+        .crossJoin(theta_estimate(theta_diff(a, b), log2_k=2, out_col="est_click_only_users"))
+    )
+    return out
+
+
+ORACLE_THETA_SETOPS = r"""
+WITH a AS (
+  SELECT DISTINCT ('0x' || substr(md5('theta' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+  WHERE event_type = 'click' AND value > 150 AND user_id IS NOT NULL
+    AND ('0x' || substr(md5('theta' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT < 288230376151711744
+),
+b AS (
+  SELECT DISTINCT ('0x' || substr(md5('theta' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+  WHERE event_type = 'purchase' AND value > 150 AND user_id IS NOT NULL
+    AND ('0x' || substr(md5('theta' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT < 288230376151711744
+)
+SELECT
+  (SELECT COUNT(*) FROM a) * 4 AS est_click_users,
+  (SELECT COUNT(*) FROM b) * 4 AS est_purchase_users,
+  (SELECT COUNT(*) FROM (SELECT h FROM a UNION SELECT h FROM b)) * 4 AS est_union_users,
+  (SELECT COUNT(*) FROM (SELECT h FROM a INTERSECT SELECT h FROM b)) * 4 AS est_both_users,
+  (SELECT COUNT(*) FROM (SELECT h FROM a EXCEPT SELECT h FROM b)) * 4 AS est_click_only_users
+"""
+
+
 def cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count–min-sketch heavy hitters over document tokens: tokens whose CMS
     estimate is >= 0.5% of the corpus (no false negatives; estimates are
@@ -4535,6 +4594,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_gopher_repetition": doc_gopher_repetition,
     "ccnet_quality_buckets": ccnet_quality_buckets,
     "hll_distinct_users": hll_distinct_users,
+    "theta_distinct_setops": theta_distinct_setops,
     "cms_heavy_tokens": cms_heavy_tokens,
     "unimax_language_weights": unimax_language_weights,
     "profit_by_nation_year": profit_by_nation_year,
@@ -4680,6 +4740,7 @@ ORACLES: dict[str, str] = {
     "weighted_corpus_sample": ORACLE_WEIGHTED_SAMPLE,
     "corpus_curation_pipeline": ORACLE_CURATION,
     "doc_nfc_normalization": ORACLE_NFC,
+    "theta_distinct_setops": ORACLE_THETA_SETOPS,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

@@ -1516,3 +1516,46 @@ def test_mmr_diversifies_over_plain_topk(spark, emb):
         dist(a, b) for i, a in enumerate(sel) for b in sel[i + 1 :]
     )
     assert min_pair(ids) >= min_pair(plain), (min_pair(ids), min_pair(plain))
+
+
+def test_theta_sketch_accuracy_and_set_algebra(spark):
+    from pyspark.sql import functions as F
+
+    from apollo_spark.ops.sketch import (
+        theta_diff,
+        theta_estimate,
+        theta_intersect,
+        theta_sketch,
+        theta_union,
+    )
+
+    # A = [0, 12000), B = [8000, 20000): |A|=12000 |B|=12000 |A∩B|=4000 |A∪B|=20000
+    a_df = spark.range(0, 12000)
+    b_df = spark.range(8000, 20000)
+    k2 = 3  # K=8
+    a = theta_sketch(a_df, "id", log2_k=k2).persist()
+    b = theta_sketch(b_df, "id", log2_k=k2).persist()
+
+    def est(sk):
+        return theta_estimate(sk, log2_k=k2).collect()[0][0]
+
+    import math
+
+    for got, true in [
+        (est(a), 12000),
+        (est(b), 12000),
+        (est(theta_union(a, b)), 20000),
+        (est(theta_intersect(a, b)), 4000),
+        (est(theta_diff(a, b)), 8000),
+    ]:
+        # retained ~ true/K; rel stderr ~ sqrt((K-1)/retained); allow 5 sigma
+        sigma = true * math.sqrt((2**k2 - 1) / max(true / 2**k2, 1.0))
+        assert abs(got - true) <= 5 * sigma, (got, true)
+
+    # mergeability: sketch(A ∪ B rows) == theta_union(sketch(A), sketch(B))
+    whole = theta_sketch(a_df.unionByName(b_df), "id", log2_k=k2)
+    sym = theta_union(whole, theta_union(a, b)).subtract(theta_intersect(whole, theta_union(a, b)))
+    assert sym.count() == 0
+
+    # estimates are exact multiples of K (pure-integer contract for the oracle)
+    assert est(a) % 2**k2 == 0
