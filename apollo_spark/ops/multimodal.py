@@ -377,3 +377,107 @@ def fake_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def image_luma(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "skip",
+) -> DataFrame:
+    """media rows -> ``(media_id, luma array<int>)``: per-pixel channel-sum
+    integers (R+G+B, 0..3*maxval) from the REAL in-tree PPM decode.
+
+    Integer output is the point: perceptual hashing downstream (aHash bit =
+    ``n*luma_p > sum(luma)``) stays in exact integer arithmetic, so the hash
+    — and every pair it implies — is engine-portable bit-for-bit with no
+    float32 reconciliation. Same Arrow-batched mapInPandas shape and
+    poison-row posture as extract_features."""
+    if on_error not in ("skip", "raise"):
+        raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("luma", T.ArrayType(T.IntegerType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, lumas = [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    mid_i = int(mid)
+                    img, _ = _parse_ppm(bytes(p) if p is not None else b"")
+                    lu = np.asarray(img, dtype=np.int64).sum(axis=2).ravel()
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                ids.append(mid_i)
+                lumas.append([int(v) for v in lu])
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"), "luma": pd.Series(lumas, dtype="object")}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def ahash64(luma_df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Average-hash per image: bit p set iff ``n * luma_p > sum(luma)``
+    (integer cross-multiplication — no division, no floats, ties -> 0).
+    Returns ``(media_id, ahash bigint, n_px int)``. Pure codegen'd SQL
+    expressions over the luma array — no Python in this stage."""
+    return luma_df.select(
+        F.col(id_col),
+        F.expr(
+            "aggregate(zip_with(luma, sequence(0, size(luma) - 1),"
+            " (v, i) -> IF(size(luma) * v > aggregate(luma, 0, (a, x) -> a + x),"
+            " shiftleft(cast(1 as bigint), cast(i as int)), cast(0 as bigint))),"
+            " cast(0 as bigint), (a, x) -> a + x)"
+        ).alias("ahash"),
+        F.size("luma").alias("n_px"),
+    )
+
+
+def ahash_pairs(
+    hashes: DataFrame, max_hamming: int = 2, bits: int = 16, id_col: str = "media_id"
+) -> DataFrame:
+    """All image pairs with hamming(aHash) <= ``max_hamming`` — LOSSLESSLY,
+    without the O(N^2) self-join: split the hash into ``max_hamming + 1``
+    bit-bands; by pigeonhole any pair within distance d agrees exactly on at
+    least one band, so a per-band equi-join on the band value generates a
+    candidate superset, then the exact popcount filter keeps true pairs.
+
+    100 TB shape: the only shuffles are the band equi-joins, keyed on
+    (band_id, band_value) — candidate fan-out is sum over bands of
+    C(bucket_size, 2), the same banded discipline as MinHash-LSH. No
+    crossJoin anywhere."""
+    nb = max_hamming + 1
+    cuts = [round(i * bits / nb) for i in range(nb + 1)]  # band p covers bits [cuts[p], cuts[p+1])
+    bands = []
+    for p in range(nb):
+        lo, width = cuts[p], cuts[p + 1] - cuts[p]
+        bands.append(
+            hashes.select(
+                F.col(id_col),
+                F.col("ahash"),
+                F.lit(p).alias("band_id"),
+                F.expr(f"(ahash >> {lo}) & {(1 << width) - 1}").alias("band_val"),
+            )
+        )
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionByName(b)
+    left = allb.select(
+        F.col("band_id"), F.col("band_val"), F.col(id_col).alias("id_a"), F.col("ahash").alias("ha")
+    )
+    right = allb.select(
+        F.col("band_id"), F.col("band_val"), F.col(id_col).alias("id_b"), F.col("ahash").alias("hb")
+    )
+    cand = (
+        left.join(right, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    return cand.select(
+        "id_a", "id_b", F.expr("cast(bit_count(ha ^ hb) as int)").alias("hamming")
+    ).filter(F.col("hamming") <= F.lit(max_hamming))

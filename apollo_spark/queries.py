@@ -2425,6 +2425,58 @@ FROM h ORDER BY media_id
 ORACLE_MEDIA_REAL = _media_real_oracle()
 
 
+def image_ahash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup, end-to-end REAL and oracle-gated: 4x4 P6
+    PPMs synthesized JVM-side per document -> in-tree pure-numpy PPM decode
+    (ops.multimodal.image_luma, integer R+G+B luma — no float32 to
+    reconcile) -> 16-bit average-hash in codegen'd SQL expressions
+    (ahash64: bit p = n*luma_p > sum, integer cross-multiplication) ->
+    LOSSLESS banded hamming join (ahash_pairs: pigeonhole over
+    max_hamming+1 bit-bands, per-band equi-join — the image analog of
+    MinHash-LSH banding, no crossJoin). The oracle replays decode, hash,
+    and pairing byte-for-byte from the same md5-derived raster."""
+    from apollo_spark.ops.multimodal import ahash64, ahash_pairs, image_luma
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    hx = F.concat(
+        F.md5(F.encode(F.col("text"), "utf-8")),
+        F.md5(F.encode(F.concat(F.col("text"), F.lit("a")), "utf-8")),
+        F.md5(F.encode(F.concat(F.col("text"), F.lit("b")), "utf-8")),
+    )
+    payload = F.concat(F.encode(F.lit("P6\n4 4\n255\n"), "utf-8"), F.unhex(hx))
+    media = d.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    pairs = ahash_pairs(ahash64(image_luma(media)), max_hamming=2, bits=16)
+    return pairs.orderBy("id_a", "id_b")
+
+
+def _ahash_oracle() -> str:
+    """Mirror of image_ahash_near_dups: per-pixel luma from the hex raster,
+    integer-threshold aHash, exact popcount pairing (the Spark side's
+    banding is lossless, so the plain self-join here yields the same set)."""
+    lus = []
+    for p in range(16):
+        bs = [f"CAST('0x' || substr(hx, {2 * k + 1}, 2) AS INT)" for k in range(3 * p, 3 * p + 3)]
+        lus.append(f"({' + '.join(bs)})")
+    total = " + ".join(lus)
+    bits = [f"CASE WHEN 16 * {lus[p]} > total THEN {1 << p} ELSE 0 END" for p in range(16)]
+    return f"""
+WITH hx0 AS (
+  SELECT doc_id, md5(text) || md5(text || 'a') || md5(text || 'b') AS hx
+  FROM documents WHERE text IS NOT NULL
+),
+t AS (SELECT doc_id, hx, {total} AS total FROM hx0),
+ah AS (SELECT doc_id, CAST({" + ".join(bits)} AS BIGINT) AS ahash FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+ORDER BY id_a, id_b
+"""
+
+
+ORACLE_AHASH_PAIRS = _ahash_oracle()
+
+
 def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable equi-width histogram sketch + quantile estimates per
     event_type (ops.sketch.histogram_sketch): the 100 TB answer to exact
@@ -4595,6 +4647,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccnet_quality_buckets": ccnet_quality_buckets,
     "hll_distinct_users": hll_distinct_users,
     "theta_distinct_setops": theta_distinct_setops,
+    "image_ahash_near_dups": image_ahash_near_dups,
     "cms_heavy_tokens": cms_heavy_tokens,
     "unimax_language_weights": unimax_language_weights,
     "profit_by_nation_year": profit_by_nation_year,
@@ -4741,6 +4794,7 @@ ORACLES: dict[str, str] = {
     "corpus_curation_pipeline": ORACLE_CURATION,
     "doc_nfc_normalization": ORACLE_NFC,
     "theta_distinct_setops": ORACLE_THETA_SETOPS,
+    "image_ahash_near_dups": ORACLE_AHASH_PAIRS,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

@@ -1559,3 +1559,41 @@ def test_theta_sketch_accuracy_and_set_algebra(spark):
 
     # estimates are exact multiples of K (pure-integer contract for the oracle)
     assert est(a) % 2**k2 == 0
+
+
+def test_ahash_banded_pairs_lossless_vs_bruteforce(spark):
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from apollo_spark.ops.multimodal import ahash64, ahash_pairs, image_luma
+
+    rng = random.Random(7)
+    hashes = [(i, rng.getrandbits(16)) for i in range(300)]
+    hdf = spark.createDataFrame(hashes, "media_id long, ahash long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in ahash_pairs(hdf, max_hamming=2, bits=16).collect()
+    }
+    want = {
+        (a, b, bin(ha ^ hb).count("1"))
+        for (a, ha), (b, hb) in itertools.combinations(hashes, 2)
+        if bin(ha ^ hb).count("1") <= 2
+    }
+    assert got == want
+
+    # end-to-end: identical rasters -> hamming 0 via the REAL PPM decode
+    raster = bytes(range(48))
+    payload = b"P6\n4 4\n255\n" + raster
+    media = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(payload))], "media_id long, payload binary"
+    )
+    h = ahash64(image_luma(media))
+    rows = {r.media_id: (r.ahash, r.n_px) for r in h.collect()}
+    assert rows[1] == rows[2] and rows[1][1] == 16
+    # python replay of the integer aHash definition
+    luma = [sum(raster[3 * p : 3 * p + 3]) for p in range(16)]
+    tot = sum(luma)
+    want_hash = sum(1 << p for p in range(16) if 16 * luma[p] > tot)
+    assert rows[1][0] == want_hash
