@@ -2063,6 +2063,120 @@ LIMIT 20
 """
 
 
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (ops.retrieval.rrf_fuse,
+    Cormack et al. SIGIR 2009): a lexical BM25 top-50 and a dense cosine
+    top-50 (over the documents that have an embedding, vec_id == doc_id)
+    fused as integer contributions ``1e9 // (60 + rank)`` — the fused score
+    is an exact integer, so the whole two-retriever composition hash-gates.
+    Fusion shuffles at most 100 rows regardless of corpus size; the dense
+    leg broadcasts the single query vector; absent ranks surface as -1."""
+    from apollo_spark.ops.retrieval import rrf_fuse
+    from apollo_spark.ops.text import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    lex = (
+        bm25_scores(d, ["stream", "window", "hash"], k1=1.2, b=0.75)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())),
+        )
+        .filter(F.col("rank") <= 50)
+        .select("doc_id", "rank")
+    )
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    with_vec = e.join(d.select("doc_id"), e["vec_id"] == F.col("doc_id"), "inner")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dense = (
+        with_vec.crossJoin(F.broadcast(q))
+        .withColumn("score", cosine(F.col("v"), F.col("qv")))
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())),
+        )
+        .filter(F.col("rank") <= 50)
+        .select("doc_id", "rank")
+    )
+    fused = rrf_fuse([lex, dense], id_col="doc_id", rank_col="rank", k=60)
+    return (
+        fused.join(lex.withColumnRenamed("rank", "lex_rank"), "doc_id", "left")
+        .join(dense.withColumnRenamed("rank", "dense_rank"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "rrf_score",
+            "n_lists",
+            F.coalesce("lex_rank", F.lit(-1)).cast("int").alias("lex_rank"),
+            F.coalesce("dense_rank", F.lit(-1)).cast("int").alias("dense_rank"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+ORACLE_RRF = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM doclen
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ('hash', 'stream', 'window') GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+bm AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         AS DECIMAL(38,6))) AS DOUBLE) AS bm25
+  FROM tf JOIN dfreq USING (term) JOIN doclen USING (doc_id) CROSS JOIN stats
+  GROUP BY doc_id
+),
+lex AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank FROM bm
+  ) WHERE rank <= 50
+),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id IN (SELECT doc_id FROM documents)
+),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+dense AS (
+  SELECT doc_id, rank FROM (
+    SELECT e.vec_id AS doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY list_dot_product(e.v, q.qv)
+                      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                      e.vec_id ASC
+           ) AS rank
+    FROM e CROSS JOIN qv q
+  ) WHERE rank <= 50
+),
+u AS (
+  SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM dense
+),
+fused AS (
+  SELECT doc_id,
+         CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_score,
+         CAST(COUNT(*) AS BIGINT) AS n_lists
+  FROM u GROUP BY doc_id
+)
+SELECT f.doc_id, f.rrf_score, f.n_lists,
+       CAST(COALESCE(l.rank, -1) AS INT) AS lex_rank,
+       CAST(COALESCE(d.rank, -1) AS INT) AS dense_rank
+FROM fused f LEFT JOIN lex l USING (doc_id) LEFT JOIN dense d USING (doc_id)
+ORDER BY f.rrf_score DESC, f.doc_id
+LIMIT 15
+"""
+
+
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR (Xie et al., NeurIPS 2023) log importance weights of every
     document toward a target domain (source src0/src1) over 256 hashed
@@ -4648,6 +4762,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": hll_distinct_users,
     "theta_distinct_setops": theta_distinct_setops,
     "image_ahash_near_dups": image_ahash_near_dups,
+    "hybrid_rrf_search": hybrid_rrf_search,
     "cms_heavy_tokens": cms_heavy_tokens,
     "unimax_language_weights": unimax_language_weights,
     "profit_by_nation_year": profit_by_nation_year,
@@ -4795,6 +4910,7 @@ ORACLES: dict[str, str] = {
     "doc_nfc_normalization": ORACLE_NFC,
     "theta_distinct_setops": ORACLE_THETA_SETOPS,
     "image_ahash_near_dups": ORACLE_AHASH_PAIRS,
+    "hybrid_rrf_search": ORACLE_RRF,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

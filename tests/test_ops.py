@@ -1597,3 +1597,18 @@ def test_ahash_banded_pairs_lossless_vs_bruteforce(spark):
     tot = sum(luma)
     want_hash = sum(1 << p for p in range(16) if 16 * luma[p] > tot)
     assert rows[1][0] == want_hash
+
+
+def test_rrf_fuse_known_answer(spark):
+    from apollo_spark.ops.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id long, rank int")
+    dense = spark.createDataFrame([(20, 1), (10, 2), (40, 3)], "doc_id long, rank int")
+    out = {r.doc_id: (r.rrf_score, r.n_lists) for r in rrf_fuse([lex, dense]).collect()}
+    s = 1_000_000_000
+    assert out[10] == (s // 61 + s // 62, 2)
+    assert out[20] == (s // 62 + s // 61, 2)
+    assert out[30] == (s // 63, 1)
+    assert out[40] == (s // 63, 1)
+    # docs seen by both retrievers outrank single-list docs of equal rank
+    assert out[10][0] > out[30][0]
