@@ -2177,6 +2177,101 @@ LIMIT 15
 """
 
 
+def _perceptron_parts(spark: SparkSession, sf_dir: str):
+    from apollo_spark.ops.ml import hashed_token_features, perceptron_train
+
+    d = _t(spark, sf_dir, "documents")
+    feats = hashed_token_features(d, buckets=32, salt="feat")
+    labels = d.select(
+        "doc_id", F.when(F.col("lang") == "en", 1).otherwise(-1).cast("int").alias("y")
+    )
+    w = perceptron_train(feats, labels, iters=3)
+    return d, feats, labels, w
+
+
+def perceptron_lang_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine classifier TRAINING (ops.ml.perceptron_train): 3 batch-
+    perceptron rounds learning lang=='en' from 32 hashed bag-of-token
+    buckets + bias. Every margin/update is exact BIGINT, so the entire
+    training trajectory is engine-portable and the final weight table
+    hash-gates against a DuckDB oracle replaying the unrolled rounds —
+    the fastText-style quality/lang filter of a pretraining pipeline,
+    trained without the corpus ever leaving the engine."""
+    _, _, _, w = _perceptron_parts(spark, sf_dir)
+    return w.select(F.col("b"), F.col("weight")).orderBy("b")
+
+
+def perceptron_lang_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference sweep with the trained weights (ops.ml.classifier_margins):
+    per-language doc counts and training-set errors (margin <= 0) — the
+    broadcast-weights scoring path a 100 TB filter sweep runs."""
+    from apollo_spark.ops.ml import classifier_margins
+
+    d, feats, labels, w = _perceptron_parts(spark, sf_dir)
+    scores = classifier_margins(feats, w)
+    return (
+        scores.join(labels, "doc_id")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("y") * F.col("score") <= 0, 1).otherwise(0)).alias("n_wrong"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _perceptron_oracle(final_select: str) -> str:
+    rounds = []
+    prev = "w0"
+    for t in range(1, 4):
+        rounds.append(
+            f"""m{t} AS (SELECT doc_id, y, SUM(n * weight) AS wx FROM fx JOIN {prev} USING (b) GROUP BY 1, 2),
+wr{t} AS (SELECT doc_id FROM m{t} WHERE y * wx <= 0),
+d{t} AS (SELECT b, SUM(y * n) AS dw FROM fx JOIN wr{t} USING (doc_id) GROUP BY b),
+w{t} AS (SELECT {prev}.b, {prev}.weight + COALESCE(d{t}.dw, 0) AS weight FROM {prev} LEFT JOIN d{t} USING (b))"""
+        )
+        prev = f"w{t}"
+    joined_rounds = ",\n".join(rounds)
+    return rf"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS text, lang,
+         CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+  FROM d WHERE length(trim(text)) > 0
+),
+cnt AS (
+  SELECT doc_id, CAST(('0x' || substr(md5('feat' || t), 1, 15))::BIGINT % 32 AS INT) AS b,
+         COUNT(*) AS n
+  FROM toks GROUP BY 1, 2
+),
+feats AS (
+  SELECT * FROM cnt
+  UNION ALL SELECT doc_id, 32 AS b, CAST(1 AS BIGINT) AS n FROM d
+),
+fx AS (SELECT f.doc_id, f.b, f.n, d.y FROM feats f JOIN d USING (doc_id)),
+w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS weight FROM fx),
+{joined_rounds}
+{final_select}
+"""
+
+
+ORACLE_PERCEPTRON_W = _perceptron_oracle(
+    "SELECT b, CAST(weight AS BIGINT) AS weight FROM w3 ORDER BY b"
+)
+
+ORACLE_PERCEPTRON_ERR = _perceptron_oracle(
+    """, sc AS (SELECT doc_id, y, SUM(n * weight) AS score FROM fx JOIN w3 USING (b) GROUP BY 1, 2)
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN sc.y * sc.score <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong
+FROM sc JOIN d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang"""
+)
+
+
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR (Xie et al., NeurIPS 2023) log importance weights of every
     document toward a target domain (source src0/src1) over 256 hashed
@@ -4763,6 +4858,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theta_distinct_setops": theta_distinct_setops,
     "image_ahash_near_dups": image_ahash_near_dups,
     "hybrid_rrf_search": hybrid_rrf_search,
+    "perceptron_lang_weights": perceptron_lang_weights,
+    "perceptron_lang_errors": perceptron_lang_errors,
     "cms_heavy_tokens": cms_heavy_tokens,
     "unimax_language_weights": unimax_language_weights,
     "profit_by_nation_year": profit_by_nation_year,
@@ -4911,6 +5008,8 @@ ORACLES: dict[str, str] = {
     "theta_distinct_setops": ORACLE_THETA_SETOPS,
     "image_ahash_near_dups": ORACLE_AHASH_PAIRS,
     "hybrid_rrf_search": ORACLE_RRF,
+    "perceptron_lang_weights": ORACLE_PERCEPTRON_W,
+    "perceptron_lang_errors": ORACLE_PERCEPTRON_ERR,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

@@ -1612,3 +1612,41 @@ def test_rrf_fuse_known_answer(spark):
     assert out[40] == (s // 63, 1)
     # docs seen by both retrievers outrank single-list docs of equal rank
     assert out[10][0] > out[30][0]
+
+
+def test_perceptron_exact_trajectory_and_separable_convergence(spark):
+    from pyspark.sql import functions as F
+
+    from apollo_spark.ops.ml import classifier_margins, perceptron_train
+
+    # hand-checkable 2-feature problem: y = sign(x0 - x1)
+    #   docs: (id, {b: n}), labels
+    feats_rows = [
+        (1, 0, 3), (1, 1, 1),   # x0=3, x1=1 -> +1
+        (2, 0, 1), (2, 1, 4),   # x0=1, x1=4 -> -1
+        (3, 0, 5), (3, 1, 2),   # +1
+        (4, 0, 0), (4, 1, 3),   # -1
+    ]
+    feats = spark.createDataFrame(feats_rows, "doc_id long, b int, n long")
+    labels = spark.createDataFrame([(1, 1), (2, -1), (3, 1), (4, -1)], "doc_id long, y int")
+
+    # python replay of the batch rule
+    import collections
+
+    fd = collections.defaultdict(dict)
+    for i, b, n in feats_rows:
+        fd[i][b] = n
+    ys = {1: 1, 2: -1, 3: 1, 4: -1}
+    w = {0: 0, 1: 0}
+    for _ in range(4):
+        wrong = [i for i in fd if ys[i] * sum(n * w[b] for b, n in fd[i].items()) <= 0]
+        for i in wrong:
+            for b, n in fd[i].items():
+                w[b] += ys[i] * n
+    got = {r.b: r.weight for r in perceptron_train(feats, labels, iters=4).collect()}
+    assert got == w
+
+    # the learned separator classifies the separable set perfectly
+    wdf = spark.createDataFrame(list(w.items()), "b int, weight long")
+    sc = {r.doc_id: r.score for r in classifier_margins(feats, wdf).collect()}
+    assert all(ys[i] * sc[i] > 0 for i in fd)
