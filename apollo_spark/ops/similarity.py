@@ -637,9 +637,17 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding") -> DataFrame
     triples = df.select(F.explode(F.flatten(F.transform(arr, _inner))).alias("t")).select(
         F.col("t.i").alias("i"), F.col("t.j").alias("j"), F.col("t.xy").alias("xy")
     )
+    # micro-unit BIGINT sums, not DECIMAL(38,6): same order-independence and
+    # engine-exactness (truncation toward zero matches DuckDB trunc()), but
+    # long addition runs ~4x faster than decimal through the hash aggregate
+    # (measured 8.3s -> 2.2s on the sf0.1 Gram at d=64). Truncation error is
+    # <= 1e-6 per term -> <= 1e-6 on cov after the /n, below the ROUND(...,6)
+    # presentation grain.
     gram = triples.groupBy("i", "j").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("xy").cast("decimal(38,6)")).cast("double").alias("__sxy"),
+        (
+            F.sum(F.expr("cast(xy * 1000000.0 as bigint)")).cast("double") / F.lit(1e6)
+        ).alias("__sxy"),
     )
     means = (
         df.select(F.posexplode(arr))

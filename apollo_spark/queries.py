@@ -1594,7 +1594,9 @@ def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return (
         embedding_covariance(e)
-        .select("i", "j", "n", F.round("cov", 6).alias("cov"))
+        # + 0.0 canonicalizes IEEE negative zero (micro-unit truncation can
+        # yield -0.0 on one engine and 0.0 on the other)
+        .select("i", "j", "n", (F.round("cov", 6) + F.lit(0.0)).alias("cov"))
         .orderBy("i", "j")
     )
 
@@ -1604,8 +1606,10 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) arr FROM embeddings),
 ex AS (SELECT vec_id, i-1 AS i, arr[i] v FROM e, unnest(generate_series(1, len(arr))) t(i)),
 p AS (SELECT a.i AS i, b.i AS j, a.v * b.v AS xy FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i),
 m AS (SELECT i, CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean FROM ex GROUP BY i),
-g AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(xy AS DECIMAL(38,6))) AS DOUBLE) AS sxy FROM p GROUP BY i, j)
-SELECT g.i, g.j, g.n, ROUND(sxy / n - mi.mean * mj.mean, 6) AS cov
+g AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(trunc(xy * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxy
+      FROM p GROUP BY i, j)
+SELECT g.i, g.j, g.n, ROUND(sxy / n - mi.mean * mj.mean, 6) + 0.0 AS cov
 FROM g JOIN m mi ON mi.i = g.i JOIN m mj ON mj.i = g.j
 ORDER BY g.i, g.j
 """
