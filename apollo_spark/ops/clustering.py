@@ -136,27 +136,66 @@ def pq_codes(
     is bit-reproducible by an unrolled SQL oracle. Each subspace pass
     broadcasts its k*(dim/m) centroid table; the m passes share the scan
     via whatever caching the caller applies upstream."""
+    _, assign, _cent = _pq_subspace_kmeans(
+        emb, dim, m, k, iters, id_col, vec_col, scale, offset
+    )
+    return assign.select(
+        id_col, F.col("s").alias("subspace"), F.col("cluster").alias("code"), "dist"
+    )
+
+
+def _pq_subspace_kmeans(
+    emb: DataFrame,
+    dim: int,
+    m: int,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    scale: float,
+    offset: float,
+):
+    """All ``m`` per-subspace Lloyd trainings fused into ONE relational
+    iteration: the long lattice carries a subspace key ``s = d div sub_d``
+    and every join/groupBy adds ``s`` to its keys, so the m independent
+    k-means runs share the same two shuffles per round instead of issuing
+    m * iters sequential job pairs (was the dominant cost of the PQ queries
+    — fixed per-job latency, not data volume). Trajectories are identical
+    to training each subspace alone: the subspace key just partitions the
+    aggregation keyspace.
+
+    Returns ``(long, assign, cent)``: the keyed lattice, the final-round
+    pre-update argmin assignment (id, s, cluster, dist), and the
+    post-update codebook (s, cluster, d, ci)."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_d = dim // m
-    outs = []
-    for s in range(m):
-        sub = emb.select(id_col, F.slice(F.col(vec_col), s * sub_d + 1, sub_d).alias("__sub"))
-        assign, _cent = kmeans_lattice(
-            sub, k=k, iters=iters, id_col=id_col, vec_col="__sub", scale=scale, offset=offset
+    long = embedding_lattice(emb, id_col, vec_col, scale, offset).withColumn(
+        "s", F.expr(f"cast(d div {sub_d} as int)")
+    )
+    cent = long.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("long").alias("cluster"), "s", "d", F.col("xi").alias("ci")
+    )
+    assign = None
+    for _ in range(iters):
+        diff = F.col("xi") - F.col("ci")
+        dist = (
+            long.join(F.broadcast(cent), ["s", "d"])
+            .groupBy(id_col, "s", "cluster")
+            .agg(F.sum(diff * diff).alias("dist"))
         )
-        outs.append(
-            assign.select(
-                id_col,
-                F.lit(s).alias("subspace"),
-                F.col("cluster").alias("code"),
-                "dist",
-            )
+        assign = (
+            dist.groupBy(id_col, "s")
+            .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+            .select(id_col, "s", F.col("m.cluster").alias("cluster"), F.col("m.dist").alias("dist"))
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+        cent = (
+            long.join(assign.select(id_col, "s", "cluster"), [id_col, "s"])
+            .groupBy("s", "cluster", "d")
+            .agg(F.expr("sum(xi) div count(1)").alias("ci"))
+            .localCheckpoint(eager=True)  # flat lineage across rounds
+        )
+    return long, assign, cent
 
 
 __all__ = ["embedding_lattice", "kmeans_lattice", "kmeans_summary", "pq_codes", "pq_adc_topk"]
@@ -192,39 +231,30 @@ def pq_adc_topk(
     shuffled until the (q_id, id) score aggregation, and at real scale an
     IVF cell filter in front bounds that fan-out to the probed cells.
     Ties break toward the smaller corpus id (deterministic ranking)."""
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
-    sub_d = dim // m
     qlit = [int(q) for q in query_ids]
-    parts = []
-    for s in range(m):
-        sub = emb.select(id_col, F.slice(F.col(vec_col), s * sub_d + 1, sub_d).alias("__sub"))
-        _, cent = kmeans_lattice(
-            sub, k=k, iters=iters, id_col=id_col, vec_col="__sub", scale=scale, offset=offset
-        )
-        long = embedding_lattice(sub, id_col, "__sub", scale, offset)
-        diff = F.col("xi") - F.col("ci")
-        dist = (
-            long.join(F.broadcast(cent), "d")
-            .groupBy(id_col, "cluster")
-            .agg(F.sum(diff * diff).alias("dist"))
-        )
-        codes = (
-            dist.groupBy(id_col)
-            .agg(F.min(F.struct("dist", "cluster")).alias("m"))
-            .select(id_col, F.col("m.cluster").alias("code"))
-        )
-        qd = (
-            dist.filter(F.col(id_col).isin(qlit))
-            .select(F.col(id_col).alias("q_id"), F.col("cluster").alias("code"), F.col("dist").alias("qd"))
-        )
-        parts.append(
-            codes.join(F.broadcast(qd), "code").select("q_id", id_col, F.lit(s).alias("s"), "qd")
-        )
-    allp = parts[0]
-    for p in parts[1:]:
-        allp = allp.unionByName(p)
-    scored = allp.groupBy("q_id", id_col).agg(F.sum("qd").alias("adc_dist"))
+    long, _assign, cent = _pq_subspace_kmeans(
+        emb, dim, m, k, iters, id_col, vec_col, scale, offset
+    )
+    diff = F.col("xi") - F.col("ci")
+    dist = (
+        long.join(F.broadcast(cent), ["s", "d"])
+        .groupBy(id_col, "s", "cluster")
+        .agg(F.sum(diff * diff).alias("dist"))
+        .persist()  # shared by the codes argmin and the query distance table
+    )
+    codes = (
+        dist.groupBy(id_col, "s")
+        .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+        .select(id_col, "s", F.col("m.cluster").alias("code"))
+    )
+    qd = dist.filter(F.col(id_col).isin(qlit)).select(
+        F.col(id_col).alias("q_id"), "s", F.col("cluster").alias("code"), F.col("dist").alias("qd")
+    )
+    scored = (
+        codes.join(F.broadcast(qd), ["s", "code"])
+        .groupBy("q_id", id_col)
+        .agg(F.sum("qd").alias("adc_dist"))
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
