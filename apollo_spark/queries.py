@@ -1107,6 +1107,66 @@ ORDER BY user_id, ts_s, event_id
 """
 
 
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection per event_type: each event is
+    scored against the exact-decimal sum/sumsq of the PREVIOUS 20 events
+    (ROWS 20 PRECEDING..1 PRECEDING — the trailing baseline never includes
+    the point under test), flagging |z| > 2.5 with >= 10 history rows.
+    Mean/variance derive from order-independent DECIMAL(38,6) frame sums,
+    so the float z-scores are engine-identical. One shuffle on event_type;
+    at 100 TB the same plan partitions by (series, day-bucket) to bound
+    the per-partition sort."""
+    e = _events(spark, sf_dir)
+    base = e.select("event_id", "event_type", _ts_micros().alias("ts_us"), "value")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
+        .rowsBetween(-20, -1)
+    )
+    s1 = F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+    s2 = F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)")).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        base.withColumn("__n", n)
+        .withColumn("__z", z)
+        .filter((F.col("__n") >= 10) & (F.abs(F.col("__z")) > 2.5))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("__z", 4).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_ANOMALY_Z = """
+WITH base AS (
+  SELECT event_id, event_type, epoch_us(ts) AS ts_us, value FROM events
+),
+st AS (
+  SELECT event_id, event_type, value,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2,
+         COUNT(*) OVER w AS n
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us ASC, event_id ASC
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT event_id, event_type, value,
+         (value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)) AS z, n
+  FROM st
+)
+SELECT event_id, event_type, value, ROUND(z, 4) AS zscore
+FROM z WHERE n >= 10 AND abs(z) > 2.5
+ORDER BY event_id
+"""
+
+
 TS_PATTERN = [100.0, 80.0, 60.0, 40.0, 20.0, 40.0, 60.0, 80.0]  # V-shape motif
 
 
@@ -4864,6 +4924,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_rrf_search": hybrid_rrf_search,
     "perceptron_lang_weights": perceptron_lang_weights,
     "perceptron_lang_errors": perceptron_lang_errors,
+    "events_anomaly_zscore": events_anomaly_zscore,
     "cms_heavy_tokens": cms_heavy_tokens,
     "unimax_language_weights": unimax_language_weights,
     "profit_by_nation_year": profit_by_nation_year,
@@ -5014,6 +5075,7 @@ ORACLES: dict[str, str] = {
     "hybrid_rrf_search": ORACLE_RRF,
     "perceptron_lang_weights": ORACLE_PERCEPTRON_W,
     "perceptron_lang_errors": ORACLE_PERCEPTRON_ERR,
+    "events_anomaly_zscore": ORACLE_ANOMALY_Z,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

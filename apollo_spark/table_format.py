@@ -236,6 +236,139 @@ class TxTable:
         finally:
             tmp.unlink(missing_ok=True)
 
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+    ) -> int:
+        """Delta-style MERGE INTO (copy-on-write upsert); returns the new
+        version.
+
+        * ``when_matched``: 'update' replaces the whole target row with the
+          source row; 'delete' removes matched target rows.
+        * ``when_not_matched``: 'insert' adds source rows with no target
+          match; 'ignore' drops them.
+
+        Scale shape: only files that actually CONTAIN a matching key are
+        rewritten — a left-semi join of the snapshot (tagged with
+        ``input_file_name``) against the distinct source keys yields the
+        touched-file list (bounded collect: file names, never rows), the
+        manifest stats prune files whose [min,max] on the first key can't
+        intersect the source's key range before that scan, and every
+        untouched file is carried into the new manifest by reference. A
+        merge touching 0.1% of a 100 TB table rewrites ~0.1% of it.
+
+        Concurrency: serializable-and-honest — the commit CAS targets
+        base_version + 1; if any writer commits in between, CommitConflict
+        is raised rather than silently merging over a moved snapshot
+        (Delta's conflict-resolution matrix is a compatible extension).
+        Duplicate keys in ``source`` are rejected (ambiguous upsert)."""
+        from pyspark.sql import functions as F
+
+        if when_matched not in ("update", "delete"):
+            raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+        if when_not_matched not in ("insert", "ignore"):
+            raise ValueError(f"when_not_matched must be insert|ignore, got {when_not_matched!r}")
+        cur = self.current_version()
+        if cur is None:
+            if when_not_matched == "insert":
+                return self.write(source, mode="append")
+            raise FileNotFoundError(f"no commits at {self.root}")
+        man = self._manifest(cur)
+        needs_full_schema = when_matched == "update" or when_not_matched == "insert"
+        if needs_full_schema and man["schema_key"] != _schema_key(source.schema):
+            # a delete+ignore merge may pass a keys-only source; anything
+            # that writes source rows must match the table schema
+            raise ValueError(
+                f"merge schema mismatch: table has {man['schema_key']}, "
+                f"source has {_schema_key(source.schema)}"
+            )
+
+        dup = source.groupBy(*key_cols).count().filter("count > 1").limit(1).collect()
+        if dup:
+            raise ValueError(f"duplicate source keys in merge: {dup[0].asDict()}")
+        skeys = source.select(*key_cols).distinct()
+
+        # stats-prune candidate files on the first key column, then find the
+        # files that truly contain a matching key
+        k0 = key_cols[0]
+        bounds = source.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).collect()[0]
+        cand = self.files_for(cur, prune={k0: (bounds["lo"], bounds["hi"])})
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        touched_rel: list[str] = []
+        if cand:
+            tagged = (
+                spark.read.schema(schema)
+                .parquet(*[str(self.root / f) for f in cand])
+                .withColumn("__file", F.input_file_name())
+            )
+            touched_uris = {
+                r["__file"]
+                for r in tagged.join(F.broadcast(skeys), key_cols, "left_semi")
+                .select("__file")
+                .distinct()
+                .collect()
+            }
+            touched_rel = [
+                f for f in cand if any(u.endswith(str(Path(f))) for u in touched_uris)
+            ]
+        kept = [f for f in man["files"] if f not in set(touched_rel)]
+
+        # matching keys can only live in the touched files, so the
+        # matched/insert splits join against THOSE keys — never a second
+        # full-table scan
+        parts = []
+        if touched_rel:
+            base = spark.read.schema(schema).parquet(
+                *[str(self.root / f) for f in touched_rel]
+            )
+            tkeys = base.select(*key_cols).distinct()
+            parts.append(base.join(F.broadcast(skeys), key_cols, "left_anti"))
+            if when_matched == "update":
+                parts.append(source.join(tkeys, key_cols, "left_semi"))
+            if when_not_matched == "insert":
+                parts.append(source.join(tkeys, key_cols, "left_anti"))
+        elif when_not_matched == "insert":
+            parts.append(source)
+
+        txn = uuid.uuid4().hex
+        new_files: list[str] = []
+        new_stats: dict = {}
+        if parts:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out = out.select(*[f.name for f in schema.fields])
+            txn_dir = self.data_dir / f"txn-{txn}"
+            out.write.mode("errorifexists").parquet(str(txn_dir))
+            new_files = sorted(
+                str(p.relative_to(self.root)) for p in txn_dir.glob("*.parquet")
+            )
+            new_stats = {
+                f: s for f in new_files if (s := _file_stats(self.root / f)) is not None
+            }
+        old_stats = man.get("stats", {})
+        manifest = {
+            "version": cur + 1,
+            "mode": "merge",
+            "files": kept + new_files,
+            "stats": {**{f: old_stats[f] for f in kept if f in old_stats}, **new_stats},
+            "schema": man["schema"],
+            "schema_key": man["schema_key"],
+            "txn": txn,
+            "txn_app": None,
+            "txn_batch": None,
+            "ts": time.time(),
+        }
+        if not self._try_commit(manifest, cur + 1, txn):
+            raise CommitConflict(
+                f"concurrent commit moved {self.root} past version {cur} during merge"
+            )
+        return cur + 1
+
     def compact(
         self,
         spark: SparkSession,

@@ -326,3 +326,62 @@ def test_read_changes_refuses_rewrite_ranges(spark, tmp_path):
     t2.write(_df(spark, [(9, "z")]), mode="overwrite")
     with pytest.raises(ValueError, match="overwrite"):
         t2.read_changes(spark, since_version=v1)
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]))
+    t.write(_df(spark, [(3, "c"), (4, "d")]))
+    v = t.merge(spark, _df(spark, [(2, "B!"), (5, "e")]), ["id"])
+    assert v == 3
+    out = sorted((r.id, r.v) for r in t.read(spark).collect())
+    assert out == [(1, "a"), (2, "B!"), (3, "c"), (4, "d"), (5, "e")]
+    # time travel: pre-merge snapshot intact
+    old = sorted((r.id, r.v) for r in t.read(spark, version=2).collect())
+    assert old == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    assert t.history()[0]["mode"] == "merge"
+
+
+def test_merge_rewrites_only_touched_files(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]).coalesce(1))
+    t.write(_df(spark, [(2, "b")]).coalesce(1))
+    before = set(t.files_for())
+    t.merge(spark, _df(spark, [(2, "B!")]), ["id"])
+    after = set(t.files_for())
+    # the file holding id=1 is carried by reference; id=2's file is replaced
+    kept = before & after
+    assert len(kept) == 1
+    rows = {r.id: r.v for r in t.read(spark).collect()}
+    assert rows == {1: "a", 2: "B!"}
+
+
+def test_merge_delete_with_keys_only_source(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    keys = spark.createDataFrame([(2,)], "id long")
+    t.merge(spark, keys, ["id"], when_matched="delete", when_not_matched="ignore")
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 3]
+
+
+def test_merge_insert_ignore_and_matched_delete_inserts_unmatched(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]))
+    t.merge(spark, _df(spark, [(2, "gone"), (9, "new")]), ["id"],
+            when_matched="delete", when_not_matched="insert")
+    out = sorted((r.id, r.v) for r in t.read(spark).collect())
+    assert out == [(1, "a"), (9, "new")]
+
+
+def test_merge_duplicate_source_keys_rejected(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="duplicate source keys"):
+        t.merge(spark, _df(spark, [(1, "x"), (1, "y")]), ["id"])
+
+
+def test_merge_into_empty_table_inserts(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    v = t.merge(spark, _df(spark, [(1, "a")]), ["id"])
+    assert v == 1
+    assert [(r.id, r.v) for r in t.read(spark).collect()] == [(1, "a")]
