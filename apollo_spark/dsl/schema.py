@@ -72,6 +72,20 @@ class JoinSpec:
 
 
 @dataclass
+class DedupSpec:
+    """v2 `dedup` block: corpus deduplication as ONE declarative block over
+    the ops/dedup.py tier — exact (content-digest), minhash (LSH near-dup),
+    or ngram_jaccard (exact-threshold near-dup). Canonical survivor is the
+    min id of each duplicate group; everything else is dropped."""
+
+    method: str = "exact"  # exact | minhash | ngram_jaccard
+    id: str = "doc_id"
+    text: str = "text"
+    threshold: float = 0.7
+    shingle_n: int = 2
+
+
+@dataclass
 class QuerySpec:
     name: str
     chain: str
@@ -85,6 +99,8 @@ class QuerySpec:
     aggregate: Body | None = None
     # v2 `window` block: partition_by/order_by + named window-function attrs
     window: Body | None = None
+    # v2 `dedup` block: declarative corpus deduplication (ops/dedup.py tier)
+    dedup: DedupSpec | None = None
     sort: list[Node] = field(default_factory=list)
     limit: int | None = None
     start_block: int | None = None
@@ -258,11 +274,30 @@ def _parse_query(block: Block, env: dict[str, Any], item: Any = None) -> QuerySp
     agg_blocks = b.blocks_of("aggregate")
     window_blocks = b.blocks_of("window")
     transform_blocks = b.blocks_of("transform")
+
+    dedup_spec = None
+    dedup_blocks = b.blocks_of("dedup")
+    if dedup_blocks:
+        dbody = dedup_blocks[0].body
+        method = str(_const(dbody, "method", env, "exact"))
+        if method not in ("exact", "minhash", "ngram_jaccard"):
+            raise SchemaError(
+                f"query {name}: dedup method must be exact|minhash|ngram_jaccard, got {method!r}"
+            )
+        dedup_spec = DedupSpec(
+            method=method,
+            id=str(_const(dbody, "id", env, "doc_id")),
+            text=str(_const(dbody, "text", env, "text")),
+            threshold=float(_const(dbody, "threshold", env, 0.7)),
+            shingle_n=int(_const(dbody, "shingle_n", env, 2)),
+        )
+
     return QuerySpec(
         name=name,
         joins=[_parse_join(jb) for jb in b.blocks_of("join")],
         aggregate=agg_blocks[0].body if agg_blocks else None,
         window=window_blocks[0].body if window_blocks else None,
+        dedup=dedup_spec,
         sort=sort_items,
         limit=(int(_const(b, "limit", env)) if b.attr("limit") is not None else None),
         chain=str(_const(b, "chain", env)),

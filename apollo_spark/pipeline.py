@@ -212,12 +212,13 @@ def _eval_tail(
     joins: list | None = None,
     aggregate: Body | None = None,
     window: Body | None = None,
+    dedup=None,
     sort: list | None = None,
     limit: int | None = None,
     user_functions: dict | None = None,
 ) -> DataFrame:
-    """joins -> transform -> filter -> window -> aggregate -> save ->
-    sort/limit over an already-decoded source frame."""
+    """joins -> transform -> filter -> dedup -> window -> aggregate -> save
+    -> sort/limit over an already-decoded source frame."""
     if joins:
         df = _apply_joins(df, joins, catalog)
     env = _scope_env(df, variables, chain)
@@ -249,6 +250,9 @@ def _eval_tail(
     if filter_col is not None:
         df = df.filter(filter_col)
 
+    if dedup is not None:
+        df = _apply_dedup(df, dedup)
+
     if window is not None:
         df = _apply_window(df, window, variables, chain, user_functions)
         if aggregate is None and save is not None:
@@ -279,6 +283,31 @@ def _eval_tail(
     if limit is not None:
         df = df.limit(limit)
     return df
+
+
+def _apply_dedup(df: DataFrame, spec) -> DataFrame:
+    """v2 `dedup` block: route to the ops/dedup.py tier. Runs after filters
+    (dedup the rows the query actually keeps) and before window/aggregate
+    (stats over the deduplicated corpus). Survivor = min id per group."""
+    from pyspark.sql import functions as F
+
+    from apollo_spark.ops.dedup import (
+        connected_components,
+        exact_dedup,
+        near_dedup,
+        ngram_jaccard_pairs,
+    )
+
+    if spec.method == "exact":
+        return exact_dedup(df, spec.id, spec.text)
+    if spec.method == "minhash":
+        return near_dedup(df, spec.id, spec.text, threshold=spec.threshold)
+    pairs = ngram_jaccard_pairs(
+        df, spec.id, spec.text, n=spec.shingle_n, threshold=spec.threshold
+    )
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    losers = comps.filter(F.col("comp") != F.col("id")).select(F.col("id").alias(spec.id))
+    return df.join(losers, spec.id, "left_anti")
 
 
 def _apply_window(
@@ -470,6 +499,7 @@ def compile_query(
                 joins=query.joins,
                 aggregate=query.aggregate,
                 window=query.window,
+                dedup=query.dedup,
                 sort=query.sort,
                 limit=query.limit,
                 user_functions=schema.functions,
@@ -490,6 +520,7 @@ def compile_query(
                 joins=query.joins,
                 aggregate=query.aggregate,
                 window=query.window,
+                dedup=query.dedup,
                 sort=query.sort,
                 limit=query.limit,
                 user_functions=schema.functions,
@@ -510,6 +541,7 @@ def compile_query(
                     joins=query.joins,
                     aggregate=query.aggregate,
                     window=query.window,
+                    dedup=query.dedup,
                     sort=query.sort,
                     limit=query.limit,
                     user_functions=schema.functions,
@@ -564,6 +596,7 @@ def compile_query(
                     joins=query.joins,
                     aggregate=query.aggregate,
                     window=query.window,
+                    dedup=query.dedup,
                     sort=query.sort,
                     limit=query.limit,
                     user_functions=schema.functions,
@@ -596,6 +629,7 @@ def compile_query(
                 joins=query.joins,
                 aggregate=query.aggregate,
                 window=query.window,
+                dedup=query.dedup,
                 sort=query.sort,
                 limit=query.limit,
                 user_functions=schema.functions,

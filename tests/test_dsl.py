@@ -324,3 +324,80 @@ def test_window_block_error_paths(spark, tmp_path):
         "window {\n  order_by = [event_id]\n  rt = sum(value)\n}\n  save {\n    event_id = event_id\n    rt = rt\n  }\n  sort = [event_id]"
     ).collect()
     assert [(r.event_id, r.rt) for r in out] == [(1, 1.0), (2, 3.0)]
+
+
+def test_dedup_block_exact_and_minhash(spark, tmp_path):
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import compile_query
+    from apollo_spark.sources.tables import Catalog
+
+    rows = [
+        (1, "the quick brown fox", "en"),
+        (2, "THE  quick   Brown fox", "en"),   # exact dup after normalization
+        (3, "a completely different document about spark", "en"),
+        (4, "the quick brown fox jumps", "en"),  # near-dup of 1, not exact
+        (5, "unrelated text entirely about databases and storage", "en"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    catalog = Catalog(spark, str(tmp_path))
+
+    schema = parse_schema(
+        """
+query deduped {
+  chain = "ethereum"
+  source_table = "documents"
+  dedup {
+    method = "exact"
+  }
+  save {
+    doc_id = doc_id
+    lang = lang
+  }
+}
+"""
+    )
+    out = compile_query(spark, catalog, schema.queries[0], schema).toPandas()
+    # doc 2 collapses into doc 1 (min id survives); 1,3,4,5 remain
+    assert sorted(out["doc_id"]) == [1, 3, 4, 5]
+    assert set(out.columns) == {"doc_id", "lang"}
+
+    schema2 = parse_schema(
+        """
+query near_deduped {
+  chain = "ethereum"
+  source_table = "documents"
+  dedup {
+    method = "ngram_jaccard"
+    threshold = 0.5
+    shingle_n = 1
+  }
+  save {
+    doc_id = doc_id
+  }
+}
+"""
+    )
+    out2 = compile_query(spark, catalog, schema2.queries[0], schema2).toPandas()
+    # unigram jaccard(1,4) = 4/5 >= 0.5 -> doc 4 collapses too
+    assert sorted(out2["doc_id"]) == [1, 3, 5]
+
+
+def test_dedup_block_bad_method_raises(spark):
+    from apollo_spark.dsl.schema import SchemaError, parse_schema
+
+    import pytest as _pytest
+
+    with _pytest.raises(SchemaError, match="dedup method"):
+        parse_schema(
+            """
+query q {
+  chain = "ethereum"
+  source_table = "documents"
+  dedup {
+    method = "sketchy"
+  }
+}
+"""
+        )
