@@ -348,6 +348,84 @@ def lm_cross_entropy(
     )
 
 
+def bigram_cross_entropy(
+    docs,
+    ref,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+):
+    """Interpolated BIGRAM-LM cross-entropy (the KenLM-shaped upgrade of
+    lm_cross_entropy's unigram stand-in — CCNet proper filters on an n-gram
+    LM, Wenzek et al. 2020):
+
+        ce2(d) = -(1/(|d|-1)) * sum over transitions ln p(w2 | w1)
+        p(w2|w1) = lam * c_ref(w1,w2)/c_ref(w1)  (0 when w1 unseen)
+                 + (1-lam) * (c_ref(w2)+1)/(T_ref+V_ref+1)
+
+    Jelinek-Mercer interpolation with the add-one unigram as the backoff
+    floor — p is never zero, every document scores.
+
+    Engine-exactness: both mixture terms are BIGINT/BIGINT IEEE divisions,
+    the mixture is two fixed-order multiply-adds, ln() one libm call,
+    per-transition terms DECIMAL(38,6)-summed. Same conventions as the
+    unigram op, so the DuckDB gate replays it bit-for-bit.
+
+    Scale: bigram/unigram tables come from the curated REF slice only
+    (bounded by construction) and ride broadcasts; the corpus side is one
+    bigram explode + two map-side joins + one per-doc agg. For ref tables
+    too large to broadcast, drop the broadcast() hints — the joins key on
+    (w1, w2)/(w1) and shuffle fine (or hash-bucket as in ops/corpus.py).
+
+    Returns (id, n_bigrams, ce2) for documents with >= 2 tokens.
+    """
+    from pyspark.sql import functions as F
+
+    def _bigrams(df, *extra):
+        w = words(F.col(text_col))
+        m = F.size(w) - 1
+        zipped = F.slice(
+            F.arrays_zip(F.slice(w, 1, m).alias("w1"), F.slice(w, 2, m).alias("w2")), 1, m
+        )
+        return (
+            df.filter(F.size(words(F.col(text_col))) >= 2)
+            .select(*extra, F.explode(zipped).alias("__p"))
+            .select(*extra, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+        )
+
+    ref_uni = (
+        ref.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.explode(words(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scal = ref_uni.agg(F.sum("c").alias("t_ref"), F.count(F.lit(1)).alias("v_ref"))
+    ref_bi = _bigrams(ref).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+
+    toks = _bigrams(docs, F.col(id_col))
+    cu = ref_uni.select(F.col("term").alias("w1"), F.col("c").alias("cu"))
+    c2 = ref_uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    pb = F.when(
+        F.col("cu") > 0, F.coalesce(F.col("cb"), F.lit(0)) / F.col("cu")
+    ).otherwise(F.lit(0.0))
+    pu = (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1)) / (
+        F.col("t_ref") + F.col("v_ref") + F.lit(1)
+    )
+    p = F.lit(lam) * pb + F.lit(1.0 - lam) * pu
+    return (
+        toks.join(F.broadcast(ref_bi), ["w1", "w2"], "left")
+        .join(F.broadcast(cu), "w1", "left")
+        .join(F.broadcast(c2), "w2", "left")
+        .crossJoin(F.broadcast(scal))
+        .withColumn("__t", F.log(p).cast("decimal(38,6)"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.sum("__t").cast("double") / F.count(F.lit(1)).cast("double")).alias("ce2"),
+        )
+    )
+
+
 def gopher_repetition(
     df,
     id_col: str = "doc_id",

@@ -3566,6 +3566,59 @@ ORDER BY doc_id
 """
 
 
+def doc_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-shaped CCNet filter: interpolated BIGRAM-LM cross-entropy
+    (ops.text.bigram_cross_entropy, lam=0.7 Jelinek-Mercer over an add-one
+    unigram floor), trained on the doc_id % 7 == 0 slice. Ref n-gram
+    tables broadcast; corpus side is one bigram explode + map-side joins
+    + one agg."""
+    from apollo_spark.ops.text import bigram_cross_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 7 == 0)
+    out = bigram_cross_entropy(d, ref, lam=0.7)
+    return out.select("doc_id", "n_bigrams", F.round("ce2", 6).alias("ce2")).orderBy("doc_id")
+
+
+ORACLE_BIGRAM_LM = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+ref_uni AS (
+  SELECT unnest(t) AS term FROM base WHERE doc_id % 7 = 0
+),
+counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM ref_uni GROUP BY term),
+scal AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t_ref, CAST(COUNT(*) AS BIGINT) AS v_ref FROM counts
+),
+ref_bi AS (
+  SELECT t[i] AS w1, t[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS cb
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s(i)
+  WHERE doc_id % 7 = 0 AND len(t) >= 2
+  GROUP BY 1, 2
+),
+toks AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s(i)
+  WHERE len(t) >= 2
+),
+terms AS (
+  SELECT doc_id,
+         ln(0.7 * (CASE WHEN cu.c > 0 THEN COALESCE(cb, 0) / cu.c ELSE 0.0 END)
+            + (1.0 - 0.7) * ((COALESCE(c2.c, 0) + 1) / (t_ref + v_ref + 1))) AS lp
+  FROM toks
+  LEFT JOIN ref_bi USING (w1, w2)
+  LEFT JOIN counts cu ON cu.term = toks.w1
+  LEFT JOIN counts c2 ON c2.term = toks.w2
+  CROSS JOIN scal
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(-CAST(SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS ce2
+FROM terms GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition-filter signals (Rae et al. 2021 Table A1): per-doc
     duplicate-segment fraction + top-bigram/trigram token shares. Integer-
@@ -4925,6 +4978,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perceptron_lang_weights": perceptron_lang_weights,
     "perceptron_lang_errors": perceptron_lang_errors,
     "events_anomaly_zscore": events_anomaly_zscore,
+    "doc_bigram_lm_quality": doc_bigram_lm_quality,
     "cms_heavy_tokens": cms_heavy_tokens,
     "unimax_language_weights": unimax_language_weights,
     "profit_by_nation_year": profit_by_nation_year,
@@ -5076,6 +5130,7 @@ ORACLES: dict[str, str] = {
     "perceptron_lang_weights": ORACLE_PERCEPTRON_W,
     "perceptron_lang_errors": ORACLE_PERCEPTRON_ERR,
     "events_anomaly_zscore": ORACLE_ANOMALY_Z,
+    "doc_bigram_lm_quality": ORACLE_BIGRAM_LM,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

@@ -1650,3 +1650,24 @@ def test_perceptron_exact_trajectory_and_separable_convergence(spark):
     wdf = spark.createDataFrame(list(w.items()), "b int, weight long")
     sc = {r.doc_id: r.score for r in classifier_margins(feats, wdf).collect()}
     assert all(ys[i] * sc[i] > 0 for i in fd)
+
+
+def test_bigram_cross_entropy_known_answer(spark):
+    import math
+
+    from apollo_spark.ops.text import bigram_cross_entropy
+
+    ref = spark.createDataFrame([(100, "a b a b")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "z z")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.n_bigrams, r.ce2) for r in bigram_cross_entropy(docs, ref).collect()}
+    # ref: c(a)=2, c(b)=2, T=4, V=2; bigrams (a,b)x2, (b,a)x1
+    p_ab = 0.7 * (2 / 2) + (1.0 - 0.7) * ((2 + 1) / (4 + 2 + 1))
+    assert out[1][0] == 1
+    assert abs(out[1][1] - (-math.log(p_ab))) < 1e-6  # DECIMAL(38,6) term grain
+    # unseen context z: bigram term 0, pure unigram floor
+    p_zz = 0.0 + (1.0 - 0.7) * ((0 + 1) / (4 + 2 + 1))
+    assert abs(out[2][1] - (-math.log(p_zz))) < 1e-6
+    # out-of-domain doc scores strictly worse (higher cross-entropy)
+    assert out[2][1] > out[1][1]
