@@ -439,3 +439,63 @@ def weighted_sample(
         .limit(k)
         .withColumnRenamed("__key", "sample_key")
     )
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    window: int = 2,
+    subsample_t: float | None = 1e-3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "sg",
+) -> DataFrame:
+    """word2vec-style (center, context) skip-gram pair counts (Mikolov et
+    al. 2013), the training-data prep for embedding models:
+
+    1. frequent-word SUBSAMPLING: occurrence (doc, pos, w) survives iff
+       ``u < (sqrt(f/t) + 1) * (t/f)`` with ``f = c(w)/T`` and ``u`` a
+       deterministic md5-hash uniform of the occurrence — the standard
+       aggressive downweighting of stopword-like tokens, made reproducible
+       (and oracle-replayable) by hashing instead of RNG;
+    2. survivors re-compact to consecutive positions per doc (word2vec
+       pairs over the POST-drop stream, so dropped words widen effective
+       context);
+    3. pairs: every (center, context) with 1 <= |Δpos| <= ``window`` via an
+       offset explode + equi-join on (doc, pos+off) — never a theta-join.
+
+    Scale shape: token frequencies broadcast (vocabulary-bounded); the
+    re-compaction window partitions by doc (bounded rows per doc); the
+    pairing is ``2*window`` copies of the kept stream equi-joined on
+    (doc, pos) keys; final counts map-side combine. Returns
+    ``(center, context, n)``.
+    """
+    from apollo_spark.ops.sketch import portable_hash60
+
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.posexplode(whitespace_tokens(F.lower(F.col(text_col)))).alias("pos", "w")
+    )
+    if subsample_t is not None:
+        freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        tot = freq.agg(F.sum("c").alias("t_all"))
+        occ_key = F.concat_ws(":", F.col("__id"), F.col("pos"), F.col("w"))
+        u = portable_hash60(occ_key, salt) / F.lit(float(1 << 60))
+        f = F.col("c") / F.col("t_all")
+        p_keep = (F.sqrt(f / F.lit(subsample_t)) + F.lit(1.0)) * (F.lit(subsample_t) / f)
+        toks = (
+            toks.join(F.broadcast(freq), "w")
+            .crossJoin(F.broadcast(tot))
+            .filter(u < p_keep)
+            .select("__id", "pos", "w")
+        )
+    w_recompact = Window.partitionBy("__id").orderBy(F.col("pos").asc())
+    kept = toks.withColumn("p", F.row_number().over(w_recompact) - 1).select("__id", "p", "w")
+    offs = F.array(*[F.lit(o) for o in range(-window, window + 1) if o != 0])
+    centers = kept.select(
+        "__id", F.col("w").alias("center"), F.explode(offs).alias("__off"), (F.col("p") + F.col("__off")).alias("p2")
+    )
+    contexts = kept.select("__id", F.col("p").alias("p2"), F.col("w").alias("context"))
+    return (
+        centers.join(contexts, ["__id", "p2"])
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

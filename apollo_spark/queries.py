@@ -3619,6 +3619,50 @@ FROM terms GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def skipgram_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec skip-gram data prep (ops.corpus.skipgram_pairs): hash-
+    deterministic frequent-word subsampling -> re-compacted stream ->
+    (center, context) pairs within ±2 via offset-explode equi-join (no
+    theta-join), top-30 pair counts. The whole pipeline — subsample
+    randomness included — replays bit-for-bit in SQL."""
+    from apollo_spark.ops.corpus import skipgram_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = skipgram_pairs(d, window=2, subsample_t=1e-3)
+    return out.orderBy(F.col("n").desc(), "center", "context").limit(30)
+
+
+ORACLE_SKIPGRAM = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS w
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s(i)
+),
+freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t_all FROM freq),
+kept0 AS (
+  SELECT doc_id, pos, w
+  FROM toks JOIN freq USING (w) CROSS JOIN tot
+  WHERE ('0x' || substr(md5('sg' || doc_id || ':' || pos || ':' || w), 1, 15))::BIGINT
+          / 1152921504606846976.0
+        < (sqrt((c / t_all) / 0.001) + 1.0) * (0.001 / (c / t_all))
+),
+kept AS (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos ASC) - 1 AS p, w
+  FROM kept0
+)
+SELECT a.w AS center, b.w AS context, CAST(COUNT(*) AS BIGINT) AS n
+FROM kept a JOIN kept b
+  ON a.doc_id = b.doc_id AND abs(a.p - b.p) BETWEEN 1 AND 2
+GROUP BY 1, 2
+ORDER BY n DESC, center, context
+LIMIT 30
+"""
+
+
 def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition-filter signals (Rae et al. 2021 Table A1): per-doc
     duplicate-segment fraction + top-bigram/trigram token shares. Integer-
@@ -4979,6 +5023,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perceptron_lang_errors": perceptron_lang_errors,
     "events_anomaly_zscore": events_anomaly_zscore,
     "doc_bigram_lm_quality": doc_bigram_lm_quality,
+    "skipgram_training_pairs": skipgram_training_pairs,
     "cms_heavy_tokens": cms_heavy_tokens,
     "unimax_language_weights": unimax_language_weights,
     "profit_by_nation_year": profit_by_nation_year,
@@ -5131,6 +5176,7 @@ ORACLES: dict[str, str] = {
     "perceptron_lang_errors": ORACLE_PERCEPTRON_ERR,
     "events_anomaly_zscore": ORACLE_ANOMALY_Z,
     "doc_bigram_lm_quality": ORACLE_BIGRAM_LM,
+    "skipgram_training_pairs": ORACLE_SKIPGRAM,
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,

@@ -1671,3 +1671,30 @@ def test_bigram_cross_entropy_known_answer(spark):
     assert abs(out[2][1] - (-math.log(p_zz))) < 1e-6
     # out-of-domain doc scores strictly worse (higher cross-entropy)
     assert out[2][1] > out[1][1]
+
+
+def test_skipgram_pairs_no_subsample_known_answer(spark):
+    from apollo_spark.ops.corpus import skipgram_pairs
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    out = {(r.center, r.context): r.n for r in skipgram_pairs(docs, window=2, subsample_t=None).collect()}
+    # ±2 pairs over a b c d: symmetric, 10 ordered pairs
+    want = {
+        ("a", "b"): 1, ("a", "c"): 1,
+        ("b", "a"): 1, ("b", "c"): 1, ("b", "d"): 1,
+        ("c", "a"): 1, ("c", "b"): 1, ("c", "d"): 1,
+        ("d", "b"): 1, ("d", "c"): 1,
+    }
+    assert out == want
+
+    # subsampling keeps rare words: with tiny t all high-freq words drop more
+    docs2 = spark.createDataFrame(
+        [(i, "the the the the rareword the the") for i in range(50)],
+        "doc_id long, text string",
+    )
+    pairs = skipgram_pairs(docs2, window=2, subsample_t=1e-3).collect()
+    kept_the = sum(r.n for r in pairs if r.center == "the")
+    total_the_pairs_nosub = sum(
+        r.n for r in skipgram_pairs(docs2, window=2, subsample_t=None).collect() if r.center == "the"
+    )
+    assert kept_the < total_the_pairs_nosub  # aggressive downsampling of the stopword
