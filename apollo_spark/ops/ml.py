@@ -23,7 +23,7 @@ localCheckpoint'ed so lineage stays flat across rounds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from apollo_spark.ops.sketch import portable_hash60
@@ -106,3 +106,95 @@ def classifier_margins(
         .groupBy(id_col)
         .agg(F.sum(F.col("n") * F.col("weight")).alias("score"))
     )
+
+
+# --------------------------------------------------------------------------
+# Logistic regression (hard-sigmoid, fixed-point) — gradient magnitudes, not
+# just perceptron signs, while keeping the whole trajectory engine-exact.
+# --------------------------------------------------------------------------
+
+LOGREG_SCALE = 1_000_000  # weights are BIGINT micro-units
+
+
+def _pmod(a: Column, b: int) -> Column:
+    return ((a % b) + b) % b
+
+
+def floor_div(a: Column, b: int) -> Column:
+    """Floor division on BIGINT, identical in Spark and DuckDB: subtract the
+    positive remainder first so truncating division IS floor division —
+    ``%`` is truncated remainder in both engines, so this expression
+    replays bit-for-bit in the SQL oracle. The numerator is exactly
+    divisible by ``b`` after the pmod subtraction, so the double true-division
+    is exact below 2^53 and the long cast loses nothing."""
+    return ((a - _pmod(a, b)) / F.lit(b)).cast("long")
+
+
+def logreg_train_hardsigmoid(
+    feats: DataFrame,
+    labels: DataFrame,
+    iters: int = 3,
+    lr_inv: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch gradient descent for logistic-style regression with the
+    HARD sigmoid ``s(z) = clip(z/4 + 1/2, 0, 1)`` in fixed-point integer
+    arithmetic; returns the final weight table ``(b, weight)`` in
+    micro-units (divide by LOGREG_SCALE for the real-valued weights).
+
+    Versus :func:`perceptron_train`: updates are proportional to the
+    *residual* ``s(w.x) - y``, so confident-correct docs stop moving the
+    weights and the model calibrates, not just separates. The hard sigmoid
+    (the piecewise-linear sigmoid of Courbariaux et al. 2016 /
+    tf.keras.activations.hard_sigmoid) is chosen over exp because it is
+    RATIONAL: with weights in micro-units every margin, clamp, residual
+    numerator, and gradient numerator is an exact BIGINT, and the single
+    division per update is :func:`floor_div` — so the whole trajectory
+    replays bit-for-bit in a DuckDB oracle (same lattice discipline as
+    k-means / PageRank / the perceptron).
+
+    ``labels`` must be ``(id_col, y01)`` with y01 in {0, 1}. Derivation:
+    z_int = sum(n * w) (micro-units); u = clamp(z_int + 2S, 0, 4S) so
+    s = u / 4S; residual numerator e = u - 4S*y01 in [-4S, 4S]; real
+    gradient g_b = sum_docs(e * n) / 4S; update in micro-units
+    dw = -g_b * S / lr_inv = -floor_div(sum(e * n), 4 * lr_inv).
+
+    Per-round shuffle shape matches the perceptron: margins ride a
+    BROADCAST weight join + map-side-combinable groupBy(doc); the gradient
+    is one groupBy(bucket) with <= B+1 rows out; weights localCheckpoint so
+    lineage stays flat. Overflow headroom: sum(e*n) <= 4e6 * tokens-per-
+    bucket — switch the gradient sum to DECIMAL(38,0) past ~1e11 tokens
+    per bucket."""
+    S = LOGREG_SCALE
+    fx = feats.join(labels, id_col)  # (id, b, n, y01)
+    w = fx.select("b").distinct().withColumn("weight", F.lit(0).cast("long"))
+    for _ in range(iters):
+        resid = (
+            fx.join(F.broadcast(w), "b")
+            .groupBy(id_col, "y01")
+            .agg(F.sum(F.col("n") * F.col("weight")).alias("__z"))
+            .select(
+                id_col,
+                (
+                    F.least(F.greatest(F.col("__z") + 2 * S, F.lit(0).cast("long")), F.lit(4 * S).cast("long"))
+                    - 4 * S * F.col("y01")
+                ).alias("__e"),
+            )
+        )
+        grad = (
+            fx.join(resid, id_col)
+            .groupBy("b")
+            .agg(F.sum(F.col("__e") * F.col("n")).alias("__gn"))
+        )
+        w = (
+            w.join(grad, "b", "left")
+            .select(
+                "b",
+                (
+                    F.col("weight")
+                    - floor_div(F.coalesce(F.col("__gn"), F.lit(0).cast("long")), 4 * lr_inv)
+                ).cast("long").alias("weight"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return w

@@ -139,6 +139,70 @@ def top_k(df: DataFrame, partition_by: Sequence[str], order_by: Sequence[Column]
     return df.withColumn("__rank", F.row_number().over(w)).filter(F.col("__rank") <= k).drop("__rank")
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Interval-overlap join: all (L, R) pairs sharing the equi-keys whose
+    closed intervals ``[left_lo, left_hi]`` / ``[right_lo, right_hi]``
+    overlap. Bound columns must be integral (epoch seconds etc.).
+
+    Scale design: a naive formulation joins on the equi-keys alone and
+    filters the overlap predicate afterwards — per-key |L|x|R| fan-out,
+    which dies when one key holds many intervals (the 100 TB telemetry
+    case: one tenant, millions of sessions). With ``bucket_width`` set,
+    both sides explode to the fixed-width time buckets their interval
+    covers and the join key becomes (keys..., bucket): fan-out per task is
+    bounded by intervals-per-bucket, not intervals-per-key. Each
+    overlapping pair shares the bucket containing ``max(lo_L, lo_R)``
+    (the overlap's start), so emitting a pair ONLY from that bucket makes
+    results exactly-once without a distinct shuffle.
+
+    Choose ``bucket_width`` ~ the typical interval length: much smaller
+    replicates rows across many buckets, much larger re-creates the
+    per-key fan-out. ``None`` keeps the plain equi-join + predicate
+    (right when keys are fine-grained and interval counts per key are
+    small).
+    """
+    on = list(on)
+    lcols = [F.col(f"__L.{c}").alias(c) for c in left.columns]
+    rcols = [F.col(f"__R.{c}").alias(c) for c in right.columns if c not in on]
+    overlap = (F.col(f"__L.{left_lo}") <= F.col(f"__R.{right_hi}")) & (
+        F.col(f"__R.{right_lo}") <= F.col(f"__L.{left_hi}")
+    )
+    if bucket_width is None:
+        cond = overlap
+        for k in on:
+            cond = cond & (F.col(f"__L.{k}") == F.col(f"__R.{k}"))
+        return left.alias("__L").join(right.alias("__R"), cond).select(*lcols, *rcols)
+
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be a positive integer")
+
+    def buckets(lo: str, hi: str) -> Column:
+        return F.sequence(
+            F.floor(F.col(lo).cast("long") / w).cast("long"),
+            F.floor(F.col(hi).cast("long") / w).cast("long"),
+        )
+
+    l = left.withColumn("__b", F.explode(buckets(left_lo, left_hi))).alias("__L")
+    r = right.withColumn("__b", F.explode(buckets(right_lo, right_hi))).alias("__R")
+    first_shared = F.floor(
+        F.greatest(F.col(f"__L.{left_lo}").cast("long"), F.col(f"__R.{right_lo}").cast("long")) / w
+    ).cast("long")
+    cond = (F.col("__L.__b") == F.col("__R.__b")) & overlap & (F.col("__L.__b") == first_shared)
+    for k in on:
+        cond = cond & (F.col(f"__L.{k}") == F.col(f"__R.{k}"))
+    return l.join(r, cond).select(*lcols, *rcols)
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

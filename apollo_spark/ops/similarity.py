@@ -715,6 +715,60 @@ def pca_project(
     return df.select("*", *cols)
 
 
+def zca_whiten(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    eps: float = 1e-5,
+    out_col: str = "whitened",
+) -> DataFrame:
+    """ZCA-whiten an ``array<float>`` corpus: ``x_w = W (x - mu)`` with
+    ``W = U diag(1/sqrt(lambda + eps)) U^T`` from the eigendecomposition of
+    the corpus covariance. After whitening, the corpus covariance is ~I —
+    the standard preprocessing before semantic-dedup / clustering when raw
+    embedding dimensions are correlated and anisotropic (one dominant
+    direction otherwise swamps cosine/L2 structure); ZCA (vs PCA whitening)
+    keeps axes maximally close to the originals so per-dimension meaning
+    survives.
+
+    Scale shape: mean and covariance come from the distributed DECIMAL-exact
+    accumulation in :func:`embedding_covariance` (wide exchange is
+    O(partitions * d^2), corpus-size independent); the d x d eigensolve is
+    driver-side microseconds (same bounded-collect class as
+    :func:`pca_components`); the projection inlines W row literals as d
+    ordered zip_with/aggregate folds — JVM-side, shuffle-free, no UDF, no
+    broadcast needed because the matrix lives in the plan."""
+    tri = embedding_covariance(df, vec_col).collect()
+    d = max(r.j for r in tri) + 1
+    cov = np.zeros((d, d))
+    for r in tri:
+        cov[r.i, r.j] = r.cov
+        cov[r.j, r.i] = r.cov
+    vals, vecs = np.linalg.eigh(cov)
+    w_mat = (vecs * (1.0 / np.sqrt(np.maximum(vals, 0.0) + eps))) @ vecs.T  # [d, d] symmetric
+
+    # per-dimension means: same in-row generation discipline as the
+    # covariance op (no posexplode shuffle of N*d rows; d groups out)
+    arr = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dims = df.select(F.posexplode(arr).alias("i", "x")).groupBy("i").agg(F.avg("x").alias("mu"))
+    mu = np.zeros(d)
+    for r in dims.collect():
+        mu[r.i] = r.mu
+
+    centered = F.zip_with(arr, F.array(*[F.lit(float(m)) for m in mu]), lambda x, m: x - m)
+    out = df.withColumn("__c", centered)
+    rows = []
+    for i in range(d):
+        lit_row = F.array(*[F.lit(float(v)) for v in w_mat[i]])
+        rows.append(
+            F.aggregate(
+                F.zip_with(F.col("__c"), lit_row, lambda x, w: x * w),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+        )
+    return out.withColumn(out_col, F.array(*rows)).drop("__c")
+
+
 def mmr_diverse_topk(
     emb: DataFrame,
     query_id: int,

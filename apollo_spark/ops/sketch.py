@@ -489,3 +489,36 @@ def theta_estimate(
     g = list(group_cols or [])
     agg = sk.groupBy(*g) if g else sk.groupBy()
     return agg.agg((F.count(F.lit(1)) * F.lit(1 << log2_k)).alias(out_col))
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash-rate sampling (mergeable sample "sketch")
+# --------------------------------------------------------------------------
+
+
+def hash_sample(
+    df: DataFrame, key_col: str | Column, rate_denom: int, salt: str = "samp"
+) -> DataFrame:
+    """Keep exactly the rows whose 60-bit portable hash of ``key_col`` is
+    ``0 (mod rate_denom)`` — a deterministic ~1/rate_denom uniform sample.
+
+    Why this beats ``df.sample()`` as a lake-scale primitive:
+
+    * **mergeable**: the union of two hash-samples IS the hash-sample of the
+      union (same salt/denominator), so per-partition / per-day samples
+      combine associatively like any sketch — ``TABLESAMPLE`` resamples and
+      cannot be combined across increments;
+    * **coordinated**: the same key draws the same verdict in every table,
+      so samples of two fact tables JOIN correctly (join of samples =
+      sample of join on the hashed key) — the textbook coordinated/bottom-k
+      sampling property RNG samples lack;
+    * **reproducible across engines**: the predicate is the repo's md5-prefix
+      hash, replayable in DuckDB SQL, so downstream exact aggregates over
+      the sample hash-gate bit-for-bit.
+
+    The filter is a narrow map evaluated at the scan (predicate on a
+    deterministic expression — rows drop BEFORE any exchange). Scale-up
+    estimators multiply by ``rate_denom``.
+    """
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return df.filter(portable_hash60(c.cast("string"), salt) % F.lit(int(rate_denom)) == 0)

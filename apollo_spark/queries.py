@@ -4929,6 +4929,290 @@ FROM tri
 """
 
 
+def sampled_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a deterministic coordinated hash-sample
+    (ops.sketch.hash_sample): keep events whose md5-prefix hash of event_id
+    is 0 mod 16 (a mergeable, engine-portable ~1/16 sample — union of
+    per-increment samples IS the sample of the union, unlike TABLESAMPLE),
+    then per event_type the exact discrete p25/50/75/90 of `value` over the
+    sample via rank selection (rn == ceil(p*n/100), full event_id
+    tie-break — no float interpolation, so values pass through untouched
+    and hash-gate). The sample predicate is a narrow map at the scan; the
+    only shuffle is the per-type window over the 1/16 survivors."""
+    from apollo_spark.ops.sketch import hash_sample
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    s = hash_sample(e, "event_id", 16, salt="q")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    ranked = s.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    qcols = [
+        F.max(
+            F.when(
+                F.col("rn") == F.greatest(F.lit(1).cast("long"), F.expr(f"({p}*n + 99) div 100")),
+                F.col("value"),
+            )
+        ).alias(f"p{p}")
+        for p in (25, 50, 75, 90)
+    ]
+    return (
+        ranked.groupBy("event_type")
+        .agg(F.max("n").alias("sample_n"), (F.max("n") * 16).alias("est_total"), *qcols)
+        .orderBy("event_type")
+    )
+
+
+ORACLE_SAMPLED_QUANTILES = """
+WITH s AS (
+  SELECT event_id, event_type, value FROM events
+  WHERE ('0x' || substr(md5('q' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 16 = 0
+),
+r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM s
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS sample_n,
+       CAST(MAX(n) * 16 AS BIGINT) AS est_total,
+       MAX(CASE WHEN rn = GREATEST(1, (25*n + 99) // 100) THEN value END) AS p25,
+       MAX(CASE WHEN rn = GREATEST(1, (50*n + 99) // 100) THEN value END) AS p50,
+       MAX(CASE WHEN rn = GREATEST(1, (75*n + 99) // 100) THEN value END) AS p75,
+       MAX(CASE WHEN rn = GREATEST(1, (90*n + 99) // 100) THEN value END) AS p90
+FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+
+def top_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group heavy hitters: top-5 tokens per document source by
+    count (count desc, token asc tie-break). Two-level shape: the token
+    count groupBy map-side combines (vocabulary-bounded output), then the
+    row_number window shuffles only (source, token, n) triples — per-group
+    state is the vocabulary, never the corpus. The CMS sketch
+    (cms_heavy_tokens) is the global/approximate tier; this is the exact
+    per-group tier a corpus-composition report runs."""
+    from apollo_spark.ops.corpus import whitespace_tokens
+    from apollo_spark.ops.relational import top_k
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    counts = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    top = top_k(counts, ["source"], [F.col("n").desc(), F.col("tok").asc()], 5)
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("tok").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("source", "rank", "tok", "n")
+        .orderBy("source", "rank")
+    )
+
+
+ORACLE_TOP_TOKENS = r"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+cnt AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, tok, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, tok ASC) AS INT) AS rank
+  FROM cnt
+)
+SELECT source, rank, tok, n FROM ranked WHERE rank <= 5 ORDER BY source, rank
+"""
+
+
+def session_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (ops.relational.interval_join): sessionize each
+    user's `view` and `purchase` activity separately (30-min idle gap),
+    then find every (view-session, purchase-session) pair of the same user
+    whose closed time intervals overlap, with the overlap length.
+
+    Exercises the BUCKETED overlap join: both interval sets explode to the
+    1-hour buckets they cover and join on (user, bucket), so per-task
+    fan-out is bounded by intervals-per-bucket rather than
+    intervals-per-user — the shape that survives one tenant with millions
+    of sessions. Pairs emit exactly once (only from the bucket containing
+    the overlap's start) without any distinct shuffle; the SQL oracle runs
+    the naive predicate join, gating that trick end to end."""
+    from apollo_spark.ops.relational import interval_join
+
+    e = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select("user_id", "event_type", _ts_seconds().alias("ts_s"), "event_id")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts_s").asc(), F.col("event_id").asc()
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("ts_s").over(w)
+    is_new = (prev.isNull() | ((F.col("ts_s") - prev) > 1800)).cast("int")
+    sess = (
+        e.withColumn("sid", F.sum(is_new).over(wrun))
+        .groupBy("user_id", "event_type", "sid")
+        .agg(F.min("ts_s").alias("s_start"), F.max("ts_s").alias("s_end"))
+    )
+    v = sess.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("s_start").alias("v_start"), F.col("s_end").alias("v_end")
+    )
+    p = sess.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("s_start").alias("p_start"), F.col("s_end").alias("p_end")
+    )
+    out = interval_join(
+        v, p, ["user_id"], "v_start", "v_end", "p_start", "p_end", bucket_width=3600
+    )
+    return out.select(
+        "user_id",
+        "v_start",
+        "v_end",
+        "p_start",
+        "p_end",
+        (
+            F.least(F.col("v_end"), F.col("p_end"))
+            - F.greatest(F.col("v_start"), F.col("p_start"))
+        ).alias("overlap_s"),
+    ).orderBy("user_id", "v_start", "p_start")
+
+
+ORACLE_SESSION_OVERLAP = """
+WITH base AS (
+  SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000000000 AS ts_s
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+flagged AS (
+  SELECT user_id, event_type, event_id, ts_s,
+         CASE WHEN LAG(ts_s) OVER w IS NULL OR ts_s - LAG(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM base
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_s ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id, event_type ORDER BY ts_s ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+         ts_s
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, event_type, sid, MIN(ts_s) AS s_start, MAX(ts_s) AS s_end
+  FROM sess GROUP BY 1, 2, 3
+),
+v AS (SELECT user_id, s_start AS v_start, s_end AS v_end FROM iv WHERE event_type = 'view'),
+p AS (SELECT user_id, s_start AS p_start, s_end AS p_end FROM iv WHERE event_type = 'purchase')
+SELECT v.user_id, v.v_start, v.v_end, p.p_start, p.p_end,
+       LEAST(v.v_end, p.p_end) - GREATEST(v.v_start, p.p_start) AS overlap_s
+FROM v JOIN p ON v.user_id = p.user_id
+WHERE v.v_start <= p.p_end AND p.p_start <= v.v_end
+ORDER BY v.user_id, v.v_start, p.p_start
+"""
+
+
+def _logreg_parts(spark: SparkSession, sf_dir: str):
+    from apollo_spark.ops.ml import hashed_token_features, logreg_train_hardsigmoid
+
+    d = _t(spark, sf_dir, "documents")
+    feats = hashed_token_features(d, buckets=32, salt="feat")
+    labels = d.select(
+        "doc_id", F.when(F.col("lang") == "en", 1).otherwise(0).cast("int").alias("y01")
+    )
+    w = logreg_train_hardsigmoid(feats, labels, iters=3, lr_inv=16)
+    return d, feats, labels, w
+
+
+def logreg_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine CALIBRATED classifier training
+    (ops.ml.logreg_train_hardsigmoid): 3 rounds of batch gradient descent
+    for hard-sigmoid logistic regression over 32 hashed bag-of-token
+    buckets + bias, learning lang=='en'. Unlike the perceptron (updates on
+    sign only), updates are proportional to the residual s(w.x) - y, so
+    the model converges toward calibrated scores — yet every margin,
+    clamp, residual and gradient is an exact BIGINT in micro-unit
+    fixed-point (floor_div replayed bit-for-bit in SQL), so the final
+    weight table hash-gates against a DuckDB oracle unrolling all 3
+    rounds."""
+    _, _, _, w = _logreg_parts(spark, sf_dir)
+    return w.select(F.col("b"), F.col("weight")).orderBy("b")
+
+
+def _logreg_oracle(final_select: str, s: int = 1_000_000, lr_inv: int = 16) -> str:
+    g = 4 * lr_inv
+    rounds = []
+    prev = "w0"
+    for t in range(1, 4):
+        rounds.append(
+            f"""m{t} AS (SELECT doc_id, y01, SUM(n * weight) AS z FROM fx JOIN {prev} USING (b) GROUP BY 1, 2),
+e{t} AS (SELECT doc_id,
+                LEAST(GREATEST(z + {2 * s}, 0), {4 * s}) - {4 * s} * y01 AS e
+         FROM m{t}),
+g{t} AS (SELECT b, SUM(e * n) AS gn FROM fx JOIN e{t} USING (doc_id) GROUP BY b),
+w{t} AS (SELECT {prev}.b,
+                {prev}.weight - CAST((COALESCE(g{t}.gn, 0) - ((COALESCE(g{t}.gn, 0) % {g} + {g}) % {g})) / {g} AS BIGINT) AS weight
+         FROM {prev} LEFT JOIN g{t} USING (b))"""
+        )
+        prev = f"w{t}"
+    joined_rounds = ",\n".join(rounds)
+    return rf"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS text,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y01
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+  FROM d WHERE length(trim(text)) > 0
+),
+cnt AS (
+  SELECT doc_id, CAST(('0x' || substr(md5('feat' || t), 1, 15))::BIGINT % 32 AS INT) AS b,
+         COUNT(*) AS n
+  FROM toks GROUP BY 1, 2
+),
+feats AS (
+  SELECT * FROM cnt
+  UNION ALL SELECT doc_id, 32 AS b, CAST(1 AS BIGINT) AS n FROM d
+),
+fx AS (SELECT f.doc_id, f.b, f.n, d.y01 FROM feats f JOIN d USING (doc_id)),
+w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS weight FROM fx),
+{joined_rounds}
+{final_select}
+"""
+
+
+ORACLE_LOGREG_W = _logreg_oracle(
+    "SELECT b, CAST(weight AS BIGINT) AS weight FROM w3 ORDER BY b"
+)
+
+
+def embedding_zca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA whitening (ops.similarity.zca_whiten): decorrelate the embedding
+    corpus so covariance ~= I before semantic-dedup/clustering. Covariance
+    comes from the distributed DECIMAL-exact in-row accumulation; the d x d
+    eigensolve is the one bounded driver action; the whitening matrix is
+    inlined into the plan as literal rows (shuffle-free JVM folds, no UDF).
+    Output: per-vector whitened L2 norm + first 4 whitened coordinates
+    (rounded for display; numpy parity is pytest-pinned). Rows-only gate:
+    the eigensolve is driver-side linear algebra SQL cannot replay."""
+    from apollo_spark.ops.similarity import zca_whiten
+
+    emb = _t(spark, sf_dir, "embeddings")
+    wdf = zca_whiten(emb, "embedding", eps=1e-5, out_col="wvec")
+    norm = F.sqrt(
+        F.aggregate(F.col("wvec"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return wdf.select(
+        "vec_id",
+        F.round(norm, 4).alias("w_norm"),
+        *[F.round(F.col("wvec")[i], 4).alias(f"w{i}") for i in range(4)],
+    ).orderBy("vec_id")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5055,7 +5339,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_gopher_quality": doc_gopher_quality,
     "pq_adc_search": pq_adc_search,
     "mmr_diverse_search": mmr_diverse_search,
+    # -- oracle-backed, new in round 3 -------------------------------------
+    "sampled_value_quantiles": sampled_value_quantiles,
+    "top_tokens_per_source": top_tokens_per_source,
+    "session_overlap_join": session_overlap_join,
+    "logreg_quality_weights": logreg_quality_weights,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
+    "embedding_zca_whitening": embedding_zca_whitening,
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
     "knn_ivf_approx": knn_ivf_approx,
@@ -5183,4 +5473,9 @@ ORACLES: dict[str, str] = {
     "knn_ivf_full_probe": ORACLE_KNN,
     # knn_ivf_approx: approximate ANN -> rows-only; recall pinned in tests
     # media_feature_extract: hash-seeded fake encoder -> rows-only check
+    "sampled_value_quantiles": ORACLE_SAMPLED_QUANTILES,
+    "top_tokens_per_source": ORACLE_TOP_TOKENS,
+    "session_overlap_join": ORACLE_SESSION_OVERLAP,
+    "logreg_quality_weights": ORACLE_LOGREG_W,
+    # embedding_zca_whitening: driver-side eigensolve -> rows-only; numpy parity in tests
 }

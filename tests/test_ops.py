@@ -1698,3 +1698,131 @@ def test_skipgram_pairs_no_subsample_known_answer(spark):
         r.n for r in skipgram_pairs(docs2, window=2, subsample_t=None).collect() if r.center == "the"
     )
     assert kept_the < total_the_pairs_nosub  # aggressive downsampling of the stopword
+
+
+# --------------------------------------------------------------------------
+# round 3: interval_join / hash_sample / zca_whiten / hard-sigmoid logreg
+# --------------------------------------------------------------------------
+
+
+def _interval_fixture(spark):
+    left = spark.createDataFrame(
+        [(1, 0, 10), (1, 100, 200), (2, 5, 15), (2, 7000, 7200)],
+        "k long, lo long, hi long",
+    ).withColumnsRenamed({"lo": "l_lo", "hi": "l_hi"})
+    right = spark.createDataFrame(
+        [(1, 5, 12), (1, 500, 600), (2, 0, 4), (2, 7100, 7150), (3, 0, 100)],
+        "k long, lo long, hi long",
+    ).withColumnsRenamed({"lo": "r_lo", "hi": "r_hi"})
+    return left, right
+
+
+def test_interval_join_plain_equals_bucketed(spark):
+    from apollo_spark.ops.relational import interval_join
+
+    left, right = _interval_fixture(spark)
+    want = {(1, 0, 10, 5, 12), (2, 7000, 7200, 7100, 7150)}
+    plain = interval_join(left, right, ["k"], "l_lo", "l_hi", "r_lo", "r_hi")
+    assert {tuple(r) for r in plain.collect()} == want
+    # bucketed: identical result, exactly-once even when a pair shares many
+    # buckets (width 8 splits [0,10]x[5,12] across 2 shared buckets)
+    for w in (8, 50, 100_000):
+        b = interval_join(left, right, ["k"], "l_lo", "l_hi", "r_lo", "r_hi", bucket_width=w)
+        assert {tuple(r) for r in b.collect()} == want, f"width={w}"
+
+
+def test_interval_join_touching_endpoints_inclusive(spark):
+    from apollo_spark.ops.relational import interval_join
+
+    left = spark.createDataFrame([(1, 0, 10)], "k long, l_lo long, l_hi long")
+    right = spark.createDataFrame([(1, 10, 20), (1, 21, 30)], "k long, r_lo long, r_hi long")
+    out = interval_join(left, right, ["k"], "l_lo", "l_hi", "r_lo", "r_hi", bucket_width=4)
+    assert [(r.r_lo, r.r_hi) for r in out.collect()] == [(10, 20)]  # closed-interval touch
+
+
+def test_hash_sample_mergeable_and_coordinated(spark):
+    from apollo_spark.ops.sketch import hash_sample
+
+    df = spark.range(0, 4000).select(F.col("id"))
+    s_all = {r.id for r in hash_sample(df, "id", 8).collect()}
+    # mergeable: union of part-samples == sample of union (same salt/denom)
+    lo, hi = df.filter("id < 2000"), df.filter("id >= 2000")
+    merged = {r.id for r in hash_sample(lo, "id", 8).union(hash_sample(hi, "id", 8)).collect()}
+    assert merged == s_all
+    # coordinated: the same key draws the same verdict in a different table
+    other = spark.range(0, 4000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    s_other = {r.id for r in hash_sample(other, "id", 8).collect()}
+    assert s_other == s_all
+    # rate lands near 1/8 (md5 uniformity)
+    assert 0.06 < len(s_all) / 4000 < 0.19
+
+
+def test_zca_whiten_identity_covariance(spark):
+    from apollo_spark.ops.similarity import zca_whiten
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(400, 4))
+    x[:, 1] = 0.9 * x[:, 0] + 0.1 * x[:, 1]  # strong correlation to remove
+    rows = [(i, [float(v) for v in x[i]]) for i in range(len(x))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = zca_whiten(df, "embedding", eps=1e-8, out_col="w")
+    w = np.array([r.w for r in out.orderBy("vec_id").collect()])
+    cov = np.cov(w, rowvar=False, bias=True)
+    assert np.allclose(cov, np.eye(4), atol=0.05)
+    # numpy parity of the transform itself
+    xf = x.astype(np.float32).astype(np.float64)
+    mu = xf.mean(axis=0)
+    c = np.cov(xf, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(c)
+    wm = (vecs * (1.0 / np.sqrt(np.maximum(vals, 0) + 1e-8))) @ vecs.T
+    ref = (xf - mu) @ wm.T
+    # engine covariance rides DECIMAL(38,6) sums -> ~1e-6 grain in cov, so
+    # per-coordinate parity holds to ~1e-4, not machine epsilon
+    assert np.allclose(w, ref, atol=1e-4)
+
+
+def test_floor_div_matches_python_floor(spark):
+    from apollo_spark.ops.ml import floor_div
+
+    df = spark.createDataFrame([(a,) for a in (-130, -64, -1, 0, 1, 63, 64, 130)], "a long")
+    got = {r.a: r.q for r in df.select("a", floor_div(F.col("a"), 64).alias("q")).collect()}
+    assert got == {a: a // 64 for a in got}
+
+
+def test_logreg_hard_sigmoid_learns_and_calms(spark):
+    from apollo_spark.ops.ml import (
+        LOGREG_SCALE,
+        classifier_margins,
+        hashed_token_features,
+        logreg_train_hardsigmoid,
+    )
+
+    rows = [(i, "good clean prose", 1) for i in range(30)] + [
+        (i + 30, "spam junk noise", 0) for i in range(30)
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t, _ in rows], "doc_id long, text string")
+    labels = spark.createDataFrame([(i, y) for i, _, y in rows], "doc_id long, y01 int")
+    feats = hashed_token_features(docs, buckets=16, salt="t")
+    w = logreg_train_hardsigmoid(feats, labels, iters=4, lr_inv=16)
+    scores = classifier_margins(feats, w).join(labels, "doc_id")
+    rowsc = scores.collect()
+    # separation: every positive scores above every negative
+    pos = [r.score for r in rowsc if r.y01 == 1]
+    neg = [r.score for r in rowsc if r.y01 == 0]
+    assert min(pos) > max(neg)
+    # calibration pressure: once hard-sigmoid saturates (|z| >= 2) the
+    # residual is exactly 0/1-side-capped, so weights stop growing — unlike
+    # a perceptron trained past separation, gradients vanish. Verify the
+    # saturated margins sit beyond the 2.0 knee in real units.
+    assert min(pos) / (4 * LOGREG_SCALE) > -2.0
+
+
+def test_logreg_gradient_magnitude_step(spark):
+    # one round, one feature, from w=0: z=0 -> s=1/2; residual = 1/2 - y01.
+    # doc (n=1, y=1): e_num = -2e6; grad = -2e6; dw = -floor(-2e6/64) = 31250.
+    from apollo_spark.ops.ml import logreg_train_hardsigmoid
+
+    spark_df = spark.createDataFrame([(1, 0, 1)], "doc_id long, b int, n long")
+    labels = spark.createDataFrame([(1, 1)], "doc_id long, y01 int")
+    w = logreg_train_hardsigmoid(spark_df, labels, iters=1, lr_inv=16)
+    assert [(r.b, r.weight) for r in w.collect()] == [(0, 31250)]
