@@ -237,3 +237,29 @@ def salted_join(
     r = right.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     out = l.join(r, on + ["__salt"], how)
     return out.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    buckets: int = 8,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a hash-bucketed (and per-bucket sorted) parquet table so
+    every future equi-join/aggregation on ``keys`` between co-bucketed
+    tables is EXCHANGE-FREE: Spark maps bucket i of each side to the same
+    task, and with ``sort`` the sort-merge join skips its sort too.
+
+    This is the pay-once-shuffle-forever primitive for 100 TB fact tables
+    joined repeatedly on the same key (lineitem x orders every night): the
+    bucketing shuffle happens at WRITE time, and N downstream joins each
+    save a full-table exchange of both sides. Bucket count is a frozen
+    layout property — pick ~ (table size / target partition size) at the
+    LARGEST anticipated scale; co-joined tables must use identical counts.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(buckets, *list(keys))
+    if sort:
+        w = w.sortBy(*list(keys))
+    w.saveAsTable(table)
