@@ -86,6 +86,20 @@ class DedupSpec:
 
 
 @dataclass
+class SampleSpec:
+    """v2 `sample` block: deterministic coordinated hash-rate sampling
+    (ops/sketch.py::hash_sample) as a declarative stage — keep rows whose
+    portable hash of ``key`` is 0 mod ``denominator``. Mergeable across
+    increments and coordinated across tables (same key, same verdict), so
+    sampled pipelines compose; unlike TABLESAMPLE the survivor set is
+    reproducible run to run and engine to engine."""
+
+    key: str
+    denominator: int = 16
+    salt: str = "samp"
+
+
+@dataclass
 class QuerySpec:
     name: str
     chain: str
@@ -101,6 +115,8 @@ class QuerySpec:
     window: Body | None = None
     # v2 `dedup` block: declarative corpus deduplication (ops/dedup.py tier)
     dedup: DedupSpec | None = None
+    # v2 `sample` block: deterministic hash-rate sampling (ops/sketch.py)
+    sample: SampleSpec | None = None
     sort: list[Node] = field(default_factory=list)
     limit: int | None = None
     start_block: int | None = None
@@ -292,12 +308,27 @@ def _parse_query(block: Block, env: dict[str, Any], item: Any = None) -> QuerySp
             shingle_n=int(_const(dbody, "shingle_n", env, 2)),
         )
 
+    sample_spec = None
+    sample_blocks = b.blocks_of("sample")
+    if sample_blocks:
+        sbody = sample_blocks[0].body
+        key = _const(sbody, "key", env, None)
+        if key is None:
+            raise SchemaError(f"query {name}: sample block requires a `key` attribute")
+        denom = int(_const(sbody, "denominator", env, 16))
+        if denom < 1:
+            raise SchemaError(f"query {name}: sample denominator must be >= 1, got {denom}")
+        sample_spec = SampleSpec(
+            key=str(key), denominator=denom, salt=str(_const(sbody, "salt", env, "samp"))
+        )
+
     return QuerySpec(
         name=name,
         joins=[_parse_join(jb) for jb in b.blocks_of("join")],
         aggregate=agg_blocks[0].body if agg_blocks else None,
         window=window_blocks[0].body if window_blocks else None,
         dedup=dedup_spec,
+        sample=sample_spec,
         sort=sort_items,
         limit=(int(_const(b, "limit", env)) if b.attr("limit") is not None else None),
         chain=str(_const(b, "chain", env)),

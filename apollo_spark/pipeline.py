@@ -213,12 +213,13 @@ def _eval_tail(
     aggregate: Body | None = None,
     window: Body | None = None,
     dedup=None,
+    sample=None,
     sort: list | None = None,
     limit: int | None = None,
     user_functions: dict | None = None,
 ) -> DataFrame:
-    """joins -> transform -> filter -> dedup -> window -> aggregate -> save
-    -> sort/limit over an already-decoded source frame."""
+    """joins -> transform -> filter -> sample -> dedup -> window ->
+    aggregate -> save -> sort/limit over an already-decoded source frame."""
     if joins:
         df = _apply_joins(df, joins, catalog)
     env = _scope_env(df, variables, chain)
@@ -249,6 +250,14 @@ def _eval_tail(
         df = df.withColumns(transform_cols)
     if filter_col is not None:
         df = df.filter(filter_col)
+
+    if sample is not None:
+        # before dedup: sampling first keeps the dedup stage's shuffles over
+        # 1/denominator of the rows (the verdicts are key-deterministic, so
+        # order vs dedup only affects cost, not which survivors qualify)
+        from apollo_spark.ops.sketch import hash_sample
+
+        df = hash_sample(df, sample.key, sample.denominator, sample.salt)
 
     if dedup is not None:
         df = _apply_dedup(df, dedup)
@@ -500,6 +509,7 @@ def compile_query(
                 aggregate=query.aggregate,
                 window=query.window,
                 dedup=query.dedup,
+                sample=query.sample,
                 sort=query.sort,
                 limit=query.limit,
                 user_functions=schema.functions,
@@ -521,6 +531,7 @@ def compile_query(
                 aggregate=query.aggregate,
                 window=query.window,
                 dedup=query.dedup,
+                sample=query.sample,
                 sort=query.sort,
                 limit=query.limit,
                 user_functions=schema.functions,
@@ -542,6 +553,7 @@ def compile_query(
                     aggregate=query.aggregate,
                     window=query.window,
                     dedup=query.dedup,
+                sample=query.sample,
                     sort=query.sort,
                     limit=query.limit,
                     user_functions=schema.functions,
@@ -597,6 +609,7 @@ def compile_query(
                     aggregate=query.aggregate,
                     window=query.window,
                     dedup=query.dedup,
+                sample=query.sample,
                     sort=query.sort,
                     limit=query.limit,
                     user_functions=schema.functions,
@@ -630,6 +643,7 @@ def compile_query(
                 aggregate=query.aggregate,
                 window=query.window,
                 dedup=query.dedup,
+                sample=query.sample,
                 sort=query.sort,
                 limit=query.limit,
                 user_functions=schema.functions,

@@ -866,6 +866,49 @@ GROUP BY event_type HAVING COUNT(*) > 10 ORDER BY event_type
 """
 
 
+EVENTS_DSL_SAMPLE = """
+query sampled_event_stats {
+  chain = "ethereum"
+  source_table = "events"
+  sample {
+    key = "event_id"
+    denominator = 4
+    salt = "s"
+  }
+  aggregate {
+    group_by = [event_type]
+    n = count()
+    total = sum(value)
+  }
+  sort = [event_type]
+}
+"""
+
+
+def events_dsl_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 `sample` DSL block: deterministic coordinated hash-rate sampling
+    (ops/sketch.py::hash_sample) as a declarative pipeline stage — the 1/4
+    survivor set is reproducible engine-to-engine, so the downstream
+    aggregate hash-gates exactly against the SQL replay of the same
+    predicate (TABLESAMPLE could never do that)."""
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import compile_query
+    from apollo_spark.sources.tables import Catalog
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = parse_schema(EVENTS_DSL_SAMPLE)
+    return compile_query(spark, Catalog(spark, sf_dir), schema.queries[0], schema)
+
+
+ORACLE_EVENTS_DSL_SAMPLE = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM events
+WHERE ('0x' || substr(md5('s' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 EVENTS_DSL_JOIN = """
 query events_by_segment {
   chain = "ethereum"
@@ -1118,20 +1161,39 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-partition sort."""
     e = _events(spark, sf_dir)
     base = e.select("event_id", "event_type", _ts_micros().alias("ts_us"), "value")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
-        .rowsBetween(-20, -1)
+    # Trailing-frame sums via PREFIX sums + two lags instead of a sliding
+    # ROWS -20..-1 frame: Spark re-evaluates sliding-frame aggregates per
+    # row (O(frame*N) decimal adds), while an UNBOUNDED PRECEDING frame is
+    # incremental (O(N)) — measured 12.5s -> ~3s at sf0.1 on the ~5-way
+    # event_type parallelism. DECIMAL prefix sums are exact, so the
+    # subtraction cancels losslessly and the z-scores are bit-identical to
+    # the sliding formulation — the oracle keeps the naive sliding frame,
+    # so the gate also proves the two formulations equivalent.
+    ord_w = Window.partitionBy("event_type").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
     )
-    s1 = F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
-    s2 = F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)")).over(w).cast("double")
-    n = F.count(F.lit(1)).over(w)
-    mean = s1 / n
-    var = s2 / n - mean * mean
+    cum_w = ord_w.rowsBetween(Window.unboundedPreceding, 0)
+    zero = F.lit(0).cast("decimal(38,6)")
+    c1 = F.sum(F.col("value").cast("decimal(38,6)")).over(cum_w)
+    c2 = F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)")).over(cum_w)
+    rn = F.row_number().over(ord_w)
+    pre = base.select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.coalesce(F.lag(c1, 1).over(ord_w), zero) - F.coalesce(F.lag(c1, 21).over(ord_w), zero))
+        .cast("double")
+        .alias("__s1"),
+        (F.coalesce(F.lag(c2, 1).over(ord_w), zero) - F.coalesce(F.lag(c2, 21).over(ord_w), zero))
+        .cast("double")
+        .alias("__s2"),
+        F.least(rn - 1, F.lit(20)).cast("long").alias("__n"),
+    )
+    mean = F.col("__s1") / F.col("__n")
+    var = F.col("__s2") / F.col("__n") - mean * mean
     z = (F.col("value") - mean) / F.sqrt(var)
     return (
-        base.withColumn("__n", n)
-        .withColumn("__z", z)
+        pre.withColumn("__z", z)
         .filter((F.col("__n") >= 10) & (F.abs(F.col("__z")) > 2.5))
         .select(
             "event_id",
@@ -5344,6 +5406,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_tokens_per_source": top_tokens_per_source,
     "session_overlap_join": session_overlap_join,
     "logreg_quality_weights": logreg_quality_weights,
+    "events_dsl_sample": events_dsl_sample,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "embedding_zca_whitening": embedding_zca_whitening,
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
@@ -5477,5 +5540,6 @@ ORACLES: dict[str, str] = {
     "top_tokens_per_source": ORACLE_TOP_TOKENS,
     "session_overlap_join": ORACLE_SESSION_OVERLAP,
     "logreg_quality_weights": ORACLE_LOGREG_W,
+    "events_dsl_sample": ORACLE_EVENTS_DSL_SAMPLE,
     # embedding_zca_whitening: driver-side eigensolve -> rows-only; numpy parity in tests
 }
