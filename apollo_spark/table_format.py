@@ -369,6 +369,85 @@ class TxTable:
             )
         return cur + 1
 
+    def delete_where(self, spark: SparkSession, predicate) -> int:
+        """Predicate DELETE (copy-on-write); returns the new version.
+
+        ``predicate`` is a Column or SQL string selecting the rows to
+        REMOVE. Kept rows are those where the predicate is false OR null
+        (standard DELETE WHERE semantics — an unknown predicate does not
+        delete).
+
+        Scale shape mirrors :meth:`merge`: one snapshot scan tagged with
+        ``input_file_name`` finds the files that actually contain a matching
+        row (bounded collect of file names, never rows); only those files
+        are rewritten with the matching rows filtered out, every untouched
+        file is carried into the new manifest by reference, and the commit
+        CAS targets base_version + 1 (CommitConflict on any interleaved
+        writer). A delete hitting 0.1% of a 100 TB table rewrites ~0.1%.
+        """
+        from pyspark.sql import Column
+        from pyspark.sql import functions as F
+
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        if not isinstance(pred, Column):
+            raise TypeError(f"predicate must be a Column or SQL string, got {type(predicate)}")
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        man = self._manifest(cur)
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        files = list(man["files"])
+        touched_rel: list[str] = []
+        if files:
+            tagged = (
+                spark.read.schema(schema)
+                .parquet(*[str(self.root / f) for f in files])
+                .withColumn("__file", F.input_file_name())
+            )
+            hit_uris = {
+                r["__file"]
+                for r in tagged.filter(pred).select("__file").distinct().collect()
+            }
+            touched_rel = [f for f in files if any(u.endswith(str(Path(f))) for u in hit_uris)]
+        kept = [f for f in files if f not in set(touched_rel)]
+
+        txn = uuid.uuid4().hex
+        new_files: list[str] = []
+        new_stats: dict = {}
+        if touched_rel:
+            base = spark.read.schema(schema).parquet(
+                *[str(self.root / f) for f in touched_rel]
+            )
+            survivors = base.filter(~F.coalesce(pred, F.lit(False))).select(
+                *[f.name for f in schema.fields]
+            )
+            txn_dir = self.data_dir / f"txn-{txn}"
+            survivors.write.mode("errorifexists").parquet(str(txn_dir))
+            new_files = sorted(
+                str(p.relative_to(self.root)) for p in txn_dir.glob("*.parquet")
+            )
+            new_stats = {
+                f: s for f in new_files if (s := _file_stats(self.root / f)) is not None
+            }
+        old_stats = man.get("stats", {})
+        manifest = {
+            "version": cur + 1,
+            "mode": "delete",
+            "files": kept + new_files,
+            "stats": {**{f: old_stats[f] for f in kept if f in old_stats}, **new_stats},
+            "schema": man["schema"],
+            "schema_key": man["schema_key"],
+            "txn": txn,
+            "txn_app": None,
+            "txn_batch": None,
+            "ts": time.time(),
+        }
+        if not self._try_commit(manifest, cur + 1, txn):
+            raise CommitConflict(
+                f"concurrent commit moved {self.root} past version {cur} during delete"
+            )
+        return cur + 1
+
     def compact(
         self,
         spark: SparkSession,

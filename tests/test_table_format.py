@@ -385,3 +385,56 @@ def test_merge_into_empty_table_inserts(spark, tmp_path):
     v = t.merge(spark, _df(spark, [(1, "a")]), ["id"])
     assert v == 1
     assert [(r.id, r.v) for r in t.read(spark).collect()] == [(1, "a")]
+
+
+def test_delete_where_predicate_and_null_semantics(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, "a"), (2, None), (3, "c")], "id long, v string"))
+    v = t.delete_where(spark, "v = 'a'")
+    assert v == 2
+    # DELETE WHERE semantics: null predicate does NOT delete (id=2 kept)
+    assert sorted(r.id for r in t.read(spark).collect()) == [2, 3]
+    assert t.history()[0]["mode"] == "delete"
+
+
+def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = TxTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]).coalesce(1))
+    t.write(_df(spark, [(2, "b")]).coalesce(1))
+    before = set(t.files_for())
+    t.delete_where(spark, F.col("id") == 2)
+    after = set(t.files_for())
+    assert len(before & after) == 1  # id=1's file carried by reference
+    assert [r.id for r in t.read(spark).collect()] == [1]
+    # time travel still sees the pre-delete snapshot
+    assert sorted(r.id for r in t.read(spark, version=2).collect()) == [1, 2]
+
+
+def test_delete_where_no_match_is_metadata_only(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]))
+    before = set(t.files_for())
+    v = t.delete_where(spark, "v = 'zzz'")
+    assert v == 2
+    assert set(t.files_for()) == before  # zero files rewritten
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+
+
+def test_delete_where_conflict_detected(spark, tmp_path, monkeypatch):
+    t = TxTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]))
+    orig = TxTable._try_commit
+
+    def race(self, manifest, target, txn):
+        # another writer lands version `target` first
+        if manifest.get("mode") == "delete" and not getattr(race, "done", False):
+            race.done = True
+            t2 = TxTable(str(tmp_path / "t"))
+            t2.write(_df(spark, [(9, "z")]), mode="append")
+        return orig(self, manifest, target, txn)
+
+    monkeypatch.setattr(TxTable, "_try_commit", race)
+    with pytest.raises(CommitConflict):
+        t.delete_where(spark, "v = 'a'")
