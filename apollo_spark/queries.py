@@ -5252,6 +5252,135 @@ ORACLE_LOGREG_W = _logreg_oracle(
 )
 
 
+def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health diagnostic: least-squares slope of log(freq) vs
+    log(rank) over the top-200 tokens — natural text tracks Zipf (slope
+    ~ -1); a badly-filtered or template-heavy corpus bends away from it,
+    so the slope is a one-number drift alarm for a 100 TB ingest.
+
+    Shape: the token count groupBy map-side combines to vocabulary size;
+    the global top-200 rides one single-task window over (token, n) pairs
+    only — vocabulary-bounded, corpus-size independent (at web scale
+    pre-filter n >= some floor first). Regression sums are
+    per-term-DECIMAL(38,6) rounded ln() values (order-independent,
+    engine-exact); the closed-form slope/intercept are single IEEE
+    divisions."""
+    from apollo_spark.ops.corpus import whitespace_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    top = counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 200)
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    sums = top.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(dec(x)).cast("double").alias("sx"),
+        F.sum(dec(y)).cast("double").alias("sy"),
+        F.sum(dec(x * y)).cast("double").alias("sxy"),
+        F.sum(dec(x * x)).cast("double").alias("sxx"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("k").cast("long").alias("n_tokens"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6).alias("zipf_intercept"),
+    )
+
+
+ORACLE_ZIPF_SLOPE = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+top AS (
+  SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS rank
+  FROM cnt QUALIFY rank <= 200
+),
+s AS (
+  SELECT COUNT(*) AS k,
+         CAST(SUM(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(n AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+  FROM top
+)
+SELECT CAST(k AS BIGINT) AS n_tokens,
+       ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6) AS zipf_intercept
+FROM s
+"""
+
+
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing diagnostic: KL(P_source || P_corpus) of each source's
+    token distribution against the whole-corpus distribution (add-one
+    smoothed) — the per-source drift score a mixture-rebalancing pipeline
+    (DoReMi-style) watches; a source whose KL jumps between snapshots
+    changed its content mix.
+
+    Shape: per-(source, token) counts map-side combine; the corpus
+    distribution joins in on the token key (vocabulary-sized shuffle,
+    corpus-size independent); scalar totals ride a broadcast crossJoin.
+    Each KL term is DECIMAL(38,6)-rounded (order-independent sum,
+    engine-exact); divisions/ln are fixed-order IEEE."""
+    from apollo_spark.ops.corpus import whitespace_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("tok"))
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n_st"))
+    ts = st.groupBy("source").agg(F.sum("n_st").alias("t_s"))
+    ct = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_t"))
+    scal = ct.agg(
+        F.sum("n_t").cast("double").alias("t_all"), F.count(F.lit(1)).cast("double").alias("v")
+    )
+    p = F.col("n_st").cast("double") / F.col("t_s").cast("double")
+    q = (F.col("n_t").cast("double") + 1.0) / (F.col("t_all") + F.col("v"))
+    term = (p * F.log(p / q)).cast("decimal(38,6)")
+    return (
+        st.join(F.broadcast(ts), "source")
+        .join(ct, "tok")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("source")
+        .agg(
+            F.max("t_s").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab_used"),
+            F.round(F.sum(term).cast("double"), 6).alias("kl_vs_corpus"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_KL = r"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n_st FROM toks GROUP BY 1, 2),
+ts AS (SELECT source, SUM(n_st) AS t_s FROM st GROUP BY source),
+ct AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_t FROM toks GROUP BY tok),
+scal AS (SELECT CAST(SUM(n_t) AS DOUBLE) AS t_all, CAST(COUNT(*) AS DOUBLE) AS v FROM ct)
+SELECT st.source,
+       CAST(MAX(ts.t_s) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab_used,
+       ROUND(CAST(SUM(CAST(
+         (CAST(n_st AS DOUBLE) / CAST(t_s AS DOUBLE))
+         * ln((CAST(n_st AS DOUBLE) / CAST(t_s AS DOUBLE))
+              / ((CAST(n_t AS DOUBLE) + 1.0) / (t_all + v)))
+       AS DECIMAL(38,6))) AS DOUBLE), 6) AS kl_vs_corpus
+FROM st JOIN ts USING (source) JOIN ct USING (tok) CROSS JOIN scal
+GROUP BY st.source ORDER BY st.source
+"""
+
+
 def embedding_zca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZCA whitening (ops.similarity.zca_whiten): decorrelate the embedding
     corpus so covariance ~= I before semantic-dedup/clustering. Covariance
@@ -5407,6 +5536,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_overlap_join": session_overlap_join,
     "logreg_quality_weights": logreg_quality_weights,
     "events_dsl_sample": events_dsl_sample,
+    "zipf_token_slope": zipf_token_slope,
+    "source_kl_divergence": source_kl_divergence,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "embedding_zca_whitening": embedding_zca_whitening,
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
@@ -5541,5 +5672,7 @@ ORACLES: dict[str, str] = {
     "session_overlap_join": ORACLE_SESSION_OVERLAP,
     "logreg_quality_weights": ORACLE_LOGREG_W,
     "events_dsl_sample": ORACLE_EVENTS_DSL_SAMPLE,
+    "zipf_token_slope": ORACLE_ZIPF_SLOPE,
+    "source_kl_divergence": ORACLE_SOURCE_KL,
     # embedding_zca_whitening: driver-side eigensolve -> rows-only; numpy parity in tests
 }
