@@ -371,6 +371,91 @@ def ngram_jaccard_pairs(
     return tight.unionByName(rescored).unionByName(exact_pairs)
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via PPJoin-style PREFIX FILTERING
+    (Bayardo et al. WWW'07; Xiao et al. PPJoin) — a lossless alternative
+    candidate generator to :func:`ngram_jaccard_pairs`'s full inverted
+    index.
+
+    Canonical order = ascending global document frequency (shingle
+    tie-break), so the indexed prefix holds each document's RAREST
+    shingles. Prefix length ``p = |S| - ceil(t*|S|) + 1``: under the length
+    filter (|B| >= t|A|), any pair with jaccard >= t needs overlap
+    >= ceil(t*|A|), and two sets whose canonical prefixes are disjoint can
+    overlap at most min(|A| - p_A, |B| - p_B) = ceil(t*|X|) - 1 < that — so
+    every qualifying pair collides on some prefix shingle and the filter is
+    lossless. The epsilon inside ceil() rounds the boundary DOWN (longer
+    prefix), keeping the prune conservative against float error.
+
+    Scale trade vs the full index: only the (1-t) rarest fraction of each
+    document's shingles is indexed AND the join keys are by construction
+    the LOW-df shingles, so the df^2 posting fan-out on hot keys — the
+    thing ``max_df`` exists to cap — largely disappears without losing
+    recall. Cost: survivors re-score from full shingle arrays (one join
+    back to the corpus), which is O(|S|) per CANDIDATE, vs the full
+    index's O(1)-per-posting count aggregation.
+
+    MEASURED VERDICT on the driver corpus (sf0.1, short docs, near-uniform
+    shingle df): the count-based full index wins by 10-45x at every
+    threshold (t=0.7: 1.7s vs 47s) — with no hot keys to dodge, prefix
+    filtering only pays the re-score surcharge. Reach for this variant
+    when the corpus has genuinely hot shingles (web boilerplate) AND a
+    high threshold; otherwise prefer :func:`ngram_jaccard_pairs` with a
+    finite ``max_df``. Kept lossless-verified (pytest pins equality with
+    the full index) rather than benched as a headline query.
+    """
+    spark = df.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = (
+        df.repartition(parts, F.col(id_col))
+        .select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    ex = base.select("id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("s").asc())
+    prefix = (
+        ex.join(dfreq, "s")
+        .withColumn("__pos", F.row_number().over(w_doc))
+        .filter(
+            F.col("__pos")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - 1e-9) + 1
+        )
+        .select("id", "n", "s")
+    )
+    len_ok = (F.col("a.n") >= threshold * F.col("b.n") - 1e-9) & (
+        F.col("b.n") >= threshold * F.col("a.n") - 1e-9
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")) & len_ok,
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand.join(base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def strip_hot_lines(
     df: DataFrame,
     max_line_df: int | None = None,

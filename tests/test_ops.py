@@ -1826,3 +1826,23 @@ def test_logreg_gradient_magnitude_step(spark):
     labels = spark.createDataFrame([(1, 1)], "doc_id long, y01 int")
     w = logreg_train_hardsigmoid(spark_df, labels, iters=1, lr_inv=16)
     assert [(r.b, r.weight) for r in w.collect()] == [(0, 31250)]
+
+
+def test_ngram_prefix_filter_equals_full_index(spark):
+    """PPJoin prefix-filtered candidates are lossless: identical pair set +
+    scores as the full-inverted-index lossless config, at a low and a high
+    (dedup-grade) threshold."""
+    from apollo_spark.ops.dedup import ngram_jaccard_pairs, ngram_jaccard_pairs_prefix
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for t in (0.2, 0.5):
+        full = {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in ngram_jaccard_pairs(d, n=2, threshold=t, max_df=None).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in ngram_jaccard_pairs_prefix(d, n=2, threshold=t).collect()
+        }
+        assert pref == full, f"t={t}: {len(pref)} vs {len(full)} pairs"
+    assert full  # non-vacuous: the corpus does contain qualifying pairs
