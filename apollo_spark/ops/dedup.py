@@ -645,3 +645,155 @@ def duplicated_spans(
         )
         .select(F.col("id").alias(id_col), "n_windows", "n_dup_windows", "dup_frac")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental near-dup index (continuous-ingest dedup)
+# --------------------------------------------------------------------------
+
+
+def _minhash_bands_and_sigs(
+    df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int, bands: int
+):
+    """(bands_df: id|bkey, sigs_df: id|sig array<long>) for a doc batch —
+    the same banded xxhash64 pipeline as minhash_lsh_pairs."""
+    rows = num_hashes // bands
+    base = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    hashed = base.select("id", F.explode("sh").alias("s")).select(
+        "id", F.xxhash64("s").alias("h")
+    )
+    sig = hashed.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(F.lit(b), *[F.col(f"m{b * rows + j}") for j in range(rows)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bkey"),
+    )
+    sigs = sig.select("id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"))
+    return banded, sigs
+
+
+def incremental_minhash_dedup(
+    index_dir: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    corpus: DataFrame | None = None,
+    txn_app: str | None = None,
+    txn_batch: int | None = None,
+) -> DataFrame:
+    """Continuous-ingest near-dup detection: match a NEW document increment
+    against everything already ingested — without rescanning the historical
+    corpus — then commit the increment's index state.
+
+    This is the production shape of fuzzy dedup at 100 TB/day: a one-shot
+    ``minhash_lsh_pairs`` over (history + increment) re-hashes the entire
+    lake every batch; this maintains a persistent LSH band index
+    (TxTable at ``index_dir``/bands, O(bands) longs per doc) plus a
+    signature table (``index_dir``/sigs, num_hashes longs per doc) and each
+    increment only (a) hashes ITS OWN documents, (b) joins its band keys
+    against the index — the shuffle moves the increment, never the corpus.
+
+    Returns matches ``(new_id, match_id, est_jaccard[, jaccard])``:
+    new-vs-history collisions plus new-vs-new (id-ordered) within the
+    increment, scored by the signature agreement fraction ``est_jaccard``
+    (unbiased minhash estimate, stderr ~ 1/sqrt(num_hashes)). Pass
+    ``corpus`` (id/text of ALL previously ingested + new docs — the lake
+    table itself) to add an exact ``jaccard`` re-score and filter at
+    ``threshold`` exactly; without it the filter uses the estimate
+    (document the tolerance in the pipeline contract).
+
+    Commit ordering: matches are computed BEFORE the increment's rows are
+    appended (so the same batch is never matched against itself twice);
+    pass ``txn_app``/``txn_batch`` from a foreachBatch sink for
+    exactly-once index maintenance across checkpoint restarts. The two
+    table commits are not atomic together; on a crash between them the
+    bands table may lead the sigs table by one batch — re-running the
+    batch (same txn ids) heals it because each commit is idempotent.
+    """
+    from apollo_spark.table_format import TxTable
+
+    spark = new_docs.sparkSession
+    bands_t = TxTable(f"{index_dir}/bands")
+    sigs_t = TxTable(f"{index_dir}/sigs")
+    new_bands, new_sigs = _minhash_bands_and_sigs(
+        new_docs, id_col, text_col, n, num_hashes, bands
+    )
+    new_bands = new_bands.persist()
+    new_sigs = new_sigs.persist()
+
+    old_bands = bands_t.read(spark) if bands_t.current_version() is not None else None
+    vs_hist = (
+        new_bands.alias("a")
+        .join(old_bands.alias("b"), F.col("a.bkey") == F.col("b.bkey"))
+        .select(F.col("a.id").alias("new_id"), F.col("b.id").alias("match_id"))
+        if old_bands is not None
+        else None
+    )
+    vs_self = (
+        new_bands.alias("a")
+        .join(
+            new_bands.alias("b"),
+            (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("new_id"), F.col("b.id").alias("match_id"))
+    )
+    cand = (vs_self if vs_hist is None else vs_hist.unionByName(vs_self)).dropDuplicates(
+        ["new_id", "match_id"]
+    )
+
+    all_sigs = (
+        new_sigs if sigs_t.current_version() is None else sigs_t.read(spark).unionByName(new_sigs)
+    )
+    est = (
+        cand.join(all_sigs.select(F.col("id").alias("new_id"), F.col("sig").alias("__sa")), "new_id")
+        .join(all_sigs.select(F.col("id").alias("match_id"), F.col("sig").alias("__sb")), "match_id")
+        .withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with("__sa", "__sb", lambda a, b: (a == b).cast("int")),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.lit(float(num_hashes)),
+        )
+        .drop("__sa", "__sb")
+    )
+    if corpus is not None:
+        texts = corpus.select(
+            F.col(id_col).alias("__tid"), shingles(F.col(text_col), n).alias("__tsh")
+        )
+        est = (
+            est.join(texts.select(F.col("__tid").alias("new_id"), F.col("__tsh").alias("__ha")), "new_id")
+            .join(texts.select(F.col("__tid").alias("match_id"), F.col("__tsh").alias("__hb")), "match_id")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("__ha", "__hb")).cast("double")
+                / F.size(F.array_union("__ha", "__hb")).cast("double"),
+            )
+            .drop("__ha", "__hb")
+            .filter(F.col("jaccard") >= threshold)
+        )
+    else:
+        est = est.filter(F.col("est_jaccard") >= threshold)
+    matches = est.persist()
+    matches.count()  # materialize before the index moves
+
+    bands_t.write(new_bands, mode="append", txn_app=txn_app, txn_batch=txn_batch)
+    sigs_t.write(new_sigs, mode="append", txn_app=txn_app, txn_batch=txn_batch)
+    new_bands.unpersist()
+    new_sigs.unpersist()
+    return matches

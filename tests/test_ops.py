@@ -1846,3 +1846,37 @@ def test_ngram_prefix_filter_equals_full_index(spark):
         }
         assert pref == full, f"t={t}: {len(pref)} vs {len(full)} pairs"
     assert full  # non-vacuous: the corpus does contain qualifying pairs
+
+
+def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
+    """Continuous-ingest dedup: a later increment's near-dup of an earlier
+    batch's doc is found WITHOUT rescanning batch 1's text; same-batch dups
+    are found too; the index grows append-only."""
+    from apollo_spark.ops.dedup import incremental_minhash_dedup
+    from apollo_spark.table_format import TxTable
+
+    idx = str(tmp_path / "mh_index")
+    long_a = " ".join(f"tok{i}" for i in range(60))
+    long_b = " ".join(f"other{i}" for i in range(60))
+    b1 = spark.createDataFrame(
+        [(1, long_a), (2, long_b)], "doc_id long, text string"
+    )
+    m1 = incremental_minhash_dedup(idx, b1, threshold=0.6)
+    assert m1.count() == 0  # no dups inside batch 1
+
+    near_a = " ".join(f"tok{i}" for i in range(58)) + " changed1 changed2"
+    b2 = spark.createDataFrame(
+        [(10, near_a), (11, near_a + " x"), (12, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    corpus = b1.unionByName(b2)
+    m2 = incremental_minhash_dedup(idx, b2, threshold=0.6, corpus=corpus)
+    got = {(r.new_id, r.match_id) for r in m2.collect()}
+    assert (10, 1) in got      # cross-batch near-dup, batch-1 text never rehashed
+    assert (10, 11) in got     # same-batch near-dup (id-ordered)
+    assert all(nid != 12 and mid != 12 for nid, mid in got)
+    # exact re-score present and sane
+    assert all(0.6 <= r.jaccard <= 1.0 for r in m2.collect())
+    # index state: bands table holds both batches' docs
+    bands = TxTable(f"{idx}/bands").read(spark)
+    assert {r.id for r in bands.select("id").distinct().collect()} == {1, 2, 10, 11, 12}
