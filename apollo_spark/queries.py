@@ -5381,6 +5381,179 @@ GROUP BY st.source ORDER BY st.source
 """
 
 
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form cube/rollup specialize:
+    ((status), (priority), ()) computes two independent one-dimension
+    rollups + grand total in ONE pass over orders (a UNION ALL of three
+    aggregates would scan three times). Spark expands the sets into a
+    single expand+aggregate; grouping_id disambiguates the null rows."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(10) decile report over customer account balances: per-decile
+    count, min/max balance, and DECIMAL-exact mean — the classic
+    distribution-profile query (risk banding, ltv tiers). One global-order
+    window over (acctbal, custkey) pairs only; tie-break on custkey makes
+    the decile assignment total and engine-deterministic."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (
+        c.select("c_custkey", "c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_bal"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_BALANCE_DECILES = """
+WITH d AS (
+  SELECT c_custkey, c_acctbal,
+         NTILE(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+  FROM customer
+)
+SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n,
+       ROUND(MIN(c_acctbal), 2) AS min_bal,
+       ROUND(MAX(c_acctbal), 2) AS max_bal,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_bal
+FROM d GROUP BY decile ORDER BY decile
+"""
+
+
+def lineitem_unpivot_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long): melt the per-lineitem money columns
+    (extendedprice, discount, tax) into (measure, amount) rows and
+    aggregate per measure — the reshaping step feeding generic
+    metric-store sinks. Spark's unpivot is a zero-shuffle expand (3 rows
+    out per row in, no join); the only exchange is the 3-group aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="amount",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("amount").cast("decimal(38,6)")).cast("double"), 4).alias(
+                "total"
+            ),
+            F.round(F.max("amount"), 4).alias("max_amount"),
+        )
+        .orderBy("measure")
+    )
+
+
+ORACLE_UNPIVOT_CHARGES = """
+WITH long AS (
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS amount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+)
+SELECT measure, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(amount AS DECIMAL(38,6))) AS DOUBLE), 4) AS total,
+       ROUND(MAX(amount), 4) AS max_amount
+FROM long GROUP BY measure ORDER BY measure
+"""
+
+
+def doc_memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document memorization-risk score: the fraction of a doc's
+    distinct 5-gram shingles that also occur in at least one OTHER document
+    — the overlap statistic behind dedup-for-memorization work (Lee et al.
+    2022): docs whose shingles are mostly shared are the ones a model can
+    regurgitate from elsewhere in the corpus. Shape: shingle df via one
+    map-side-combined groupBy; docs re-join on the shingle key
+    (vocabulary-sized exchange); top-20 riskiest (tie-break doc_id)."""
+    from apollo_spark.ops.dedup import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(shingles(F.col("text"), 5)).alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        ex.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+        .withColumn(
+            "shared_frac",
+            F.round(F.col("n_shared").cast("double") / F.col("n_shingles").cast("double"), 6),
+        )
+    )
+    return (
+        per_doc.orderBy(F.col("shared_frac").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", "n_shingles", "n_shared", "shared_frac")
+    )
+
+
+ORACLE_MEMORIZATION = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+sh AS (
+  -- mirrors ops.dedup.shingles: texts shorter than n words yield ONE
+  -- whole-text shingle instead of being dropped
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                ELSE list_distinct(list_transform(generate_series(1, len(t)-4),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))
+                END) AS s
+  FROM toks
+),
+dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+  FROM sh JOIN dfreq USING (s) GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS shared_frac
+FROM per_doc
+ORDER BY shared_frac DESC, doc_id ASC
+LIMIT 20
+"""
+
+
 def embedding_zca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZCA whitening (ops.similarity.zca_whiten): decorrelate the embedding
     corpus so covariance ~= I before semantic-dedup/clustering. Covariance
@@ -5538,6 +5711,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_dsl_sample": events_dsl_sample,
     "zipf_token_slope": zipf_token_slope,
     "source_kl_divergence": source_kl_divergence,
+    "orders_grouping_sets": orders_grouping_sets,
+    "customer_balance_deciles": customer_balance_deciles,
+    "lineitem_unpivot_charges": lineitem_unpivot_charges,
+    "doc_memorization_risk": doc_memorization_risk,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "embedding_zca_whitening": embedding_zca_whitening,
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
@@ -5674,5 +5851,9 @@ ORACLES: dict[str, str] = {
     "events_dsl_sample": ORACLE_EVENTS_DSL_SAMPLE,
     "zipf_token_slope": ORACLE_ZIPF_SLOPE,
     "source_kl_divergence": ORACLE_SOURCE_KL,
+    "orders_grouping_sets": ORACLE_GROUPING_SETS,
+    "customer_balance_deciles": ORACLE_BALANCE_DECILES,
+    "lineitem_unpivot_charges": ORACLE_UNPIVOT_CHARGES,
+    "doc_memorization_risk": ORACLE_MEMORIZATION,
     # embedding_zca_whitening: driver-side eigensolve -> rows-only; numpy parity in tests
 }
