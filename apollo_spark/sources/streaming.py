@@ -298,6 +298,45 @@ def streaming_hll_rollup(
     return _sink
 
 
+def streaming_cms_rollup(
+    table_dir: str,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+    app_id: str = "cms_rollup",
+):
+    """foreachBatch sink factory: a continuously-merged count–min sketch —
+    streaming frequency estimation / heavy hitters whose state is
+    O(depth x width) integers forever.
+
+    The HLL sibling (:func:`streaming_hll_rollup`) max-merges, which is
+    idempotent on its own; CMS merge is elementwise ADD, so a re-applied
+    micro-batch would double-count — exactly-once rests entirely on the
+    TxTable (app_id, batch_id) manifest dedup: a checkpoint-replayed batch's
+    OVERWRITE commit is a no-op, and the state a replay would have rebuilt
+    is already committed. Query the state any time with
+    ops.sketch.cms_estimate / a candidate join."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from apollo_spark.ops.sketch import cms_counts
+        from apollo_spark.table_format import TxTable
+
+        spark = batch_df.sparkSession
+        table = TxTable(table_dir)
+        counts = cms_counts(batch_df, item_col, depth=depth, width=width, salt=salt)
+        if table.current_version() is not None:
+            counts = (
+                table.read(spark)
+                .unionByName(counts)
+                .groupBy("r", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        table.write(counts, mode="overwrite", txn_app=app_id, txn_batch=int(batch_id))
+
+    return _sink
+
+
 def event_triggered_calls(
     decoded_stream: DataFrame,
     contract: ContractSpec,

@@ -798,3 +798,57 @@ query rt_win {
     )
     with pytest.raises(PipelineError, match="batch-only"):
         compile_streaming_query(spark, catalog, schema.queries[0], schema, str(tmp_path))
+
+
+def test_streaming_cms_rollup_matches_batch_sketch_and_replay_safe(spark, tmp_path):
+    """Add-merged CMS state after N micro-batches == one-shot batch sketch
+    over the union (mergeability across the streaming boundary), and a
+    re-run with NO new files leaves the state untouched (manifest
+    exactly-once — critical for CMS, whose merge is NOT idempotent)."""
+    import json
+
+    from apollo_spark.ops.sketch import cms_counts, cms_estimate
+    from apollo_spark.sources.streaming import streaming_cms_rollup
+    from apollo_spark.table_format import TxTable
+
+    src = tmp_path / "cms_stream"
+    src.mkdir()
+    state = str(tmp_path / "cms_state")
+    ckpt = str(tmp_path / "cms_ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema("tok string").json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(
+                streaming_cms_rollup(state, "tok", depth=4, width=64)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    rows1 = [{"tok": "hot"}] * 50 + [{"tok": f"t{i}"} for i in range(30)]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    run_once()
+    rows2 = [{"tok": "hot"}] * 70 + [{"tok": "warm"}] * 20
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+    run_once()
+
+    merged = TxTable(state).read(spark)
+    whole = spark.createDataFrame([(r["tok"],) for r in rows1 + rows2], "tok string")
+    want = cms_counts(whole, "tok", depth=4, width=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, want.collect()))
+
+    v_before = TxTable(state).current_version()
+    run_once()  # no new files -> empty batch run; state must not double-count
+    est = cms_estimate(
+        TxTable(state).read(spark),
+        spark.createDataFrame([("hot",), ("warm",)], "tok string"),
+        "tok",
+        depth=4,
+        width=64,
+    )
+    got = {r.tok: r.cms_count for r in est.collect()}
+    assert got["hot"] == 120 and got["warm"] == 20  # CMS >= truth; equality at this width
+    assert TxTable(state).current_version() in (v_before, v_before + 1)
