@@ -5381,6 +5381,57 @@ GROUP BY st.source ORDER BY st.source
 """
 
 
+def events_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup (1 h windows every 30 min): each event lands in
+    size/step = 2 overlapping windows, realized as a 2-way offset explode +
+    one groupBy — the batch mirror of Structured Streaming's
+    window(size, slide) TVF, with integer-second window starts so the
+    window assignment is engine-exact. Sums ride DECIMAL(38,6). The explode
+    doubles rows BEFORE the single shuffle; no self-join, no second pass."""
+    e = _events(spark, sf_dir)
+    size, step = 3600, 1800
+    base = e.select("event_type", _ts_seconds().alias("ts_s"), "value")
+    hopped = (
+        base.select(
+            "event_type",
+            "value",
+            "ts_s",
+            F.explode(F.array(*[F.lit(j) for j in range(size // step)])).alias("__j"),
+        )
+        .select(
+            "event_type",
+            "value",
+            "ts_s",
+            ((F.expr("ts_s div 1800") - F.col("__j")) * step).alias("win_start"),
+        )
+        .filter(F.col("win_start") + size > F.col("ts_s"))
+    )
+    return (
+        hopped.groupBy("event_type", "win_start")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type", "win_start")
+    )
+
+
+ORACLE_HOPPING = """
+WITH base AS (
+  SELECT event_type, epoch_ns(ts) // 1000000000 AS ts_s, value FROM events
+),
+hopped AS (
+  SELECT event_type, value, ((ts_s // 1800) - j) * 1800 AS win_start, ts_s
+  FROM base CROSS JOIN (SELECT unnest([0, 1]) AS j)
+)
+SELECT event_type, win_start, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM hopped WHERE win_start + 3600 > ts_s
+GROUP BY event_type, win_start
+ORDER BY event_type, win_start
+"""
+
+
 def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — the general form cube/rollup specialize:
     ((status), (priority), ()) computes two independent one-dimension
@@ -5711,6 +5762,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_dsl_sample": events_dsl_sample,
     "zipf_token_slope": zipf_token_slope,
     "source_kl_divergence": source_kl_divergence,
+    "events_hopping_rollup": events_hopping_rollup,
     "orders_grouping_sets": orders_grouping_sets,
     "customer_balance_deciles": customer_balance_deciles,
     "lineitem_unpivot_charges": lineitem_unpivot_charges,
@@ -5851,6 +5903,7 @@ ORACLES: dict[str, str] = {
     "events_dsl_sample": ORACLE_EVENTS_DSL_SAMPLE,
     "zipf_token_slope": ORACLE_ZIPF_SLOPE,
     "source_kl_divergence": ORACLE_SOURCE_KL,
+    "events_hopping_rollup": ORACLE_HOPPING,
     "orders_grouping_sets": ORACLE_GROUPING_SETS,
     "customer_balance_deciles": ORACLE_BALANCE_DECILES,
     "lineitem_unpivot_charges": ORACLE_UNPIVOT_CHARGES,

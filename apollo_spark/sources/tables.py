@@ -31,10 +31,25 @@ class Catalog:
                 return p, ext
         return None, None
 
+    def _tx_table_dir(self, name: str):
+        """A directory with a ``_commits`` manifest log is a TxTable — the
+        repo's transactional format joins the catalog as a first-class
+        source: DSL queries read the CURRENT committed snapshot (exact
+        manifest file list, no directory LIST), never in-flight txn data."""
+        p = self.root / name
+        if p.is_dir() and (p / "_commits").is_dir():
+            return p
+        return None
+
     def has(self, name: str) -> bool:
-        return self._find(name)[0] is not None
+        return self._find(name)[0] is not None or self._tx_table_dir(name) is not None
 
     def table(self, name: str) -> DataFrame:
+        tx = self._tx_table_dir(name)
+        if tx is not None:
+            from apollo_spark.table_format import TxTable
+
+            return TxTable(str(tx)).read(self.spark)
         path, ext = self._find(name)
         if path is None:
             raise FileNotFoundError(f"catalog table {name!r} not found under {self.root}")
@@ -87,6 +102,9 @@ class Catalog:
                 if p.name.endswith(ext):
                     out.add(p.name[: -len(ext)])
                     break
+            else:
+                if self._tx_table_dir(p.name) is not None:
+                    out.add(p.name)
         return sorted(out)
 
     def register_views(self) -> None:

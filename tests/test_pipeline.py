@@ -710,3 +710,39 @@ query t {{
             abi_ev = c.abi.events[ev.name]
             abi_names = {p.name for p in abi_ev.inputs}
             assert set(ev.outputs) <= abi_names, (tpl_name, ev.name)
+
+
+def test_dsl_query_reads_tx_table_source(spark, tmp_path):
+    """A TxTable directory is a first-class catalog source: DSL queries see
+    the CURRENT committed snapshot (and only committed data)."""
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import compile_query
+    from apollo_spark.sources.tables import Catalog
+    from apollo_spark.table_format import TxTable
+
+    t = TxTable(str(tmp_path / "metrics"))
+    t.write(spark.createDataFrame([(1, 10.0), (2, -3.0)], "k long, v double"))
+    t.write(spark.createDataFrame([(3, 7.0)], "k long, v double"))  # append
+
+    cat = Catalog(spark, tmp_path)
+    assert cat.has("metrics") and "metrics" in cat.names()
+    schema = parse_schema(
+        """
+        query tx_positive {
+          chain = "ethereum"
+          source_table = "metrics"
+          filter = [ v > 0 ]
+          save {
+            k = k
+            v = v
+          }
+          sort = [k]
+        }
+        """
+    )
+    out = compile_query(spark, cat, schema.queries[0], schema)
+    assert [(r.k, r.v) for r in out.collect()] == [(1, 10.0), (3, 7.0)]
+    # delete lands a new version; the catalog follows the snapshot
+    t.delete_where(spark, "k = 1")
+    out2 = compile_query(spark, cat, schema.queries[0], schema)
+    assert [(r.k, r.v) for r in out2.collect()] == [(3, 7.0)]
