@@ -797,3 +797,164 @@ def incremental_minhash_dedup(
     new_bands.unpersist()
     new_sigs.unpersist()
     return matches
+
+
+# --------------------------------------------------------------------------
+# Portable (engine-replayable) MinHash / SimHash
+# --------------------------------------------------------------------------
+# The xxhash64 variants above are the fast path (one JVM intrinsic per
+# shingle).  The variants below trade ~2x hash cost for *portability*: every
+# hash is either an md5 prefix or 2-universal modular arithmetic, both of
+# which DuckDB replays bit-for-bit — so the ENTIRE LSH pipeline (shingle ->
+# signature -> band -> candidate join -> exact verify) is SQL-oracle-gateable,
+# not just rows-only-checked.  Same shuffle geometry as the fast path: band
+# keys are scalar longs, candidate fan-out is bounded by band width.
+
+MH_PRIME = (1 << 61) - 1  # Mersenne prime; slot values fit signed 64-bit
+_LO30 = (1 << 30) - 1
+
+
+def _mh_consts(i: int) -> tuple[int, int, int]:
+    """Per-slot (a, b, c) for the 2-universal mix ((hi*a + lo*b + c) mod P).
+    Derived from md5 so both engines inline the same literals; a, b nonzero
+    and < 2^30 so hi*a + lo*b + c < 2^62 (no ANSI overflow)."""
+    import hashlib
+
+    d = hashlib.md5(f"mh{i}".encode()).digest()
+    a = int.from_bytes(d[0:4], "big") % ((1 << 30) - 1) + 1
+    b = int.from_bytes(d[4:8], "big") % ((1 << 30) - 1) + 1
+    c = int.from_bytes(d[8:12], "big") % (1 << 30)
+    return a, b, c
+
+
+def minhash_portable_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with a fully SQL-replayable hash family.
+
+    Shingle hash = 60-bit md5 prefix; slot i = min over shingles of the
+    2-universal mix with _mh_consts(i); band key = md5 prefix of the
+    '|'-joined (band, slot values) string.  b=16 x r=2 default:
+    P(candidate | j=0.5) = 1-(1-0.25)^16 ~ 0.99.  Candidates are verified
+    with exact shingle jaccard, so band-hash collisions are harmless."""
+    from apollo_spark.ops.sketch import portable_hash60
+
+    rows = num_hashes // bands
+    base = (
+        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    hashed = base.select("id", F.explode("sh").alias("s")).select(
+        "id", portable_hash60(F.col("s")).alias("h")
+    )
+    hi = F.shiftright(F.col("h"), 30)
+    lo = F.col("h").bitwiseAND(F.lit(_LO30))
+    aggs = []
+    for i in range(num_hashes):
+        a, b, c = _mh_consts(i)
+        aggs.append(F.min((hi * F.lit(a) + lo * F.lit(b) + F.lit(c)) % F.lit(MH_PRIME)).alias(f"m{i}"))
+    sig = hashed.groupBy("id").agg(*aggs)
+    band_keys = [
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(b), *[F.col(f"m{b * rows + j}") for j in range(rows)])),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", F.explode(F.array(*band_keys)).alias("bkey"))
+    left = banded.select(F.col("id").alias("id_a"), F.col("bkey").alias("ka"))
+    right = banded.select(F.col("id").alias("id_b"), F.col("bkey").alias("kb"))
+    cand = (
+        left.join(right, (left["ka"] == right["kb"]) & (left["id_a"] < right["id_b"]))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_map = base.select("id", "sh")
+    cand = cand.join(
+        sh_map.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sh_map.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash60_portable(text_col, n: int = 2):
+    """60-bit SimHash whose feature hash is the 60-bit md5 prefix — the
+    signature (not just its row count) is reproducible in DuckDB.  60 bits
+    also sidesteps the Java sign-bit special case of the 64-bit variant:
+    every mask is a positive long."""
+    from apollo_spark.ops.sketch import portable_hash60
+
+    bits = 60
+    sh = shingles(text_col, n)
+    hashes = F.transform(sh, lambda s: portable_hash60(s))
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, masks, lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)),
+    )
+    return F.aggregate(
+        F.zip_with(votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_portable_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """ALL pairs within hamming distance max_hamming of the portable 60-bit
+    SimHash — lossless by pigeonhole: 4 blocks of 15 bits, <=3 differing bits
+    cannot touch all 4 blocks, so every qualifying pair collides in >=1 block.
+    The block join shuffles (block, 15-bit key) scalars; candidates are
+    verified with bit_count, so this is exact (same trick as the image
+    ahash pairing, which is what makes a naive-join SQL oracle valid)."""
+    blocks, bbits = 4, 15
+    sig = df.select(F.col(id_col).alias("id"), simhash60_portable(F.col(text_col), n).alias("sim"))
+    keyed = sig.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("sim"), i * bbits)
+                        .bitwiseAND(F.lit((1 << bbits) - 1).cast("long"))
+                        .alias("key"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("bk"),
+    )
+    a = keyed.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"), F.col("bk").alias("ka"))
+    b = keyed.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"), F.col("bk").alias("kb"))
+    return (
+        a.join(b, (a["ka"] == b["kb"]) & (a["id_a"] < b["id_b"]))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

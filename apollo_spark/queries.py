@@ -1818,6 +1818,122 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_portable_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with the PORTABLE hash family (md5-prefix
+    shingle hash + 2-universal modular slots + md5-prefix band keys): the
+    whole pipeline — signatures, banding, candidate join, exact verify — is
+    replayed by the SQL oracle, closing the round-2 gap where MinHash could
+    only be rows-only-checked. Band geometry b=16 x r=2 at threshold 0.5."""
+    from apollo_spark.ops.dedup import minhash_portable_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        minhash_portable_pairs(d, n=3, num_hashes=32, bands=16, threshold=0.5)
+        .withColumn("jaccard", F.round("jaccard", 6))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _minhash_portable_oracle(n: int = 3, num_hashes: int = 32, bands: int = 16, threshold: float = 0.5) -> str:
+    from apollo_spark.ops.dedup import _mh_consts
+
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN(((h >> 30) * {a} + (h & 1073741823) * {b} + {c}) % 2305843009213693951) AS m{i}"
+        for i, (a, b, c) in ((i, _mh_consts(i)) for i in range(num_hashes))
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, ('0x' || substr(md5(concat_ws('|', {b}, {cols})), 1, 15))::BIGINT AS bkey FROM sig".format(
+            b=b, cols=", ".join(f"m{b * rows + j}" for j in range(rows))
+        )
+        for b in range(bands)
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < {n} THEN [array_to_string(w, ' ')]
+              ELSE list_distinct(list_transform(generate_series(1, len(w) - {n - 1}),
+                                                i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(n))})) END AS sh
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM ex),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM h GROUP BY doc_id
+),
+bands AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh))) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+ORACLE_MINHASH_PORTABLE = _minhash_portable_oracle()
+
+
+def simhash_portable_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL document pairs within hamming<=3 of the portable 60-bit SimHash.
+    The Spark side buckets on 4x15-bit blocks (pigeonhole-lossless, scalar
+    join keys); the oracle replays signature construction bit-for-bit and
+    verifies with a naive join — valid because the banding is exact, so both
+    compute the same total answer."""
+    from apollo_spark.ops.dedup import simhash_portable_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_portable_pairs(d, n=2, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def _simhash_portable_oracle(n: int = 2, max_hamming: int = 3) -> str:
+    bits = 60
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < {n} THEN [array_to_string(w, ' ')]
+              ELSE list_distinct(list_transform(generate_series(1, len(w) - {n - 1}),
+                                                i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(n))})) END AS sh
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM ex),
+v AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+),
+sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS sim FROM v)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+ORACLE_SIMHASH_PORTABLE = _simhash_portable_oracle()
+
+
 # --------------------------------------------------------------------------
 # window / grouping-set / set-op tier
 # --------------------------------------------------------------------------
@@ -5770,7 +5886,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "embedding_zca_whitening": embedding_zca_whitening,
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
+    "minhash_portable_dup_pairs": minhash_portable_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
+    "simhash_portable_near_dups": simhash_portable_near_dups,
     "knn_ivf_approx": knn_ivf_approx,
     "media_feature_extract": media_feature_extract,
     "semantic_dedup_docs": semantic_dedup_docs,
@@ -5830,6 +5948,8 @@ ORACLES: dict[str, str] = {
     "doc_repetition": ORACLE_REPETITION,
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "ngram_jaccard_dup_pairs": ORACLE_NGRAM_JACCARD,
+    "minhash_portable_dup_pairs": ORACLE_MINHASH_PORTABLE,
+    "simhash_portable_near_dups": ORACLE_SIMHASH_PORTABLE,
     "embedding_near_dup_exact": ORACLE_EMB_NEAR_DUP,
     "corpus_token_budget_sample": ORACLE_TOKEN_BUDGET,
     "training_order_shuffle": ORACLE_TRAIN_ORDER,

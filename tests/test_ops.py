@@ -1880,3 +1880,43 @@ def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
     # index state: bands table holds both batches' docs
     bands = TxTable(f"{idx}/bands").read(spark)
     assert {r.id for r in bands.select("id").distinct().collect()} == {1, 2, 10, 11, 12}
+
+
+def test_minhash_portable_matches_planted_dups(spark):
+    from apollo_spark.ops.dedup import minhash_portable_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+    variant = base.replace("green", "dark")
+    other = "completely different text about spark execution plans and shuffle partitioning strategies overall"
+    rows = [(1, base), (2, variant), (3, other), (4, base + " extra")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in minhash_portable_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) in pairs and (1, 4) in pairs
+    assert not any(3 in p for p in pairs)
+    # verify stage reports EXACT jaccard (not the minhash estimate)
+    from apollo_spark.ops.dedup import shingles
+
+    sh = {r.doc_id: set(r.sh) for r in df.select("doc_id", shingles(F.col("text"), 3).alias("sh")).collect()}
+    for (a, b), j in pairs.items():
+        exact = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+        assert abs(j - exact) < 1e-12
+
+
+def test_simhash_portable_pigeonhole_lossless(spark):
+    """The 4x15-bit block join must return EXACTLY the naive all-pairs
+    hamming<=3 answer (pigeonhole: 3 flipped bits can't hit 4 blocks)."""
+    from apollo_spark.ops.dedup import simhash60_portable, simhash_portable_pairs
+
+    texts = [(i, " ".join(f"tok{j}" for j in range(i, i + 30))) for i in range(40)]
+    texts += [(100, texts[0][1]), (101, texts[0][1].replace("tok3", "tok3x"))]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    sims = {r.doc_id: r.sim for r in df.select("doc_id", simhash60_portable(F.col("text")).alias("sim")).collect()}
+    naive = {
+        (a, b, bin(sims[a] ^ sims[b]).count("1"))
+        for a in sims
+        for b in sims
+        if a < b and bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    got = {(r.id_a, r.id_b, r.hamming) for r in simhash_portable_pairs(df).collect()}
+    assert got == naive
+    assert (0, 100, 0) in got  # exact dup pair survives
