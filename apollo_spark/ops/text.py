@@ -654,3 +654,67 @@ def nfc_normalize(text_col) -> Column:
 
     _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return pandas_udf(_nfc, "string")(text_col)
+
+
+def winnowing_fingerprints(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+):
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 — the
+    MOSS algorithm): hash every positional word k-gram, slide a w-window over
+    the hash sequence, keep the leftmost minimum of each window.  Guarantees
+    every shared run of >= w+k-1 words between two documents yields a shared
+    fingerprint, with ~2/(w+1) selection density.
+
+    Relational formulation (no per-doc Python, no sort beyond one window):
+    one shuffle on id_col computes both the running window-min (frame
+    [CURRENT, w-1 FOLLOWING]) and the position count; the argmin is recovered
+    by a co-partitioned self-join on (id, hash) + a position range predicate,
+    then MIN(pos) per window — deterministic leftmost tie-break in both
+    engines.  Hashes are 60-bit md5 prefixes, so the whole op is
+    SQL-oracle-replayable.  Documents shorter than k words contribute their
+    whole text as one gram; shorter than w grams, one (truncated) window.
+
+    Returns (id_col, pos, fp) — the selected k-gram positions and their
+    60-bit fingerprints.
+    """
+    from pyspark.sql import Window as W
+
+    from apollo_spark.ops.dedup import normalize_text
+    from apollo_spark.ops.sketch import portable_hash60
+
+    wa = F.split(normalize_text(F.col(text_col)), " ")
+    m = F.greatest(F.size(wa) - (k - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), m), lambda i: F.concat_ws(" ", F.slice(wa, i, k)))
+    g = df.select(F.col(id_col), F.posexplode(grams).alias("p", "__s")).select(
+        id_col, "p", portable_hash60(F.col("__s")).alias("h")
+    )
+    dwin = W.partitionBy(id_col)
+    owin = W.partitionBy(id_col).orderBy("p").rowsBetween(0, w - 1)
+    wins = (
+        g.withColumn("npos", F.count(F.lit(1)).over(dwin))
+        .withColumn("wmin", F.min("h").over(owin))
+        .filter(F.col("p") <= F.greatest(F.col("npos") - w, F.lit(0)))
+        .select(F.col(id_col).alias("__wid"), F.col("p").alias("q"), "wmin")
+    )
+    gj = g.select(
+        F.col(id_col).alias("__gid"), F.col("p").alias("__gp"), F.col("h").alias("__gh")
+    )
+    sel = (
+        wins.join(
+            gj,
+            (wins["__wid"] == gj["__gid"])
+            & (wins["wmin"] == gj["__gh"])
+            & (gj["__gp"] >= wins["q"])
+            & (gj["__gp"] <= wins["q"] + (w - 1)),
+        )
+        .groupBy("__wid", "q", "wmin")
+        .agg(F.min("__gp").alias("pos"))
+    )
+    return (
+        sel.select(F.col("__wid").alias(id_col), "pos", F.col("wmin").alias("fp"))
+        .dropDuplicates([id_col, "pos", "fp"])
+    )

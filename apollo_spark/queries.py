@@ -1934,6 +1934,55 @@ ORDER BY id_a, id_b
 ORACLE_SIMHASH_PORTABLE = _simhash_portable_oracle()
 
 
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing sketch (k=4 word grams, window w=5): the
+    guaranteed-coverage upgrade of doc_fingerprints — any shared run of
+    >= w+k-1 words between two documents shares a selected fingerprint.
+    One shuffle on doc_id + a co-partitioned argmin join; every hash is a
+    60-bit md5 prefix so the oracle replays selection exactly."""
+    from apollo_spark.ops.text import winnowing_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnowing_fingerprints(d, k=4, w=5).orderBy("doc_id", "pos")
+
+
+ORACLE_WINNOWING = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w0
+  FROM documents
+),
+g0 AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(w0) - 3, 1)),
+                        i -> array_to_string(w0[i:i+3], ' ')) AS gr
+  FROM t
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(gr)),
+                               i -> {'p': i - 1, 'h': ('0x' || substr(md5(gr[i]), 1, 15))::BIGINT})) AS u
+  FROM g0
+),
+gp AS (SELECT doc_id, u.p AS p, u.h AS h FROM grams),
+wins AS (
+  SELECT doc_id, p AS q, wmin FROM (
+    SELECT doc_id, p,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin,
+           COUNT(*) OVER (PARTITION BY doc_id) AS npos
+    FROM gp)
+  WHERE p <= greatest(npos - 5, 0)
+),
+sel AS (
+  SELECT w.doc_id, w.q, w.wmin, MIN(g.p) AS pos
+  FROM wins w
+  JOIN gp g ON g.doc_id = w.doc_id AND g.h = w.wmin AND g.p >= w.q AND g.p <= w.q + 4
+  GROUP BY w.doc_id, w.q, w.wmin
+)
+SELECT DISTINCT doc_id, pos, wmin AS fp FROM sel
+ORDER BY doc_id, pos
+"""
+
+
 # --------------------------------------------------------------------------
 # window / grouping-set / set-op tier
 # --------------------------------------------------------------------------
@@ -5798,6 +5847,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "purchases_asof_click": purchases_asof_click,
     "dedup_exact_docs": dedup_exact_docs,
     "doc_fingerprints": doc_fingerprints,
+    "doc_winnowing_fingerprints": doc_winnowing_fingerprints,
     "doc_text_stats": doc_text_stats,
     "doc_language_id": doc_language_id,
     "knn_bruteforce": knn_bruteforce,
@@ -5934,6 +5984,7 @@ ORACLES: dict[str, str] = {
     "purchases_asof_click": ORACLE_ASOF,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT,
     "doc_fingerprints": ORACLE_FINGERPRINTS,
+    "doc_winnowing_fingerprints": ORACLE_WINNOWING,
     "doc_text_stats": ORACLE_TEXT_STATS,
     "doc_language_id": ORACLE_LANG_ID,
     "knn_bruteforce": ORACLE_KNN,

@@ -1920,3 +1920,39 @@ def test_simhash_portable_pigeonhole_lossless(spark):
     got = {(r.id_a, r.id_b, r.hamming) for r in simhash_portable_pairs(df).collect()}
     assert got == naive
     assert (0, 100, 0) in got  # exact dup pair survives
+
+
+def test_winnowing_matches_naive_and_guarantees_shared_runs(spark):
+    from apollo_spark.ops.text import winnowing_fingerprints
+
+    k, w = 3, 4
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, "intro words here " + shared + " tail one"),
+        (2, shared + " completely other ending tokens follow now"),
+        (3, "unrelated document about query planning and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.pos, r.fp) for r in winnowing_fingerprints(df, k=k, w=w).collect()}
+
+    # naive reference: hash every positional k-gram, leftmost-min per window
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    expect = set()
+    for doc_id, text in rows:
+        ws = text.lower().split()
+        grams = [" ".join(ws[i : i + k]) for i in range(max(len(ws) - k + 1, 1))]
+        hs = [h60(g) for g in grams]
+        for q in range(max(len(hs) - w + 1, 1)):
+            win = hs[q : q + w]
+            m = min(win)
+            expect.add((doc_id, q + win.index(m), m))
+    assert got == expect
+
+    # guarantee: docs 1 and 2 share a >= w+k-1 word run -> share a fingerprint VALUE
+    fps = lambda d: {fp for (doc, _, fp) in got if doc == d}
+    assert fps(1) & fps(2)
+    assert not (fps(3) & (fps(1) | fps(2)))
