@@ -499,3 +499,28 @@ def skipgram_pairs(
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def split_assignment(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fractions: tuple[int, int] = (96, 2),
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: split is a pure function of
+    the row id (md5-prefix bucket 0..99), so membership is stable across
+    reruns, repartitionings, and engines — no RNG, no shuffle, a narrow map.
+    ``fractions`` = (train_pct, val_pct); the remainder is test.  The md5
+    bucket (not Knuth multiplicative) deliberately decorrelates from
+    ``hash_bucket`` so sampling and splitting never alias each other.
+    """
+    from apollo_spark.ops.sketch import portable_hash60
+
+    train_pct, val_pct = fractions
+    b = portable_hash60(F.col(id_col).cast("string"), salt=salt) % 100
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -1983,6 +1983,81 @@ ORDER BY doc_id, pos
 """
 
 
+def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 96/2/2 train/val/test split (md5-bucket of doc_id — a
+    pure function of the id, stable across reruns/engines/partitionings),
+    reported as per-(source, split) doc and token counts. Narrow map + one
+    groupBy shuffle of source x 3 rows."""
+    from apollo_spark.ops.corpus import split_assignment, whitespace_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        split_assignment(d, fractions=(96, 2))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(whitespace_tokens(F.col("text"))).cast("long")).alias("n_tokens"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+ORACLE_SPLIT_ASSIGNMENT = r"""
+WITH s AS (
+  SELECT source,
+         CASE WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 96 THEN 'train'
+              WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 98 THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT source, split, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM s GROUP BY source, split
+ORDER BY source, split
+"""
+
+
+def corpus_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus report card — docs, sources, languages, exact token
+    totals/averages, empty-doc and exact-dup-doc counts. Every figure is one
+    scan + map-side-combined aggregates (the dup count rides a distinct on
+    the content digest); sums go through DECIMAL so the report is
+    engine-exact at any scale."""
+    from apollo_spark.ops.corpus import whitespace_tokens
+    from apollo_spark.ops.dedup import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(whitespace_tokens(F.col("text"))).cast("long")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(toks).alias("total_tokens"),
+        (F.sum(toks.cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.sum(F.when(F.length(F.trim(F.col("text"))) == 0, 1).otherwise(0)).alias("n_empty"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5(normalize_text(F.col("text"))))).alias("n_exact_dups"),
+    )
+
+
+ORACLE_CORPUS_SUMMARY = r"""
+WITH s AS (
+  SELECT source, lang, text,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(n_tokens AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+       COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_exact_dups
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # window / grouping-set / set-op tier
 # --------------------------------------------------------------------------
@@ -5862,6 +5937,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": doc_chunks,
     # -- oracle-backed, new in round 2 -------------------------------------
     "corpus_token_budget_sample": corpus_token_budget_sample,
+    "corpus_split_assignment": corpus_split_assignment,
+    "corpus_summary_stats": corpus_summary_stats,
     "training_order_shuffle": training_order_shuffle,
     "benchmark_decontamination": benchmark_decontamination,
     "pii_scrub_stats": pii_scrub_stats,
@@ -6003,6 +6080,8 @@ ORACLES: dict[str, str] = {
     "simhash_portable_near_dups": ORACLE_SIMHASH_PORTABLE,
     "embedding_near_dup_exact": ORACLE_EMB_NEAR_DUP,
     "corpus_token_budget_sample": ORACLE_TOKEN_BUDGET,
+    "corpus_split_assignment": ORACLE_SPLIT_ASSIGNMENT,
+    "corpus_summary_stats": ORACLE_CORPUS_SUMMARY,
     "training_order_shuffle": ORACLE_TRAIN_ORDER,
     "benchmark_decontamination": ORACLE_DECONTAM,
     "pii_scrub_stats": ORACLE_PII,

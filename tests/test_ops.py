@@ -1956,3 +1956,20 @@ def test_winnowing_matches_naive_and_guarantees_shared_runs(spark):
     fps = lambda d: {fp for (doc, _, fp) in got if doc == d}
     assert fps(1) & fps(2)
     assert not (fps(3) & (fps(1) | fps(2)))
+
+
+def test_split_assignment_deterministic_and_partitioned(spark, docs):
+    from apollo_spark.ops.corpus import split_assignment
+
+    out = split_assignment(docs, fractions=(90, 5))
+    got = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
+    # pure function of the id: identical on recompute and under repartition
+    again = {
+        r.doc_id: r.split
+        for r in split_assignment(docs.repartition(7), fractions=(90, 5)).select("doc_id", "split").collect()
+    }
+    assert got == again
+    assert set(got.values()) == {"train", "val", "test"}
+    n = len(got)
+    frac_train = sum(1 for v in got.values() if v == "train") / n
+    assert 0.8 < frac_train < 0.97  # ~90% up to hash noise on a small corpus
