@@ -100,6 +100,23 @@ class SampleSpec:
 
 
 @dataclass
+class QualitySpec:
+    """v2 `quality` block: corpus quality filtering as ONE declarative stage
+    over the ops/text.py tier — ``ruleset = "gopher"`` applies the published
+    Rae et al. 2021 hard-filter table, ``ruleset = "basic"`` the
+    lang-aware heuristic score (length/punct/stopword ratios). Runs after
+    sampling (cheaper) and before dedup (don't pay LSH for rows quality
+    would drop anyway)."""
+
+    ruleset: str = "gopher"  # gopher | basic
+    text: str = "text"
+    min_words: int = 20  # gopher
+    lang: str = "en"  # basic
+    min_quality: float = 0.6  # basic
+    min_tokens: int = 10  # basic
+
+
+@dataclass
 class QuerySpec:
     name: str
     chain: str
@@ -117,6 +134,8 @@ class QuerySpec:
     dedup: DedupSpec | None = None
     # v2 `sample` block: deterministic hash-rate sampling (ops/sketch.py)
     sample: SampleSpec | None = None
+    # v2 `quality` block: declarative corpus quality filter (ops/text.py)
+    quality: QualitySpec | None = None
     sort: list[Node] = field(default_factory=list)
     limit: int | None = None
     start_block: int | None = None
@@ -322,6 +341,24 @@ def _parse_query(block: Block, env: dict[str, Any], item: Any = None) -> QuerySp
             key=str(key), denominator=denom, salt=str(_const(sbody, "salt", env, "samp"))
         )
 
+    quality_spec = None
+    quality_blocks = b.blocks_of("quality")
+    if quality_blocks:
+        qbody = quality_blocks[0].body
+        ruleset = str(_const(qbody, "ruleset", env, "gopher"))
+        if ruleset not in ("gopher", "basic"):
+            raise SchemaError(
+                f"query {name}: quality ruleset must be gopher|basic, got {ruleset!r}"
+            )
+        quality_spec = QualitySpec(
+            ruleset=ruleset,
+            text=str(_const(qbody, "text", env, "text")),
+            min_words=int(_const(qbody, "min_words", env, 20)),
+            lang=str(_const(qbody, "lang", env, "en")),
+            min_quality=float(_const(qbody, "min_quality", env, 0.6)),
+            min_tokens=int(_const(qbody, "min_tokens", env, 10)),
+        )
+
     return QuerySpec(
         name=name,
         joins=[_parse_join(jb) for jb in b.blocks_of("join")],
@@ -329,6 +366,7 @@ def _parse_query(block: Block, env: dict[str, Any], item: Any = None) -> QuerySp
         window=window_blocks[0].body if window_blocks else None,
         dedup=dedup_spec,
         sample=sample_spec,
+        quality=quality_spec,
         sort=sort_items,
         limit=(int(_const(b, "limit", env)) if b.attr("limit") is not None else None),
         chain=str(_const(b, "chain", env)),

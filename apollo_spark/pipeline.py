@@ -214,12 +214,13 @@ def _eval_tail(
     window: Body | None = None,
     dedup=None,
     sample=None,
+    quality=None,
     sort: list | None = None,
     limit: int | None = None,
     user_functions: dict | None = None,
 ) -> DataFrame:
-    """joins -> transform -> filter -> sample -> dedup -> window ->
-    aggregate -> save -> sort/limit over an already-decoded source frame."""
+    """joins -> transform -> filter -> sample -> quality -> dedup -> window
+    -> aggregate -> save -> sort/limit over an already-decoded source frame."""
     if joins:
         df = _apply_joins(df, joins, catalog)
     env = _scope_env(df, variables, chain)
@@ -259,6 +260,11 @@ def _eval_tail(
 
         df = hash_sample(df, sample.key, sample.denominator, sample.salt)
 
+    if quality is not None:
+        # after sample (score 1/denominator of the rows), before dedup
+        # (don't pay LSH shuffles for rows quality drops anyway)
+        df = _apply_quality(df, quality)
+
     if dedup is not None:
         df = _apply_dedup(df, dedup)
 
@@ -292,6 +298,26 @@ def _eval_tail(
     if limit is not None:
         df = df.limit(limit)
     return df
+
+
+def _apply_quality(df: DataFrame, spec) -> DataFrame:
+    """v2 `quality` block: route to the ops/text.py filter tier. Both
+    rulesets are pure built-in expressions — a narrow filter, no shuffle, so
+    placement before dedup only reduces downstream cost."""
+    from pyspark.sql import functions as F
+
+    from apollo_spark.ops.text import gopher_quality_keep, quality_keep
+
+    if spec.ruleset == "gopher":
+        return df.filter(gopher_quality_keep(F.col(spec.text), min_words=spec.min_words))
+    return df.filter(
+        quality_keep(
+            F.col(spec.text),
+            lang=spec.lang,
+            min_quality=spec.min_quality,
+            min_tokens=spec.min_tokens,
+        )
+    )
 
 
 def _apply_dedup(df: DataFrame, spec) -> DataFrame:
@@ -510,6 +536,7 @@ def compile_query(
                 window=query.window,
                 dedup=query.dedup,
                 sample=query.sample,
+                    quality=query.quality,
                 sort=query.sort,
                 limit=query.limit,
                 user_functions=schema.functions,
@@ -532,6 +559,7 @@ def compile_query(
                 window=query.window,
                 dedup=query.dedup,
                 sample=query.sample,
+                    quality=query.quality,
                 sort=query.sort,
                 limit=query.limit,
                 user_functions=schema.functions,
@@ -554,6 +582,7 @@ def compile_query(
                     window=query.window,
                     dedup=query.dedup,
                 sample=query.sample,
+                    quality=query.quality,
                     sort=query.sort,
                     limit=query.limit,
                     user_functions=schema.functions,
@@ -610,6 +639,7 @@ def compile_query(
                     window=query.window,
                     dedup=query.dedup,
                 sample=query.sample,
+                    quality=query.quality,
                     sort=query.sort,
                     limit=query.limit,
                     user_functions=schema.functions,
@@ -644,6 +674,7 @@ def compile_query(
                 window=query.window,
                 dedup=query.dedup,
                 sample=query.sample,
+                    quality=query.quality,
                 sort=query.sort,
                 limit=query.limit,
                 user_functions=schema.functions,

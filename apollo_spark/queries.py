@@ -2040,6 +2040,51 @@ def corpus_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOCS_DSL_CURATION = """
+query docs_curated {
+  chain = "ethereum"
+  source_table = "documents"
+  sample {
+    key = "doc_id"
+    denominator = 2
+    salt = "cur"
+  }
+  quality {
+    ruleset = "basic"
+    min_quality = 0.6
+    min_tokens = 10
+  }
+  dedup {
+    method = "exact"
+  }
+  aggregate {
+    group_by = [source]
+    n_docs = count()
+  }
+  sort = [source]
+}
+"""
+
+
+def docs_dsl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full declarative curation pipeline as ONE HCL query: deterministic
+    1/2 hash-sample -> lang/quality `quality` block -> exact `dedup` block ->
+    per-source counts. Every stage's survivor set is a pure function of row
+    content, so the composition (not just each stage) hash-gates against the
+    SQL replay. (The `gopher` ruleset is exercised separately by
+    doc_gopher_quality — on this synthetic corpus it keeps nothing, which
+    would make this gate vacuous.)"""
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import compile_query
+    from apollo_spark.sources.tables import Catalog
+
+    schema = parse_schema(DOCS_DSL_CURATION)
+    return compile_query(spark, Catalog(spark, sf_dir), schema.queries[0], schema)
+
+
+
+
+
 ORACLE_CORPUS_SUMMARY = r"""
 WITH s AS (
   SELECT source, lang, text,
@@ -2282,6 +2327,27 @@ WITH scored AS (
 SELECT doc_id, pred_lang, quality, n_tokens FROM scored
 WHERE pred_lang = 'en' AND quality >= 0.6 AND n_tokens >= 10
 ORDER BY doc_id
+"""
+
+
+ORACLE_DOCS_DSL_CURATION = rf"""
+WITH samp AS (
+  SELECT * FROM documents
+  WHERE ('0x' || substr(md5('cur' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+),
+keep AS (
+  SELECT doc_id FROM ({ORACLE_QUALITY_FILTER.strip().removesuffix("ORDER BY doc_id").strip()})
+),
+kept AS (SELECT s.* FROM samp s JOIN keep USING (doc_id)),
+sur AS (
+  SELECT source,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           ORDER BY doc_id) AS rn
+  FROM kept
+)
+SELECT source, COUNT(*) AS n_docs FROM sur WHERE rn = 1
+GROUP BY source ORDER BY source
 """
 
 
@@ -5939,6 +6005,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_token_budget_sample": corpus_token_budget_sample,
     "corpus_split_assignment": corpus_split_assignment,
     "corpus_summary_stats": corpus_summary_stats,
+    "docs_dsl_curation": docs_dsl_curation,
     "training_order_shuffle": training_order_shuffle,
     "benchmark_decontamination": benchmark_decontamination,
     "pii_scrub_stats": pii_scrub_stats,
@@ -6082,6 +6149,7 @@ ORACLES: dict[str, str] = {
     "corpus_token_budget_sample": ORACLE_TOKEN_BUDGET,
     "corpus_split_assignment": ORACLE_SPLIT_ASSIGNMENT,
     "corpus_summary_stats": ORACLE_CORPUS_SUMMARY,
+    "docs_dsl_curation": ORACLE_DOCS_DSL_CURATION,
     "training_order_shuffle": ORACLE_TRAIN_ORDER,
     "benchmark_decontamination": ORACLE_DECONTAM,
     "pii_scrub_stats": ORACLE_PII,

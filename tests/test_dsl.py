@@ -401,3 +401,80 @@ query q {
 }
 """
         )
+
+
+def test_quality_block_gopher_and_basic(spark, tmp_path):
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import compile_query
+    from apollo_spark.sources.tables import Catalog
+
+    good = (
+        "the general availability of well formed prose with a healthy mixture of "
+        "common stopwords and ordinary sentence structure makes this document pass "
+        "every published hard filter rule without any trouble at all today"
+    )
+    rows = [
+        (1, good, "en"),
+        (2, "short", "en"),  # fails min_words
+        (3, "### ### ### " * 30, "en"),  # symbol soup fails quality rules
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    catalog = Catalog(spark, str(tmp_path))
+
+    schema = parse_schema(
+        """
+query filtered {
+  chain = "ethereum"
+  source_table = "documents"
+  quality {
+    ruleset = "gopher"
+    min_words = 20
+  }
+  save {
+    doc_id = doc_id
+  }
+}
+"""
+    )
+    out = compile_query(spark, catalog, schema.queries[0], schema).toPandas()
+    assert sorted(out["doc_id"]) == [1]
+
+    schema2 = parse_schema(
+        """
+query filtered_basic {
+  chain = "ethereum"
+  source_table = "documents"
+  quality {
+    ruleset = "basic"
+    min_quality = 0.5
+    min_tokens = 10
+  }
+  save {
+    doc_id = doc_id
+  }
+}
+"""
+    )
+    out2 = compile_query(spark, catalog, schema2.queries[0], schema2).toPandas()
+    assert 1 in set(out2["doc_id"]) and 2 not in set(out2["doc_id"])
+
+
+def test_quality_block_bad_ruleset_raises(spark):
+    import pytest as _pytest
+
+    from apollo_spark.dsl.schema import SchemaError, parse_schema
+
+    with _pytest.raises(SchemaError, match="quality ruleset"):
+        parse_schema(
+            """
+query q {
+  chain = "ethereum"
+  source_table = "documents"
+  quality {
+    ruleset = "vibes"
+  }
+}
+"""
+        )
