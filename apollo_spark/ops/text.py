@@ -669,14 +669,26 @@ def winnowing_fingerprints(
     every shared run of >= w+k-1 words between two documents yields a shared
     fingerprint, with ~2/(w+1) selection density.
 
-    Relational formulation (no per-doc Python, no sort beyond one window):
-    one shuffle on id_col computes both the running window-min (frame
-    [CURRENT, w-1 FOLLOWING]) and the position count; the argmin is recovered
-    by a co-partitioned self-join on (id, hash) + a position range predicate,
-    then MIN(pos) per window — deterministic leftmost tie-break in both
-    engines.  Hashes are 60-bit md5 prefixes, so the whole op is
-    SQL-oracle-replayable.  Documents shorter than k words contribute their
-    whole text as one gram; shorter than w grams, one (truncated) window.
+    Relational formulation: ONE shuffle on id_col, one sort, three pipelined
+    Window operators over the same (id, pos) ordering, zero joins and zero
+    distinct exchanges —
+    * ``wmin``  = MIN(h)                 over [CURRENT, w-1 FOLLOWING];
+    * ``selp``  = MIN_BY(p, (h, p))      over the same frame (leftmost-min,
+      deterministic tie-break in both engines);
+    * window validity via LEAD(p, w-1) (positions are dense, so a full
+      window exists iff a row w-1 ahead does; p = 0 keeps the one truncated
+      window of a document shorter than w grams);
+    * dedup via LAG: once a position stops being selected it can never be
+      selected again (any later-entering smaller hash outlives it in every
+      subsequent window), so selections form consecutive runs and
+      ``selp != lag(selp)`` is exactly DISTINCT — without the extra
+      shuffle DISTINCT would cost.  (The SQL oracle keeps the
+      self-join + MIN(pos) formulation — two independent derivations of the
+      same selection rule hash-matching is a stronger gate than one
+      translated plan.)
+
+    Hashes are 60-bit md5 prefixes, so the op is SQL-oracle-replayable.
+    Documents shorter than k words contribute their whole text as one gram.
 
     Returns (id_col, pos, fp) — the selected k-gram positions and their
     60-bit fingerprints.
@@ -692,29 +704,14 @@ def winnowing_fingerprints(
     g = df.select(F.col(id_col), F.posexplode(grams).alias("p", "__s")).select(
         id_col, "p", portable_hash60(F.col("__s")).alias("h")
     )
-    dwin = W.partitionBy(id_col)
-    owin = W.partitionBy(id_col).orderBy("p").rowsBetween(0, w - 1)
-    wins = (
-        g.withColumn("npos", F.count(F.lit(1)).over(dwin))
-        .withColumn("wmin", F.min("h").over(owin))
-        .filter(F.col("p") <= F.greatest(F.col("npos") - w, F.lit(0)))
-        .select(F.col(id_col).alias("__wid"), F.col("p").alias("q"), "wmin")
-    )
-    gj = g.select(
-        F.col(id_col).alias("__gid"), F.col("p").alias("__gp"), F.col("h").alias("__gh")
-    )
-    sel = (
-        wins.join(
-            gj,
-            (wins["__wid"] == gj["__gid"])
-            & (wins["wmin"] == gj["__gh"])
-            & (gj["__gp"] >= wins["q"])
-            & (gj["__gp"] <= wins["q"] + (w - 1)),
-        )
-        .groupBy("__wid", "q", "wmin")
-        .agg(F.min("__gp").alias("pos"))
-    )
+    ow = W.partitionBy(id_col).orderBy("p")
+    owf = ow.rowsBetween(0, w - 1)
     return (
-        sel.select(F.col("__wid").alias(id_col), "pos", F.col("wmin").alias("fp"))
-        .dropDuplicates([id_col, "pos", "fp"])
+        g.withColumn("wmin", F.min("h").over(owf))
+        .withColumn("selp", F.min_by("p", F.struct("h", "p")).over(owf))
+        .withColumn("__nxt", F.lead("p", w - 1).over(ow))
+        .filter(F.col("__nxt").isNotNull() | (F.col("p") == 0))
+        .withColumn("__prev", F.lag("selp").over(ow))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("selp")))
+        .select(F.col(id_col), F.col("selp").alias("pos"), F.col("wmin").alias("fp"))
     )
