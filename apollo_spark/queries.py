@@ -2018,6 +2018,70 @@ ORDER BY source, split
 """
 
 
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-gram Jaccard between SOURCES — the corpus-level
+    contamination/overlap audit (which feeds deduped-mix design). Shape:
+    distinct (source, shingle) -> self-join on shingle -> per-pair counts.
+    Fan-out per shingle is bounded by sources^2 (not docs^2), and the
+    output is one row per source pair, so this survives any corpus size;
+    the shingle-distinct shuffle is the only corpus-sized exchange."""
+    from apollo_spark.ops.dedup import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("source", F.explode(shingles(F.col("text"), 3)).alias("s")).distinct()
+    cnt = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "s")
+    b = sh.select(F.col("source").alias("source_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(F.broadcast(cnt.select(F.col("source").alias("source_a"), F.col("n").alias("na"))), "source_a")
+        .join(F.broadcast(cnt.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+ORACLE_SOURCE_OVERLAP = r"""
+WITH t AS (
+  SELECT source, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, s FROM (
+    SELECT source,
+           unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+    FROM t)
+),
+cnt AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.n_shared,
+       ROUND(CAST(i.n_shared AS DOUBLE) / (ca.n + cb.n - i.n_shared), 6) AS jaccard
+FROM inter i
+JOIN cnt ca ON ca.source = i.source_a
+JOIN cnt cb ON cb.source = i.source_b
+ORDER BY source_a, source_b
+"""
+
+
 def corpus_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus report card — docs, sources, languages, exact token
     totals/averages, empty-doc and exact-dup-doc counts. Every figure is one
@@ -6006,6 +6070,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_split_assignment": corpus_split_assignment,
     "corpus_summary_stats": corpus_summary_stats,
     "docs_dsl_curation": docs_dsl_curation,
+    "source_overlap_matrix": source_overlap_matrix,
     "training_order_shuffle": training_order_shuffle,
     "benchmark_decontamination": benchmark_decontamination,
     "pii_scrub_stats": pii_scrub_stats,
@@ -6150,6 +6215,7 @@ ORACLES: dict[str, str] = {
     "corpus_split_assignment": ORACLE_SPLIT_ASSIGNMENT,
     "corpus_summary_stats": ORACLE_CORPUS_SUMMARY,
     "docs_dsl_curation": ORACLE_DOCS_DSL_CURATION,
+    "source_overlap_matrix": ORACLE_SOURCE_OVERLAP,
     "training_order_shuffle": ORACLE_TRAIN_ORDER,
     "benchmark_decontamination": ORACLE_DECONTAM,
     "pii_scrub_stats": ORACLE_PII,
