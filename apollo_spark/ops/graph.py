@@ -318,3 +318,68 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def random_walks(
+    edges: DataFrame,
+    walks_per_node: int = 2,
+    walk_len: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    salt: str = "walk",
+) -> DataFrame:
+    """Deterministic unweighted random walks (DeepWalk / node2vec p=q=1 data
+    prep, Perozzi et al. 2014): ``walks_per_node`` walks of ``walk_len``
+    steps from every node with out-edges.
+
+    No RNG state: the step-t choice for walk (start, rep) is
+    ``portable_hash60(salt|start|rep|t) % outdeg(cur)``, resolved against a
+    per-source neighbor ranking (row_number by dst). That makes the walk set
+    a pure function of the graph — resumable, engine-replayable (the SQL
+    oracle unrolls the same joins), and shard-independent.
+
+    Scale shape: one ranking window over the edge list, then walk_len
+    equi-joins frontier-to-edges on (node, rank) — each step shuffles the
+    frontier (nodes x walks_per_node rows), never the cross product. Walks
+    stop early at sink nodes (inner join drops them). walk_len is a plan
+    constant (loop unrolled into the DAG), matching the unrolled-iteration
+    posture of pagerank/k-core above.
+
+    Returns (start, rep, step, node): step 0 is the start node itself.
+    """
+    from apollo_spark.ops.sketch import portable_hash60
+
+    ranked = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .distinct()
+        .withColumn("__r", F.row_number().over(Window.partitionBy("__s").orderBy("__d")) - 1)
+        .withColumn("__deg", F.count(F.lit(1)).over(Window.partitionBy("__s")))
+    )
+    starts = ranked.select(F.col("__s").alias("start")).distinct()
+    frontier = starts.select(
+        "start", F.explode(F.array(*[F.lit(r) for r in range(walks_per_node)])).alias("rep")
+    ).select("start", "rep", F.col("start").alias("node"))
+    out = [frontier.select("start", "rep", F.lit(0).alias("step"), "node")]
+    for t in range(1, walk_len + 1):
+        pick = portable_hash60(
+            F.concat_ws("|", F.lit(salt), F.col("start"), F.col("rep"), F.lit(t))
+        )
+        # fresh aliases per step: the loop re-joins the same ranked plan, and
+        # reused attribute ids would make the join condition ambiguous
+        e = ranked.select(
+            F.col("__s").alias(f"__s{t}"),
+            F.col("__d").alias(f"__d{t}"),
+            F.col("__r").alias(f"__r{t}"),
+            F.col("__deg").alias(f"__deg{t}"),
+        )
+        frontier = (
+            frontier.withColumn("__pick", pick)
+            .join(e, F.col("node") == F.col(f"__s{t}"))
+            .filter(F.col(f"__r{t}") == F.col("__pick") % F.col(f"__deg{t}"))
+            .select("start", "rep", F.col(f"__d{t}").alias("node"))
+        )
+        out.append(frontier.select("start", "rep", F.lit(t).alias("step"), "node"))
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

@@ -2842,6 +2842,68 @@ def item_transition_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, damping=0.85, iterations=5, weight="w").orderBy("node")
 
 
+def item_transition_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk data prep over the item-transition graph: 2 deterministic
+    random walks of 3 steps from every item with out-edges (the corpus a
+    skip-gram embedding trains on). Walk choices are hash-derived — no RNG
+    state — so the oracle unrolls the identical joins (ops.graph.random_walks)."""
+    from apollo_spark.ops.graph import random_walks
+
+    e = _events(spark, sf_dir)
+    item = F.get_json_object("props", "$.k").cast("int")
+    seq = e.select("user_id", F.col("ts").alias("tsn"), "event_id", item.alias("item"))
+    w = Window.partitionBy("user_id").orderBy(F.col("tsn").asc(), F.col("event_id").asc())
+    trans = seq.withColumn("prev", F.lag("item").over(w)).filter(F.col("prev").isNotNull())
+    edges = trans.select(F.col("prev").alias("src"), F.col("item").alias("dst"))
+    return random_walks(edges, walks_per_node=2, walk_len=3).orderBy("start", "rep", "step")
+
+
+def _walks_oracle(walks_per_node: int = 2, walk_len: int = 3) -> str:
+    reps = " UNION ALL ".join(f"SELECT {r} AS rep" for r in range(walks_per_node))
+    steps, unions = [], ["SELECT start, rep, 0 AS step, node FROM f0"]
+    for t in range(1, walk_len + 1):
+        steps.append(
+            f"""f{t} AS (
+  SELECT f.start, f.rep, e.dst AS node
+  FROM f{t - 1} f JOIN ranked e ON f.node = e.src
+   AND e.r = ('0x' || substr(md5(concat_ws('|', 'walk', f.start, f.rep, {t})), 1, 15))::BIGINT % e.deg
+)"""
+        )
+        unions.append(f"SELECT start, rep, {t} AS step, node FROM f{t}")
+    return (
+        r"""
+WITH seq AS (
+  SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+         CAST(props->>'$.k' AS INT) AS item
+  FROM events
+),
+trans AS (
+  SELECT LAG(item) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS src,
+         item AS dst
+  FROM seq
+),
+edges AS (SELECT DISTINCT src, dst FROM trans WHERE src IS NOT NULL),
+ranked AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS r,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM edges
+),
+starts AS (SELECT DISTINCT src AS start FROM ranked),
+f0 AS (SELECT start, rep, start AS node FROM starts CROSS JOIN ("""
+        + reps
+        + """) reps),
+"""
+        + ",\n".join(steps)
+        + "\n"
+        + " UNION ALL ".join(unions)
+        + "\nORDER BY start, rep, step"
+    )
+
+
+ORACLE_ITEM_WALKS = _walks_oracle()
+
+
 def _pagerank_oracle(iterations: int = 5) -> str:
     """Unrolled-iteration DuckDB mirror of ops.graph.pagerank over the item
     transition graph — same integer micro-unit lattice: BIGINT ranks
@@ -6071,6 +6133,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_summary_stats": corpus_summary_stats,
     "docs_dsl_curation": docs_dsl_curation,
     "source_overlap_matrix": source_overlap_matrix,
+    "item_transition_walks": item_transition_walks,
     "training_order_shuffle": training_order_shuffle,
     "benchmark_decontamination": benchmark_decontamination,
     "pii_scrub_stats": pii_scrub_stats,
@@ -6216,6 +6279,7 @@ ORACLES: dict[str, str] = {
     "corpus_summary_stats": ORACLE_CORPUS_SUMMARY,
     "docs_dsl_curation": ORACLE_DOCS_DSL_CURATION,
     "source_overlap_matrix": ORACLE_SOURCE_OVERLAP,
+    "item_transition_walks": ORACLE_ITEM_WALKS,
     "training_order_shuffle": ORACLE_TRAIN_ORDER,
     "benchmark_decontamination": ORACLE_DECONTAM,
     "pii_scrub_stats": ORACLE_PII,

@@ -1973,3 +1973,25 @@ def test_split_assignment_deterministic_and_partitioned(spark, docs):
     n = len(got)
     frac_train = sum(1 for v in got.values() if v == "train") / n
     assert 0.8 < frac_train < 0.97  # ~90% up to hash noise on a small corpus
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    from apollo_spark.ops.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4)], "src int, dst int"
+    )
+    out = random_walks(edges, walks_per_node=2, walk_len=3)
+    rows = {(r.start, r.rep, r.step): r.node for r in out.collect()}
+    # every start node with out-edges launches walks_per_node walks at step 0
+    assert {(s, r) for (s, r, t) in rows if t == 0} == {(s, r) for s in (1, 2, 3) for r in (0, 1)}
+    assert all(rows[(s, r, 0)] == s for (s, r, t) in rows if t == 0)
+    # every step follows a real edge
+    eset = {(1, 2), (1, 3), (2, 3), (3, 1), (3, 4)}
+    for (s, r, t), node in rows.items():
+        if t > 0:
+            assert (rows[(s, r, t - 1)], node) in eset
+    # node 4 is a sink: walks reaching it stop early (no step from 4)
+    # determinism: identical on recompute
+    rows2 = {(r.start, r.rep, r.step): r.node for r in random_walks(edges, walks_per_node=2, walk_len=3).collect()}
+    assert rows == rows2
