@@ -94,6 +94,29 @@ def _json_safe(v):
     return v
 
 
+def _merge_schemas(old: StructType, new: StructType) -> StructType:
+    """Additive (Delta ``mergeSchema``-style) evolution: the union keeps every
+    old column in place and appends new-only columns in the writer's order.
+    A column present in both must have the identical type — silent widening
+    would corrupt old-file reads. Old files read under the evolved schema get
+    NULL for appended columns (parquet by-name resolution); narrower writers
+    are likewise legal, their files read back with NULLs."""
+    by_name = {f.name: f for f in old.fields}
+    for f in new.fields:
+        if f.name in by_name:
+            if by_name[f.name].dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution cannot change column {f.name!r}: "
+                    f"{by_name[f.name].dataType} -> {f.dataType}"
+                )
+        else:
+            by_name[f.name] = f
+    return StructType(
+        [by_name[f.name] for f in old.fields]
+        + [f for f in new.fields if f.name not in {g.name for g in old.fields}]
+    )
+
+
 def _schema_key(schema: StructType) -> list[list[str]]:
     """Order-sensitive (name, type) pairs — nullability deliberately ignored
     (it flips freely across writers and engines)."""
@@ -162,6 +185,7 @@ class TxTable:
         mode: str = "append",
         txn_app: str | None = None,
         txn_batch: int | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """Commit ``df`` as a new version; returns the committed version.
 
@@ -169,6 +193,11 @@ class TxTable:
         it. ``(txn_app, txn_batch)`` makes the commit idempotent: if a commit
         with the same pair already exists the write is skipped (returns the
         current version) — the exactly-once contract for streaming replays.
+        ``merge_schema``: additive schema evolution for appends — new columns
+        are appended to the table schema (old files read back NULL for them);
+        existing columns must keep their exact type, and a writer missing
+        columns is legal (its files read back NULL there too). Without the
+        flag any schema drift is a hard error, the safe default.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -190,13 +219,21 @@ class TxTable:
 
         for _ in range(self.MAX_RETRIES):
             cur = self.current_version()
+            schema_json = df.schema.json()
+            commit_key = schema_key
             if mode == "append" and cur is not None:
                 prev = self._manifest(cur)
                 if prev["schema_key"] != schema_key:
-                    raise ValueError(
-                        f"append schema mismatch: table has {prev['schema_key']}, "
-                        f"write has {schema_key}"
+                    if not merge_schema:
+                        raise ValueError(
+                            f"append schema mismatch: table has {prev['schema_key']}, "
+                            f"write has {schema_key} (pass merge_schema=True to evolve)"
+                        )
+                    evolved = _merge_schemas(
+                        StructType.fromJson(json.loads(prev["schema"])), df.schema
                     )
+                    schema_json = evolved.json()
+                    commit_key = _schema_key(evolved)
                 files = prev["files"] + new_files
                 stats = {**prev.get("stats", {}), **new_stats}
             else:
@@ -212,8 +249,8 @@ class TxTable:
                 "mode": mode,
                 "files": files,
                 "stats": stats,
-                "schema": df.schema.json(),
-                "schema_key": schema_key,
+                "schema": schema_json,
+                "schema_key": commit_key,
                 "txn": txn,
                 "txn_app": txn_app,
                 "txn_batch": txn_batch,

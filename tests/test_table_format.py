@@ -438,3 +438,30 @@ def test_delete_where_conflict_detected(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(TxTable, "_try_commit", race)
     with pytest.raises(CommitConflict):
         t.delete_where(spark, "v = 'a'")
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    from apollo_spark.table_format import TxTable
+
+    t = TxTable(str(tmp_path / "tbl"))
+    t.write(spark.createDataFrame([(1, "a")], "id long, name string"))
+    # drift without the flag stays a hard error
+    wide = spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double")
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.write(wide)
+    t.write(wide, merge_schema=True)
+    out = t.read(spark)
+    assert out.columns == ["id", "name", "score"]
+    got = {r.id: (r.name, r.score) for r in out.collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}  # old files read NULL
+    # a narrower writer is legal under the evolved schema
+    t.write(spark.createDataFrame([(3, "c")], "id long, name string"), merge_schema=True)
+    got = {r.id: r.score for r in t.read(spark).collect()}
+    assert got == {1: None, 2: 9.5, 3: None}
+    # type change is never legal
+    bad = spark.createDataFrame([(4, "d", "oops")], "id long, name string, score string")
+    with pytest.raises(ValueError, match="cannot change column"):
+        t.write(bad, merge_schema=True)
+    # stats pruning on the appended column keeps statless (pre-evolution) files
+    files = t.files_for(prune={"score": (9.0, 10.0)})
+    assert len(files) >= 2  # the evolved file plus the sound statless keeps
