@@ -322,3 +322,42 @@ def test_covariance_exchange_is_bounded_by_dims(spark):
     p = plan(spark, "embedding_covariance_matrix")
     assert re.search(r"hashpartitioning\(i#\d+L?, j#\d+L?", p), "gram groupBy must key on (i, j)"
     assert not re.search(r"hashpartitioning\(vec_id", p), "no shuffle may be keyed on vec_id"
+
+
+def test_winnowing_single_exchange_no_join(spark):
+    """The winnowing rewrite's whole point: one shuffle on doc_id, three
+    pipelined Window operators, NO join and NO distinct aggregate — a
+    regression back to the argmin self-join would triple the exchanges."""
+    p = plan(spark, "doc_winnowing_fingerprints")
+    # exactly one data exchange besides the output sort's range partitioning
+    hash_ex = len(re.findall(r"Arguments: hashpartitioning", p))
+    assert hash_ex == 1, f"expected 1 hash exchange, plan:\n{p}"
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) Window", p)) >= 3
+
+
+def test_minhash_portable_band_join_on_scalar_key(spark):
+    """Band join must be a shuffled equi-join on the scalar band key (never a
+    nested-loop over array keys), and the exact-verify joins stay equi."""
+    p = plan(spark, "minhash_portable_dup_pairs")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_simhash_portable_votes_are_hash_aggregate(spark):
+    """Signature votes ride one partial+final HashAggregate pair (map-side
+    combined), not an interpreted array fold; pairing joins stay equi."""
+    p = plan(spark, "simhash_portable_near_dups")
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_split_assignment_no_shuffle_before_agg(spark):
+    """Split membership is a narrow map: the only exchange is the final
+    (source, split) aggregation."""
+    p = plan(spark, "corpus_split_assignment")
+    assert len(re.findall(r"Arguments: hashpartitioning", p)) <= 1
+
+
+def test_random_walks_frontier_joins_are_equi(spark):
+    p = plan(spark, "item_transition_walks")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
