@@ -472,3 +472,69 @@ def session_window_stats(
             *(["n_events"] + (["sum_value"] if value_col else [])),
         )
     )
+
+
+def streaming_corpus_dedup(
+    index_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    n: int = 3,
+    app_id: str = "corpus_dedup",
+):
+    """foreachBatch sink factory: continuous-ingest NEAR-DUP FILTERING for a
+    document stream — the streaming face of ops.dedup.incremental_minhash_dedup.
+
+    Per micro-batch: (a) match the increment's MinHash band keys against the
+    persistent LSH index at ``index_dir`` (shuffles the increment, never the
+    history), (b) drop every batch row whose estimated jaccard against an
+    already-ingested or smaller-id batchmate document clears ``threshold``,
+    (c) append only the survivors to the TxTable at ``out_dir``, (d) commit
+    the increment's index state. All four steps key on (app_id, batch_id),
+    so a checkpoint-restart replay is a no-op end to end — the survivor
+    table never double-ingests and never re-filters against itself.
+
+    State grows O(bands + num_hashes) longs per ingested doc — the index,
+    not the corpus, is the streaming state, which is what keeps this
+    runnable forever at lake scale.
+
+    Usage::
+
+        stream.writeStream.foreachBatch(
+            streaming_corpus_dedup(idx, out)
+        ).option("checkpointLocation", ckpt).start()
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from apollo_spark.ops.dedup import incremental_minhash_dedup
+        from apollo_spark.table_format import TxTable
+
+        matches = incremental_minhash_dedup(
+            index_dir,
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            threshold=threshold,
+            txn_app=app_id,
+            txn_batch=int(batch_id),
+        )
+        # min-id-survives, matching the batch dedup tier: a pair against
+        # HISTORY drops the new doc (new_id); an intra-batch pair arrives
+        # id-ordered (new_id < match_id) and drops the larger id (match_id)
+        batch_ids = batch_df.select(F.col(id_col).alias("match_id")).distinct()
+        intra = matches.join(batch_ids, "match_id", "left_semi").select(
+            F.col("match_id").alias(id_col)
+        )
+        hist = matches.join(batch_ids, "match_id", "left_anti").select(
+            F.col("new_id").alias(id_col)
+        )
+        losers = intra.unionByName(hist).distinct()
+        survivors = batch_df.join(losers, id_col, "left_anti")
+        TxTable(out_dir).write(survivors, mode="append", txn_app=app_id, txn_batch=int(batch_id))
+        matches.unpersist()
+
+    return _sink

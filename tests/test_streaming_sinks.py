@@ -852,3 +852,63 @@ def test_streaming_cms_rollup_matches_batch_sketch_and_replay_safe(spark, tmp_pa
     got = {r.tok: r.cms_count for r in est.collect()}
     assert got["hot"] == 120 and got["warm"] == 20  # CMS >= truth; equality at this width
     assert TxTable(state).current_version() in (v_before, v_before + 1)
+
+
+def test_streaming_corpus_dedup_filters_across_batches(spark, tmp_path):
+    """Near-dups must be dropped across micro-batch boundaries (vs the
+    persistent index), exact dups within a batch collapse to the min id,
+    and a checkpoint-replayed batch must not double-ingest."""
+    import json as _json
+
+    from apollo_spark.sources.streaming import streaming_corpus_dedup
+    from apollo_spark.table_format import TxTable
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    out = str(tmp_path / "docs_clean")
+    idx = str(tmp_path / "docs_index")
+    ckpt = str(tmp_path / "docs_ckpt")
+
+    base = "the quick brown fox jumps over the lazy dog and runs far into the green forest tonight"
+    other = "completely different text about spark execution plans and shuffle partitioning strategies overall"
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(
+                streaming_corpus_dedup(idx, out, threshold=0.5)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    (src / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in [{"doc_id": 1, "text": base}, {"doc_id": 2, "text": other}])
+    )
+    run_once()
+    assert {r.doc_id for r in TxTable(out).read(spark).collect()} == {1, 2}
+
+    # batch 2: near-dup of 1 (cross-batch), fresh doc, and an intra-batch dup pair
+    fresh = "entirely new material discussing columnar storage formats and vectorized execution engines today"
+    (src / "b2.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"doc_id": 10, "text": base + " extra"},
+                {"doc_id": 11, "text": fresh},
+                {"doc_id": 12, "text": fresh + " appended"},
+            ]
+        )
+    )
+    run_once()
+    kept = {r.doc_id for r in TxTable(out).read(spark).collect()}
+    assert kept == {1, 2, 11}, kept  # 10 matches history, 12 matches smaller-id batchmate
+
+    # replay with a fresh checkpoint: same batch ids re-run, nothing changes
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run_once()
+    assert {r.doc_id for r in TxTable(out).read(spark).collect()} == {1, 2, 11}
