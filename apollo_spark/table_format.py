@@ -80,7 +80,11 @@ def _file_stats(path: Path) -> dict[str, list] | None:
                 continue  # undecoded physical bytes: not comparable portably
             mins[name] = lo if name not in mins else min(mins[name], lo)
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-    return {k: [_json_safe(mins[k]), _json_safe(maxs[k])] for k in mins}
+    out = {k: [_json_safe(mins[k]), _json_safe(maxs[k])] for k in mins}
+    # "#" is not a legal character in the column paths recorded above, so
+    # this key can never collide with a real column's [min, max] entry
+    out["#rows"] = [md.num_rows, md.num_rows]
+    return out
 
 
 def _json_safe(v):
@@ -585,6 +589,25 @@ class TxTable:
             if not skip:
                 keep.append(f)
         return keep
+
+    def row_count(self, version: int | None = None) -> int | None:
+        """COUNT(*) from manifest metadata alone — zero data files opened,
+        the same trick Delta/Iceberg use to answer bare counts on 100 TB
+        tables instantly. Returns None when any committed file predates
+        row-count recording (caller falls back to a scan); never guesses."""
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        m = self._manifest(version)
+        stats = m.get("stats", {})
+        total = 0
+        for f in m["files"]:
+            n = stats.get(f, {}).get("#rows")
+            if n is None:
+                return None
+            total += int(n[0])
+        return total
 
     def read(
         self,

@@ -465,3 +465,28 @@ def test_schema_evolution_merge_schema(spark, tmp_path):
     # stats pruning on the appended column keeps statless (pre-evolution) files
     files = t.files_for(prune={"score": (9.0, 10.0)})
     assert len(files) >= 2  # the evolved file plus the sound statless keeps
+
+
+def test_row_count_metadata_only(spark, tmp_path):
+    from apollo_spark.table_format import TxTable
+
+    t = TxTable(str(tmp_path / "cnt"))
+    t.write(spark.range(100).selectExpr("id", "id % 7 AS k"))
+    t.write(spark.range(100, 140).selectExpr("id", "id % 7 AS k"))
+    assert t.row_count() == 140
+    assert t.row_count(version=1) == 100
+    assert t.row_count() == t.read(spark).count()
+    # deletes/compaction keep the counts honest
+    t.delete_where(spark, "k = 0")
+    assert t.row_count() == t.read(spark).count()
+    t.compact(spark, num_files=1)
+    assert t.row_count() == t.read(spark).count()
+    # a manifest missing a file's count (pre-feature table) returns None
+    import json as _json
+
+    m_path = sorted((tmp_path / "cnt" / "_commits").glob("*.json"))[-1]
+    m = _json.loads(m_path.read_text())
+    for f in m["stats"]:
+        m["stats"][f].pop("#rows", None)
+    m_path.write_text(_json.dumps(m))
+    assert t.row_count() is None
