@@ -44,7 +44,7 @@ from apollo_spark.dsl.functions import COLUMN_FUNCTIONS, CONST_FUNCTIONS
 _ARITH = {"+", "-", "*", "/", "%"}
 _COMPARE = {"==", "!=", "<", ">", "<=", ">="}
 
-CHAIN_FUNCTIONS = ("balance", "token_balance", "is_contract", "get_price")
+CHAIN_FUNCTIONS = ("balance", "token_balance", "is_contract", "get_price", "tx_sender", "tx_receiver")
 
 
 class CompileError(ValueError):

@@ -148,6 +148,34 @@ def _apply_enrichments(df: DataFrame, enrichments: list[Enrichment], catalog: Ca
                 .withColumn(e.placeholder, F.coalesce(F.col("__c_hit"), F.lit(False)))
                 .drop("__c_chain", "__c_addr", "__c_hit", "__probe_addr")
             )
+        elif e.func in ("tx_sender", "tx_receiver"):
+            # full transaction context on events (ROADMAP.md:78, unshipped in
+            # the reference): resolve the row's (chain, tx_hash) against the
+            # landed transactions table. Plain equi-join — both sides can be
+            # lake-sized, so they co-shuffle on the join key (AQE broadcasts
+            # iff the tx side turns out small); duplicates collapse first so
+            # the join can't fan rows out.
+            if not catalog.has("transactions"):
+                raise PipelineError(f"{e.func}() needs a landed 'transactions' table")
+            src_col = "from_address" if e.func == "tx_sender" else "to_address"
+            txs = (
+                catalog.table("transactions")
+                .select(
+                    F.col("chain").alias("__t_chain"),
+                    F.col("tx_hash").alias("__t_hash"),
+                    F.col(src_col).alias("__t_val"),
+                )
+                .dropDuplicates(["__t_chain", "__t_hash"])
+            )
+            df = (
+                df.join(
+                    txs,
+                    (df["chain"] == txs["__t_chain"]) & (df["tx_hash"] == txs["__t_hash"]),
+                    "left",
+                )
+                .withColumn(e.placeholder, F.col("__t_val"))
+                .drop("__t_chain", "__t_hash", "__t_val")
+            )
         elif e.func == "get_price":
             # get_price(token) at the row's block: as-of join on the landed
             # prices table (commented-out stub, dsl/functions.go:105-121)

@@ -55,7 +55,7 @@ def dec38(values) -> pa.Array:
 def generate_evm_fixtures(root: str | Path, n_swaps: int = 8000, n_transfers: int = 6000) -> Path:
     root = Path(root)
     marker = root / "_FIXTURES_OK"
-    if marker.exists() and marker.read_text() == "v4":
+    if marker.exists() and marker.read_text() == "v5":
         return root
     root.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(SEED)
@@ -304,12 +304,31 @@ def generate_evm_fixtures(root: str | Path, n_swaps: int = 8000, n_transfers: in
         tx["value"].append(int(rng.uniform(0, 5e18)))
         tx["gas_used"].append(int(rng.integers(21_000, 500_000)))
         tx["timestamp"].append(block_ts[("ethereum", blk)])
+    # every LOG's transaction also lands, so tx-context enrichment joins
+    # (ROADMAP.md:78 tx_sender/tx_receiver) resolve for decoded events
+    seen_tx = set(tx["tx_hash"])
+    for chain, blk, bh, th, ti in zip(
+        logs["chain"], logs["block_number"], logs["block_hash"], logs["tx_hash"], logs["tx_index"]
+    ):
+        if th in seen_tx:
+            continue
+        seen_tx.add(th)
+        tx["chain"].append(chain)
+        tx["block_number"].append(blk)
+        tx["block_hash"].append(bh)
+        tx["tx_hash"].append(th)
+        tx["tx_index"].append(ti)
+        tx["from_address"].append(wallets[int(rng.integers(0, len(wallets)))])
+        tx["to_address"].append(tokens[int(rng.integers(0, len(tokens)))])
+        tx["value"].append(int(rng.uniform(0, 5e18)))
+        tx["gas_used"].append(int(rng.integers(21_000, 500_000)))
+        tx["timestamp"].append(block_ts[(chain, blk)])
     pq.write_table(
         pa.table({**{k: pa.array(v) for k, v in tx.items() if k != "value"}, "value": dec38(tx["value"])}),
         root / "transactions.parquet",
     )
 
-    marker.write_text("v4")
+    marker.write_text("v5")
     return root
 
 

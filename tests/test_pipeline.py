@@ -66,7 +66,7 @@ WHERE contract_address = '0x905dfcd5649217c42684f23958568e533c711aa3'
 
 def _duck(evm_dir: Path):
     con = duckdb.connect()
-    for t in ("swap_events", "univ3_swap_events", "transfers", "blocks", "method_results", "balances", "token_metadata", "contracts", "prices"):
+    for t in ("swap_events", "univ3_swap_events", "transfers", "blocks", "method_results", "balances", "token_metadata", "contracts", "prices", "transactions"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{evm_dir}/{t}.parquet'")
     return con
 
@@ -746,3 +746,38 @@ def test_dsl_query_reads_tx_table_source(spark, tmp_path):
     t.delete_where(spark, "k = 1")
     out2 = compile_query(spark, cat, schema.queries[0], schema)
     assert [(r.k, r.v) for r in out2.collect()] == [(3, 7.0)]
+
+
+def test_tx_context_enrichment(spark, catalog, evm_dir):
+    """tx_sender()/tx_receiver(): full transaction context on decoded events
+    (ROADMAP.md:78, planned-not-shipped in the reference) via the landed
+    transactions table."""
+    con = _duck(evm_dir)
+    src = """
+query tx_ctx {
+  chain = "ethereum"
+  event Transfer {
+    abi = "erc20.abi.json"
+    outputs = ["from", "to", "value"]
+  }
+  save {
+    tx_hash = tx_hash
+    sender = tx_sender()
+    receiver = tx_receiver()
+  }
+}
+"""
+    schema = parse_schema(src, confdir="/root/reference/test")
+    df = compile_query(spark, catalog, schema.queries[0], schema)
+    expected = con.sql(
+        """
+        SELECT t.tx_hash, x.from_address AS sender, x.to_address AS receiver
+        FROM transfers t
+        LEFT JOIN (SELECT DISTINCT ON (chain, tx_hash) chain, tx_hash, from_address, to_address
+                   FROM transactions ORDER BY chain, tx_hash) x
+          ON x.chain = 'ethereum' AND x.tx_hash = t.tx_hash
+        """
+    )
+    assert_frames_match(df, expected, sort_cols=["tx_hash"])
+    # the fixture lands every log's transaction: context must actually resolve
+    assert df.filter("sender IS NULL").count() == 0
