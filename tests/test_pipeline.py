@@ -781,3 +781,43 @@ query tx_ctx {
     assert_frames_match(df, expected, sort_cols=["tx_hash"])
     # the fixture lands every log's transaction: context must actually resolve
     assert df.filter("sender IS NULL").count() == 0
+
+
+def test_cross_chain_address_monitoring(spark, catalog, evm_dir):
+    """ROADMAP.md:80 'Cross-chain address monitoring': one loop query watches
+    the same wallet's outgoing transactions on every chain — loop expansion x
+    transactions source x filter, a pure composition of shipped features."""
+    con = _duck(evm_dir)
+    wallet, = con.sql(
+        """SELECT from_address FROM transactions
+           GROUP BY 1 HAVING COUNT(DISTINCT chain) >= 2
+           ORDER BY COUNT(*) DESC, from_address LIMIT 1"""
+    ).fetchone()
+    src = f"""
+loop {{
+  items = ["ethereum", "arbitrum"]
+  query watched {{
+    chain = item
+    source_table = "transactions"
+    filter = [
+      from_address == "{wallet}",
+      chain == item
+    ]
+    save {{
+      chain = chain
+      tx_hash = tx_hash
+      to_address = to_address
+    }}
+  }}
+}}
+"""
+    from apollo_spark.pipeline import compile_schema
+
+    schema = parse_schema(src)
+    out = compile_schema(spark, catalog, schema)["watched"]
+    expected = con.sql(
+        f"""SELECT chain, tx_hash, to_address FROM transactions
+            WHERE from_address = '{wallet}' AND chain IN ('ethereum', 'arbitrum')"""
+    )
+    assert_frames_match(out, expected, sort_cols=["chain", "tx_hash"])
+    assert out.select("chain").distinct().count() == 2
