@@ -6060,6 +6060,109 @@ def embedding_zca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy — the classic gibberish /
+    base64-blob / mojibake filter of pretraining pipelines (low entropy =
+    repeated filler, high entropy = encoded binary). Pure higher-order
+    functions over the in-row char array: zero shuffle, zero UDF, stays
+    inside whole-stage codegen, embarrassingly parallel at 100 TB. Entropy
+    folds over the SORTED distinct-char list so the double accumulation
+    order is deterministic and matches the DuckDB oracle bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    chars = F.expr("filter(split(text, ''), x -> x != '')")
+    n = F.length("text").cast("double")
+    dist = F.array_sort(F.array_distinct(chars))
+    p = lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double") / n  # noqa: E731
+    ent = -F.aggregate(dist, F.lit(0.0), lambda acc, c: acc + p(c) * F.log2(p(c)))
+    return d.select(
+        "doc_id",
+        F.size(dist).alias("n_unique_chars"),
+        F.when(F.length("text") > 0, F.round(ent, 6)).otherwise(0.0).alias("char_entropy"),
+    ).orderBy("doc_id")
+
+
+ORACLE_CHAR_ENTROPY = r"""
+SELECT doc_id,
+       len(list_distinct(string_split(text, ''))) AS n_unique_chars,
+       CASE WHEN length(text) > 0 THEN ROUND(
+         -list_sum(list_transform(list_sort(list_distinct(string_split(text, ''))),
+            c -> (CAST(len(list_filter(string_split(text, ''), x -> x = c)) AS DOUBLE) / length(text))
+                 * log2(CAST(len(list_filter(string_split(text, ''), x -> x = c)) AS DOUBLE) / length(text)))), 6)
+       ELSE 0.0 END AS char_entropy
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SELECTION step of near-dedup: after grouping near-duplicates into
+    connected components (bigram-Jaccard >= 0.2 edges, as
+    near_dup_components), keep ONE representative per component under the
+    standard keep-longest policy (max n_chars, tie-break min doc_id) and
+    report the group size. Composition of existing distributed pieces — the
+    only new work is a per-component window over component-sized groups, so
+    the extra shuffle is keyed by component (bounded by the dup-group count,
+    not the corpus). Integer-exact output -> hash-stable oracle."""
+    from apollo_spark.ops.dedup import connected_components, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(d, n=2, threshold=0.2, max_df=None).select("id_a", "id_b")
+    comp = connected_components(edges).select(
+        F.col("id").cast("long").alias("doc_id"), F.col("comp").cast("long").alias("component")
+    )
+    sized = comp.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        sized.withColumn("__rn", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("doc_id"))).alias("kept_doc_id"),
+            F.max(F.when(F.col("__rn") == 1, F.col("n_chars"))).alias("kept_chars"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .orderBy("component")
+    )
+
+
+ORACLE_DEDUP_KEEP_BEST = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents)
+  WHERE len(t) >= 1
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id),
+sized AS (
+  SELECT c.component, c.doc_id, doc.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.component ORDER BY doc.n_chars DESC, c.doc_id ASC) AS rn
+  FROM comp c JOIN documents doc ON doc.doc_id = c.doc_id
+)
+SELECT component,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+       MAX(CASE WHEN rn = 1 THEN n_chars END) AS kept_chars,
+       COUNT(*) AS n_members
+FROM sized
+GROUP BY component
+ORDER BY component
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6074,6 +6177,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_exact": embedding_near_dup_exact,
     "orders_by_year_rangejoin": orders_by_year_rangejoin,
     "near_dup_components": near_dup_components,
+    "dedup_keep_best": dedup_keep_best,
+    "doc_char_entropy": doc_char_entropy,
     "knn_ivf_full_probe": knn_ivf_full_probe,
     "user_sessions": user_sessions,
     # -- oracle-backed, green in round 1 -----------------------------------
@@ -6341,6 +6446,8 @@ ORACLES: dict[str, str] = {
     # simhash_doc_signatures: xxhash64-based -> rows-only check
     "orders_by_year_rangejoin": ORACLE_RANGEJOIN,
     "near_dup_components": ORACLE_NEAR_DUP_CC,
+    "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
+    "doc_char_entropy": ORACLE_CHAR_ENTROPY,
     "knn_ivf_full_probe": ORACLE_KNN,
     # knn_ivf_approx: approximate ANN -> rows-only; recall pinned in tests
     # media_feature_extract: hash-seeded fake encoder -> rows-only check
