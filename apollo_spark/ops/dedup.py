@@ -371,6 +371,98 @@ def ngram_jaccard_pairs(
     return tight.unionByName(rescored).unionByName(exact_pairs)
 
 
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.6,
+    max_df: int | None = 100_000,
+) -> DataFrame:
+    """TF-IDF weighted cosine near-dup pairs (id_a < id_b, cosine >= t) —
+    the lexical-vector sibling of ngram_jaccard_pairs: Jaccard treats every
+    shingle equally, TF-IDF cosine discounts boilerplate vocabulary, so it
+    separates "same rare content" from "same stopwords".
+
+    The term unit is a word ``n``-gram (WITH multiplicity — tf counts every
+    occurrence, unlike the distinct shingle sets of Jaccard). ``n=1`` is
+    classic unigram TF-IDF; it degenerates on small-vocabulary corpora
+    (every term hot -> df^2 join blowup AND idf ~ 0), so the default is
+    bigrams, whose vocabulary grows combinatorially and keeps the inverted
+    index selective.
+
+    Plan: word n-grams -> per-doc term frequencies -> document frequencies
+    -> w = tf * ln(N/df) -> inverted-index self-join on term accumulating
+    the dot product. All shuffles are keyed by term or by (id_a, id_b); the
+    corpus-wide N rides a broadcast crossJoin of a one-row aggregate (no
+    driver collect). Dot products and squared norms accumulate through
+    DECIMAL(38,6) (order-independent), so cosine is bit-identical across
+    engines and the op hash-gates against a SQL oracle.
+
+    ``max_df`` prunes terms hotter than the cap from the inverted index —
+    same df^2 fan-out hazard as ngram_jaccard_pairs. Unlike Jaccard counts,
+    dropping a term shrinks the dot product but not the norms, so the capped
+    path UNDERestimates cosine (recall loss only, no false positives); the
+    loss per pair is bounded by sum of idf^2*tf_a*tf_b over dropped terms,
+    small by construction since idf -> 0 as df -> N. Pass ``max_df=None``
+    for the certified-lossless config (the oracle query does).
+    """
+    spark = df.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Materialize the token array as a column BEFORE the n-gram lambda: an
+    # inline `split(...)` expression would be re-evaluated by every
+    # element_at inside the transform (O(tokens * full-regex-splits) per doc
+    # — measured 14s vs <1s at sf0.1). The repartition also breaks the
+    # single-file scan so the explode fans out across cores.
+    tok_arr = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("id"), F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t"))
+        .repartition(parts, F.col("id"))
+    )
+    t = F.col("t")
+    if n == 1:
+        grams = t
+    else:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + k + 1) for k in range(n)]),
+        )
+    toks = tok_arr.filter(F.size(t) >= n).select("id", F.explode(grams).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = tf.select(F.countDistinct("id").alias("n_docs"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias("w"),
+        )
+    )
+    if max_df is not None:
+        hot = dfreq.filter(F.col("df") > max_df).select("term")
+        w = w.join(F.broadcast(hot), "term", "left_anti")
+    # both self-join branches and the norm aggregate consume w: persist so
+    # the scan->explode->tf->df chain runs once, not three times
+    w = w.persist()
+    norm2 = w.groupBy("id").agg(
+        F.sum((F.col("w") * F.col("w")).cast("decimal(38,6)")).cast("double").alias("n2")
+    )
+    dots = (
+        w.alias("a")
+        .join(w.alias("b"), (F.col("a.term") == F.col("b.term")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum((F.col("a.w") * F.col("b.w")).cast("decimal(38,6)")).cast("double").alias("dot"))
+    )
+    cos = (
+        dots.join(norm2.select(F.col("id").alias("id_a"), F.col("n2").alias("na2")), "id_a")
+        .join(norm2.select(F.col("id").alias("id_b"), F.col("n2").alias("nb2")), "id_b")
+        .select("id_a", "id_b", (F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2"))).alias("cosine"))
+    )
+    return cos.filter(F.col("cosine") >= threshold)
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -6163,6 +6163,52 @@ ORDER BY component
 """
 
 
+def tfidf_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine near-dup pairs at t=0.6 over word-bigram terms
+    (ops.dedup.tfidf_cosine_pairs, lossless max_df=None config) —
+    idf-weighted lexical similarity that ignores shared boilerplate
+    vocabulary. DECIMAL-accumulated dots/norms make the cosine hash-stable
+    against the DuckDB replay."""
+    from apollo_spark.ops.dedup import tfidf_cosine_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        tfidf_cosine_pairs(d, n=2, threshold=0.6, max_df=None)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLE_TFIDF_PAIRS = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS term
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0)
+  WHERE len(t) >= 2
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+stats AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+w AS (
+  SELECT doc_id, term, tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+),
+norms AS (
+  SELECT doc_id, CAST(SUM(CAST(w*w AS DECIMAL(38,6))) AS DOUBLE) AS n2 FROM w GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(CAST(a.w*b.w AS DECIMAL(38,6))) AS DOUBLE) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+FROM dots JOIN norms na ON na.doc_id = id_a JOIN norms nb ON nb.doc_id = id_b
+WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.6
+ORDER BY id_a, id_b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6179,6 +6225,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_components": near_dup_components,
     "dedup_keep_best": dedup_keep_best,
     "doc_char_entropy": doc_char_entropy,
+    "tfidf_dup_pairs": tfidf_dup_pairs,
     "knn_ivf_full_probe": knn_ivf_full_probe,
     "user_sessions": user_sessions,
     # -- oracle-backed, green in round 1 -----------------------------------
@@ -6448,6 +6495,7 @@ ORACLES: dict[str, str] = {
     "near_dup_components": ORACLE_NEAR_DUP_CC,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "doc_char_entropy": ORACLE_CHAR_ENTROPY,
+    "tfidf_dup_pairs": ORACLE_TFIDF_PAIRS,
     "knn_ivf_full_probe": ORACLE_KNN,
     # knn_ivf_approx: approximate ANN -> rows-only; recall pinned in tests
     # media_feature_extract: hash-seeded fake encoder -> rows-only check

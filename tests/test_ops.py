@@ -1995,3 +1995,25 @@ def test_random_walks_deterministic_and_valid(spark):
     # determinism: identical on recompute
     rows2 = {(r.start, r.rep, r.step): r.node for r in random_walks(edges, walks_per_node=2, walk_len=3).collect()}
     assert rows == rows2
+
+
+def test_tfidf_cosine_pairs_planted_and_cap_monotone(spark):
+    """Planted rare-vocabulary near-dups are found at t=0.9; the max_df cap
+    yields a subset of the lossless pairs and only ever UNDERestimates
+    cosine (dropped hot terms shrink the dot, never the norms)."""
+    from apollo_spark.ops.dedup import tfidf_cosine_pairs
+
+    hot = "common shared boilerplate words everywhere always"
+    rows = [(i, f"{hot} unique tail {i} {i * 13}") for i in range(20)]
+    rows += [
+        (100, f"{hot} zephyr quasar nebula pulsar quark meson lepton boson"),
+        (101, f"{hot} zephyr quasar nebula pulsar quark meson lepton hadron"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lossless = tfidf_cosine_pairs(df, threshold=0.5, max_df=None).toPandas()
+    capped = tfidf_cosine_pairs(df, threshold=0.5, max_df=10).toPandas()
+    assert (100, 101) in set(zip(lossless["id_a"], lossless["id_b"]))
+    assert (100, 101) in set(zip(capped["id_a"], capped["id_b"]))
+    merged = capped.merge(lossless, on=["id_a", "id_b"], suffixes=("_c", "_l"))
+    assert len(merged) == len(capped)  # capped ⊆ lossless at equal threshold
+    assert (merged["cosine_c"] <= merged["cosine_l"] + 1e-9).all()
