@@ -361,3 +361,15 @@ def test_split_assignment_no_shuffle_before_agg(spark):
 def test_random_walks_frontier_joins_are_equi(spark):
     p = plan(spark, "item_transition_walks")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_tfidf_pairs_no_cartesian_and_stats_broadcast(spark):
+    """The inverted-index self-join must stay an equi-join on term (a
+    cartesian here is the df^2 catastrophe at scale), and the one-row corpus
+    stats must ride a broadcast, not a shuffle."""
+    p = plan(spark, "tfidf_dup_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p  # one-row stats crossJoin
+    # scan reads only the two referenced columns of documents
+    doc_scans = [b for b in scan_blocks(p) if "documents.parquet" in b]
+    assert doc_scans and all("text" in b and "n_chars" not in b for b in doc_scans)
