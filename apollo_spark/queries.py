@@ -6209,6 +6209,117 @@ ORDER BY id_a, id_b
 """
 
 
+def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` (the same merging
+    operator Structured Streaming uses for stateful session aggs — here in
+    batch): one groupBy(user, session_window) shuffle, no stacked window
+    functions. Semantics: an event merges into the open session while
+    gap < 1800 s (window end = last_ts + gap, end-exclusive) — note the
+    strict inequality, vs user_sessions' ``> 1800`` islands variant; the
+    oracle replays ``>= 1800`` as the new-session flag accordingly. Sums ride
+    DECIMAL(38,6) for order-independence."""
+    e = _events(spark, sf_dir)
+    ts = F.timestamp_micros(_ts_micros())
+    return (
+        e.select("user_id", ts.alias("ts"), "value")
+        .groupBy("user_id", F.session_window("ts", "1800 seconds").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("start_us"),
+            F.unix_micros(F.col("sw.end")).alias("end_us"),
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+        .orderBy("user_id", "start_us")
+    )
+
+
+ORACLE_SESSION_WINDOWS = """
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us, value,
+         CASE WHEN LAG(ts_us) OVER w IS NULL OR ts_us - LAG(ts_us) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC)
+),
+sess AS (
+  SELECT user_id, ts_us, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts_us) AS start_us,
+       MAX(ts_us) + 1800000000 AS end_us,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, start_us
+"""
+
+
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + LOCF: hourly per-type counts, densified to the
+    full hour grid (sequence+explode — the grid is generated distributed,
+    min/max per type via one agg, never a driver loop), missing hours filled
+    with count 0 and last-observation-carried-forward average
+    (``F.last(ignorenulls=True)`` over an unbounded-preceding frame). The
+    LOCF copies an already-ROUND()ed value, so floats stay hash-exact."""
+    e = _events(spark, sf_dir)
+    hourly = (
+        e.select("event_type", F.expr("ts div 3600000000000").alias("h"), "value")
+        .groupBy("event_type", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(dsum(F.col("value")) / F.count(F.lit(1)), 6).alias("avg_value"),
+        )
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select("event_type", F.explode(F.sequence("h0", "h1")).alias("h"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            (F.col("h") * F.lit(3600000000)).alias("hour_us"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("filled_avg"),
+        )
+        .orderBy("event_type", "hour_us")
+    )
+
+
+ORACLE_HOURLY_GAPFILL = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         COUNT(*) AS n_events,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT event_type, unnest(generate_series(MIN(h), MAX(h))) AS h
+  FROM hourly GROUP BY event_type
+)
+SELECT g.event_type, g.h * 3600000000 AS hour_us,
+       COALESCE(n_events, 0) AS n_events,
+       last_value(avg_value IGNORE NULLS) OVER (PARTITION BY g.event_type ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+FROM grid g LEFT JOIN hourly USING (event_type, h)
+ORDER BY event_type, hour_us
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6226,6 +6337,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": dedup_keep_best,
     "doc_char_entropy": doc_char_entropy,
     "tfidf_dup_pairs": tfidf_dup_pairs,
+    "user_session_windows": user_session_windows,
+    "events_hourly_gapfill": events_hourly_gapfill,
     "knn_ivf_full_probe": knn_ivf_full_probe,
     "user_sessions": user_sessions,
     # -- oracle-backed, green in round 1 -----------------------------------
@@ -6496,6 +6609,8 @@ ORACLES: dict[str, str] = {
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "doc_char_entropy": ORACLE_CHAR_ENTROPY,
     "tfidf_dup_pairs": ORACLE_TFIDF_PAIRS,
+    "user_session_windows": ORACLE_SESSION_WINDOWS,
+    "events_hourly_gapfill": ORACLE_HOURLY_GAPFILL,
     "knn_ivf_full_probe": ORACLE_KNN,
     # knn_ivf_approx: approximate ANN -> rows-only; recall pinned in tests
     # media_feature_extract: hash-seeded fake encoder -> rows-only check
