@@ -626,7 +626,11 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding") -> DataFrame
     shape for a Gram/covariance accumulation. Sums ride DECIMAL(38,6)
     (order-independent, engine-exact); the only floats are the final
     divisions and the mean product."""
-    arr = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # materialize the double-cast array as a column first: referencing an
+    # inline transform expression from inside the nested lambdas would
+    # re-evaluate the full O(d) cast per outer dimension (O(d^2) casts/row)
+    base = df.select(F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"))
+    arr = F.col("__v")
     d_col = F.size(arr)
 
     def _inner(x, i):
@@ -635,7 +639,7 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding") -> DataFrame
             lambda y, k: F.struct(i.alias("i"), (i + k).alias("j"), (x * y).alias("xy")),
         )
 
-    triples = df.select(F.explode(F.flatten(F.transform(arr, _inner))).alias("t")).select(
+    triples = base.select(F.explode(F.flatten(F.transform(arr, _inner))).alias("t")).select(
         F.col("t.i").alias("i"), F.col("t.j").alias("j"), F.col("t.xy").alias("xy")
     )
     # micro-unit BIGINT sums, not DECIMAL(38,6): same order-independence and
@@ -651,7 +655,7 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding") -> DataFrame
         ).alias("__sxy"),
     )
     means = (
-        df.select(F.posexplode(arr))
+        base.select(F.posexplode(arr))
         .groupBy(F.col("pos").alias("mi"))
         .agg(F.sum(F.col("col").cast("decimal(38,6)")).cast("double").alias("__s1"),
              F.count(F.lit(1)).alias("__mn"))

@@ -698,10 +698,15 @@ def winnowing_fingerprints(
     from apollo_spark.ops.dedup import normalize_text
     from apollo_spark.ops.sketch import portable_hash60
 
-    wa = F.split(normalize_text(F.col(text_col)), " ")
+    # materialize the token array as a column before the per-position lambda:
+    # an inline split expression would be RE-EVALUATED by every slice() in
+    # the transform (O(positions * full-regex-splits) per doc — the same
+    # trap measured at 14s -> <1s in tfidf_cosine_pairs)
+    base = df.select(F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__wa"))
+    wa = F.col("__wa")
     m = F.greatest(F.size(wa) - (k - 1), F.lit(1))
     grams = F.transform(F.sequence(F.lit(1), m), lambda i: F.concat_ws(" ", F.slice(wa, i, k)))
-    g = df.select(F.col(id_col), F.posexplode(grams).alias("p", "__s")).select(
+    g = base.select(F.col(id_col), F.posexplode(grams).alias("p", "__s")).select(
         id_col, "p", portable_hash60(F.col("__s")).alias("h")
     )
     ow = W.partitionBy(id_col).orderBy("p")
