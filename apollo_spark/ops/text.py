@@ -169,11 +169,17 @@ def fingerprint(text_col) -> Column:
 def rolling_fingerprints(text_col, window: int = 8) -> Column:
     """Winnowing-style document sketch: xxhash64 over every ``window``-word
     shingle, keep the per-document minimum 4 (a tiny robust sketch)."""
+    # linear construction (window whole-array slices zipped positionally) —
+    # a per-position slice lambda over the inline words() expression would
+    # re-run the regex split for every position (O(words^2) per doc)
     w = words(text_col)
-    hashes = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(w) - window, F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i + 1, window))),
+    m = F.greatest(F.size(w) - (window - 1), F.lit(1))
+    shifted = [F.slice(w, i + 1, m).alias(f"w{i}") for i in range(window)]
+    zipped = F.slice(F.arrays_zip(*shifted), 1, m)
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(window)])
     )
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
     return F.slice(F.array_sort(hashes), 1, 4)
 
 
