@@ -71,7 +71,10 @@ def perceptron_train(
     from the zero vector updates on every doc — the standard convention).
     All arithmetic BIGINT; see module docstring for the per-round shuffle
     shape."""
-    fx = feats.join(labels, id_col)  # (id, b, n, y)
+    # every round reads fx twice (margins + delta) and the feature build
+    # upstream is an explode+groupBy — persist so 3 rounds cost 1 upstream
+    # pass, not 6
+    fx = feats.join(labels, id_col).persist()  # (id, b, n, y)
     w = fx.select("b").distinct().withColumn("weight", F.lit(0).cast("long"))
     for _ in range(iters):
         margins = (
@@ -166,7 +169,9 @@ def logreg_train_hardsigmoid(
     bucket — switch the gradient sum to DECIMAL(38,0) past ~1e11 tokens
     per bucket."""
     S = LOGREG_SCALE
-    fx = feats.join(labels, id_col)  # (id, b, n, y01)
+    # persist: each round reads fx twice and the feature build upstream is
+    # an explode+groupBy (same reuse argument as perceptron_train)
+    fx = feats.join(labels, id_col).persist()  # (id, b, n, y01)
     w = fx.select("b").distinct().withColumn("weight", F.lit(0).cast("long"))
     for _ in range(iters):
         resid = (
