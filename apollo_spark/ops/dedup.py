@@ -952,7 +952,9 @@ def minhash_portable_pairs(
     for i in range(num_hashes):
         a, b, c = _mh_consts(i)
         aggs.append(F.min((hi * F.lit(a) + lo * F.lit(b) + F.lit(c)) % F.lit(MH_PRIME)).alias(f"m{i}"))
-    sig = hashed.groupBy("id").agg(*aggs)
+    # both band-join sides re-derive from sig: persist so the explode +
+    # 64-min aggregate runs once, not twice
+    sig = hashed.groupBy("id").agg(*aggs).persist()
     band_keys = [
         F.conv(
             F.substring(
@@ -1045,7 +1047,9 @@ def simhash_portable_pairs(
     for b in range(bits):
         term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
-    sig = votes.select("id", sim.alias("sim"))
+    # both sides of the block self-join consume the signatures: persist so
+    # the shingle explode + 60-vote aggregate runs once, not twice
+    sig = votes.select("id", sim.alias("sim")).persist()
     keyed = sig.select(
         "id",
         "sim",

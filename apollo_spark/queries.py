@@ -5987,7 +5987,9 @@ def doc_memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apollo_spark.ops.dedup import shingles
 
     d = _t(spark, sf_dir, "documents")
-    ex = d.select("doc_id", F.explode(shingles(F.col("text"), 5)).alias("s"))
+    # ex feeds both the df aggregate and the re-join: persist so the
+    # shingle explode runs once, not twice
+    ex = d.select("doc_id", F.explode(shingles(F.col("text"), 5)).alias("s")).persist()
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
         ex.join(dfreq, "s")
