@@ -6322,6 +6322,140 @@ ORDER BY event_type, hour_us
 """
 
 
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer recency (days since last order, vs the
+    fixed corpus horizon 1998-08-02), frequency (order count) and monetary
+    (DECIMAL-exact total spend), each quartiled with ntile(4) on a fully
+    deterministic (metric, o_custkey) order, concatenated to the classic
+    3-digit segment code. One groupBy(custkey) + three window passes over
+    the same customer-count-sized table."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit("1998-08-02"), F.max(F.col("o_orderdate").cast("date"))).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(dsum(F.col("o_totalprice")), 2).alias("monetary"),
+    )
+    # quartile 1 = best in every dimension (most recent / most orders /
+    # highest spend); custkey tie-break makes ntile assignment total
+    r_q = F.ntile(4).over(Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc()))
+    f_q = F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc()))
+    m_q = F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc()))
+    return (
+        per_cust.withColumn("r_q", r_q)
+        .withColumn("f_q", f_q)
+        .withColumn("m_q", m_q)
+        .select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            F.concat_ws("", "r_q", "f_q", "m_q").alias("rfm"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+ORACLE_RFM = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         datediff('day', MAX(CAST(o_orderdate AS DATE)), DATE '1998-08-02') AS recency_days,
+         COUNT(*) AS frequency,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       CAST(NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS VARCHAR)
+       || CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS VARCHAR)
+       || CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS VARCHAR) AS rfm
+FROM per_cust
+ORDER BY o_custkey
+"""
+
+
+def source_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary diversity: inverse-Simpson effective vocabulary
+    size ``total^2 / sum(cnt^2)`` over whitespace-token counts — the corpus
+    diagnostic that flags a source dominated by few repeated tokens.
+    ``sum(cnt^2)`` stays exact BIGINT (no float accumulation anywhere); the
+    single division at the end is the only double."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.filter(F.length(F.trim("text")) > 0).select(
+        "source", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+    cnt = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            F.round((F.col("n_tokens") * F.col("n_tokens")).cast("double") / F.col("sum_c2"), 6).alias(
+                "effective_vocab"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_DIVERSITY = r"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+cnt AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+SELECT source, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+       ROUND(CAST(SUM(c) * SUM(c) AS DOUBLE) / SUM(c * c), 6) AS effective_vocab
+FROM cnt GROUP BY source ORDER BY source
+"""
+
+
+def events_value_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical CDF of purchase values per event type at 20 fixed probe
+    points: ecdf(v) = rank-of-last-tie / n via one cume_dist window —
+    the distribution diagnostic behind value-based sampling cutoffs.
+    Probing at vigintiles keeps the output bounded (type x 20 rows)."""
+    e = _events(spark, sf_dir)
+    vals = e.select("event_type", F.round(F.col("value"), 6).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("v")
+    ec = vals.withColumn("ecdf", F.cume_dist().over(w))
+    probes = vals.withColumn(
+        "q", F.ntile(20).over(Window.partitionBy("event_type").orderBy(F.col("v").asc()))
+    ).groupBy("event_type", "q").agg(F.max("v").alias("v"))
+    return (
+        probes.join(ec.groupBy("event_type", "v").agg(F.max("ecdf").alias("ecdf")), ["event_type", "v"])
+        .select("event_type", "q", "v", F.round("ecdf", 6).alias("ecdf"))
+        .orderBy("event_type", "q")
+    )
+
+
+ORACLE_VALUE_ECDF = """
+WITH vals AS (
+  SELECT event_type, ROUND(value, 6) AS v FROM events
+),
+ec AS (
+  SELECT event_type, v,
+         cume_dist() OVER (PARTITION BY event_type ORDER BY v) AS ecdf
+  FROM vals
+),
+probes AS (
+  SELECT event_type, q, MAX(v) AS v FROM (
+    SELECT event_type, v,
+           NTILE(20) OVER (PARTITION BY event_type ORDER BY v ASC) AS q
+    FROM vals
+  ) GROUP BY 1, 2
+)
+SELECT p.event_type, p.q, p.v, ROUND(e.ecdf, 6) AS ecdf
+FROM probes p JOIN (SELECT event_type, v, MAX(ecdf) AS ecdf FROM ec GROUP BY 1, 2) e
+  ON e.event_type = p.event_type AND e.v = p.v
+ORDER BY p.event_type, p.q
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6341,6 +6475,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_dup_pairs": tfidf_dup_pairs,
     "user_session_windows": user_session_windows,
     "events_hourly_gapfill": events_hourly_gapfill,
+    "customer_rfm_segments": customer_rfm_segments,
+    "source_token_diversity": source_token_diversity,
+    "events_value_ecdf": events_value_ecdf,
     "knn_ivf_full_probe": knn_ivf_full_probe,
     "user_sessions": user_sessions,
     # -- oracle-backed, green in round 1 -----------------------------------
@@ -6613,6 +6750,9 @@ ORACLES: dict[str, str] = {
     "tfidf_dup_pairs": ORACLE_TFIDF_PAIRS,
     "user_session_windows": ORACLE_SESSION_WINDOWS,
     "events_hourly_gapfill": ORACLE_HOURLY_GAPFILL,
+    "customer_rfm_segments": ORACLE_RFM,
+    "source_token_diversity": ORACLE_SOURCE_DIVERSITY,
+    "events_value_ecdf": ORACLE_VALUE_ECDF,
     "knn_ivf_full_probe": ORACLE_KNN,
     # knn_ivf_approx: approximate ANN -> rows-only; recall pinned in tests
     # media_feature_extract: hash-seeded fake encoder -> rows-only check
