@@ -349,11 +349,15 @@ def random_walks(
     """
     from apollo_spark.ops.sketch import portable_hash60
 
+    # persist: every one of the walk_len steps re-joins ranked, and each
+    # union branch re-evaluates its whole prefix — without this the
+    # distinct+window upstream runs O(walk_len^2) times
     ranked = (
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
         .distinct()
         .withColumn("__r", F.row_number().over(Window.partitionBy("__s").orderBy("__d")) - 1)
         .withColumn("__deg", F.count(F.lit(1)).over(Window.partitionBy("__s")))
+        .persist()
     )
     starts = ranked.select(F.col("__s").alias("start")).distinct()
     frontier = starts.select(
