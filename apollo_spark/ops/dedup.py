@@ -720,10 +720,12 @@ def duplicated_spans(
     """
     from apollo_spark.ops.corpus import word_ngrams
 
+    # wins feeds both the global count and the re-join: persist so the
+    # window explode runs once, not twice
     wins = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_ngrams(F.col(text_col), w)).alias("win"),
-    )
+    ).persist()
     counts = wins.groupBy("win").agg(F.count(F.lit(1)).alias("c"))
     return (
         wins.join(counts, "win")
