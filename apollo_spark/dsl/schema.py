@@ -230,7 +230,16 @@ def _parse_event(block: Block, env: dict[str, Any], *, standalone: bool) -> Even
 
 def _parse_contract(block: Block, env: dict[str, Any]) -> ContractSpec:
     b = block.body
-    address = block.labels[0] if block.labels else str(_const(b, "address", env))
+    # label forms (docs/schema-examples.md vs schema.example.hcl):
+    #   contract "0xADDR" { }                      -> address only
+    #   contract some_name "0xADDR" { }            -> name + address
+    #   contract some_name { address = "0xADDR" }  -> name, address attr
+    if len(block.labels) >= 2:
+        address = block.labels[1]
+    elif block.labels and block.labels[0].lower().startswith("0x"):
+        address = block.labels[0]
+    else:
+        address = str(_const(b, "address", env))
     transform_blocks = b.blocks_of("transform")
     events = [_parse_event(eb, env, standalone=False) for eb in b.blocks_of("event")]
     abi_name = _const(b, "abi", env)
@@ -423,6 +432,26 @@ def parse_schema(src: str, confdir: str | Path | None = None) -> Schema:
             item_env["item"] = item
             for qb in lb.body.blocks_of("query"):
                 queries.append(_parse_query(qb, item_env, item=item))
+
+    # phase (b2): bare top-level contract blocks — the abbreviated form the
+    # reference's docs/schema-examples.md uses (no wrapping query block).
+    # Each becomes an implicit single-contract query named after the
+    # contract label; save may sit at contract level in this form. chain
+    # falls back to a top-level attr, then ethereum. Time/interval bounds
+    # stay unset (the fragments omit them) — callers supply them at run
+    # time, so validate() is deferred to execution for these.
+    for cb in doc.blocks_of("contract"):
+        c = _parse_contract(cb, env)
+        cname = cb.labels[0] if cb.labels and not cb.labels[0].lower().startswith("0x") else c.address
+        saves = cb.body.blocks_of("save")
+        queries.append(
+            QuerySpec(
+                name=cname,
+                chain=str(_const(doc, "chain", env, "ethereum")),
+                contracts=[c],
+                save=saves[0].body if saves else None,
+            )
+        )
 
     # phase (c): attach ABIs (dsl/schema.go:446-476)
     if confdir is not None:

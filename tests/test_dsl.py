@@ -478,3 +478,36 @@ query q {
 }
 """
         )
+
+
+def test_docs_schema_examples_parse_as_is():
+    """Every ```hcl block in the reference's docs/schema-examples.md parses
+    unmodified: bare top-level contract blocks become implicit queries
+    (name + address labels, contract-level save, ternary transforms,
+    method inputs maps) with ABIs resolved from the reference test dir."""
+    import re
+
+    md = Path("/root/reference/docs/schema-examples.md").read_text()
+    blocks = re.findall(r"```hcl\n(.*?)```", md, re.S)
+    assert len(blocks) == 3
+    schemas = [parse_schema(b, confdir="/root/reference/test") for b in blocks]
+
+    q0 = schemas[0].queries[0]
+    assert q0.name == "usdc_to_eth_swaps"
+    assert q0.contracts[0].address == "0x905dfcd5649217c42684f23958568e533c711aa3"
+    assert q0.contracts[0].events[0].name == "Swap"
+    assert q0.contracts[0].events[0].outputs == ["amount1In", "amount0Out", "amount0In", "amount1Out"]
+    assert list(q0.save.attributes) == ["timestamp", "block", "contract", "tx_hash", "price", "dir", "size"]
+    assert q0.contracts[0].abi is not None  # unipair.abi.json resolved
+
+    q1 = schemas[1].queries[0]
+    assert q1.contracts[0].methods[0].name == "getReserves"
+    assert q1.contracts[0].methods[0].outputs == ["_reserve0", "_reserve1"]
+    assert "mid_price" in list(q1.save.attributes)
+
+    q2 = schemas[2].queries[0]
+    m = q2.contracts[0].methods[0]
+    assert m.name == "balanceOf"
+    assert m.outputs == ["balance"]
+    assert list(m.inputs) == ["address"]
+    assert list(q2.save.attributes) == ["account", "account_balance"]
