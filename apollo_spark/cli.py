@@ -13,6 +13,7 @@ root), --output-dir, --master. The schema is always <confdir>/schema.hcl
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -21,7 +22,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("apollo_spark", description=__doc__)
     p.add_argument("--confdir", required=True, help="directory with schema.hcl + ABI json files")
     p.add_argument("--data-dir", required=True, help="landed-table catalog root (parquet)")
-    p.add_argument("--realtime", action="store_true", help="streaming mode (flags.go:10-14)")
+    p.add_argument("-R", "--realtime", action="store_true", help="streaming mode (flags.go:10-14)")
     p.add_argument("--stdout", action="store_true", help="log rows to stdout (flags.go:24-29)")
     p.add_argument("--csv", action="store_true", help="write csv per query (flags.go:17-22)")
     p.add_argument("--json", action="store_true", help="write jsonl per query (ROADMAP.md:67-76, unshipped in apollo)")
@@ -40,13 +41,84 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--output-dir", default="./output", help="csv/parquet sink root")
     p.add_argument("--rate-limit", type=float, default=100.0, help="RPC rps cap (flags.go:31-36)")
+    p.add_argument(
+        "--log-parts",
+        type=int,
+        default=50,
+        help="initial range-split for live eth_getLogs fetches (flags.go:43-48; "
+        "sources/rpc_logs.py bisects further on range-too-large)",
+    )
     p.add_argument("--log-level", default="WARN")
     p.add_argument("--master", default=None, help="Spark master override")
     p.add_argument("--bridge-dir", default=None, help="realtime: WS->JSONL bridge directory")
     return p
 
 
+_INIT_CONFIG = """\
+# apollo_spark config.yml — per-chain RPC endpoints + DB credentials.
+# http(s) URLs serve the batch client; ws(s) URLs feed the realtime bridge.
+rpc:
+  ethereum: https://YOUR-ETH-RPC
+  arbitrum: https://YOUR-ARBITRUM-RPC
+  polygon: wss://YOUR-POLYGON-WS
+
+# Postgres sink credentials (compiled to a JDBC URL); or set jdbc_url
+# directly for any other SQL target.
+postgres:
+  host: 127.0.0.1
+  port: 5432
+  user: apollo
+  password: apollo
+  name: apollo
+"""
+
+_INIT_SCHEMA = """\
+// apollo_spark starter schema — historical ERC20 transfers to stdout:
+//   python -m apollo_spark --confdir <dir> --data-dir <lake> --stdout
+query my_transfers {
+  chain = "ethereum"
+
+  contract "0x0000000000000000000000000000000000000000" {
+    abi = "erc20.abi.json"
+
+    event Transfer {
+      outputs = ["from", "to", "value"]
+    }
+  }
+
+  save {
+    block  = blocknumber
+    sender = from
+    amount = parse_decimals(value, 18)
+  }
+}
+"""
+
+
+def run_init(confdir: str | None = None) -> int:
+    """``init`` subcommand (main.go:43-51, Init at main.go:58-86): write the
+    starter config.yml + schema.hcl. Target dir is --confdir when given,
+    else the user config dir (apollo uses os.UserConfigDir)."""
+    base = Path(confdir) if confdir else Path(
+        os.environ.get("XDG_CONFIG_HOME", str(Path.home() / ".config"))
+    ) / "apollo_spark"
+    base.mkdir(parents=True, exist_ok=True)
+    for fname, content in (("config.yml", _INIT_CONFIG), ("schema.hcl", _INIT_SCHEMA)):
+        target = base / fname
+        if target.exists():
+            print(f"kept existing {target}")
+            continue
+        target.write_text(content)
+        print(f"{fname.split('.')[0]} written {target}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "init":
+        ip = argparse.ArgumentParser("apollo_spark init")
+        ip.add_argument("--confdir", default=None)
+        return run_init(ip.parse_args(argv[1:]).confdir)
     args = build_parser().parse_args(argv)
     from apollo_spark.config import find_config
     from apollo_spark.dsl.schema import parse_schema_file
@@ -80,7 +152,10 @@ def main(argv: list[str] | None = None) -> int:
         )
     catalog = Catalog(spark, args.data_dir)
     options = PipelineOptions(
-        realtime=args.realtime, rate_limit=args.rate_limit, client_factory=client_factory
+        realtime=args.realtime,
+        rate_limit=args.rate_limit,
+        client_factory=client_factory,
+        log_parts=args.log_parts,
     )
 
     jdbc_url, jdbc_props = args.db, {}

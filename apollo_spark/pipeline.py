@@ -51,6 +51,9 @@ class PipelineOptions:
     realtime: bool = False
     rate_limit: float | None = None
     client_factory: ClientFactory | None = None
+    # initial range-split for live eth_getLogs fetches (apollo --log-parts,
+    # flags.go:43-48); consumed by sources.rpc_logs.rpc_log_source
+    log_parts: int = 50
 
 
 def _scope_env(df: DataFrame, variables: dict[str, Any], chain: str | None) -> dict[str, Any]:

@@ -240,3 +240,31 @@ query flagship_swaps {
     df = t.read(spark)
     assert df.columns == ["block", "tx_hash"]
     assert df.count() > 100
+
+
+def test_cli_init_writes_config_and_schema(tmp_path):
+    """`init` subcommand (main.go:43-51): writes starter config.yml +
+    schema.hcl, keeps existing files, and the starter schema parses."""
+    from apollo_spark.cli import main
+    from apollo_spark.dsl.schema import parse_schema
+
+    conf = tmp_path / "conf"
+    assert main(["init", "--confdir", str(conf)]) == 0
+    assert (conf / "config.yml").exists() and (conf / "schema.hcl").exists()
+    marker = "# user-edited"
+    (conf / "config.yml").write_text(marker)
+    assert main(["init", "--confdir", str(conf)]) == 0
+    assert (conf / "config.yml").read_text() == marker  # idempotent, no clobber
+    s = parse_schema((conf / "schema.hcl").read_text())
+    assert s.queries[0].name == "my_transfers"
+    assert s.queries[0].contracts[0].events[0].name == "Transfer"
+
+
+def test_cli_flag_aliases(tmp_path):
+    """-R realtime alias + --log-parts parse (flags.go:10-14,43-48)."""
+    from apollo_spark.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["-R", "--confdir", "c", "--data-dir", "d", "--log-parts", "17"]
+    )
+    assert args.realtime is True and args.log_parts == 17
