@@ -6456,6 +6456,81 @@ ORDER BY p.event_type, p.q
 """
 
 
+def _znorm_pattern() -> list[float]:
+    """TS_PATTERN z-normalized driver-side — the same Python floats are
+    inlined as literals in BOTH the Spark plan and the SQL oracle, so the
+    normalization constants cannot diverge."""
+    L = len(TS_PATTERN)
+    mu = sum(TS_PATTERN) / L
+    var = sum((v - mu) ** 2 for v in TS_PATTERN) / L
+    sd = var**0.5
+    return [(v - mu) / sd for v in TS_PATTERN]
+
+
+def ts_znorm_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-NORMALIZED subsequence search (the UCR-suite normalization, Rakthanmanon
+    et al. KDD 2012): each 8-event window is normalized to zero-mean/unit-std
+    before the euclidean compare, making matches invariant to the user's value
+    offset and scale — raw distance (ts_window_motifs) only finds matches at
+    the pattern's absolute level. Window mean/std come from sequential folds
+    over the SAME collect_list frame (order-deterministic, so the oracle
+    replays bit-for-bit); constant windows (sd = 0) are skipped as undefined.
+    One user_id shuffle + one top-k, identical shape to the raw variant."""
+    e = _events(spark, sf_dir)
+    L = len(TS_PATTERN)
+    qhat = _znorm_pattern()
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_s").asc(), F.col("event_id").asc()).rowsBetween(0, L - 1)
+    base = e.select("event_id", "user_id", _ts_seconds().alias("ts_s"), "value")
+    win = base.withColumn("win", F.collect_list("value").over(w)).filter(F.size("win") == L)
+    s = F.aggregate("win", F.lit(0.0), lambda a, v: a + v)
+    win = win.withColumn("mu", s / F.lit(float(L)))
+    ss = F.aggregate("win", F.lit(0.0), lambda a, v: a + (v - F.col("mu")) * (v - F.col("mu")))
+    win = win.withColumn("sd", F.sqrt(ss / F.lit(float(L)))).filter(F.col("sd") > 0)
+    pat = F.array(*[F.lit(v) for v in qhat])
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("win", pat, lambda a, b: ((a - F.col("mu")) / F.col("sd") - b) * ((a - F.col("mu")) / F.col("sd") - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        win.select("user_id", F.col("event_id").alias("start_event_id"), F.round(dist, 6).alias("zdist"))
+        .orderBy(F.col("zdist").asc(), F.col("user_id").asc(), F.col("start_event_id").asc())
+        .limit(20)
+    )
+
+
+def _oracle_znorm() -> str:
+    qhat = "[" + ", ".join(repr(v) for v in _znorm_pattern()) + "]"
+    return f"""
+WITH base AS (
+  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_s, value FROM events
+),
+win AS (
+  SELECT user_id, event_id AS start_event_id,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC
+                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w
+  FROM base
+),
+stats AS (
+  SELECT user_id, start_event_id, w,
+         list_sum(w) / 8.0 AS mu
+  FROM win WHERE len(w) = 8
+),
+stats2 AS (
+  SELECT user_id, start_event_id, w, mu,
+         sqrt(list_sum(list_transform(w, v -> (v - mu) * (v - mu))) / 8.0) AS sd
+  FROM stats
+)
+SELECT user_id, start_event_id,
+       ROUND(sqrt(list_sum(list_transform(generate_series(1, 8),
+             i -> ((w[i] - mu) / sd - ({qhat})[i]) * ((w[i] - mu) / sd - ({qhat})[i])))), 6) AS zdist
+FROM stats2 WHERE sd > 0
+ORDER BY zdist ASC, user_id ASC, start_event_id ASC LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6478,6 +6553,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_rfm_segments": customer_rfm_segments,
     "source_token_diversity": source_token_diversity,
     "events_value_ecdf": events_value_ecdf,
+    "ts_znorm_pattern_search": ts_znorm_pattern_search,
     "knn_ivf_full_probe": knn_ivf_full_probe,
     "user_sessions": user_sessions,
     # -- oracle-backed, green in round 1 -----------------------------------
@@ -6753,6 +6829,7 @@ ORACLES: dict[str, str] = {
     "customer_rfm_segments": ORACLE_RFM,
     "source_token_diversity": ORACLE_SOURCE_DIVERSITY,
     "events_value_ecdf": ORACLE_VALUE_ECDF,
+    "ts_znorm_pattern_search": _oracle_znorm(),
     "knn_ivf_full_probe": ORACLE_KNN,
     # knn_ivf_approx: approximate ANN -> rows-only; recall pinned in tests
     # media_feature_extract: hash-seeded fake encoder -> rows-only check
