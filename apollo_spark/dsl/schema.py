@@ -324,9 +324,9 @@ def _parse_query(block: Block, env: dict[str, Any], item: Any = None) -> QuerySp
     if dedup_blocks:
         dbody = dedup_blocks[0].body
         method = str(_const(dbody, "method", env, "exact"))
-        if method not in ("exact", "minhash", "ngram_jaccard"):
+        if method not in ("exact", "minhash", "ngram_jaccard", "tfidf"):
             raise SchemaError(
-                f"query {name}: dedup method must be exact|minhash|ngram_jaccard, got {method!r}"
+                f"query {name}: dedup method must be exact|minhash|ngram_jaccard|tfidf, got {method!r}"
             )
         dedup_spec = DedupSpec(
             method=method,

@@ -362,12 +362,20 @@ def _apply_dedup(df: DataFrame, spec) -> DataFrame:
         exact_dedup,
         near_dedup,
         ngram_jaccard_pairs,
+        tfidf_cosine_pairs,
     )
 
     if spec.method == "exact":
         return exact_dedup(df, spec.id, spec.text)
     if spec.method == "minhash":
         return near_dedup(df, spec.id, spec.text, threshold=spec.threshold)
+    if spec.method == "tfidf":
+        pairs = tfidf_cosine_pairs(
+            df, spec.id, spec.text, n=spec.shingle_n, threshold=spec.threshold
+        )
+        comps = connected_components(pairs.select("id_a", "id_b"))
+        losers = comps.filter(F.col("comp") != F.col("id")).select(F.col("id").alias(spec.id))
+        return df.join(losers, spec.id, "left_anti")
     pairs = ngram_jaccard_pairs(
         df, spec.id, spec.text, n=spec.shingle_n, threshold=spec.threshold
     )

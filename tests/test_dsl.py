@@ -511,3 +511,40 @@ def test_docs_schema_examples_parse_as_is():
     assert m.outputs == ["balance"]
     assert list(m.inputs) == ["address"]
     assert list(q2.save.attributes) == ["account", "account_balance"]
+
+
+def test_dedup_block_tfidf(spark, tmp_path):
+    """`dedup { method = "tfidf" }` routes to tfidf_cosine_pairs: docs whose
+    idf-weighted bigram vectors are near-parallel collapse to the min id."""
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import compile_query
+    from apollo_spark.sources.tables import Catalog
+
+    rows = [
+        (1, "zephyr quasar nebula pulsar quark meson lepton boson", "en"),
+        (2, "zephyr quasar nebula pulsar quark meson lepton boson extra", "en"),  # near-dup of 1
+        (3, "completely different words about spark and storage engines", "en"),
+        (4, "another unrelated document mentioning databases entirely", "en"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    catalog = Catalog(spark, str(tmp_path))
+    schema = parse_schema(
+        """
+query tfidf_deduped {
+  chain = "ethereum"
+  source_table = "documents"
+  dedup {
+    method = "tfidf"
+    threshold = 0.6
+    shingle_n = 2
+  }
+  save {
+    doc_id = doc_id
+  }
+}
+"""
+    )
+    out = compile_query(spark, catalog, schema.queries[0], schema).toPandas()
+    assert sorted(out["doc_id"]) == [1, 3, 4]
