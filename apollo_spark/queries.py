@@ -6531,6 +6531,57 @@ ORDER BY zdist ASC, user_id ASC, start_event_id ASC LIMIT 20
 """
 
 
+def benchmark_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-scored decontamination (Brown et al. 2020 appendix-C
+    style): containment(B -> D) = |grams(B) ∩ grams(D)| / |grams(B)| — the
+    statistic that catches a SHORT benchmark item embedded inside a LONG
+    training document, which symmetric Jaccard dilutes toward 0 and the
+    any-overlap scan (benchmark_decontamination) can't rank. Benchmark =
+    the doc_id % 29 == 0 slice; word trigrams; pairs at containment >= 0.4.
+    Benchmark grams broadcast (eval sets are tiny at any corpus scale);
+    corpus side is one narrow explode; I/|B| is BIGINT/BIGINT -> exact."""
+    from apollo_spark.ops.dedup import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    bgrams = (
+        d.filter(F.col("doc_id") % 29 == 0)
+        .select(F.col("doc_id").alias("bench_id"), shingles(F.col("text"), 3).alias("sh"))
+        .select("bench_id", F.size("sh").alias("n_b"), F.explode("sh").alias("g"))
+    )
+    cgrams = (
+        d.filter(F.col("doc_id") % 29 != 0)
+        .select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("g"))
+    )
+    inter = (
+        cgrams.join(F.broadcast(bgrams), "g")
+        .groupBy("doc_id", "bench_id", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.withColumn("containment", F.round(F.col("n_shared").cast("double") / F.col("n_b"), 6))
+        .filter(F.col("containment") >= 0.4)
+        .select("doc_id", "bench_id", "n_shared", "containment")
+        .orderBy("doc_id", "bench_id")
+    )
+
+
+ORACLE_CONTAINMENT = r"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents)
+)
+SELECT c.doc_id, b.doc_id AS bench_id,
+       len(list_intersect(c.sh, b.sh)) AS n_shared,
+       ROUND(CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE) / len(b.sh), 6) AS containment
+FROM g c JOIN g b ON c.doc_id % 29 != 0 AND b.doc_id % 29 = 0
+WHERE CAST(len(list_intersect(c.sh, b.sh)) AS DOUBLE) / len(b.sh) >= 0.4
+ORDER BY c.doc_id, bench_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6554,6 +6605,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_token_diversity": source_token_diversity,
     "events_value_ecdf": events_value_ecdf,
     "ts_znorm_pattern_search": ts_znorm_pattern_search,
+    "benchmark_containment": benchmark_containment,
     "knn_ivf_full_probe": knn_ivf_full_probe,
     "user_sessions": user_sessions,
     # -- oracle-backed, green in round 1 -----------------------------------
@@ -6830,6 +6882,7 @@ ORACLES: dict[str, str] = {
     "source_token_diversity": ORACLE_SOURCE_DIVERSITY,
     "events_value_ecdf": ORACLE_VALUE_ECDF,
     "ts_znorm_pattern_search": _oracle_znorm(),
+    "benchmark_containment": ORACLE_CONTAINMENT,
     "knn_ivf_full_probe": ORACLE_KNN,
     # knn_ivf_approx: approximate ANN -> rows-only; recall pinned in tests
     # media_feature_extract: hash-seeded fake encoder -> rows-only check
