@@ -51,6 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-level", default="WARN")
     p.add_argument("--master", default=None, help="Spark master override")
     p.add_argument("--bridge-dir", default=None, help="realtime: WS->JSONL bridge directory")
+    p.add_argument("--check", action="store_true", help="parse + validate + compile only; print output schemas, run nothing")
+    p.add_argument("--explain", action="store_true", help="like --check, plus the optimized physical plan per query")
     return p
 
 
@@ -176,6 +178,15 @@ def main(argv: list[str] | None = None) -> int:
 
     if not args.realtime:
         frames = compile_schema(spark, catalog, schema, options)
+        if args.check or args.explain:
+            # operability: validate/compile without executing. --check prints
+            # each query's output schema; --explain its optimized physical
+            # plan (the .explain("formatted") the plan audits assert on).
+            for name, df in frames.items():
+                print(f"query {name}: {df.schema.simpleString()}")
+                if args.explain:
+                    df.explain("formatted")
+            return 0
         for name, df in frames.items():
             writer.write(df, name)
         # exit-time metrics report (DumpMetrics, chainservice.go:293-307)

@@ -268,3 +268,43 @@ def test_cli_flag_aliases(tmp_path):
         ["-R", "--confdir", "c", "--data-dir", "d", "--log-parts", "17"]
     )
     assert args.realtime is True and args.log_parts == 17
+
+
+def test_cli_check_and_explain(tmp_path, evm_dir):
+    """--check compiles and prints output schemas without writing anything;
+    --explain additionally prints the formatted physical plan."""
+    confdir = tmp_path / "conf"
+    confdir.mkdir()
+    shutil.copy("/root/reference/test/unipair.abi.json", confdir / "unipair.abi.json")
+    (confdir / "schema.hcl").write_text(
+        """
+query checked {
+  chain = "arbitrum"
+  contract {
+    address = "0x905dfCD5649217c42684f23958568e533C711Aa3"
+    abi = "unipair.abi.json"
+    event Swap {
+      outputs = ["amount1In", "amount0Out"]
+    }
+  }
+  save {
+    block = blocknumber
+    usdc = parse_decimals(amount1In, 6)
+  }
+}
+"""
+    )
+    out_dir = tmp_path / "out"
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "apollo_spark",
+            "--confdir", str(confdir), "--data-dir", str(evm_dir),
+            "--csv", "--output-dir", str(out_dir),
+            "--explain", "--log-level", "ERROR",
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "query checked: struct<block:bigint,usdc:double>" in proc.stdout
+    assert "== Physical Plan ==" in proc.stdout
+    assert not out_dir.exists()  # nothing executed or written
