@@ -78,11 +78,12 @@ class DedupSpec:
     or ngram_jaccard (exact-threshold near-dup). Canonical survivor is the
     min id of each duplicate group; everything else is dropped."""
 
-    method: str = "exact"  # exact | minhash | ngram_jaccard
+    method: str = "exact"  # exact | minhash | ngram_jaccard | tfidf
     id: str = "doc_id"
     text: str = "text"
     threshold: float = 0.7
     shingle_n: int = 2
+    keep: str = "min_id"  # survivor policy: min_id | longest
 
 
 @dataclass
@@ -328,12 +329,16 @@ def _parse_query(block: Block, env: dict[str, Any], item: Any = None) -> QuerySp
             raise SchemaError(
                 f"query {name}: dedup method must be exact|minhash|ngram_jaccard|tfidf, got {method!r}"
             )
+        keep = str(_const(dbody, "keep", env, "min_id"))
+        if keep not in ("min_id", "longest"):
+            raise SchemaError(f"query {name}: dedup keep must be min_id|longest, got {keep!r}")
         dedup_spec = DedupSpec(
             method=method,
             id=str(_const(dbody, "id", env, "doc_id")),
             text=str(_const(dbody, "text", env, "text")),
             threshold=float(_const(dbody, "threshold", env, 0.7)),
             shingle_n=int(_const(dbody, "shingle_n", env, 2)),
+            keep=keep,
         )
 
     sample_spec = None

@@ -675,18 +675,47 @@ def connected_components(edges: DataFrame, max_iter: int = 20, driver_threshold:
     return labels
 
 
+def dedup_losers(
+    comps: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: str = "min_id",
+) -> DataFrame:
+    """Representative selection over dup components ``(id, comp)``: the ids
+    to DROP under a keep policy — ``min_id`` (cheapest: the component label
+    IS the survivor) or ``longest`` (keep max length(text), tie-break min
+    id — the standard quality-preserving near-dedup policy). The longest
+    path adds one join + one window keyed by component (dup-group-count
+    sized, not corpus sized)."""
+    if keep == "min_id":
+        return comps.filter(F.col("comp") != F.col("id")).select(F.col("id").alias(id_col))
+    if keep != "longest":
+        raise ValueError(f"keep must be min_id|longest, got {keep!r}")
+    sized = comps.join(
+        df.select(F.col(id_col).alias("id"), F.length(F.col(text_col)).alias("__len")), "id"
+    )
+    w = Window.partitionBy("comp").orderBy(F.col("__len").desc(), F.col("id").asc())
+    return (
+        sized.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") != 1)
+        .select(F.col("id").alias(id_col))
+    )
+
+
 def near_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
+    keep: str = "min_id",
     **lsh_kwargs,
 ) -> DataFrame:
-    """MinHash-LSH near-dedup: returns df minus non-canonical members of each
-    duplicate component (canonical = min id)."""
+    """MinHash-LSH near-dedup: returns df minus non-representative members of
+    each duplicate component (representative per ``keep`` policy)."""
     pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold, **lsh_kwargs)
     comps = connected_components(pairs)
-    losers = comps.filter(F.col("comp") != F.col("id")).select(F.col("id").alias(id_col))
+    losers = dedup_losers(comps, df, id_col, text_col, keep)
     return df.join(losers, id_col, "left_anti")
 
 

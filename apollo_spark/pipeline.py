@@ -359,6 +359,7 @@ def _apply_dedup(df: DataFrame, spec) -> DataFrame:
 
     from apollo_spark.ops.dedup import (
         connected_components,
+        dedup_losers,
         exact_dedup,
         near_dedup,
         ngram_jaccard_pairs,
@@ -368,19 +369,17 @@ def _apply_dedup(df: DataFrame, spec) -> DataFrame:
     if spec.method == "exact":
         return exact_dedup(df, spec.id, spec.text)
     if spec.method == "minhash":
-        return near_dedup(df, spec.id, spec.text, threshold=spec.threshold)
+        return near_dedup(df, spec.id, spec.text, threshold=spec.threshold, keep=spec.keep)
     if spec.method == "tfidf":
         pairs = tfidf_cosine_pairs(
             df, spec.id, spec.text, n=spec.shingle_n, threshold=spec.threshold
         )
-        comps = connected_components(pairs.select("id_a", "id_b"))
-        losers = comps.filter(F.col("comp") != F.col("id")).select(F.col("id").alias(spec.id))
-        return df.join(losers, spec.id, "left_anti")
-    pairs = ngram_jaccard_pairs(
-        df, spec.id, spec.text, n=spec.shingle_n, threshold=spec.threshold
-    )
+    else:
+        pairs = ngram_jaccard_pairs(
+            df, spec.id, spec.text, n=spec.shingle_n, threshold=spec.threshold
+        )
     comps = connected_components(pairs.select("id_a", "id_b"))
-    losers = comps.filter(F.col("comp") != F.col("id")).select(F.col("id").alias(spec.id))
+    losers = dedup_losers(comps, df, spec.id, spec.text, spec.keep)
     return df.join(losers, spec.id, "left_anti")
 
 

@@ -548,3 +548,53 @@ query tfidf_deduped {
     )
     out = compile_query(spark, catalog, schema.queries[0], schema).toPandas()
     assert sorted(out["doc_id"]) == [1, 3, 4]
+
+
+def test_dedup_block_keep_longest(spark, tmp_path):
+    """`dedup { keep = "longest" }`: the longest member of each near-dup
+    group survives instead of the min id."""
+    from apollo_spark.dsl.schema import SchemaError, parse_schema
+    from apollo_spark.pipeline import compile_query
+    from apollo_spark.sources.tables import Catalog
+
+    import pytest as _pytest
+
+    rows = [
+        (1, "the quick brown fox", "en"),
+        (2, "the quick brown fox jumps over everything", "en"),  # longest of the group
+        (3, "a completely different document about spark", "en"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    catalog = Catalog(spark, str(tmp_path))
+    schema = parse_schema(
+        """
+query keep_longest {
+  chain = "ethereum"
+  source_table = "documents"
+  dedup {
+    method = "ngram_jaccard"
+    threshold = 0.4
+    shingle_n = 1
+    keep = "longest"
+  }
+  save {
+    doc_id = doc_id
+  }
+}
+"""
+    )
+    out = compile_query(spark, catalog, schema.queries[0], schema).toPandas()
+    assert sorted(out["doc_id"]) == [2, 3]  # doc 2 (longest) survives, not min-id 1
+
+    with _pytest.raises(SchemaError, match="dedup keep"):
+        parse_schema(
+            """
+query bad { chain = "ethereum"
+  source_table = "documents"
+  dedup { keep = "newest" }
+  save { doc_id = doc_id }
+}
+"""
+        )
