@@ -6582,6 +6582,52 @@ ORDER BY c.doc_id, bench_id
 """
 
 
+def aqp_orders_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing (BlinkDB-style, Agarwal et al.
+    EuroSys'13): per-status avg(o_totalprice) from a DETERMINISTIC ~10%
+    hash sample (portable md5 hash on the key — the same sample on every
+    engine, so the 'approximate' answer is itself exactly replayable), with
+    a 95% normal-approximation CI from the sample variance. The full-scan
+    exact answer costs 10x the I/O; the CI quantifies what the 90% saved.
+    Sums/sum-of-squares ride DECIMAL(38,6) -> hash-stable CI bounds."""
+    o = _t(spark, sf_dir, "orders")
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("aqp"), F.col("o_orderkey").cast("string"))), 1, 15), 16, 10).cast("long")
+    s = o.filter(h % 10 == 0)
+    n = F.count(F.lit(1))
+    mean = dsum(F.col("o_totalprice")) / n
+    ex2 = dsum(F.col("o_totalprice") * F.col("o_totalprice")) / n
+    agg = s.groupBy("o_orderstatus").agg(n.alias("n_sample"), mean.alias("m"), ex2.alias("m2"))
+    se = F.sqrt((F.col("m2") - F.col("m") * F.col("m")) / F.col("n_sample"))
+    return (
+        agg.select(
+            "o_orderstatus",
+            "n_sample",
+            F.round("m", 4).alias("avg_est"),
+            F.round(F.col("m") - 1.96 * se, 4).alias("ci_low"),
+            F.round(F.col("m") + 1.96 * se, 4).alias("ci_high"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_AQP = """
+WITH s AS (
+  SELECT o_orderstatus, o_totalprice FROM orders
+  WHERE ('0x' || substring(md5('aqp' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 10 = 0
+),
+agg AS (
+  SELECT o_orderstatus, COUNT(*) AS n_sample,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS m,
+         CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS m2
+  FROM s GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n_sample, ROUND(m, 4) AS avg_est,
+       ROUND(m - 1.96 * sqrt((m2 - m * m) / n_sample), 4) AS ci_low,
+       ROUND(m + 1.96 * sqrt((m2 - m * m) / n_sample), 4) AS ci_high
+FROM agg ORDER BY o_orderstatus
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6606,6 +6652,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_ecdf": events_value_ecdf,
     "ts_znorm_pattern_search": ts_znorm_pattern_search,
     "benchmark_containment": benchmark_containment,
+    "aqp_orders_avg": aqp_orders_avg,
     "knn_ivf_full_probe": knn_ivf_full_probe,
     "user_sessions": user_sessions,
     # -- oracle-backed, green in round 1 -----------------------------------
@@ -6883,6 +6930,7 @@ ORACLES: dict[str, str] = {
     "events_value_ecdf": ORACLE_VALUE_ECDF,
     "ts_znorm_pattern_search": _oracle_znorm(),
     "benchmark_containment": ORACLE_CONTAINMENT,
+    "aqp_orders_avg": ORACLE_AQP,
     "knn_ivf_full_probe": ORACLE_KNN,
     # knn_ivf_approx: approximate ANN -> rows-only; recall pinned in tests
     # media_feature_extract: hash-seeded fake encoder -> rows-only check
