@@ -6784,12 +6784,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_balance_deciles": customer_balance_deciles,
     "lineitem_unpivot_charges": lineitem_unpivot_charges,
     "doc_memorization_risk": doc_memorization_risk,
+    "minhash_portable_dup_pairs": minhash_portable_dup_pairs,
+    "simhash_portable_near_dups": simhash_portable_near_dups,
     # -- rows-only (no SQL-expressible oracle): keep last ------------------
     "embedding_zca_whitening": embedding_zca_whitening,
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
-    "minhash_portable_dup_pairs": minhash_portable_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
-    "simhash_portable_near_dups": simhash_portable_near_dups,
     "knn_ivf_approx": knn_ivf_approx,
     "media_feature_extract": media_feature_extract,
     "semantic_dedup_docs": semantic_dedup_docs,
