@@ -626,33 +626,49 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding") -> DataFrame
     shape for a Gram/covariance accumulation. Sums ride DECIMAL(38,6)
     (order-independent, engine-exact); the only floats are the final
     divisions and the mean product."""
-    # materialize the double-cast array as a column first: referencing an
-    # inline transform expression from inside the nested lambdas would
-    # re-evaluate the full O(d) cast per outer dimension (O(d^2) casts/row)
     base = df.select(F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"))
     arr = F.col("__v")
-    d_col = F.size(arr)
 
-    def _inner(x, i):
-        return F.transform(
-            F.slice(arr, i + 1, d_col - i),
-            lambda y, k: F.struct(i.alias("i"), (i + k).alias("j"), (x * y).alias("xy")),
+    # Gram accumulation rides ONE Arrow-batched numpy pass. The previous
+    # relational form (nested transform lambdas -> explode d*(d+1)/2 structs
+    # per row -> hash agg) was exact but interpreted: Spark higher-order
+    # functions never enter codegen, so 4M struct allocations cost ~2s at
+    # N=2000, d=64. Here each batch emits one d x d partial — shuffle width
+    # is O(batches * d^2), corpus-size independent, same as before.
+    #
+    # Exactness is preserved TERM-BY-TERM: per-element trunc((x*y)*1e6)
+    # (toward zero, == Spark's cast-to-bigint == DuckDB trunc()) summed as
+    # int64 — identical regardless of batch boundaries, so the DuckDB oracle
+    # still hash-matches. Truncation error <= 1e-6 per term, below the
+    # ROUND(...,6) presentation grain. int64 headroom: |sum| <= N * max|xy|
+    # * 1e6 — switch to DECIMAL(38,0) partials past ~1e11 unit-scale rows.
+    def _gram_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            n, d = x.shape
+            s = np.zeros((d, d), dtype=np.int64)
+            for lo in range(0, n, 256):  # bound the n*d*d intermediate
+                blk = x[lo : lo + 256]
+                s += np.trunc(np.einsum("ni,nj->nij", blk, blk) * 1e6).astype(np.int64).sum(axis=0)
+            iu = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype(np.int64),
+                    "j": iu[1].astype(np.int64),
+                    "cnt": np.full(len(iu[0]), n, dtype=np.int64),
+                    "sxy": s[iu],
+                }
+            )
+
+    gram = (
+        base.mapInPandas(_gram_batches, "i long, j long, cnt long, sxy long")
+        .groupBy("i", "j")
+        .agg(
+            F.sum("cnt").alias("n"),
+            (F.sum("sxy").cast("double") / F.lit(1e6)).alias("__sxy"),
         )
-
-    triples = base.select(F.explode(F.flatten(F.transform(arr, _inner))).alias("t")).select(
-        F.col("t.i").alias("i"), F.col("t.j").alias("j"), F.col("t.xy").alias("xy")
-    )
-    # micro-unit BIGINT sums, not DECIMAL(38,6): same order-independence and
-    # engine-exactness (truncation toward zero matches DuckDB trunc()), but
-    # long addition runs ~4x faster than decimal through the hash aggregate
-    # (measured 8.3s -> 2.2s on the sf0.1 Gram at d=64). Truncation error is
-    # <= 1e-6 per term -> <= 1e-6 on cov after the /n, below the ROUND(...,6)
-    # presentation grain.
-    gram = triples.groupBy("i", "j").agg(
-        F.count(F.lit(1)).alias("n"),
-        (
-            F.sum(F.expr("cast(xy * 1000000.0 as bigint)")).cast("double") / F.lit(1e6)
-        ).alias("__sxy"),
     )
     means = (
         base.select(F.posexplode(arr))
