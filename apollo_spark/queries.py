@@ -6628,6 +6628,55 @@ FROM agg ORDER BY o_orderstatus
 """
 
 
+def source_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication diagnostic: fraction of documents whose
+    normalized text also appears elsewhere in the corpus (any source), and
+    the fraction that would be DROPPED by exact dedup under the min-id
+    policy — the two numbers a curation report leads with. One content-hash
+    window over the corpus + one source rollup."""
+    from apollo_spark.ops.dedup import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", "source", F.md5(normalize_text(F.col("text"))).alias("__k"))
+    w = Window.partitionBy("__k")
+    marked = keyed.select(
+        "source",
+        (F.count(F.lit(1)).over(w) > 1).cast("int").alias("is_dup"),
+        (F.min("doc_id").over(w) != F.col("doc_id")).cast("int").alias("is_dropped"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        marked.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.sum("is_dup").alias("n_in_dup_group"),
+            F.sum("is_dropped").alias("n_dropped"),
+            F.round(F.sum("is_dup") / n, 6).alias("dup_frac"),
+            F.round(F.sum("is_dropped") / n, 6).alias("drop_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_DUP_RATES = r"""
+WITH keyed AS (
+  SELECT doc_id, source, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS k
+  FROM documents
+),
+marked AS (
+  SELECT source,
+         CASE WHEN COUNT(*) OVER (PARTITION BY k) > 1 THEN 1 ELSE 0 END AS is_dup,
+         CASE WHEN MIN(doc_id) OVER (PARTITION BY k) != doc_id THEN 1 ELSE 0 END AS is_dropped
+  FROM keyed
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(is_dup) AS n_in_dup_group, SUM(is_dropped) AS n_dropped,
+       ROUND(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 6) AS dup_frac,
+       ROUND(CAST(SUM(is_dropped) AS DOUBLE) / COUNT(*), 6) AS drop_frac
+FROM marked GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6653,6 +6702,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_znorm_pattern_search": ts_znorm_pattern_search,
     "benchmark_containment": benchmark_containment,
     "aqp_orders_avg": aqp_orders_avg,
+    "source_dup_rates": source_dup_rates,
     "knn_ivf_full_probe": knn_ivf_full_probe,
     "user_sessions": user_sessions,
     # -- oracle-backed, green in round 1 -----------------------------------
@@ -6931,6 +6981,7 @@ ORACLES: dict[str, str] = {
     "ts_znorm_pattern_search": _oracle_znorm(),
     "benchmark_containment": ORACLE_CONTAINMENT,
     "aqp_orders_avg": ORACLE_AQP,
+    "source_dup_rates": ORACLE_SOURCE_DUP_RATES,
     "knn_ivf_full_probe": ORACLE_KNN,
     # knn_ivf_approx: approximate ANN -> rows-only; recall pinned in tests
     # media_feature_extract: hash-seeded fake encoder -> rows-only check
