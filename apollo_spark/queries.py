@@ -6408,7 +6408,7 @@ WITH toks AS (
   FROM documents WHERE length(trim(text)) > 0
 ),
 cnt AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
-SELECT source, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
        ROUND(CAST(SUM(c) * SUM(c) AS DOUBLE) / SUM(c * c), 6) AS effective_vocab
 FROM cnt GROUP BY source ORDER BY source
 """
@@ -6670,7 +6670,8 @@ marked AS (
   FROM keyed
 )
 SELECT source, COUNT(*) AS n_docs,
-       SUM(is_dup) AS n_in_dup_group, SUM(is_dropped) AS n_dropped,
+       CAST(SUM(is_dup) AS BIGINT) AS n_in_dup_group,
+       CAST(SUM(is_dropped) AS BIGINT) AS n_dropped,
        ROUND(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 6) AS dup_frac,
        ROUND(CAST(SUM(is_dropped) AS DOUBLE) / COUNT(*), 6) AS drop_frac
 FROM marked GROUP BY source ORDER BY source
