@@ -115,12 +115,56 @@ def run_init(confdir: str | None = None) -> int:
     return 0
 
 
+def run_table(argv: list[str]) -> int:
+    """``table`` subcommand: TxTable maintenance without writing a script —
+    the OPTIMIZE/VACUUM/DESCRIBE HISTORY surface of lakehouse formats.
+
+        python -m apollo_spark table history --path out/tables/q
+        python -m apollo_spark table count   --path out/tables/q [--version N]
+        python -m apollo_spark table compact --path out/tables/q --num-files 4 [--sort-by a,b]
+        python -m apollo_spark table vacuum  --path out/tables/q --retain-last 3
+    """
+    tp = argparse.ArgumentParser("apollo_spark table")
+    tp.add_argument("action", choices=["history", "count", "compact", "vacuum"])
+    tp.add_argument("--path", required=True, help="TxTable root directory")
+    tp.add_argument("--version", type=int, default=None, help="count: snapshot version (default current)")
+    tp.add_argument("--num-files", type=int, default=1, help="compact: target file count")
+    tp.add_argument("--sort-by", default=None, help="compact: comma-separated cluster columns")
+    tp.add_argument("--retain-last", type=int, default=3, help="vacuum: manifests to retain")
+    tp.add_argument("--master", default=None)
+    a = tp.parse_args(argv)
+    from apollo_spark.table_format import TxTable
+
+    t = TxTable(a.path)
+    if a.action == "history":
+        for h in t.history():
+            print(h)
+        return 0
+    if a.action == "count":
+        n = t.row_count(a.version)
+        print(n if n is not None else "unknown (pre-stats manifest)")
+        return 0
+    if a.action == "vacuum":
+        deleted = t.vacuum(retain_last=a.retain_last)
+        print(f"deleted {len(deleted)} files")
+        return 0
+    from apollo_spark.session import get_spark
+
+    spark = get_spark("apollo_spark_table", master=a.master)
+    sort_by = a.sort_by.split(",") if a.sort_by else None
+    n = t.compact(spark, num_files=a.num_files, sort_by=sort_by)
+    print(f"compacted to {n} files")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "init":
         ip = argparse.ArgumentParser("apollo_spark init")
         ip.add_argument("--confdir", default=None)
         return run_init(ip.parse_args(argv[1:]).confdir)
+    if argv and argv[0] == "table":
+        return run_table(argv[1:])
     args = build_parser().parse_args(argv)
     from apollo_spark.config import find_config
     from apollo_spark.dsl.schema import parse_schema_file

@@ -308,3 +308,20 @@ query checked {
     assert "query checked: struct<block:bigint,usdc:double>" in proc.stdout
     assert "== Physical Plan ==" in proc.stdout
     assert not out_dir.exists()  # nothing executed or written
+
+
+def test_cli_table_maintenance(tmp_path, spark):
+    """`table` subcommand: history/count/compact/vacuum over a TxTable."""
+    from apollo_spark.cli import main
+    from apollo_spark.table_format import TxTable
+
+    root = str(tmp_path / "t")
+    t = TxTable(root)
+    t.write(spark.range(100).toDF("x"), mode="overwrite")
+    t.write(spark.range(50).toDF("x"), mode="append")
+
+    assert main(["table", "history", "--path", root]) == 0
+    assert main(["table", "count", "--path", root]) == 0
+    assert main(["table", "compact", "--path", root, "--num-files", "1"]) == 0
+    assert main(["table", "vacuum", "--path", root, "--retain-last", "1"]) == 0
+    assert TxTable(root).row_count() == 150  # maintenance preserved the data
