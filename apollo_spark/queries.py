@@ -6678,6 +6678,164 @@ FROM marked GROUP BY source ORDER BY source
 """
 
 
+def events_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile per event type: event share and DECIMAL-
+    exact average value by hour-of-week (0 = Monday 00:00 UTC) — the
+    repeating-load fingerprint capacity planning and anomaly baselines read.
+    One groupBy over derived integer keys; share denominators ride a window
+    over the (type)-grouped result, never a second scan."""
+    e = _events(spark, sf_dir)
+    # epoch day 0 = 1970-01-01 = Thursday; shift +3 days so week starts Monday
+    hour = F.expr("ts div 3600000000000")
+    how = ((hour + 72) % 168).alias("hour_of_week")
+    agg = (
+        e.select("event_type", how, "value")
+        .groupBy("event_type", "hour_of_week")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(davg(F.col("value"), F.count(F.lit(1))), 6).alias("avg_value"))
+    )
+    w = Window.partitionBy("event_type")
+    return (
+        agg.withColumn("share", F.round(F.col("n_events") / F.sum("n_events").over(w), 6))
+        .select("event_type", "hour_of_week", "n_events", "avg_value", "share")
+        .orderBy("event_type", "hour_of_week")
+    )
+
+
+ORACLE_WEEKLY_SEASONALITY = """
+WITH base AS (
+  SELECT event_type,
+         ((epoch_us(ts) // 3600000000) + 72) % 168 AS hour_of_week,
+         value
+  FROM events
+),
+agg AS (
+  SELECT event_type, hour_of_week, COUNT(*) AS n_events,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+  FROM base GROUP BY 1, 2
+)
+SELECT event_type, hour_of_week, n_events, avg_value,
+       ROUND(CAST(n_events AS DOUBLE) / SUM(n_events) OVER (PARTITION BY event_type), 6) AS share
+FROM agg ORDER BY event_type, hour_of_week
+"""
+
+
+def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: cumulative revenue share of customers ranked by
+    spend — reports the share captured by the top 1/5/10/20/50% (the 80/20
+    diagnostic). One customer rollup + one global ordered window (customer-
+    count-sized, not order-count-sized); DECIMAL sums end-to-end so the
+    cumulative shares are order-exact."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
+    ranked = per_cust.select(
+        "o_custkey",
+        "spend",
+        F.row_number().over(w).alias("rn"),
+        F.sum("spend").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    total_n = F.count(F.lit(1))
+    stats = ranked.agg(total_n.alias("n"), F.sum("spend").alias("tot"))
+    pct = F.ceil(F.col("rn") * F.lit(100.0) / F.col("n"))
+    marked = ranked.crossJoin(F.broadcast(stats)).withColumn("pct", pct)
+    return (
+        marked.filter(F.col("pct").isin(1, 5, 10, 20, 50, 100))
+        .groupBy("pct")
+        .agg(
+            # divide as doubles (exactly-represented decimals at this scale):
+            # decimal/decimal result precision rules differ across engines
+            F.round(F.max("cum").cast("double") / F.max("tot").cast("double"), 6).alias("revenue_share")
+        )
+        .select(F.col("pct").cast("long").alias("top_pct"), "revenue_share")
+        .orderBy("top_pct")
+    )
+
+
+ORACLE_PARETO = """
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS spend
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, spend,
+         ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey ASC) AS rn,
+         SUM(spend) OVER (ORDER BY spend DESC, o_custkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM per_cust
+),
+stats AS (SELECT COUNT(*) AS n, SUM(spend) AS tot FROM ranked)
+SELECT CAST(pct AS BIGINT) AS top_pct,
+       ROUND(CAST(MAX(cum) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 6) AS revenue_share
+FROM (SELECT rn, cum, CEIL(rn * 100.0 / n) AS pct, tot FROM ranked CROSS JOIN stats)
+WHERE pct IN (1, 5, 10, 20, 50, 100)
+GROUP BY pct ORDER BY top_pct
+"""
+
+
+def item_cf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based collaborative filtering (Sarwar et al. WWW'01): item-item
+    cosine over the binary user-item event matrix via a user-keyed self-join
+    (co-occurrence counts / sqrt(pop_a * pop_b)), then top-3 neighbors per
+    item. The self-join fans out per-user-degree^2 — bounded here by events
+    per user; at 100 TB cap per-user items or sample heavy users (same df^2
+    discipline as the dedup inverted indexes). Integer co-counts + one final
+    sqrt keep the score hash-exact."""
+    e = _events(spark, sf_dir)
+    item = F.get_json_object("props", "$.k").cast("int")
+    ui = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", item.alias("item"))
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    pop = ui.groupBy("item").agg(F.count(F.lit(1)).alias("pop"))
+    co = (
+        ui.alias("a")
+        .join(ui.alias("b"), (F.col("a.user_id") == F.col("b.user_id")) & (F.col("a.item") != F.col("b.item")))
+        .groupBy(F.col("a.item").alias("item"), F.col("b.item").alias("other"))
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    scored = (
+        co.join(pop.select(F.col("item"), F.col("pop").alias("pop_a")), "item")
+        .join(pop.select(F.col("item").alias("other"), F.col("pop").alias("pop_b")), "other")
+        .withColumn("score", F.round(F.col("co") / F.sqrt(F.col("pop_a") * F.col("pop_b")), 6))
+    )
+    w = Window.partitionBy("item").orderBy(F.col("score").desc(), F.col("other").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("item", "rank", "other", "co", "score")
+        .orderBy("item", "rank")
+    )
+
+
+ORACLE_ITEM_CF = """
+WITH ui AS (
+  SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item
+  FROM events WHERE event_type = 'purchase'
+    AND json_extract_string(props, '$.k') IS NOT NULL
+),
+pop AS (SELECT item, COUNT(*) AS pop FROM ui GROUP BY item),
+co AS (
+  SELECT a.item AS item, b.item AS other, COUNT(*) AS co
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item != b.item
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT co.item, co.other, co.co,
+         ROUND(co.co / sqrt(pa.pop * pb.pop), 6) AS score
+  FROM co JOIN pop pa ON pa.item = co.item JOIN pop pb ON pb.item = co.other
+)
+SELECT item, rank, other, co, score FROM (
+  SELECT item, other, co, score,
+         ROW_NUMBER() OVER (PARTITION BY item ORDER BY score DESC, other ASC) AS rank
+  FROM scored
+) WHERE rank <= 3 ORDER BY item, rank
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6704,6 +6862,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "benchmark_containment": benchmark_containment,
     "aqp_orders_avg": aqp_orders_avg,
     "source_dup_rates": source_dup_rates,
+    "events_weekly_seasonality": events_weekly_seasonality,
+    "customer_pareto_share": customer_pareto_share,
+    "item_cf_recommendations": item_cf_recommendations,
     "knn_ivf_full_probe": knn_ivf_full_probe,
     "user_sessions": user_sessions,
     # -- oracle-backed, green in round 1 -----------------------------------
@@ -6983,6 +7144,9 @@ ORACLES: dict[str, str] = {
     "benchmark_containment": ORACLE_CONTAINMENT,
     "aqp_orders_avg": ORACLE_AQP,
     "source_dup_rates": ORACLE_SOURCE_DUP_RATES,
+    "events_weekly_seasonality": ORACLE_WEEKLY_SEASONALITY,
+    "customer_pareto_share": ORACLE_PARETO,
+    "item_cf_recommendations": ORACLE_ITEM_CF,
     "knn_ivf_full_probe": ORACLE_KNN,
     # knn_ivf_approx: approximate ANN -> rows-only; recall pinned in tests
     # media_feature_extract: hash-seeded fake encoder -> rows-only check
