@@ -6836,6 +6836,138 @@ SELECT item, rank, other, co, score FROM (
 """
 
 
+def item_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted shortest paths (BFS) over the co-purchase item graph from
+    seed item 0, depth <= 3: min-distance per reachable item. The frontier
+    loop is UNROLLED into the DAG (3 equi-joins frontier->edges, dedup by
+    min), the standard Spark BFS posture — per-hop shuffle carries the
+    frontier, never the transitive closure. Oracle = recursive CTE with the
+    same min-distance semantics."""
+    e = _events(spark, sf_dir)
+    item = F.get_json_object("props", "$.k").cast("int")
+    ui = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", item.alias("item"))
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    edges = (
+        ui.alias("a")
+        .join(ui.alias("b"), (F.col("a.user_id") == F.col("b.user_id")) & (F.col("a.item") != F.col("b.item")))
+        .select(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    dist = spark.createDataFrame([(0, 0)], "item int, d int")
+    frontier = dist
+    for hop in (1, 2, 3):
+        frontier = (
+            frontier.join(edges, frontier["item"] == edges["src"])
+            .select(F.col("dst").alias("item"), F.lit(hop).alias("d"))
+            .distinct()
+        )
+        dist = dist.unionByName(frontier)
+    return (
+        dist.groupBy("item").agg(F.min("d").alias("distance")).orderBy("item")
+    )
+
+
+ORACLE_ITEM_REACH = """
+WITH RECURSIVE ui AS (
+  SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item
+  FROM events WHERE event_type = 'purchase'
+    AND json_extract_string(props, '$.k') IS NOT NULL
+),
+edges AS (
+  SELECT DISTINCT a.item AS src, b.item AS dst
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item != b.item
+),
+reach(item, d) AS (
+  SELECT CAST(0 AS INT), 0
+  UNION
+  SELECT e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.item WHERE r.d < 3
+)
+SELECT item, MIN(d) AS distance FROM reach GROUP BY item ORDER BY item
+"""
+
+
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation analytics: users deterministically split A/B by a
+    portable hash, conversion = heavy purchaser (>= 14 purchase events — the
+    corpus median, so neither arm saturates at 0% or 100% and the pooled SE
+    never degenerates to zero); reports per-arm rates and the two-proportion
+    z-score (pooled SE) — the decision statistic an A/B dashboard prints.
+    All counts exact BIGINT; the z-score is a few IEEE ops over exact
+    integers, so it hash-gates."""
+    e = _events(spark, sf_dir)
+    users = e.select("user_id").distinct()
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("ab"), F.col("user_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 2 == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    buyers = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__np"))
+        .filter(F.col("__np") >= 14)
+        .select("user_id")
+    )
+    marked = users.withColumn("arm", arm).join(
+        buyers.withColumn("converted", F.lit(1)), "user_id", "left"
+    )
+    per_arm = marked.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.coalesce("converted", F.lit(0))).alias("n_converted"),
+    )
+    a = per_arm.filter(F.col("arm") == "A").select(
+        F.col("n_users").alias("na"), F.col("n_converted").alias("ca")
+    )
+    b = per_arm.filter(F.col("arm") == "B").select(
+        F.col("n_users").alias("nb"), F.col("n_converted").alias("cb")
+    )
+    j = a.crossJoin(b)
+    pa = F.col("ca").cast("double") / F.col("na")
+    pb = F.col("cb").cast("double") / F.col("nb")
+    pool = (F.col("ca") + F.col("cb")).cast("double") / (F.col("na") + F.col("nb"))
+    se = F.sqrt(pool * (1 - pool) * (1.0 / F.col("na") + 1.0 / F.col("nb")))
+    return j.select(
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round((pa - pb) / se, 6).alias("z_score"),
+    )
+
+
+ORACLE_AB_TEST = """
+WITH users AS (SELECT DISTINCT user_id FROM events),
+buyers AS (SELECT user_id FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id HAVING COUNT(*) >= 14),
+marked AS (
+  SELECT u.user_id,
+         CASE WHEN ('0x' || substring(md5('ab' || CAST(u.user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm,
+         CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END AS converted
+  FROM users u LEFT JOIN buyers b ON b.user_id = u.user_id
+),
+per_arm AS (
+  SELECT arm, COUNT(*) AS n_users, CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM marked GROUP BY arm
+)
+SELECT a.n_users AS na, a.n_converted AS ca, b.n_users AS nb, b.n_converted AS cb,
+       ROUND(CAST(a.n_converted AS DOUBLE) / a.n_users, 6) AS rate_a,
+       ROUND(CAST(b.n_converted AS DOUBLE) / b.n_users, 6) AS rate_b,
+       ROUND((CAST(a.n_converted AS DOUBLE) / a.n_users - CAST(b.n_converted AS DOUBLE) / b.n_users)
+             / sqrt((CAST(a.n_converted + b.n_converted AS DOUBLE) / (a.n_users + b.n_users))
+                    * (1 - CAST(a.n_converted + b.n_converted AS DOUBLE) / (a.n_users + b.n_users))
+                    * (1.0 / a.n_users + 1.0 / b.n_users)), 6) AS z_score
+FROM (SELECT * FROM per_arm WHERE arm = 'A') a CROSS JOIN (SELECT * FROM per_arm WHERE arm = 'B') b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6865,6 +6997,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_weekly_seasonality": events_weekly_seasonality,
     "customer_pareto_share": customer_pareto_share,
     "item_cf_recommendations": item_cf_recommendations,
+    "item_reachability": item_reachability,
+    "ab_test_conversion": ab_test_conversion,
     "knn_ivf_full_probe": knn_ivf_full_probe,
     "user_sessions": user_sessions,
     # -- oracle-backed, green in round 1 -----------------------------------
@@ -7147,6 +7281,8 @@ ORACLES: dict[str, str] = {
     "events_weekly_seasonality": ORACLE_WEEKLY_SEASONALITY,
     "customer_pareto_share": ORACLE_PARETO,
     "item_cf_recommendations": ORACLE_ITEM_CF,
+    "item_reachability": ORACLE_ITEM_REACH,
+    "ab_test_conversion": ORACLE_AB_TEST,
     "knn_ivf_full_probe": ORACLE_KNN,
     # knn_ivf_approx: approximate ANN -> rows-only; recall pinned in tests
     # media_feature_extract: hash-seeded fake encoder -> rows-only check
