@@ -6968,6 +6968,66 @@ FROM (SELECT * FROM per_arm WHERE arm = 'A') a CROSS JOIN (SELECT * FROM per_arm
 """
 
 
+def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 word bigrams by tf * ln(N/df)
+    (deterministic rank: weight desc, term asc) — the classic TF-IDF
+    keyword list a search/index pipeline stores per doc. Same inverted
+    stats as tfidf_dup_pairs, but the output is per-doc top-k, so the only
+    wide exchange is the tf groupBy; the top-k is one doc-keyed window.
+    Weight rounds at 6dp BEFORE ranking so ordering can't split on sub-grain
+    fp noise across engines."""
+    d = _t(spark, sf_dir, "documents")
+    tok_arr = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("t")) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(F.col("t"), i + 1), F.element_at(F.col("t"), i + 2)),
+    )
+    toks = tok_arr.select("doc_id", F.explode(grams).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = tf.select(F.countDistinct("doc_id").alias("n_docs"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6).alias("weight"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("weight").desc(), F.col("term").asc())
+    return (
+        w.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "weight")
+        .orderBy("doc_id", "rank")
+    )
+
+
+ORACLE_DOC_KEYWORDS = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS term
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0)
+  WHERE len(t) >= 2
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+stats AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+w AS (
+  SELECT doc_id, term, ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS weight
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+)
+SELECT doc_id, rank, term, weight FROM (
+  SELECT doc_id, term, weight,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY weight DESC, term ASC) AS rank
+  FROM w
+) WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6999,6 +7059,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "item_cf_recommendations": item_cf_recommendations,
     "item_reachability": item_reachability,
     "ab_test_conversion": ab_test_conversion,
+    "doc_keywords": doc_keywords,
     "knn_ivf_full_probe": knn_ivf_full_probe,
     "user_sessions": user_sessions,
     # -- oracle-backed, green in round 1 -----------------------------------
@@ -7283,6 +7344,7 @@ ORACLES: dict[str, str] = {
     "item_cf_recommendations": ORACLE_ITEM_CF,
     "item_reachability": ORACLE_ITEM_REACH,
     "ab_test_conversion": ORACLE_AB_TEST,
+    "doc_keywords": ORACLE_DOC_KEYWORDS,
     "knn_ivf_full_probe": ORACLE_KNN,
     # knn_ivf_approx: approximate ANN -> rows-only; recall pinned in tests
     # media_feature_extract: hash-seeded fake encoder -> rows-only check
