@@ -7028,6 +7028,110 @@ SELECT doc_id, rank, term, weight FROM (
 """
 
 
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ/Great-Expectations-style data profile of the events table: per
+    column completeness (null count), approx-free distinct count, numeric
+    range — plus the uniqueness CONSTRAINT check on the key (event_id
+    distinct == count). ONE aggregate pass (Catalyst expands the multi-
+    distinct into an Expand + two-phase agg; no per-column scans), melted to
+    (column, metric, value) long form for a monitoring sink."""
+    e = _events(spark, sf_dir)
+    agg = e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.count(c).alias(f"nn_{c}") for c in ("event_id", "user_id", "event_type", "value", "props")],
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in ("event_id", "user_id", "event_type")],
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    rows = []
+    for c in ("event_id", "user_id", "event_type", "value", "props"):
+        rows.append(f"'{c}', 'n_null', cast(n_rows - nn_{c} as double)")
+    for c in ("event_id", "user_id", "event_type"):
+        rows.append(f"'{c}', 'n_distinct', cast(nd_{c} as double)")
+    rows.append("'value', 'min', min_value")
+    rows.append("'value', 'max', max_value")
+    rows.append("'event_id', 'unique_check', cast(case when nd_event_id = n_rows then 1 else 0 end as double)")
+    rows.append("'_table', 'n_rows', cast(n_rows as double)")
+    n = len(rows)
+    stacked = agg.select(
+        F.expr(f"stack({n}, {', '.join(rows)}) as (column, metric, value)")
+    )
+    return stacked.select("column", "metric", F.round("value", 6).alias("value")).orderBy("column", "metric")
+
+
+ORACLE_EVENTS_PROFILE = """
+WITH agg AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(event_id) AS nn_event_id, COUNT(user_id) AS nn_user_id,
+         COUNT(event_type) AS nn_event_type, COUNT(value) AS nn_value, COUNT(props) AS nn_props,
+         COUNT(DISTINCT event_id) AS nd_event_id, COUNT(DISTINCT user_id) AS nd_user_id,
+         COUNT(DISTINCT event_type) AS nd_event_type,
+         MIN(value) AS min_value, MAX(value) AS max_value
+  FROM events
+)
+SELECT "column", metric, ROUND(value, 6) AS value FROM (
+  SELECT '_table' AS "column", 'n_rows' AS metric, CAST(n_rows AS DOUBLE) AS value FROM agg
+  UNION ALL SELECT 'event_id', 'n_null', CAST(n_rows - nn_event_id AS DOUBLE) FROM agg
+  UNION ALL SELECT 'user_id', 'n_null', CAST(n_rows - nn_user_id AS DOUBLE) FROM agg
+  UNION ALL SELECT 'event_type', 'n_null', CAST(n_rows - nn_event_type AS DOUBLE) FROM agg
+  UNION ALL SELECT 'value', 'n_null', CAST(n_rows - nn_value AS DOUBLE) FROM agg
+  UNION ALL SELECT 'props', 'n_null', CAST(n_rows - nn_props AS DOUBLE) FROM agg
+  UNION ALL SELECT 'event_id', 'n_distinct', CAST(nd_event_id AS DOUBLE) FROM agg
+  UNION ALL SELECT 'user_id', 'n_distinct', CAST(nd_user_id AS DOUBLE) FROM agg
+  UNION ALL SELECT 'event_type', 'n_distinct', CAST(nd_event_type AS DOUBLE) FROM agg
+  UNION ALL SELECT 'value', 'min', min_value FROM agg
+  UNION ALL SELECT 'value', 'max', max_value FROM agg
+  UNION ALL SELECT 'event_id', 'unique_check',
+    CAST(CASE WHEN nd_event_id = n_rows THEN 1 ELSE 0 END AS DOUBLE) FROM agg
+)
+ORDER BY "column", metric
+"""
+
+
+def item_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted popularity: per item, sum of exp(-age_days / 30)
+    over purchase events (30-day half-life-ish exponential decay vs the
+    corpus max timestamp) — the freshness-aware ranking signal recsys and
+    trending feeds use instead of raw counts. The reference time is an
+    in-plan scalar (broadcast one-row agg, no driver action); each decay
+    term is ROUND()ed before the DECIMAL accumulation so the sum is
+    order-independent AND engine-exact despite exp()."""
+    e = _events(spark, sf_dir)
+    item = F.get_json_object("props", "$.k").cast("int")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        item.alias("item"), F.expr("ts div 1000000000").alias("ts_s")
+    ).filter(F.col("item").isNotNull())
+    ref = p.agg(F.max("ts_s").alias("ref_s"))
+    term = F.round(F.exp(-(F.col("ref_s") - F.col("ts_s")).cast("double") / F.lit(86400.0 * 30)), 9)
+    return (
+        p.crossJoin(F.broadcast(ref))
+        .select("item", term.alias("w"))
+        .groupBy("item")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("w").cast("decimal(38,9)")).cast("double").alias("decayed_score"),
+        )
+        .select("item", "n_purchases", F.round("decayed_score", 6).alias("decayed_score"))
+        .orderBy(F.col("decayed_score").desc(), F.col("item").asc())
+    )
+
+
+ORACLE_DECAYED_POP = """
+WITH p AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS INT) AS item,
+         epoch_ns(ts) // 1000000000 AS ts_s
+  FROM events
+  WHERE event_type = 'purchase' AND json_extract_string(props, '$.k') IS NOT NULL
+),
+ref AS (SELECT MAX(ts_s) AS ref_s FROM p)
+SELECT item, COUNT(*) AS n_purchases,
+       ROUND(CAST(SUM(CAST(ROUND(exp(-CAST(ref_s - ts_s AS DOUBLE) / 2592000.0), 9) AS DECIMAL(38,9))) AS DOUBLE), 6) AS decayed_score
+FROM p CROSS JOIN ref
+GROUP BY item
+ORDER BY decayed_score DESC, item ASC
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7060,6 +7164,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "item_reachability": item_reachability,
     "ab_test_conversion": ab_test_conversion,
     "doc_keywords": doc_keywords,
+    "events_profile": events_profile,
+    "item_decayed_popularity": item_decayed_popularity,
     "knn_ivf_full_probe": knn_ivf_full_probe,
     "user_sessions": user_sessions,
     # -- oracle-backed, green in round 1 -----------------------------------
@@ -7345,6 +7451,8 @@ ORACLES: dict[str, str] = {
     "item_reachability": ORACLE_ITEM_REACH,
     "ab_test_conversion": ORACLE_AB_TEST,
     "doc_keywords": ORACLE_DOC_KEYWORDS,
+    "events_profile": ORACLE_EVENTS_PROFILE,
+    "item_decayed_popularity": ORACLE_DECAYED_POP,
     "knn_ivf_full_probe": ORACLE_KNN,
     # knn_ivf_approx: approximate ANN -> rows-only; recall pinned in tests
     # media_feature_extract: hash-seeded fake encoder -> rows-only check
