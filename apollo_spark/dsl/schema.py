@@ -87,6 +87,18 @@ class DedupSpec:
 
 
 @dataclass
+class ExpectSpec:
+    """v2 `expect` block: Great-Expectations/Deequ-style output constraints,
+    validated EAGERLY (one bounded aggregate action on the final frame) —
+    a failed expectation aborts the query instead of publishing bad rows.
+    Batch-only (streaming frames cannot run the validation action)."""
+
+    not_null: list[str] = field(default_factory=list)  # each column fully populated
+    unique: list[str] = field(default_factory=list)  # composite key uniqueness
+    min_rows: int | None = None
+
+
+@dataclass
 class SampleSpec:
     """v2 `sample` block: deterministic coordinated hash-rate sampling
     (ops/sketch.py::hash_sample) as a declarative stage — keep rows whose
@@ -137,6 +149,8 @@ class QuerySpec:
     sample: SampleSpec | None = None
     # v2 `quality` block: declarative corpus quality filter (ops/text.py)
     quality: QualitySpec | None = None
+    # v2 `expect` block: eager output-constraint validation (batch-only)
+    expect: ExpectSpec | None = None
     sort: list[Node] = field(default_factory=list)
     limit: int | None = None
     start_block: int | None = None
@@ -373,6 +387,28 @@ def _parse_query(block: Block, env: dict[str, Any], item: Any = None) -> QuerySp
             min_tokens=int(_const(qbody, "min_tokens", env, 10)),
         )
 
+    expect_spec = None
+    expect_blocks = b.blocks_of("expect")
+    if expect_blocks:
+        ebody = expect_blocks[0].body
+
+        def _cols(attr: str) -> list[str]:
+            v = _const(ebody, attr, env, None)
+            if v is None:
+                return []
+            if isinstance(v, str):
+                return [v]
+            return [str(x) for x in v]
+
+        mr = _const(ebody, "min_rows", env, None)
+        expect_spec = ExpectSpec(
+            not_null=_cols("not_null"),
+            unique=_cols("unique"),
+            min_rows=int(mr) if mr is not None else None,
+        )
+        if not (expect_spec.not_null or expect_spec.unique or expect_spec.min_rows is not None):
+            raise SchemaError(f"query {name}: expect block needs not_null, unique, or min_rows")
+
     return QuerySpec(
         name=name,
         joins=[_parse_join(jb) for jb in b.blocks_of("join")],
@@ -381,6 +417,7 @@ def _parse_query(block: Block, env: dict[str, Any], item: Any = None) -> QuerySp
         dedup=dedup_spec,
         sample=sample_spec,
         quality=quality_spec,
+        expect=expect_spec,
         sort=sort_items,
         limit=(int(_const(b, "limit", env)) if b.attr("limit") is not None else None),
         chain=str(_const(b, "chain", env)),

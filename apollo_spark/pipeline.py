@@ -246,6 +246,7 @@ def _eval_tail(
     dedup=None,
     sample=None,
     quality=None,
+    expect=None,
     sort: list | None = None,
     limit: int | None = None,
     user_functions: dict | None = None,
@@ -328,7 +329,52 @@ def _eval_tail(
         df = df.orderBy(*[sort_compiler.compile(s) for s in sort])
     if limit is not None:
         df = df.limit(limit)
+    if expect is not None:
+        _apply_expect(df, expect)
     return df
+
+
+class ExpectationError(PipelineError):
+    """An `expect` block constraint failed — the query output is not
+    published (the caller never receives the frame)."""
+
+
+def _apply_expect(df: DataFrame, spec) -> None:
+    """v2 `expect` block: eager Great-Expectations/Deequ-style constraint
+    validation on the FINAL frame. One bounded aggregate action computes
+    every check (row count, per-column null counts, composite-key distinct)
+    — no per-constraint scans; a violation raises ExpectationError so bad
+    output never reaches a sink. Batch-only by construction: a streaming
+    frame cannot run the validation action."""
+    if df.isStreaming:
+        raise PipelineError("expect block is batch-only (streaming frames cannot run the validation action)")
+    for c in list(spec.not_null) + list(spec.unique):
+        if c not in df.columns:
+            raise PipelineError(f"expect references unknown column {c!r} (have {df.columns})")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in spec.not_null:
+        aggs.append(F.count(c).alias(f"__nn_{c}"))
+    if spec.unique:
+        aggs.append(F.countDistinct(*[F.col(c) for c in spec.unique]).alias("__nd"))
+        # countDistinct skips rows with any NULL key part; count them apart
+        null_key = reduce(lambda a, b: a | b, [F.col(c).isNull() for c in spec.unique])
+        aggs.append(F.sum(null_key.cast("long")).alias("__nullkey"))
+    row = df.agg(*aggs).first()
+    violations = []
+    if spec.min_rows is not None and row["__n"] < spec.min_rows:
+        violations.append(f"min_rows: {row['__n']} < {spec.min_rows}")
+    for c in spec.not_null:
+        nulls = row["__n"] - row[f"__nn_{c}"]
+        if nulls > 0:
+            violations.append(f"not_null[{c}]: {nulls} null rows")
+    if spec.unique:
+        dupes = row["__n"] - (row["__nullkey"] or 0) - row["__nd"]
+        if dupes > 0:
+            violations.append(f"unique[{','.join(spec.unique)}]: {dupes} duplicate rows")
+        if (row["__nullkey"] or 0) > 0:
+            violations.append(f"unique[{','.join(spec.unique)}]: {row['__nullkey']} rows with NULL key")
+    if violations:
+        raise ExpectationError("; ".join(violations))
 
 
 def _apply_quality(df: DataFrame, spec) -> DataFrame:
@@ -575,6 +621,7 @@ def compile_query(
                 dedup=query.dedup,
                 sample=query.sample,
                     quality=query.quality,
+                    expect=query.expect,
                 sort=query.sort,
                 limit=query.limit,
                 user_functions=schema.functions,
@@ -598,6 +645,7 @@ def compile_query(
                 dedup=query.dedup,
                 sample=query.sample,
                     quality=query.quality,
+                    expect=query.expect,
                 sort=query.sort,
                 limit=query.limit,
                 user_functions=schema.functions,
@@ -621,6 +669,7 @@ def compile_query(
                     dedup=query.dedup,
                 sample=query.sample,
                     quality=query.quality,
+                    expect=query.expect,
                     sort=query.sort,
                     limit=query.limit,
                     user_functions=schema.functions,
@@ -678,6 +727,7 @@ def compile_query(
                     dedup=query.dedup,
                 sample=query.sample,
                     quality=query.quality,
+                    expect=query.expect,
                     sort=query.sort,
                     limit=query.limit,
                     user_functions=schema.functions,
@@ -713,6 +763,7 @@ def compile_query(
                 dedup=query.dedup,
                 sample=query.sample,
                     quality=query.quality,
+                    expect=query.expect,
                 sort=query.sort,
                 limit=query.limit,
                 user_functions=schema.functions,
@@ -782,6 +833,11 @@ def compile_streaming_query(
             f"query {query.name}: sort/limit/aggregate/window are batch-only "
             "(append-mode streams have no global order and the row sinks "
             "don't model update semantics)"
+        )
+    if query.expect is not None:
+        raise PipelineError(
+            f"query {query.name}: expect block is batch-only "
+            "(streaming frames cannot run the validation action)"
         )
 
     def tail(df: DataFrame, transform: Body | None) -> DataFrame:

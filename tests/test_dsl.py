@@ -598,3 +598,68 @@ query bad { chain = "ethereum"
 }
 """
         )
+
+
+def test_expect_block_validates_and_rejects(spark, tmp_path):
+    """`expect` block: passing constraints publish the frame; a violated
+    uniqueness or min_rows constraint raises ExpectationError before any
+    sink sees rows."""
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import ExpectationError, compile_query
+    from apollo_spark.sources.tables import Catalog
+
+    import pytest as _pytest
+
+    rows = [(1, "alpha text", "en"), (2, "beta text", "en"), (3, "gamma text", "de")]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    catalog = Catalog(spark, str(tmp_path))
+
+    ok = parse_schema(
+        """
+query checked {
+  chain = "ethereum"
+  source_table = "documents"
+  expect {
+    not_null = ["doc_id", "lang"]
+    unique = ["doc_id"]
+    min_rows = 2
+  }
+  save {
+    doc_id = doc_id
+    lang = lang
+  }
+}
+"""
+    )
+    out = compile_query(spark, catalog, ok.queries[0], ok).toPandas()
+    assert len(out) == 3  # all constraints hold -> frame published
+
+    dup = parse_schema(
+        """
+query dup_check {
+  chain = "ethereum"
+  source_table = "documents"
+  expect {
+    unique = ["lang"]
+  }
+  save { lang = lang }
+}
+"""
+    )
+    with _pytest.raises(ExpectationError, match=r"unique\[lang\]"):
+        compile_query(spark, catalog, dup.queries[0], dup)
+
+    small = parse_schema(
+        """
+query rows_check {
+  chain = "ethereum"
+  source_table = "documents"
+  expect { min_rows = 100 }
+  save { doc_id = doc_id }
+}
+"""
+    )
+    with _pytest.raises(ExpectationError, match="min_rows"):
+        compile_query(spark, catalog, small.queries[0], small)
