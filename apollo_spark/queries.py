@@ -7132,6 +7132,93 @@ ORDER BY decayed_score DESC, item ASC
 """
 
 
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis: the top-10 3-step event-type sequences
+    across all user timelines (two LAG windows per user, one global count)
+    — the "how do users actually move" query behind funnel design. Ordering
+    ties break on (ts, event_id), so the sequences are deterministic."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("t2", F.lag("event_type", 1).over(w))
+        .withColumn("t1", F.lag("event_type", 2).over(w))
+        .filter(F.col("t1").isNotNull())
+        .select(F.concat_ws(" > ", "t1", "t2", "event_type").alias("path"))
+    )
+    return (
+        seq.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(10)
+    )
+
+
+ORACLE_PATH_TRIGRAMS = """
+WITH seq AS (
+  SELECT LAG(event_type, 2) OVER w AS t1,
+         LAG(event_type, 1) OVER w AS t2,
+         event_type AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT t1 || ' > ' || t2 || ' > ' || t3 AS path, COUNT(*) AS n
+FROM seq WHERE t1 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 10
+"""
+
+
+def discount_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation between discount and quantity per part
+    brand — the does-discount-move-volume diagnostic. Every moment
+    (sum x, y, xy, x^2, y^2) accumulates through DECIMAL(38,6), so r is a
+    deterministic function of exact sums — no fp-order drift — and the
+    whole statistic hash-gates. One co-shuffled join + one rollup."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(p, l["l_partkey"] == p["p_partkey"]).select(
+        "p_brand", F.col("l_discount").alias("x"), F.col("l_quantity").alias("y")
+    )
+    n = F.count(F.lit(1))
+    agg = j.groupBy("p_brand").agg(
+        n.alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        agg.select("p_brand", "n", F.round(num / den, 6).alias("pearson_r"))
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_DISCOUNT_CORR = """
+WITH j AS (
+  SELECT p.p_brand, l.l_discount AS x, l.l_quantity AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+agg AS (
+  SELECT p_brand, COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+  FROM j GROUP BY p_brand
+)
+SELECT p_brand, n,
+       ROUND((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS pearson_r
+FROM agg ORDER BY p_brand
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7166,6 +7253,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_keywords": doc_keywords,
     "events_profile": events_profile,
     "item_decayed_popularity": item_decayed_popularity,
+    "event_path_trigrams": event_path_trigrams,
+    "discount_quantity_correlation": discount_quantity_correlation,
     "knn_ivf_full_probe": knn_ivf_full_probe,
     "user_sessions": user_sessions,
     # -- oracle-backed, green in round 1 -----------------------------------
@@ -7453,6 +7542,8 @@ ORACLES: dict[str, str] = {
     "doc_keywords": ORACLE_DOC_KEYWORDS,
     "events_profile": ORACLE_EVENTS_PROFILE,
     "item_decayed_popularity": ORACLE_DECAYED_POP,
+    "event_path_trigrams": ORACLE_PATH_TRIGRAMS,
+    "discount_quantity_correlation": ORACLE_DISCOUNT_CORR,
     "knn_ivf_full_probe": ORACLE_KNN,
     # knn_ivf_approx: approximate ANN -> rows-only; recall pinned in tests
     # media_feature_extract: hash-seeded fake encoder -> rows-only check
