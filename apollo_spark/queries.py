@@ -7219,6 +7219,71 @@ FROM agg ORDER BY p_brand
 """
 
 
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution: log2-bucketed doc character counts per
+    source (bucket = floor(log2(n_chars)), so 2^b..2^{b+1}-1 chars) — the
+    length histogram that picks chunking and packing parameters. Integer
+    bucket via BIGINT bit-length (no fp log at bucket edges: log2(1024)
+    could land on either side of 10.0 in different libm's)."""
+    d = _t(spark, sf_dir, "documents")
+    # floor(log2(n)) for n >= 1 as binary-representation length - 1 —
+    # integer-exact on both engines (conv/bin emit no leading zeros)
+    bucket = (F.length(F.conv(F.col("n_chars").cast("string"), 10, 2)) - 1).alias("bucket")
+    return (
+        d.filter(F.col("n_chars") >= 1)
+        .select("source", bucket)
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "bucket")
+    )
+
+
+ORACLE_LENGTH_HISTOGRAM = """
+SELECT source, CAST(length(bin(n_chars)) - 1 AS INT) AS bucket, COUNT(*) AS n_docs
+FROM documents WHERE n_chars >= 1
+GROUP BY 1, 2 ORDER BY source, bucket
+"""
+
+
+def nation_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation: the LAG-over-aggregate
+    shape (rollup to (nation, year), then one ordered window per nation) a
+    finance dashboard runs. Revenue sums ride DECIMAL; growth is one
+    double division of exact sums, NULL for each nation's first year."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", F.year(F.col("o_orderdate").cast("date")).alias("yr"))
+        .agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return (
+        rev.withColumn("yoy_growth", F.round((F.col("revenue") - prev) / prev, 6))
+        .select("n_name", "yr", F.round("revenue", 2).alias("revenue"), "yoy_growth")
+        .orderBy("n_name", "yr")
+    )
+
+
+ORACLE_YOY_GROWTH = """
+WITH rev AS (
+  SELECT n.n_name, EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) AS yr,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, CAST(yr AS INT) AS yr, ROUND(revenue, 2) AS revenue,
+       ROUND((revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w, 6) AS yoy_growth
+FROM rev
+WINDOW w AS (PARTITION BY n_name ORDER BY yr)
+ORDER BY n_name, yr
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7255,6 +7320,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "item_decayed_popularity": item_decayed_popularity,
     "event_path_trigrams": event_path_trigrams,
     "discount_quantity_correlation": discount_quantity_correlation,
+    "doc_length_histogram": doc_length_histogram,
+    "nation_yoy_growth": nation_yoy_growth,
     "knn_ivf_full_probe": knn_ivf_full_probe,
     "user_sessions": user_sessions,
     # -- oracle-backed, green in round 1 -----------------------------------
@@ -7544,6 +7611,8 @@ ORACLES: dict[str, str] = {
     "item_decayed_popularity": ORACLE_DECAYED_POP,
     "event_path_trigrams": ORACLE_PATH_TRIGRAMS,
     "discount_quantity_correlation": ORACLE_DISCOUNT_CORR,
+    "doc_length_histogram": ORACLE_LENGTH_HISTOGRAM,
+    "nation_yoy_growth": ORACLE_YOY_GROWTH,
     "knn_ivf_full_probe": ORACLE_KNN,
     # knn_ivf_approx: approximate ANN -> rows-only; recall pinned in tests
     # media_feature_extract: hash-seeded fake encoder -> rows-only check
