@@ -202,6 +202,11 @@ def main(argv: list[str] | None = None) -> int:
         rate_limit=args.rate_limit,
         client_factory=client_factory,
         log_parts=args.log_parts,
+        # --check/--explain promise "compile only, run nothing": expect
+        # validation is an eager action, so it must be skipped here (it would
+        # otherwise fully execute every expect-gated query, including live
+        # RPC method sources)
+        validate_expect=not (args.check or args.explain),
     )
 
     jdbc_url, jdbc_props = args.db, {}
@@ -233,6 +238,7 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         for name, df in frames.items():
             writer.write(df, name)
+            df.unpersist()  # release the expect-validation cache (no-op otherwise)
         # exit-time metrics report (DumpMetrics, chainservice.go:293-307)
         metrics.dump()
         return 0

@@ -254,7 +254,14 @@ def _parse_contract(block: Block, env: dict[str, Any]) -> ContractSpec:
     elif block.labels and block.labels[0].lower().startswith("0x"):
         address = block.labels[0]
     else:
-        address = str(_const(b, "address", env))
+        addr_val = _const(b, "address", env)
+        if addr_val is None:
+            label = block.labels[0] if block.labels else "<unnamed>"
+            raise SchemaError(
+                f"contract {label!r}: no address — give a 0x label "
+                f'(contract {label} "0x..." {{}}) or an address attribute'
+            )
+        address = str(addr_val)
     transform_blocks = b.blocks_of("transform")
     events = [_parse_event(eb, env, standalone=False) for eb in b.blocks_of("event")]
     abi_name = _const(b, "abi", env)

@@ -1,0 +1,34 @@
+"""Caller-releasable persist scopes.
+
+Several ops persist an intermediate frame that the RETURNED (lazy) frame
+references more than once — unpersisting before the caller's action would
+reintroduce the double computation the persist exists to avoid, so a plain
+try/finally inside the op cannot work. Instead the persisted intermediates
+ride along on the returned DataFrame (a plain Python attribute); a caller
+that runs many queries in one long-lived session calls ``release_caches``
+(or ``spark.catalog.clearCache()``) after its terminal action so executor
+storage does not accumulate round over round (bench.py and the query-gate
+test do exactly that)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_ATTR = "_apollo_scoped_caches"
+
+
+def scoped_persist(out: DataFrame, *intermediates: DataFrame) -> DataFrame:
+    """Attach already-persisted ``intermediates`` to ``out`` for later
+    ``release_caches(out)``. Returns ``out`` (attribute set in place)."""
+    existing = list(getattr(out, _ATTR, []))
+    setattr(out, _ATTR, existing + list(intermediates))
+    return out
+
+
+def release_caches(df: DataFrame) -> None:
+    """Unpersist every intermediate an op attached to ``df``. Safe to call
+    on any frame (no-op when nothing is attached); idempotent."""
+    for f in getattr(df, _ATTR, []):
+        f.unpersist()
+    if hasattr(df, _ATTR):
+        setattr(df, _ATTR, [])

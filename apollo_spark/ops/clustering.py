@@ -258,8 +258,11 @@ def pq_adc_topk(
     from pyspark.sql import Window
 
     w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
-    return (
+    from apollo_spark.ops.cache import scoped_persist
+
+    return scoped_persist(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
-        .select("q_id", id_col, "adc_dist", "rank")
+        .select("q_id", id_col, "adc_dist", "rank"),
+        dist,
     )

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from apollo_spark.ops.cache import scoped_persist
+
 
 def normalize_text(col):
     """Canonical text form shared by the dedup family: lowercase, collapse
@@ -34,11 +36,23 @@ def normalize_text(col):
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
-def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep one row per distinct normalized text (the min id — deterministic,
-    oracle-able). Single hash-shuffle on the content digest."""
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", keep: str = "min_id"
+) -> DataFrame:
+    """Keep one row per distinct normalized text — survivor = min id
+    (default) or longest raw text, tie-break min id (``keep="longest"`` —
+    same policy names as dedup_losers, so the DSL `keep` attribute means the
+    same thing for every method). Deterministic, oracle-able; single
+    hash-shuffle on the content digest."""
+    if keep not in ("min_id", "longest"):
+        raise ValueError(f"keep must be min_id|longest, got {keep!r}")
     keyed = df.withColumn("__key", F.md5(normalize_text(F.col(text_col))))
-    w = Window.partitionBy("__key").orderBy(F.col(id_col).asc())
+    order = (
+        [F.length(F.col(text_col)).desc(), F.col(id_col).asc()]
+        if keep == "longest"
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy("__key").orderBy(*order)
     return keyed.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__key", "__rn")
 
 
@@ -152,10 +166,11 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    return scoped_persist(
         cand.withColumn("jaccard", inter.cast("double") / union.cast("double"))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        base,
     )
 
 
@@ -314,7 +329,9 @@ def ngram_jaccard_pairs(
         # lossless: the pruned-index intersection count IS the exact
         # intersection, so jaccard falls out of counts alone
         j = inter.withColumn("jaccard", _jac(F.col("inter")))
-        return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+        return scoped_persist(
+            j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard"), base
+        )
     # capped: bound the hot-shingle undercount per pair. hot_d = full size -
     # rows surviving the prune; true I is in [inter, inter + min(hot_a, hot_b)].
     kept = idx.groupBy("id").agg(F.count(F.lit(1)).alias("n_kept"))
@@ -368,7 +385,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("id") != F.col("id_a"))
         .select("id_a", F.col("id").alias("id_b"), F.lit(1.0).alias("jaccard"))
     )
-    return tight.unionByName(rescored).unionByName(exact_pairs)
+    return scoped_persist(tight.unionByName(rescored).unionByName(exact_pairs), base)
 
 
 def tfidf_cosine_pairs(
@@ -460,7 +477,7 @@ def tfidf_cosine_pairs(
         .join(norm2.select(F.col("id").alias("id_b"), F.col("n2").alias("nb2")), "id_b")
         .select("id_a", "id_b", (F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2"))).alias("cosine"))
     )
-    return cos.filter(F.col("cosine") >= threshold)
+    return scoped_persist(cos.filter(F.col("cosine") >= threshold), w)
 
 
 def ngram_jaccard_pairs_prefix(
@@ -534,7 +551,7 @@ def ngram_jaccard_pairs_prefix(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return (
+    return scoped_persist(
         cand.join(base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
@@ -544,7 +561,8 @@ def ngram_jaccard_pairs_prefix(
             / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        base,
     )
 
 
@@ -756,7 +774,7 @@ def duplicated_spans(
         F.explode(word_ngrams(F.col(text_col), w)).alias("win"),
     ).persist()
     counts = wins.groupBy("win").agg(F.count(F.lit(1)).alias("c"))
-    return (
+    return scoped_persist(
         wins.join(counts, "win")
         .groupBy("id")
         .agg(
@@ -766,7 +784,8 @@ def duplicated_spans(
         .withColumn(
             "dup_frac", F.col("n_dup_windows").cast("double") / F.col("n_windows").cast("double")
         )
-        .select(F.col("id").alias(id_col), "n_windows", "n_dup_windows", "dup_frac")
+        .select(F.col("id").alias(id_col), "n_windows", "n_dup_windows", "dup_frac"),
+        wins,
     )
 
 
@@ -919,7 +938,9 @@ def incremental_minhash_dedup(
     sigs_t.write(new_sigs, mode="append", txn_app=txn_app, txn_batch=txn_batch)
     new_bands.unpersist()
     new_sigs.unpersist()
-    return matches
+    # `matches` is already materialized; hand the cache handle to the caller
+    # (release_caches) rather than leaking it into session storage
+    return scoped_persist(matches, matches)
 
 
 # --------------------------------------------------------------------------
@@ -1012,10 +1033,12 @@ def minhash_portable_pairs(
     ).join(sh_map.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    return scoped_persist(
         cand.withColumn("jaccard", inter.cast("double") / union.cast("double"))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        base,
+        sig,
     )
 
 
@@ -1100,10 +1123,11 @@ def simhash_portable_pairs(
     )
     a = keyed.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"), F.col("bk").alias("ka"))
     b = keyed.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"), F.col("bk").alias("kb"))
-    return (
+    return scoped_persist(
         a.join(b, (a["ka"] == b["kb"]) & (a["id_a"] < b["id_b"]))
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("id_a", "id_b", "hamming"),
+        sig,
     )

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from apollo_spark.ops.cache import scoped_persist
+
 
 def pagerank(
     edges: DataFrame,
@@ -125,7 +127,14 @@ def pagerank(
             # uncheckpointed iteration
             .localCheckpoint(eager=True)
         )
-    return ranks.select("node", (F.col("ru").cast("double") / F.lit(float(scale))).alias("rank"))
+    out = ranks.select("node", (F.col("ru").cast("double") / F.lit(float(scale))).alias("rank"))
+    if iterations > 0:
+        # the last eager localCheckpoint materialized `ranks`, so the loop
+        # intermediates are no longer reachable from `out` — free them now
+        for f in (nodes, ed, nodes_n):
+            f.unpersist()
+        return out
+    return scoped_persist(out, nodes, ed, nodes_n)
 
 
 def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -202,7 +211,9 @@ def triangle_count(
     summary = canon.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
         deg.agg(F.count(F.lit(1)).alias("n_nodes"), F.max("deg").alias("max_degree"))
     )
-    return summary.crossJoin(tri).select("n_nodes", "n_edges", "max_degree", "n_triangles")
+    return scoped_persist(
+        summary.crossJoin(tri).select("n_nodes", "n_edges", "max_degree", "n_triangles"), canon
+    )
 
 
 def local_clustering(
@@ -215,7 +226,7 @@ def local_clustering(
     degree<2 nodes. Same oriented wedges as triangle_count; each closed
     triangle (u,v,x) explodes back to its three member nodes for the
     per-node census. Returns (node, deg, n_tri, coeff)."""
-    _, deg, wedges, closing = _oriented_wedges(edges, src, dst)
+    canon, deg, wedges, closing = _oriented_wedges(edges, src, dst)
     tri_nodes = (
         wedges.join(closing, ["v", "x"])
         .select(F.explode(F.array("u", "v", "x")).alias("node"))
@@ -227,11 +238,12 @@ def local_clustering(
         F.lit(2.0) * F.col("n_tri").cast("double")
         / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
     ).otherwise(F.lit(0.0))
-    return (
+    return scoped_persist(
         deg.select(F.col("v").alias("node"), "deg")
         .join(tri_nodes, "node", "left")
         .withColumn("n_tri", F.coalesce("n_tri", F.lit(0)))
-        .select("node", "deg", "n_tri", coeff.alias("coeff"))
+        .select("node", "deg", "n_tri", coeff.alias("coeff")),
+        canon,
     )
 
 
@@ -386,4 +398,4 @@ def random_walks(
     res = out[0]
     for df in out[1:]:
         res = res.unionByName(df)
-    return res
+    return scoped_persist(res, ranked)

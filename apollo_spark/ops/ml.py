@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from apollo_spark.ops.cache import scoped_persist
 from apollo_spark.ops.sketch import portable_hash60
 
 
@@ -94,7 +95,10 @@ def perceptron_train(
             .select("b", (F.col("weight") + F.coalesce("__dw", F.lit(0))).alias("weight"))
             .localCheckpoint(eager=True)  # flat lineage across rounds
         )
-    return w
+    if iters > 0:
+        fx.unpersist()  # w is checkpoint-materialized; fx is unreachable from it
+        return w
+    return scoped_persist(w, fx)
 
 
 def classifier_margins(
@@ -202,4 +206,7 @@ def logreg_train_hardsigmoid(
             )
             .localCheckpoint(eager=True)
         )
-    return w
+    if iters > 0:
+        fx.unpersist()  # w is checkpoint-materialized; fx is unreachable from it
+        return w
+    return scoped_persist(w, fx)

@@ -54,6 +54,10 @@ class PipelineOptions:
     # initial range-split for live eth_getLogs fetches (apollo --log-parts,
     # flags.go:43-48); consumed by sources.rpc_logs.rpc_log_source
     log_parts: int = 50
+    # run `expect` block validation (an eager aggregate action). The CLI
+    # turns this off under --check/--explain so "compile only" really runs
+    # nothing; compile_schema/compile_query honor it.
+    validate_expect: bool = True
 
 
 def _scope_env(df: DataFrame, variables: dict[str, Any], chain: str | None) -> dict[str, Any]:
@@ -246,7 +250,6 @@ def _eval_tail(
     dedup=None,
     sample=None,
     quality=None,
-    expect=None,
     sort: list | None = None,
     limit: int | None = None,
     user_functions: dict | None = None,
@@ -329,8 +332,6 @@ def _eval_tail(
         df = df.orderBy(*[sort_compiler.compile(s) for s in sort])
     if limit is not None:
         df = df.limit(limit)
-    if expect is not None:
-        _apply_expect(df, expect)
     return df
 
 
@@ -413,7 +414,7 @@ def _apply_dedup(df: DataFrame, spec) -> DataFrame:
     )
 
     if spec.method == "exact":
-        return exact_dedup(df, spec.id, spec.text)
+        return exact_dedup(df, spec.id, spec.text, keep=spec.keep)
     if spec.method == "minhash":
         return near_dedup(df, spec.id, spec.text, threshold=spec.threshold, keep=spec.keep)
     if spec.method == "tfidf":
@@ -593,8 +594,16 @@ def compile_query(
     query: QuerySpec,
     schema: Schema,
     options: PipelineOptions | None = None,
+    _defer_expect: bool = False,
 ) -> DataFrame:
-    """Compile one QuerySpec into its result DataFrame."""
+    """Compile one QuerySpec into its result DataFrame.
+
+    `expect` validation runs here on the FINAL frame (after the unionByName
+    over contracts / global events / table sources — ExpectSpec's documented
+    contract), unless `_defer_expect` is set by compile_schema, which instead
+    validates once per query NAME so loop-expanded same-name queries are
+    checked on their union (min_rows must see the whole output; unique must
+    see duplicates that span expansion items)."""
     options = options or PipelineOptions()
     variables = dict(schema.variables)
     if query.item is not None:
@@ -621,7 +630,6 @@ def compile_query(
                 dedup=query.dedup,
                 sample=query.sample,
                     quality=query.quality,
-                    expect=query.expect,
                 sort=query.sort,
                 limit=query.limit,
                 user_functions=schema.functions,
@@ -645,7 +653,6 @@ def compile_query(
                 dedup=query.dedup,
                 sample=query.sample,
                     quality=query.quality,
-                    expect=query.expect,
                 sort=query.sort,
                 limit=query.limit,
                 user_functions=schema.functions,
@@ -669,7 +676,6 @@ def compile_query(
                     dedup=query.dedup,
                 sample=query.sample,
                     quality=query.quality,
-                    expect=query.expect,
                     sort=query.sort,
                     limit=query.limit,
                     user_functions=schema.functions,
@@ -727,7 +733,6 @@ def compile_query(
                     dedup=query.dedup,
                 sample=query.sample,
                     quality=query.quality,
-                    expect=query.expect,
                     sort=query.sort,
                     limit=query.limit,
                     user_functions=schema.functions,
@@ -763,7 +768,6 @@ def compile_query(
                 dedup=query.dedup,
                 sample=query.sample,
                     quality=query.quality,
-                    expect=query.expect,
                 sort=query.sort,
                 limit=query.limit,
                 user_functions=schema.functions,
@@ -772,7 +776,25 @@ def compile_query(
 
     if not frames:
         raise PipelineError(f"query {query.name}: no sources")
-    return reduce(lambda a, b: a.unionByName(b), frames)
+    df = reduce(lambda a, b: a.unionByName(b), frames)
+    if query.expect is not None and options.validate_expect and not _defer_expect:
+        df = _validate_expect(df, query.expect)
+    return df
+
+
+def _validate_expect(df: DataFrame, spec) -> DataFrame:
+    """Persist, then run the expect aggregate action. Persisting first means
+    the validation scan is the SAME computation the sink write reuses —
+    without it every expect-gated query executes twice (once for the agg,
+    once for the write). The persisted frame is returned; SinkWriter /
+    callers unpersist after the terminal action (cli.py does)."""
+    df = df.persist()
+    try:
+        _apply_expect(df, spec)
+    except Exception:
+        df.unpersist()
+        raise
+    return df
 
 
 def compile_schema(
@@ -782,11 +804,21 @@ def compile_schema(
     options: PipelineOptions | None = None,
 ) -> dict[str, DataFrame]:
     """All queries; loop-expanded queries with the same name are unioned
-    (Q2/Q3 semantics: one output table per query name)."""
+    (Q2/Q3 semantics: one output table per query name). `expect` blocks are
+    validated once per NAME on that union — not per expansion item — so
+    `unique` catches duplicates spanning items and `min_rows` is judged on
+    the full published output."""
+    options = options or PipelineOptions()
     out: dict[str, DataFrame] = {}
+    expects: dict[str, Any] = {}
     for q in schema.queries:
-        df = compile_query(spark, catalog, q, schema, options)
+        df = compile_query(spark, catalog, q, schema, options, _defer_expect=True)
         out[q.name] = out[q.name].unionByName(df) if q.name in out else df
+        if q.expect is not None:
+            expects[q.name] = q.expect
+    if options.validate_expect:
+        for name, spec in expects.items():
+            out[name] = _validate_expect(out[name], spec)
     return out
 
 

@@ -21,6 +21,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from apollo_spark.ops.cache import scoped_persist
 from apollo_spark.ops.dedup import exact_dedup, minhash_lsh_pairs
 from apollo_spark.ops.relational import asof_join
 from apollo_spark.ops.similarity import cosine
@@ -3256,14 +3257,15 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = histogram_sketch(e, "value", lo=0.0, hi=512.0, bins=32, group_cols=["event_type"]).persist()
     p50 = histogram_quantile(h, 0.5, lo=0.0, hi=512.0, bins=32, group_cols=["event_type"])
     p95 = histogram_quantile(h, 0.95, lo=0.0, hi=512.0, bins=32, group_cols=["event_type"])
-    return (
+    return scoped_persist(
         p50.select("event_type", F.round("quantile_est", 6).alias("p50"), "total")
         .join(
             p95.select("event_type", F.round("quantile_est", 6).alias("p95")),
             "event_type",
         )
         .select("event_type", "total", "p50", "p95")
-        .orderBy("event_type")
+        .orderBy("event_type"),
+        h,
     )
 
 
@@ -4351,7 +4353,7 @@ def theta_distinct_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(theta_estimate(theta_intersect(a, b), log2_k=2, out_col="est_both_users"))
         .crossJoin(theta_estimate(theta_diff(a, b), log2_k=2, out_col="est_click_only_users"))
     )
-    return out
+    return scoped_persist(out, a, b)
 
 
 ORACLE_THETA_SETOPS = r"""
@@ -6003,10 +6005,11 @@ def doc_memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_shared").cast("double") / F.col("n_shingles").cast("double"), 6),
         )
     )
-    return (
+    return scoped_persist(
         per_doc.orderBy(F.col("shared_frac").desc(), F.col("doc_id").asc())
         .limit(20)
-        .select("doc_id", "n_shingles", "n_shared", "shared_frac")
+        .select("doc_id", "n_shingles", "n_shared", "shared_frac"),
+        ex,
     )
 
 
@@ -6867,8 +6870,8 @@ def item_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         dist = dist.unionByName(frontier)
-    return (
-        dist.groupBy("item").agg(F.min("d").alias("distance")).orderBy("item")
+    return scoped_persist(
+        dist.groupBy("item").agg(F.min("d").alias("distance")).orderBy("item"), edges
     )
 
 

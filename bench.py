@@ -75,6 +75,13 @@ def main() -> None:
                 continue
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            # release op-scoped persists: 165 queries x repeats would
+            # otherwise accumulate every intermediate cache in executor
+            # storage for the whole run (ops attach their persisted frames
+            # to the returned DataFrame — see ops/cache.py)
+            from apollo_spark.ops.cache import release_caches
+
+            release_caches(df)
         if best is None:
             print(f"# {name}: ERROR {errors[name].splitlines()[0]}", file=sys.stderr)
             continue

@@ -663,3 +663,143 @@ query rows_check {
     )
     with _pytest.raises(ExpectationError, match="min_rows"):
         compile_query(spark, catalog, small.queries[0], small)
+
+
+def test_expect_validates_union_across_loop_frames(spark, tmp_path):
+    """expect runs once per query NAME on the loop-expanded union (not per
+    frame): `unique` must catch duplicates that span expansion items, and
+    `min_rows` must be judged on the whole published output (a per-frame
+    check would spuriously abort)."""
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import ExpectationError, compile_schema
+    from apollo_spark.sources.tables import Catalog
+
+    import pytest as _pytest
+
+    rows = [(1, "alpha", "en"), (2, "beta", "de")]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    catalog = Catalog(spark, str(tmp_path))
+
+    # each frame holds ONE row with k=1: per-frame unique passes, the union
+    # has a duplicate -> must raise
+    dup = parse_schema(
+        """
+loop {
+  items = ["en", "de"]
+  query xframe {
+    chain = "ethereum"
+    source_table = "documents"
+    filter = [ lang == item ]
+    expect { unique = ["k"] }
+    save {
+      k = 1
+      id = doc_id
+    }
+  }
+}
+"""
+    )
+    with _pytest.raises(ExpectationError, match=r"unique\[k\]"):
+        compile_schema(spark, catalog, dup)
+
+    # min_rows=2 is only met by the union (1 row per frame) -> must pass
+    ok = parse_schema(
+        """
+loop {
+  items = ["en", "de"]
+  query xframe {
+    chain = "ethereum"
+    source_table = "documents"
+    filter = [ lang == item ]
+    expect { min_rows = 2 }
+    save { id = doc_id }
+  }
+}
+"""
+    )
+    out = compile_schema(spark, catalog, ok)
+    assert out["xframe"].count() == 2
+
+
+def test_expect_skipped_when_validate_expect_off(spark, tmp_path):
+    """--check/--explain promise compile-only: with validate_expect=False a
+    failing expect block must NOT raise (no action runs)."""
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import PipelineOptions, compile_schema
+    from apollo_spark.sources.tables import Catalog
+
+    rows = [(1, "alpha", "en")]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    catalog = Catalog(spark, str(tmp_path))
+    bad = parse_schema(
+        """
+query would_fail {
+  chain = "ethereum"
+  source_table = "documents"
+  expect { min_rows = 100 }
+  save { id = doc_id }
+}
+"""
+    )
+    frames = compile_schema(spark, catalog, bad, PipelineOptions(validate_expect=False))
+    assert frames["would_fail"].schema is not None  # compiled, never executed
+
+
+def test_dedup_exact_honors_keep_longest(spark, tmp_path):
+    """dedup { method = "exact", keep = "longest" } must keep the longest
+    raw text per content group, not silently the min id."""
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import compile_query
+    from apollo_spark.sources.tables import Catalog
+
+    # ids 1/2 normalize to the same key but differ in raw length (trailing
+    # whitespace is normalized away); keep=longest must pick id 2
+    rows = [(1, "same text", "en"), (2, "same   text  ", "en"), (3, "other", "en")]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    catalog = Catalog(spark, str(tmp_path))
+    schema = parse_schema(
+        """
+query keep_longest {
+  chain = "ethereum"
+  source_table = "documents"
+  dedup {
+    method = "exact"
+    keep = "longest"
+  }
+  save { id = doc_id }
+}
+"""
+    )
+    out = {int(r.id) for r in compile_query(spark, catalog, schema.queries[0], schema).collect()}
+    assert out == {2, 3}
+
+
+def test_contract_without_address_is_schema_error():
+    """A contract with a bare name label and no address attribute used to
+    stringify None into a match-nothing address filter; it must raise."""
+    from apollo_spark.dsl.schema import SchemaError, parse_schema
+
+    import pytest as _pytest
+
+    with _pytest.raises(SchemaError, match="no address"):
+        parse_schema(
+            """
+query q {
+  chain = "ethereum"
+  contract my_pair {
+    event Transfer {
+      abi = "erc20.abi.json"
+      outputs = ["value"]
+    }
+  }
+  save { v = value }
+}
+""",
+            confdir="/root/reference/test",
+        )

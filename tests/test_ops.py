@@ -2017,3 +2017,25 @@ def test_tfidf_cosine_pairs_planted_and_cap_monotone(spark):
     merged = capped.merge(lossless, on=["id_a", "id_b"], suffixes=("_c", "_l"))
     assert len(merged) == len(capped)  # capped ⊆ lossless at equal threshold
     assert (merged["cosine_c"] <= merged["cosine_l"] + 1e-9).all()
+
+
+def test_scoped_persist_release(spark):
+    """Ops that persist intermediates attach them to the returned frame;
+    release_caches drops them so a long-lived session's executor storage
+    doesn't accumulate across repeated invocations (bench/test gate call
+    this after every query)."""
+    from apollo_spark.ops.cache import release_caches
+    from apollo_spark.ops.dedup import tfidf_cosine_pairs
+
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "unrelated words here")],
+        "doc_id long, text string",
+    )
+    out = tfidf_cosine_pairs(docs, "doc_id", "text", threshold=0.5)
+    out.count()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert not cm.isEmpty(), "op should have persisted an intermediate"
+    release_caches(out)
+    assert cm.isEmpty(), "release_caches must unpersist every attached intermediate"
+    release_caches(out)  # idempotent

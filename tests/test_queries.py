@@ -38,7 +38,11 @@ def _canon(df):
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
-    sdf = QUERIES[name](spark, SF).toPandas()
+    from apollo_spark.ops.cache import release_caches
+
+    frame = QUERIES[name](spark, SF)
+    sdf = frame.toPandas()
+    release_caches(frame)  # drop op-scoped persists between the 165 runs
     if name not in ORACLES:
         assert len(sdf) >= 0  # rows-only check (non-SQL-expressible op)
         return
