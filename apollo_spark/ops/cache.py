@@ -25,6 +25,12 @@ def scoped_persist(out: DataFrame, *intermediates: DataFrame) -> DataFrame:
     return out
 
 
+def carry_caches(dst: DataFrame, src: DataFrame) -> DataFrame:
+    """Move scope ownership: attach everything ``src`` carries onto ``dst``
+    (for ops that post-process another op's output into a new frame)."""
+    return scoped_persist(dst, *getattr(src, _ATTR, []))
+
+
 def release_caches(df: DataFrame) -> None:
     """Unpersist every intermediate an op attached to ``df``. Safe to call
     on any frame (no-op when nothing is attached); idempotent."""

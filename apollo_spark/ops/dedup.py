@@ -675,22 +675,90 @@ def connected_components(edges: DataFrame, max_iter: int = 20, driver_threshold:
         from pyspark.sql import types as T
 
         return spark.createDataFrame(out, T.StructType([T.StructField("id", id_type), T.StructField("comp", id_type)]))
-    labels = sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    return _cc_star_contraction(sym, max_iter)
+
+
+def _cc_star_contraction(sym: DataFrame, max_iter: int) -> DataFrame:
+    """Distributed connected components by alternating large-star /
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — O(log n) rounds instead of the
+    O(diameter) rounds naive min-label propagation needs (a 1M-node dup
+    chain converges in ~20 rounds, not 1M).
+
+    * large-star: every node points its LARGER neighbors at the minimum of
+      its closed neighborhood;
+    * small-star: every node points its smaller-or-equal neighbors (and
+      itself) at that minimum.
+
+    Both preserve connectivity; their alternation converges to stars
+    centered at each component's minimum id. Per round: two groupBy
+    shuffles over the (shrinking) edge set, one checksum aggregate for the
+    stability test, lineage truncated by localCheckpoint.
+
+    ``sym`` is the symmetrized, self-loop-free (src, dst) edge list;
+    returns (id, comp)."""
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    # canonical undirected form (hi > lo), the per-round state
+    canon = (
+        sym.filter(F.col("src") > F.col("dst"))
+        .select(F.col("src").alias("hi"), F.col("dst").alias("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
     for _ in range(max_iter):
-        prop = (
-            sym.join(labels.withColumnRenamed("id", "src").withColumnRenamed("comp", "src_comp"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("src_comp").alias("new_comp"))
+        # ---- large-star over the symmetric view of canon
+        edges = canon.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            canon.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         )
-        merged = labels.join(prop, "id", "left").withColumn(
-            "comp2", F.least(F.col("comp"), F.coalesce(F.col("new_comp"), F.col("comp")))
+        mins = (
+            edges.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least(F.col("__mn"), F.col("u")).alias("m"))
         )
-        changed = merged.filter(F.col("comp2") < F.col("comp")).limit(1).count()
-        labels = merged.select("id", F.col("comp2").alias("comp"))
-        if changed == 0:
+        large = (
+            edges.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))  # larger neighbors -> min(Γ(u) ∪ u)
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo"))
+            .distinct()
+        )
+        # ---- small-star over the larger->smaller orientation
+        mins2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (
+            large.join(mins2, "hi")
+            .filter(F.col("lo") != F.col("m"))  # smaller neighbors -> min
+            .select(F.col("lo").alias("a"), F.col("m").alias("b"))
+            .unionByName(mins2.select(F.col("hi").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo"))
+            .distinct()
+            .localCheckpoint(eager=True)  # truncate lineage per round
+        )
+        canon = small
+        # stability: the canonical edge set is a fixed point (count + an
+        # order-independent hash checksum — one tiny aggregate per round)
+        # bit_xor: order-independent, cannot overflow (ANSI-safe at any n)
+        sig = canon.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("hi", "lo")).alias("h"),
+        ).first()
+        if prev_sig == (sig.n, sig.h):
             break
-        labels = labels.localCheckpoint(eager=True)  # truncate lineage per round
-    return labels
+        prev_sig = (sig.n, sig.h)
+    else:
+        raise RuntimeError(
+            f"connected_components: star contraction did not converge in "
+            f"{max_iter} rounds (component structure deeper than 2^{max_iter}?)"
+        )
+    # converged: canon rows are (member, component-min) stars
+    return (
+        nodes.join(
+            canon.select(F.col("hi").alias("id"), F.col("lo").alias("__c")), "id", "left"
+        )
+        .select("id", F.coalesce("__c", F.col("id")).alias("comp"))
+    )
 
 
 def dedup_losers(

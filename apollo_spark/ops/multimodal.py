@@ -109,6 +109,164 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode (zlib inflate + per-scanline unfilter) to an
+    (h, w, 3) uint8 array — no PIL in the container, and the format is
+    simple enough that ~100 lines cover the cases a data pipeline meets:
+    8-bit depth, color types 0 (gray) / 2 (RGB) / 3 (palette) / 4
+    (gray+alpha) / 6 (RGBA), non-interlaced, CRC-verified. 16-bit and Adam7
+    stay NotImplementedError seams (wire PIL for those).
+
+    Alpha is dropped (not composited): features/dedup want the raw color
+    planes. North-star multimodal tier; no reference analog
+    (/root/reference is an EVM ETL tool)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(payload):
+        (length,) = int.from_bytes(payload[pos : pos + 4], "big"),
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        crc = int.from_bytes(payload[pos + 8 + length : pos + 12 + length], "big")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, _comp, _filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG: wire PIL here")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth}: wire PIL here (8 only in-container)")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1)
+        out[y] = _png_unfilter(ft, line, prev, channels)
+        prev = out[y]
+    px = out.reshape(h, w, channels)
+    if color == 2:
+        return px.copy()
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return pal[px[:, :, 0]]
+    if color == 4:  # gray+alpha: drop alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()  # RGBA: drop alpha
+
+
+def _png_unfilter(ft: int, line: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """One scanline of PNG filter reconstruction (spec 9.2): None/Sub/Up/
+    Average/Paeth. Sub/Average/Paeth recur on the previous pixel, so those
+    run a per-pixel loop over int arithmetic; Up is vectorized."""
+    x = line.astype(np.int32)
+    p = prev.astype(np.int32)
+    if ft == 0:
+        return line.copy()
+    if ft == 2:  # Up
+        return ((x + p) & 0xFF).astype(np.uint8)
+    r = np.zeros(len(x), dtype=np.int32)
+    for i in range(len(x)):
+        a = r[i - bpp] if i >= bpp else 0  # left
+        b = p[i]  # up
+        if ft == 1:  # Sub
+            r[i] = (x[i] + a) & 0xFF
+        elif ft == 3:  # Average
+            r[i] = (x[i] + ((a + b) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            c = p[i - bpp] if i >= bpp else 0  # up-left
+            q = a + b - c
+            pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            r[i] = (x[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+    return r.astype(np.uint8)
+
+
+def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """(h, w, 3) uint8 -> 8-bit truecolor PNG. ``filters`` picks the filter
+    type per scanline (default all 0) — used by tests and the hash-gated
+    media query to exercise every unfilter branch on a round-trip."""
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    filters = filters or [0] * h
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    )
+    raster = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int32)
+    for y in range(h):
+        line = img[y].reshape(-1).astype(np.int32)
+        ft = filters[y % len(filters)]
+        enc = np.zeros(len(line), dtype=np.int32)
+        for i in range(len(line)):
+            a = line[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                q = a + b - c
+                pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[i] = (line[i] - pred) & 0xFF
+        raster += bytes([ft]) + enc.astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raster)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode PCM WAV bytes -> (mono float32 samples in [-1, 1], sample_rate).
     stdlib ``wave`` handles the RIFF container; 8/16/32-bit PCM supported."""
@@ -177,11 +335,13 @@ def decode_features(payload: bytes, dim: int) -> np.ndarray:
     if payload[:2] in (b"P6", b"P3"):
         img, maxval = _parse_ppm(payload)
         return image_features(img, dim, maxval=maxval)
+    if payload[:8] == _PNG_SIG:
+        return image_features(decode_png(payload), dim, maxval=255)
     if payload[:4] == b"RIFF":
         return audio_features(*decode_wav(payload), dim)
     raise NotImplementedError(
         f"no in-container codec for payload magic {payload[:4]!r}; "
-        "wire PIL/ffmpeg here for png/jpeg/mp3/mp4"
+        "wire PIL/ffmpeg here for jpeg/mp3/mp4 (PPM/PNG/WAV are in-tree)"
     )
 
 

@@ -21,7 +21,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from apollo_spark.ops.cache import scoped_persist
+from apollo_spark.ops.cache import carry_caches, scoped_persist
 from apollo_spark.ops.dedup import exact_dedup, minhash_lsh_pairs
 from apollo_spark.ops.relational import asof_join
 from apollo_spark.ops.similarity import cosine
@@ -2566,6 +2566,9 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-50 (over the documents that have an embedding, vec_id == doc_id)
     fused as integer contributions ``1e9 // (60 + rank)`` — the fused score
     is an exact integer, so the whole two-retriever composition hash-gates.
+    Each leg's top-50 is orderBy().limit(50) — TakeOrderedAndProject, a
+    distributed per-partition top-k, never a corpus-sized single-task
+    window; the rank assignment then runs over the 50-row result only.
     Fusion shuffles at most 100 rows regardless of corpus size; the dense
     leg broadcasts the single query vector; absent ranks surface as -1."""
     from apollo_spark.ops.retrieval import rrf_fuse
@@ -2574,11 +2577,12 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     lex = (
         bm25_scores(d, ["stream", "window", "hash"], k1=1.2, b=0.75)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(50)
         .withColumn(
             "rank",
             F.row_number().over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())),
         )
-        .filter(F.col("rank") <= 50)
         .select("doc_id", "rank")
     )
     e = _t(spark, sf_dir, "embeddings").select(
@@ -2589,11 +2593,12 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = (
         with_vec.crossJoin(F.broadcast(q))
         .withColumn("score", cosine(F.col("v"), F.col("qv")))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(50)
         .withColumn(
             "rank",
             F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())),
         )
-        .filter(F.col("rank") <= 50)
         .select("doc_id", "rank")
     )
     fused = rrf_fuse([lex, dense], id_col="doc_id", rank_col="rank", k=60)
@@ -3191,6 +3196,51 @@ FROM h ORDER BY media_id
 
 
 ORACLE_MEDIA_REAL = _media_real_oracle()
+
+
+def media_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, oracle-gated end-to-end: the same md5-derived 4x4
+    raster as media_real_image_features is ENCODED to an 8-bit truecolor PNG
+    inside an Arrow-batched pandas stage (zlib deflate; scanline filters
+    Sub/Up/Average/Paeth so every unfilter branch is in the gated path),
+    then decoded by the pure-stdlib in-tree PNG codec
+    (ops.multimodal.decode_png: chunk walk + CRC verify + inflate +
+    per-scanline reconstruction) via the normal decode_features dispatch.
+    Encode→decode is the identity on the raster, so the DuckDB oracle is the
+    same bit-for-bit float32 feature mirror as the PPM query — any codec bug
+    breaks the hash."""
+    from apollo_spark.ops.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    hx = F.concat(
+        F.md5(F.encode(F.col("text"), "utf-8")),
+        F.md5(F.encode(F.concat(F.col("text"), F.lit("a")), "utf-8")),
+        F.md5(F.encode(F.concat(F.col("text"), F.lit("b")), "utf-8")),
+    )
+    raster = d.select(F.col("doc_id").alias("media_id"), F.unhex(hx).alias("raw"))
+
+    def _encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        from apollo_spark.ops.multimodal import encode_png
+
+        for pdf in batches:
+            payloads = [
+                encode_png(
+                    np.frombuffer(raw, dtype=np.uint8).reshape(4, 4, 3),
+                    filters=[1, 2, 3, 4],
+                )
+                for raw in pdf["raw"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    media = raster.mapInPandas(_encode, "media_id long, payload binary")
+    feats = extract_features(media, dim=16, fake=False)
+    sq = F.aggregate(
+        F.transform("features", lambda x: x.cast("double")), F.lit(0.0), lambda a, v: a + v * v
+    )
+    return feats.select("media_id", F.round(sq, 6).alias("feat_sq_norm")).orderBy("media_id")
 
 
 def image_ahash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3958,17 +4008,17 @@ FROM base GROUP BY o_year ORDER BY o_year
 
 def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q15-shaped: suppliers whose total revenue equals the global maximum.
-    The max is a window over the aggregated (small) per-supplier frame —
-    one agg shuffle + one single-partition window over |suppliers| rows;
-    equality is exact because both sides are the same decimal-derived
-    doubles."""
+    The max is a scalar aggregate broadcast back with a crossJoin (the same
+    shape every other scalar in this file uses) — distributed partial max,
+    no single-partition window over the per-supplier frame; equality is
+    exact because both sides are the same decimal-derived doubles."""
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_supp = l.groupBy("l_suppkey").agg(dsum(rev).alias("total_revenue"))
-    w = Window.orderBy(F.lit(1)).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    mx = per_supp.agg(F.max("total_revenue").alias("__max"))
     return (
-        per_supp.withColumn("__max", F.max("total_revenue").over(w))
+        per_supp.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("__max"))
         .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
         .select("s_suppkey", "s_name", "total_revenue")
@@ -4214,21 +4264,25 @@ ORDER BY doc_id
 
 def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CCNet head/middle/tail partition: documents terciled by unigram-LM
-    cross-entropy against the doc_id%7==0 reference slice. The global NTILE
-    runs over the per-doc SCORE table (already reduced — not the corpus); at
-    lake scale you'd swap it for approx-quantile cutoffs. Fully deterministic
-    order (ce, doc_id) keeps both engines' tile assignment identical."""
+    cross-entropy against the doc_id%7==0 reference slice. The tercile is a
+    distributed two-phase rank (ops.rank.bucketed_ntile: range-bucket on ce,
+    per-bucket window + broadcast offsets) — bit-identical to a global
+    NTILE(3) window but never a corpus-sized single task. Fully
+    deterministic order (ce, doc_id) keeps both engines' tile assignment
+    identical."""
+    from apollo_spark.ops.rank import bucketed_ntile
     from apollo_spark.ops.text import lm_cross_entropy
 
     d = _t(spark, sf_dir, "documents")
     scored = lm_cross_entropy(d, d.filter(F.col("doc_id") % 7 == 0))
-    w = Window.orderBy("ce", "doc_id")
     lab = (
         F.when(F.col("nt") == 1, "head").when(F.col("nt") == 2, "middle").otherwise("tail")
     )
-    return (
-        scored.withColumn("nt", F.ntile(3).over(w))
-        .withColumn("bucket", lab)
+    nt = bucketed_ntile(
+        scored, F.col("ce"), 3, tiebreak=[F.col("doc_id").asc()], out_col="nt"
+    )
+    return carry_caches(
+        nt.withColumn("bucket", lab)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -4236,7 +4290,8 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ce").alias("min_ce"),
             F.max("ce").alias("max_ce"),
         )
-        .orderBy("bucket")
+        .orderBy("bucket"),
+        nt,
     )
 
 
@@ -5693,9 +5748,10 @@ def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the slope is a one-number drift alarm for a 100 TB ingest.
 
     Shape: the token count groupBy map-side combines to vocabulary size;
-    the global top-200 rides one single-task window over (token, n) pairs
-    only — vocabulary-bounded, corpus-size independent (at web scale
-    pre-filter n >= some floor first). Regression sums are
+    the global top-200 is orderBy().limit(200) — Spark plans
+    TakeOrderedAndProject, a distributed per-partition top-k + driver-side
+    k-way merge, never a vocabulary-sized single-task sort; the rank window
+    then runs over the 200-row result only. Regression sums are
     per-term-DECIMAL(38,6) rounded ln() values (order-independent,
     engine-exact); the closed-form slope/intercept are single IEEE
     divisions."""
@@ -5708,7 +5764,8 @@ def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
-    top = counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 200)
+    top200 = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(200)
+    top = top200.withColumn("rank", F.row_number().over(w))  # 200-row frame
     dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
     x = F.log(F.col("rank").cast("double"))
     y = F.log(F.col("n").cast("double"))
@@ -5901,14 +5958,23 @@ ORDER BY gid, o_orderstatus, o_orderpriority
 def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(10) decile report over customer account balances: per-decile
     count, min/max balance, and DECIMAL-exact mean — the classic
-    distribution-profile query (risk banding, ltv tiers). One global-order
-    window over (acctbal, custkey) pairs only; tie-break on custkey makes
-    the decile assignment total and engine-deterministic."""
+    distribution-profile query (risk banding, ltv tiers). The decile is the
+    distributed two-phase rank (ops.rank.bucketed_ntile) — bit-identical to
+    a global NTILE(10) window, 64-way parallel instead of one task;
+    tie-break on custkey makes the assignment total and
+    engine-deterministic."""
+    from apollo_spark.ops.rank import bucketed_ntile
+
     c = _t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    return (
-        c.select("c_custkey", "c_acctbal", F.ntile(10).over(w).alias("decile"))
-        .groupBy("decile")
+    dec10 = bucketed_ntile(
+        c.select("c_custkey", "c_acctbal"),
+        F.col("c_acctbal"),
+        10,
+        tiebreak=[F.col("c_custkey").asc()],
+        out_col="decile",
+    )
+    return carry_caches(
+        dec10.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.min("c_acctbal"), 2).alias("min_bal"),
@@ -5919,7 +5985,8 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("avg_bal"),
         )
-        .orderBy("decile")
+        .orderBy("decile"),
+        dec10,
     )
 
 
@@ -6328,10 +6395,14 @@ ORDER BY event_type, hour_us
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per customer recency (days since last order, vs the
     fixed corpus horizon 1998-08-02), frequency (order count) and monetary
-    (DECIMAL-exact total spend), each quartiled with ntile(4) on a fully
-    deterministic (metric, o_custkey) order, concatenated to the classic
-    3-digit segment code. One groupBy(custkey) + three window passes over
-    the same customer-count-sized table."""
+    (DECIMAL-exact total spend), each quartiled on a fully deterministic
+    (metric, o_custkey) order, concatenated to the classic 3-digit segment
+    code. Each quartile is a distributed two-phase rank
+    (ops.rank.bucketed_ntile) — bit-identical to a global NTILE(4) window
+    but never a customer-count-sized single task: one groupBy(custkey) +
+    three 64-bucket passes."""
+    from apollo_spark.ops.rank import bucketed_ntile_multi
+
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.datediff(F.lit("1998-08-02"), F.max(F.col("o_orderdate").cast("date"))).alias("recency_days"),
@@ -6339,22 +6410,29 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dsum(F.col("o_totalprice")), 2).alias("monetary"),
     )
     # quartile 1 = best in every dimension (most recent / most orders /
-    # highest spend); custkey tie-break makes ntile assignment total
-    r_q = F.ntile(4).over(Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc()))
-    f_q = F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc()))
-    m_q = F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc()))
-    return (
-        per_cust.withColumn("r_q", r_q)
-        .withColumn("f_q", f_q)
-        .withColumn("m_q", m_q)
-        .select(
+    # highest spend); custkey tie-break makes ntile assignment total. All
+    # three quartiles ride ONE shuffle (explode to (metric, signed value),
+    # window over (metric, bucket), pivot back) — ops.rank.bucketed_ntile_multi
+    out = bucketed_ntile_multi(
+        per_cust,
+        {
+            "r": (F.col("recency_days"), False),
+            "f": (F.col("frequency"), True),
+            "m": (F.col("monetary"), True),
+        },
+        4,
+        id_col="o_custkey",
+    )
+    return carry_caches(
+        out.select(
             "o_custkey",
-            "recency_days",
-            "frequency",
-            "monetary",
+            F.col("r_val").cast("int").alias("recency_days"),
+            F.col("f_val").cast("long").alias("frequency"),
+            F.col("m_val").alias("monetary"),
             F.concat_ws("", "r_q", "f_q", "m_q").alias("rfm"),
         )
-        .orderBy("o_custkey")
+        .orderBy("o_custkey"),
+        out,
     )
 
 
@@ -6725,25 +6803,31 @@ FROM agg ORDER BY event_type, hour_of_week
 def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto concentration: cumulative revenue share of customers ranked by
     spend — reports the share captured by the top 1/5/10/20/50% (the 80/20
-    diagnostic). One customer rollup + one global ordered window (customer-
-    count-sized, not order-count-sized); DECIMAL sums end-to-end so the
-    cumulative shares are order-exact."""
+    diagnostic). One customer rollup + the distributed two-phase rank
+    (ops.rank.bucketed_rank: range-bucket on spend, per-bucket window +
+    broadcast offsets) carrying the running spend sum in the same pass —
+    bit-identical to the global ordered window, never a single task;
+    DECIMAL sums end-to-end so the cumulative shares are order-exact."""
+    from apollo_spark.ops.rank import bucketed_rank
+
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("spend")
     )
-    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
-    ranked = per_cust.select(
-        "o_custkey",
-        "spend",
-        F.row_number().over(w).alias("rn"),
-        F.sum("spend").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    ranked = bucketed_rank(
+        per_cust,
+        F.col("spend"),
+        descending=True,
+        tiebreak=[F.col("o_custkey").asc()],
+        out_col="rn",
+        cumsum={"cum": F.col("spend")},
     )
+    ranked = carry_caches(ranked.select("o_custkey", "spend", "rn", "cum"), ranked)
     total_n = F.count(F.lit(1))
     stats = ranked.agg(total_n.alias("n"), F.sum("spend").alias("tot"))
     pct = F.ceil(F.col("rn") * F.lit(100.0) / F.col("n"))
     marked = ranked.crossJoin(F.broadcast(stats)).withColumn("pct", pct)
-    return (
+    return carry_caches(
         marked.filter(F.col("pct").isin(1, 5, 10, 20, 50, 100))
         .groupBy("pct")
         .agg(
@@ -6752,7 +6836,8 @@ def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("cum").cast("double") / F.max("tot").cast("double"), 6).alias("revenue_share")
         )
         .select(F.col("pct").cast("long").alias("top_pct"), "revenue_share")
-        .orderBy("top_pct")
+        .orderBy("top_pct"),
+        ranked,
     )
 
 
@@ -7423,6 +7508,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "copurchase_triangles": copurchase_triangles,
     "media_real_image_features": media_real_image_features,
+    "media_png_features": media_png_features,
     "sequence_packing": sequence_packing,
     "source_temperature_weights": source_temperature_weights,
     "events_value_histogram": events_value_histogram,
@@ -7463,7 +7549,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_doc_signatures": simhash_doc_signatures,
     "knn_ivf_approx": knn_ivf_approx,
-    "media_feature_extract": media_feature_extract,
     "semantic_dedup_docs": semantic_dedup_docs,
     "embedding_pca_projection": embedding_pca_projection,
 }
@@ -7569,6 +7654,7 @@ ORACLES: dict[str, str] = {
     "kmeans_embedding_clusters": ORACLE_KMEANS,
     "copurchase_triangles": ORACLE_TRIANGLES,
     "media_real_image_features": ORACLE_MEDIA_REAL,
+    "media_png_features": ORACLE_MEDIA_REAL,
     "sequence_packing": ORACLE_SEQ_PACKING,
     "source_temperature_weights": ORACLE_TEMPERATURE_WEIGHTS,
     "events_value_histogram": ORACLE_VALUE_HISTOGRAM,

@@ -2039,3 +2039,204 @@ def test_scoped_persist_release(spark):
     release_caches(out)
     assert cm.isEmpty(), "release_caches must unpersist every attached intermediate"
     release_caches(out)  # idempotent
+
+
+# --------------------------------------------------------------------------
+# ops.rank: distributed two-phase global rank / ntile
+# --------------------------------------------------------------------------
+
+
+def _rank_fixture(spark):
+    import random
+
+    random.seed(41)
+    # mixed continuous + heavily-tied keys so bucket-boundary ties are hit
+    rows = [
+        (i, random.choice([random.uniform(-50.0, 50.0), float(random.randint(-3, 3))]),
+         random.randint(0, 9))
+        for i in range(1500)
+    ]
+    return spark.createDataFrame(rows, "id long, key double, w long")
+
+
+def test_bucketed_rank_matches_global_window(spark):
+    """bucketed_rank (range-bucket + per-bucket window + broadcast offsets)
+    must be bit-identical to the single-task global window it replaces,
+    including the shared-pass running sum."""
+    from pyspark.sql import Window
+
+    from apollo_spark.ops.rank import bucketed_rank
+
+    df = _rank_fixture(spark)
+    got = bucketed_rank(
+        df, F.col("key"), tiebreak=[F.col("id").asc()], out_col="r",
+        cumsum={"cw": F.col("w")},
+    )
+    w = Window.orderBy(F.col("key").asc(), F.col("id").asc())
+    exp = df.withColumn("r", F.row_number().over(w)).withColumn(
+        "cw", F.sum("w").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    a = {x.id: (x.r, x.cw) for x in got.collect()}
+    b = {x.id: (x.r, x.cw) for x in exp.collect()}
+    assert a == b
+
+
+def test_bucketed_ntile_matches_window_ntile(spark):
+    """bucketed_ntile's closed-form tile arithmetic must reproduce SQL
+    NTILE(n) exactly for uneven splits, descending order, and n > N."""
+    from pyspark.sql import Window
+
+    from apollo_spark.ops.rank import bucketed_ntile
+
+    df = _rank_fixture(spark)
+    for n in (3, 4, 10, 7, 2000):
+        got = bucketed_ntile(
+            df, F.col("key"), n, descending=True,
+            tiebreak=[F.col("id").asc()], out_col="t",
+        )
+        wd = Window.orderBy(F.col("key").desc(), F.col("id").asc())
+        exp = df.withColumn("t", F.ntile(n).over(wd))
+        assert {x.id: x.t for x in got.collect()} == {x.id: x.t for x in exp.collect()}, n
+
+
+def test_bucketed_rank_constant_key_and_decimal_exact_order(spark):
+    """Degenerate single-bucket input (hi == lo) still ranks; and within-
+    bucket ordering uses the EXACT key type — decimals that collapse to the
+    same double must still order by their true value, not the tiebreak."""
+    from apollo_spark.ops.rank import bucketed_rank
+
+    cdf = spark.createDataFrame([(i, 5.0) for i in range(10)], "id long, key double")
+    got = bucketed_rank(cdf, F.col("key"), tiebreak=[F.col("id").asc()], out_col="r")
+    assert sorted((x.id, x.r) for x in got.collect()) == [(i, i + 1) for i in range(10)]
+
+    # 1 and 1 + 1e-20 are the same double but different DECIMAL(38,24);
+    # id tiebreak alone would rank id=2 first — exact-key ordering must not
+    rows = [(1, "1.000000000000000000000001"), (2, "1.000000000000000000000000")]
+    ddf = spark.createDataFrame(rows, "id long, s string").select(
+        "id", F.col("s").cast("decimal(38,24)").alias("key")
+    )
+    got = {x.id: x.r for x in bucketed_rank(
+        ddf, F.col("key"), tiebreak=[F.col("id").asc()], out_col="r"
+    ).collect()}
+    assert got == {2: 1, 1: 2}
+
+
+def test_bucketed_ntile_multi_matches_three_windows(spark):
+    """The single-shuffle multi-metric ntile must reproduce three separate
+    NTILE windows (mixed asc/desc) exactly, and restore the metric values
+    through the explode/pivot round-trip."""
+    from pyspark.sql import Window
+
+    from apollo_spark.ops.rank import bucketed_ntile_multi
+
+    df = _rank_fixture(spark).withColumn("w2", F.col("w") * 3 + 1)
+    got = bucketed_ntile_multi(
+        df,
+        {"a": (F.col("key"), False), "b": (F.col("w"), True), "c": (F.col("w2"), True)},
+        4,
+        id_col="id",
+    )
+    wa = Window.orderBy(F.col("key").asc(), F.col("id").asc())
+    wb = Window.orderBy(F.col("w").desc(), F.col("id").asc())
+    wc = Window.orderBy(F.col("w2").desc(), F.col("id").asc())
+    exp = (
+        df.withColumn("a_q", F.ntile(4).over(wa))
+        .withColumn("b_q", F.ntile(4).over(wb))
+        .withColumn("c_q", F.ntile(4).over(wc))
+    )
+    a = {x.id: (x.a_q, x.b_q, x.c_q, x.a_val, float(x.b_val), float(x.c_val)) for x in got.collect()}
+    b = {x.id: (x.a_q, x.b_q, x.c_q, x.key, float(x.w), float(x.w2)) for x in exp.collect()}
+    assert a == b
+
+
+def test_connected_components_distributed_matches_union_find(spark):
+    """driver_threshold=0 forces the distributed star-contraction branch; it
+    must produce the same (id, comp) labeling as the driver union-find on
+    adversarial shapes — including an 80-node PATH, whose diameter would
+    defeat O(diameter) min-label propagation within any sane round cap."""
+    import random
+
+    from apollo_spark.ops.dedup import connected_components
+
+    random.seed(11)
+    edges = []
+    # 80-node path (deep diameter)
+    edges += [(1000 + i, 1000 + i + 1) for i in range(79)]
+    # star
+    edges += [(2000, 2000 + i) for i in range(1, 30)]
+    # two cliques bridged by one edge
+    for grp in (3000, 3100):
+        ids = [grp + i for i in range(8)]
+        edges += [(a, b) for a in ids for b in ids if a < b]
+    edges.append((3005, 3105))
+    # random sprinkle
+    edges += [(random.randint(4000, 4200), random.randint(4000, 4200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    dist = connected_components(df, max_iter=40, driver_threshold=0)
+    drv = connected_components(df, driver_threshold=10**9)
+    a = {r.id: r.comp for r in dist.collect()}
+    b = {r.id: r.comp for r in drv.collect()}
+    assert a == b
+    # the path collapses to one component labeled by its min id
+    assert all(a[1000 + i] == 1000 for i in range(80))
+
+
+def test_png_codec_roundtrip_and_color_types(spark):
+    """Pure-stdlib PNG decode: round-trip through every scanline filter, the
+    non-RGB color types (hand-built chunks), CRC rejection, and the honest
+    NotImplementedError seams (16-bit, Adam7)."""
+    import zlib
+
+    from apollo_spark.ops.multimodal import _PNG_SIG, decode_png, encode_png
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    for f in range(5):
+        assert (decode_png(encode_png(img, filters=[f] * 7)) == img).all(), f
+    assert (decode_png(encode_png(img, filters=[4, 3, 2, 1, 0, 4, 2])) == img).all()
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    def build(w, h, depth, color, raster, plte=None, interlace=0):
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes(
+            [depth, color, 0, 0, interlace]
+        )
+        body = chunk(b"IHDR", ihdr)
+        if plte is not None:
+            body += chunk(b"PLTE", plte)
+        return _PNG_SIG + body + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b"")
+
+    # grayscale (type 0): value replicates across channels
+    gray = bytes([0, 10, 20, 0, 30, 40])  # 2x2, filter 0 rows
+    out = decode_png(build(2, 2, 8, 0, gray))
+    assert out.shape == (2, 2, 3) and out[0, 0].tolist() == [10, 10, 10]
+    # palette (type 3)
+    pal = bytes([255, 0, 0, 0, 255, 0])  # idx0=red idx1=green
+    out = decode_png(build(2, 1, 8, 3, bytes([0, 0, 1]), plte=pal))
+    assert out[0, 0].tolist() == [255, 0, 0] and out[0, 1].tolist() == [0, 255, 0]
+    # RGBA (type 6): alpha dropped
+    rgba = bytes([0, 1, 2, 3, 99, 4, 5, 6, 77])
+    out = decode_png(build(2, 1, 8, 6, rgba))
+    assert out[0, 0].tolist() == [1, 2, 3] and out[0, 1].tolist() == [4, 5, 6]
+    # gray+alpha (type 4)
+    ga = bytes([0, 50, 200, 60, 10])
+    out = decode_png(build(2, 1, 8, 4, ga))
+    assert out[0, 0].tolist() == [50, 50, 50] and out[0, 1].tolist() == [60, 60, 60]
+
+    # corrupted CRC must be rejected, not silently decoded
+    good = encode_png(img)
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF  # flip a bit inside IEND CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # honest seams
+    with pytest.raises(NotImplementedError, match="depth"):
+        decode_png(build(1, 1, 16, 0, bytes([0, 0, 0])))
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(build(1, 1, 8, 0, bytes([0, 0]), interlace=1))

@@ -373,3 +373,46 @@ def test_tfidf_pairs_no_cartesian_and_stats_broadcast(spark):
     # scan reads only the two referenced columns of documents
     doc_scans = [b for b in scan_blocks(p) if "documents.parquet" in b]
     assert doc_scans and all("text" in b and "n_chars" not in b for b in doc_scans)
+
+
+def test_global_rank_queries_have_no_unbounded_onetask_window(spark):
+    """The former scale-killers (global NTILE/rank over a corpus- or
+    entity-sized frame in ONE task) must stay on the two-phase bucketed
+    rank: every data-sized window is partitioned by __b; the only
+    unpartitioned windows run over the <= n_buckets-row offset frame
+    (leading sort column __b)."""
+    for name in (
+        "customer_balance_deciles",
+        "customer_rfm_segments",
+        "customer_pareto_share",
+        "ccnet_quality_buckets",
+    ):
+        p = plan(spark, name)
+        # the bucketed per-partition window must exist (__b-partitioned, or
+        # (__m, __b)-partitioned for the single-shuffle multi-metric form)...
+        assert re.search(r"windowspecdefinition\((?:__m#\d+, )?__b#\d+L?, ", p), name
+        # ...and every UNPARTITIONED spec (sort-spec-first) is offsets-only
+        for col in re.findall(r"windowspecdefinition\((\S+) (?:ASC|DESC)", p):
+            assert col.startswith("__b#"), (name, col)
+
+
+def test_topk_rank_queries_use_takeordered_not_global_window(spark):
+    """zipf_token_slope / hybrid_rrf_search rank a top-k: the k-selection
+    must be TakeOrderedAndProject (distributed per-partition top-k), with
+    any rank window running over the <= k-row result — never a full-input
+    single-task window."""
+    for name, k_windows in (("zipf_token_slope", 1), ("hybrid_rrf_search", 4)):
+        p = plan(spark, name)
+        assert "TakeOrderedAndProject" in p, name
+        unpartitioned = re.findall(r"windowspecdefinition\(\S+ (?:ASC|DESC)", p)
+        # only the post-limit rank windows remain (plan reuse may repeat
+        # them); they are bounded by the limit, not by input size
+        assert len(unpartitioned) <= k_windows, (name, unpartitioned)
+
+
+def test_top_revenue_suppliers_max_is_broadcast_scalar(spark):
+    """The q15 global-max compare must be a broadcast scalar crossJoin, not
+    a single-partition max window over the per-supplier rollup."""
+    p = plan(spark, "top_revenue_suppliers")
+    assert "windowspecdefinition" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
