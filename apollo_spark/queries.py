@@ -1744,7 +1744,17 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a 1000-executor cluster), rows projected JVM-side against inlined
     component literals. Eigenvectors are not SQL-expressible, so this is
     a rows-only gate; numpy parity + explained-variance ordering are
-    pinned in pytest."""
+    pinned in pytest, and partition-invariance (identical output under
+    any repartitioning — the property a cross-engine hash would certify)
+    is pinned by test_pca_zca_partition_invariant.
+
+    Why no SQL-replayable iteration can close the gap: this corpus's
+    covariance spectrum is near-degenerate at the top (measured
+    lambda2/lambda1 ~= 0.99), so any fixed-iteration power/subspace
+    scheme both engines could replay in lockstep would need thousands of
+    rounds to pin the basis — the eigensolve must stay a driver-side
+    LAPACK call. The covariance INPUT to it is hash-gated separately
+    (embedding_covariance_matrix)."""
     from apollo_spark.ops.similarity import pca_components, pca_project
 
     e = _t(spark, sf_dir, "embeddings")
@@ -3127,6 +3137,144 @@ def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", "rank", F.round("score", 4).alias("score"))
         .orderBy("q_id", "rank")
     )
+
+
+def knn_ivf_lattice_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE IVF, hash-gated end-to-end: the float-kmeans IVF path
+    (knn_ivf_approx) can't be oracle-gated because its centroid training
+    isn't SQL-replayable, so this twin builds the inverted lists with the
+    ENGINE-EXACT integer-lattice k-means (ops/clustering.py, 2 unrolled
+    Lloyd rounds, k=8) — every training step is integer arithmetic DuckDB
+    replays bit-for-bit. Corpus rows index to their nearest FINAL centroid
+    (exact integer distances, ties to the smaller cluster id); each query
+    probes its 2 nearest lists and candidates re-score with the same cosine
+    the gated brute-force query mirrors. This pins the approximate probe
+    path itself — recall loss vs brute force is a property of the index, not
+    an excuse to leave the plumbing ungated."""
+    from apollo_spark.ops.clustering import embedding_lattice, kmeans_lattice
+
+    e = _t(spark, sf_dir, "embeddings")
+    _, cent = kmeans_lattice(e, k=8, iters=2)
+    long = embedding_lattice(e)
+    diff = F.col("xi") - F.col("ci")
+    dist = (
+        long.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "cluster")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    assign = (
+        dist.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+        .select("vec_id", F.col("m.cluster").alias("cluster"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("cluster").asc())
+    probed = (
+        dist.filter(F.col("vec_id") < 3)
+        .withColumnRenamed("vec_id", "q_id")
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select("q_id", "cluster")
+    )
+    ev = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    qv = ev.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        assign.join(probed, "cluster")
+        .join(ev, "vec_id")
+        .join(F.broadcast(qv), "q_id")
+        .withColumn("score", cosine(F.col("v"), F.col("qv")))
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "vec_id", "rank", F.round("score", 4).alias("score"))
+        .orderBy("q_id", "rank")
+    )
+
+
+def _ivf_lattice_oracle(k: int = 8, iters: int = 2, probe: int = 2, topk: int = 5) -> str:
+    """Mirror of knn_ivf_lattice_approx: the unrolled lattice k-means CTEs
+    (same as _kmeans_oracle), nearest-final-centroid indexing, top-``probe``
+    list selection per query, exact cosine rescore (knn_bruteforce's mirror)."""
+    ctes = [
+        """long AS (
+  SELECT vec_id, i AS d,
+         CAST(FLOOR((CAST(embedding[i + 1] AS DOUBLE) + 8.0) * 1000000.0) AS BIGINT) AS xi
+  FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i) t(i)
+)""",
+        f"""c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, d, xi AS ci FROM long WHERE vec_id < {k})""",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""a{it} AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT l.vec_id, c.cluster, SUM((l.xi - c.ci) * (l.xi - c.ci)) AS dist,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+                              ORDER BY SUM((l.xi - c.ci) * (l.xi - c.ci)) ASC, c.cluster ASC) AS rn
+    FROM long l JOIN {prev} c USING (d)
+    GROUP BY l.vec_id, c.cluster)
+  WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""c{it} AS (
+  SELECT a.cluster, l.d, SUM(l.xi) // COUNT(*) AS ci
+  FROM long l JOIN a{it} a USING (vec_id)
+  GROUP BY a.cluster, l.d
+)"""
+        )
+        prev = f"c{it}"
+    ctes.append(
+        f"""fdist AS (
+  SELECT l.vec_id, c.cluster, SUM((l.xi - c.ci) * (l.xi - c.ci)) AS dist
+  FROM long l JOIN {prev} c USING (d)
+  GROUP BY l.vec_id, c.cluster
+)""",
+    )
+    ctes.append(
+        """fassign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+    FROM fdist) WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        f"""probed AS (
+  SELECT vec_id AS q_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+    FROM fdist WHERE vec_id < 3) WHERE rn <= {probe}
+)"""
+    )
+    ctes.append(
+        """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+scored AS (
+  SELECT p.q_id, a.vec_id,
+         list_dot_product(e.v, q.v) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))) AS score
+  FROM fassign a JOIN probed p USING (cluster)
+  JOIN e ON e.vec_id = a.vec_id
+  JOIN e q ON q.vec_id = p.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, rank, ROUND(score, 4) AS score
+FROM ranked WHERE rank <= {topk} ORDER BY q_id, rank"""
+    )
+
+
+ORACLE_IVF_LATTICE = _ivf_lattice_oracle(k=8, iters=2, probe=2, topk=5)
 
 
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7411,6 +7559,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_length_histogram": doc_length_histogram,
     "nation_yoy_growth": nation_yoy_growth,
     "knn_ivf_full_probe": knn_ivf_full_probe,
+    "knn_ivf_lattice_approx": knn_ivf_lattice_approx,
     "user_sessions": user_sessions,
     # -- oracle-backed, green in round 1 -----------------------------------
     "q1_pricing_summary": q1_pricing_summary,
@@ -7652,6 +7801,7 @@ ORACLES: dict[str, str] = {
     "pmi_collocations": ORACLE_PMI,
     "orders_zorder_keys": ORACLE_ZORDER_KEYS,
     "kmeans_embedding_clusters": ORACLE_KMEANS,
+    "knn_ivf_lattice_approx": ORACLE_IVF_LATTICE,
     "copurchase_triangles": ORACLE_TRIANGLES,
     "media_real_image_features": ORACLE_MEDIA_REAL,
     "media_png_features": ORACLE_MEDIA_REAL,

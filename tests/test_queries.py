@@ -19,6 +19,21 @@ SF = os.environ.get("SPARK_GRAFT_GATE_SF", "/root/testdata/sf0.001")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def _shard(names: list[str]) -> list[str]:
+    """SPARK_GRAFT_GATE_SHARD="i/n" keeps only this process's slice of the
+    query gate (stable crc32 bucketing) so tests/gate_sharded.sh can run n
+    pytest processes in parallel, each with its own small Spark session —
+    same coverage, a fraction of the wall time. Unset = everything (the
+    driver's single-process run is unchanged)."""
+    spec = os.environ.get("SPARK_GRAFT_GATE_SHARD")
+    if not spec:
+        return names
+    import zlib
+
+    i, n = (int(x) for x in spec.split("/"))
+    return [q for q in names if zlib.crc32(q.encode()) % n == i]
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
@@ -36,7 +51,7 @@ def _canon(df):
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+@pytest.mark.parametrize("name", _shard(sorted(QUERIES)))
 def test_query_matches_oracle(spark, duck, name):
     from apollo_spark.ops.cache import release_caches
 
@@ -55,3 +70,28 @@ def test_query_matches_oracle(spark, duck, name):
             assert np.allclose(a[c].astype(float), b[c].astype(float), rtol=0, atol=0, equal_nan=True), f"{name}.{c}"
         else:
             assert (a[c].astype(str) == b[c].astype(str)).all(), f"{name}.{c}"
+
+
+def test_pca_zca_partition_invariant(spark):
+    """The two eigensolve queries can't be cross-engine hash-gated (no SQL
+    eigensolve; the spectrum's top gap is ~0.99 so no replayable iteration
+    converges) — so pin the property the hash would certify: the output is
+    BIT-IDENTICAL under any partitioning / row order, because the covariance
+    accumulates on an integer lattice and the eigensolve runs on the driver.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    for name in ("embedding_pca_projection", "embedding_zca_whitening"):
+        a = QUERIES[name](spark, SF).toPandas()
+        shuffled = spark.read.parquet(f"{SF}/embeddings.parquet").orderBy(
+            F.md5(F.col("vec_id").cast("string"))
+        ).repartition(7)
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as td:
+            shuffled.write.mode("overwrite").parquet(os.path.join(td, "embeddings.parquet"))
+            b = QUERIES[name](spark, td).toPandas()  # queries read only embeddings
+        a = a.sort_values("vec_id").reset_index(drop=True)
+        b = b.sort_values("vec_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
