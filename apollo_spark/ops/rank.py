@@ -152,6 +152,40 @@ def bucketed_rank(
     return carry_caches(scoped_persist(out, df), df)
 
 
+def approx_ntile(
+    df: DataFrame,
+    key: Column,
+    n: int,
+    *,
+    out_col: str = "ntile",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Approximate NTILE(n) — the 100-TB lake form beside the exact
+    ``bucketed_ntile``. One ``percentile_approx`` pass (Greenwald-Khanna
+    sketch: mergeable map-side partials, a cutoff list on the driver) yields
+    the n-1 quantile cutoffs as a 1-row frame; tile assignment is then a pure
+    broadcast-crossJoin expression — ZERO ordered shuffles and no per-row
+    rank materialization, at the cost of rank error ~``total/accuracy`` rows
+    near each cutoff (tiles can be off by one there, never more unless a
+    tie-run spans a cutoff — approx gives a tie-run ONE tile where exact
+    NTILE splits it by position). Use the exact form when the gate demands
+    bit-parity; use this when the corpus is too big to rank."""
+    cuts = df.agg(
+        F.percentile_approx(
+            key, [i / n for i in range(1, n)], F.lit(accuracy)
+        ).alias("__cuts")
+    )
+    tile = (
+        F.aggregate(
+            F.col("__cuts"),
+            F.lit(0),
+            lambda acc, c: acc + F.when(key > c, 1).otherwise(0),
+        )
+        + 1
+    ).cast("int")
+    return df.crossJoin(F.broadcast(cuts)).withColumn(out_col, tile).drop("__cuts")
+
+
 def ntile_from_rank(rank: Column, total: Column, n: int) -> Column:
     """SQL NTILE(n) as closed-form arithmetic on (global rank, total rows):
     the first ``total % n`` tiles hold ``ceil(total/n)`` rows, the rest

@@ -51,6 +51,18 @@ def _canon(df):
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+# Queries whose TRUE answer is empty at tiny scale factors (verified against
+# the DuckDB oracle: e.g. no part is supplied-but-never-ordered at sf0.001).
+# Everything else must return rows — an `expect`-style guard so a refactor
+# can't silently empty a query the driver doesn't happen to sample.
+MAY_BE_EMPTY = {
+    "copurchase_kcore",
+    "nation_trade_volume",
+    "session_overlap_join",
+    "supplied_not_ordered_parts",
+}
+
+
 @pytest.mark.parametrize("name", _shard(sorted(QUERIES)))
 def test_query_matches_oracle(spark, duck, name):
     from apollo_spark.ops.cache import release_caches
@@ -58,9 +70,17 @@ def test_query_matches_oracle(spark, duck, name):
     frame = QUERIES[name](spark, SF)
     sdf = frame.toPandas()
     release_caches(frame)  # drop op-scoped persists between the 165 runs
+    # expect-style meta-assertions on every registry output: non-empty
+    # (unless genuinely empty at this SF), no NullType columns, and no
+    # auto-generated aggregate names that would defeat the driver's
+    # column-sorted value hash.
+    if name not in MAY_BE_EMPTY:
+        assert len(sdf) > 0, f"{name}: empty output at {SF}"
+    for f in frame.schema.fields:
+        assert f.dataType.typeName() != "void", f"{name}.{f.name}: NullType column"
+        assert "(" not in f.name, f"{name}: unaliased column {f.name!r}"
     if name not in ORACLES:
-        assert len(sdf) >= 0  # rows-only check (non-SQL-expressible op)
-        return
+        return  # rows-only (non-SQL-expressible op) — meta-assertions above
     ddf = duck.sql(ORACLES[name]).df()
     assert list(sdf.columns) == list(ddf.columns), f"{list(sdf.columns)} vs {list(ddf.columns)}"
     assert len(sdf) == len(ddf), f"rows {len(sdf)} vs {len(ddf)}"
