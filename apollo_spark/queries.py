@@ -3194,10 +3194,11 @@ def knn_ivf_lattice_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_lattice_oracle(k: int = 8, iters: int = 2, probe: int = 2, topk: int = 5) -> str:
-    """Mirror of knn_ivf_lattice_approx: the unrolled lattice k-means CTEs
-    (same as _kmeans_oracle), nearest-final-centroid indexing, top-``probe``
-    list selection per query, exact cosine rescore (knn_bruteforce's mirror)."""
+def _lattice_common_ctes(k: int, iters: int) -> list[str]:
+    """Shared unrolled lattice-k-means CTE prefix (training rounds, final
+    assignment, double-cast vectors) for every oracle that replays the
+    engine-exact integer k-means: knn_ivf_lattice_approx and
+    semantic_dedup_lattice."""
     ctes = [
         """long AS (
   SELECT vec_id, i AS d,
@@ -3243,15 +3244,23 @@ def _ivf_lattice_oracle(k: int = 8, iters: int = 2, probe: int = 2, topk: int = 
 )"""
     )
     ctes.append(
+        """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""
+    )
+    return ctes
+
+
+def _ivf_lattice_oracle(k: int = 8, iters: int = 2, probe: int = 2, topk: int = 5) -> str:
+    """Mirror of knn_ivf_lattice_approx: the unrolled lattice k-means CTEs
+    (same as _kmeans_oracle), nearest-final-centroid indexing, top-``probe``
+    list selection per query, exact cosine rescore (knn_bruteforce's mirror)."""
+    ctes = _lattice_common_ctes(k, iters)
+    ctes.append(
         f"""probed AS (
   SELECT vec_id AS q_id, cluster FROM (
     SELECT vec_id, cluster,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
     FROM fdist WHERE vec_id < 3) WHERE rn <= {probe}
 )"""
-    )
-    ctes.append(
-        """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""
     )
     return (
         "WITH "
@@ -3275,6 +3284,81 @@ FROM ranked WHERE rank <= {topk} ORDER BY q_id, rank"""
 
 
 ORACLE_IVF_LATTICE = _ivf_lattice_oracle(k=8, iters=2, probe=2, topk=5)
+
+
+def semantic_dedup_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated twin of semantic_dedup_docs: SemDeDup's float k-means
+    isn't SQL-replayable, so this variant clusters with the ENGINE-EXACT
+    integer-lattice k-means (same replayable training as
+    knn_ivf_lattice_approx) and prunes with the PAIRWISE first-occurrence
+    rule — drop v iff ANY lower-id vector in its cluster has cosine >= 0.35
+    (the driver corpus has NO planted embedding near-dups — max pairwise
+    cosine is ~0.5 — so the dup-grade 0.93 threshold would never fire; 0.35
+    sits in the redundancy tail and actually exercises the prune at every
+    gate SF)
+    (one self-join + anti-join; the greedy kept-set variant stays in
+    ops.similarity.semantic_dedup). Work is bounded to O(k * (N/k)^2) by the
+    cluster blocking, exactly SemDeDup's tradeoff; both cluster assignment
+    and every cosine comparison replay bit-for-bit in DuckDB (sequential
+    left-to-right double folds on both engines)."""
+    from apollo_spark.ops.clustering import embedding_lattice, kmeans_lattice
+
+    e = _t(spark, sf_dir, "embeddings")
+    _, cent = kmeans_lattice(e, k=8, iters=2)
+    long = embedding_lattice(e)
+    diff = F.col("xi") - F.col("ci")
+    dist = (
+        long.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "cluster")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    assign = (
+        dist.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+        .select("vec_id", F.col("m.cluster").alias("cluster"))
+    )
+    ev = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    a = assign.join(ev, "vec_id")
+    x = a.select(F.col("cluster"), F.col("vec_id").alias("x_id"), F.col("v").alias("xv"))
+    y = a.select(F.col("cluster"), F.col("vec_id").alias("vec_id"), F.col("v").alias("yv"))
+    dropped = (
+        x.join(y, "cluster")
+        .filter(F.col("x_id") < F.col("vec_id"))
+        .filter(cosine(F.col("xv"), F.col("yv")) >= F.lit(0.35))
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        assign.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", "cluster")
+        .orderBy("vec_id")
+    )
+
+
+def _semantic_lattice_oracle(k: int = 8, iters: int = 2, threshold: float = 0.93) -> str:
+    """Mirror of semantic_dedup_lattice: shared lattice-k-means CTEs +
+    within-cluster pairwise cosine prune via NOT EXISTS."""
+    ctes = _lattice_common_ctes(k, iters)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+av AS (
+  SELECT a.vec_id, a.cluster, e.v FROM fassign a JOIN e USING (vec_id)
+)
+SELECT y.vec_id, y.cluster
+FROM av y
+WHERE NOT EXISTS (
+  SELECT 1 FROM av x
+  WHERE x.cluster = y.cluster AND x.vec_id < y.vec_id
+    AND list_dot_product(x.v, y.v)
+        / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= {threshold}
+)
+ORDER BY vec_id"""
+    )
+
+
+ORACLE_SEMANTIC_LATTICE = _semantic_lattice_oracle(k=8, iters=2, threshold=0.35)
 
 
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7560,6 +7644,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_yoy_growth": nation_yoy_growth,
     "knn_ivf_full_probe": knn_ivf_full_probe,
     "knn_ivf_lattice_approx": knn_ivf_lattice_approx,
+    "semantic_dedup_lattice": semantic_dedup_lattice,
     "user_sessions": user_sessions,
     # -- oracle-backed, green in round 1 -----------------------------------
     "q1_pricing_summary": q1_pricing_summary,
@@ -7802,6 +7887,7 @@ ORACLES: dict[str, str] = {
     "orders_zorder_keys": ORACLE_ZORDER_KEYS,
     "kmeans_embedding_clusters": ORACLE_KMEANS,
     "knn_ivf_lattice_approx": ORACLE_IVF_LATTICE,
+    "semantic_dedup_lattice": ORACLE_SEMANTIC_LATTICE,
     "copurchase_triangles": ORACLE_TRIANGLES,
     "media_real_image_features": ORACLE_MEDIA_REAL,
     "media_png_features": ORACLE_MEDIA_REAL,
