@@ -10,13 +10,17 @@ grows ~linearly like a real bigger corpus would, instead of quadratically
 like naive copies would (10 identical copies of every document = 45x the
 near-dup pairs per group — a skew artifact, not scale):
 
-- documents.text: replica i rotates the word sequence by 7*i words — token
-  unigram/Zipf statistics are byte-identical, but cross-replica shingle
-  overlap collapses, so MinHash/SimHash/ngram candidate counts scale with
-  corpus size as they would on real data.
-- embeddings.embedding: replica i>0 adds deterministic +-5e-3-scale noise
-  (seeded per replica) — cluster/label geometry is preserved, exact-equality
-  and ~1.0-cosine cross-replica pairs are not.
+- documents.text: replica i>0 PERMUTES each doc's word sequence with a
+  seeded RNG — token unigram/Zipf statistics are byte-identical, but word
+  n-gram shingle sets collapse to ~nothing shared, so MinHash/SimHash/ngram
+  candidate counts scale with corpus size as on real data. (A first attempt
+  ROTATED the words; rotation preserves every n-gram except the seam, so
+  every replica was a near-dup of every other — 45x pair blowup, 432 s in
+  ngram_jaccard at sf1. Permutation is the correct perturbation.)
+- embeddings.embedding: replica i>0 applies a seeded ORTHOGONAL rotation
+  Q_i to every vector — intra-replica geometry (norms, cosines, clusters)
+  is exactly preserved, cross-replica cosines become ~N(0, 1/sqrt(d))
+  noise, so exact/approx near-dup and ANN structure scales linearly.
 
 region/nation are fixed-size dimensions at every TPC-H scale factor and are
 copied once, unreplicated.
@@ -31,10 +35,11 @@ from pathlib import Path
 
 import duckdb
 import numpy as np
+import pandas as pd
 
 SRC = "/root/testdata/sf0.1"
 
-# table -> (key columns sharing that table's stride, stride source table)
+# table -> {key column -> stride source table}
 SHIFTS = {
     "customer": {"c_custkey": "customer"},
     "supplier": {"s_suppkey": "supplier"},
@@ -45,6 +50,44 @@ SHIFTS = {
     "documents": {"doc_id": "documents"},
     "embeddings": {"vec_id": "embeddings"},
 }
+
+
+def _replicate_documents(con, out: Path, replicas: int, stride: int) -> None:
+    base = con.sql(f"SELECT * FROM '{SRC}/documents.parquet' ORDER BY doc_id").df()
+    parts = []
+    for i in range(replicas):
+        d = base.copy()
+        d["doc_id"] = d["doc_id"] + i * stride
+        if i > 0:
+            rng = np.random.default_rng(7000 + i)
+            d["text"] = [
+                " ".join(rng.permutation(t.split(" "))) for t in d["text"]
+            ]
+        parts.append(d)
+    allx = pd.concat(parts, ignore_index=True)
+    con.register("docs_all", allx)
+    con.sql(f"COPY (SELECT * FROM docs_all) TO '{out}/documents.parquet' (FORMAT PARQUET)")
+
+
+def _replicate_embeddings(con, out: Path, replicas: int, stride: int) -> None:
+    base = con.sql(f"SELECT * FROM '{SRC}/embeddings.parquet' ORDER BY vec_id").df()
+    vecs0 = np.stack(base["embedding"].to_numpy()).astype(np.float64)
+    d = vecs0.shape[1]
+    parts = []
+    for i in range(replicas):
+        b = base.copy()
+        b["vec_id"] = b["vec_id"] + i * stride
+        if i > 0:
+            rng = np.random.default_rng(1000 + i)
+            q, _ = np.linalg.qr(rng.normal(size=(d, d)))
+            b["embedding"] = list((vecs0 @ q).astype(np.float32))
+        parts.append(b)
+    allx = pd.concat(parts, ignore_index=True)
+    con.register("emb_all", allx)
+    con.sql(
+        f"COPY (SELECT vec_id, embedding::FLOAT[] AS embedding, label FROM emb_all) "
+        f"TO '{out}/embeddings.parquet' (FORMAT PARQUET)"
+    )
 
 
 def main() -> None:
@@ -62,49 +105,20 @@ def main() -> None:
         con.sql(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)")
 
     for t, keys in SHIFTS.items():
-        cols = [r[0] for r in con.sql(f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
-        selects = []
-        for i in range(replicas):
-            exprs = []
-            for c in cols:
-                if c in keys:
-                    exprs.append(f"{c} + {i * strides[keys[c]]} AS {c}")
-                elif t == "documents" and c == "text":
-                    # rotate the word list by 7*i — same tokens, different shingles
-                    r = 7 * i
-                    exprs.append(
-                        f"CASE WHEN {r} = 0 THEN text ELSE "
-                        f"array_to_string(list_concat("
-                        f"  string_split(text, ' ')[1 + ({r} % len(string_split(text, ' '))):],"
-                        f"  string_split(text, ' ')[:{r} % len(string_split(text, ' '))]"
-                        f"), ' ') END AS text"
-                    )
-                else:
-                    exprs.append(c)
-            selects.append(f"SELECT {', '.join(exprs)} FROM '{SRC}/{t}.parquet'")
-        sql = " UNION ALL ".join(selects)
-        if t == "embeddings":
-            # perturb in numpy (deterministic per replica), then write
-            base = con.sql(f"SELECT * FROM '{SRC}/{t}.parquet' ORDER BY vec_id").df()
-            mats = []
-            for i in range(replicas):
-                d = base.copy()
-                d["vec_id"] = d["vec_id"] + i * strides["embeddings"]
-                if i > 0:
-                    rng = np.random.default_rng(1000 + i)
-                    vecs = np.stack(d["embedding"].to_numpy())
-                    vecs = (vecs + rng.normal(0, 5e-3, vecs.shape)).astype(np.float32)
-                    d["embedding"] = list(vecs)
-                mats.append(d)
-            import pandas as pd
-
-            allx = pd.concat(mats, ignore_index=True)
-            con.register("emb_all", allx)
-            con.sql(
-                f"COPY (SELECT vec_id, embedding::FLOAT[] AS embedding, label FROM emb_all) "
-                f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
-            )
+        if t == "documents":
+            _replicate_documents(con, out, replicas, strides["documents"])
+        elif t == "embeddings":
+            _replicate_embeddings(con, out, replicas, strides["embeddings"])
         else:
+            cols = [r[0] for r in con.sql(f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
+            selects = []
+            for i in range(replicas):
+                exprs = [
+                    f"{c} + {i * strides[keys[c]]} AS {c}" if c in keys else c
+                    for c in cols
+                ]
+                selects.append(f"SELECT {', '.join(exprs)} FROM '{SRC}/{t}.parquet'")
+            sql = " UNION ALL ".join(selects)
             con.sql(f"COPY ({sql}) TO '{out}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 262144)")
         n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
