@@ -11,9 +11,11 @@ Codec tiers:
   (``decode_ppm``/``encode_ppm``, P6 binary + P3 ascii) and PCM WAV audio
   (``decode_wav`` via stdlib ``wave``). ``extract_features(..., fake=False)``
   dispatches on payload magic bytes and runs these end-to-end.
-* STUBBED (container has no codec libraries): compressed formats
-  (png/jpeg/mp3/mp4) raise NotImplementedError with the dispatch point
-  marked — a real deployment swaps PIL/ffmpeg in at that exact seam.
+* STUBBED (container has no codec libraries): mp3/mp4 raise
+  NotImplementedError with the dispatch point marked — a real deployment
+  swaps ffmpeg in at that exact seam. PNG (stdlib zlib + unfilter, this
+  module) and baseline JPEG (ops/jpeg.py, pure numpy Huffman+DCT) are
+  REAL in-tree decoders.
 * FAKE (``fake=True``): deterministic content-hash-seeded vectors for
   plumbing tests that only care about schemas/batching, not pixels.
 """
@@ -339,9 +341,13 @@ def decode_features(payload: bytes, dim: int) -> np.ndarray:
         return image_features(decode_png(payload), dim, maxval=255)
     if payload[:4] == b"RIFF":
         return audio_features(*decode_wav(payload), dim)
+    if payload[:2] == b"\xff\xd8":
+        from apollo_spark.ops.jpeg import decode_jpeg
+
+        return image_features(decode_jpeg(payload), dim, maxval=255)
     raise NotImplementedError(
         f"no in-container codec for payload magic {payload[:4]!r}; "
-        "wire PIL/ffmpeg here for jpeg/mp3/mp4 (PPM/PNG/WAV are in-tree)"
+        "wire ffmpeg here for mp3/mp4 (PPM/PNG/baseline-JPEG/WAV are in-tree)"
     )
 
 
