@@ -10,13 +10,19 @@ grows ~linearly like a real bigger corpus would, instead of quadratically
 like naive copies would (10 identical copies of every document = 45x the
 near-dup pairs per group — a skew artifact, not scale):
 
-- documents.text: replica i>0 PERMUTES each doc's word sequence with a
-  seeded RNG — token unigram/Zipf statistics are byte-identical, but word
-  n-gram shingle sets collapse to ~nothing shared, so MinHash/SimHash/ngram
-  candidate counts scale with corpus size as on real data. (A first attempt
-  ROTATED the words; rotation preserves every n-gram except the seam, so
-  every replica was a near-dup of every other — 45x pair blowup, 432 s in
-  ngram_jaccard at sf1. Permutation is the correct perturbation.)
+- documents.text: replica i>0 maps every word through a seeded BIJECTION of
+  the corpus vocabulary onto itself. This is the only perturbation that
+  provably preserves the unigram AND n-gram document-frequency
+  distributions as multisets (bigram (a,b) -> (pi(a),pi(b)) has the exact
+  same df) — df distribution is what drives every inverted-index join's
+  fan-out — while zeroing cross-replica shingle overlap. Two rejected
+  attempts, kept for the record: ROTATING the word sequence preserves every
+  n-gram except the seam, so every replica was a near-dup of every other
+  (45x pair blowup, 432 s in ngram_jaccard at sf1); PERMUTING each doc's
+  word sequence breaks overlap but draws n-grams from the word marginals,
+  so Zipf-head words formed synthetic hot shingles ("the the" df ~35k of
+  50k docs) and the lossless inverted index faced C(35k,2) candidates per
+  hot key — hotter than natural text ever gets at this size.
 - embeddings.embedding: replica i>0 applies a seeded ORTHOGONAL rotation
   Q_i to every vector — intra-replica geometry (norms, cosines, clusters)
   is exactly preserved, cross-replica cosines become ~N(0, 1/sqrt(d))
@@ -54,14 +60,16 @@ SHIFTS = {
 
 def _replicate_documents(con, out: Path, replicas: int, stride: int) -> None:
     base = con.sql(f"SELECT * FROM '{SRC}/documents.parquet' ORDER BY doc_id").df()
+    vocab = sorted({w for t in base["text"] for w in t.split(" ")})
     parts = []
     for i in range(replicas):
         d = base.copy()
         d["doc_id"] = d["doc_id"] + i * stride
         if i > 0:
             rng = np.random.default_rng(7000 + i)
+            mapping = dict(zip(vocab, (vocab[j] for j in rng.permutation(len(vocab)))))
             d["text"] = [
-                " ".join(rng.permutation(t.split(" "))) for t in d["text"]
+                " ".join(mapping[w] for w in t.split(" ")) for t in d["text"]
             ]
         parts.append(d)
     allx = pd.concat(parts, ignore_index=True)
