@@ -416,3 +416,25 @@ def test_top_revenue_suppliers_max_is_broadcast_scalar(spark):
     p = plan(spark, "top_revenue_suppliers")
     assert "windowspecdefinition" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_approx_ntile_has_no_sort_or_window(spark):
+    """approx_ntile (the lake-scale quantile form): the whole point is ZERO
+    ordered shuffles — the plan must contain no Sort, no Window, and no
+    wide exchange on the data side; the percentile_approx cutoffs ride one
+    broadcast into a crossJoin."""
+    from pyspark.sql import functions as F
+
+    from apollo_spark.ops.rank import approx_ntile
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    out = approx_ntile(cust, F.col("c_acctbal"), 10)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert "Sort " not in p and "Window" not in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    # the only allowed hash exchange is the cutoff aggregation's own
+    # (1-row) partial->final step, never a repartition of the data side
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 0, p
