@@ -8,7 +8,7 @@ Scope (the cases a data pipeline actually meets in a web-scraped corpus):
   any integer sampling factors (4:4:4, 4:2:0, 4:2:2, 4:4:0 ...), restart
   markers (DRI/RSTn), multi-segment DQT/DHT. Output (h, w, 3) uint8 RGB.
 * encode: baseline, quality-scaled Annex-K quantization tables, standard
-  Annex-K Huffman tables, 4:4:4 or 4:2:0, optional restart interval —
+  Annex-K Huffman tables, 4:4:4 / 4:2:2 / 4:2:0, optional restart interval —
   exists so tests and fixtures can synthesize real compressed payloads
   in-container (stdlib cannot write JPEG).
 * explicit NotImplementedError seams: progressive (SOF2), arithmetic
@@ -472,13 +472,13 @@ def encode_jpeg(
     restart_interval: int = 0,
 ) -> bytes:
     """(h, w, 3) uint8 RGB -> baseline JFIF JPEG bytes. ``subsample`` is
-    '444' or '420'; ``restart_interval`` > 0 emits DRI + RSTn markers every
+    '444', '422' or '420'; ``restart_interval`` > 0 emits DRI + RSTn markers every
     that many MCUs (exercises the decoder's restart path)."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError(f"expected HxWx3 image, got {img.shape}")
-    if subsample not in ("444", "420"):
-        raise NotImplementedError(f"subsample {subsample!r} (444/420 in-tree)")
+    if subsample not in ("444", "422", "420"):
+        raise NotImplementedError(f"subsample {subsample!r} (444/422/420 in-tree)")
     h, w = img.shape[:2]
     qlum, qchrom = _quality_tables(quality)
     rgb = img.astype(np.float64)
@@ -490,6 +490,13 @@ def encode_jpeg(
         yp = _pad_edge(y, 16)
         cbp = _pad_edge(cb, 16).reshape(-1, 2, yp.shape[1] // 2, 2).mean(axis=(1, 3))
         crp = _pad_edge(cr, 16).reshape(-1, 2, yp.shape[1] // 2, 2).mean(axis=(1, 3))
+    elif subsample == "422":  # horizontal-only chroma halving (h=2, v=1)
+        hs, vs = 2, 1
+        yp = np.pad(y, ((0, (-h) % 8), (0, (-w) % 16)), mode="edge")
+        cbp = np.pad(cb, ((0, (-h) % 8), (0, (-w) % 16)), mode="edge")
+        crp = np.pad(cr, ((0, (-h) % 8), (0, (-w) % 16)), mode="edge")
+        cbp = cbp.reshape(cbp.shape[0], -1, 2).mean(axis=2)
+        crp = crp.reshape(crp.shape[0], -1, 2).mean(axis=2)
     else:
         hs = vs = 1
         yp, cbp, crp = _pad_edge(y, 8), _pad_edge(cb, 8), _pad_edge(cr, 8)

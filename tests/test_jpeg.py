@@ -30,7 +30,11 @@ def test_roundtrip_psnr_by_quality_and_subsampling():
     img = _gradient(40, 56)
     # fidelity floors per (subsampling, quality) — comfortably below the
     # measured values (50/47/41 dB for 4:4:4) so codec regressions trip
-    for sub, floors in (("444", {95: 45, 85: 40, 50: 35}), ("420", {95: 38, 85: 36, 50: 33})):
+    for sub, floors in (
+        ("444", {95: 45, 85: 40, 50: 35}),
+        ("422", {95: 38, 85: 36, 50: 33}),
+        ("420", {95: 38, 85: 36, 50: 33}),
+    ):
         for q, floor in floors.items():
             out = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
             assert out.shape == img.shape
@@ -64,7 +68,7 @@ def test_odd_sizes_and_padding():
     rng = np.random.default_rng(1)
     for shape in ((1, 1), (7, 5), (17, 9), (8, 8), (9, 16)):
         im = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
-        for sub in ("444", "420"):
+        for sub in ("444", "422", "420"):
             out = decode_jpeg(encode_jpeg(im, quality=90, subsample=sub))
             assert out.shape == im.shape, (shape, sub)
 
@@ -107,7 +111,7 @@ def test_honest_seams_and_errors():
     with pytest.raises(Exception):
         decode_jpeg(full[: len(full) // 2])
     with pytest.raises(NotImplementedError, match="subsample"):
-        encode_jpeg(_gradient(8, 8), subsample="422")
+        encode_jpeg(_gradient(8, 8), subsample="411")
 
 
 def test_dispatch_through_decode_features():
