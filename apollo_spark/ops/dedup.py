@@ -641,18 +641,28 @@ def connected_components(edges: DataFrame, max_iter: int = 20, driver_threshold:
     pairs, not documents), so up to driver_threshold edges this runs
     path-compressed union-find on the driver — one collect, no iterative
     shuffles. Above it, distributed min-label propagation (two shuffles per
-    iteration, lineage truncated per round) takes over."""
-    sym = (
-        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        # materialize once: everything below re-reads sym (the driver path
+    iteration, lineage truncated per round) takes over.
+
+    Disk posture: exactly ONE checkpoint of the E-row canonical (hi, lo)
+    edge list is materialized up front — NOT the 2E symmetric view (derived
+    lazily per round) and NOT an extra full-shuffle distinct (duplicate
+    edges are harmless to union-find and are absorbed by round-1's own
+    distincts). At sf1 the earlier 3x materialization (2E sym checkpoint +
+    E distinct checkpoint) of a quadratic lossless near-dup edge set filled
+    the disk and killed the job."""
+    canon = (
+        edges.select(
+            F.greatest("id_a", "id_b").alias("hi"), F.least("id_a", "id_b").alias("lo")
+        )
+        # materialize once: everything below re-reads canon (the driver path
         # counts then collects; the loop runs 2 actions per iteration), and
         # without this the entire upstream edge-generation DAG (e.g. a
         # shingle self-join) re-executes per action
         .localCheckpoint(eager=True)
     )
-    if sym.count() <= driver_threshold:
-        pairs = sym.collect()  # read the checkpoint, NOT edges (whose DAG would re-execute)
+    n_edges = canon.count()
+    if n_edges <= driver_threshold:
+        pairs = canon.collect()  # read the checkpoint, NOT edges (whose DAG would re-execute)
         parent: dict = {}
 
         def find(x):
@@ -670,15 +680,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20, driver_threshold:
                 parent[hi] = lo
         nodes = {v for r in pairs for v in (r[0], r[1])}
         out = [(n, find(n)) for n in sorted(nodes)]
-        id_type = sym.schema["src"].dataType
+        id_type = canon.schema["hi"].dataType
         spark = edges.sparkSession
         from pyspark.sql import types as T
 
         return spark.createDataFrame(out, T.StructType([T.StructField("id", id_type), T.StructField("comp", id_type)]))
-    return _cc_star_contraction(sym, max_iter)
+    return _cc_star_contraction(canon, max_iter, n_edges)
 
 
-def _cc_star_contraction(sym: DataFrame, max_iter: int) -> DataFrame:
+def _cc_star_contraction(canon: DataFrame, max_iter: int, n_edges: int | None = None) -> DataFrame:
     """Distributed connected components by alternating large-star /
     small-star contraction (Kiveris et al., "Connected Components in
     MapReduce and Beyond", SoCC'14) — O(log n) rounds instead of the
@@ -695,17 +705,24 @@ def _cc_star_contraction(sym: DataFrame, max_iter: int) -> DataFrame:
     shuffles over the (shrinking) edge set, one checksum aggregate for the
     stability test, lineage truncated by localCheckpoint.
 
-    ``sym`` is the symmetrized, self-loop-free (src, dst) edge list;
-    returns (id, comp)."""
-    nodes = sym.select(F.col("src").alias("id")).distinct()
-    # canonical undirected form (hi > lo), the per-round state
-    canon = (
-        sym.filter(F.col("src") > F.col("dst"))
-        .select(F.col("src").alias("hi"), F.col("dst").alias("lo"))
+    ``canon`` is the already-checkpointed canonical (hi >= lo) edge list —
+    duplicates and self-loops are tolerated (absorbed by round-1's own
+    distincts); returns (id, comp). ``n_edges`` (if known) gates a JVM GC
+    nudge after whale rounds so the previous round's checkpoint blocks are
+    actually reclaimed (ContextCleaner frees them only after a GC notices
+    the RDD is unreachable — at sf1 round-1's quadratic edge checkpoint
+    otherwise coexists with round 2's and exhausts the disk)."""
+    spark = canon.sparkSession
+    # node universe, pinned BEFORE the loop: the final left-join must not
+    # depend on round-0 canon once later rounds have replaced (and freed) it
+    nodes = (
+        canon.select(F.col("hi").alias("id"))
+        .unionByName(canon.select(F.col("lo").alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
     )
     prev_sig = None
+    prev_n = n_edges
     for _ in range(max_iter):
         # ---- large-star over the symmetric view of canon
         edges = canon.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
@@ -736,7 +753,7 @@ def _cc_star_contraction(sym: DataFrame, max_iter: int) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)  # truncate lineage per round
         )
-        canon = small
+        canon = small  # drop the only reference to the old round's checkpoint
         # stability: the canonical edge set is a fixed point (count + an
         # order-independent hash checksum — one tiny aggregate per round)
         # bit_xor: order-independent, cannot overflow (ANSI-safe at any n)
@@ -744,6 +761,12 @@ def _cc_star_contraction(sym: DataFrame, max_iter: int) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("hi", "lo")).alias("h"),
         ).first()
+        if prev_n is not None and prev_n > 10_000_000:
+            # the round we just replaced was checkpoint-materialized at whale
+            # size; force the unreachable-RDD sweep now rather than waiting
+            # for the periodic cleaner GC
+            spark.sparkContext._jvm.System.gc()
+        prev_n = sig.n
         if prev_sig == (sig.n, sig.h):
             break
         prev_sig = (sig.n, sig.h)

@@ -32,6 +32,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # disk-stored RDD blocks (persist/localCheckpoint spill) are
+        # UNCOMPRESSED by default; narrow long-pair frames (CC edge
+        # checkpoints) shrink 3-5x under lz4 for negligible CPU — at sf1 the
+        # uncompressed checkpoint of a quadratic near-dup edge set filled the
+        # disk outright
+        .config("spark.rdd.compress", "true")
+        # ContextCleaner only reclaims dead shuffle files / checkpoint blocks
+        # after a JVM GC notices the RDDs are unreachable; the default 30min
+        # periodic GC lets tens of GB of shuffle data from finished queries
+        # pile up across a long bench/gate run on one shared disk
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )

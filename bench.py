@@ -82,6 +82,12 @@ def main() -> None:
             from apollo_spark.ops.cache import release_caches
 
             release_caches(df)
+            del df
+        # shuffle files / localCheckpoint blocks of a finished query are only
+        # reclaimed after a JVM GC proves the RDDs unreachable; on one shared
+        # disk the whale queries' spill (tens of GB at sf1) must not coexist
+        # with the next query's. ~100ms per query, off the timed path.
+        spark.sparkContext._jvm.System.gc()
         if best is None:
             print(f"# {name}: ERROR {errors[name].splitlines()[0]}", file=sys.stderr)
             continue
