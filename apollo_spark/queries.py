@@ -1192,7 +1192,11 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("__s1") / F.col("__n")
     var = F.col("__s2") / F.col("__n") - mean * mean
-    z = (F.col("value") - mean) / F.sqrt(var)
+    # a zero-variance trailing window (a run of identical values — present in
+    # the corpus from sf1 up) has no measurable anomaly: z undefined -> NULL
+    # -> dropped by the |z| filter. Without the guard ANSI mode aborts the
+    # whole query on the first flat window.
+    z = F.when(var > 0, (F.col("value") - mean) / F.sqrt(var))
     return (
         pre.withColumn("__z", z)
         .filter((F.col("__n") >= 10) & (F.abs(F.col("__z")) > 2.5))
@@ -1221,7 +1225,8 @@ st AS (
 ),
 z AS (
   SELECT event_id, event_type, value,
-         (value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)) AS z, n
+         CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0
+              THEN (value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)) END AS z, n
   FROM st
 )
 SELECT event_id, event_type, value, ROUND(z, 4) AS zscore
