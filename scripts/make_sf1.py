@@ -58,6 +58,15 @@ SHIFTS = {
 }
 
 
+def _rg(n_rows: int) -> int:
+    """Parquet row-group size giving ~32 splits: Spark's file-scan splits
+    can't cut inside a row group, so a single-group file (DuckDB default is
+    very large groups) serializes the whole table into ONE task no matter
+    the cluster — at sf1 that turned every documents/embeddings query into
+    a 1-thread run and made linear plans look 30x superlinear."""
+    return max(1024, n_rows // 32)
+
+
 def _replicate_documents(con, out: Path, replicas: int, stride: int) -> None:
     base = con.sql(f"SELECT * FROM '{SRC}/documents.parquet' ORDER BY doc_id").df()
     vocab = sorted({w for t in base["text"] for w in t.split(" ")})
@@ -74,7 +83,10 @@ def _replicate_documents(con, out: Path, replicas: int, stride: int) -> None:
         parts.append(d)
     allx = pd.concat(parts, ignore_index=True)
     con.register("docs_all", allx)
-    con.sql(f"COPY (SELECT * FROM docs_all) TO '{out}/documents.parquet' (FORMAT PARQUET)")
+    con.sql(
+        f"COPY (SELECT * FROM docs_all) TO '{out}/documents.parquet' "
+        f"(FORMAT PARQUET, ROW_GROUP_SIZE {_rg(len(allx))})"
+    )
 
 
 def _replicate_embeddings(con, out: Path, replicas: int, stride: int) -> None:
@@ -94,7 +106,7 @@ def _replicate_embeddings(con, out: Path, replicas: int, stride: int) -> None:
     con.register("emb_all", allx)
     con.sql(
         f"COPY (SELECT vec_id, embedding::FLOAT[] AS embedding, label FROM emb_all) "
-        f"TO '{out}/embeddings.parquet' (FORMAT PARQUET)"
+        f"TO '{out}/embeddings.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE {_rg(len(allx))})"
     )
 
 
@@ -127,7 +139,9 @@ def main() -> None:
                 ]
                 selects.append(f"SELECT {', '.join(exprs)} FROM '{SRC}/{t}.parquet'")
             sql = " UNION ALL ".join(selects)
-            con.sql(f"COPY ({sql}) TO '{out}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 262144)")
+            n_src = con.sql(f"SELECT count(*) FROM '{SRC}/{t}.parquet'").fetchone()[0]
+            rg = min(262144, _rg(n_src * replicas))
+            con.sql(f"COPY ({sql}) TO '{out}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE {rg})")
         n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
 
