@@ -438,3 +438,18 @@ def test_approx_ntile_has_no_sort_or_window(spark):
     # the only allowed hash exchange is the cutoff aggregation's own
     # (1-row) partial->final step, never a repartition of the data side
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 0, p
+
+
+def test_memorization_risk_no_shingle_rejoin(spark):
+    """doc_memorization_risk must NOT re-join the exploded shingle table
+    against shingle-df (the corpus-sized, hot-key-skewed shape it shipped
+    with): n_shared is derived algebraically (total - df==1 owned), so the
+    only joins are doc-count-sized, and the only exchange over exploded
+    shingles is the one map-side-combined groupBy on the shingle key."""
+    p = plan(spark, "doc_memorization_risk")
+    # no join keyed on the shingle column
+    assert not re.search(r"Join.*\[s(#\d+)?\]", p), p
+    # a single hash exchange on the shingle key
+    assert len(re.findall(r"hashpartitioning\(s#", p)) == 1, p
+    # top-20 is TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in p, p
