@@ -345,9 +345,13 @@ def decode_features(payload: bytes, dim: int) -> np.ndarray:
         from apollo_spark.ops.jpeg import decode_jpeg
 
         return image_features(decode_jpeg(payload), dim, maxval=255)
+    if payload[:4] == b"GIF8":
+        from apollo_spark.ops.gif import decode_gif
+
+        return image_features(decode_gif(payload), dim, maxval=255)
     raise NotImplementedError(
         f"no in-container codec for payload magic {payload[:4]!r}; "
-        "wire ffmpeg here for mp3/mp4 (PPM/PNG/baseline-JPEG/WAV are in-tree)"
+        "wire ffmpeg here for mp3/mp4 (PPM/PNG/baseline-JPEG/WAV/GIF are in-tree)"
     )
 
 

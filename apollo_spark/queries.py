@@ -3480,6 +3480,51 @@ def media_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", F.round(sq, 6).alias("feat_sq_norm")).orderBy("media_id")
 
 
+def media_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode, oracle-gated end-to-end: the same md5-derived 4x4
+    raster as media_real_image_features is ENCODED to an exact-palette
+    GIF89a inside an Arrow-batched pandas stage (interlaced for odd doc_ids
+    so both row orders are in the gated path), then decoded by the
+    pure-stdlib in-tree GIF codec (ops.gif.decode_gif: block walk + LZW
+    with deferred width change + de-interlace) via the normal
+    decode_features dispatch. Encode->decode is the identity on the raster
+    (<= 16 colors always fit the exact palette), so the DuckDB oracle is
+    the same bit-for-bit float32 feature mirror as the PPM/PNG queries —
+    any codec bug breaks the hash."""
+    from apollo_spark.ops.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    hx = F.concat(
+        F.md5(F.encode(F.col("text"), "utf-8")),
+        F.md5(F.encode(F.concat(F.col("text"), F.lit("a")), "utf-8")),
+        F.md5(F.encode(F.concat(F.col("text"), F.lit("b")), "utf-8")),
+    )
+    raster = d.select(F.col("doc_id").alias("media_id"), F.unhex(hx).alias("raw"))
+
+    def _encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        from apollo_spark.ops.gif import encode_gif
+
+        for pdf in batches:
+            payloads = [
+                encode_gif(
+                    np.frombuffer(raw, dtype=np.uint8).reshape(4, 4, 3),
+                    interlace=bool(mid % 2),
+                )
+                for mid, raw in zip(pdf["media_id"], pdf["raw"])
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    media = raster.mapInPandas(_encode, "media_id long, payload binary")
+    feats = extract_features(media, dim=16, fake=False)
+    sq = F.aggregate(
+        F.transform("features", lambda x: x.cast("double")), F.lit(0.0), lambda a, v: a + v * v
+    )
+    return feats.select("media_id", F.round(sq, 6).alias("feat_sq_norm")).orderBy("media_id")
+
+
 def image_ahash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image dedup, end-to-end REAL and oracle-gated: 4x4 P6
     PPMs synthesized JVM-side per document -> in-tree pure-numpy PPM decode
@@ -7755,6 +7800,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copurchase_triangles": copurchase_triangles,
     "media_real_image_features": media_real_image_features,
     "media_png_features": media_png_features,
+    "media_gif_features": media_gif_features,
     "sequence_packing": sequence_packing,
     "source_temperature_weights": source_temperature_weights,
     "events_value_histogram": events_value_histogram,
@@ -7903,6 +7949,7 @@ ORACLES: dict[str, str] = {
     "copurchase_triangles": ORACLE_TRIANGLES,
     "media_real_image_features": ORACLE_MEDIA_REAL,
     "media_png_features": ORACLE_MEDIA_REAL,
+    "media_gif_features": ORACLE_MEDIA_REAL,
     "sequence_packing": ORACLE_SEQ_PACKING,
     "source_temperature_weights": ORACLE_TEMPERATURE_WEIGHTS,
     "events_value_histogram": ORACLE_VALUE_HISTOGRAM,
