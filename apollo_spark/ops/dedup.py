@@ -245,6 +245,7 @@ def ngram_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.2,
     max_df: int | None = 100_000,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
 
@@ -263,6 +264,14 @@ def ngram_jaccard_pairs(
     100 TB a single df=10^6 shingle alone would shuffle 10^12 candidate rows,
     so lossless-by-default is a scale hazard. Pass ``max_df=None`` for the
     certified-lossless config (the oracle queries do so explicitly).
+
+    ``max_df_frac`` is the scale-relative form of the same cap (sklearn's
+    max_df semantics): a shingle is hot when its df exceeds
+    floor(frac * corpus size). The cutoff is computed IN-PLAN (scalar count
+    agg joined onto the df table — no driver action), so the op stays a
+    single lazy DataFrame and the hot set tracks corpus growth: at 10x the
+    data the same fraction prunes the same boilerplate, where an absolute
+    max_df silently stops pruning. Mutually exclusive with ``max_df``.
 
     Capped-path exactness: intersection counts over the pruned index
     undercount pairs that also share hot shingles by at most
@@ -307,7 +316,19 @@ def ngram_jaccard_pairs(
     len_ok = (F.col("a.n") >= threshold * F.col("b.n") - 1e-9) & (
         F.col("b.n") >= threshold * F.col("a.n") - 1e-9
     )
-    if max_df is None:
+    if max_df_frac is not None:
+        if max_df is not None and max_df != 100_000:
+            raise ValueError("pass max_df or max_df_frac, not both")
+        dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        # scale-relative cutoff, computed in-plan: 1-row scalar agg broadcast
+        # onto the (small, <= |vocab|^n rows) df table
+        total = base.agg(F.count(F.lit(1)).alias("n_docs"))
+        hot = (
+            dfreq.crossJoin(F.broadcast(total))
+            .filter(F.col("df") > F.floor(F.lit(max_df_frac) * F.col("n_docs")))
+        )
+        idx = ex.join(F.broadcast(hot.select("s")), "s", "left_anti")
+    elif max_df is None:
         idx = ex
     else:
         hot = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > max_df)
@@ -330,7 +351,7 @@ def ngram_jaccard_pairs(
     def _jac(i):
         return i.cast("double") / (F.col("n_a") + F.col("n_b") - i).cast("double")
 
-    if max_df is None:
+    if max_df is None and max_df_frac is None:
         # lossless: the pruned-index intersection count IS the exact
         # intersection, so jaccard falls out of counts alone
         j = inter.withColumn("jaccard", _jac(F.col("inter")))

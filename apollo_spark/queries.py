@@ -3014,6 +3014,67 @@ ORDER BY id_a, id_b
 """
 
 
+def ngram_jaccard_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB configuration of ngram_jaccard_pairs, hash-gated: a
+    scale-RELATIVE hot-shingle cap (df > floor(4% of corpus)) prunes the
+    inverted index before candidate generation, so the per-key join fan-out
+    is bounded by a corpus fraction instead of growing df^2 with corpus
+    size (the lossless twin above measures ~quadratic on this tiny-vocab
+    corpus: 2.8 s at sf0.1 -> 441 s at sf1; this one stays ~linear). The
+    oracle replays the full capped semantics — relative cutoff, pruned
+    candidate join with the length filter, exact full-set re-score of the
+    survivors, and the all-hot-doc exact-set star recovery — so the
+    count-bounds + ambiguous-sliver machinery in ops/dedup.py is
+    value-certified cross-engine, not just unit-tested."""
+    from apollo_spark.ops.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(d, n=2, threshold=0.2, max_df_frac=0.04)
+        .withColumn("jaccard", F.round("jaccard", 6))
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLE_NGRAM_JACCARD_CAPPED = r"""
+WITH d0 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents)
+  WHERE len(t) >= 1
+),
+d AS (SELECT * FROM d0 WHERE len(sh) > 0),
+k AS (SELECT CAST(floor(0.04 * COUNT(*)) AS BIGINT) AS cap FROM d),
+ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+dfreq AS (SELECT s, COUNT(*) AS c FROM ex GROUP BY s),
+kept AS (SELECT ex.doc_id, ex.n, ex.s FROM ex JOIN dfreq USING (s), k WHERE c <= k.cap),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+   AND a.n >= 0.2 * b.n - 1e-9 AND b.n >= 0.2 * a.n - 1e-9
+),
+scored AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+         / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) AS jaccard
+  FROM cand JOIN d da ON da.doc_id = cand.id_a JOIN d db ON db.doc_id = cand.id_b
+),
+allhot AS (
+  SELECT doc_id, list_sort(sh) AS seth FROM d
+  WHERE doc_id NOT IN (SELECT doc_id FROM kept)
+),
+star AS (
+  SELECT MIN(doc_id) OVER (PARTITION BY seth) AS id_a, doc_id AS id_b, 1.0 AS jaccard
+  FROM allhot QUALIFY doc_id != id_a
+)
+SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+FROM (SELECT * FROM scored WHERE jaccard >= 0.2 UNION ALL SELECT * FROM star)
+ORDER BY id_a, id_b
+"""
+
+
 def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup pairs (>= 0.4): blocked-matmul candidates +
     sequential-fold exact re-score (ops.similarity.all_pairs_cosine_exact).
@@ -7672,6 +7733,7 @@ ORDER BY n_name, yr
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- oracle-backed, ungated in round 1: gate these first ---------------
     "ngram_jaccard_dup_pairs": ngram_jaccard_dup_pairs,
+    "ngram_jaccard_capped_pairs": ngram_jaccard_capped_pairs,
     "embedding_near_dup_exact": embedding_near_dup_exact,
     "orders_by_year_rangejoin": orders_by_year_rangejoin,
     "near_dup_components": near_dup_components,
@@ -7899,6 +7961,7 @@ ORACLES: dict[str, str] = {
     "doc_repetition": ORACLE_REPETITION,
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "ngram_jaccard_dup_pairs": ORACLE_NGRAM_JACCARD,
+    "ngram_jaccard_capped_pairs": ORACLE_NGRAM_JACCARD_CAPPED,
     "minhash_portable_dup_pairs": ORACLE_MINHASH_PORTABLE,
     "simhash_portable_near_dups": ORACLE_SIMHASH_PORTABLE,
     "embedding_near_dup_exact": ORACLE_EMB_NEAR_DUP,

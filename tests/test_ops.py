@@ -280,6 +280,52 @@ def test_ngram_jaccard_max_df_cap_keeps_scores_exact(spark):
     assert len(ce) == len(c)  # capped ⊆ exact (no false positives)
     assert (ce["jaccard_c"] == ce["jaccard_e"]).all()  # scores bit-identical
 
+
+def test_ngram_jaccard_mega_cluster_star_recovery(spark):
+    """Documents whose EVERY shingle is hotter than the cap vanish from the
+    pruned index entirely; exact duplicates among them must come back as
+    jaccard-1.0 star pairs (cluster min id -> member), and near-identical
+    -but-unequal members are the documented recall loss (absent)."""
+    from apollo_spark.ops.dedup import ngram_jaccard_pairs
+
+    boiler = "terms of service apply all rights reserved contact us here"
+    rows = [(i, boiler) for i in range(20)]  # 20 exact copies, every bigram df=20+
+    rows += [(50, boiler + " tiny variation")]  # near-identical, NOT exact
+    rows += [(60 + i, f"unique document number {i} with rare words {i * 13}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_jaccard_pairs(df, threshold=0.3, max_df=10).toPandas()
+    stars = out[out["jaccard"] == 1.0]
+    # the 20-copy cluster returns as a 19-edge star on min id 0
+    assert set(zip(stars["id_a"], stars["id_b"])) == {(0, i) for i in range(1, 20)}
+    # doc 50 shares only hot shingles and isn't set-equal: documented miss
+    assert 50 not in set(out["id_a"]) | set(out["id_b"])
+
+
+def test_ngram_jaccard_max_df_frac_matches_absolute_cap(spark):
+    """The scale-relative cap must agree bit-for-bit with the absolute cap
+    at the equivalent cutoff (floor(frac * n_docs) == max_df), and reject
+    being combined with an explicit absolute cap."""
+    import pytest as _pytest
+
+    from apollo_spark.ops.dedup import ngram_jaccard_pairs
+
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"{hot} filler text number {i} unique tail {i * 7}") for i in range(30)]
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # 32 docs; frac 10/32 -> floor = 10 == absolute cap
+    rel = ngram_jaccard_pairs(df, threshold=0.3, max_df_frac=10 / 32).toPandas()
+    ab = ngram_jaccard_pairs(df, threshold=0.3, max_df=10).toPandas()
+    key = lambda p: p.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    rel, ab = key(rel), key(ab)
+    assert (rel.values == ab.values).all()
+    with _pytest.raises(ValueError, match="not both"):
+        ngram_jaccard_pairs(df, max_df=5, max_df_frac=0.5)
+
+
 def test_ivf_full_probe_is_exact(spark, emb):
     from apollo_spark.ops.similarity import brute_force_topk, ivf_topk
 
