@@ -84,6 +84,13 @@ class DedupSpec:
     threshold: float = 0.7
     shingle_n: int = 2
     keep: str = "min_id"  # survivor policy: min_id | longest
+    # ngram_jaccard only: the DEFAULT is the scale-relative hot-shingle cap
+    # (sklearn max_df semantics) — the lossless inverted-index self-join
+    # measured ~quadratic at sf1 (2.8 s -> 441 s) on a small-vocabulary
+    # corpus, so lossless-by-default is a 100 TB hazard. `lossless = true`
+    # opts back into the exact form (oracle certification / small corpora).
+    lossless: bool = False
+    max_df_frac: float = 0.04
 
 
 @dataclass
@@ -353,6 +360,16 @@ def _parse_query(block: Block, env: dict[str, Any], item: Any = None) -> QuerySp
         keep = str(_const(dbody, "keep", env, "min_id"))
         if keep not in ("min_id", "longest"):
             raise SchemaError(f"query {name}: dedup keep must be min_id|longest, got {keep!r}")
+        lossless = bool(_const(dbody, "lossless", env, False))
+        if lossless and method != "ngram_jaccard":
+            raise SchemaError(
+                f"query {name}: dedup `lossless` applies to method=ngram_jaccard only"
+            )
+        max_df_frac = float(_const(dbody, "max_df_frac", env, 0.04))
+        if not 0.0 < max_df_frac <= 1.0:
+            raise SchemaError(
+                f"query {name}: dedup max_df_frac must be in (0, 1], got {max_df_frac}"
+            )
         dedup_spec = DedupSpec(
             method=method,
             id=str(_const(dbody, "id", env, "doc_id")),
@@ -360,6 +377,8 @@ def _parse_query(block: Block, env: dict[str, Any], item: Any = None) -> QuerySp
             threshold=float(_const(dbody, "threshold", env, 0.7)),
             shingle_n=int(_const(dbody, "shingle_n", env, 2)),
             keep=keep,
+            lossless=lossless,
+            max_df_frac=max_df_frac,
         )
 
     sample_spec = None

@@ -238,14 +238,28 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return cand.select("id_a", "id_b", "hamming")
 
 
+# Distinct default sentinel: lets the mutual-exclusion check tell "caller
+# explicitly passed max_df=100_000" apart from "caller left the default" —
+# any EXPLICIT max_df combined with max_df_frac must raise.
+_MAX_DF_DEFAULT = 100_000
+
+
+class _MaxDfDefault(int):
+    pass
+
+
+_MAX_DF_SENTINEL = _MaxDfDefault(_MAX_DF_DEFAULT)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 2,
     threshold: float = 0.2,
-    max_df: int | None = 100_000,
+    max_df: int | None = _MAX_DF_SENTINEL,
     max_df_frac: float | None = None,
+    frac_floor: int = 0,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
 
@@ -272,6 +286,14 @@ def ngram_jaccard_pairs(
     single lazy DataFrame and the hot set tracks corpus growth: at 10x the
     data the same fraction prunes the same boilerplate, where an absolute
     max_df silently stops pruning. Mutually exclusive with ``max_df``.
+
+    ``frac_floor`` (with ``max_df_frac``) puts an absolute minimum under the
+    relative cutoff: hot iff df > max(floor(frac * n_docs), frac_floor). At
+    tiny corpus sizes a bare fraction is pathological — floor(0.04 * 5) = 0
+    prunes EVERY shared shingle and recall collapses to set-equality; a floor
+    of e.g. 1024 makes small inputs effectively lossless (nothing has df that
+    high) while the fraction takes over exactly where pruning starts to
+    matter. 0 (default) preserves the pure-fraction semantics.
 
     Capped-path exactness: intersection counts over the pruned index
     undercount pairs that also share hot shingles by at most
@@ -317,16 +339,16 @@ def ngram_jaccard_pairs(
         F.col("b.n") >= threshold * F.col("a.n") - 1e-9
     )
     if max_df_frac is not None:
-        if max_df is not None and max_df != 100_000:
+        if max_df is not None and not isinstance(max_df, _MaxDfDefault):
             raise ValueError("pass max_df or max_df_frac, not both")
         dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
         # scale-relative cutoff, computed in-plan: 1-row scalar agg broadcast
         # onto the (small, <= |vocab|^n rows) df table
         total = base.agg(F.count(F.lit(1)).alias("n_docs"))
-        hot = (
-            dfreq.crossJoin(F.broadcast(total))
-            .filter(F.col("df") > F.floor(F.lit(max_df_frac) * F.col("n_docs")))
+        cutoff = F.greatest(
+            F.floor(F.lit(max_df_frac) * F.col("n_docs")), F.lit(int(frac_floor))
         )
+        hot = dfreq.crossJoin(F.broadcast(total)).filter(F.col("df") > cutoff)
         idx = ex.join(F.broadcast(hot.select("s")), "s", "left_anti")
     elif max_df is None:
         idx = ex
@@ -397,13 +419,16 @@ def ngram_jaccard_pairs(
     # EVERY shingle pruned (n_kept is null) and would otherwise vanish from
     # the index entirely — the worst possible miss, since the most-duplicated
     # content is the primary dedup target. Those fully-pruned docs are
-    # re-covered by an exact set-hash: identical shingle SETS pair up with
-    # jaccard 1.0 through a groupBy on md5(sorted shingles) — shuffle cost is
-    # one row per fully-pruned doc, never df^2. Near-identical-but-unequal
-    # members of a mega-cluster remain the documented recall loss of the cap.
+    # re-covered exactly: identical shingle SETS pair up with jaccard 1.0
+    # through a window partitioned on the sorted shingle array ITSELF (not a
+    # hash of it — an md5 collision between distinct sets would emit a false
+    # jaccard-1.0 pair, and the DuckDB oracle groups on the exact list, so
+    # grouping on the array keeps the two paths formally equivalent). Shuffle
+    # cost is one row per fully-pruned doc, never df^2. Near-identical-but-
+    # unequal members of a mega-cluster remain the documented recall loss.
     pruned_out = (
         base.join(kept, base["id"] == kept["id"], "left_anti")
-        .select("id", F.md5(F.to_json(F.array_sort("sh"))).alias("seth"))
+        .select("id", F.array_sort("sh").alias("seth"))
     )
     w_set = Window.partitionBy("seth").orderBy("id")
     exact_pairs = (

@@ -139,15 +139,25 @@ def _lzw_encode(indices: bytes, min_size: int) -> bytes:
 # ------------------------------------------------------------------ decode
 
 
+def _need(payload: bytes, pos: int, n: int, what: str) -> None:
+    """Truncation guard: every read in the block walk goes through here so a
+    cut-off payload surfaces as ValueError('truncated GIF ...'), matching the
+    PPM/PNG codecs' error contract — never a raw IndexError/struct.error."""
+    if pos + n > len(payload):
+        raise ValueError(f"truncated GIF: need {n} byte(s) for {what} at {pos}")
+
+
 def decode_gif(payload: bytes) -> np.ndarray:
     """First frame of a GIF87a/GIF89a payload as (h, w, 3) uint8 RGB."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError(f"not a GIF payload: {payload[:6]!r}")
+    _need(payload, 6, 7, "logical screen descriptor")
     sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct: np.ndarray | None = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
+        _need(payload, pos, 3 * n, "global color table")
         gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
         pos += 3 * n
     while pos < len(payload):
@@ -157,28 +167,36 @@ def decode_gif(payload: bytes) -> np.ndarray:
             break
         if block == 0x21:  # extension: label byte then length-prefixed sub-blocks
             pos += 1
+            _need(payload, pos, 1, "extension sub-block length")
             while payload[pos]:
                 pos += 1 + payload[pos]
+                _need(payload, pos, 1, "extension sub-block length")
             pos += 1
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x} at {pos - 1}")
+        _need(payload, pos, 9, "image descriptor")
         left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
         ct = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
+            _need(payload, pos, 3 * n, "local color table")
             ct = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
             pos += 3 * n
         if ct is None:
             raise ValueError("GIF image with neither global nor local color table")
+        _need(payload, pos, 1, "LZW minimum code size")
         min_size = payload[pos]
         pos += 1
         chunks = []
+        _need(payload, pos, 1, "image sub-block length")
         while payload[pos]:
             ln = payload[pos]
+            _need(payload, pos + 1, ln, "image sub-block data")
             chunks.append(payload[pos + 1 : pos + 1 + ln])
             pos += 1 + ln
+            _need(payload, pos, 1, "image sub-block length")
         idx = np.frombuffer(_lzw_decode(b"".join(chunks), min_size), dtype=np.uint8)
         if idx.size < w * h:
             raise ValueError(f"GIF pixel data short: {idx.size} < {w * h}")

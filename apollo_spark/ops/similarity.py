@@ -303,6 +303,7 @@ def all_pairs_cosine_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int = 8,
+    max_rows: int = 5_000_000,
 ) -> DataFrame:
     """EXACT all-pairs cosine >= threshold (id_a < id_b), no recall loss.
 
@@ -321,9 +322,26 @@ def all_pairs_cosine_exact(
     O(N^2) dot products — raise n_blocks as N grows to keep per-task memory
     flat, or use embedding_near_dups (LSH) beyond the exact tier.
     Requires an integral id column.
+
+    ``max_rows`` is the corpus-scale guard (the driver_threshold pattern of
+    connected_components): compute is O(N^2) dot products BY CONSTRUCTION —
+    fine as the exact certification tier, lethal if reached for at corpus
+    scale. Above the cap this raises immediately, naming the LSH scale path,
+    instead of launching a job that burns a cluster-month. The count is one
+    bounded aggregate action. Set max_rows=None to bypass (benchmarks that
+    knowingly pay the quadratic).
     """
     spark = df.sparkSession
     src = df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
+    if max_rows is not None:
+        n_rows = src.count()
+        if n_rows > max_rows:
+            raise ValueError(
+                f"all_pairs_cosine_exact is O(N^2): {n_rows} rows exceeds "
+                f"max_rows={max_rows}. Use embedding_near_dups (LSH-bucketed, "
+                "linear shuffle) at corpus scale, or pass max_rows=None / a "
+                "higher cap to knowingly pay the quadratic."
+            )
     blocked = src.withColumn("__b", F.pmod(F.hash("id"), F.lit(n_blocks)).cast("int"))
     pair_rows = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
     pairs = spark.createDataFrame(pair_rows, "bi int, bj int")

@@ -422,8 +422,18 @@ def _apply_dedup(df: DataFrame, spec) -> DataFrame:
             df, spec.id, spec.text, n=spec.shingle_n, threshold=spec.threshold
         )
     else:
+        # DEFAULT is the scale-relative hot-shingle cap: the lossless
+        # inverted-index self-join measured ~quadratic at sf1 (2.8 s -> 441 s,
+        # BASELINE.md "sf1 superlinearity"); the capped form stays linear and
+        # re-scores the ambiguous sliver exactly. `lossless = true` opts back
+        # into the exact form for oracle certification / small corpora.
+        kwargs = (
+            {"max_df": None, "max_df_frac": None}
+            if spec.lossless
+            else {"max_df": None, "max_df_frac": spec.max_df_frac, "frac_floor": 1024}
+        )
         pairs = ngram_jaccard_pairs(
-            df, spec.id, spec.text, n=spec.shingle_n, threshold=spec.threshold
+            df, spec.id, spec.text, n=spec.shingle_n, threshold=spec.threshold, **kwargs
         )
     comps = connected_components(pairs.select("id_a", "id_b"))
     losers = dedup_losers(comps, df, spec.id, spec.text, spec.keep)

@@ -13,6 +13,28 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """min(50% of MemTotal, 64g) when SPARK_DRIVER_MEMORY is unset.
+
+    The old fixed 16g default OOM-crashed the driver JVM on the full sf1
+    bench sweep (GCLocker allocation failures then a dead py4j gateway) on a
+    128 GiB box — local mode puts every executor thread in the driver JVM,
+    so the driver heap must be sized to the host, not a laptop constant.
+    """
+    explicit = os.environ.get("SPARK_DRIVER_MEMORY")
+    if explicit:
+        return explicit
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(4, min(total_gib // 2, 64))}g"
+    except OSError:
+        pass
+    return "16g"
+
+
 def get_spark(
     app_name: str = "apollo_spark",
     master: str | None = None,
@@ -44,7 +66,7 @@ def get_spark(
         # pile up across a long bench/gate run on one shared disk
         .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.driver.memory", _default_driver_memory())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -384,6 +384,73 @@ query near_deduped {
     assert sorted(out2["doc_id"]) == [1, 3, 5]
 
 
+def test_dedup_ngram_capped_default_and_lossless_optout(spark, tmp_path):
+    """DSL ngram_jaccard dedup defaults to the scale-relative capped form
+    (the lossless self-join measured ~quadratic at sf1: 2.8 s -> 441 s);
+    `lossless = true` opts back in. On a planted-dup corpus both must drop
+    the planted near-dup — the frac_floor=1024 guard keeps small corpora
+    effectively lossless under the default."""
+    from apollo_spark.dsl.schema import SchemaError, parse_schema
+    from apollo_spark.pipeline import compile_query
+    from apollo_spark.sources.tables import Catalog
+
+    import pytest as _pytest
+
+    rows = [(1, "alpha beta gamma delta epsilon", "en"),
+            (2, "alpha beta gamma delta zeta", "en"),  # planted near-dup of 1
+            (3, "totally unrelated prose about spark plans", "en")]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    catalog = Catalog(spark, str(tmp_path))
+
+    def run(extra):
+        schema = parse_schema(
+            f"""
+query q {{
+  chain = "ethereum"
+  source_table = "documents"
+  dedup {{
+    method = "ngram_jaccard"
+    threshold = 0.5
+    shingle_n = 1
+{extra}
+  }}
+  save {{ doc_id = doc_id }}
+}}
+"""
+        )
+        return sorted(
+            compile_query(spark, catalog, schema.queries[0], schema).toPandas()["doc_id"]
+        )
+
+    assert run("") == [1, 3]  # capped default drops the planted dup
+    assert run("    lossless = true") == [1, 3]  # exact opt-out agrees
+
+    with _pytest.raises(SchemaError, match="lossless"):
+        parse_schema(
+            """
+query bad { chain = "ethereum"
+  source_table = "documents"
+  dedup { method = "exact"
+    lossless = true }
+  save { doc_id = doc_id }
+}
+"""
+        )
+    with _pytest.raises(SchemaError, match="max_df_frac"):
+        parse_schema(
+            """
+query bad2 { chain = "ethereum"
+  source_table = "documents"
+  dedup { method = "ngram_jaccard"
+    max_df_frac = 1.5 }
+  save { doc_id = doc_id }
+}
+"""
+        )
+
+
 def test_dedup_block_bad_method_raises(spark):
     from apollo_spark.dsl.schema import SchemaError, parse_schema
 

@@ -125,6 +125,28 @@ def test_reject_non_gif_and_truncated():
         decode_gif(trailer_only)
 
 
+def test_truncation_anywhere_is_valueerror():
+    """Cutting a valid payload at EVERY byte offset must raise ValueError
+    (the sibling codecs' contract) — never IndexError/struct.error."""
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    raw = encode_gif(img, interlace=True)
+    for cut in range(6, len(raw)):
+        try:
+            decode_gif(raw[:cut])
+        except ValueError:
+            pass
+    # same for an extension-bearing payload (GCE before the image block)
+    gct_end = 13 + 3 * (2 << (raw[10] & 0x07)) if raw[10] & 0x80 else 13
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    with_ext = raw[:gct_end] + gce + raw[gct_end:]
+    assert (decode_gif(with_ext) == decode_gif(raw)).all()
+    for cut in range(13, gct_end + len(gce) + 2):
+        try:
+            decode_gif(with_ext[:cut])
+        except ValueError:
+            pass
+
+
 def test_decode_features_dispatch():
     from apollo_spark.ops.multimodal import decode_features, image_features
 

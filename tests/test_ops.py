@@ -324,6 +324,12 @@ def test_ngram_jaccard_max_df_frac_matches_absolute_cap(spark):
     assert (rel.values == ab.values).all()
     with _pytest.raises(ValueError, match="not both"):
         ngram_jaccard_pairs(df, max_df=5, max_df_frac=0.5)
+    # an EXPLICIT max_df equal to the default value must also raise — the
+    # mutual-exclusion check keys on a sentinel, not the numeric value
+    with _pytest.raises(ValueError, match="not both"):
+        ngram_jaccard_pairs(df, max_df=100_000, max_df_frac=0.5)
+    # max_df=None ("no absolute cap") with a frac cap stays accepted
+    ngram_jaccard_pairs(df, threshold=0.3, max_df=None, max_df_frac=10 / 32).limit(1).collect()
 
 
 def test_ivf_full_probe_is_exact(spark, emb):
@@ -995,6 +1001,23 @@ def test_all_pairs_cosine_low_threshold_quadratic_candidates(spark):
         assert abs(s - sims[a, b]) < 1e-9, (a, b)
 
 
+def test_all_pairs_cosine_refuses_above_max_rows(spark):
+    """O(N^2)-by-construction exact tier must refuse at corpus scale with an
+    error naming the LSH path (the connected_components driver_threshold
+    pattern); max_rows=None bypasses knowingly."""
+    import pytest as _pytest
+
+    from apollo_spark.ops.similarity import all_pairs_cosine_exact
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="embedding_near_dups"):
+        all_pairs_cosine_exact(df, threshold=0.9, max_rows=10)
+    out = all_pairs_cosine_exact(df, threshold=0.999999, max_rows=None)
+    assert out.count() >= 0  # bypass path still plans and runs
+
+
 def test_ppm_codec_roundtrip():
     import numpy as np
 
@@ -1052,11 +1075,20 @@ def test_extract_features_real_codecs(spark):
 
 
 def test_extract_features_unsupported_magic_is_explicit(spark):
+    """Genuinely-unsupported formats stay explicit NotImplementedError seams
+    (PNG/GIF/JPEG now really decode, so they are no longer seam examples);
+    corrupt payloads of a *supported* format surface as ValueError."""
     import pytest as _pytest
 
     from apollo_spark.ops.multimodal import decode_features
 
+    # BMP and MP3 have no codec in this repo — explicit seam.
     with _pytest.raises(NotImplementedError):
+        decode_features(b"BM" + b"\x00" * 32, 64)
+    with _pytest.raises(NotImplementedError):
+        decode_features(b"ID3" + b"\x00" * 32, 64)
+    # A truncated PNG is a *supported* magic with a corrupt body: ValueError.
+    with _pytest.raises(ValueError):
         decode_features(b"\x89PNG\r\n\x1a\n....", 64)
 
 

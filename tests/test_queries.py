@@ -92,6 +92,46 @@ def test_query_matches_oracle(spark, duck, name):
             assert (a[c].astype(str) == b[c].astype(str)).all(), f"{name}.{c}"
 
 
+# The apollo-path flagship plus one registry query per SURVEY §2 family.
+# The driver's per-round CORRECTNESS check samples ~50 of 169 queries at
+# random; these must stay oracle-green EVERY round regardless of the sample,
+# at the driver's own scale factor (sf0.01), as cheap insurance that the
+# S/P/F/fn/Q/O surface the verdict table cites never silently regresses.
+FLAGSHIPS = [
+    "events_etl_dsl",     # S1 scan + P transform/save + F filter + O sink path
+    "events_dsl_agg",     # Q query block + aggregate
+    "events_dsl_window",  # window functions over the DSL path
+    "events_dsl_loop",    # Q2 loop macro-expansion
+    "events_dsl_sample",  # sampling block
+    "docs_dsl_curation",  # documents-table DSL composition (dedup/quality tier)
+]
+
+
+@pytest.mark.parametrize("name", FLAGSHIPS)
+def test_flagship_oracle_green_at_driver_sf(spark, name):
+    """Pinned at /root/testdata/sf0.01 — the exact corpus the driver gate
+    reads — independent of SPARK_GRAFT_GATE_SF."""
+    from apollo_spark.ops.cache import release_caches
+
+    sf = "/root/testdata/sf0.01"
+    assert name in QUERIES and name in ORACLES, f"{name} left the registry"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    frame = QUERIES[name](spark, sf)
+    sdf = frame.toPandas()
+    release_caches(frame)
+    ddf = con.sql(ORACLES[name]).df()
+    assert list(sdf.columns) == list(ddf.columns), f"{list(sdf.columns)} vs {list(ddf.columns)}"
+    assert len(sdf) == len(ddf), f"rows {len(sdf)} vs {len(ddf)}"
+    a, b = _canon(sdf), _canon(ddf)
+    for c in a.columns:
+        if a[c].dtype.kind == "f" or b[c].dtype.kind == "f":
+            assert np.allclose(a[c].astype(float), b[c].astype(float), rtol=0, atol=0, equal_nan=True), f"{name}.{c}"
+        else:
+            assert (a[c].astype(str) == b[c].astype(str)).all(), f"{name}.{c}"
+
+
 def test_pca_zca_partition_invariant(spark):
     """The two eigensolve queries can't be cross-engine hash-gated (no SQL
     eigensolve; the spectrum's top gap is ~0.99 so no replayable iteration
