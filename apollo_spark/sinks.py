@@ -39,6 +39,11 @@ class SinkConfig:
     # single_file=True coalesces CSV to 1 partition for apollo-style one-file
     # output — fine for query results, wrong for bulk exports (bottleneck)
     single_file: bool = False
+    # latency-path push fan-out (SSE/WebSocket): a sinks_push.TopicHub; each
+    # batch/micro-batch is published under the query name, row-capped (the
+    # push path is for small latency-sensitive feeds — apollo ROADMAP.md:71)
+    push_hub: object | None = None
+    push_max_rows: int = 10_000
 
 
 class SinkWriter:
@@ -67,6 +72,10 @@ class SinkWriter:
             mode = "append" if query_name in self._jdbc_initialized else "overwrite"
             df.write.jdbc(cfg.jdbc_url, table=query_name, mode=mode, properties=cfg.jdbc_properties)
             self._jdbc_initialized.add(query_name)
+        if cfg.push_hub is not None:
+            from apollo_spark.sinks_push import publish_dataframe
+
+            publish_dataframe(cfg.push_hub, df, query_name, max_rows=cfg.push_max_rows)
 
     def foreach_batch(self, query_name: str):
         """foreachBatch hook for streaming fan-out: every micro-batch goes to
@@ -105,5 +114,11 @@ class SinkWriter:
                 # restart is at-least-once here; exactly-once needs an
                 # idempotent/transactional target keyed on batch_id.
                 batch_df.write.jdbc(cfg.jdbc_url, table=query_name, mode="append", properties=cfg.jdbc_properties)
+            if cfg.push_hub is not None:
+                from apollo_spark.sinks_push import push_foreach_batch
+
+                push_foreach_batch(cfg.push_hub, query_name, cfg.push_max_rows)(
+                    batch_df, batch_id
+                )
 
         return _write
