@@ -84,11 +84,12 @@ class DedupSpec:
     threshold: float = 0.7
     shingle_n: int = 2
     keep: str = "min_id"  # survivor policy: min_id | longest
-    # ngram_jaccard only: the DEFAULT is the scale-relative hot-shingle cap
+    # ngram_jaccard / tfidf: the DEFAULT is the scale-relative hot-term cap
     # (sklearn max_df semantics) — the lossless inverted-index self-join
-    # measured ~quadratic at sf1 (2.8 s -> 441 s) on a small-vocabulary
-    # corpus, so lossless-by-default is a 100 TB hazard. `lossless = true`
-    # opts back into the exact form (oracle certification / small corpora).
+    # measured ~quadratic at sf1 (ngram 2.8 s -> 441 s, tfidf 2.85 s ->
+    # 1203 s) on a small-vocabulary corpus, so lossless-by-default is a
+    # 100 TB hazard. `lossless = true` opts back into the exact form
+    # (oracle certification / small corpora).
     lossless: bool = False
     max_df_frac: float = 0.04
 
@@ -361,9 +362,9 @@ def _parse_query(block: Block, env: dict[str, Any], item: Any = None) -> QuerySp
         if keep not in ("min_id", "longest"):
             raise SchemaError(f"query {name}: dedup keep must be min_id|longest, got {keep!r}")
         lossless = bool(_const(dbody, "lossless", env, False))
-        if lossless and method != "ngram_jaccard":
+        if lossless and method not in ("ngram_jaccard", "tfidf"):
             raise SchemaError(
-                f"query {name}: dedup `lossless` applies to method=ngram_jaccard only"
+                f"query {name}: dedup `lossless` applies to method=ngram_jaccard|tfidf only"
             )
         max_df_frac = float(_const(dbody, "max_df_frac", env, 0.04))
         if not 0.0 < max_df_frac <= 1.0:

@@ -445,7 +445,9 @@ def tfidf_cosine_pairs(
     text_col: str = "text",
     n: int = 2,
     threshold: float = 0.6,
-    max_df: int | None = 100_000,
+    max_df: int | None = _MAX_DF_SENTINEL,
+    max_df_frac: float | None = None,
+    frac_floor: int = 0,
 ) -> DataFrame:
     """TF-IDF weighted cosine near-dup pairs (id_a < id_b, cosine >= t) —
     the lexical-vector sibling of ngram_jaccard_pairs: Jaccard treats every
@@ -468,12 +470,20 @@ def tfidf_cosine_pairs(
     engines and the op hash-gates against a SQL oracle.
 
     ``max_df`` prunes terms hotter than the cap from the inverted index —
-    same df^2 fan-out hazard as ngram_jaccard_pairs. Unlike Jaccard counts,
-    dropping a term shrinks the dot product but not the norms, so the capped
-    path UNDERestimates cosine (recall loss only, no false positives); the
-    loss per pair is bounded by sum of idf^2*tf_a*tf_b over dropped terms,
-    small by construction since idf -> 0 as df -> N. Pass ``max_df=None``
-    for the certified-lossless config (the oracle query does).
+    same df^2 fan-out hazard as ngram_jaccard_pairs. ``max_df_frac`` is the
+    scale-relative form (cutoff = max(floor(frac * n_docs), frac_floor),
+    computed in-plan — the 100 TB configuration, since an absolute cap
+    silently stops biting as the corpus grows); mutually exclusive with an
+    explicit ``max_df``. Capped semantics mirror ngram_jaccard_pairs: the
+    pruned index generates CANDIDATES only, and every candidate pair is
+    re-scored EXACTLY over the full term vectors (norms and dots both
+    lossless), so the cap costs recall — pairs sharing only hot terms are
+    missed — but every emitted (pair, cosine) is bit-identical to the
+    lossless twin's. Pass ``max_df=None`` for the certified-lossless
+    config (the oracle query does). Measured on the sf1 stress corpus
+    (tiny shared vocabulary — every bigram hot): the lossless config is
+    ~quadratic (2.85 s at sf0.1 -> 1203 s at sf1, BASELINE.md round-5
+    sweep) while the frac-capped config stays linear.
     """
     spark = df.sparkSession
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -508,21 +518,68 @@ def tfidf_cosine_pairs(
             (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias("w"),
         )
     )
-    if max_df is not None:
-        hot = dfreq.filter(F.col("df") > max_df).select("term")
-        w = w.join(F.broadcast(hot), "term", "left_anti")
     # both self-join branches and the norm aggregate consume w: persist so
     # the scan->explode->tf->df chain runs once, not three times
     w = w.persist()
+    # norms over the FULL term set — pruning applies to the inverted-index
+    # (dot) side only, so capped cosine is a strict underestimate (weights
+    # are non-negative) and the capped pair set is a subset of lossless
     norm2 = w.groupBy("id").agg(
         F.sum((F.col("w") * F.col("w")).cast("decimal(38,6)")).cast("double").alias("n2")
     )
-    dots = (
-        w.alias("a")
-        .join(w.alias("b"), (F.col("a.term") == F.col("b.term")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.sum((F.col("a.w") * F.col("b.w")).cast("decimal(38,6)")).cast("double").alias("dot"))
-    )
+    if max_df_frac is not None:
+        if max_df is not None and not isinstance(max_df, _MaxDfDefault):
+            raise ValueError("pass max_df or max_df_frac, not both")
+        total = tf.agg(F.countDistinct("id").alias("n_docs"))
+        cutoff = F.greatest(
+            F.floor(F.lit(max_df_frac) * F.col("n_docs")), F.lit(int(frac_floor))
+        )
+        hot = dfreq.crossJoin(F.broadcast(total)).filter(F.col("df") > cutoff).select("term")
+        idx = w.join(F.broadcast(hot), "term", "left_anti")
+    elif max_df is not None:
+        hot = dfreq.filter(F.col("df") > int(max_df)).select("term")
+        idx = w.join(F.broadcast(hot), "term", "left_anti")
+    else:
+        idx = None
+    if idx is None:
+        # lossless: full inverted-index self-join — the certification config
+        dots = (
+            w.alias("a")
+            .join(w.alias("b"), (F.col("a.term") == F.col("b.term")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.sum((F.col("a.w") * F.col("b.w")).cast("decimal(38,6)")).cast("double").alias("dot"))
+        )
+    else:
+        # capped: the PRUNED index generates candidates only; each candidate
+        # pair is then re-scored EXACTLY over the full term vectors (per-doc
+        # term->weight map join — rows ~ candidates x terms-per-doc, linear),
+        # so the cap costs recall, never score fidelity. Same structure as
+        # ngram_jaccard_pairs' capped exact re-score.
+        cand = (
+            idx.alias("a")
+            .join(idx.alias("b"), (F.col("a.term") == F.col("b.term")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        vec = w.groupBy("id").agg(
+            F.map_from_entries(F.collect_list(F.struct("term", "w"))).alias("m")
+        )
+        zero = F.lit(0).cast("decimal(38,6)")
+        # per-product DECIMAL(38,6) cast BEFORE accumulation — bit-identical
+        # to the lossless groupBy-SUM discipline and to the SQL oracle
+        dot = F.aggregate(
+            F.map_entries("ma"),
+            zero,
+            lambda acc, e: acc
+            + F.coalesce(
+                (e["value"] * F.element_at(F.col("mb"), e["key"])).cast("decimal(38,6)"), zero
+            ),
+        ).cast("double")
+        dots = (
+            cand.join(vec.select(F.col("id").alias("id_a"), F.col("m").alias("ma")), "id_a")
+            .join(vec.select(F.col("id").alias("id_b"), F.col("m").alias("mb")), "id_b")
+            .select("id_a", "id_b", dot.alias("dot"))
+        )
     cos = (
         dots.join(norm2.select(F.col("id").alias("id_a"), F.col("n2").alias("na2")), "id_a")
         .join(norm2.select(F.col("id").alias("id_b"), F.col("n2").alias("nb2")), "id_b")

@@ -418,8 +418,18 @@ def _apply_dedup(df: DataFrame, spec) -> DataFrame:
     if spec.method == "minhash":
         return near_dedup(df, spec.id, spec.text, threshold=spec.threshold, keep=spec.keep)
     if spec.method == "tfidf":
+        # same scale default as ngram_jaccard below: the lossless tfidf
+        # inverted-index self-join measured ~quadratic at sf1 (2.85 s ->
+        # 1203 s, BASELINE.md "sf1 superlinearity" round 5); the frac-capped
+        # form stays linear and only ever underestimates cosine (norms stay
+        # lossless — recall loss, never a false pair)
+        tf_kwargs = (
+            {"max_df": None, "max_df_frac": None}
+            if spec.lossless
+            else {"max_df": None, "max_df_frac": spec.max_df_frac, "frac_floor": 1024}
+        )
         pairs = tfidf_cosine_pairs(
-            df, spec.id, spec.text, n=spec.shingle_n, threshold=spec.threshold
+            df, spec.id, spec.text, n=spec.shingle_n, threshold=spec.threshold, **tf_kwargs
         )
     else:
         # DEFAULT is the scale-relative hot-shingle cap: the lossless

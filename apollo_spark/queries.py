@@ -6649,6 +6649,69 @@ ORDER BY id_a, id_b
 """
 
 
+def tfidf_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB configuration of tfidf_dup_pairs, hash-gated: a
+    scale-RELATIVE hot-term cap (df > floor(4% of corpus)) prunes the
+    inverted index for CANDIDATE GENERATION, then every candidate pair is
+    re-scored exactly over the full term vectors — so the cap costs recall
+    (pairs sharing only hot terms are missed; 21 of the lossless 25 at the
+    gate corpus) but every emitted cosine is bit-identical to the lossless
+    twin's. The lossless twin measured ~quadratic on the sf1 stress corpus
+    (2.85 s at sf0.1 -> 1203 s at sf1, BASELINE.md round-5 sweep); this
+    config stays ~linear. The oracle replays the full capped semantics —
+    relative cutoff on exact df, pruned candidate join, exact full-vector
+    re-score — so the contract is value-certified cross-engine."""
+    from apollo_spark.ops.dedup import tfidf_cosine_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        tfidf_cosine_pairs(d, n=2, threshold=0.6, max_df=None, max_df_frac=0.04)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLE_TFIDF_CAPPED = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS term
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0)
+  WHERE len(t) >= 2
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+stats AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+w AS (
+  SELECT doc_id, term, tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+),
+norms AS (
+  SELECT doc_id, CAST(SUM(CAST(w*w AS DECIMAL(38,6))) AS DOUBLE) AS n2 FROM w GROUP BY doc_id
+),
+cutoff AS (SELECT CAST(floor(0.04 * n_docs) AS BIGINT) AS cap FROM stats),
+kept AS (
+  SELECT w.doc_id, w.term
+  FROM w JOIN dfreq USING (term), cutoff
+  WHERE dfreq.df <= cutoff.cap
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(CAST(a.w*b.w AS DECIMAL(38,6))) AS DOUBLE) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  JOIN cand ON cand.id_a = a.doc_id AND cand.id_b = b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+FROM dots JOIN norms na ON na.doc_id = id_a JOIN norms nb ON nb.doc_id = id_b
+WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.6
+ORDER BY id_a, id_b
+"""
+
+
 def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via Spark's NATIVE ``session_window`` (the same merging
     operator Structured Streaming uses for stateful session aggs — here in
@@ -7758,6 +7821,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": dedup_keep_best,
     "doc_char_entropy": doc_char_entropy,
     "tfidf_dup_pairs": tfidf_dup_pairs,
+    "tfidf_capped_pairs": tfidf_capped_pairs,
     "user_session_windows": user_session_windows,
     "events_hourly_gapfill": events_hourly_gapfill,
     "customer_rfm_segments": customer_rfm_segments,
@@ -8057,6 +8121,7 @@ ORACLES: dict[str, str] = {
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "doc_char_entropy": ORACLE_CHAR_ENTROPY,
     "tfidf_dup_pairs": ORACLE_TFIDF_PAIRS,
+    "tfidf_capped_pairs": ORACLE_TFIDF_CAPPED,
     "user_session_windows": ORACLE_SESSION_WINDOWS,
     "events_hourly_gapfill": ORACLE_HOURLY_GAPFILL,
     "customer_rfm_segments": ORACLE_RFM,

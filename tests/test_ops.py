@@ -2077,8 +2077,11 @@ def test_random_walks_deterministic_and_valid(spark):
 
 def test_tfidf_cosine_pairs_planted_and_cap_monotone(spark):
     """Planted rare-vocabulary near-dups are found at t=0.9; the max_df cap
-    yields a subset of the lossless pairs and only ever UNDERestimates
-    cosine (dropped hot terms shrink the dot, never the norms)."""
+    prunes candidate GENERATION only — every recalled pair re-scores to the
+    exact lossless cosine (bit-identical), and the capped pair set is a
+    subset of the lossless one. The hot phrase is deliberately NOT in every
+    doc (idf > 0), so the exact re-score genuinely exercises the full-vector
+    map path rather than zero-weight terms."""
     from apollo_spark.ops.dedup import tfidf_cosine_pairs
 
     hot = "common shared boilerplate words everywhere always"
@@ -2086,15 +2089,35 @@ def test_tfidf_cosine_pairs_planted_and_cap_monotone(spark):
     rows += [
         (100, f"{hot} zephyr quasar nebula pulsar quark meson lepton boson"),
         (101, f"{hot} zephyr quasar nebula pulsar quark meson lepton hadron"),
+        # no hot phrase: keeps every hot bigram's df < n_docs so idf > 0
+        (200, "solo document entirely distinct vocabulary island"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     lossless = tfidf_cosine_pairs(df, threshold=0.5, max_df=None).toPandas()
     capped = tfidf_cosine_pairs(df, threshold=0.5, max_df=10).toPandas()
+    frac = tfidf_cosine_pairs(df, threshold=0.5, max_df=None, max_df_frac=0.45).toPandas()
     assert (100, 101) in set(zip(lossless["id_a"], lossless["id_b"]))
     assert (100, 101) in set(zip(capped["id_a"], capped["id_b"]))
-    merged = capped.merge(lossless, on=["id_a", "id_b"], suffixes=("_c", "_l"))
-    assert len(merged) == len(capped)  # capped ⊆ lossless at equal threshold
-    assert (merged["cosine_c"] <= merged["cosine_l"] + 1e-9).all()
+    assert (100, 101) in set(zip(frac["id_a"], frac["id_b"]))
+    for sub in (capped, frac):
+        merged = sub.merge(lossless, on=["id_a", "id_b"], suffixes=("_c", "_l"))
+        assert len(merged) == len(sub)  # capped ⊆ lossless at equal threshold
+        # exact re-score: identical scores on every recalled pair
+        assert (merged["cosine_c"] - merged["cosine_l"]).abs().max() < 1e-12
+
+
+def test_tfidf_cosine_pairs_max_df_frac_exclusive(spark):
+    """Explicit max_df combined with max_df_frac raises (the sentinel
+    default does not count as explicit)."""
+    import pytest as _pytest
+
+    from apollo_spark.ops.dedup import tfidf_cosine_pairs
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "a b d")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="not both"):
+        tfidf_cosine_pairs(df, max_df=50, max_df_frac=0.5).count()
+    # sentinel default + frac is fine
+    assert tfidf_cosine_pairs(df, max_df_frac=0.9, threshold=0.1).count() >= 0
 
 
 def test_scoped_persist_release(spark):
