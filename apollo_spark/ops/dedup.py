@@ -988,6 +988,86 @@ def duplicated_spans(
     )
 
 
+def cdc_chunk_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+    divisor: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Content-defined chunking (CDC) dedup over the WORD stream — the
+    insertion-robust chunk-level modality (LBFS, Muthitacharoen et al. SOSP
+    2001; FastCDC, Xia et al. ATC 2016): a rolling hash over the last
+    ``window`` words cuts a chunk boundary wherever hash % divisor == 0, so
+    an edit only perturbs the chunks it touches — every other chunk keeps
+    its content hash and still matches across documents. Shingle/minhash
+    dedup asks "are these documents similar?"; CDC asks "which exact spans
+    recur corpus-wide?" and is how file-level dedup storage and
+    training-data span-dedup both work.
+
+    Rolling hash = md5 of the window's space-joined words (boundary when
+    the 60-bit hex prefix % divisor == 0 — expected chunk length ~``divisor``
+    words), portable verbatim to ANSI SQL, so the op hash-gates cross-engine.
+    The boundary CUTS AFTER the window's last word (LBFS convention).
+
+    Plan shape: one explode + per-document window (partitionBy id — bounded
+    frames, never corpus-sized), one (id, chunk) aggregate, one chunk-hash
+    aggregate. All shuffles are keyed by document or chunk hash; nothing is
+    quadratic in corpus size, and chunk-hash group sizes are capped by the
+    corpus's true duplication, not by vocabulary heat.
+
+    Returns (chunk_hash, n_words, n_docs, n_occurrences) for chunks seen in
+    >= ``min_docs`` distinct documents.
+    """
+    if window < 1 or divisor < 2:
+        raise ValueError("window >= 1 and divisor >= 2 required")
+    toks = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("pos", "word"),
+        )
+    )
+    frame = Window.partitionBy("id").orderBy("pos")
+    rolling = F.concat_ws(
+        " ", F.collect_list("word").over(frame.rowsBetween(-(window - 1), 0))
+    )
+    # 60-bit md5 prefix — same portable int both engines inline exactly
+    h = F.conv(F.substring(F.md5(rolling), 1, 15), 16, 10).cast("long")
+    flagged = toks.select(
+        "id",
+        "pos",
+        "word",
+        ((F.col("pos") >= window - 1) & (h % divisor == 0)).cast("int").alias("cut"),
+    )
+    chunk_id = F.coalesce(
+        F.sum("cut").over(frame.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    chunks = (
+        flagged.withColumn("chunk_id", chunk_id)
+        .groupBy("id", "chunk_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))), lambda x: x["word"]
+                ),
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )
+    return (
+        chunks.groupBy(F.md5("chunk_text").alias("chunk_hash"))
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.countDistinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 # --------------------------------------------------------------------------
 # Incremental near-dup index (continuous-ingest dedup)
 # --------------------------------------------------------------------------

@@ -6712,6 +6712,69 @@ ORDER BY id_a, id_b
 """
 
 
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (ops.dedup.cdc_chunk_groups): a
+    rolling md5 over the last 3 words cuts chunk boundaries where
+    hash % 16 == 0 (LBFS/FastCDC lineage — expected ~16-word chunks), so an
+    insertion only perturbs the chunks it touches and every other chunk
+    still content-matches corpus-wide. Reports chunks recurring in >= 2
+    distinct documents. The whole path — rolling hash, boundary rule,
+    prefix-sum chunk ids, chunk hashing — replays verbatim in ANSI SQL, so
+    the op is value-certified cross-engine, not just unit-tested."""
+    from apollo_spark.ops.dedup import cdc_chunk_groups
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        cdc_chunk_groups(d, window=3, divisor=16, min_docs=2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "chunk_hash")
+    )
+
+
+ORACLE_CDC_CHUNKS = r"""
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS word
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+       UNNEST(generate_series(1, len(t))) AS u(i)
+),
+rolled AS (
+  SELECT doc_id, pos, word,
+         string_agg(word, ' ') OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling
+  FROM toks
+),
+flagged AS (
+  SELECT doc_id, pos, word,
+         CASE WHEN pos >= 2
+                   AND ('0x' || substring(md5(rolling), 1, 15))::BIGINT % 16 = 0
+              THEN 1 ELSE 0 END AS cut
+  FROM rolled
+),
+numbered AS (
+  SELECT doc_id, pos, word,
+         COALESCE(SUM(cut) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+  FROM flagged
+),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         string_agg(word, ' ' ORDER BY pos) AS chunk_text,
+         COUNT(*) AS n_words
+  FROM numbered GROUP BY doc_id, chunk_id
+)
+SELECT md5(chunk_text) AS chunk_hash,
+       CAST(MAX(n_words) AS BIGINT) AS n_words,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM chunks
+GROUP BY chunk_hash
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash
+"""
+
+
 def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via Spark's NATIVE ``session_window`` (the same merging
     operator Structured Streaming uses for stateful session aggs — here in
@@ -7822,6 +7885,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_char_entropy": doc_char_entropy,
     "tfidf_dup_pairs": tfidf_dup_pairs,
     "tfidf_capped_pairs": tfidf_capped_pairs,
+    "cdc_chunk_dedup": cdc_chunk_dedup,
     "user_session_windows": user_session_windows,
     "events_hourly_gapfill": events_hourly_gapfill,
     "customer_rfm_segments": customer_rfm_segments,
@@ -8122,6 +8186,7 @@ ORACLES: dict[str, str] = {
     "doc_char_entropy": ORACLE_CHAR_ENTROPY,
     "tfidf_dup_pairs": ORACLE_TFIDF_PAIRS,
     "tfidf_capped_pairs": ORACLE_TFIDF_CAPPED,
+    "cdc_chunk_dedup": ORACLE_CDC_CHUNKS,
     "user_session_windows": ORACLE_SESSION_WINDOWS,
     "events_hourly_gapfill": ORACLE_HOURLY_GAPFILL,
     "customer_rfm_segments": ORACLE_RFM,

@@ -88,6 +88,14 @@ def main() -> None:
         # disk the whale queries' spill (tens of GB at sf1) must not coexist
         # with the next query's. ~100ms per query, off the timed path.
         spark.sparkContext._jvm.System.gc()
+        # whale wake: a multi-minute query leaves tens of GB of shuffle spill
+        # and a heap full of garbage; the next query's sample absorbs the
+        # cleanup unless we settle first (measured: doc_keywords 44.7s right
+        # after a 1203s whale, 13.7s warm standalone — BASELINE.md round-5
+        # adjudication). One extra gc + short pause, off the timed path.
+        if best is not None and best > 60:
+            time.sleep(2)
+            spark.sparkContext._jvm.System.gc()
         if best is None:
             print(f"# {name}: ERROR {errors[name].splitlines()[0]}", file=sys.stderr)
             continue

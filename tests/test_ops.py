@@ -758,6 +758,47 @@ def test_pagerank_known_graph(spark):
     assert wout[2] > wout[3]
 
 
+def test_cdc_chunk_groups_insertion_robust(spark):
+    """CDC's defining property: inserting a sentence mid-document perturbs
+    only the chunks it touches — the chunks before and after the edit keep
+    their content hashes and still group across the original and the edited
+    copy. A byte/word-offset chunking (fixed-size blocks) would shift every
+    downstream block and share nothing."""
+    import numpy.random as npr
+
+    from apollo_spark.ops.dedup import cdc_chunk_groups
+
+    rng = npr.default_rng(7)
+    vocab = [f"w{i}" for i in range(50)]
+    words = [vocab[i] for i in rng.integers(0, 50, size=400)]
+    original = " ".join(words)
+    edited = " ".join(words[:200] + ["inserted", "novel", "sentence", "here"] + words[200:])
+    df = spark.createDataFrame(
+        [(1, original), (2, edited), (3, "completely unrelated short text")],
+        "doc_id long, text string",
+    )
+    out = cdc_chunk_groups(df, window=3, divisor=16, min_docs=2).toPandas()
+    # at ~16-word expected chunks a 400-word doc has ~25 chunks; the edit
+    # touches ~1-2 of them, so well over half must still match
+    assert out["n_docs"].eq(2).all()
+    assert len(out) >= 8, f"only {len(out)} shared chunks survived the insertion"
+    # determinism: same input -> same groups
+    out2 = cdc_chunk_groups(df, window=3, divisor=16, min_docs=2).toPandas()
+    assert sorted(out["chunk_hash"]) == sorted(out2["chunk_hash"])
+
+
+def test_cdc_chunk_groups_validates_params(spark):
+    import pytest as _pytest
+
+    from apollo_spark.ops.dedup import cdc_chunk_groups
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        cdc_chunk_groups(df, window=0)
+    with _pytest.raises(ValueError):
+        cdc_chunk_groups(df, divisor=1)
+
+
 def test_duplicated_spans_flags_planted_span(spark):
     """A 8-token span planted in two docs is counted at every position it
     covers in both docs; a doc with no shared span reports zero dups (and is

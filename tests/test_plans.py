@@ -375,6 +375,26 @@ def test_tfidf_pairs_no_cartesian_and_stats_broadcast(spark):
     assert doc_scans and all("text" in b and "n_chars" not in b for b in doc_scans)
 
 
+def test_tfidf_capped_rescore_not_full_selfjoin(spark):
+    """The capped tfidf path must re-score candidates via the per-doc
+    term->weight MAP join (map_from_entries + aggregate over map_entries),
+    never a second full inverted-index self-join — the full join is the
+    quadratic the cap exists to avoid. The candidate join itself stays an
+    equi-join on term."""
+    p = plan(spark, "tfidf_capped_pairs")
+    assert "map_from_entries" in p
+    assert "CartesianProduct" not in p
+
+
+def test_cdc_chunks_windows_are_doc_partitioned(spark):
+    """CDC's rolling hash and prefix-sum chunk ids ride per-document
+    windows (partitionBy id) — a corpus-sized unpartitioned window here
+    would serialize the whole corpus through one task."""
+    p = plan(spark, "cdc_chunk_dedup")
+    for col in re.findall(r"windowspecdefinition\((\S+?),", p):
+        assert col.startswith("id#"), col
+
+
 def test_global_rank_queries_have_no_unbounded_onetask_window(spark):
     """The former scale-killers (global NTILE/rank over a corpus- or
     entity-sized frame in ONE task) must stay on the two-phase bucketed
