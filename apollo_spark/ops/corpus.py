@@ -366,6 +366,73 @@ def pack_sequences(
     )
 
 
+def sentence_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget_words: int = 64,
+) -> DataFrame:
+    """RAG-style retrieval chunking: split each document into SENTENCES
+    (terminal ``.!?`` followed by whitespace), then pack consecutive
+    sentences into chunks by word budget — a sentence joins chunk
+    ``floor(words_before_it / budget_words)``, so no sentence is ever split
+    mid-way and a chunk overruns the budget by at most its last sentence
+    (the standard greedy boundary-respecting packer an embedding/RAG
+    pipeline runs before vectorizing). Deterministic: same text -> same
+    chunk ids, texts, and hashes in any engine — the sentence splitter is a
+    capture-group marker substitution (no lookbehind, so it replays in RE2
+    engines like DuckDB's), and the running word count is integer
+    arithmetic over per-document windows (bounded frames, never
+    corpus-sized).
+
+    Returns (id, chunk_id, n_sentences, n_words, chunk_hash, chunk_text).
+    """
+    if budget_words < 1:
+        raise ValueError("budget_words >= 1 required")
+    marker = "\x1e"
+    sent_arr = F.split(
+        F.regexp_replace(F.trim(F.col(text_col)), r"([.!?])\s+", "$1" + marker), marker
+    )
+    sents = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("id"), F.posexplode(sent_arr).alias("sidx", "sentence"))
+        .filter(F.length(F.trim("sentence")) > 0)
+        .select(
+            "id",
+            "sidx",
+            F.trim("sentence").alias("sentence"),
+            F.size(F.split(F.trim("sentence"), r"\s+")).cast("long").alias("n_words"),
+        )
+    )
+    w_before = Window.partitionBy("id").orderBy("sidx").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    chunked = sents.withColumn(
+        "chunk_id",
+        F.floor(F.coalesce(F.sum("n_words").over(w_before), F.lit(0)) / F.lit(budget_words)),
+    )
+    chunk_text = F.concat_ws(
+        " ",
+        F.transform(F.array_sort(F.collect_list(F.struct("sidx", "sentence"))), lambda x: x["sentence"]),
+    )
+    return (
+        chunked.groupBy("id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum("n_words").alias("n_words"),
+            chunk_text.alias("chunk_text"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "chunk_id",
+            "n_sentences",
+            "n_words",
+            F.md5("chunk_text").alias("chunk_hash"),
+            "chunk_text",
+        )
+    )
+
+
 def mixture_weights_temperature(
     group_tokens: DataFrame,
     alpha: float,

@@ -6775,6 +6775,62 @@ ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash
 """
 
 
+def doc_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval chunking (ops.corpus.sentence_chunks): sentence-split,
+    then greedily pack consecutive sentences into ~24-word chunks — the
+    boundary-respecting chunker an embedding pipeline runs before
+    vectorizing. The synthetic corpus has no punctuation, so the query first
+    synthesizes deterministic sentence boundaries (a period after every 8th
+    word, one regexp_replace replayed verbatim by the oracle); chunk ids,
+    word counts, and chunk hashes then certify the packer cross-engine."""
+    from apollo_spark.ops.corpus import sentence_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    punct = d.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"((?:\S+\s+){7}\S+)\s+", "$1. ").alias("text"),
+    )
+    return (
+        sentence_chunks(punct, budget_words=24)
+        .select("doc_id", "chunk_id", "n_sentences", "n_words", "chunk_hash")
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+ORACLE_RAG_CHUNKS = r"""
+WITH punct AS (
+  SELECT doc_id,
+         regexp_replace(text, '((?:\S+\s+){7}\S+)\s+', '\1. ', 'g') AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '([.!?])\s+', '\1' || chr(30), 'g'), chr(30)) AS arr
+  FROM punct WHERE length(trim(text)) > 0
+),
+sents AS (
+  SELECT doc_id, i - 1 AS sidx, trim(arr[i]) AS sentence,
+         len(string_split_regex(trim(arr[i]), '\s+')) AS n_words
+  FROM base, UNNEST(generate_series(1, len(arr))) AS u(i)
+  WHERE length(trim(arr[i])) > 0
+),
+chunked AS (
+  SELECT doc_id, sidx, sentence, n_words,
+         CAST(floor(COALESCE(SUM(n_words) OVER (
+           PARTITION BY doc_id ORDER BY sidx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 24.0) AS BIGINT) AS chunk_id
+  FROM sents
+)
+SELECT doc_id, chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sentences,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       md5(string_agg(sentence, ' ' ORDER BY sidx)) AS chunk_hash
+FROM chunked
+GROUP BY doc_id, chunk_id
+ORDER BY doc_id, chunk_id
+"""
+
+
 def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via Spark's NATIVE ``session_window`` (the same merging
     operator Structured Streaming uses for stateful session aggs — here in
@@ -7886,6 +7942,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_dup_pairs": tfidf_dup_pairs,
     "tfidf_capped_pairs": tfidf_capped_pairs,
     "cdc_chunk_dedup": cdc_chunk_dedup,
+    "doc_rag_chunks": doc_rag_chunks,
     "user_session_windows": user_session_windows,
     "events_hourly_gapfill": events_hourly_gapfill,
     "customer_rfm_segments": customer_rfm_segments,
@@ -8187,6 +8244,7 @@ ORACLES: dict[str, str] = {
     "tfidf_dup_pairs": ORACLE_TFIDF_PAIRS,
     "tfidf_capped_pairs": ORACLE_TFIDF_CAPPED,
     "cdc_chunk_dedup": ORACLE_CDC_CHUNKS,
+    "doc_rag_chunks": ORACLE_RAG_CHUNKS,
     "user_session_windows": ORACLE_SESSION_WINDOWS,
     "events_hourly_gapfill": ORACLE_HOURLY_GAPFILL,
     "customer_rfm_segments": ORACLE_RFM,

@@ -1133,6 +1133,34 @@ def test_extract_features_unsupported_magic_is_explicit(spark):
         decode_features(b"\x89PNG\r\n\x1a\n....", 64)
 
 
+def test_sentence_chunks_budget_and_boundaries(spark):
+    """Sentences are never split across chunks; a chunk overruns the budget
+    by at most its final sentence; chunk ids are dense from 0; abbreviation
+    of the greedy rule: a sentence joins floor(words_before/budget)."""
+    from apollo_spark.ops.corpus import sentence_chunks
+
+    text = (
+        "one two three four five. six seven eight! nine ten eleven twelve? "
+        "thirteen fourteen. fifteen sixteen seventeen eighteen nineteen twenty."
+    )
+    df = spark.createDataFrame([(1, text), (2, "no terminal punctuation here")],
+                               "doc_id long, text string")
+    out = sentence_chunks(df, budget_words=8).toPandas().sort_values(["doc_id", "chunk_id"])
+    d1 = out[out.doc_id == 1].reset_index(drop=True)
+    # words_before per sentence: 0,5,8,12,14 -> chunks 0,0,1,1,1
+    assert list(d1["chunk_id"]) == [0, 1]
+    assert list(d1["n_sentences"]) == [2, 3]
+    assert list(d1["n_words"]) == [8, 12]
+    assert d1.loc[0, "chunk_text"] == "one two three four five. six seven eight!"
+    # a punctuation-free doc is one sentence -> one chunk, never split
+    d2 = out[out.doc_id == 2]
+    assert len(d2) == 1 and d2.iloc[0]["n_sentences"] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sentence_chunks(df, budget_words=0)
+
+
 def test_pack_sequences_tape_is_contiguous(spark):
     """The bucketed two-phase running sum must equal a naive global cumsum:
     documents tile the token tape with no gaps or overlaps, and sequence
