@@ -152,6 +152,45 @@ def bucketed_rank(
     return carry_caches(scoped_persist(out, df), df)
 
 
+def top_k_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[Column],
+    k: int,
+    salt_col: Column,
+    salt: int = 32,
+    out_col: str = "rank",
+) -> DataFrame:
+    """Exact per-key top-k that survives KEY SKEW — the distributed
+    replacement for ``row_number().over(partitionBy(key))`` when one key can
+    own a data-sized share of the corpus (at web scale one domain can hold
+    millions of documents; a per-key window serializes all of them through
+    one task). Two phases:
+
+    1. rank within ``(keys..., salt-bucket)`` — every window partition holds
+       ~1/salt of even the hottest key; keep each bucket's top-k.
+    2. re-rank the <= salt*k survivors per key — a provably bounded frame.
+
+    Output is ROW-IDENTICAL to the single-window form for ANY salt value:
+    each true top-k row is necessarily within its own bucket's top-k, so
+    phase 1 never discards a winner — the salt affects the plan, not the
+    result (the oracle replays the plain ROW_NUMBER form). ``order`` must be
+    a total order (include a tiebreak) for the rank to be deterministic.
+    ``salt_col`` must be deterministic per row (hash an id column).
+    """
+    if k < 1 or salt < 1:
+        raise ValueError("k >= 1 and salt >= 1 required")
+    tmp = df.withColumn("__s", F.pmod(salt_col.cast("long"), F.lit(int(salt))))
+    w1 = Window.partitionBy(*keys, "__s").orderBy(*order)
+    surv = tmp.withColumn("__r1", F.row_number().over(w1)).filter(F.col("__r1") <= k)
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        surv.withColumn(out_col, F.row_number().over(w2))
+        .filter(F.col(out_col) <= k)
+        .drop("__s", "__r1")
+    )
+
+
 def approx_ntile(
     df: DataFrame,
     key: Column,

@@ -6831,6 +6831,41 @@ ORDER BY doc_id, chunk_id
 """
 
 
+def source_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency capping (RefinedWeb/FineWeb-style curation:
+    no domain may dominate the corpus): keep the top 15 docs per source by
+    (n_chars DESC, doc_id) via ops.rank.top_k_per_key — the two-phase
+    salted selection whose every window partition is bounded even when one
+    source owns half the corpus. Output is row-identical to the plain
+    per-key ROW_NUMBER the oracle runs; the salt changes the plan, never
+    the result."""
+    from apollo_spark.ops.rank import top_k_per_key
+
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return (
+        top_k_per_key(
+            d,
+            ["source"],
+            [F.col("n_chars").desc(), F.col("doc_id").asc()],
+            k=15,
+            salt_col=F.crc32(F.col("doc_id").cast("string")),
+        )
+        .select("source", "doc_id", "n_chars", "rank")
+        .orderBy("source", "rank")
+    )
+
+
+ORACLE_SOURCE_FREQ_CAP = r"""
+SELECT source, doc_id, n_chars, rank FROM (
+  SELECT source, doc_id, n_chars,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id) AS INT) AS rank
+  FROM documents
+) WHERE rank <= 15
+ORDER BY source, rank
+"""
+
+
 def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via Spark's NATIVE ``session_window`` (the same merging
     operator Structured Streaming uses for stateful session aggs — here in
@@ -7943,6 +7978,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_capped_pairs": tfidf_capped_pairs,
     "cdc_chunk_dedup": cdc_chunk_dedup,
     "doc_rag_chunks": doc_rag_chunks,
+    "source_frequency_cap": source_frequency_cap,
     "user_session_windows": user_session_windows,
     "events_hourly_gapfill": events_hourly_gapfill,
     "customer_rfm_segments": customer_rfm_segments,
@@ -8245,6 +8281,7 @@ ORACLES: dict[str, str] = {
     "tfidf_capped_pairs": ORACLE_TFIDF_CAPPED,
     "cdc_chunk_dedup": ORACLE_CDC_CHUNKS,
     "doc_rag_chunks": ORACLE_RAG_CHUNKS,
+    "source_frequency_cap": ORACLE_SOURCE_FREQ_CAP,
     "user_session_windows": ORACLE_SESSION_WINDOWS,
     "events_hourly_gapfill": ORACLE_HOURLY_GAPFILL,
     "customer_rfm_segments": ORACLE_RFM,

@@ -2412,6 +2412,47 @@ def test_png_codec_roundtrip_and_color_types(spark):
         decode_png(build(1, 1, 8, 0, bytes([0, 0]), interlace=1))
 
 
+def test_top_k_per_key_matches_plain_window_under_skew(spark):
+    """Two-phase salted top-k is row-identical to the single-window form
+    for any salt — verified on a deliberately skewed input (one key owns
+    90% of rows) and with salt values that do and don't divide the data."""
+    import pandas as pd
+
+    from apollo_spark.ops.rank import top_k_per_key
+
+    rows = [("hot", i, (i * 37) % 1000) for i in range(900)]
+    rows += [("cold", 10_000 + i, i) for i in range(20)]
+    rows += [("tiny", 20_000, 5)]
+    df = spark.createDataFrame(rows, "k string, id long, v long")
+    pdf = pd.DataFrame(rows, columns=["k", "id", "v"])
+    expect = (
+        pdf.sort_values(["k", "v", "id"], ascending=[True, False, True])
+        .groupby("k")
+        .head(7)
+        .reset_index(drop=True)
+    )
+    expect["rank"] = expect.groupby("k").cumcount() + 1
+    for salt in (1, 4, 32):
+        got = (
+            top_k_per_key(
+                df, ["k"], [F.col("v").desc(), F.col("id").asc()], k=7,
+                salt_col=F.crc32(F.col("id").cast("string")), salt=salt,
+            )
+            .toPandas()
+            .sort_values(["k", "rank"])
+            .reset_index(drop=True)
+        )
+        assert got[["k", "id", "v", "rank"]].values.tolist() == expect[
+            ["k", "id", "v", "rank"]
+        ].values.tolist(), f"salt={salt}"
+    # keys with fewer than k rows keep everything
+    assert (got[got.k == "tiny"]["rank"] == [1]).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        top_k_per_key(df, ["k"], [F.col("v")], k=0, salt_col=F.col("id"))
+
+
 def test_approx_ntile_bounds_disagreement_vs_exact(spark):
     """The lake-form approx_ntile (percentile_approx cutoffs, zero ordered
     shuffles) must stay close to the exact bucketed_ntile on real data:

@@ -395,6 +395,15 @@ def test_cdc_chunks_windows_are_doc_partitioned(spark):
         assert col.startswith("id#"), col
 
 
+def test_source_frequency_cap_first_window_is_salted(spark):
+    """The per-source cap must rank within (source, __s) FIRST — a plain
+    per-source window is the one-hot-domain-one-task hazard the op exists
+    to avoid. The unsalted second window is legal: it sees <= salt*k
+    survivors per key."""
+    p = plan(spark, "source_frequency_cap")
+    assert re.search(r"windowspecdefinition\(source#\d+, __s#\d+L?,", p), p[:2000]
+
+
 def test_global_rank_queries_have_no_unbounded_onetask_window(spark):
     """The former scale-killers (global NTILE/rank over a corpus- or
     entity-sized frame in ONE task) must stay on the two-phase bucketed
