@@ -1607,6 +1607,86 @@ FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
 """
 
 
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation eval (Kusupati et al. 2022): recall@10 of
+    cosine top-10 under prefix-truncated embeddings (dims 8/16/32) against
+    the full 64-dim ground truth, averaged over a fixed 20-query probe set —
+    the measurement that decides how small an ANN index's vectors can be.
+    The dim=64 row is a built-in control (recall exactly 1.0). Eval tier:
+    the bounded probe set rides a broadcast (20 x N x 4 dims scored rows,
+    linear in corpus); per-(query, dim) ranking reuses the exact
+    brute-force-certification shape, with the IVF ops as the scale path."""
+    from apollo_spark.ops.similarity import cosine
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "vec_id",
+            "q_id",
+            F.explode(F.array(*[F.lit(d) for d in (8, 16, 32, 64)])).alias("dim"),
+            "v",
+            "qv",
+        )
+        .withColumn(
+            "score",
+            cosine(F.slice("v", 1, F.col("dim")), F.slice("qv", 1, F.col("dim"))),
+        )
+    )
+    w = Window.partitionBy("q_id", "dim").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("q_id", "dim", "vec_id")
+    )
+    truth = top.filter(F.col("dim") == 64).select("q_id", "vec_id")
+    matched = top.join(truth, ["q_id", "vec_id"], "left_semi")
+    nq = truth.select(F.countDistinct("q_id").alias("n_q"))
+    return (
+        matched.groupBy("dim")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_hits"))
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "dim",
+            (F.col("n_hits") / (F.lit(10.0) * F.col("n_q"))).alias("mean_recall"),
+            F.col("n_q").cast("long").alias("n_queries"),
+        )
+        .orderBy("dim")
+    )
+
+
+ORACLE_MATRYOSHKA = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+scored AS (
+  SELECT q.q_id, e.vec_id, d.dim,
+         list_dot_product(list_slice(e.v, 1, d.dim), list_slice(q.qv, 1, d.dim))
+         / (sqrt(list_dot_product(list_slice(e.v, 1, d.dim), list_slice(e.v, 1, d.dim)))
+            * sqrt(list_dot_product(list_slice(q.qv, 1, d.dim), list_slice(q.qv, 1, d.dim)))) AS score
+  FROM e CROSS JOIN q, UNNEST([8, 16, 32, 64]) AS d(dim)
+  WHERE e.vec_id != q.q_id
+),
+top AS (
+  SELECT q_id, dim, vec_id FROM (
+    SELECT q_id, dim, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id, dim ORDER BY score DESC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+),
+truth AS (SELECT q_id, vec_id FROM top WHERE dim = 64),
+matched AS (SELECT t.dim FROM top t JOIN truth USING (q_id, vec_id)),
+nq AS (SELECT COUNT(DISTINCT q_id) AS n_q FROM truth)
+SELECT CAST(dim AS INT) AS dim,
+       CAST(COUNT(*) AS DOUBLE) / (10.0 * n_q) AS mean_recall,
+       CAST(n_q AS BIGINT) AS n_queries
+FROM matched, nq GROUP BY dim, n_q ORDER BY dim
+"""
+
+
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-training hard negatives (ops.similarity.hard_negatives):
     for each of 3 query vectors, the 5 most-cosine-similar vectors carrying
@@ -7979,6 +8059,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_chunk_dedup": cdc_chunk_dedup,
     "doc_rag_chunks": doc_rag_chunks,
     "source_frequency_cap": source_frequency_cap,
+    "matryoshka_recall": matryoshka_recall,
     "user_session_windows": user_session_windows,
     "events_hourly_gapfill": events_hourly_gapfill,
     "customer_rfm_segments": customer_rfm_segments,
@@ -8282,6 +8363,7 @@ ORACLES: dict[str, str] = {
     "cdc_chunk_dedup": ORACLE_CDC_CHUNKS,
     "doc_rag_chunks": ORACLE_RAG_CHUNKS,
     "source_frequency_cap": ORACLE_SOURCE_FREQ_CAP,
+    "matryoshka_recall": ORACLE_MATRYOSHKA,
     "user_session_windows": ORACLE_SESSION_WINDOWS,
     "events_hourly_gapfill": ORACLE_HOURLY_GAPFILL,
     "customer_rfm_segments": ORACLE_RFM,
