@@ -349,8 +349,13 @@ def decode_features(payload: bytes, dim: int) -> np.ndarray:
         from apollo_spark.ops.gif import decode_gif
 
         return image_features(decode_gif(payload), dim, maxval=255)
+    if payload[:4] == _PNG_SIG[:4]:
+        # looks like PNG but the full 8-byte signature is wrong — corrupt
+        # transfer (e.g. CRLF mangling, which the signature exists to catch),
+        # not a missing codec
+        raise ValueError(f"corrupt PNG signature {payload[:8]!r}")
     raise NotImplementedError(
-        f"no in-container codec for payload magic {payload[:4]!r}; "
+        f"no in-container codec for payload magic {payload[:8]!r}; "
         "wire ffmpeg here for mp3/mp4 (PPM/PNG/baseline-JPEG/WAV/GIF are in-tree)"
     )
 

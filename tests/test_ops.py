@@ -1131,6 +1131,11 @@ def test_extract_features_unsupported_magic_is_explicit(spark):
     # A truncated PNG is a *supported* magic with a corrupt body: ValueError.
     with _pytest.raises(ValueError):
         decode_features(b"\x89PNG\r\n\x1a\n....", 64)
+    # A 4-byte PNG prefix with a mangled 8-byte signature (what CRLF
+    # corruption produces — the very case the signature exists to catch) is
+    # also ValueError, not a missing-codec seam.
+    with _pytest.raises(ValueError, match="corrupt PNG signature"):
+        decode_features(b"\x89PNG\n\n\n\n....", 64)
 
 
 def test_sentence_chunks_budget_and_boundaries(spark):
@@ -1319,7 +1324,7 @@ def test_extract_features_skips_poison_payloads(spark):
         (1, "image", bytearray(good), meta),
         (2, "image", None, meta),                      # null payload
         (3, "image", bytearray(b"P6\n4 4\n255\n\x00"), meta),  # truncated raster
-        (4, "image", bytearray(b"\x89PNG...."), meta),  # unsupported format
+        (4, "image", bytearray(b"\x89PNG...."), meta),  # corrupt PNG signature
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = extract_features(df, dim=16, fake=False).toPandas()
