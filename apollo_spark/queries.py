@@ -1646,13 +1646,23 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = top.filter(F.col("dim") == 64).select("q_id", "vec_id")
     matched = top.join(truth, ["q_id", "vec_id"], "left_semi")
     nq = truth.select(F.countDistinct("q_id").alias("n_q"))
+    # a dim whose recall is exactly 0 must still report a 0.0 row (observed
+    # at sf1: rotated-replica noise drives dim=8 recall to zero and the
+    # group vanished) — left-join the dims universe, which `top` always
+    # carries since ranking emits rows regardless of recall
+    dims = top.select("dim").distinct()
     return (
-        matched.groupBy("dim")
-        .agg(F.count(F.lit(1)).cast("double").alias("n_hits"))
+        dims.join(
+            matched.groupBy("dim").agg(F.count(F.lit(1)).cast("double").alias("n_hits")),
+            "dim",
+            "left",
+        )
         .crossJoin(F.broadcast(nq))
         .select(
             "dim",
-            (F.col("n_hits") / (F.lit(10.0) * F.col("n_q"))).alias("mean_recall"),
+            (F.coalesce(F.col("n_hits"), F.lit(0.0)) / (F.lit(10.0) * F.col("n_q"))).alias(
+                "mean_recall"
+            ),
             F.col("n_q").cast("long").alias("n_queries"),
         )
         .orderBy("dim")
@@ -1679,11 +1689,14 @@ top AS (
 ),
 truth AS (SELECT q_id, vec_id FROM top WHERE dim = 64),
 matched AS (SELECT t.dim FROM top t JOIN truth USING (q_id, vec_id)),
+counts AS (SELECT dim, CAST(COUNT(*) AS DOUBLE) AS n_hits FROM matched GROUP BY dim),
+dims AS (SELECT DISTINCT dim FROM top),
 nq AS (SELECT COUNT(DISTINCT q_id) AS n_q FROM truth)
-SELECT CAST(dim AS INT) AS dim,
-       CAST(COUNT(*) AS DOUBLE) / (10.0 * n_q) AS mean_recall,
+SELECT CAST(dims.dim AS INT) AS dim,
+       COALESCE(counts.n_hits, 0.0) / (10.0 * n_q) AS mean_recall,
        CAST(n_q AS BIGINT) AS n_queries
-FROM matched, nq GROUP BY dim, n_q ORDER BY dim
+FROM dims LEFT JOIN counts ON counts.dim = dims.dim CROSS JOIN nq
+ORDER BY dim
 """
 
 
