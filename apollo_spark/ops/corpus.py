@@ -373,25 +373,33 @@ def sentence_chunks(
     budget_words: int = 64,
 ) -> DataFrame:
     """RAG-style retrieval chunking: split each document into SENTENCES
-    (terminal ``.!?`` followed by whitespace), then pack consecutive
-    sentences into chunks by word budget — a sentence joins chunk
-    ``floor(words_before_it / budget_words)``, so no sentence is ever split
-    mid-way and a chunk overruns the budget by at most its last sentence
-    (the standard greedy boundary-respecting packer an embedding/RAG
-    pipeline runs before vectorizing). Deterministic: same text -> same
-    chunk ids, texts, and hashes in any engine — the sentence splitter is a
+    (terminal ``.!?`` followed by whitespace), then assign consecutive
+    sentences to chunks by FLOOR-BUCKETED word position — a sentence joins
+    chunk ``floor(words_before_it / budget_words)``. No sentence is ever
+    split mid-way, and chunks average ~budget words. Note this is floor
+    bucketing on the GLOBAL running count, not a greedy
+    reset-at-each-boundary packer: an overrunning sentence's excess carries
+    into the position of later boundaries, and a single sentence spanning
+    >= 2x budget makes the next sentence skip chunk ids (ids are
+    monotonically increasing per document but NOT guaranteed dense) — the
+    trade that keeps the rule a pure window expression, replayable
+    verbatim in ANSI SQL. Deterministic: same text -> same chunk ids,
+    texts, and hashes in any engine — the sentence splitter is a
     capture-group marker substitution (no lookbehind, so it replays in RE2
     engines like DuckDB's), and the running word count is integer
     arithmetic over per-document windows (bounded frames, never
-    corpus-sized).
+    corpus-sized). Any pre-existing U+001E record separators in the text
+    are normalized to spaces first so scraped control chars can't forge
+    sentence boundaries.
 
     Returns (id, chunk_id, n_sentences, n_words, chunk_hash, chunk_text).
     """
     if budget_words < 1:
         raise ValueError("budget_words >= 1 required")
     marker = "\x1e"
+    clean = F.translate(F.trim(F.col(text_col)), marker, " ")
     sent_arr = F.split(
-        F.regexp_replace(F.trim(F.col(text_col)), r"([.!?])\s+", "$1" + marker), marker
+        F.regexp_replace(clean, r"([.!?])\s+", "$1" + marker), marker
     )
     sents = (
         df.filter(F.length(F.trim(F.col(text_col))) > 0)

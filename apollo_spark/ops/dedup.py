@@ -521,20 +521,22 @@ def tfidf_cosine_pairs(
     # both self-join branches and the norm aggregate consume w: persist so
     # the scan->explode->tf->df chain runs once, not three times
     w = w.persist()
-    # norms over the FULL term set — pruning applies to the inverted-index
-    # (dot) side only, so capped cosine is a strict underestimate (weights
-    # are non-negative) and the capped pair set is a subset of lossless
+    # norms over the FULL term set — pruning applies to CANDIDATE GENERATION
+    # only (every candidate pair re-scores exactly over full vectors below),
+    # so the capped pair set is a subset of lossless with bit-identical
+    # scores on every recalled pair
     norm2 = w.groupBy("id").agg(
         F.sum((F.col("w") * F.col("w")).cast("decimal(38,6)")).cast("double").alias("n2")
     )
     if max_df_frac is not None:
         if max_df is not None and not isinstance(max_df, _MaxDfDefault):
             raise ValueError("pass max_df or max_df_frac, not both")
-        total = tf.agg(F.countDistinct("id").alias("n_docs"))
         cutoff = F.greatest(
             F.floor(F.lit(max_df_frac) * F.col("n_docs")), F.lit(int(frac_floor))
         )
-        hot = dfreq.crossJoin(F.broadcast(total)).filter(F.col("df") > cutoff).select("term")
+        # `stats` (1-row n_docs over tf) already exists for idf — reuse it
+        # rather than re-running the tokenize->explode->tf chain
+        hot = dfreq.crossJoin(F.broadcast(stats)).filter(F.col("df") > cutoff).select("term")
         idx = w.join(F.broadcast(hot), "term", "left_anti")
     elif max_df is not None:
         hot = dfreq.filter(F.col("df") > int(max_df)).select("term")

@@ -180,6 +180,12 @@ def top_k_per_key(
     """
     if k < 1 or salt < 1:
         raise ValueError("k >= 1 and salt >= 1 required")
+    clashes = {c for c in ("__s", "__r1", out_col) if c in df.columns}
+    if clashes:
+        raise ValueError(
+            f"top_k_per_key would overwrite existing column(s) {sorted(clashes)}; "
+            "rename them or pass a different out_col"
+        )
     tmp = df.withColumn("__s", F.pmod(salt_col.cast("long"), F.lit(int(salt))))
     w1 = Window.partitionBy(*keys, "__s").orderBy(*order)
     surv = tmp.withColumn("__r1", F.row_number().over(w1)).filter(F.col("__r1") <= k)

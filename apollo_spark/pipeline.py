@@ -421,8 +421,9 @@ def _apply_dedup(df: DataFrame, spec) -> DataFrame:
         # same scale default as ngram_jaccard below: the lossless tfidf
         # inverted-index self-join measured ~quadratic at sf1 (2.85 s ->
         # 1203 s, BASELINE.md "sf1 superlinearity" round 5); the frac-capped
-        # form stays linear and only ever underestimates cosine (norms stay
-        # lossless — recall loss, never a false pair)
+        # form stays linear — the cap prunes CANDIDATE GENERATION only and
+        # every recalled pair re-scores to the exact lossless cosine
+        # (recall loss possible, scores and thresholds never shift)
         tf_kwargs = (
             {"max_df": None, "max_df_frac": None}
             if spec.lossless

@@ -1638,20 +1638,26 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("q_id", "dim").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    # top feeds four downstream consumers (truth, both semi-join sides, nq);
+    # without the persist Spark re-runs the corpus-scoring cross join and
+    # the window sort once per consumer (measured 18 s at sf1)
     top = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
         .select("q_id", "dim", "vec_id")
+        .persist()
     )
     truth = top.filter(F.col("dim") == 64).select("q_id", "vec_id")
     matched = top.join(truth, ["q_id", "vec_id"], "left_semi")
     nq = truth.select(F.countDistinct("q_id").alias("n_q"))
     # a dim whose recall is exactly 0 must still report a 0.0 row (observed
     # at sf1: rotated-replica noise drives dim=8 recall to zero and the
-    # group vanished) — left-join the dims universe, which `top` always
-    # carries since ranking emits rows regardless of recall
-    dims = top.select("dim").distinct()
-    return (
+    # group vanished) — left-join the dims universe (the same literals the
+    # scoring exploded; top-10 always exists per dim, so this is total)
+    dims = spark.createDataFrame([(d,) for d in (8, 16, 32, 64)], "dim int")
+    from apollo_spark.ops.cache import scoped_persist
+
+    return scoped_persist(
         dims.join(
             matched.groupBy("dim").agg(F.count(F.lit(1)).cast("double").alias("n_hits")),
             "dim",
@@ -1665,7 +1671,8 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("n_q").cast("long").alias("n_queries"),
         )
-        .orderBy("dim")
+        .orderBy("dim"),
+        top,
     )
 
 
@@ -6898,7 +6905,8 @@ WITH punct AS (
 ),
 base AS (
   SELECT doc_id,
-         string_split(regexp_replace(trim(text), '([.!?])\s+', '\1' || chr(30), 'g'), chr(30)) AS arr
+         string_split(regexp_replace(replace(trim(text), chr(30), ' '),
+                                     '([.!?])\s+', '\1' || chr(30), 'g'), chr(30)) AS arr
   FROM punct WHERE length(trim(text)) > 0
 ),
 sents AS (

@@ -114,6 +114,7 @@ def main() -> None:
                 "queries": timings,
                 "errors": errors,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
             }
         )
     )

@@ -17,8 +17,24 @@ import sys
 from analyze_sf1 import baseline_minimums
 
 
+def _load_bench_json(path: str) -> dict:
+    """Tolerate capture files where Spark/JVM stderr lines are mixed in
+    (``2>&1``): the bench's record is the last line that parses as a JSON
+    object with a 'queries' key."""
+    with open(path) as f:
+        lines = [ln for ln in f if ln.lstrip().startswith("{")]
+    for ln in reversed(lines):
+        try:
+            d = json.loads(ln)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(d, dict) and "queries" in d:
+            return d
+    raise SystemExit(f"{path}: no bench JSON line found (expected a line with a 'queries' key)")
+
+
 def main() -> None:
-    sf1 = json.load(open(sys.argv[1]))
+    sf1 = _load_bench_json(sys.argv[1])
     ref_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE.md"
     q1 = sf1["queries"]
     q0 = baseline_minimums(ref_path)
@@ -34,7 +50,7 @@ def main() -> None:
         "",
         f"Full registry at sf1 (`scripts/make_sf1.py` corpus: 6 M lineitem / 1.5 M",
         f"orders / 50 k docs ×10-replica vocabulary-bijection, ~10× sf0.1 rows),",
-        f"`local[{sf1.get('cpus', 32)}]`, single sample (SPARK_GRAFT_BENCH_REPEATS=1),",
+        f"`local[{sf1.get('cpus', '?')}]`, single sample (SPARK_GRAFT_BENCH_REPEATS=1),",
         "host-sized driver memory. `ratio` = sf1 sec / sf0.1 per-query minimum from",
         "the table above; at 10× data, ≤12× is linear, ≤30× carries a log/sort",
         "factor, >30× is adjudicated in prose below the table.",

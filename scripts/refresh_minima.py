@@ -22,8 +22,18 @@ def main() -> None:
     n_runs = 0
     for path in sys.argv[2:]:
         with open(path) as f:
-            line = [ln for ln in f if ln.lstrip().startswith("{")][-1]
-        d = json.loads(line)
+            lines = [ln for ln in f if ln.lstrip().startswith("{")]
+        d = None
+        for ln in reversed(lines):
+            try:
+                cand = json.loads(ln)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(cand, dict) and "queries" in cand:
+                d = cand
+                break
+        if d is None:
+            raise SystemExit(f"{path}: no bench JSON line found (expected a 'queries' key)")
         n_runs += 1
         for name, t in d["queries"].items():
             mins[name] = min(mins.get(name, float("inf")), t)

@@ -1139,9 +1139,11 @@ def test_extract_features_unsupported_magic_is_explicit(spark):
 
 
 def test_sentence_chunks_budget_and_boundaries(spark):
-    """Sentences are never split across chunks; a chunk overruns the budget
-    by at most its final sentence; chunk ids are dense from 0; abbreviation
-    of the greedy rule: a sentence joins floor(words_before/budget)."""
+    """Sentences are never split across chunks; assignment is floor
+    bucketing on the global running word count (chunk =
+    floor(words_before/budget)) — ids are monotone per doc but may SKIP
+    when one sentence spans >= 2x budget; embedded U+001E control chars
+    can't forge sentence boundaries."""
     from apollo_spark.ops.corpus import sentence_chunks
 
     text = (
@@ -1164,6 +1166,28 @@ def test_sentence_chunks_budget_and_boundaries(spark):
 
     with _pytest.raises(ValueError):
         sentence_chunks(df, budget_words=0)
+
+
+def test_sentence_chunks_skipped_ids_and_marker_hygiene(spark):
+    """Documented non-dense behavior: a 20-word sentence at budget 8 puts
+    the next sentence at words_before=20 -> chunk 2 (chunk 1 never exists).
+    A raw U+001E in the text is normalized to a space, not a boundary."""
+    from apollo_spark.ops.corpus import sentence_chunks
+
+    long_sent = " ".join(f"w{i}" for i in range(20)) + "."
+    df = spark.createDataFrame(
+        [(1, long_sent + " short tail sentence."),
+         (2, "alpha\x1ebeta gamma. delta epsilon zeta eta theta iota kappa lam mu nu.")],
+        "doc_id long, text string",
+    )
+    out = sentence_chunks(df, budget_words=8).toPandas()
+    d1 = out[out.doc_id == 1].sort_values("chunk_id")
+    assert list(d1["chunk_id"]) == [0, 2]  # id 1 skipped, by contract
+    d2 = out[out.doc_id == 2].sort_values("chunk_id")
+    # \x1e became a space: first sentence is 'alpha beta gamma.' (3 words),
+    # NOT two forged sentences
+    assert d2.iloc[0]["chunk_text"].startswith("alpha beta gamma.")
+    assert d2["n_sentences"].sum() == 2
 
 
 def test_pack_sequences_tape_is_contiguous(spark):
