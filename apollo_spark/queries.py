@@ -6875,6 +6875,77 @@ ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash
 """
 
 
+def corpus_duplicate_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication rate of the corpus — the headline number a
+    dedup run reports ("X% of tokens sat in duplicated spans"): total words,
+    words inside CDC chunks recurring in >= 2 documents (counted at every
+    occurrence), and their ratio. One aggregate over cdc_chunk_groups with
+    the min_docs filter lifted; exact-integer counts make the ratio one
+    deterministic IEEE division."""
+    from apollo_spark.ops.dedup import cdc_chunk_groups
+
+    d = _t(spark, sf_dir, "documents")
+    g = cdc_chunk_groups(d, window=3, divisor=16, min_docs=1)
+    mass = F.col("n_words") * F.col("n_occurrences")
+    return g.agg(
+        F.sum(mass).alias("total_words"),
+        F.sum(F.when(F.col("n_docs") >= 2, mass).otherwise(F.lit(0))).alias("dup_words"),
+    ).select(
+        "total_words",
+        "dup_words",
+        (F.col("dup_words").cast("double") / F.col("total_words").cast("double")).alias("dup_frac"),
+    )
+
+
+ORACLE_DUP_MASS = r"""
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS word
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+       UNNEST(generate_series(1, len(t))) AS u(i)
+),
+rolled AS (
+  SELECT doc_id, pos, word,
+         string_agg(word, ' ') OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling
+  FROM toks
+),
+flagged AS (
+  SELECT doc_id, pos, word,
+         CASE WHEN pos >= 2
+                   AND ('0x' || substring(md5(rolling), 1, 15))::BIGINT % 16 = 0
+              THEN 1 ELSE 0 END AS cut
+  FROM rolled
+),
+numbered AS (
+  SELECT doc_id, pos, word,
+         COALESCE(SUM(cut) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+  FROM flagged
+),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         string_agg(word, ' ' ORDER BY pos) AS chunk_text,
+         COUNT(*) AS n_words
+  FROM numbered GROUP BY doc_id, chunk_id
+),
+groups AS (
+  SELECT md5(chunk_text) AS chunk_hash,
+         MAX(n_words) AS n_words,
+         COUNT(DISTINCT doc_id) AS n_docs,
+         COUNT(*) AS n_occurrences
+  FROM chunks GROUP BY chunk_hash
+)
+SELECT CAST(SUM(n_words * n_occurrences) AS BIGINT) AS total_words,
+       CAST(SUM(CASE WHEN n_docs >= 2 THEN n_words * n_occurrences ELSE 0 END) AS BIGINT) AS dup_words,
+       CAST(SUM(CASE WHEN n_docs >= 2 THEN n_words * n_occurrences ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(n_words * n_occurrences) AS DOUBLE) AS dup_frac
+FROM groups
+"""
+
+
 def doc_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG retrieval chunking (ops.corpus.sentence_chunks): sentence-split,
     then greedily pack consecutive sentences into ~24-word chunks — the
@@ -8078,6 +8149,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_dup_pairs": tfidf_dup_pairs,
     "tfidf_capped_pairs": tfidf_capped_pairs,
     "cdc_chunk_dedup": cdc_chunk_dedup,
+    "corpus_duplicate_mass": corpus_duplicate_mass,
     "doc_rag_chunks": doc_rag_chunks,
     "source_frequency_cap": source_frequency_cap,
     "matryoshka_recall": matryoshka_recall,
@@ -8382,6 +8454,7 @@ ORACLES: dict[str, str] = {
     "tfidf_dup_pairs": ORACLE_TFIDF_PAIRS,
     "tfidf_capped_pairs": ORACLE_TFIDF_CAPPED,
     "cdc_chunk_dedup": ORACLE_CDC_CHUNKS,
+    "corpus_duplicate_mass": ORACLE_DUP_MASS,
     "doc_rag_chunks": ORACLE_RAG_CHUNKS,
     "source_frequency_cap": ORACLE_SOURCE_FREQ_CAP,
     "matryoshka_recall": ORACLE_MATRYOSHKA,

@@ -615,6 +615,28 @@ query tfidf_deduped {
     )
     out = compile_query(spark, catalog, schema.queries[0], schema).toPandas()
     assert sorted(out["doc_id"]) == [1, 3, 4]
+    # lossless opt-out (round 5: tfidf defaults to the frac-capped candidate
+    # index like ngram_jaccard; at this corpus size the frac_floor makes
+    # capped == lossless, so both forms must agree)
+    schema_ll = parse_schema(
+        """
+query tfidf_deduped_lossless {
+  chain = "ethereum"
+  source_table = "documents"
+  dedup {
+    method = "tfidf"
+    threshold = 0.6
+    shingle_n = 2
+    lossless = true
+  }
+  save {
+    doc_id = doc_id
+  }
+}
+"""
+    )
+    out_ll = compile_query(spark, catalog, schema_ll.queries[0], schema_ll).toPandas()
+    assert sorted(out_ll["doc_id"]) == [1, 3, 4]
 
 
 def test_dedup_block_keep_longest(spark, tmp_path):
