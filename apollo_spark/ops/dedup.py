@@ -990,6 +990,51 @@ def duplicated_spans(
     )
 
 
+def _cdc_chunks(
+    df: DataFrame, id_col: str, text_col: str, window: int, divisor: int
+) -> DataFrame:
+    """Shared CDC machinery: word-stream rolling-md5 boundary cut, per-doc
+    prefix-sum chunk ids, chunk assembly. Returns (id, chunk_id, chunk_text,
+    n_words) — see cdc_chunk_groups for the algorithm and scale argument."""
+    if window < 1 or divisor < 2:
+        raise ValueError("window >= 1 and divisor >= 2 required")
+    toks = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("pos", "word"),
+        )
+    )
+    frame = Window.partitionBy("id").orderBy("pos")
+    rolling = F.concat_ws(
+        " ", F.collect_list("word").over(frame.rowsBetween(-(window - 1), 0))
+    )
+    # 60-bit md5 prefix — same portable int both engines inline exactly
+    h = F.conv(F.substring(F.md5(rolling), 1, 15), 16, 10).cast("long")
+    flagged = toks.select(
+        "id",
+        "pos",
+        "word",
+        ((F.col("pos") >= window - 1) & (h % divisor == 0)).cast("int").alias("cut"),
+    )
+    chunk_id = F.coalesce(
+        F.sum("cut").over(frame.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return (
+        flagged.withColumn("chunk_id", chunk_id)
+        .groupBy("id", "chunk_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))), lambda x: x["word"]
+                ),
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )
+
+
 def cdc_chunk_groups(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1022,43 +1067,7 @@ def cdc_chunk_groups(
     Returns (chunk_hash, n_words, n_docs, n_occurrences) for chunks seen in
     >= ``min_docs`` distinct documents.
     """
-    if window < 1 or divisor < 2:
-        raise ValueError("window >= 1 and divisor >= 2 required")
-    toks = (
-        df.filter(F.length(F.trim(F.col(text_col))) > 0)
-        .select(
-            F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("pos", "word"),
-        )
-    )
-    frame = Window.partitionBy("id").orderBy("pos")
-    rolling = F.concat_ws(
-        " ", F.collect_list("word").over(frame.rowsBetween(-(window - 1), 0))
-    )
-    # 60-bit md5 prefix — same portable int both engines inline exactly
-    h = F.conv(F.substring(F.md5(rolling), 1, 15), 16, 10).cast("long")
-    flagged = toks.select(
-        "id",
-        "pos",
-        "word",
-        ((F.col("pos") >= window - 1) & (h % divisor == 0)).cast("int").alias("cut"),
-    )
-    chunk_id = F.coalesce(
-        F.sum("cut").over(frame.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
-    )
-    chunks = (
-        flagged.withColumn("chunk_id", chunk_id)
-        .groupBy("id", "chunk_id")
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "word"))), lambda x: x["word"]
-                ),
-            ).alias("chunk_text"),
-            F.count(F.lit(1)).alias("n_words"),
-        )
-    )
+    chunks = _cdc_chunks(df, id_col, text_col, window, divisor)
     return (
         chunks.groupBy(F.md5("chunk_text").alias("chunk_hash"))
         .agg(
@@ -1068,6 +1077,95 @@ def cdc_chunk_groups(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def incremental_cdc_novelty(
+    index_dir: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+    divisor: int = 16,
+    txn_app: str | None = None,
+    txn_batch: int | None = None,
+) -> DataFrame:
+    """Continuous-ingest SPAN-level novelty — "only pay for new content":
+    chunk the increment with CDC, mark each chunk occurrence novel iff its
+    content hash is absent from the persistent chunk index (TxTable at
+    ``index_dir``) AND it is the first occurrence within the increment
+    (first = min (id, chunk_id) per hash — deterministic), then report per
+    document how much of it is new. An ingest pipeline keeps documents whose
+    ``novel_frac`` clears a threshold and drops boilerplate re-crawls; the
+    insertion-robust boundaries mean an edited re-crawl only pays for its
+    edits.
+
+    Scale shape mirrors incremental_minhash_dedup: each batch hashes ITS OWN
+    words and joins increment chunk hashes against the index — the shuffle
+    moves the increment, never the history — and the index grows by the
+    increment's NOVEL hashes only (so re-ingesting duplicates never grows
+    it). Pass ``txn_app``/``txn_batch`` from a foreachBatch sink for
+    exactly-once index maintenance across checkpoint restarts; note a
+    REPLAYED batch reads the already-committed index and therefore reports
+    zero novelty — route the report through a sink carrying the same txn
+    guard so the replayed report is discarded, not double-applied.
+
+    Returns one row per input document: (id, n_chunks, n_words,
+    novel_chunks, novel_words, novel_frac).
+    """
+    from apollo_spark.table_format import TxTable
+
+    spark = new_docs.sparkSession
+    idx_t = TxTable(index_dir)
+    chunks = _cdc_chunks(new_docs, id_col, text_col, window, divisor).withColumn(
+        "chunk_hash", F.md5("chunk_text")
+    )
+    seen = (
+        idx_t.read(spark).select("chunk_hash")
+        if idx_t.current_version() is not None
+        else None
+    )
+    unseen = chunks if seen is None else chunks.join(seen, "chunk_hash", "left_anti")
+    # first occurrence within the increment: min (id, chunk_id) per hash
+    w_first = Window.partitionBy("chunk_hash").orderBy("id", "chunk_id")
+    novel = (
+        unseen.withColumn("__r", F.row_number().over(w_first))
+        .withColumn("novel", (F.col("__r") == 1).cast("int"))
+        .drop("__r")
+    )
+    per_doc = (
+        chunks.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"), F.sum("n_words").alias("n_words"))
+        .join(
+            novel.filter(F.col("novel") == 1)
+            .groupBy("id")
+            .agg(
+                F.count(F.lit(1)).alias("novel_chunks"),
+                F.sum("n_words").alias("novel_words"),
+            ),
+            "id",
+            "left",
+        )
+        .select(
+            "id",
+            "n_chunks",
+            "n_words",
+            F.coalesce("novel_chunks", F.lit(0)).alias("novel_chunks"),
+            F.coalesce("novel_words", F.lit(0)).alias("novel_words"),
+            (
+                F.coalesce("novel_words", F.lit(0)).cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("novel_frac"),
+        )
+    )
+    out = per_doc.persist()
+    out.count()  # materialize before the index moves
+    idx_t.write(
+        novel.filter(F.col("novel") == 1).select("chunk_hash"),
+        mode="append",
+        txn_app=txn_app,
+        txn_batch=txn_batch,
+    )
+    return scoped_persist(out, out)
 
 
 # --------------------------------------------------------------------------
