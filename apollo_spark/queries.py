@@ -8320,6 +8320,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pca_projection": embedding_pca_projection,
 }
 
+# The two LOSSLESS certification twins run LAST: on the sf1 stress corpus
+# each takes many minutes (by design — full inverted-index self-joins, the
+# quadratic the capped configs exist to avoid) and their spill/GC wake was
+# measured polluting the NEXT queries' bench samples (BASELINE.md round-5
+# adjudication: doc_keywords 44.7 s mid-sweep vs 13.7 s standalone).
+# Registry iteration order only affects bench sequencing, never results.
+for _whale in ("ngram_jaccard_dup_pairs", "tfidf_dup_pairs"):
+    QUERIES[_whale] = QUERIES.pop(_whale)
+
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": ORACLE_Q1,
     "q3_shipping_priority": ORACLE_Q3,

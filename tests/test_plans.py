@@ -395,6 +395,14 @@ def test_cdc_chunks_windows_are_doc_partitioned(spark):
         assert col.startswith("id#"), col
 
 
+def test_rag_chunks_windows_are_doc_partitioned(spark):
+    """Sentence chunking's running word count rides per-document windows —
+    same no-corpus-sized-window rule as CDC."""
+    p = plan(spark, "doc_rag_chunks")
+    for col in re.findall(r"windowspecdefinition\((\S+?),", p):
+        assert col.startswith("id#"), col
+
+
 def test_source_frequency_cap_first_window_is_salted(spark):
     """The per-source cap must rank within (source, __s) FIRST — a plain
     per-source window is the one-hot-domain-one-task hazard the op exists
