@@ -775,6 +775,60 @@ def test_streaming_hll_rollup_matches_batch_sketch(spark, tmp_path):
     assert abs(est["b"] - 50) / 50 < 0.45
 
 
+def test_streaming_cdc_novelty_across_microbatches(spark, tmp_path):
+    """incremental_cdc_novelty across the real streaming boundary: a file
+    stream feeds foreachBatch, the chunk-hash index accumulates per
+    micro-batch, and the second batch's re-crawl of a first-batch document
+    reports ZERO novelty while a genuinely new document reports 1.0. Both
+    the index and the report table carry the (app, batch) txn guard."""
+    import json
+
+    from apollo_spark.ops.dedup import incremental_cdc_novelty
+    from apollo_spark.table_format import TxTable
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    idx = str(tmp_path / "cdc_idx")
+    rep = str(tmp_path / "cdc_reports")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    def sink(df, batch_id):
+        out = incremental_cdc_novelty(
+            idx, df, txn_app="cdcnov", txn_batch=int(batch_id)
+        )
+        TxTable(rep).write(out, mode="append", txn_app="cdcnov", txn_batch=int(batch_id))
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # non-periodic token streams: a modular sequence like tok[(29*i)%70]
+    # cycles every 70 words, creating real intra-doc duplicate chunks that
+    # legitimately score non-novel (the op counts first occurrences only)
+    import numpy.random as npr
+
+    rng = npr.default_rng(23)
+    base = " ".join(f"tok{k}" for k in rng.integers(0, 70, size=240))
+    fresh = " ".join(f"neo{k}" for k in rng.integers(0, 70, size=240))
+    (src / "b1.json").write_text(json.dumps({"doc_id": 1, "text": base}))
+    run_once()
+    (src / "b2.json").write_text(
+        json.dumps({"doc_id": 2, "text": base}) + "\n" + json.dumps({"doc_id": 3, "text": fresh})
+    )
+    run_once()
+
+    reports = {r.id: r for r in TxTable(rep).read(spark).collect()}
+    assert reports[1].novel_frac == 1.0  # first-ever content
+    assert reports[2].novel_frac == 0.0  # re-crawl across the stream boundary
+    assert reports[3].novel_frac == 1.0  # new content in batch 2
+
+
 def test_compile_streaming_query_rejects_window_block(spark, tmp_path, catalog):
     from apollo_spark.dsl.schema import parse_schema
     from apollo_spark.pipeline import PipelineError, compile_streaming_query
