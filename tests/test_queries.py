@@ -104,6 +104,14 @@ FLAGSHIPS = [
     "events_dsl_loop",    # Q2 loop macro-expansion
     "events_dsl_sample",  # sampling block
     "docs_dsl_curation",  # documents-table DSL composition (dedup/quality tier)
+    # round-5 additions: pinned here so the driver's 50-query random sample
+    # can never silently skip their oracle certification
+    "tfidf_capped_pairs",      # frac-capped candidate index + exact re-score
+    "cdc_chunk_dedup",         # content-defined chunking dedup
+    "corpus_duplicate_mass",   # span-level duplication rate
+    "doc_rag_chunks",          # sentence-budget RAG chunking
+    "source_frequency_cap",    # skew-safe per-key top-k
+    "matryoshka_recall",       # embedding-truncation recall eval
 ]
 
 
