@@ -390,7 +390,11 @@ def sentence_chunks(
     arithmetic over per-document windows (bounded frames, never
     corpus-sized). Any pre-existing U+001E record separators in the text
     are normalized to spaces first so scraped control chars can't forge
-    sentence boundaries.
+    sentence boundaries. Whitespace is matched with the explicit class
+    ``[ \\t\\n\\f\\r]`` rather than ``\\s`` because Java regex ``\\s``
+    matches U+000B (vertical tab) while RE2/DuckDB ``\\s`` does not — with
+    the explicit class a vertical tab is a non-space character in BOTH
+    engines, so real scraped text containing one splits identically.
 
     Returns (id, chunk_id, n_sentences, n_words, chunk_hash, chunk_text).
     """
@@ -399,7 +403,7 @@ def sentence_chunks(
     marker = "\x1e"
     clean = F.translate(F.trim(F.col(text_col)), marker, " ")
     sent_arr = F.split(
-        F.regexp_replace(clean, r"([.!?])\s+", "$1" + marker), marker
+        F.regexp_replace(clean, r"([.!?])[ \t\n\f\r]+", "$1" + marker), marker
     )
     sents = (
         df.filter(F.length(F.trim(F.col(text_col))) > 0)
@@ -409,7 +413,7 @@ def sentence_chunks(
             "id",
             "sidx",
             F.trim("sentence").alias("sentence"),
-            F.size(F.split(F.trim("sentence"), r"\s+")).cast("long").alias("n_words"),
+            F.size(F.split(F.trim("sentence"), r"[ \t\n\f\r]+")).cast("long").alias("n_words"),
         )
     )
     w_before = Window.partitionBy("id").orderBy("sidx").rowsBetween(

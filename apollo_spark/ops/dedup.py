@@ -23,6 +23,8 @@ O(diameter) which for dup-clusters is tiny.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1088,6 +1090,7 @@ def incremental_cdc_novelty(
     divisor: int = 16,
     txn_app: str | None = None,
     txn_batch: int | None = None,
+    commit_report: Callable[[DataFrame], None] | None = None,
 ) -> DataFrame:
     """Continuous-ingest SPAN-level novelty — "only pay for new content":
     chunk the increment with CDC, mark each chunk occurrence novel iff its
@@ -1104,10 +1107,22 @@ def incremental_cdc_novelty(
     moves the increment, never the history — and the index grows by the
     increment's NOVEL hashes only (so re-ingesting duplicates never grows
     it). Pass ``txn_app``/``txn_batch`` from a foreachBatch sink for
-    exactly-once index maintenance across checkpoint restarts; note a
-    REPLAYED batch reads the already-committed index and therefore reports
-    zero novelty — route the report through a sink carrying the same txn
-    guard so the replayed report is discarded, not double-applied.
+    exactly-once index maintenance across checkpoint restarts.
+
+    Commit ORDER matters for crash safety: the caller's report must commit
+    BEFORE the index moves, because a replayed batch recomputes novelty
+    against whatever index state it finds. If the index committed first and
+    the driver crashed before the report landed, the replay would see its
+    own hashes already indexed, report zero novelty, and that wrong report
+    would become the batch's first (and permanent) commit. Pass
+    ``commit_report`` — a callback invoked with the materialized per-doc
+    report — and this function runs it BEFORE the index append, both under
+    the same (app, batch) guard: crash before the report → full replay;
+    crash between report and index → replay recomputes the identical
+    report against the still-unmoved index, the report sink's txn guard
+    skips it, and the index append then proceeds; crash after both → both
+    writes are no-ops. Callers that sink the report only AFTER this
+    function returns inherit the unsafe ordering — use the callback.
 
     Returns one row per input document: (id, n_chunks, n_words,
     novel_chunks, novel_words, novel_frac).
@@ -1116,8 +1131,14 @@ def incremental_cdc_novelty(
 
     spark = new_docs.sparkSession
     idx_t = TxTable(index_dir)
-    chunks = _cdc_chunks(new_docs, id_col, text_col, window, divisor).withColumn(
-        "chunk_hash", F.md5("chunk_text")
+    # persisted: per_doc totals, the novelty aggregate, AND the index append
+    # all branch from this frame — unpersisted, the index write would re-run
+    # the whole tokenize->rolling-hash->window->chunk pipeline a second time
+    # per micro-batch (round-5 ADVICE)
+    chunks = (
+        _cdc_chunks(new_docs, id_col, text_col, window, divisor)
+        .withColumn("chunk_hash", F.md5("chunk_text"))
+        .persist()
     )
     seen = (
         idx_t.read(spark).select("chunk_hash")
@@ -1127,10 +1148,13 @@ def incremental_cdc_novelty(
     unseen = chunks if seen is None else chunks.join(seen, "chunk_hash", "left_anti")
     # first occurrence within the increment: min (id, chunk_id) per hash
     w_first = Window.partitionBy("chunk_hash").orderBy("id", "chunk_id")
+    # persisted: consumed twice (per-doc novelty aggregate + index append);
+    # covers the index anti-join re-scan too
     novel = (
         unseen.withColumn("__r", F.row_number().over(w_first))
         .withColumn("novel", (F.col("__r") == 1).cast("int"))
         .drop("__r")
+        .persist()
     )
     per_doc = (
         chunks.groupBy("id")
@@ -1159,13 +1183,15 @@ def incremental_cdc_novelty(
     )
     out = per_doc.persist()
     out.count()  # materialize before the index moves
+    if commit_report is not None:
+        commit_report(out)  # report FIRST — see docstring's crash analysis
     idx_t.write(
         novel.filter(F.col("novel") == 1).select("chunk_hash"),
         mode="append",
         txn_app=txn_app,
         txn_batch=txn_batch,
     )
-    return scoped_persist(out, out)
+    return scoped_persist(out, out, chunks, novel)
 
 
 # --------------------------------------------------------------------------

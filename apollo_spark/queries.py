@@ -6959,7 +6959,11 @@ def doc_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     punct = d.select(
         "doc_id",
-        F.regexp_replace(F.col("text"), r"((?:\S+\s+){7}\S+)\s+", "$1. ").alias("text"),
+        F.regexp_replace(
+            F.col("text"),
+            r"((?:[^ \t\n\f\r]+[ \t\n\f\r]+){7}[^ \t\n\f\r]+)[ \t\n\f\r]+",
+            "$1. ",
+        ).alias("text"),
     )
     return (
         sentence_chunks(punct, budget_words=24)
@@ -6971,18 +6975,18 @@ def doc_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_RAG_CHUNKS = r"""
 WITH punct AS (
   SELECT doc_id,
-         regexp_replace(text, '((?:\S+\s+){7}\S+)\s+', '\1. ', 'g') AS text
+         regexp_replace(text, '((?:[^ \t\n\f\r]+[ \t\n\f\r]+){7}[^ \t\n\f\r]+)[ \t\n\f\r]+', '\1. ', 'g') AS text
   FROM documents
 ),
 base AS (
   SELECT doc_id,
          string_split(regexp_replace(replace(trim(text), chr(30), ' '),
-                                     '([.!?])\s+', '\1' || chr(30), 'g'), chr(30)) AS arr
+                                     '([.!?])[ \t\n\f\r]+', '\1' || chr(30), 'g'), chr(30)) AS arr
   FROM punct WHERE length(trim(text)) > 0
 ),
 sents AS (
   SELECT doc_id, i - 1 AS sidx, trim(arr[i]) AS sentence,
-         len(string_split_regex(trim(arr[i]), '\s+')) AS n_words
+         len(string_split_regex(trim(arr[i]), '[ \t\n\f\r]+')) AS n_words
   FROM base, UNNEST(generate_series(1, len(arr))) AS u(i)
   WHERE length(trim(arr[i])) > 0
 ),

@@ -105,19 +105,62 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "errors": errors,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-            }
-        )
-    )
+    # cpus must record the parallelism the run ACTUALLY had: SPARK_GRAFT_CPUS
+    # only when the env var really set the master, else the session's own
+    # defaultParallelism (a hard-coded 32 fallback skewed cross-host
+    # baseline adjudication — ADVICE round 5).
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "").strip()
+    try:
+        cpus = int(cpus_env) if cpus_env else spark.sparkContext.defaultParallelism
+    except ValueError:
+        cpus = spark.sparkContext.defaultParallelism
+
+    # The driver's tail capture is ~2KB; a 175-query map overflows it and the
+    # permanent BENCH_r{N}.json record ends up a truncated string
+    # ("parsed": null in rounds 1-5). Emit a compact final line (top-10
+    # slowest + error names only) and write the FULL per-query map to a repo
+    # file the round commits (BENCH_local_r{NN}.json, NN = 1 + latest
+    # driver-recorded round).
+    repo = Path(__file__).resolve().parent
+    rounds = [
+        int(p.stem.split("_r")[-1])
+        for p in repo.glob("BENCH_r*.json")
+        if p.stem.split("_r")[-1].isdigit()
+    ]
+    full_name = f"BENCH_local_r{(max(rounds) + 1 if rounds else 0):02d}.json"
+    full_record = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "errors": errors,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "repeats": repeats,
+    }
+    try:
+        (repo / full_name).write_text(json.dumps(full_record, indent=1) + "\n")
+    except OSError as exc:  # read-only checkout must not lose the stdout record
+        print(f"# could not write {full_name}: {exc}", file=sys.stderr)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    compact = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "error_names": sorted(errors)[:8],
+        "sf": full_record["sf"],
+        "cpus": cpus,
+        "full": full_name,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # hard guarantee: never overflow the tail capture
+        compact["queries"] = dict(list(slowest.items())[:5])
+        compact["error_names"] = compact["error_names"][:3]
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

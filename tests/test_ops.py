@@ -853,6 +853,72 @@ def test_incremental_cdc_novelty_across_batches(spark, tmp_path):
     assert (r2b["novel_chunks"] == 0).all()
 
 
+def test_incremental_cdc_novelty_crash_between_report_and_index(spark, tmp_path):
+    """The report-first commit order survives a crash between the two
+    commits: batch 2's report lands, the driver dies before the index
+    append, and the REPLAY (same txn ids) recomputes the identical report
+    against the still-unmoved index — the report sink's txn guard skips the
+    duplicate, the index append then proceeds, and a third run is a full
+    no-op. Under the old index-first order this exact crash permanently
+    recorded zero novelty for fresh content (round-5 ADVICE, medium)."""
+    from apollo_spark.ops.dedup import incremental_cdc_novelty
+    from apollo_spark.table_format import TxTable
+
+    import numpy.random as npr
+
+    idx = str(tmp_path / "cdc_idx")
+    rep = str(tmp_path / "cdc_rep")
+    # random draws (not modular sequences): periodic token streams create
+    # real intra-doc duplicate chunks that legitimately score < 1.0
+    rng = npr.default_rng(7)
+    t1 = " ".join(f"w{k}" for k in rng.integers(0, 70, size=200))
+    t2 = " ".join(f"x{k}" for k in rng.integers(0, 70, size=200))
+    b1 = spark.createDataFrame([(1, t1)], "doc_id long, text string")
+    b2 = spark.createDataFrame([(2, t2)], "doc_id long, text string")
+
+    def report_sink(out, batch):
+        TxTable(rep).write(out, mode="append", txn_app="t", txn_batch=batch)
+
+    incremental_cdc_novelty(
+        idx, b1, txn_app="t", txn_batch=1, commit_report=lambda o: report_sink(o, 1)
+    )
+    idx_v1 = TxTable(idx).current_version()
+
+    class Boom(RuntimeError):
+        pass
+
+    def crashing_sink(out):
+        report_sink(out, 2)
+        raise Boom()  # driver dies AFTER the report commit, BEFORE the index append
+
+    # attempt 1: report commits, index does not (the crash window)
+    import pytest as _pytest
+
+    with _pytest.raises(Boom):
+        incremental_cdc_novelty(idx, b2, txn_app="t", txn_batch=2, commit_report=crashing_sink)
+    assert TxTable(idx).current_version() == idx_v1  # index never moved
+    rep_after_crash = TxTable(rep).read(spark).filter("id = 2").collect()
+    assert rep_after_crash[0].novel_frac == 1.0  # the TRUE report is already durable
+
+    # replay: recomputed report is identical, txn guard discards the dup,
+    # index append finally lands
+    r = incremental_cdc_novelty(
+        idx, b2, txn_app="t", txn_batch=2, commit_report=lambda o: report_sink(o, 2)
+    ).collect()
+    assert r[0].novel_frac == 1.0  # recomputed against the unmoved index
+    assert TxTable(idx).current_version() > idx_v1
+    reports = TxTable(rep).read(spark).filter("id = 2").collect()
+    assert len(reports) == 1 and reports[0].novel_frac == 1.0
+
+    # third run: both commits are no-ops
+    v_idx, v_rep = TxTable(idx).current_version(), TxTable(rep).current_version()
+    incremental_cdc_novelty(
+        idx, b2, txn_app="t", txn_batch=2, commit_report=lambda o: report_sink(o, 2)
+    )
+    assert TxTable(idx).current_version() == v_idx
+    assert TxTable(rep).current_version() == v_rep
+
+
 def test_duplicated_spans_flags_planted_span(spark):
     """A 8-token span planted in two docs is counted at every position it
     covers in both docs; a doc with no shared span reports zero dups (and is
@@ -1242,6 +1308,60 @@ def test_sentence_chunks_skipped_ids_and_marker_hygiene(spark):
     # NOT two forged sentences
     assert d2.iloc[0]["chunk_text"].startswith("alpha beta gamma.")
     assert d2["n_sentences"].sum() == 2
+
+
+def test_sentence_chunks_vertical_tab_cross_engine(spark):
+    """Java regex \\s matches U+000B (vertical tab); RE2/DuckDB \\s does not —
+    sentence_chunks therefore uses the explicit class [ \\t\\n\\f\\r] so a \\v
+    after terminal punctuation or inside a word run splits IDENTICALLY in
+    both engines (round-5 ADVICE). Certify by replaying the op's exact
+    regexes in DuckDB on a \\v-bearing document and comparing chunk hashes."""
+    import duckdb
+
+    from apollo_spark.ops.corpus import sentence_chunks
+
+    # \v after '.': NOT a sentence boundary in either engine now.
+    # \v inside 'mid\vword': one word in both engines.
+    text = "alpha beta gamma.\vdelta epsilon. zeta mid\vword eta theta iota kappa."
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = (
+        sentence_chunks(df, budget_words=6)
+        .toPandas()
+        .sort_values("chunk_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    ddf = con.execute(
+        r"""
+WITH base AS (
+  SELECT 1 AS doc_id,
+         string_split(regexp_replace(replace(trim(?), chr(30), ' '),
+                                     '([.!?])[ \t\n\f\r]+', '\1' || chr(30), 'g'), chr(30)) AS arr
+),
+sents AS (
+  SELECT doc_id, i - 1 AS sidx, trim(arr[i]) AS sentence,
+         len(string_split_regex(trim(arr[i]), '[ \t\n\f\r]+')) AS n_words
+  FROM base, UNNEST(generate_series(1, len(arr))) AS u(i)
+  WHERE length(trim(arr[i])) > 0
+),
+chunked AS (
+  SELECT doc_id, sidx, sentence, n_words,
+         CAST(floor(COALESCE(SUM(n_words) OVER (
+           PARTITION BY doc_id ORDER BY sidx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 6.0) AS BIGINT) AS chunk_id
+  FROM sents
+)
+SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS n_sentences,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       md5(string_agg(sentence, ' ' ORDER BY sidx)) AS chunk_hash
+FROM chunked GROUP BY chunk_id ORDER BY chunk_id
+""",
+        [text],
+    ).df()
+    assert list(out["chunk_hash"]) == list(ddf["chunk_hash"])
+    assert list(out["n_words"]) == list(ddf["n_words"])
+    # and the \v really was load-bearing: the first sentence runs THROUGH it
+    assert "gamma.\vdelta" in out.iloc[0]["chunk_text"]
 
 
 def test_pack_sequences_tape_is_contiguous(spark):

@@ -793,10 +793,18 @@ def test_streaming_cdc_novelty_across_microbatches(spark, tmp_path):
     ckpt = str(tmp_path / "cdc_ckpt")
 
     def sink(df, batch_id):
-        out = incremental_cdc_novelty(
-            idx, df, txn_app="cdcnov", txn_batch=int(batch_id)
+        # commit_report: the report table commits BEFORE the index moves, so
+        # a crash between the two replays to an identical (skipped) report —
+        # never a permanent zero-novelty record (round-5 ADVICE ordering)
+        incremental_cdc_novelty(
+            idx,
+            df,
+            txn_app="cdcnov",
+            txn_batch=int(batch_id),
+            commit_report=lambda out: TxTable(rep).write(
+                out, mode="append", txn_app="cdcnov", txn_batch=int(batch_id)
+            ),
         )
-        TxTable(rep).write(out, mode="append", txn_app="cdcnov", txn_batch=int(batch_id))
 
     def run_once():
         stream = spark.readStream.schema("doc_id long, text string").json(str(src))
