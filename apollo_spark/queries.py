@@ -1614,8 +1614,12 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the measurement that decides how small an ANN index's vectors can be.
     The dim=64 row is a built-in control (recall exactly 1.0). Eval tier:
     the bounded probe set rides a broadcast (20 x N x 4 dims scored rows,
-    linear in corpus); per-(query, dim) ranking reuses the exact
-    brute-force-certification shape, with the IVF ops as the scale path."""
+    linear in corpus); the per-(query, dim) top-10 selection rides
+    ops.rank.top_k_per_key — the salted two-phase selection — so no window
+    partition is ever corpus-sized (a plain (q_id, dim) window would sort
+    N rows in ONE task per probe; round-5 verdict item 3). Row-identical to
+    the plain window the oracle replays; IVF ops remain the serving path."""
+    from apollo_spark.ops.rank import top_k_per_key
     from apollo_spark.ops.similarity import cosine
 
     e = _t(spark, sf_dir, "embeddings").select(
@@ -1637,13 +1641,19 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.slice("v", 1, F.col("dim")), F.slice("qv", 1, F.col("dim"))),
         )
     )
-    w = Window.partitionBy("q_id", "dim").orderBy(F.col("score").desc(), F.col("vec_id").asc())
     # top feeds four downstream consumers (truth, both semi-join sides, nq);
     # without the persist Spark re-runs the corpus-scoring cross join and
-    # the window sort once per consumer (measured 18 s at sf1)
+    # the salted selection once per consumer (measured 18 s at sf1).
+    # v/qv dropped BEFORE the selection shuffle: only (q_id, dim, vec_id,
+    # score) rows move, not the 64-double vectors.
     top = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        top_k_per_key(
+            scored.select("q_id", "dim", "vec_id", "score"),
+            ["q_id", "dim"],
+            [F.col("score").desc(), F.col("vec_id").asc()],
+            k=10,
+            salt_col=F.crc32(F.col("vec_id").cast("string")),
+        )
         .select("q_id", "dim", "vec_id")
         .persist()
     )
@@ -3371,11 +3381,14 @@ def knn_ivf_lattice_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lattice_common_ctes(k: int, iters: int) -> list[str]:
+def _lattice_common_ctes(k: int | str, iters: int) -> list[str]:
     """Shared unrolled lattice-k-means CTE prefix (training rounds, final
     assignment, double-cast vectors) for every oracle that replays the
     engine-exact integer k-means: knn_ivf_lattice_approx and
-    semantic_dedup_lattice."""
+    semantic_dedup_lattice. ``k`` may be an int literal or a SQL scalar
+    expression (a corpus-sized subquery — SemDeDup's k-grows-with-N
+    blocking, so the oracle replays the SAME k the Spark query derives at
+    any scale factor)."""
     ctes = [
         """long AS (
   SELECT vec_id, i AS d,
@@ -3463,6 +3476,26 @@ FROM ranked WHERE rank <= {topk} ORDER BY q_id, rank"""
 ORACLE_IVF_LATTICE = _ivf_lattice_oracle(k=8, iters=2, probe=2, topk=5)
 
 
+SEMDEDUP_TARGET_CLUSTER_ROWS = 250
+# The oracle derives the SAME k from the SAME corpus count the Spark query
+# reads, so the hash gate survives at any scale factor (k=8 at every gate SF
+# <= sf0.1; grows past that).
+SEMDEDUP_K_SQL = (
+    "(SELECT GREATEST(8, CAST(CEIL(COUNT(*) / "
+    f"{SEMDEDUP_TARGET_CLUSTER_ROWS}.0) AS BIGINT)) FROM embeddings)"
+)
+
+
+def semdedup_k(n_rows: int, target: int = SEMDEDUP_TARGET_CLUSTER_ROWS) -> int:
+    """SemDeDup's blocking contract: cluster count GROWS with the corpus
+    (k = max(8, ceil(N/target))) so the within-cluster pairwise prune stays
+    O(N * target) — linear in N — instead of O(N^2 / k_fixed). Mirrors
+    SEMDEDUP_K_SQL exactly (CEIL on a *.0 division == math.ceil on ints)."""
+    import math
+
+    return max(8, math.ceil(n_rows / target))
+
+
 def semantic_dedup_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-gated twin of semantic_dedup_docs: SemDeDup's float k-means
     isn't SQL-replayable, so this variant clusters with the ENGINE-EXACT
@@ -3474,14 +3507,19 @@ def semantic_dedup_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
     sits in the redundancy tail and actually exercises the prune at every
     gate SF)
     (one self-join + anti-join; the greedy kept-set variant stays in
-    ops.similarity.semantic_dedup). Work is bounded to O(k * (N/k)^2) by the
-    cluster blocking, exactly SemDeDup's tradeoff; both cluster assignment
-    and every cosine comparison replay bit-for-bit in DuckDB (sequential
+    ops.similarity.semantic_dedup). Work is bounded by the cluster blocking
+    with k GROWING with the corpus (semdedup_k: k = max(8, ceil(N/250)) —
+    the k-proportional-to-N half of SemDeDup's tradeoff, so the prune is
+    O(N * 250), linear, not O(N^2/8); round-5 verdict's one scale-killer).
+    The oracle derives the identical k from the identical COUNT(*)
+    (SEMDEDUP_K_SQL), so both cluster assignment and every cosine comparison
+    still replay bit-for-bit in DuckDB at ANY scale factor (sequential
     left-to-right double folds on both engines)."""
     from apollo_spark.ops.clustering import embedding_lattice, kmeans_lattice
 
     e = _t(spark, sf_dir, "embeddings")
-    _, cent = kmeans_lattice(e, k=8, iters=2)
+    k = semdedup_k(e.count())
+    _, cent = kmeans_lattice(e, k=k, iters=2)
     long = embedding_lattice(e)
     diff = F.col("xi") - F.col("ci")
     dist = (
@@ -3512,9 +3550,13 @@ def semantic_dedup_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semantic_lattice_oracle(k: int = 8, iters: int = 2, threshold: float = 0.93) -> str:
+def _semantic_lattice_oracle(
+    k: int | str = SEMDEDUP_K_SQL, iters: int = 2, threshold: float = 0.93
+) -> str:
     """Mirror of semantic_dedup_lattice: shared lattice-k-means CTEs +
-    within-cluster pairwise cosine prune via NOT EXISTS."""
+    within-cluster pairwise cosine prune via NOT EXISTS. ``k`` defaults to
+    the corpus-derived subquery so the oracle scales its blocking exactly
+    as the engine does."""
     ctes = _lattice_common_ctes(k, iters)
     return (
         "WITH "
@@ -3535,7 +3577,7 @@ ORDER BY vec_id"""
     )
 
 
-ORACLE_SEMANTIC_LATTICE = _semantic_lattice_oracle(k=8, iters=2, threshold=0.35)
+ORACLE_SEMANTIC_LATTICE = _semantic_lattice_oracle(k=SEMDEDUP_K_SQL, iters=2, threshold=0.35)
 
 
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4266,11 +4308,13 @@ def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: cluster, then greedily keep the
     lowest-id representative of every >=0.93-cosine group inside each
     cluster. k-means makes it non-SQL-expressible -> rows-only gate; the
-    planted-duplicate behavior is pinned in tests/test_ops.py."""
+    planted-duplicate behavior is pinned in tests/test_ops.py. n_clusters is
+    auto-derived (k = max(16, ceil(N/250))) so the per-cluster prune stays
+    linear in corpus size — SemDeDup's own k-grows-with-N blocking."""
     from apollo_spark.ops.similarity import semantic_dedup
 
     e = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(e, threshold=0.93, n_clusters=8).orderBy("vec_id")
+    return semantic_dedup(e, threshold=0.93).orderBy("vec_id")
 
 
 # --------------------------------------------------------------------------

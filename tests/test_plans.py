@@ -412,6 +412,16 @@ def test_source_frequency_cap_first_window_is_salted(spark):
     assert re.search(r"windowspecdefinition\(source#\d+, __s#\d+L?,", p), p[:2000]
 
 
+def test_matryoshka_first_window_is_salted(spark):
+    """matryoshka_recall's per-(q_id, dim) top-10 must rank within
+    (q_id, dim, __s) FIRST — a plain (q_id, dim) window holds the whole
+    corpus per probe (80 partitions x N rows, one task each). The unsalted
+    second window sees <= salt*k survivors. Mirror of
+    test_source_frequency_cap_first_window_is_salted."""
+    p = plan(spark, "matryoshka_recall")
+    assert re.search(r"windowspecdefinition\(q_id#\d+L?, dim#\d+, __s#\d+L?,", p), p[:2000]
+
+
 def test_global_rank_queries_have_no_unbounded_onetask_window(spark):
     """The former scale-killers (global NTILE/rank over a corpus- or
     entity-sized frame in ONE task) must stay on the two-phase bucketed

@@ -140,6 +140,42 @@ def test_flagship_oracle_green_at_driver_sf(spark, name):
             assert (a[c].astype(str) == b[c].astype(str)).all(), f"{name}.{c}"
 
 
+def test_semantic_dedup_lattice_dynamic_k_cross_engine(spark, tmp_path):
+    """SemDeDup's blocking contract says k GROWS with the corpus (round-5
+    verdict's scale-killer: fixed k=8 made the prune O(N^2/8)). Every gate
+    SF derives k=8, so this test builds a 2600-vector corpus where
+    semdedup_k returns 11 and certifies the Spark query and the DuckDB
+    oracle STILL agree bit-for-bit — the dynamic k is derived from the same
+    COUNT(*) on both sides."""
+    import duckdb
+    import numpy as np
+
+    from apollo_spark.queries import ORACLES, QUERIES, semdedup_k
+
+    n, d = 2600, 16
+    assert semdedup_k(n) == 11  # past the floor: the dynamic path is live
+    rng = np.random.default_rng(5)
+    vecs = np.clip(rng.standard_normal((n, d)) * 2.0, -7.5, 7.5).astype(np.float32)
+    vecs[100] = vecs[50] * np.float32(1.001)  # planted near-dup: prune must fire
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(2).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    sdf = QUERIES["semantic_dedup_lattice"](spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    ddf = con.sql(ORACLES["semantic_dedup_lattice"]).df()
+    assert len(sdf) == len(ddf)
+    assert 0 < len(sdf) < n  # the prune dropped something, kept something
+    a = sdf.sort_values("vec_id").reset_index(drop=True)
+    b = ddf.sort_values("vec_id").reset_index(drop=True)
+    assert (a["vec_id"].to_numpy() == b["vec_id"].to_numpy()).all()
+    assert (a["cluster"].astype(int).to_numpy() == b["cluster"].astype(int).to_numpy()).all()
+    assert int(a["cluster"].nunique()) > 8  # the blocking actually used the grown k
+
+
 def test_pca_zca_partition_invariant(spark):
     """The two eigensolve queries can't be cross-engine hash-gated (no SQL
     eigensolve; the spectrum's top gap is ~0.99 so no replayable iteration
