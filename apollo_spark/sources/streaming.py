@@ -538,3 +538,78 @@ def streaming_corpus_dedup(
         matches.unpersist()
 
     return _sink
+
+
+def streaming_cdc_retention(
+    index_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_novel_frac: float = 0.5,
+    window: int = 3,
+    divisor: int = 16,
+    app_id: str = "cdc_retention",
+    report_dir: str | None = None,
+):
+    """foreachBatch sink factory: continuous-ingest SPAN-NOVELTY retention —
+    the keep/drop gate over ``ops.dedup.incremental_cdc_novelty`` that makes
+    the continuous-ingest story one call (round-5 verdict item 7). Where
+    ``streaming_corpus_dedup`` drops documents that LOOK like an existing
+    document (minhash near-dup), this drops documents whose CONTENT is
+    already ingested span-by-span: a boilerplate re-crawl scores ~0 novelty
+    and is dropped even when no single historical document resembles it.
+
+    Per micro-batch: (a) CDC-chunk the increment and score each document's
+    ``novel_frac`` against the persistent chunk-hash index at ``index_dir``;
+    (b) append the documents clearing ``min_novel_frac`` to the TxTable at
+    ``out_dir`` — and, if ``report_dir`` is given, the full novelty report
+    beside it — BEFORE (c) the chunk index moves (the op's report-first
+    commit order), all under the same (app_id, batch_id) txn guard, so a
+    checkpoint-restart replay at ANY crash point recomputes the identical
+    gate against the unmoved index and every write is a no-op.
+
+    Documents with no spans (empty/whitespace text) produce no chunks and
+    are dropped — a zero-length document carries no novel content by
+    definition. State grows by the corpus's DISTINCT chunk hashes only:
+    re-crawls never grow the index, which is what keeps this runnable
+    forever at lake scale.
+
+    Usage::
+
+        stream.writeStream.foreachBatch(
+            streaming_cdc_retention(idx, kept)
+        ).option("checkpointLocation", ckpt).start()
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from apollo_spark.ops.cache import release_caches
+        from apollo_spark.ops.dedup import incremental_cdc_novelty
+        from apollo_spark.table_format import TxTable
+
+        def _commit(report: DataFrame) -> None:
+            keep = report.filter(F.col("novel_frac") >= min_novel_frac).select(
+                F.col("id").alias(id_col)
+            )
+            survivors = batch_df.join(keep, id_col, "left_semi")
+            TxTable(out_dir).write(
+                survivors, mode="append", txn_app=app_id, txn_batch=int(batch_id)
+            )
+            if report_dir is not None:
+                TxTable(report_dir).write(
+                    report, mode="append", txn_app=app_id, txn_batch=int(batch_id)
+                )
+
+        out = incremental_cdc_novelty(
+            index_dir,
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            window=window,
+            divisor=divisor,
+            txn_app=app_id,
+            txn_batch=int(batch_id),
+            commit_report=_commit,
+        )
+        release_caches(out)
+
+    return _sink

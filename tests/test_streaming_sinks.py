@@ -17,11 +17,14 @@ def unipair():
     return Abi.from_file("/root/reference/test/unipair.abi.json")
 
 
-def _write_bridge_files(dir_: Path, abi: Abi, n: int = 20):
-    """Emulate the WS->JSONL bridge output."""
+def _write_bridge_files(dir_: Path, abi: Abi, n: int = 20, start: int = 0, fname: str = "batch0.jsonl"):
+    """Emulate the WS->JSONL bridge output. ``start``/``fname`` let a test
+    append a SECOND file of distinct events (new blocks -> new dedup keys)
+    to drive a later micro-batch."""
     ev = abi.events["Swap"]
     rows = []
-    for i in range(n):
+    for j in range(n):
+        i = start + j
         data = abi_encode(["uint256"] * 4, [i, 0, i * 2, 0])
         rows.append(
             {
@@ -37,7 +40,7 @@ def _write_bridge_files(dir_: Path, abi: Abi, n: int = 20):
             }
         )
     dir_.mkdir(parents=True, exist_ok=True)
-    (dir_ / "batch0.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    (dir_ / fname).write_text("\n".join(json.dumps(r) for r in rows))
 
 
 def test_event_stream_decodes(spark, tmp_path, unipair):
@@ -835,6 +838,178 @@ def test_streaming_cdc_novelty_across_microbatches(spark, tmp_path):
     assert reports[1].novel_frac == 1.0  # first-ever content
     assert reports[2].novel_frac == 0.0  # re-crawl across the stream boundary
     assert reports[3].novel_frac == 1.0  # new content in batch 2
+
+
+def test_streaming_cdc_retention_keeps_fresh_drops_recrawls(spark, tmp_path):
+    """The continuous-ingest keep/drop gate in one call (round-5 verdict
+    item 7): a file stream feeds streaming_cdc_retention; across real
+    micro-batches fresh documents land in the survivors table, an exact
+    re-crawl and a lightly-edited re-crawl are dropped (novelty below the
+    0.5 gate), and a replay run with NO new files leaves every table — index,
+    survivors, report — at the same version (txn no-op)."""
+    import json
+
+    import numpy.random as npr
+
+    from apollo_spark.sources.streaming import streaming_cdc_retention
+    from apollo_spark.table_format import TxTable
+
+    src = tmp_path / "ret_stream"
+    src.mkdir()
+    idx = str(tmp_path / "ret_idx")
+    kept = str(tmp_path / "ret_kept")
+    rep = str(tmp_path / "ret_reports")
+    ckpt = str(tmp_path / "ret_ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(
+                streaming_cdc_retention(idx, kept, report_dir=rep, app_id="ret")
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    rng = npr.default_rng(31)
+    base = " ".join(f"tok{k}" for k in rng.integers(0, 70, size=240))
+    words = base.split(" ")
+    edited = " ".join(words[:120] + ["tiny", "edit"] + words[120:])  # ~1 chunk new
+    fresh = " ".join(f"neo{k}" for k in rng.integers(0, 70, size=240))
+
+    (src / "b1.json").write_text(json.dumps({"doc_id": 1, "text": base}))
+    run_once()
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 2, "text": base},    # exact re-crawl -> dropped
+                {"doc_id": 3, "text": edited},  # edited re-crawl -> below gate -> dropped
+                {"doc_id": 4, "text": fresh},   # genuinely new -> kept
+            ]
+        )
+    )
+    run_once()
+
+    kept_ids = sorted(r.doc_id for r in TxTable(kept).read(spark).collect())
+    assert kept_ids == [1, 4]
+    reports = {r.id: r for r in TxTable(rep).read(spark).collect()}
+    assert reports[2].novel_frac == 0.0
+    assert 0.0 < reports[3].novel_frac < 0.5
+    assert reports[4].novel_frac == 1.0
+
+    # replay: no new files -> every table stays at its version
+    versions = [TxTable(p).current_version() for p in (idx, kept, rep)]
+    run_once()
+    assert [TxTable(p).current_version() for p in (idx, kept, rep)] == versions
+
+
+def test_dsl_streaming_push_fanout_e2e(spark, tmp_path, catalog, unipair):
+    """The full apollo realtime analog (output/output.go:82-124 + the
+    ROADMAP's WS/SSE latency path) from the DSL surface: a schema.hcl query
+    compiles to a stream whose foreachBatch fan-out feeds BOTH an
+    exactly-once TxTable sink and a live WebSocket client, across two real
+    micro-batches — then the push overflow guard fires through the same
+    streaming path on an oversized batch (round-5 verdict item 6)."""
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import compile_streaming_query
+    from apollo_spark.sinks import SinkConfig, SinkWriter
+    from apollo_spark.sinks_push import TopicHub, WsPushServer
+    from apollo_spark.sources.ws_bridge import WsConnection
+    from apollo_spark.table_format import TxTable
+
+    schema = parse_schema(
+        """
+query rt_push {
+  chain = "arbitrum"
+  contract {
+    address = "0x905dfcd5649217c42684f23958568e533c711aa3"
+    abi = "unipair.abi.json"
+    event Swap {
+      outputs = ["amount0In"]
+    }
+    transform {
+      doubled = amount0In * 2
+    }
+  }
+  filter = [ amount0In != 0 ]
+  save {
+    block = blocknumber
+    v = doubled
+  }
+}
+""",
+        confdir="/root/reference/test",
+    )
+    q = schema.queries[0]
+    bridge = tmp_path / "bridge_push"
+    ckpt = str(tmp_path / "ckpt_push")
+    hub = TopicHub()
+    srv = WsPushServer(hub)
+    try:
+        ws = WsConnection(f"ws://127.0.0.1:{srv.port}/rt_push", timeout_s=15)
+        deadline = time.time() + 10
+        while hub.n_subscribers("rt_push") < 1 and time.time() < deadline:
+            time.sleep(0.05)
+        assert hub.n_subscribers("rt_push") == 1
+        writer = SinkWriter(SinkConfig(tx_table_dir=str(tmp_path / "tx"), push_hub=hub))
+
+        def run_once():
+            sdf = compile_streaming_query(spark, catalog, q, schema, str(bridge))
+            sq = (
+                sdf.writeStream.foreachBatch(writer.foreach_batch("rt_push"))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination(120)
+
+        # micro-batch 1: events 0..3 (amount0In == 0 filtered -> 3 rows)
+        _write_bridge_files(bridge, unipair, n=4)
+        run_once()
+        # micro-batch 2: NEW events 4..6 in a second bridge file (3 rows)
+        _write_bridge_files(bridge, unipair, n=3, start=4, fname="batch1.jsonl")
+        run_once()
+
+        # the bulk sink saw every row exactly once...
+        tx_rows = {
+            (int(r.block), int(r.v))
+            for r in TxTable(str(tmp_path / "tx" / "rt_push")).read(spark).collect()
+        }
+        expect = {(10_000_000 + i, 2 * i) for i in range(1, 7)}
+        assert tx_rows == expect
+        # ...and the SAME rows arrived at the live WS client as JSON
+        got = set()
+        deadline = time.time() + 30
+        while len(got) < 6 and time.time() < deadline:
+            try:
+                m = json.loads(ws.recv_text())
+                got.add((int(m["block"]), int(m["v"])))
+            except Exception:
+                time.sleep(0.1)
+        assert got == expect
+        ws.close()
+
+        # overflow guard THROUGH the streaming path: a fresh stream with a
+        # tiny push cap dies on an oversized micro-batch, naming the bulk
+        # sinks as the right path for it
+        capped = SinkWriter(
+            SinkConfig(tx_table_dir=str(tmp_path / "tx2"), push_hub=hub, push_max_rows=3)
+        )
+        _write_bridge_files(bridge, unipair, n=10, start=100, fname="batch_big.jsonl")
+        sdf = compile_streaming_query(spark, catalog, q, schema, str(bridge))
+        sq = (
+            sdf.writeStream.foreachBatch(capped.foreach_batch("rt_push"))
+            .option("checkpointLocation", str(tmp_path / "ckpt_push2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(Exception, match="latency path"):
+            sq.awaitTermination(120)
+    finally:
+        srv.close()
 
 
 def test_compile_streaming_query_rejects_window_block(spark, tmp_path, catalog):
