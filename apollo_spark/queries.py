@@ -8185,6 +8185,231 @@ ORDER BY n_name, yr
 # The round-1 gate evaluated only the first 50 entries, so the five
 # previously-ungated oracle-backed queries lead the dict, and the four
 # rows-only queries (no ORACLES entry) close it.
+# --------------------------------------------------------------------------
+# round 6: linkage + web-curation tier
+# --------------------------------------------------------------------------
+
+
+def customer_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution without a cross product (ops.linkage.fuzzy_dup_pairs):
+    SymSpell deletion-neighborhood candidate generation — strings within
+    Levenshtein distance 1 necessarily share a deletion-1 variant, so one
+    keyed equality join on variants finds every candidate and only
+    candidates pay the exact levenshtein() re-score. Run over customer
+    names (digit-substitution neighbors abound); the oracle replays the
+    identical variant generation and the identical builtin distance."""
+    from apollo_spark.ops.linkage import fuzzy_dup_pairs
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("s")
+    )
+    return (
+        fuzzy_dup_pairs(c, "id", "s")
+        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLE_FUZZY_NAME_PAIRS = r"""
+WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+v AS (
+  SELECT id, s,
+         unnest(list_distinct(list_prepend(s,
+           list_transform(generate_series(1, length(s)),
+             i -> concat(substr(s, 1, i-1), substr(s, i+1, length(s)-i)))))) AS v
+  FROM c
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, a.s AS s_a, b.id AS id_b, b.s AS s_b
+  FROM v a JOIN v b USING (v) WHERE a.id < b.id
+)
+SELECT id_a, id_b, CAST(levenshtein(s_a, s_b) AS INT) AS dist
+FROM cand WHERE levenshtein(s_a, s_b) <= 1
+ORDER BY id_a, id_b
+"""
+
+
+_URL_SYNTH_SPARK = """
+CASE pmod(doc_id, 5)
+  WHEN 0 THEN concat('http://www.', source, '.example.com/page/', cast(pmod(doc_id, 40) as string))
+  WHEN 1 THEN concat('HTTP://WWW.', upper(source), '.EXAMPLE.COM/page/', cast(pmod(doc_id, 40) as string), '/')
+  WHEN 2 THEN concat('http://www.', source, '.example.com:80/page/', cast(pmod(doc_id, 40) as string), '?utm_source=feed')
+  WHEN 3 THEN concat('http://www.', source, '.example.com/page/', cast(pmod(doc_id, 40) as string), '?b=2&a=1#frag')
+  ELSE concat('http://www.', source, '.example.com/page/', cast(pmod(doc_id, 40) as string), '?a=1&b=2&gclid=xyz')
+END
+"""
+
+
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL dedup (ops.web.url_dup_groups): the same page
+    arrives as http/HTTP, with :80, with utm_*/gclid tracking params, with
+    param-order shuffles, fragments, and trailing slashes — canonicalization
+    must collapse all of them WITHOUT merging genuinely different URLs
+    (different ?a=1&b=2 payloads stay distinct). The corpus has no URL
+    column, so one deterministic CASE synthesizes five raw variants per
+    (source, page) — replayed verbatim by the oracle — and the group stats
+    certify the whole expression chain cross-engine."""
+    from apollo_spark.ops.web import url_dup_groups
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_URL_SYNTH_SPARK.strip()).alias("url")
+    )
+    return (
+        url_dup_groups(d, url_col="url", id_col="doc_id")
+        .select("canonical_url", "n_docs", "n_raw_forms", "keep_id")
+        .orderBy("canonical_url")
+    )
+
+
+ORACLE_URL_CANONICAL_DEDUP = r"""
+WITH d AS (
+  SELECT doc_id, source,
+    CASE doc_id % 5
+      WHEN 0 THEN concat('http://www.', source, '.example.com/page/', CAST(doc_id % 40 AS VARCHAR))
+      WHEN 1 THEN concat('HTTP://WWW.', upper(source), '.EXAMPLE.COM/page/', CAST(doc_id % 40 AS VARCHAR), '/')
+      WHEN 2 THEN concat('http://www.', source, '.example.com:80/page/', CAST(doc_id % 40 AS VARCHAR), '?utm_source=feed')
+      WHEN 3 THEN concat('http://www.', source, '.example.com/page/', CAST(doc_id % 40 AS VARCHAR), '?b=2&a=1#frag')
+      ELSE concat('http://www.', source, '.example.com/page/', CAST(doc_id % 40 AS VARCHAR), '?a=1&b=2&gclid=xyz')
+    END AS url
+  FROM documents
+),
+p AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '^([^:]+)', 1)) AS host,
+         regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), ':([0-9]+)$', 1) AS port,
+         regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+         list_sort(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                   x -> len(x) > 0 AND NOT regexp_matches(x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid)='))) AS kept
+  FROM d
+),
+c AS (
+  SELECT doc_id, url,
+         concat(scheme, '://', host,
+                CASE WHEN port = '' OR (scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443')
+                     THEN '' ELSE concat(':', port) END,
+                path,
+                CASE WHEN len(kept) = 0 THEN '' ELSE concat('?', array_to_string(kept, '&')) END) AS canonical_url
+  FROM p WHERE scheme != '' AND host != ''
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms,
+       MIN(doc_id) AS keep_id
+FROM c
+GROUP BY canonical_url HAVING COUNT(*) >= 2
+ORDER BY canonical_url
+"""
+
+
+_HOST_SYNTH_SPARK = """
+CASE pmod(doc_id, 4)
+  WHEN 0 THEN concat('www.', source, '.com')
+  WHEN 1 THEN concat('cdn.', source, '.com')
+  WHEN 2 THEN 'ads.tracker.net'
+  ELSE concat(source, '.org')
+END
+"""
+
+_BLOCKLIST = ["src1.com", "tracker.net"]
+
+
+def blocked_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist curation by domain SUFFIX (ops.web.domain_suffix_filter):
+    blocking src1.com must drop www.src1.com and cdn.src1.com but NOT
+    src1.org; blocking tracker.net drops ads.tracker.net. The host explodes
+    into its dot-suffixes and ONE keyed equality join against the blocklist
+    decides every host — no per-row regex scan, so the blocklist can hold a
+    million domains at the cost of a hash join. Hosts synthesized
+    deterministically (no host column in the corpus); per-source keep/total
+    counts certify the suffix semantics cross-engine."""
+    from apollo_spark.ops.web import domain_suffix_filter
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_HOST_SYNTH_SPARK.strip()).alias("host")
+    )
+    blocked = spark.createDataFrame([(b,) for b in _BLOCKLIST], "domain string")
+    kept = domain_suffix_filter(d, blocked, host_col="host")
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    kept_counts = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        totals.join(kept_counts, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_BLOCKED_DOMAIN_FILTER = r"""
+WITH d AS (
+  SELECT doc_id, source,
+    CASE doc_id % 4
+      WHEN 0 THEN concat('www.', source, '.com')
+      WHEN 1 THEN concat('cdn.', source, '.com')
+      WHEN 2 THEN 'ads.tracker.net'
+      ELSE concat(source, '.org')
+    END AS host
+  FROM documents
+),
+hosts AS (SELECT DISTINCT host FROM d),
+sfx AS (
+  SELECT host,
+         unnest(list_transform(generate_series(1, len(string_split(host, '.'))),
+           i -> array_to_string(list_slice(string_split(host, '.'), i, len(string_split(host, '.'))), '.'))) AS s
+  FROM hosts
+),
+bad AS (SELECT DISTINCT host FROM sfx WHERE s IN ('src1.com', 'tracker.net'))
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN host IN (SELECT host FROM bad) THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-look corpus health report a curation run starts from: per
+    source — document count, whitespace-token volume, distinct languages,
+    exact-duplicate rate (1 - distinct text hashes / docs), and mean
+    document length. Pure aggregate expressions (one groupBy shuffle), every
+    component an exact integer or a single final division, so the report
+    hash-gates cross-engine."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim("text"), r"[ \t\n\f\r]+")).cast("long")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).alias("n_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            (F.lit(1.0) - F.col("n_unique_texts").cast("double") / F.col("n_docs").cast("double")).alias("exact_dup_rate"),
+            (F.col("total_chars").cast("double") / F.col("n_docs").cast("double")).alias("mean_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CORPUS_QUALITY_REPORT = r"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split_regex(trim(text), '[ \t\n\f\r]+'))) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS exact_dup_rate,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- oracle-backed, ungated in round 1: gate these first ---------------
     "ngram_jaccard_dup_pairs": ngram_jaccard_dup_pairs,
@@ -8226,6 +8451,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ivf_lattice_approx": knn_ivf_lattice_approx,
     "semantic_dedup_lattice": semantic_dedup_lattice,
     "user_sessions": user_sessions,
+    # -- round 6: linkage + web-curation tier -------------------------------
+    "customer_fuzzy_name_pairs": customer_fuzzy_name_pairs,
+    "url_canonical_dedup": url_canonical_dedup,
+    "blocked_domain_filter": blocked_domain_filter,
+    "corpus_quality_report": corpus_quality_report,
     # -- oracle-backed, green in round 1 -----------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -8479,6 +8709,10 @@ ORACLES: dict[str, str] = {
     "kmeans_embedding_clusters": ORACLE_KMEANS,
     "knn_ivf_lattice_approx": ORACLE_IVF_LATTICE,
     "semantic_dedup_lattice": ORACLE_SEMANTIC_LATTICE,
+    "customer_fuzzy_name_pairs": ORACLE_FUZZY_NAME_PAIRS,
+    "url_canonical_dedup": ORACLE_URL_CANONICAL_DEDUP,
+    "blocked_domain_filter": ORACLE_BLOCKED_DOMAIN_FILTER,
+    "corpus_quality_report": ORACLE_CORPUS_QUALITY_REPORT,
     "copurchase_triangles": ORACLE_TRIANGLES,
     "media_real_image_features": ORACLE_MEDIA_REAL,
     "media_png_features": ORACLE_MEDIA_REAL,

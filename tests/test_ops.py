@@ -2682,3 +2682,114 @@ def test_approx_ntile_bounds_disagreement_vs_exact(spark):
     assert stats.n > 10000
     assert stats.maxgap <= 1, "approx tile off by more than one"
     assert stats.diff / stats.n < 0.02, f"{stats.diff}/{stats.n} rows disagree"
+
+
+def test_fuzzy_dup_pairs_exact_for_distance_one(spark):
+    """The deletion-neighborhood candidate set must be COMPLETE for
+    Levenshtein <= 1 (substitution, insertion, deletion, and exact-text
+    twins under different ids) and the exact re-score must kill the false
+    candidates blocking lets through ('ab'/'ba' share variants at distance
+    2). Verified against a brute-force O(N^2) Levenshtein matrix."""
+    import itertools
+
+    from apollo_spark.ops.linkage import fuzzy_dup_pairs
+
+    rows = [
+        (1, "kitten"), (2, "sitten"),   # substitution -> dist 1
+        (3, "kitte"),                   # deletion of 1 -> dist 1
+        (4, "kittens"),                 # insertion -> dist 1
+        (5, "ab"), (6, "ba"),           # shared variants, dist 2 -> excluded
+        (7, "zzz"), (8, "kitten"),      # exact twin of 1 -> dist 0
+        (9, ""), (10, "x"),             # empty-string guard: dist 1
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_dup_pairs(df, "id", "s").collect()
+    }
+
+    def lev(a, b):
+        d = [[i + j if 0 in (i, j) else 0 for j in range(len(b) + 1)] for i in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                d[i][j] = min(d[i-1][j] + 1, d[i][j-1] + 1, d[i-1][j-1] + (a[i-1] != b[j-1]))
+        return d[len(a)][len(b)]
+
+    want = {
+        (ia, ib, lev(sa, sb))
+        for (ia, sa), (ib, sb) in itertools.combinations(rows, 2)
+        if lev(sa, sb) <= 1
+    }
+    assert got == want
+    assert (1, 8, 0) in got and (5, 6, 2) not in got and (9, 10, 1) in got
+
+
+def test_fuzzy_left_match_picks_best_deterministically(spark):
+    """Left rows match their minimum-(dist, right_id) dictionary entry;
+    rows with no entry within distance 1 are absent."""
+    from apollo_spark.ops.linkage import fuzzy_left_match
+
+    left = spark.createDataFrame(
+        [(1, "color"), (2, "colou"), (3, "qqqqq")], "id long, s string"
+    )
+    right = spark.createDataFrame(
+        [(10, "color"), (11, "colour"), (12, "colors")], "id long, s string"
+    )
+    got = {
+        r.id_left: (r.id_right, r.dist)
+        for r in fuzzy_left_match(left, right).collect()
+    }
+    # 1: exact 'color' (dist 0) beats 'colour'/'colors' (dist 1)
+    # 2: 'color' and 'colour' both dist 1 -> smaller right id (10) wins
+    assert got == {1: (10, 0), 2: (10, 1)}
+
+
+def test_canonical_url_collapses_and_separates(spark):
+    """Canonicalization merges scheme/host case, default ports, tracking
+    params, param order, fragments, and trailing slashes — and must NOT
+    merge different param payloads, non-default ports, or different
+    paths. Junk rows canonicalize to ''."""
+    from apollo_spark.ops.web import canonical_url
+
+    urls = [
+        "http://www.ex.com/a",
+        "HTTP://WWW.EX.COM/a/",
+        "http://www.ex.com:80/a?utm_source=x&fbclid=y",
+        "http://www.ex.com/a?b=2&a=1#frag",
+        "http://www.ex.com/a?a=1&b=2",
+        "http://www.ex.com:8080/a",   # non-default port: distinct
+        "https://www.ex.com/a",       # different scheme: distinct
+        "http://www.ex.com/a?a=2",    # different payload: distinct
+        "not a url",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = [r.c for r in df.select(canonical_url("url").alias("c")).collect()]
+    assert out[0] == out[1] == out[2] == "http://www.ex.com/a"
+    assert out[3] == out[4] == "http://www.ex.com/a?a=1&b=2"
+    assert out[5] == "http://www.ex.com:8080/a"
+    assert out[6] == "https://www.ex.com/a"
+    assert out[7] == "http://www.ex.com/a?a=2"
+    assert out[8] == ""
+    assert len({out[0], out[3], out[5], out[6], out[7]}) == 5
+
+
+def test_domain_suffix_filter_semantics(spark):
+    """Suffix blocking: example.com drops its subdomains but not
+    example.com.evil.net (suffix must align on label boundaries) nor
+    notexample.com (no substring matching)."""
+    from apollo_spark.ops.web import domain_suffix_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "www.example.com"),
+            (2, "a.b.example.com"),
+            (3, "example.com"),
+            (4, "notexample.com"),
+            (5, "example.com.evil.net"),
+            (6, "safe.org"),
+        ],
+        "id long, host string",
+    )
+    blocked = spark.createDataFrame([("example.com",)], "domain string")
+    kept = sorted(r.id for r in domain_suffix_filter(df, blocked).collect())
+    assert kept == [4, 5, 6]

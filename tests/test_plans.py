@@ -500,3 +500,25 @@ def test_memorization_risk_no_shingle_rejoin(spark):
     assert len(re.findall(r"hashpartitioning\(s#", p)) == 1, p
     # top-20 is TakeOrdered, not a global sort
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_fuzzy_pairs_join_is_keyed_not_cartesian(spark):
+    """The deletion-neighborhood join must be an equality join on the
+    variant string (hash/sort-merge) — a cartesian or nested-loop here is
+    the O(N^2) the op exists to avoid. Column pruning: the scan reads only
+    (c_custkey, c_name)."""
+    p = plan(spark, "customer_fuzzy_name_pairs")
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p), p[:1500]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and set(re.findall(r"(\w+):", m.group(1))) == {"c_custkey", "c_name"}, m and m.group(1)
+
+
+def test_web_queries_prune_columns(spark):
+    """url_canonical_dedup / blocked_domain_filter synthesize from
+    (doc_id, source): the documents scan must not read text (the wide
+    column)."""
+    for name in ("url_canonical_dedup", "blocked_domain_filter"):
+        p = plan(spark, name)
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", p):
+            assert "text" not in m.group(1), (name, m.group(1))
