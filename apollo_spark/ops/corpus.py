@@ -445,6 +445,64 @@ def sentence_chunks(
     )
 
 
+def phrase_blocklist_hits(
+    df: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Multi-word blocklist matching at corpus scale (the RefinedWeb-style
+    banned-phrase curation step): a phrase hits a document iff it appears as
+    a word-boundary-aligned word sequence (lowercased) — never substring
+    matching, so blocking 'ass' cannot flag 'class'. For each distinct word
+    LENGTH in the blocklist, the document's word n-grams of that length join
+    the phrases by equality — one keyed hash join per length, no per-row
+    scan over the blocklist (a million-phrase list costs a few joins, not a
+    million contains() per document). The only driver-side action is
+    collecting the distinct phrase LENGTHS (bounded by the longest phrase —
+    a handful of ints, never data-sized).
+
+    Returns (id, phrase, n_hits): one row per (document, phrase) with the
+    occurrence count."""
+    p = (
+        phrases.select(F.lower(F.trim(F.col(phrase_col))).alias("g"))
+        .filter(F.length("g") > 0)
+        .distinct()
+        .withColumn("__n", F.size(F.split("g", r"\s+")))
+    )
+    lengths = sorted(r["__n"] for r in p.select("__n").distinct().collect())
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    outs = []
+    for n in lengths:
+        grams = base.select("id", F.explode(word_ngrams(F.col("__t"), n)).alias("g"))
+        outs.append(grams.join(p.filter(F.col("__n") == n).select("g"), "g"))
+    if not outs:
+        spark = df.sparkSession
+        return spark.createDataFrame([], f"id long, phrase string, n_hits long")
+    hits = outs[0]
+    for o in outs[1:]:
+        hits = hits.unionByName(o)
+    return hits.groupBy("id", F.col("g").alias("phrase")).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+
+
+def phrase_blocklist_filter(
+    df: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Keep only documents with ZERO blocklist hits — the filter face of
+    phrase_blocklist_hits (one anti-join on the flagged ids)."""
+    flagged = phrase_blocklist_hits(df, phrases, id_col, text_col, phrase_col).select(
+        F.col("id").alias(id_col)
+    ).distinct()
+    return df.join(flagged, id_col, "left_anti")
+
+
 def mixture_weights_temperature(
     group_tokens: DataFrame,
     alpha: float,

