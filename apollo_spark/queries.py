@@ -8560,6 +8560,48 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-efficiency report per language: chars per whitespace word
+    and FERTILITY (BPE-ish subword tokens per word — the metric that decides
+    how much context window a language burns; multilingual-tokenizer papers
+    report exactly this). Uses ops.text.bpe_ish_token_count's GPT-2-ish
+    pre-tokenizer shape; exact integer sums, one double division at the
+    end — hash-gates cross-engine."""
+    from apollo_spark.ops.text import bpe_ish_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    return (
+        d.select("lang", F.length("text").alias("ch"), ws.alias("ws"), bpe_ish_token_count(F.col("text")).cast("long").alias("bpe"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("n_words"),
+            F.sum("bpe").alias("n_bpe_tokens"),
+            (F.sum("ch").cast("double") / F.sum("ws").cast("double")).alias("chars_per_word"),
+            (F.sum("bpe").cast("double") / F.sum("ws").cast("double")).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_TOKENIZER_FERTILITY = r"""
+WITH t AS (
+  SELECT lang, length(text) AS ch,
+         len(string_split_regex(trim(text), '\s+')) AS ws,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS n_words,
+       CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(ch) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE) AS chars_per_word,
+       CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE) AS fertility
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- oracle-backed, ungated in round 1: gate these first ---------------
     "ngram_jaccard_dup_pairs": ngram_jaccard_dup_pairs,
@@ -8608,6 +8650,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_report": corpus_quality_report,
     "doc_mojibake_repair": doc_mojibake_repair,
     "banned_phrase_filter": banned_phrase_filter,
+    "tokenizer_fertility": tokenizer_fertility,
     # -- oracle-backed, green in round 1 -----------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -8867,6 +8910,7 @@ ORACLES: dict[str, str] = {
     "corpus_quality_report": ORACLE_CORPUS_QUALITY_REPORT,
     "doc_mojibake_repair": ORACLE_DOC_MOJIBAKE_REPAIR,
     "banned_phrase_filter": ORACLE_BANNED_PHRASE_FILTER,
+    "tokenizer_fertility": ORACLE_TOKENIZER_FERTILITY,
     "copurchase_triangles": ORACLE_TRIANGLES,
     "media_real_image_features": ORACLE_MEDIA_REAL,
     "media_png_features": ORACLE_MEDIA_REAL,

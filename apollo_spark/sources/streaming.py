@@ -540,6 +540,69 @@ def streaming_corpus_dedup(
     return _sink
 
 
+def streaming_frontier_dedup(
+    index_dir: str,
+    out_dir: str,
+    key_col: str = "url",
+    canonicalize: bool = True,
+    app_id: str = "frontier",
+):
+    """foreachBatch sink factory: EXACT-KEY incremental dedup — the crawl
+    frontier. Per micro-batch: (a) derive the dedup key (the canonical URL
+    via ops.web.canonical_url when ``canonicalize``, else ``key_col``
+    verbatim; unparseable URLs canonicalize to '' and are dropped as junk),
+    (b) collapse the batch to one row per key — the MIN of the remaining
+    column tuple, deterministic for any partitioning or arrival order —
+    (c) drop keys already in the persistent index at ``index_dir``, (d) append
+    survivors to ``out_dir`` and the new keys to the index, all under the
+    (app_id, batch_id) txn guard — replay-safe at any crash point because
+    the survivor append precedes the index append and both are idempotent
+    per batch.
+
+    This is incremental exact_dedup: the shuffle moves the increment, the
+    index grows by one row per DISTINCT key ever seen, and re-submitting a
+    crawled URL never grows state — what keeps a frontier runnable forever.
+    The minhash (streaming_corpus_dedup) and CDC (streaming_cdc_retention)
+    sinks catch near- and span-duplicates; this catches the exact re-submit
+    before any content is fetched at all.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from apollo_spark.ops.web import canonical_url
+        from apollo_spark.table_format import TxTable
+
+        spark = batch_df.sparkSession
+        keyed = batch_df.withColumn(
+            "__k", canonical_url(key_col) if canonicalize else F.col(key_col)
+        ).filter(F.col("__k") != "")
+        # one row per key within the batch: min over the full row struct —
+        # deterministic for any partitioning/arrival order
+        others = [c for c in keyed.columns if c != "__k"]
+        first = (
+            keyed.groupBy("__k")
+            .agg(F.min(F.struct(*others)).alias("__r"))
+            .select("__k", *[F.col(f"__r.{c}").alias(c) for c in others])
+        )
+        idx_t = TxTable(index_dir)
+        seen = (
+            idx_t.read(spark).select("__k")
+            if idx_t.current_version() is not None
+            else None
+        )
+        novel = first if seen is None else first.join(seen, "__k", "left_anti")
+        novel = novel.persist()
+        novel.count()
+        TxTable(out_dir).write(
+            novel.drop("__k"), mode="append", txn_app=app_id, txn_batch=int(batch_id)
+        )
+        idx_t.write(
+            novel.select("__k"), mode="append", txn_app=app_id, txn_batch=int(batch_id)
+        )
+        novel.unpersist()
+
+    return _sink
+
+
 def streaming_cdc_retention(
     index_dir: str,
     out_dir: str,

@@ -840,6 +840,58 @@ def test_streaming_cdc_novelty_across_microbatches(spark, tmp_path):
     assert reports[3].novel_frac == 1.0  # new content in batch 2
 
 
+def test_streaming_frontier_dedup_exact_key_across_batches(spark, tmp_path):
+    """The crawl frontier: canonical-URL exact dedup across micro-batches —
+    raw variants of one page (case, :80, utm params, fragments) collapse to
+    one frontier row; a later batch re-submitting the same page adds
+    nothing; a genuinely new page passes; junk rows drop; replay with no
+    new files is a version no-op."""
+    import json
+
+    from apollo_spark.sources.streaming import streaming_frontier_dedup
+    from apollo_spark.table_format import TxTable
+
+    src = tmp_path / "urls_stream"
+    src.mkdir()
+    idx = str(tmp_path / "frontier_idx")
+    out = str(tmp_path / "frontier_out")
+    ckpt = str(tmp_path / "frontier_ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema("crawl_id long, url string").json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(streaming_frontier_dedup(idx, out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [
+        {"crawl_id": 1, "url": "http://www.ex.com/a"},
+        {"crawl_id": 2, "url": "HTTP://WWW.EX.COM:80/a?utm_source=x"},  # same page
+        {"crawl_id": 3, "url": "http://www.ex.com/b"},
+        {"crawl_id": 4, "url": "junk not a url"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    run_once()
+    rows1 = {r.crawl_id for r in TxTable(out).read(spark).collect()}
+    assert rows1 == {1, 3}  # min crawl_id survives per canonical key; junk dropped
+
+    b2 = [
+        {"crawl_id": 5, "url": "http://www.ex.com/a#frag"},  # re-submit across batches
+        {"crawl_id": 6, "url": "https://www.ex.com/a"},      # different scheme: NEW
+    ]
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+    run_once()
+    rows2 = {r.crawl_id for r in TxTable(out).read(spark).collect()}
+    assert rows2 == {1, 3, 6}
+
+    versions = [TxTable(p).current_version() for p in (idx, out)]
+    run_once()  # no new files
+    assert [TxTable(p).current_version() for p in (idx, out)] == versions
+
+
 def test_streaming_cdc_retention_keeps_fresh_drops_recrawls(spark, tmp_path):
     """The continuous-ingest keep/drop gate in one call (round-5 verdict
     item 7): a file stream feeds streaming_cdc_retention; across real
