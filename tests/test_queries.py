@@ -112,6 +112,15 @@ FLAGSHIPS = [
     "doc_rag_chunks",          # sentence-budget RAG chunking
     "source_frequency_cap",    # skew-safe per-key top-k
     "matryoshka_recall",       # embedding-truncation recall eval
+    # round-6 additions: pinned for the same reason
+    "semantic_dedup_lattice",  # corpus-derived k (the round-6 scale fix)
+    "fuzzy_entity_dup_pairs",  # deletion-neighborhood linkage
+    "url_canonical_dedup",     # crawl-frontier URL canonicalization
+    "blocked_domain_filter",   # domain-suffix blocklist
+    "corpus_quality_report",   # per-source health report
+    "doc_mojibake_repair",     # cp1252 mojibake repair chain
+    "banned_phrase_filter",    # word-boundary phrase blocklist
+    "tokenizer_fertility",     # per-language fertility report
 ]
 
 
