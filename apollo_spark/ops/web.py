@@ -37,9 +37,12 @@ def parse_url(url: Column | str) -> Column:
     """Struct(scheme, host, port, path, query) parsed with anchored
     regexp_extract — no lookbehind, portable to RE2 engines. ``port`` is the
     explicit port string ('' when absent); ``query`` excludes '?' and the
-    fragment."""
+    fragment. Userinfo (user:pass@host) is stripped before the host/port
+    split — without it the ':' in the credentials would be read as the port
+    separator and 'user' as the host. IPv6 bracket hosts are out of scope
+    (documented seam: they canonicalize by string identity only)."""
     u = F.col(url) if isinstance(url, str) else url
-    hostport = F.regexp_extract(u, _HOSTPORT_RE, 1)
+    hostport = F.regexp_replace(F.regexp_extract(u, _HOSTPORT_RE, 1), "^[^@]*@", "")
     return F.struct(
         F.lower(F.regexp_extract(u, _SCHEME_RE, 1)).alias("scheme"),
         F.lower(F.regexp_extract(hostport, "^([^:]+)", 1)).alias("host"),

@@ -2760,6 +2760,7 @@ def test_canonical_url_collapses_and_separates(spark):
         "http://www.ex.com:8080/a",   # non-default port: distinct
         "https://www.ex.com/a",       # different scheme: distinct
         "http://www.ex.com/a?a=2",    # different payload: distinct
+        "http://user:pw@www.ex.com/a",  # userinfo stripped, not parsed as host
         "not a url",
     ]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
@@ -2769,7 +2770,8 @@ def test_canonical_url_collapses_and_separates(spark):
     assert out[5] == "http://www.ex.com:8080/a"
     assert out[6] == "https://www.ex.com/a"
     assert out[7] == "http://www.ex.com/a?a=2"
-    assert out[8] == ""
+    assert out[8] == "http://www.ex.com/a"  # credentials never reach the key
+    assert out[9] == ""
     assert len({out[0], out[3], out[5], out[6], out[7]}) == 5
 
 
