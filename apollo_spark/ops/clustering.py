@@ -198,7 +198,87 @@ def _pq_subspace_kmeans(
     return long, assign, cent
 
 
-__all__ = ["embedding_lattice", "kmeans_lattice", "kmeans_summary", "pq_codes", "pq_adc_topk"]
+def kcenter_select(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, float]]:
+    """Greedy farthest-point (k-center / Gonzalez 1985) coreset selection:
+    seed with the smallest id, then ``k-1`` times pick the vector whose
+    minimum squared L2 distance to the already-selected set is LARGEST
+    (ties toward the smaller id). The classic 2-approximation for the
+    k-center objective and the standard diverse-subset / data-pruning
+    primitive (e.g. coreset seeding for the SSL-prototype pruning of
+    Sorscher et al. 2022).
+
+    Returns ``[(sel_order, vec_id, radius2), ...]`` where ``radius2`` is the
+    selected point's min squared distance to the prior set at selection time
+    (0.0 for the seed) — the coverage radius trajectory.
+
+    Scale shape: exactly ``k`` bounded driver rounds; each is ONE distributed
+    scan — the ≤k selected vectors ride a broadcast, each candidate computes its
+    min distance map-side (no shuffle on the data side beyond the 1-row
+    argmax reduce), and only a single (id, dist) row is ever collected. Work
+    is O(k · N · d) JVM-side with flat lineage (each round reads the source,
+    not the prior round's plan).
+
+    Determinism: d2 = <y,y> - 2<y,c> + <c,c> with every dot a sequential
+    left-to-right double fold — the exact expression an unrolled SQL oracle
+    replays (min/argmax are comparisons, which never diverge).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ev = emb.select(
+        F.col(id_col).alias("__id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("__v"),
+    )
+    seed = ev.select(F.min("__id").alias("m")).first()["m"]
+    selected: list[tuple[int, int, float]] = [(0, int(seed), 0.0)]
+    for it in range(1, k):
+        ids = [vid for _, vid, _ in selected]
+        row = _kcenter_round(ev, ids).first()
+        if row is None:  # fewer distinct points than k
+            break
+        selected.append((it, int(row["__id"]), float(row["mind"])))
+    return selected
+
+
+def _kcenter_round(ev: DataFrame, ids: list[int]) -> DataFrame:
+    """One greedy k-center round: the 1-row (id, min-dist) argmax of
+    ``ev`` = (__id, __v double[]) against the ≤k selected centers. The
+    center side rides a BroadcastNestedLoopJoin (it IS tiny by contract);
+    the data side is scanned once with a map-side-combinable min."""
+
+    def dot(a, b):  # sequential fold — SQL-replayable bit-for-bit
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+    cent = ev.filter(F.col("__id").isin(ids)).select(
+        F.col("__id").alias("__cid"), F.col("__v").alias("__cv")
+    )
+    d2 = (
+        dot(F.col("__v"), F.col("__v"))
+        - F.lit(2.0) * dot(F.col("__v"), F.col("__cv"))
+        + dot(F.col("__cv"), F.col("__cv"))
+    )
+    return (
+        ev.filter(~F.col("__id").isin(ids))
+        .crossJoin(F.broadcast(cent))
+        .groupBy("__id")
+        .agg(F.min(d2).alias("mind"))
+        .orderBy(F.col("mind").desc(), F.col("__id").asc())
+        .limit(1)
+    )
+
+
+__all__ = [
+    "embedding_lattice",
+    "kmeans_lattice",
+    "kmeans_summary",
+    "kcenter_select",
+    "pq_codes",
+    "pq_adc_topk",
+]
 
 
 def pq_adc_topk(

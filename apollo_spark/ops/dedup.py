@@ -1376,30 +1376,19 @@ def _mh_consts(i: int) -> tuple[int, int, int]:
     return a, b, c
 
 
-def minhash_portable_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    num_hashes: int = 32,
-    bands: int = 16,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """MinHash-LSH near-dup pairs with a fully SQL-replayable hash family.
-
-    Shingle hash = 60-bit md5 prefix; slot i = min over shingles of the
-    2-universal mix with _mh_consts(i); band key = md5 prefix of the
-    '|'-joined (band, slot values) string.  b=16 x r=2 default:
-    P(candidate | j=0.5) = 1-(1-0.25)^16 ~ 0.99.  Candidates are verified
-    with exact shingle jaccard, so band-hash collisions are harmless."""
+def _minhash_band_candidates(
+    base: DataFrame, num_hashes: int, bands: int
+) -> tuple[DataFrame, DataFrame]:
+    """Banded MinHash candidate pairs over ``base`` = (id, sh) with the
+    portable hash family: 60-bit md5 shingle hash, 2-universal modular
+    slots (_mh_consts), md5-prefix band keys. Returns ``(cand, sig)`` —
+    distinct (id_a < id_b) candidate pairs and the PERSISTED signature
+    frame both band-join sides read (the caller releases it). Shared by
+    minhash_portable_pairs (verify-and-emit) and lsh_blocking_metrics
+    (blocking-quality evaluation of the raw candidate set)."""
     from apollo_spark.ops.sketch import portable_hash60
 
     rows = num_hashes // bands
-    base = (
-        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .persist()
-    )
     hashed = base.select("id", F.explode("sh").alias("s")).select(
         "id", portable_hash60(F.col("s")).alias("h")
     )
@@ -1432,6 +1421,31 @@ def minhash_portable_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    return cand, sig
+
+
+def minhash_portable_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with a fully SQL-replayable hash family.
+
+    Shingle hash = 60-bit md5 prefix; slot i = min over shingles of the
+    2-universal mix with _mh_consts(i); band key = md5 prefix of the
+    '|'-joined (band, slot values) string.  b=16 x r=2 default:
+    P(candidate | j=0.5) = 1-(1-0.25)^16 ~ 0.99.  Candidates are verified
+    with exact shingle jaccard, so band-hash collisions are harmless."""
+    base = (
+        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    cand, sig = _minhash_band_candidates(base, num_hashes, bands)
     sh_map = base.select("id", "sh")
     cand = cand.join(
         sh_map.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
@@ -1536,3 +1550,69 @@ def simhash_portable_pairs(
         .select("id_a", "id_b", "hamming"),
         sig,
     )
+
+
+def lsh_blocking_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 16,
+    truth_threshold: float = 0.2,
+    max_df_frac: float | None = 0.04,
+) -> DataFrame:
+    """Blocking-quality evaluation of the MinHash-LSH candidate generator —
+    the record-linkage literature's two standard numbers (Christen 2012):
+
+    * pair completeness (PC): fraction of TRUE near-dup pairs (exact n-gram
+      Jaccard >= ``truth_threshold``, candidates from the df-capped inverted
+      index — the linear-scale ground truth, shingle definition shared with
+      the blocker) that the banded signature join surfaces as candidates;
+    * reduction ratio (RR): 1 - candidates / all-pairs — how much of the
+      quadratic comparison space the blocker never touches.
+
+    One row: n_docs, n_true, n_cand, n_caught, pair_completeness,
+    reduction_ratio. Every count is a 1-row aggregate riding crossJoins
+    (declarative — no driver count); the candidate and truth frames are
+    each computed once and persisted for their two consumers.
+
+    This is the measure-your-own-approximation tier: the b x r geometry is
+    tuned for J ~ 0.5, so evaluating it at truth_threshold 0.2 exposes the
+    S-curve's soft low end with a real number instead of a hand-wave.
+    """
+    base = (
+        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    cand, sig = _minhash_band_candidates(base, num_hashes, bands)
+    cand = cand.persist()
+    tp = ngram_jaccard_pairs(
+        df, id_col=id_col, text_col=text_col, n=n,
+        threshold=truth_threshold, max_df_frac=max_df_frac,
+    )
+    truth = tp.select("id_a", "id_b").persist()
+    caught = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    nd = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    ng = caught.agg(F.count(F.lit(1)).alias("n_caught"))
+    all_pairs = (F.col("n_docs") * (F.col("n_docs") - F.lit(1))).cast("double") / F.lit(2.0)
+    out = (
+        nd.crossJoin(nt).crossJoin(nc).crossJoin(ng)
+        .withColumn(
+            "pair_completeness",
+            F.when(
+                F.col("n_true") > 0,
+                F.col("n_caught").cast("double") / F.col("n_true").cast("double"),
+            ),
+        )
+        .withColumn(
+            "reduction_ratio",
+            F.when(F.col("n_docs") > 1, F.lit(1.0) - F.col("n_cand").cast("double") / all_pairs),
+        )
+    )
+    from apollo_spark.ops.cache import carry_caches
+
+    return carry_caches(scoped_persist(out, base, sig, cand, truth), tp)

@@ -1,0 +1,89 @@
+"""Privacy-preserving release operators.
+
+k-anonymity (Sweeney 2002): an aggregate view is k-anonymous over a set of
+quasi-identifier (QI) columns when every released equivalence class contains
+at least ``k`` underlying rows — small classes would let an attacker join the
+release back to an individual. The distributed shape is one groupBy on the QI
+columns (a single shuffle, map-side combinable) followed by a local
+kept/suppressed split; suppressed classes collapse into ONE catch-all row
+(QI values replaced by ``'*'``) so the release still accounts for every
+input row without exposing any class smaller than k.
+
+Determinism: value sums are quantized to DECIMAL before aggregation
+(order-free exact sums, the repo-wide posture for cross-engine hash gates);
+the only doubles are final divisions of already-identical operands.
+
+Reference analog: apollo has no privacy tier (SURVEY §2.7 explicit absence);
+this belongs to the training-data-pipeline extension the build mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def k_anonymize(
+    df: DataFrame,
+    qi_cols: list[str | Column],
+    k: int,
+    value_col: str | Column,
+    value_scale: int = 2,
+) -> DataFrame:
+    """k-anonymous aggregate release over ``qi_cols``.
+
+    Returns one row per equivalence class with ``n_rows >= k`` plus a single
+    suppressed catch-all row (every QI = ``'*'``) absorbing all smaller
+    classes. Columns: the QI columns (as strings, so ``'*'`` is typable),
+    ``n_classes`` (1 for kept rows; how many raw classes the catch-all
+    absorbed), ``n_rows``, and ``avg_value`` (double division of an exact
+    DECIMAL sum — deterministic across engines and partitionings).
+
+    ``value_col`` is quantized to ``DECIMAL(18, value_scale)`` BEFORE the
+    sum, so the aggregate is summation-order-free. One shuffle total: the
+    QI groupBy; the kept/suppressed split and the catch-all fold both
+    reuse that aggregate (suppressed classes re-aggregate over at most
+    #classes rows, not data rows).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    names = [c if isinstance(c, str) else df.select(c).columns[0] for c in qi_cols]
+    qi = [
+        (F.col(c) if isinstance(c, str) else c).cast("string").alias(n)
+        for c, n in zip(qi_cols, names)
+    ]
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    vdec = F.round(v.cast("double"), value_scale).cast(f"decimal(18,{value_scale})")
+    g = df.select(*qi, vdec.alias("__v")).groupBy(*names).agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("__v").alias("__sum")
+    )
+    kept = g.filter(F.col("n_rows") >= k).select(
+        *names,
+        F.lit(1).cast("long").alias("n_classes"),
+        F.col("n_rows"),
+        F.col("__sum").cast("decimal(38,6)").alias("__sum"),
+    )
+    suppressed = (
+        g.filter(F.col("n_rows") < k)
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("__sum").alias("__sum"),
+        )
+        .filter(F.col("n_rows").isNotNull())  # vanish when nothing is suppressed
+        .select(
+            *[F.lit("*").alias(n) for n in names],
+            F.col("n_classes"),
+            F.col("n_rows"),
+            F.col("__sum").cast("decimal(38,6)").alias("__sum"),
+        )
+    )
+    return kept.unionByName(suppressed).select(
+        *names,
+        "n_classes",
+        "n_rows",
+        (F.col("__sum").cast("double") / F.col("n_rows").cast("double")).alias("avg_value"),
+    )
+
+
+__all__ = ["k_anonymize"]

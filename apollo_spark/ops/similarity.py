@@ -907,3 +907,99 @@ def mmr_diverse_topk(
     return emb.sparkSession.createDataFrame(
         rows, f"rank INT, {id_col} BIGINT, mmr_score BIGINT"
     )
+
+
+def margin_mined_pairs(
+    emb: DataFrame,
+    k: int,
+    k_neighbors: int = 4,
+    threshold: float = 1.05,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019 — the
+    LASER/CCMatrix bitext-mining criterion) between two collections: even
+    ids form the X side, odd ids the Y side (stand-ins for "source corpus"
+    and "target corpus"; real pipelines pass a side column the same way).
+
+    A raw-cosine cutoff mis-mines hub vectors (points close to EVERYTHING).
+    The RATIO margin fixes that by scoring each candidate pair against its
+    neighborhood: margin(x, y) = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2)
+    where avgNN_k is the mean cosine of the side's top-``k_neighbors``
+    candidates. Kept pairs must be MUTUAL best matches (the intersection
+    strategy from the paper) with margin >= ``threshold``.
+
+    Candidates are blocked by the engine-exact lattice k-means (cluster
+    count ``k`` grows with the corpus, SemDeDup-style — pass
+    ``semdedup_k(N)``), so the within-cluster X x Y candidate set stays
+    O(N * cluster_rows), never corpus-quadratic; each of the three candidate
+    consumers (two neighborhood aggregates + the mutual-top-1 filter) reads
+    ONE persisted candidate frame.
+
+    Cross-engine determinism: cosines are sequential left-to-right double
+    folds (identical bits on both engines); neighborhood means quantize each
+    cosine to DECIMAL(18,6) BEFORE summing, so the top-k mean is
+    summation-order-free; every ranking tie breaks toward the smaller id.
+    """
+    from apollo_spark.ops.cache import scoped_persist
+    from apollo_spark.ops.clustering import embedding_lattice, kmeans_lattice
+
+    _, cent = kmeans_lattice(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    long = embedding_lattice(emb, id_col, vec_col)
+    diff = F.col("xi") - F.col("ci")
+    dist = (
+        long.join(F.broadcast(cent), "d")
+        .groupBy(id_col, "cluster")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    assign = (
+        dist.groupBy(id_col)
+        .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+        .select(id_col, F.col("m.cluster").alias("cluster"))
+    )
+    ev = emb.select(
+        F.col(id_col), F.transform(vec_col, lambda x: x.cast("double")).alias("v")
+    )
+    a = assign.join(ev, id_col)
+    x = a.filter(F.col(id_col) % 2 == 0).select(
+        "cluster", F.col(id_col).alias("x_id"), F.col("v").alias("xv")
+    )
+    y = a.filter(F.col(id_col) % 2 == 1).select(
+        "cluster", F.col(id_col).alias("y_id"), F.col("v").alias("yv")
+    )
+    wx = Window.partitionBy("x_id").orderBy(F.col("score").desc(), F.col("y_id").asc())
+    wy = Window.partitionBy("y_id").orderBy(F.col("score").desc(), F.col("x_id").asc())
+    cand = (
+        x.join(y, "cluster")
+        .withColumn("score", cosine(F.col("xv"), F.col("yv")))
+        .select(
+            "x_id",
+            "y_id",
+            "score",
+            F.round("score", 6).cast("decimal(18,6)").alias("score_q"),
+        )
+        .withColumn("rnx", F.row_number().over(wx))
+        .withColumn("rny", F.row_number().over(wy))
+        .persist()
+    )
+    nx = (
+        cand.filter(F.col("rnx") <= k_neighbors)
+        .groupBy("x_id")
+        .agg((F.sum("score_q").cast("double") / F.count(F.lit(1))).alias("avg_x"))
+    )
+    ny = (
+        cand.filter(F.col("rny") <= k_neighbors)
+        .groupBy("y_id")
+        .agg((F.sum("score_q").cast("double") / F.count(F.lit(1))).alias("avg_y"))
+    )
+    margin = F.col("score") / ((F.col("avg_x") + F.col("avg_y")) / F.lit(2.0))
+    out = (
+        cand.filter((F.col("rnx") == 1) & (F.col("rny") == 1))
+        .join(nx, "x_id")
+        .join(ny, "y_id")
+        .withColumn("margin", margin)
+        .filter(F.col("margin") >= F.lit(threshold))
+        .select("x_id", "y_id", "score", "margin")
+    )
+    return scoped_persist(out, cand)

@@ -8602,6 +8602,310 @@ FROM t GROUP BY lang ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# round 6, second wave: mining / coreset / privacy / blocking-evaluation tier
+# ---------------------------------------------------------------------------
+
+
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix bitext criterion): even vec_ids play the source
+    collection, odd ids the target; candidates are blocked by the
+    engine-exact lattice k-means with SemDeDup-style corpus-proportional k
+    (ops.similarity.margin_mined_pairs), each pair scored by the RATIO
+    margin against its top-4 neighborhood means, and only mutual best
+    matches above margin 1.02 are mined. Cosines are sequential double
+    folds and neighborhood means ride DECIMAL(18,6) sums, so the DuckDB
+    oracle replays every score, rank, and margin bit-for-bit."""
+    from apollo_spark.ops.similarity import margin_mined_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    k = semdedup_k(e.count())
+    m = margin_mined_pairs(e, k=k, k_neighbors=4, threshold=1.02, iters=2)
+    res = m.select(
+        "x_id",
+        "y_id",
+        F.round("score", 4).alias("score"),
+        F.round("margin", 4).alias("margin"),
+    ).orderBy("x_id", "y_id")
+    return carry_caches(res, m)
+
+
+def _bitext_margin_oracle(kn: int = 4, threshold: float = 1.02) -> str:
+    """Mirror of bitext_margin_mining: shared lattice-k-means CTEs (same
+    corpus-derived k), within-cluster even x odd candidate join, decimal
+    neighborhood means, mutual-rank-1 + margin filter."""
+    ctes = _lattice_common_ctes(SEMDEDUP_K_SQL, 2)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+av AS (SELECT a.vec_id, a.cluster, e.v FROM fassign a JOIN e USING (vec_id)),
+cand AS (
+  SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+         list_dot_product(x.v, y.v)
+         / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS score
+  FROM av x JOIN av y ON x.cluster = y.cluster
+  WHERE x.vec_id % 2 = 0 AND y.vec_id % 2 = 1
+),
+r AS (
+  SELECT x_id, y_id, score,
+         CAST(ROUND(score, 6) AS DECIMAL(18,6)) AS score_q,
+         ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY score DESC, y_id ASC) AS rnx,
+         ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY score DESC, x_id ASC) AS rny
+  FROM cand
+),
+nx AS (SELECT x_id, CAST(SUM(score_q) AS DOUBLE) / COUNT(*) AS avg_x FROM r WHERE rnx <= {kn} GROUP BY x_id),
+ny AS (SELECT y_id, CAST(SUM(score_q) AS DOUBLE) / COUNT(*) AS avg_y FROM r WHERE rny <= {kn} GROUP BY y_id)
+SELECT r.x_id, r.y_id, ROUND(r.score, 4) AS score,
+       ROUND(r.score / ((nx.avg_x + ny.avg_y) / 2.0), 4) AS margin
+FROM r JOIN nx USING (x_id) JOIN ny USING (y_id)
+WHERE rnx = 1 AND rny = 1
+  AND r.score / ((nx.avg_x + ny.avg_y) / 2.0) >= {threshold}
+ORDER BY x_id, y_id"""
+    )
+
+
+ORACLE_BITEXT_MARGIN = _bitext_margin_oracle()
+
+
+def coreset_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy farthest-point (k-center) coreset over the embeddings
+    (ops.clustering.kcenter_select): seed at the smallest vec_id, then 7
+    rounds of pick-the-point-farthest-from-the-selected-set — the classic
+    2-approximation diverse-subset primitive behind coreset-based data
+    pruning. Exactly k bounded driver rounds, each one distributed scan
+    against a broadcast center set; the unrolled-iteration oracle replays
+    every squared distance (pure dot-product arithmetic) and argmax
+    tie-break."""
+    from apollo_spark.ops.clustering import kcenter_select
+
+    e = _t(spark, sf_dir, "embeddings")
+    sel = kcenter_select(e, k=8)
+    out = spark.createDataFrame(sel, "sel_order INT, vec_id BIGINT, r2 DOUBLE")
+    return out.select("sel_order", "vec_id", F.round("r2", 4).alias("r2")).orderBy("sel_order")
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Mirror of coreset_kcenter_sample: unrolled greedy rounds; round i
+    scans all not-yet-selected vectors against the i selected centers."""
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "s0 AS (SELECT 0 AS sel_order, vec_id, 0.0 AS r2 FROM e WHERE vec_id = (SELECT MIN(vec_id) FROM e))",
+    ]
+    prev = "s0"
+    for i in range(1, k):
+        ctes.append(
+            f"""p{i} AS (
+  SELECT {i} AS sel_order, vec_id, mind AS r2 FROM (
+    SELECT y.vec_id,
+           MIN(list_dot_product(y.v, y.v) - 2.0 * list_dot_product(y.v, c.v) + list_dot_product(c.v, c.v)) AS mind
+    FROM e y CROSS JOIN (SELECT e2.v FROM {prev} s JOIN e e2 ON e2.vec_id = s.vec_id) c
+    WHERE y.vec_id NOT IN (SELECT vec_id FROM {prev})
+    GROUP BY y.vec_id)
+  ORDER BY mind DESC, vec_id ASC LIMIT 1
+)"""
+        )
+        ctes.append(f"s{i} AS (SELECT * FROM s{i - 1} UNION ALL SELECT * FROM p{i})")
+        prev = f"s{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT sel_order, vec_id, ROUND(r2, 4) AS r2 FROM {prev} ORDER BY sel_order"
+    )
+
+
+ORACLE_KCENTER = _kcenter_oracle(k=8)
+
+
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymous aggregate release (ops.privacy.k_anonymize, k=25) over
+    the quasi-identifiers (mktsegment, acctbal-thousand bucket): classes
+    with fewer than 25 customers collapse into one '*' catch-all row so no
+    released group is re-identifiable, while the release still accounts for
+    every customer. Balance sums ride DECIMAL, so the per-class average is
+    engine-exact."""
+    from apollo_spark.ops.privacy import k_anonymize
+
+    c = _t(spark, sf_dir, "customer")
+    out = k_anonymize(
+        c.select(
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("bal_bucket"),
+            F.col("c_acctbal"),
+        ),
+        qi_cols=["segment", "bal_bucket"],
+        k=25,
+        value_col="c_acctbal",
+        value_scale=2,
+    )
+    return out.select(
+        "segment",
+        "bal_bucket",
+        "n_classes",
+        "n_rows",
+        # deliberately UNROUNDED: the operands (exact decimal sum, integer
+        # count) are bit-identical across engines, so the double quotient
+        # is too — while ROUND would tie at the cut digit for divisors
+        # like 32 (sum/3200 has exact 5-terminated expansions) and the two
+        # engines break string-vs-binary ties differently.
+        F.col("avg_value").alias("avg_bal"),
+    ).orderBy("segment", "bal_bucket")
+
+
+ORACLE_K_ANONYMITY = """
+WITH g AS (
+  SELECT c_mktsegment AS segment,
+         CAST(CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS VARCHAR) AS bal_bucket,
+         COUNT(*) AS n_rows,
+         SUM(CAST(ROUND(c_acctbal, 2) AS DECIMAL(18,2))) AS s
+  FROM customer GROUP BY 1, 2
+),
+kept AS (
+  SELECT segment, bal_bucket, CAST(1 AS BIGINT) AS n_classes, n_rows,
+         CAST(s AS DECIMAL(38,6)) AS s
+  FROM g WHERE n_rows >= 25
+),
+supp AS (
+  SELECT '*' AS segment, '*' AS bal_bucket, COUNT(*) AS n_classes,
+         SUM(n_rows) AS n_rows, CAST(SUM(s) AS DECIMAL(38,6)) AS s
+  FROM g WHERE n_rows < 25 HAVING COUNT(*) > 0
+)
+SELECT segment, bal_bucket, n_classes, n_rows,
+       CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE) AS avg_bal
+FROM (SELECT * FROM kept UNION ALL SELECT * FROM supp)
+ORDER BY segment, bal_bucket
+"""
+
+
+def lsh_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation of the MinHash-LSH candidate generator
+    (ops.dedup.lsh_blocking_metrics): pair completeness against the
+    df-capped exact-Jaccard ground truth (same bigram shingles) and
+    reduction ratio against the quadratic all-pairs space — the two
+    record-linkage numbers that say whether a blocker is safe to trust at
+    scale. The b=16 x r=2 geometry is tuned for J~0.5, evaluated here at
+    truth threshold 0.2, so PC exposes the S-curve's soft low end."""
+    from apollo_spark.ops.dedup import lsh_blocking_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    m = lsh_blocking_metrics(
+        d, n=2, num_hashes=32, bands=16, truth_threshold=0.2, max_df_frac=0.04
+    )
+    res = m.select(
+        "n_docs",
+        "n_true",
+        "n_cand",
+        "n_caught",
+        # unrounded: pure integer-ratio doubles are bit-identical across
+        # engines, while ROUND can tie at the cut digit (see
+        # customer_k_anonymity).
+        "pair_completeness",
+        "reduction_ratio",
+    )
+    return carry_caches(res, m)
+
+
+def _blocking_quality_oracle(
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 16,
+    truth_threshold: float = 0.2,
+    max_df_frac: float = 0.04,
+) -> str:
+    """Mirror of lsh_blocking_quality: the portable-MinHash banding CTEs
+    (m-prefixed, same family as ORACLE_MINHASH_PORTABLE) + the df-capped
+    exact-Jaccard truth CTEs (t-prefixed, same pipeline as
+    ORACLE_NGRAM_JACCARD_CAPPED) + four scalar counts."""
+    from apollo_spark.ops.dedup import _mh_consts
+
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN(((h >> 30) * {a} + (h & 1073741823) * {b} + {c}) % 2305843009213693951) AS m{i}"
+        for i, (a, b, c) in ((i, _mh_consts(i)) for i in range(num_hashes))
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, ('0x' || substr(md5(concat_ws('|', {b}, {cols})), 1, 15))::BIGINT AS bkey FROM msig".format(
+            b=b, cols=", ".join(f"m{b * rows + j}" for j in range(rows))
+        )
+        for b in range(bands)
+    )
+    return rf"""
+WITH mt AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+msh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < {n} THEN [array_to_string(w, ' ')]
+              ELSE list_distinct(list_transform(generate_series(1, len(w) - {n - 1}),
+                                                i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(n))})) END AS sh
+  FROM mt
+),
+mex AS (SELECT doc_id, unnest(sh) AS s FROM msh),
+mh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM mex),
+msig AS (
+  SELECT doc_id,
+         {mins}
+  FROM mh GROUP BY doc_id
+),
+mbands AS (
+  {band_rows}
+),
+mcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mbands a JOIN mbands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+td0 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents)
+  WHERE len(t) >= 1
+),
+td AS (SELECT * FROM td0 WHERE len(sh) > 0),
+tkcap AS (SELECT CAST(floor({max_df_frac} * COUNT(*)) AS BIGINT) AS cap FROM td),
+tex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM td),
+tdfreq AS (SELECT s, COUNT(*) AS c FROM tex GROUP BY s),
+tkept AS (SELECT tex.doc_id, tex.n, tex.s FROM tex JOIN tdfreq USING (s), tkcap WHERE c <= tkcap.cap),
+tcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM tkept a JOIN tkept b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+   AND a.n >= {truth_threshold} * b.n - 1e-9 AND b.n >= {truth_threshold} * a.n - 1e-9
+),
+tscored AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+         / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) AS jaccard
+  FROM tcand JOIN td da ON da.doc_id = tcand.id_a JOIN td db ON db.doc_id = tcand.id_b
+),
+tallhot AS (
+  SELECT doc_id, list_sort(sh) AS seth FROM td
+  WHERE doc_id NOT IN (SELECT doc_id FROM tkept)
+),
+tstar AS (
+  SELECT MIN(doc_id) OVER (PARTITION BY seth) AS id_a, doc_id AS id_b
+  FROM tallhot QUALIFY doc_id != id_a
+),
+truth AS (
+  SELECT id_a, id_b FROM tscored WHERE jaccard >= {truth_threshold}
+  UNION ALL SELECT id_a, id_b FROM tstar
+),
+nd AS (SELECT COUNT(*) AS n_docs FROM msh WHERE len(sh) > 0),
+nt AS (SELECT COUNT(*) AS n_true FROM truth),
+nc AS (SELECT COUNT(*) AS n_cand FROM mcand),
+ng AS (SELECT COUNT(*) AS n_caught FROM truth t JOIN mcand c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+SELECT n_docs, n_true, n_cand, n_caught,
+       CASE WHEN n_true > 0 THEN CAST(n_caught AS DOUBLE) / CAST(n_true AS DOUBLE) END AS pair_completeness,
+       CASE WHEN n_docs > 1 THEN 1.0 - CAST(n_cand AS DOUBLE) / (CAST(n_docs * (n_docs - 1) AS DOUBLE) / 2.0) END AS reduction_ratio
+FROM nd, nt, nc, ng
+"""
+
+
+ORACLE_BLOCKING_QUALITY = _blocking_quality_oracle()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- oracle-backed, ungated in round 1: gate these first ---------------
     "ngram_jaccard_dup_pairs": ngram_jaccard_dup_pairs,
@@ -8651,6 +8955,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_mojibake_repair": doc_mojibake_repair,
     "banned_phrase_filter": banned_phrase_filter,
     "tokenizer_fertility": tokenizer_fertility,
+    # -- round 6, second wave: mining / coreset / privacy / blocking-eval ---
+    "bitext_margin_mining": bitext_margin_mining,
+    "coreset_kcenter_sample": coreset_kcenter_sample,
+    "customer_k_anonymity": customer_k_anonymity,
+    "lsh_blocking_quality": lsh_blocking_quality,
     # -- oracle-backed, green in round 1 -----------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -8911,6 +9220,10 @@ ORACLES: dict[str, str] = {
     "doc_mojibake_repair": ORACLE_DOC_MOJIBAKE_REPAIR,
     "banned_phrase_filter": ORACLE_BANNED_PHRASE_FILTER,
     "tokenizer_fertility": ORACLE_TOKENIZER_FERTILITY,
+    "bitext_margin_mining": ORACLE_BITEXT_MARGIN,
+    "coreset_kcenter_sample": ORACLE_KCENTER,
+    "customer_k_anonymity": ORACLE_K_ANONYMITY,
+    "lsh_blocking_quality": ORACLE_BLOCKING_QUALITY,
     "copurchase_triangles": ORACLE_TRIANGLES,
     "media_real_image_features": ORACLE_MEDIA_REAL,
     "media_png_features": ORACLE_MEDIA_REAL,

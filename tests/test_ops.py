@@ -2855,3 +2855,122 @@ def test_phrase_blocklist_word_boundaries_and_filter(spark):
     assert hits == {(2, "ass"): 1, (3, "bad phrase"): 2, (5, "bad phrase"): 1}
     kept = sorted(r.doc_id for r in phrase_blocklist_filter(docs, phrases).collect())
     assert kept == [1, 4]
+
+
+# ------------------------------------------------- privacy / coreset / mining
+
+
+def test_k_anonymize_suppresses_small_classes(spark):
+    from apollo_spark.ops.privacy import k_anonymize
+
+    rows = [("a", 1, 10.0)] * 5 + [("a", 2, 20.0)] * 2 + [("b", 1, 30.0)] * 1
+    df = spark.createDataFrame(rows, "seg string, b int, v double")
+    out = k_anonymize(df, ["seg", "b"], k=3, value_col="v").collect()
+    got = {(r.seg, r.b): (r.n_classes, r.n_rows, r.avg_value) for r in out}
+    # one kept class, the two small ones folded into the catch-all
+    assert got[("a", "1")] == (1, 5, 10.0)
+    assert got[("*", "*")] == (2, 3, (2 * 20.0 + 30.0) / 3)
+    assert len(got) == 2
+
+
+def test_k_anonymize_no_suppressed_row_when_all_classes_big(spark):
+    from apollo_spark.ops.privacy import k_anonymize
+
+    df = spark.createDataFrame([("a", 1.0)] * 4, "seg string, v double")
+    out = k_anonymize(df, ["seg"], k=2, value_col="v").collect()
+    assert len(out) == 1 and out[0].seg == "a"
+    # every released class satisfies k; no '*' row materializes
+    assert all(r.n_rows >= 2 for r in out)
+
+
+def test_k_anonymize_rejects_bad_k(spark):
+    from apollo_spark.ops.privacy import k_anonymize
+
+    df = spark.createDataFrame([("a", 1.0)], "seg string, v double")
+    with pytest.raises(ValueError):
+        k_anonymize(df, ["seg"], k=0, value_col="v")
+
+
+def test_kcenter_select_matches_numpy_greedy(spark, emb):
+    from apollo_spark.ops.clustering import kcenter_select
+
+    got = kcenter_select(emb, k=6)
+    pdf = emb.toPandas().sort_values("vec_id")
+    ids = pdf.vec_id.to_numpy()
+    V = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    sel = [0]
+    radii = [0.0]
+    for _ in range(5):
+        mind = np.full(len(ids), np.inf)
+        for s in sel:
+            d = ((V - V[s]) ** 2).sum(axis=1)
+            mind = np.minimum(mind, d)
+        mind[sel] = -np.inf
+        nxt = int(np.argmax(mind))  # argmax takes first (smallest id) on ties
+        sel.append(nxt)
+        radii.append(float(mind[nxt]))
+    assert [(o, v) for o, v, _ in got] == [(i, int(ids[s])) for i, s in enumerate(sel)]
+    for (_, _, r_got), r_np in zip(got, radii):
+        assert abs(r_got - r_np) < 1e-6 * max(1.0, abs(r_np))
+
+
+def test_kcenter_radius_monotone_nonincreasing(spark, emb):
+    from apollo_spark.ops.clustering import kcenter_select
+
+    got = kcenter_select(emb, k=8)
+    radii = [r for _, _, r in got][1:]  # skip the seed's 0.0
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def test_margin_mined_pairs_mutual_best_and_margin(spark, emb):
+    """Every mined pair must be a mutual best match within its blocked
+    candidate set, and its margin must replay from the raw scores."""
+    from apollo_spark.ops.similarity import cosine, margin_mined_pairs
+
+    out = margin_mined_pairs(emb, k=8, k_neighbors=4, threshold=1.0).collect()
+    assert out, "no pairs mined at threshold 1.0 — the fixture should yield some"
+    # recompute the candidate scores brute-force per cluster, numpy-side
+    from apollo_spark.ops.clustering import embedding_lattice, kmeans_lattice
+
+    _, cent = kmeans_lattice(emb, k=8, iters=2)
+    long = embedding_lattice(emb)
+    diff = F.col("xi") - F.col("ci")
+    dist = (
+        long.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "cluster")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    assign = (
+        dist.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+        .select("vec_id", F.col("m.cluster").alias("cluster"))
+    ).toPandas()
+    pdf = emb.toPandas()
+    V = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64) for _, r in pdf.iterrows()}
+    cl = dict(zip(assign.vec_id.astype(int), assign.cluster.astype(int)))
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for row in out:
+        x, y = int(row.x_id), int(row.y_id)
+        assert x % 2 == 0 and y % 2 == 1 and cl[x] == cl[y]
+        mates_y = [v for v in cl if v % 2 == 1 and cl[v] == cl[x]]
+        mates_x = [v for v in cl if v % 2 == 0 and cl[v] == cl[y]]
+        sxy = cos(V[x], V[y])
+        # mutual best (ties broken toward smaller id can only help x,y)
+        assert all(sxy >= cos(V[x], V[v]) - 1e-9 for v in mates_y)
+        assert all(sxy >= cos(V[u], V[y]) - 1e-9 for u in mates_x)
+        assert row.margin >= 1.0 - 1e-9
+
+
+def test_lsh_blocking_metrics_counts_consistent(spark, docs):
+    from apollo_spark.ops.dedup import lsh_blocking_metrics
+
+    row = lsh_blocking_metrics(docs, n=2, num_hashes=32, bands=16).collect()[0]
+    assert row.n_docs > 0 and row.n_cand >= 0
+    assert 0 <= row.n_caught <= min(row.n_true, row.n_cand)
+    if row.n_true:
+        assert abs(row.pair_completeness - row.n_caught / row.n_true) < 1e-12
+    assert 0.0 <= row.reduction_ratio <= 1.0
+    spark.catalog.clearCache()

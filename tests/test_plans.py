@@ -522,3 +522,35 @@ def test_web_queries_prune_columns(spark):
         p = plan(spark, name)
         for m in re.finditer(r"ReadSchema: struct<([^>]*)>", p):
             assert "text" not in m.group(1), (name, m.group(1))
+
+
+def test_kcenter_round_broadcasts_centers_no_shuffle_before_agg(spark):
+    """Each greedy k-center round must broadcast the ≤k selected centers
+    against the corpus scan (BroadcastNestedLoopJoin) — a shuffle-based
+    cross join would move the DATA side every round."""
+    from apollo_spark.ops.clustering import _kcenter_round
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ev = emb.select(
+        F.col("vec_id").alias("__id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("__v"),
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _kcenter_round(ev, [0, 2, 5]).explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in p, p[:2000]
+    assert "CartesianProduct" not in p, p[:2000]
+
+
+def test_bitext_margin_candidates_keyed_on_cluster_not_cartesian(spark):
+    """The mining candidate join must be keyed on the lattice cluster id
+    (hash or sort-merge on `cluster`) and the centroid joins must ride
+    broadcasts — a CartesianProduct would be the corpus-quadratic shape the
+    k∝N blocking exists to prevent."""
+    p = plan(spark, "bitext_margin_mining")
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "BroadcastExchange" in p, p[:2000]
+    # the even x odd candidate join carries the cluster equi-key
+    assert re.search(r"\[cluster#\d+L?\]", p), p[:2000]

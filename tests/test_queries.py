@@ -121,6 +121,11 @@ FLAGSHIPS = [
     "doc_mojibake_repair",     # cp1252 mojibake repair chain
     "banned_phrase_filter",    # word-boundary phrase blocklist
     "tokenizer_fertility",     # per-language fertility report
+    # round-6 second wave
+    "bitext_margin_mining",    # ratio-margin mutual-best pair mining
+    "coreset_kcenter_sample",  # greedy farthest-point coreset
+    "customer_k_anonymity",    # k-anonymous aggregate release
+    "lsh_blocking_quality",    # PC/RR evaluation of the LSH blocker
 ]
 
 
