@@ -263,3 +263,38 @@ def write_bucketed(
     if sort:
         w = w.sortBy(*list(keys))
     w.saveAsTable(table)
+
+
+def join_skew_profile(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str | None = None,
+    top_n: int = 10,
+) -> DataFrame:
+    """Pre-flight skew profile for an equi-join: per-key match counts on
+    both sides and the key's estimated output fan-out (cnt_a * cnt_b) —
+    the number that decides whether the join needs a broadcast, AQE skew
+    splitting, or salting (ops.relational.salted_join) BEFORE the shuffle
+    is paid. At 100 TB one mega-key is the difference between a join that
+    finishes and one straggler task that never does; this op is two
+    map-side-combinable groupBy counts + a join of the (small) key-count
+    frames, never the data-sized join itself.
+
+    Returns the ``top_n`` keys by estimated pairs with their share of the
+    total estimated join output: (key, cnt_a, cnt_b, est_pairs, share).
+    Deterministic: integer counts, ties toward the smaller key; share is a
+    division of exact integers.
+    """
+    rk = right_key or left_key
+    ca = left.groupBy(F.col(left_key).alias("key")).agg(F.count(F.lit(1)).alias("cnt_a"))
+    cb = right.groupBy(F.col(rk).alias("key")).agg(F.count(F.lit(1)).alias("cnt_b"))
+    j = ca.join(cb, "key").withColumn("est_pairs", F.col("cnt_a") * F.col("cnt_b"))
+    total = j.agg(F.sum("est_pairs").alias("__total"))
+    return (
+        j.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("est_pairs").cast("double") / F.col("__total").cast("double"))
+        .orderBy(F.col("est_pairs").desc(), F.col("key").asc())
+        .limit(top_n)
+        .select("key", "cnt_a", "cnt_b", "est_pairs", "share")
+    )

@@ -8781,16 +8781,23 @@ ORDER BY segment, bal_bucket
 def lsh_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-quality evaluation of the MinHash-LSH candidate generator
     (ops.dedup.lsh_blocking_metrics): pair completeness against the
-    df-capped exact-Jaccard ground truth (same bigram shingles) and
-    reduction ratio against the quadratic all-pairs space — the two
-    record-linkage numbers that say whether a blocker is safe to trust at
-    scale. The b=16 x r=2 geometry is tuned for J~0.5, evaluated here at
-    truth threshold 0.2, so PC exposes the S-curve's soft low end."""
+    df-capped exact bigram-Jaccard ground truth (the benchmarked
+    ngram_jaccard_capped_pairs config) and reduction ratio against the
+    quadratic all-pairs space — the two record-linkage numbers that say
+    whether a blocker is safe to trust at scale. The blocker hashes TRIGRAM
+    shingles while truth is defined on bigram Jaccard >= 0.2 — independent
+    systems by design (non-circular evaluation) and each individually
+    benchmarked linear; the docstring of lsh_blocking_metrics records the
+    two rejected shared-n configurations (bigram banding: candidates ~4% of
+    ALL pairs, quadratic; trigram truth: df cap dodged, index fan-out,
+    39.7 s vs ~8 s at sf0.1). PC < 1 on the driver corpus — the blocker
+    genuinely misses low-J true pairs, the honest S-curve number."""
     from apollo_spark.ops.dedup import lsh_blocking_metrics
 
     d = _t(spark, sf_dir, "documents")
     m = lsh_blocking_metrics(
-        d, n=2, num_hashes=32, bands=16, truth_threshold=0.2, max_df_frac=0.04
+        d, block_n=3, truth_n=2, num_hashes=32, bands=16,
+        truth_threshold=0.2, max_df_frac=0.04,
     )
     res = m.select(
         "n_docs",
@@ -8807,7 +8814,8 @@ def lsh_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _blocking_quality_oracle(
-    n: int = 2,
+    block_n: int = 3,
+    truth_n: int = 2,
     num_hashes: int = 32,
     bands: int = 16,
     truth_threshold: float = 0.2,
@@ -8837,9 +8845,9 @@ WITH mt AS (
 ),
 msh AS (
   SELECT doc_id,
-         CASE WHEN len(w) < {n} THEN [array_to_string(w, ' ')]
-              ELSE list_distinct(list_transform(generate_series(1, len(w) - {n - 1}),
-                                                i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(n))})) END AS sh
+         CASE WHEN len(w) < {block_n} THEN [array_to_string(w, ' ')]
+              ELSE list_distinct(list_transform(generate_series(1, len(w) - {block_n - 1}),
+                                                i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(block_n))})) END AS sh
   FROM mt
 ),
 mex AS (SELECT doc_id, unnest(sh) AS s FROM msh),
@@ -8858,7 +8866,9 @@ mcand AS (
 ),
 td0 AS (
   SELECT doc_id,
-         list_distinct(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS sh
+         CASE WHEN len(t) < {truth_n} THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(generate_series(1, len(t) - {truth_n - 1}),
+                                                i -> {" || ' ' || ".join(f"t[i+{j}]" for j in range(truth_n))})) END AS sh
   FROM (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
         FROM documents)
   WHERE len(t) >= 1
@@ -8903,7 +8913,103 @@ FROM nd, nt, nc, ng
 """
 
 
-ORACLE_BLOCKING_QUALITY = _blocking_quality_oracle()
+ORACLE_BLOCKING_QUALITY = _blocking_quality_oracle(block_n=3, truth_n=2, truth_threshold=0.2)
+
+
+def dup_aware_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-aware sampling weights (the soft alternative to hard
+    dedup, e.g. SlimPajama-style cluster reweighting): every document gets
+    weight 1/|its near-dup component|, so a sampler drawing by weight sees
+    each CONTENT once in expectation instead of once per copy — no document
+    is discarded, survivorship stays debuggable. Components ride the same
+    capped edge generation near_dup_components certifies (frac_floor=1024:
+    capped == lossless at every gate SF); docs in no component are their own
+    singleton (weight 1.0). Weight is a division of exact integers —
+    engine-identical unrounded."""
+    from apollo_spark.ops.dedup import connected_components, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(
+        d, n=2, threshold=0.2, max_df=None, max_df_frac=0.04, frac_floor=1024
+    ).select("id_a", "id_b")
+    comp = connected_components(edges).select(
+        F.col("id").cast("long").alias("doc_id"), F.col("comp").cast("long").alias("component")
+    )
+    full = d.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+    )
+    sz = full.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    return (
+        full.join(sz, "component")
+        .select(
+            "doc_id",
+            "component",
+            "csize",
+            (F.lit(1.0) / F.col("csize").cast("double")).alias("weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DUP_WEIGHTS = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents)
+  WHERE len(t) >= 1
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id),
+fullc AS (
+  SELECT a.doc_id, COALESCE(c.component, a.doc_id) AS component
+  FROM (SELECT doc_id FROM documents) a LEFT JOIN comp c USING (doc_id)
+),
+sz AS (SELECT component, COUNT(*) AS csize FROM fullc GROUP BY component)
+SELECT f.doc_id, f.component, s.csize,
+       CAST(1.0 AS DOUBLE) / CAST(s.csize AS DOUBLE) AS weight
+FROM fullc f JOIN sz s USING (component)
+ORDER BY doc_id
+"""
+
+
+def join_skew_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join-skew profile (ops.relational.join_skew_profile) of
+    the documents-by-language self-join — the 'accidental mega-key' shape:
+    5 languages over the whole corpus, with 'en' holding ~44% of docs, so
+    its key alone carries ~66% of the estimated join output (est_pairs
+    218^2 vs 64^2 for the tail language at sf0.01 — an 11x per-task
+    imbalance). The profile is two key-count aggregates joined (never the
+    data-sized join itself); its est_pairs/share output is the number that
+    says 'salt this or broadcast that' BEFORE the shuffle is paid."""
+    from apollo_spark.ops.relational import join_skew_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return join_skew_profile(d, d, "lang", top_n=10)
+
+
+ORACLE_JOIN_SKEW = """
+WITH c AS (SELECT lang AS key, COUNT(*) AS cnt FROM documents GROUP BY lang),
+j AS (SELECT key, cnt AS cnt_a, cnt AS cnt_b, cnt * cnt AS est_pairs FROM c),
+t AS (SELECT SUM(est_pairs) AS tot FROM j)
+SELECT key, cnt_a, cnt_b, est_pairs,
+       CAST(est_pairs AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+FROM j, t ORDER BY est_pairs DESC, key ASC LIMIT 10
+"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -8960,6 +9066,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "coreset_kcenter_sample": coreset_kcenter_sample,
     "customer_k_anonymity": customer_k_anonymity,
     "lsh_blocking_quality": lsh_blocking_quality,
+    "dup_aware_sample_weights": dup_aware_sample_weights,
+    "join_skew_profile_docs": join_skew_profile_docs,
     # -- oracle-backed, green in round 1 -----------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -9224,6 +9332,8 @@ ORACLES: dict[str, str] = {
     "coreset_kcenter_sample": ORACLE_KCENTER,
     "customer_k_anonymity": ORACLE_K_ANONYMITY,
     "lsh_blocking_quality": ORACLE_BLOCKING_QUALITY,
+    "dup_aware_sample_weights": ORACLE_DUP_WEIGHTS,
+    "join_skew_profile_docs": ORACLE_JOIN_SKEW,
     "copurchase_triangles": ORACLE_TRIANGLES,
     "media_real_image_features": ORACLE_MEDIA_REAL,
     "media_png_features": ORACLE_MEDIA_REAL,

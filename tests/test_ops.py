@@ -2967,10 +2967,38 @@ def test_margin_mined_pairs_mutual_best_and_margin(spark, emb):
 def test_lsh_blocking_metrics_counts_consistent(spark, docs):
     from apollo_spark.ops.dedup import lsh_blocking_metrics
 
-    row = lsh_blocking_metrics(docs, n=2, num_hashes=32, bands=16).collect()[0]
+    row = lsh_blocking_metrics(docs, block_n=3, truth_n=2, num_hashes=32, bands=16).collect()[0]
     assert row.n_docs > 0 and row.n_cand >= 0
     assert 0 <= row.n_caught <= min(row.n_true, row.n_cand)
     if row.n_true:
         assert abs(row.pair_completeness - row.n_caught / row.n_true) < 1e-12
     assert 0.0 <= row.reduction_ratio <= 1.0
+    spark.catalog.clearCache()
+
+
+def test_join_skew_profile_counts_and_share(spark):
+    from apollo_spark.ops.relational import join_skew_profile
+
+    left = spark.createDataFrame([("a",)] * 3 + [("b",)] * 2 + [("c",)], "k string")
+    right = spark.createDataFrame([("a",)] * 4 + [("b",)], "k string")
+    out = join_skew_profile(left, right, "k", top_n=10).collect()
+    got = {r.key: (r.cnt_a, r.cnt_b, r.est_pairs, r.share) for r in out}
+    assert got["a"] == (3, 4, 12, 12 / 14)
+    assert got["b"] == (2, 1, 2, 2 / 14)
+    assert "c" not in got  # unmatched keys produce no join output
+    assert [r.key for r in out] == ["a", "b"]  # est_pairs desc
+
+
+def test_dup_aware_sample_weights_partition_of_unity(spark):
+    """Each component's weights sum to exactly 1 (so the weighted corpus
+    counts every CONTENT once), every document appears, and csize is the
+    true component population."""
+    from apollo_spark.queries import QUERIES
+
+    out = QUERIES["dup_aware_sample_weights"](spark, SF).toPandas()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(out) == n_docs
+    assert abs(out.weight.sum() - out.component.nunique()) < 1e-9
+    g = out.groupby("component")
+    assert (g.size() == g.csize.first()).all()
     spark.catalog.clearCache()

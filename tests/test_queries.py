@@ -126,6 +126,8 @@ FLAGSHIPS = [
     "coreset_kcenter_sample",  # greedy farthest-point coreset
     "customer_k_anonymity",    # k-anonymous aggregate release
     "lsh_blocking_quality",    # PC/RR evaluation of the LSH blocker
+    "dup_aware_sample_weights",  # 1/|component| soft-dedup reweighting
+    "join_skew_profile_docs",  # pre-flight join fan-out profile
 ]
 
 
