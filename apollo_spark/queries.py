@@ -9002,6 +9002,269 @@ def join_skew_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_skew_profile(d, d, "lang", top_n=10)
 
 
+def entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: SymSpell fuzzy candidate pairs
+    (ops.linkage.fuzzy_dup_pairs, Levenshtein <= 1, same planted-twin input
+    as fuzzy_entity_dup_pairs) -> connected components (min-label
+    propagation) -> one GOLDEN record per multi-member entity with a
+    deterministic survivorship rule: keep the longest string (the planted
+    twins are one char shorter than their originals, so longest = most
+    complete), ties toward the smaller id. This is the linkage tier's
+    missing last step — match, cluster, merge — and every stage is the
+    already-certified building block, so the composition hash-gates."""
+    from apollo_spark.ops.dedup import connected_components
+    from apollo_spark.ops.linkage import fuzzy_dup_pairs
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.md5(F.col("c_custkey").cast("string")).alias("s")
+    )
+    planted = c.filter(F.pmod("id", F.lit(3)) == 0).select(
+        (F.col("id") + F.lit(10_000_000)).alias("id"),
+        F.concat(
+            F.expr("substr(s, 1, pmod(id, length(s)))"),
+            F.expr("substr(s, pmod(id, length(s)) + 2, length(s) - pmod(id, length(s)) - 1)"),
+        ).alias("s"),
+    )
+    base = c.unionByName(planted)
+    pairs = fuzzy_dup_pairs(base, "id", "s").select("id_a", "id_b")
+    comp = connected_components(pairs).select(
+        F.col("id").cast("long").alias("id"), F.col("comp").cast("long").alias("comp")
+    )
+    m = comp.join(base, "id")
+    g = (
+        m.groupBy("comp")
+        .agg(
+            F.min("id").alias("entity_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("s").alias("n_variants"),
+            F.min(
+                F.struct(
+                    (-F.length("s")).alias("nl"), F.col("id").alias("i"), F.col("s").alias("sv")
+                )
+            ).alias("g"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    return g.select(
+        "entity_id", "n_members", "n_variants", F.col("g.sv").alias("golden")
+    ).orderBy("entity_id")
+
+
+ORACLE_GOLDEN_RECORDS = r"""
+WITH RECURSIVE c AS (SELECT c_custkey AS id, md5(CAST(c_custkey AS VARCHAR)) AS s FROM customer),
+planted AS (
+  SELECT id + 10000000 AS id,
+         concat(substr(s, 1, id % length(s)),
+                substr(s, id % length(s) + 2, length(s) - id % length(s) - 1)) AS s
+  FROM c WHERE id % 3 = 0
+),
+base AS (SELECT * FROM c UNION ALL SELECT * FROM planted),
+v AS (
+  SELECT id, s,
+         unnest(list_distinct(list_prepend(s,
+           list_transform(generate_series(1, length(s)),
+             i -> concat(substr(s, 1, i-1), substr(s, i+1, length(s)-i)))))) AS v
+  FROM base
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, a.s AS s_a, b.id AS id_b, b.s AS s_b
+  FROM v a JOIN v b USING (v) WHERE a.id < b.id
+),
+pairs AS (SELECT id_a, id_b FROM cand WHERE levenshtein(s_a, s_b) <= 1),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+m AS (SELECT comp.comp, base.id, base.s FROM comp JOIN base USING (id)),
+r AS (
+  SELECT comp, id, s,
+         ROW_NUMBER() OVER (PARTITION BY comp ORDER BY length(s) DESC, id ASC) AS rn
+  FROM m
+),
+g AS (
+  SELECT comp, MIN(id) AS entity_id, COUNT(*) AS n_members, COUNT(DISTINCT s) AS n_variants
+  FROM m GROUP BY comp HAVING COUNT(*) >= 2
+)
+SELECT g.entity_id, g.n_members, g.n_variants, r.s AS golden
+FROM g JOIN r ON r.comp = g.comp AND r.rn = 1
+ORDER BY entity_id
+"""
+
+
+def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the lattice-IVF 2-probe search against the exact
+    brute-force top-5, computed fully IN-ENGINE as a first-class gated
+    metric (the pytest recall pin made this a unit property; this makes it
+    a reportable number a pipeline can alert on). Composes the two already
+    certified queries — knn_ivf_lattice_approx (approximate side) and
+    knn_bruteforce's ranking (exact side) — so the whole comparison,
+    including the recall ratio, replays bit-for-bit in the oracle."""
+    approx = knn_ivf_lattice_approx(spark, sf_dir).select("q_id", "vec_id")
+    exact = knn_bruteforce(spark, sf_dir).select("q_id", "vec_id")
+    hits = (
+        exact.join(approx, ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).cast("double") / F.lit(5.0)).alias(
+                "recall_at_5"
+            ),
+        )
+        .orderBy("q_id")
+    )
+
+
+def _ivf_recall_oracle(k: int = 8, iters: int = 2, probe: int = 2, topk: int = 5) -> str:
+    """Mirror of ivf_recall_report: the lattice-IVF CTEs (same as
+    ORACLE_IVF_LATTICE) + the brute-force ranking (same as ORACLE_KNN) +
+    the per-query intersection count."""
+    ctes = _lattice_common_ctes(k, iters)
+    ctes.append(
+        f"""probed AS (
+  SELECT vec_id AS q_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+    FROM fdist WHERE vec_id < 3) WHERE rn <= {probe}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+ascored AS (
+  SELECT p.q_id, a.vec_id,
+         list_dot_product(e.v, q.v) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))) AS score
+  FROM fassign a JOIN probed p USING (cluster)
+  JOIN e ON e.vec_id = a.vec_id
+  JOIN e q ON q.vec_id = p.q_id
+),
+approx AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank
+    FROM ascored) WHERE rank <= {topk}
+),
+qv AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3),
+bscored AS (
+  SELECT qv.q_id, e.vec_id,
+         list_dot_product(e.v, qv.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv.qv, qv.qv))) AS score
+  FROM e CROSS JOIN qv
+),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank
+    FROM bscored) WHERE rank <= {topk}
+),
+hits AS (
+  SELECT exact.q_id, COUNT(*) AS n_hits
+  FROM exact JOIN approx USING (q_id, vec_id) GROUP BY exact.q_id
+)
+SELECT x.q_id, COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
+FROM (SELECT DISTINCT q_id FROM exact) x LEFT JOIN hits h USING (q_id)
+ORDER BY q_id"""
+    )
+
+
+ORACLE_IVF_RECALL = _ivf_recall_oracle()
+
+
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of the
+    event stream's date range (split at 2024-01-16, the corpus midpoint) per
+    event_type — THE production drift-monitor number: PSI < 0.1 stable,
+    0.1-0.25 moderate shift, > 0.25 investigate. Shape: one groupBy on
+    (event_type) with map-side-combinable conditional sums; scalar totals
+    ride a broadcast crossJoin; the 5-bin term sum is a frame-sized window.
+    Each PSI term is DECIMAL(38,6)-quantized before summing (the
+    source_kl_divergence posture: ln is fixed-order IEEE, the quantization
+    absorbs any final-ulp libm difference and makes the sum
+    order-independent); bins empty on either side contribute NULL (excluded
+    from the total) rather than a fake epsilon."""
+    e = _events(spark, sf_dir)
+    cut = 1_705_363_200 * 1_000_000_000  # 2024-01-16 00:00:00 UTC in nanos
+    b = e.select(
+        "event_type", F.when(F.col("ts") < F.lit(cut), 1).otherwise(0).alias("is_ref")
+    )
+    g = b.groupBy("event_type").agg(
+        F.sum("is_ref").alias("n_ref"),
+        (F.count(F.lit(1)) - F.sum("is_ref")).alias("n_cur"),
+    )
+    t = g.agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
+    p_ref = F.col("n_ref").cast("double") / F.col("t_ref").cast("double")
+    p_cur = F.col("n_cur").cast("double") / F.col("t_cur").cast("double")
+    x = g.crossJoin(F.broadcast(t)).select(
+        "event_type", "n_ref", "n_cur", p_ref.alias("p_ref"), p_cur.alias("p_cur")
+    )
+    term = F.when(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+        ((F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))).cast(
+            "decimal(38,6)"
+        ),
+    )
+    w = Window.partitionBy(F.lit(1))
+    return (
+        x.withColumn("__term", term)
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            "p_ref",
+            "p_cur",
+            F.col("__term").cast("double").alias("psi_term"),
+            F.sum("__term").over(w).cast("double").alias("total_psi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_PSI_DRIFT = """
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS is_ref
+  FROM events
+),
+g AS (
+  SELECT event_type,
+         CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+         CAST(COUNT(*) - SUM(is_ref) AS BIGINT) AS n_cur
+  FROM b GROUP BY event_type
+),
+t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM g),
+x AS (
+  SELECT event_type, n_ref, n_cur,
+         CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE) AS p_ref,
+         CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE) AS p_cur
+  FROM g, t
+),
+y AS (
+  SELECT event_type, n_ref, n_cur, p_ref, p_cur,
+         CASE WHEN n_ref > 0 AND n_cur > 0
+              THEN CAST((p_cur - p_ref) * ln(p_cur / p_ref) AS DECIMAL(38,6)) END AS term
+  FROM x
+)
+SELECT event_type, n_ref, n_cur, p_ref, p_cur,
+       CAST(term AS DOUBLE) AS psi_term,
+       CAST(SUM(term) OVER () AS DOUBLE) AS total_psi
+FROM y ORDER BY event_type
+"""
+
+
 ORACLE_JOIN_SKEW = """
 WITH c AS (SELECT lang AS key, COUNT(*) AS cnt FROM documents GROUP BY lang),
 j AS (SELECT key, cnt AS cnt_a, cnt AS cnt_b, cnt * cnt AS est_pairs FROM c),
@@ -9068,6 +9331,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_blocking_quality": lsh_blocking_quality,
     "dup_aware_sample_weights": dup_aware_sample_weights,
     "join_skew_profile_docs": join_skew_profile_docs,
+    "entity_golden_records": entity_golden_records,
+    "ivf_recall_report": ivf_recall_report,
+    "events_psi_drift": events_psi_drift,
     # -- oracle-backed, green in round 1 -----------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -9334,6 +9600,9 @@ ORACLES: dict[str, str] = {
     "lsh_blocking_quality": ORACLE_BLOCKING_QUALITY,
     "dup_aware_sample_weights": ORACLE_DUP_WEIGHTS,
     "join_skew_profile_docs": ORACLE_JOIN_SKEW,
+    "entity_golden_records": ORACLE_GOLDEN_RECORDS,
+    "ivf_recall_report": ORACLE_IVF_RECALL,
+    "events_psi_drift": ORACLE_PSI_DRIFT,
     "copurchase_triangles": ORACLE_TRIANGLES,
     "media_real_image_features": ORACLE_MEDIA_REAL,
     "media_png_features": ORACLE_MEDIA_REAL,

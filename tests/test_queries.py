@@ -128,6 +128,9 @@ FLAGSHIPS = [
     "lsh_blocking_quality",    # PC/RR evaluation of the LSH blocker
     "dup_aware_sample_weights",  # 1/|component| soft-dedup reweighting
     "join_skew_profile_docs",  # pre-flight join fan-out profile
+    "entity_golden_records",   # match -> cluster -> survivorship merge
+    "ivf_recall_report",       # in-engine recall@5 of the ANN index
+    "events_psi_drift",        # population-stability drift monitor
 ]
 
 
