@@ -16,6 +16,7 @@ Apollo exposes exactly 7 functions + the ``now`` variable
 
 from __future__ import annotations
 
+import math
 import time
 
 from pyspark.sql import Column
@@ -134,6 +135,10 @@ COLUMN_FUNCTIONS = {
     "upper": lambda s: F.upper(_as_col(s)),
     "lower": lambda s: F.lower(_as_col(s)),
     "abs": lambda n: F.abs(_as_col(n)),
+    # v2 extension (not in the reference's 7): LONG floor — the bucketing
+    # primitive quasi-identifier/binning blocks need (floor on Spark and
+    # DuckDB both floor toward -inf, so buckets agree for negatives too)
+    "floor": lambda n: F.floor(_as_col(n)),
     "parse_decimals": parse_decimals,
     "format_date": format_date_col,
 }
@@ -143,6 +148,7 @@ CONST_FUNCTIONS = {
     "upper": lambda s: str(s).upper(),
     "lower": lambda s: str(s).lower(),
     "abs": lambda n: abs(n),
+    "floor": lambda n: math.floor(n),
     "parse_decimals": lambda raw, d: float(raw) / (10.0 ** float(d)),
     "format_date": format_date_py,
 }

@@ -138,6 +138,20 @@ class QualitySpec:
 
 
 @dataclass
+class PrivacySpec:
+    """v2 `privacy` block: k-anonymous aggregate RELEASE as the terminal
+    stage (ops/privacy.py::k_anonymize) — the output becomes one row per
+    quasi-identifier equivalence class with >= k members plus a single '*'
+    catch-all absorbing every smaller class. Mutually exclusive with
+    aggregate/window (it IS the release aggregation)."""
+
+    qi: list[str] = field(default_factory=list)  # quasi-identifier columns
+    k: int = 5
+    value: str = "value"  # column averaged per released class
+    value_scale: int = 2  # DECIMAL quantization of the value sums
+
+
+@dataclass
 class QuerySpec:
     name: str
     chain: str
@@ -157,6 +171,8 @@ class QuerySpec:
     sample: SampleSpec | None = None
     # v2 `quality` block: declarative corpus quality filter (ops/text.py)
     quality: QualitySpec | None = None
+    # v2 `privacy` block: k-anonymous aggregate release (ops/privacy.py)
+    privacy: PrivacySpec | None = None
     # v2 `expect` block: eager output-constraint validation (batch-only)
     expect: ExpectSpec | None = None
     sort: list[Node] = field(default_factory=list)
@@ -414,6 +430,34 @@ def _parse_query(block: Block, env: dict[str, Any], item: Any = None) -> QuerySp
             min_tokens=int(_const(qbody, "min_tokens", env, 10)),
         )
 
+    privacy_spec = None
+    privacy_blocks = b.blocks_of("privacy")
+    if privacy_blocks:
+        pbody = privacy_blocks[0].body
+        qi_raw = _const(pbody, "qi", env, None)
+        if qi_raw is None:
+            raise SchemaError(f"query {name}: privacy block requires a `qi` attribute")
+        qi = [str(x) for x in (qi_raw if isinstance(qi_raw, list) else [qi_raw])]
+        if not qi:
+            raise SchemaError(f"query {name}: privacy qi must name at least one column")
+        pk = int(_const(pbody, "k", env, 5))
+        if pk < 1:
+            raise SchemaError(f"query {name}: privacy k must be >= 1, got {pk}")
+        value = _const(pbody, "value", env, None)
+        if value is None:
+            raise SchemaError(f"query {name}: privacy block requires a `value` attribute")
+        if agg_blocks or window_blocks:
+            raise SchemaError(
+                f"query {name}: privacy is the release aggregation — it cannot be combined "
+                f"with aggregate/window blocks"
+            )
+        privacy_spec = PrivacySpec(
+            qi=qi,
+            k=pk,
+            value=str(value),
+            value_scale=int(_const(pbody, "value_scale", env, 2)),
+        )
+
     expect_spec = None
     expect_blocks = b.blocks_of("expect")
     if expect_blocks:
@@ -444,6 +488,7 @@ def _parse_query(block: Block, env: dict[str, Any], item: Any = None) -> QuerySp
         dedup=dedup_spec,
         sample=sample_spec,
         quality=quality_spec,
+        privacy=privacy_spec,
         expect=expect_spec,
         sort=sort_items,
         limit=(int(_const(b, "limit", env)) if b.attr("limit") is not None else None),

@@ -250,12 +250,15 @@ def _eval_tail(
     dedup=None,
     sample=None,
     quality=None,
+    privacy=None,
     sort: list | None = None,
     limit: int | None = None,
     user_functions: dict | None = None,
 ) -> DataFrame:
-    """joins -> transform -> filter -> sample -> quality -> dedup -> window
-    -> aggregate -> save -> sort/limit over an already-decoded source frame."""
+    """joins -> transform -> filter -> sample -> quality -> dedup -> privacy
+    -> window -> aggregate -> save -> sort/limit over an already-decoded
+    source frame. privacy is the terminal release aggregation (k-anonymous
+    classes), mutually exclusive with window/aggregate (schema-enforced)."""
     if joins:
         df = _apply_joins(df, joins, catalog)
     env = _scope_env(df, variables, chain)
@@ -275,7 +278,7 @@ def _eval_tail(
         filter_col = reduce(lambda a, b: a & b, preds)
 
     save_cols: list[Column] = []
-    if aggregate is None and window is None and save is not None:
+    if aggregate is None and window is None and privacy is None and save is not None:
         # compile save BEFORE applying enrichments so balance()/token_balance()
         # calls inside save register their join placeholders
         for name, attr in save.attributes.items():
@@ -302,6 +305,24 @@ def _eval_tail(
 
     if dedup is not None:
         df = _apply_dedup(df, dedup)
+
+    if privacy is not None:
+        # terminal release aggregation: the output IS the k-anonymous class
+        # table, so save (if any) compiles against its columns
+        from apollo_spark.ops.privacy import k_anonymize
+
+        df = k_anonymize(
+            df, list(privacy.qi), privacy.k, privacy.value, privacy.value_scale
+        )
+        if save is not None:
+            penv = _scope_env(df, variables, chain)
+            pcompiler = ExpressionCompiler(
+                CompilerContext(env=penv, user_functions=user_functions or {})
+            )
+            save_cols = [
+                pcompiler.compile(attr.expr).alias(name)
+                for name, attr in save.attributes.items()
+            ]
 
     if window is not None:
         df = _apply_window(df, window, variables, chain, user_functions)
@@ -651,6 +672,7 @@ def compile_query(
                 dedup=query.dedup,
                 sample=query.sample,
                     quality=query.quality,
+                    privacy=query.privacy,
                 sort=query.sort,
                 limit=query.limit,
                 user_functions=schema.functions,
@@ -674,6 +696,7 @@ def compile_query(
                 dedup=query.dedup,
                 sample=query.sample,
                     quality=query.quality,
+                    privacy=query.privacy,
                 sort=query.sort,
                 limit=query.limit,
                 user_functions=schema.functions,
@@ -697,6 +720,7 @@ def compile_query(
                     dedup=query.dedup,
                 sample=query.sample,
                     quality=query.quality,
+                    privacy=query.privacy,
                     sort=query.sort,
                     limit=query.limit,
                     user_functions=schema.functions,
@@ -754,6 +778,7 @@ def compile_query(
                     dedup=query.dedup,
                 sample=query.sample,
                     quality=query.quality,
+                    privacy=query.privacy,
                     sort=query.sort,
                     limit=query.limit,
                     user_functions=schema.functions,
@@ -789,6 +814,7 @@ def compile_query(
                 dedup=query.dedup,
                 sample=query.sample,
                     quality=query.quality,
+                    privacy=query.privacy,
                 sort=query.sort,
                 limit=query.limit,
                 user_functions=schema.functions,

@@ -9184,6 +9184,47 @@ ORDER BY q_id"""
 ORACLE_IVF_RECALL = _ivf_recall_oracle()
 
 
+CUSTOMERS_DSL_KANON = """
+query customers_kanon {
+  chain = "ethereum"
+  source_table = "customer"
+  transform {
+    segment = c_mktsegment
+    bal_bucket = floor(c_acctbal / 1000.0)
+  }
+  privacy {
+    qi = ["segment", "bal_bucket"]
+    k = 25
+    value = "c_acctbal"
+  }
+  save {
+    segment = segment
+    bal_bucket = bal_bucket
+    n_classes = n_classes
+    n_rows = n_rows
+    avg_bal = avg_value
+  }
+  sort = [segment, bal_bucket]
+}
+"""
+
+
+def customers_dsl_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-anonymity release as ONE declarative HCL query: transform
+    derives the quasi-identifiers (the new `floor` v2 function buckets the
+    balance), the `privacy` block is the terminal release aggregation, save
+    renames against the released shape. Output is identical to the
+    customer_k_anonymity op-level query, so the SAME oracle certifies the
+    whole DSL path — parse, transform compile, privacy stage, post-release
+    save — end to end."""
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import compile_query
+    from apollo_spark.sources.tables import Catalog
+
+    schema = parse_schema(CUSTOMERS_DSL_KANON)
+    return compile_query(spark, Catalog(spark, sf_dir), schema.queries[0], schema)
+
+
 def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between the first and second half of the
     event stream's date range (split at 2024-01-16, the corpus midpoint) per
@@ -9334,6 +9375,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_golden_records": entity_golden_records,
     "ivf_recall_report": ivf_recall_report,
     "events_psi_drift": events_psi_drift,
+    "customers_dsl_kanon": customers_dsl_kanon,
     # -- oracle-backed, green in round 1 -----------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -9603,6 +9645,7 @@ ORACLES: dict[str, str] = {
     "entity_golden_records": ORACLE_GOLDEN_RECORDS,
     "ivf_recall_report": ORACLE_IVF_RECALL,
     "events_psi_drift": ORACLE_PSI_DRIFT,
+    "customers_dsl_kanon": ORACLE_K_ANONYMITY,
     "copurchase_triangles": ORACLE_TRIANGLES,
     "media_real_image_features": ORACLE_MEDIA_REAL,
     "media_png_features": ORACLE_MEDIA_REAL,

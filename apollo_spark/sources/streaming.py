@@ -676,3 +676,89 @@ def streaming_cdc_retention(
         release_caches(out)
 
     return _sink
+
+
+def streaming_psi_monitor(
+    ref_dir: str,
+    report_dir: str,
+    category_col: str = "event_type",
+    app_id: str = "psi_monitor",
+):
+    """foreachBatch sink factory: per-micro-batch Population Stability Index
+    against a persistent reference distribution — drift monitoring IN the
+    stream (the streaming face of the gated events_psi_drift query; PSI
+    < 0.1 stable, > 0.25 investigate).
+
+    The first non-empty batch ESTABLISHES the reference: its per-category
+    counts append to the TxTable at ``ref_dir`` under the (app, batch) txn
+    guard. Every batch then appends ONE report row to ``report_dir`` under
+    the same guard: (batch_id, n_rows, n_bins, n_bins_skipped, psi). Bins
+    observed on only one side are excluded from the sum — same documented
+    semantics as the batch query — but surface in ``n_bins_skipped`` so a
+    category appearing or vanishing is visible even when the shared-bin PSI
+    looks calm. The reference-establishing batch reports psi = 0.0 exactly
+    (identical integer distributions -> every term ln(1) = 0), a built-in
+    sanity row.
+
+    Replay safety: the reference append commits BEFORE the report is
+    computed (the report reads the committed reference), and both writes are
+    idempotent per (app, batch) — a checkpoint-restart replay at any crash
+    point recomputes the identical report and no-ops the appends. State is
+    one row per reference category; the shuffle moves only the increment's
+    category counts — nothing in this sink scales with history.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from apollo_spark.table_format import TxTable
+
+        spark = batch_df.sparkSession
+        cur = (
+            batch_df.groupBy(F.col(category_col).alias("category"))
+            .agg(F.count(F.lit(1)).alias("n_cur"))
+            .persist()
+        )
+        n_rows = cur.agg(F.sum("n_cur")).first()[0] or 0
+        ref_t = TxTable(ref_dir)
+        if ref_t.current_version() is None and n_rows > 0:
+            ref_t.write(
+                cur.select("category", F.col("n_cur").alias("n_ref")),
+                mode="append",
+                txn_app=app_id,
+                txn_batch=int(batch_id),
+            )
+        has_ref = ref_t.current_version() is not None
+        if has_ref:
+            ref = ref_t.read(spark).select("category", "n_ref")
+            j = ref.join(cur, "category", "full_outer")
+        else:  # nothing to compare against (empty stream so far)
+            j = cur.select("category", F.lit(None).cast("long").alias("n_ref"), "n_cur")
+        t = j.agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
+        p_ref = F.col("n_ref").cast("double") / F.col("t_ref").cast("double")
+        p_cur = F.col("n_cur").cast("double") / F.col("t_cur").cast("double")
+        shared = (
+            F.col("n_ref").isNotNull()
+            & F.col("n_cur").isNotNull()
+            & (F.col("n_ref") > 0)
+            & (F.col("n_cur") > 0)
+        )
+        term = F.when(shared, (p_cur - p_ref) * F.log(p_cur / p_ref))
+        rep = (
+            j.crossJoin(F.broadcast(t))
+            .select(term.alias("__term"))
+            .agg(
+                F.sum(F.when(F.col("__term").isNotNull(), 1).otherwise(0)).alias("n_bins"),
+                F.sum(F.when(F.col("__term").isNull(), 1).otherwise(0)).alias("n_bins_skipped"),
+                F.sum("__term").alias("__psi"),
+            )
+            .select(
+                F.lit(int(batch_id)).cast("long").alias("batch_id"),
+                F.lit(int(n_rows)).cast("long").alias("n_rows"),
+                F.col("n_bins").cast("long").alias("n_bins"),
+                F.col("n_bins_skipped").cast("long").alias("n_bins_skipped"),
+                F.coalesce(F.col("__psi"), F.lit(0.0)).alias("psi"),
+            )
+        )
+        TxTable(report_dir).write(rep, mode="append", txn_app=app_id, txn_batch=int(batch_id))
+        cur.unpersist()
+
+    return _sink

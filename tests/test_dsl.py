@@ -892,3 +892,44 @@ query q {
 """,
             confdir="/root/reference/test",
         )
+
+
+def test_privacy_block_parses_and_validates():
+    """privacy block: qi/k/value parse; missing qi or value, bad k, and
+    combining with aggregate are schema errors (privacy IS the release
+    aggregation)."""
+    s = parse_schema(
+        'query q { chain = "ethereum" \n source_table = "customer" \n'
+        ' privacy { qi = ["c_mktsegment"] \n k = 10 \n value = "c_acctbal" } }'
+    )
+    p = s.queries[0].privacy
+    assert p.qi == ["c_mktsegment"] and p.k == 10 and p.value == "c_acctbal"
+
+    with pytest.raises(SchemaError):
+        parse_schema(
+            'query q { chain = "e" \n source_table = "t" \n privacy { k = 5 \n value = "v" } }'
+        )
+    with pytest.raises(SchemaError):
+        parse_schema(
+            'query q { chain = "e" \n source_table = "t" \n privacy { qi = ["a"] \n k = 0 \n value = "v" } }'
+        )
+    with pytest.raises(SchemaError):
+        parse_schema(
+            'query q { chain = "e" \n source_table = "t" \n privacy { qi = ["a"] } }'
+        )
+    with pytest.raises(SchemaError):
+        parse_schema(
+            'query q { chain = "e" \n source_table = "t" \n'
+            ' privacy { qi = ["a"] \n value = "v" } \n'
+            " aggregate { group_by = [a] \n n = count() } }"
+        )
+
+
+def test_floor_function_column_and_const():
+    """The v2 `floor` DSL function: Column form floors toward -inf (matches
+    DuckDB for negative buckets); constant-folding form matches math.floor."""
+    from apollo_spark.dsl.functions import COLUMN_FUNCTIONS, CONST_FUNCTIONS
+
+    assert CONST_FUNCTIONS["floor"](2.7) == 2
+    assert CONST_FUNCTIONS["floor"](-0.1) == -1  # toward -inf, not zero
+    assert "floor" in COLUMN_FUNCTIONS

@@ -131,6 +131,7 @@ FLAGSHIPS = [
     "entity_golden_records",   # match -> cluster -> survivorship merge
     "ivf_recall_report",       # in-engine recall@5 of the ANN index
     "events_psi_drift",        # population-stability drift monitor
+    "customers_dsl_kanon",     # privacy block through the full DSL path
 ]
 
 

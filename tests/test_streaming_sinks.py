@@ -1201,3 +1201,64 @@ def test_streaming_corpus_dedup_filters_across_batches(spark, tmp_path):
     shutil.rmtree(ckpt)
     run_once()
     assert {r.doc_id for r in TxTable(out).read(spark).collect()} == {1, 2, 11}
+
+
+def test_streaming_psi_monitor_drift_across_batches(spark, tmp_path):
+    """PSI monitoring in the stream: batch 1 establishes the reference and
+    reports psi exactly 0.0; batch 2 with a heavily shifted category mix
+    reports psi above the 0.25 'investigate' line and counts its unseen
+    category as a skipped bin; batch 3 replaying the reference mix reports
+    psi exactly 0.0 again; a no-new-files replay adds no report rows."""
+    import json
+
+    from apollo_spark.sources.streaming import streaming_psi_monitor
+    from apollo_spark.table_format import TxTable
+
+    src = tmp_path / "ev_stream"
+    src.mkdir()
+    ref = str(tmp_path / "psi_ref")
+    rep = str(tmp_path / "psi_rep")
+    ckpt = str(tmp_path / "psi_ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema("event_id long, event_type string").json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(streaming_psi_monitor(ref, rep))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def rows(n, et, start):
+        return [{"event_id": start + i, "event_type": et} for i in range(n)]
+
+    # batch 1: balanced 50/50 click/view — becomes the reference
+    b1 = rows(50, "click", 0) + rows(50, "view", 100)
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    run_once()
+    got = {r.batch_id: r for r in TxTable(rep).read(spark).collect()}
+    assert got[0].psi == 0.0 and got[0].n_bins == 2 and got[0].n_bins_skipped == 0
+    assert got[0].n_rows == 100
+
+    # batch 2: 95/5 skew + a category the reference never saw
+    b2 = rows(95, "click", 200) + rows(4, "view", 300) + rows(1, "error", 400)
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+    run_once()
+    got = {r.batch_id: r for r in TxTable(rep).read(spark).collect()}
+    assert got[1].psi > 0.25, got[1].psi  # the 'investigate' line
+    assert got[1].n_bins == 2 and got[1].n_bins_skipped == 1  # 'error' skipped
+
+    # batch 3: exactly the reference mix again -> PSI returns to 0.0
+    b3 = rows(10, "click", 500) + rows(10, "view", 600)
+    (src / "b3.json").write_text("\n".join(json.dumps(r) for r in b3))
+    run_once()
+    got = {r.batch_id: r for r in TxTable(rep).read(spark).collect()}
+    assert got[2].psi == 0.0 and got[2].n_bins == 2
+
+    # replay with no new files: no new report rows, reference unmoved
+    n_before = TxTable(rep).read(spark).count()
+    v_ref = TxTable(ref).current_version()
+    run_once()
+    assert TxTable(rep).read(spark).count() == n_before
+    assert TxTable(ref).current_version() == v_ref
