@@ -8767,8 +8767,8 @@ kept AS (
   FROM g WHERE n_rows >= 25
 ),
 supp AS (
-  SELECT '*' AS segment, '*' AS bal_bucket, COUNT(*) AS n_classes,
-         SUM(n_rows) AS n_rows, CAST(SUM(s) AS DECIMAL(38,6)) AS s
+  SELECT '*' AS segment, '*' AS bal_bucket, CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(SUM(n_rows) AS BIGINT) AS n_rows, CAST(SUM(s) AS DECIMAL(38,6)) AS s
   FROM g WHERE n_rows < 25 HAVING COUNT(*) > 0
 )
 SELECT segment, bal_bucket, n_classes, n_rows,
