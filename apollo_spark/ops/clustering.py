@@ -95,6 +95,39 @@ def kmeans_lattice(
     return assign, cent
 
 
+def lattice_final_assign(
+    emb: DataFrame,
+    cent: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+    offset: float = 8.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Argmin assignment of every vector to the POST-UPDATE centroids —
+    the ``fassign``/``fdist`` step every lattice SQL oracle replays (one
+    extra assignment pass beyond kmeans_lattice's returned trajectory,
+    which is pre-update of the final round). Shared by the IVF probe path,
+    SemDeDup, and margin mining so the tie-break (ties toward the smaller
+    cluster id) lives in exactly one place.
+
+    Returns ``(assign, dist)``: assign = (id, cluster); dist = (id,
+    cluster, dist) with the exact squared lattice distance to EVERY
+    centroid (probe selection ranks over it)."""
+    long = embedding_lattice(emb, id_col, vec_col, scale, offset)
+    diff = F.col("xi") - F.col("ci")
+    dist = (
+        long.join(F.broadcast(cent), "d")
+        .groupBy(id_col, "cluster")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    assign = (
+        dist.groupBy(id_col)
+        .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+        .select(id_col, F.col("m.cluster").alias("cluster"))
+    )
+    return assign, dist
+
+
 def kmeans_summary(assign: DataFrame, centroids: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """Gate view: per-cluster member count, exact within-cluster sum of
     squares (against the centroids the final assignment was made from), and
@@ -219,9 +252,11 @@ def kcenter_select(
     Scale shape: exactly ``k`` bounded driver rounds; each is ONE distributed
     scan — the ≤k selected vectors ride a broadcast, each candidate computes its
     min distance map-side (no shuffle on the data side beyond the 1-row
-    argmax reduce), and only a single (id, dist) row is ever collected. Work
-    is O(k · N · d) JVM-side with flat lineage (each round reads the source,
-    not the prior round's plan).
+    argmax reduce), and only a single (id, dist) row is ever collected.
+    Total cross-term work is O(k^2 · N · d) JVM-side (round i compares N
+    candidates to i centers; self-norms are precomputed per row, not per
+    pair) with flat lineage (each round reads the source, not the prior
+    round's plan) — fine for the small k a coreset seed uses.
 
     Determinism: d2 = <y,y> - 2<y,c> + <c,c> with every dot a sequential
     left-to-right double fold — the exact expression an unrolled SQL oracle
@@ -234,6 +269,8 @@ def kcenter_select(
         F.transform(vec_col, lambda x: x.cast("double")).alias("__v"),
     )
     seed = ev.select(F.min("__id").alias("m")).first()["m"]
+    if seed is None:  # empty input: nothing to select (explicit, not TypeError)
+        return []
     selected: list[tuple[int, int, float]] = [(0, int(seed), 0.0)]
     for it in range(1, k):
         ids = [vid for _, vid, _ in selected]
@@ -248,21 +285,28 @@ def _kcenter_round(ev: DataFrame, ids: list[int]) -> DataFrame:
     """One greedy k-center round: the 1-row (id, min-dist) argmax of
     ``ev`` = (__id, __v double[]) against the ≤k selected centers. The
     center side rides a BroadcastNestedLoopJoin (it IS tiny by contract);
-    the data side is scanned once with a map-side-combinable min."""
+    the data side is scanned once with a map-side-combinable min.
+
+    Squared norms are precomputed ONCE per row on each side before the
+    cross join — d2 = <y,y> - 2<y,c> + <c,c> evaluates the same sequential
+    folds the SQL oracle replays, so the values are bit-identical, but only
+    the cross term is a per-(candidate, center) fold (the naive per-pair
+    form tripled the array work on the hot scan)."""
 
     def dot(a, b):  # sequential fold — SQL-replayable bit-for-bit
         return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
     cent = ev.filter(F.col("__id").isin(ids)).select(
-        F.col("__id").alias("__cid"), F.col("__v").alias("__cv")
+        F.col("__v").alias("__cv"), dot(F.col("__v"), F.col("__v")).alias("__cn2")
     )
     d2 = (
-        dot(F.col("__v"), F.col("__v"))
+        F.col("__n2")
         - F.lit(2.0) * dot(F.col("__v"), F.col("__cv"))
-        + dot(F.col("__cv"), F.col("__cv"))
+        + F.col("__cn2")
     )
     return (
         ev.filter(~F.col("__id").isin(ids))
+        .withColumn("__n2", dot(F.col("__v"), F.col("__v")))
         .crossJoin(F.broadcast(cent))
         .groupBy("__id")
         .agg(F.min(d2).alias("mind"))
@@ -275,6 +319,7 @@ __all__ = [
     "embedding_lattice",
     "kmeans_lattice",
     "kmeans_summary",
+    "lattice_final_assign",
     "kcenter_select",
     "pq_codes",
     "pq_adc_topk",

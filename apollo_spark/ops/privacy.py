@@ -34,10 +34,16 @@ def k_anonymize(
 
     Returns one row per equivalence class with ``n_rows >= k`` plus a single
     suppressed catch-all row (every QI = ``'*'``) absorbing all smaller
-    classes. Columns: the QI columns (as strings, so ``'*'`` is typable),
-    ``n_classes`` (1 for kept rows; how many raw classes the catch-all
-    absorbed), ``n_rows``, and ``avg_value`` (double division of an exact
-    DECIMAL sum — deterministic across engines and partitionings).
+    classes. The catch-all itself must honor k: if the suppressed classes
+    total fewer than ``k`` rows, the catch-all is WITHHELD entirely — an
+    attacker who knows the victim's QIs fall outside every released class
+    would otherwise read a tiny group's (worst case one individual's) exact
+    average off the '*' row. A withheld catch-all means the release does not
+    account for every input row; that omission is the privacy guarantee
+    working, not a bug. Columns: the QI columns (as strings, so ``'*'`` is
+    typable), ``n_classes`` (1 for kept rows; how many raw classes the
+    catch-all absorbed), ``n_rows``, and ``avg_value`` (double division of
+    an exact DECIMAL sum — deterministic across engines and partitionings).
 
     ``value_col`` is quantized to ``DECIMAL(18, value_scale)`` BEFORE the
     sum, so the aggregate is summation-order-free. One shuffle total: the
@@ -70,7 +76,9 @@ def k_anonymize(
             F.sum("n_rows").alias("n_rows"),
             F.sum("__sum").alias("__sum"),
         )
-        .filter(F.col("n_rows").isNotNull())  # vanish when nothing is suppressed
+        # vanish when nothing is suppressed AND when the catch-all itself
+        # would be smaller than k (releasing it would expose a sub-k group)
+        .filter(F.col("n_rows").isNotNull() & (F.col("n_rows") >= k))
         .select(
             *[F.lit("*").alias(n) for n in names],
             F.col("n_classes"),

@@ -943,21 +943,10 @@ def margin_mined_pairs(
     summation-order-free; every ranking tie breaks toward the smaller id.
     """
     from apollo_spark.ops.cache import scoped_persist
-    from apollo_spark.ops.clustering import embedding_lattice, kmeans_lattice
+    from apollo_spark.ops.clustering import kmeans_lattice, lattice_final_assign
 
     _, cent = kmeans_lattice(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    long = embedding_lattice(emb, id_col, vec_col)
-    diff = F.col("xi") - F.col("ci")
-    dist = (
-        long.join(F.broadcast(cent), "d")
-        .groupBy(id_col, "cluster")
-        .agg(F.sum(diff * diff).alias("dist"))
-    )
-    assign = (
-        dist.groupBy(id_col)
-        .agg(F.min(F.struct("dist", "cluster")).alias("m"))
-        .select(id_col, F.col("m.cluster").alias("cluster"))
-    )
+    assign, _ = lattice_final_assign(emb, cent, id_col=id_col, vec_col=vec_col)
     ev = emb.select(
         F.col(id_col), F.transform(vec_col, lambda x: x.cast("double")).alias("v")
     )

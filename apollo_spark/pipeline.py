@@ -306,6 +306,16 @@ def _eval_tail(
     if dedup is not None:
         df = _apply_dedup(df, dedup)
 
+    def _recompile_save(frame: DataFrame) -> list[Column]:
+        # save sees the reshaped frame (post-privacy/window/aggregate):
+        # compile against its columns. Enrichment functions aren't
+        # supported after a reshape — same caveat for all three stages.
+        env2 = _scope_env(frame, variables, chain)
+        compiler2 = ExpressionCompiler(
+            CompilerContext(env=env2, user_functions=user_functions or {})
+        )
+        return [compiler2.compile(attr.expr).alias(name) for name, attr in save.attributes.items()]
+
     if privacy is not None:
         # terminal release aggregation: the output IS the k-anonymous class
         # table, so save (if any) compiles against its columns
@@ -315,32 +325,17 @@ def _eval_tail(
             df, list(privacy.qi), privacy.k, privacy.value, privacy.value_scale
         )
         if save is not None:
-            penv = _scope_env(df, variables, chain)
-            pcompiler = ExpressionCompiler(
-                CompilerContext(env=penv, user_functions=user_functions or {})
-            )
-            save_cols = [
-                pcompiler.compile(attr.expr).alias(name)
-                for name, attr in save.attributes.items()
-            ]
+            save_cols = _recompile_save(df)
 
     if window is not None:
         df = _apply_window(df, window, variables, chain, user_functions)
         if aggregate is None and save is not None:
-            # save sees the windowed shape (enrichment functions aren't
-            # supported post-window, same caveat as post-aggregate)
-            wenv = _scope_env(df, variables, chain)
-            wcompiler = ExpressionCompiler(CompilerContext(env=wenv, user_functions=user_functions or {}))
-            save_cols = [wcompiler.compile(attr.expr).alias(name) for name, attr in save.attributes.items()]
+            save_cols = _recompile_save(df)
 
     if aggregate is not None:
         df = _apply_aggregate(df, aggregate, variables, chain, user_functions)
         if save is not None:
-            # save sees the aggregated shape: compile against its columns
-            # (enrichment functions aren't supported post-aggregate)
-            agg_env = _scope_env(df, variables, chain)
-            agg_compiler = ExpressionCompiler(CompilerContext(env=agg_env, user_functions=user_functions or {}))
-            save_cols = [agg_compiler.compile(attr.expr).alias(name) for name, attr in save.attributes.items()]
+            save_cols = _recompile_save(df)
     if save_cols:
         df = df.select(*save_cols)
 
@@ -917,6 +912,11 @@ def compile_streaming_query(
         raise PipelineError(
             f"query {query.name}: expect block is batch-only "
             "(streaming frames cannot run the validation action)"
+        )
+    if query.privacy is not None:
+        raise PipelineError(
+            f"query {query.name}: privacy block is batch-only (it IS a release "
+            "aggregation; silently emitting raw rows would defeat the guarantee)"
         )
 
     def tail(df: DataFrame, transform: Body | None) -> DataFrame:

@@ -3253,14 +3253,20 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     At the gate SFs (<=5000 docs < frac_floor) no shingle can exceed the
     cutoff, so capped == lossless and the exact oracle still hash-gates every
     run; above it, the cap is the documented 100 TB semantics."""
+    from apollo_spark.ops.cache import release_caches
     from apollo_spark.ops.dedup import connected_components, ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    edges = ngram_jaccard_pairs(
+    edges_op = ngram_jaccard_pairs(
         d, n=2, threshold=0.2, max_df=None, max_df_frac=0.04, frac_floor=1024
-    ).select("id_a", "id_b")
+    )
+    comp = connected_components(edges_op.select("id_a", "id_b"))
+    # connected_components is eager — the edge op's persisted shingle frame
+    # is releasable here, not leaked into the session (same fix as
+    # dup_aware_sample_weights)
+    release_caches(edges_op)
     return (
-        connected_components(edges)
+        comp
         .select(F.col("id").cast("long").alias("doc_id"), F.col("comp").cast("long").alias("component"))
         .orderBy("doc_id")
     )
@@ -3338,22 +3344,11 @@ def knn_ivf_lattice_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gated brute-force query mirrors. This pins the approximate probe
     path itself — recall loss vs brute force is a property of the index, not
     an excuse to leave the plumbing ungated."""
-    from apollo_spark.ops.clustering import embedding_lattice, kmeans_lattice
+    from apollo_spark.ops.clustering import kmeans_lattice, lattice_final_assign
 
     e = _t(spark, sf_dir, "embeddings")
     _, cent = kmeans_lattice(e, k=8, iters=2)
-    long = embedding_lattice(e)
-    diff = F.col("xi") - F.col("ci")
-    dist = (
-        long.join(F.broadcast(cent), "d")
-        .groupBy("vec_id", "cluster")
-        .agg(F.sum(diff * diff).alias("dist"))
-    )
-    assign = (
-        dist.groupBy("vec_id")
-        .agg(F.min(F.struct("dist", "cluster")).alias("m"))
-        .select("vec_id", F.col("m.cluster").alias("cluster"))
-    )
+    assign, dist = lattice_final_assign(e, cent)
     wq = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("cluster").asc())
     probed = (
         dist.filter(F.col("vec_id") < 3)
@@ -3515,23 +3510,12 @@ def semantic_dedup_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SEMDEDUP_K_SQL), so both cluster assignment and every cosine comparison
     still replay bit-for-bit in DuckDB at ANY scale factor (sequential
     left-to-right double folds on both engines)."""
-    from apollo_spark.ops.clustering import embedding_lattice, kmeans_lattice
+    from apollo_spark.ops.clustering import kmeans_lattice, lattice_final_assign
 
     e = _t(spark, sf_dir, "embeddings")
     k = semdedup_k(e.count())
     _, cent = kmeans_lattice(e, k=k, iters=2)
-    long = embedding_lattice(e)
-    diff = F.col("xi") - F.col("ci")
-    dist = (
-        long.join(F.broadcast(cent), "d")
-        .groupBy("vec_id", "cluster")
-        .agg(F.sum(diff * diff).alias("dist"))
-    )
-    assign = (
-        dist.groupBy("vec_id")
-        .agg(F.min(F.struct("dist", "cluster")).alias("m"))
-        .select("vec_id", F.col("m.cluster").alias("cluster"))
-    )
+    assign, _ = lattice_final_assign(e, cent)
     ev = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     a = assign.join(ev, "vec_id")
     x = a.select(F.col("cluster"), F.col("vec_id").alias("x_id"), F.col("v").alias("xv"))
@@ -8769,7 +8753,7 @@ kept AS (
 supp AS (
   SELECT '*' AS segment, '*' AS bal_bucket, CAST(COUNT(*) AS BIGINT) AS n_classes,
          CAST(SUM(n_rows) AS BIGINT) AS n_rows, CAST(SUM(s) AS DECIMAL(38,6)) AS s
-  FROM g WHERE n_rows < 25 HAVING COUNT(*) > 0
+  FROM g WHERE n_rows < 25 HAVING COUNT(*) > 0 AND SUM(n_rows) >= 25
 )
 SELECT segment, bal_bucket, n_classes, n_rows,
        CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE) AS avg_bal
@@ -8926,15 +8910,20 @@ def dup_aware_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped == lossless at every gate SF); docs in no component are their own
     singleton (weight 1.0). Weight is a division of exact integers —
     engine-identical unrounded."""
+    from apollo_spark.ops.cache import release_caches
     from apollo_spark.ops.dedup import connected_components, ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    edges = ngram_jaccard_pairs(
+    edges_op = ngram_jaccard_pairs(
         d, n=2, threshold=0.2, max_df=None, max_df_frac=0.04, frac_floor=1024
-    ).select("id_a", "id_b")
-    comp = connected_components(edges).select(
+    )
+    comp = connected_components(edges_op.select("id_a", "id_b")).select(
         F.col("id").cast("long").alias("doc_id"), F.col("comp").cast("long").alias("component")
     )
+    # connected_components materializes its input eagerly (localCheckpoint +
+    # count), so the edge op's persisted shingle frame is dead weight now —
+    # release it instead of leaking it across a 190-query bench session
+    release_caches(edges_op)
     full = d.select("doc_id").join(comp, "doc_id", "left").select(
         "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
     )

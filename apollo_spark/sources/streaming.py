@@ -753,8 +753,11 @@ def streaming_psi_monitor(
             .select(
                 F.lit(int(batch_id)).cast("long").alias("batch_id"),
                 F.lit(int(n_rows)).cast("long").alias("n_rows"),
-                F.col("n_bins").cast("long").alias("n_bins"),
-                F.col("n_bins_skipped").cast("long").alias("n_bins_skipped"),
+                # a zero-row batch aggregates over an empty frame: every SUM
+                # is NULL, not just __psi — coalesce all three so the report
+                # schema stays non-null longs/doubles
+                F.coalesce(F.col("n_bins"), F.lit(0)).cast("long").alias("n_bins"),
+                F.coalesce(F.col("n_bins_skipped"), F.lit(0)).cast("long").alias("n_bins_skipped"),
                 F.coalesce(F.col("__psi"), F.lit(0.0)).alias("psi"),
             )
         )

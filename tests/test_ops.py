@@ -2930,21 +2930,11 @@ def test_margin_mined_pairs_mutual_best_and_margin(spark, emb):
     out = margin_mined_pairs(emb, k=8, k_neighbors=4, threshold=1.0).collect()
     assert out, "no pairs mined at threshold 1.0 — the fixture should yield some"
     # recompute the candidate scores brute-force per cluster, numpy-side
-    from apollo_spark.ops.clustering import embedding_lattice, kmeans_lattice
+    from apollo_spark.ops.clustering import kmeans_lattice, lattice_final_assign
 
     _, cent = kmeans_lattice(emb, k=8, iters=2)
-    long = embedding_lattice(emb)
-    diff = F.col("xi") - F.col("ci")
-    dist = (
-        long.join(F.broadcast(cent), "d")
-        .groupBy("vec_id", "cluster")
-        .agg(F.sum(diff * diff).alias("dist"))
-    )
-    assign = (
-        dist.groupBy("vec_id")
-        .agg(F.min(F.struct("dist", "cluster")).alias("m"))
-        .select("vec_id", F.col("m.cluster").alias("cluster"))
-    ).toPandas()
+    assign, _ = lattice_final_assign(emb, cent)
+    assign = assign.toPandas()
     pdf = emb.toPandas()
     V = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64) for _, r in pdf.iterrows()}
     cl = dict(zip(assign.vec_id.astype(int), assign.cluster.astype(int)))
@@ -3002,3 +2992,16 @@ def test_dup_aware_sample_weights_partition_of_unity(spark):
     g = out.groupby("component")
     assert (g.size() == g.csize.first()).all()
     spark.catalog.clearCache()
+
+
+def test_k_anonymize_withholds_sub_k_catchall(spark):
+    """The '*' catch-all must itself honor k: with one kept class and one
+    singleton outlier, releasing a catch-all of n_rows=1 would hand an
+    attacker the outlier's exact value — it is withheld entirely."""
+    from apollo_spark.ops.privacy import k_anonymize
+
+    rows = [("a", 10.0)] * 25 + [("b", 99.0)]
+    df = spark.createDataFrame(rows, "seg string, v double")
+    out = k_anonymize(df, ["seg"], k=25, value_col="v").collect()
+    assert {r.seg for r in out} == {"a"}  # no '*' row
+    assert out[0].n_rows == 25
