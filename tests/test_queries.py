@@ -132,6 +132,7 @@ FLAGSHIPS = [
     "ivf_recall_report",       # in-engine recall@5 of the ANN index
     "events_psi_drift",        # population-stability drift monitor
     "customers_dsl_kanon",     # privacy block through the full DSL path
+    "dedup_cost_profile",      # predicted inverted-index fan-out (lossless vs capped)
 ]
 
 
