@@ -9371,6 +9371,43 @@ FROM x GROUP BY n_docs
 """
 
 
+def lsh_scurve_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic S-curve of the repo's MinHash banding geometry (b=16,
+    r=2): P(candidate | jaccard=j) = 1 - (1 - j^2)^16, tabulated on a
+    0.05-step grid — the PREDICTED capture probability whose measured
+    counterpart is lsh_blocking_quality's pair completeness. The 16th power
+    is an explicit squaring chain (x2=x*x, x4=x2*x2, x8=x4*x4, x16=x8*x8):
+    every step is one IEEE multiplication, identical on both engines, so
+    the whole table is engine-exact with no pow() libm dependence. (sf_dir
+    is unused — the curve is a property of the geometry, not the data; it
+    stays a registry query so the driver certifies the arithmetic.)"""
+    j = (F.col("i").cast("double") * F.lit(0.05)).alias("j")
+    base = spark.range(1, 20).select(F.col("id").alias("i")).select("i", j)
+    x = F.lit(1.0) - F.col("j") * F.col("j")
+    x2 = (x * x).alias("__x2")
+    t = base.select("i", "j", x2)
+    x4 = (F.col("__x2") * F.col("__x2")).alias("__x4")
+    t = t.select("i", "j", x4)
+    x8 = (F.col("__x4") * F.col("__x4")).alias("__x8")
+    t = t.select("i", "j", x8)
+    return t.select(
+        F.col("i").cast("int").alias("i"),
+        "j",
+        (F.col("j") * F.col("j")).alias("p_band"),
+        (F.lit(1.0) - F.col("__x8") * F.col("__x8")).alias("p_candidate"),
+    ).orderBy("i")
+
+
+ORACLE_LSH_SCURVE = """
+WITH g AS (SELECT CAST(i AS INT) AS i, CAST(i AS DOUBLE) * 0.05 AS j FROM generate_series(1, 19) t(i)),
+s AS (SELECT i, j, (1.0 - j * j) * (1.0 - j * j) AS x2 FROM g),
+s4 AS (SELECT i, j, x2 * x2 AS x4 FROM s),
+s8 AS (SELECT i, j, x4 * x4 AS x8 FROM s4)
+SELECT i, j, j * j AS p_band, 1.0 - x8 * x8 AS p_candidate
+FROM s8 ORDER BY i
+"""
+
+
 ORACLE_JOIN_SKEW = """
 WITH c AS (SELECT lang AS key, COUNT(*) AS cnt FROM documents GROUP BY lang),
 j AS (SELECT key, cnt AS cnt_a, cnt AS cnt_b, cnt * cnt AS est_pairs FROM c),
@@ -9442,6 +9479,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_psi_drift": events_psi_drift,
     "customers_dsl_kanon": customers_dsl_kanon,
     "dedup_cost_profile": dedup_cost_profile,
+    "lsh_scurve_table": lsh_scurve_table,
     # -- oracle-backed, green in round 1 -----------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -9713,6 +9751,7 @@ ORACLES: dict[str, str] = {
     "events_psi_drift": ORACLE_PSI_DRIFT,
     "customers_dsl_kanon": ORACLE_K_ANONYMITY,
     "dedup_cost_profile": ORACLE_DEDUP_COST,
+    "lsh_scurve_table": ORACLE_LSH_SCURVE,
     "copurchase_triangles": ORACLE_TRIANGLES,
     "media_real_image_features": ORACLE_MEDIA_REAL,
     "media_png_features": ORACLE_MEDIA_REAL,

@@ -133,6 +133,7 @@ FLAGSHIPS = [
     "events_psi_drift",        # population-stability drift monitor
     "customers_dsl_kanon",     # privacy block through the full DSL path
     "dedup_cost_profile",      # predicted inverted-index fan-out (lossless vs capped)
+    "lsh_scurve_table",        # analytic banding S-curve (predicted PC)
 ]
 
 
