@@ -1572,6 +1572,52 @@ ORDER BY doc_id
 """
 
 
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram language-ID heuristic against the
+    corpus's gold lang labels — the evaluate-your-own-classifier tier:
+    per (gold, pred) cell count, the cell's share of its gold row, and the
+    correctness flag. One groupBy over the already-certified language_id
+    expression (doc_language_id pins the per-doc predictions; this pins the
+    AGGREGATE quality view a filtering pipeline actually consults before
+    trusting the classifier at 100 TB). On the driver's synthetic corpus
+    the verdict is honest and unflattering: the word-soup text skews every
+    gold label toward 'en' or 'unknown' (en recall ~0.73, everything else
+    0.0) — which is precisely the report a pipeline needs BEFORE wiring
+    language_id into a filter. The oracle reuses ORACLE_LANG_ID's scorer
+    verbatim, so the two queries can never drift apart."""
+    d = _t(spark, sf_dir, "documents")
+    p = d.select(F.col("lang").alias("gold"), language_id(F.col("text")).alias("pred"))
+    m = p.groupBy("gold", "pred").agg(F.count(F.lit(1)).alias("n"))
+    t = m.groupBy("gold").agg(F.sum("n").alias("__n_gold"))
+    return (
+        m.join(t, "gold")
+        .select(
+            "gold",
+            "pred",
+            "n",
+            (F.col("n").cast("double") / F.col("__n_gold").cast("double")).alias(
+                "share_of_gold"
+            ),
+            (F.col("gold") == F.col("pred")).alias("correct"),
+        )
+        .orderBy("gold", "pred")
+    )
+
+
+ORACLE_LANGID_CONFUSION = (
+    "WITH p AS ("
+    + ORACLE_LANG_ID.rsplit("ORDER BY", 1)[0]
+    + """),
+m AS (SELECT lang AS gold, pred_lang AS pred, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+t AS (SELECT gold, SUM(n) AS n_gold FROM m GROUP BY gold)
+SELECT m.gold, m.pred, m.n,
+       CAST(m.n AS DOUBLE) / CAST(t.n_gold AS DOUBLE) AS share_of_gold,
+       m.gold = m.pred AS correct
+FROM m JOIN t USING (gold)
+ORDER BY gold, pred"""
+)
+
+
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for 3 probe vectors drawn from the corpus.
     Rank-only output + rounded score keeps the hash FP-stable."""
@@ -9480,6 +9526,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_dsl_kanon": customers_dsl_kanon,
     "dedup_cost_profile": dedup_cost_profile,
     "lsh_scurve_table": lsh_scurve_table,
+    "langid_confusion_matrix": langid_confusion_matrix,
     # -- oracle-backed, green in round 1 -----------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -9752,6 +9799,7 @@ ORACLES: dict[str, str] = {
     "customers_dsl_kanon": ORACLE_K_ANONYMITY,
     "dedup_cost_profile": ORACLE_DEDUP_COST,
     "lsh_scurve_table": ORACLE_LSH_SCURVE,
+    "langid_confusion_matrix": ORACLE_LANGID_CONFUSION,
     "copurchase_triangles": ORACLE_TRIANGLES,
     "media_real_image_features": ORACLE_MEDIA_REAL,
     "media_png_features": ORACLE_MEDIA_REAL,

@@ -134,6 +134,7 @@ FLAGSHIPS = [
     "customers_dsl_kanon",     # privacy block through the full DSL path
     "dedup_cost_profile",      # predicted inverted-index fan-out (lossless vs capped)
     "lsh_scurve_table",        # analytic banding S-curve (predicted PC)
+    "langid_confusion_matrix",  # evaluate-your-own-classifier report
 ]
 
 
