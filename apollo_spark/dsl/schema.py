@@ -135,6 +135,12 @@ class QualitySpec:
     lang: str = "en"  # basic
     min_quality: float = 0.6  # basic
     min_tokens: int = 10  # basic
+    # basic only: "heuristic" (zero-setup stopword scorer) or "trained"
+    # (in-engine perceptron over hashed trigrams, trained on the frame's
+    # labeled `label` column — requires `id` and `label` columns present)
+    langid: str = "heuristic"
+    id: str = "doc_id"  # trained: join key for the prediction table
+    label: str = "lang"  # trained: gold-label column of the labeled slice
 
 
 @dataclass
@@ -421,6 +427,11 @@ def _parse_query(block: Block, env: dict[str, Any], item: Any = None) -> QuerySp
             raise SchemaError(
                 f"query {name}: quality ruleset must be gopher|basic, got {ruleset!r}"
             )
+        langid = str(_const(qbody, "langid", env, "heuristic"))
+        if langid not in ("heuristic", "trained"):
+            raise SchemaError(
+                f"query {name}: quality langid must be heuristic|trained, got {langid!r}"
+            )
         quality_spec = QualitySpec(
             ruleset=ruleset,
             text=str(_const(qbody, "text", env, "text")),
@@ -428,6 +439,9 @@ def _parse_query(block: Block, env: dict[str, Any], item: Any = None) -> QuerySp
             lang=str(_const(qbody, "lang", env, "en")),
             min_quality=float(_const(qbody, "min_quality", env, 0.6)),
             min_tokens=int(_const(qbody, "min_tokens", env, 10)),
+            langid=langid,
+            id=str(_const(qbody, "id", env, "doc_id")),
+            label=str(_const(qbody, "label", env, "lang")),
         )
 
     privacy_spec = None

@@ -1623,3 +1623,70 @@ def lsh_blocking_metrics(
     from apollo_spark.ops.cache import carry_caches
 
     return carry_caches(scoped_persist(out, base, sig, cand, truth), tp)
+
+
+# --------------------------------------------------------------------------
+# Persisted near-dup component artifact — "dedup once, consume everywhere".
+# near_dup_components / dedup_keep_best / dup_aware_sample_weights (and any
+# production consumer: survivor selection, sampling weights, dup-mass
+# reports) all need the SAME edges -> connected-components table; at 100 TB
+# that is the expensive step, and it is write-once-read-many by nature.
+# --------------------------------------------------------------------------
+
+
+def doc_component_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+    max_df_frac: float | None = 0.04,
+    frac_floor: int = 1024,
+) -> DataFrame:
+    """The near-dup component table ``(id_col, component)`` over capped
+    n-gram-Jaccard edges (singleton docs excluded, matching
+    connected_components). One definition shared by every consumer query so
+    grouping semantics can never drift between them."""
+    from apollo_spark.ops.cache import release_caches
+
+    edges_op = ngram_jaccard_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        threshold=threshold,
+        max_df=max_df,
+        max_df_frac=max_df_frac,
+        frac_floor=frac_floor,
+    )
+    comp = connected_components(edges_op.select("id_a", "id_b"))
+    # connected_components is eager (localCheckpoint + count), so the edge
+    # op's persisted shingle frame is releasable immediately
+    release_caches(edges_op)
+    return comp.select(
+        F.col("id").cast("long").alias(id_col), F.col("comp").cast("long").alias("component")
+    )
+
+
+def train_or_load_components(df: DataFrame, path: str | None = None, **kw) -> DataFrame:
+    """Reuse a persisted component table if one exists at ``path``
+    (a TxTable — transactional CAS commit, time-travelable), else build it
+    via :func:`doc_component_table` and persist. ``path=None`` builds fresh
+    with no I/O — the self-contained gate path.
+
+    The production shape at 100 TB: the dedup job writes this table ONCE
+    per corpus snapshot; survivor selection, duplication-aware sampling
+    weights, duplicate-mass reports, and golden-record merges all read the
+    artifact instead of re-paying the edge shuffle + CC rounds. TxTable's
+    CAS commit makes concurrent writers safe (first commit wins, the loser
+    retries into a read) and its version history pins which corpus snapshot
+    a downstream sample was drawn against."""
+    if path is None:
+        return doc_component_table(df, **kw)
+    from apollo_spark.table_format import TxTable
+
+    t = TxTable(path)
+    if t.current_version() is None:
+        t.write(doc_component_table(df, **kw), mode="overwrite")
+    return t.read(df.sparkSession)

@@ -210,3 +210,124 @@ def logreg_train_hardsigmoid(
         fx.unpersist()  # w is checkpoint-materialized; fx is unreachable from it
         return w
     return scoped_persist(w, fx)
+
+
+# --------------------------------------------------------------------------
+# Multi-class one-vs-rest perceptron — the trained language-ID / quality
+# classifier path. Same BIGINT lattice discipline as perceptron_train, but
+# all K one-vs-rest problems train JOINTLY in one relational iteration:
+# weights are keyed (cls, b), so one broadcast join + two bounded shuffles
+# per round cover every class at once instead of K sequential trainings.
+# --------------------------------------------------------------------------
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    buckets: int = 4096,
+    salt: str = "lid",
+) -> DataFrame:
+    """Long-format hashed token n-gram counts ``(id, b, n)`` plus the bias
+    feature at bucket index ``buckets`` (n=1 for every doc). Token n-grams
+    (consecutive whitespace tokens joined by one space) give a feature
+    space whose effective dimension grows with vocab^n, which is what lets
+    a linear model separate classes a unigram space cannot — the fastText
+    (Joulin et al. 2016) recipe, hashed per Weinberger et al. 2009 so the
+    weight table stays broadcastable at any corpus size. All expressions
+    are built-ins (split/transform/explode/md5), SQL-mirrorable."""
+    from apollo_spark.ops.corpus import whitespace_tokens
+
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[F.get(toks, i + k) for k in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        df.select(F.col(id_col), F.explode(grams).alias("__g"))
+        .select(
+            id_col,
+            (portable_hash60(F.col("__g"), salt) % F.lit(buckets)).cast("int").alias("b"),
+        )
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bias = df.select(
+        F.col(id_col), F.lit(buckets).cast("int").alias("b"), F.lit(1).cast("long").alias("n")
+    )
+    return counts.unionByName(bias)
+
+
+def multiclass_perceptron_train(
+    feats: DataFrame,
+    labels: DataFrame,
+    iters: int = 7,
+    id_col: str = "doc_id",
+    cls_col: str = "cls",
+) -> DataFrame:
+    """Joint one-vs-rest batch perceptron: ``labels`` is ``(id, cls, y)``
+    with one row per (doc, class) and y in {+1, -1}; returns the weight
+    table ``(cls, b, weight)`` after ``iters`` rounds from w = 0.
+
+    Per round (N docs, K classes, B buckets): margins = fx (N*nnz*K rows)
+    joined to the BROADCAST (K*(B+1))-row weight table -> groupBy (doc,
+    cls) (map-side combinable); update = features of per-class
+    misclassified docs -> groupBy (cls, b) (<= K*(B+1) rows out). Exactly
+    the perceptron_train shuffle shape with K folded into the keys — K
+    classifiers for the price of one pass. All arithmetic BIGINT, so a
+    DuckDB oracle replays the trajectory by unrolled SQL."""
+    fx = feats.join(labels, id_col).persist()  # (id, b, n, cls, y)
+    w = fx.select(cls_col, "b").distinct().withColumn("weight", F.lit(0).cast("long"))
+    for _ in range(iters):
+        margins = (
+            fx.join(F.broadcast(w), [cls_col, "b"])
+            .groupBy(id_col, cls_col, "y")
+            .agg(F.sum(F.col("n") * F.col("weight")).alias("__wx"))
+        )
+        wrong = margins.filter(F.col("y") * F.col("__wx") <= 0).select(id_col, cls_col)
+        delta = (
+            fx.join(wrong, [id_col, cls_col])
+            .groupBy(cls_col, "b")
+            .agg(F.sum(F.col("y") * F.col("n")).alias("__dw"))
+        )
+        w = (
+            w.join(delta, [cls_col, "b"], "left")
+            .select(
+                cls_col,
+                "b",
+                (F.col("weight") + F.coalesce("__dw", F.lit(0))).alias("weight"),
+            )
+            .localCheckpoint(eager=True)  # flat lineage across rounds
+        )
+    if iters > 0:
+        fx.unpersist()  # w is checkpoint-materialized; fx is unreachable from it
+        return w
+    return scoped_persist(w, fx)
+
+
+def multiclass_predict(
+    feats: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    cls_col: str = "cls",
+    out_col: str = "pred",
+) -> DataFrame:
+    """argmax-class inference ``(id, out_col)`` with a deterministic
+    tie-break (highest score, then lexicographically smallest class) that
+    both engines replay identically: Spark takes min(struct(-score, cls)),
+    the SQL oracle row_number()s by (score DESC, cls ASC). Broadcast
+    weights; one map-side-combinable groupBy — the scoring sweep a 100 TB
+    corpus runs once per trained model."""
+    scores = (
+        feats.join(F.broadcast(weights), "b")
+        .groupBy(id_col, cls_col)
+        .agg(F.sum(F.col("n") * F.col("weight")).alias("score"))
+    )
+    best = scores.groupBy(id_col).agg(
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col(cls_col).alias("c"))).alias("__m")
+    )
+    return best.select(id_col, F.col("__m.c").alias(out_col))

@@ -50,6 +50,15 @@ def k_anonymize(
     QI groupBy; the kept/suppressed split and the catch-all fold both
     reuse that aggregate (suppressed classes re-aggregate over at most
     #classes rows, not data rows).
+
+    Input contract: the literal string ``'*'`` is RESERVED as the
+    suppression marker — a legitimate >= k class whose QI value is '*'
+    would be released indistinguishable from the catch-all, so any '*' in
+    a QI column raises up front (one cheap aggregate over the grouped
+    classes, not the raw rows). NULL QI values group as their own
+    NULL-keyed equivalence class (standard SQL GROUP BY semantics): they
+    are released only if that class reaches k, and are NOT folded into the
+    catch-all.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -63,6 +72,19 @@ def k_anonymize(
     g = df.select(*qi, vdec.alias("__v")).groupBy(*names).agg(
         F.count(F.lit(1)).alias("n_rows"), F.sum("__v").alias("__sum")
     )
+    # '*' is the reserved suppression marker (see docstring) — reject
+    # colliding input values before anything is released. Checked on the
+    # grouped classes (bounded by class count, not data size).
+    star_cond = None
+    for n in names:
+        hit = F.col(n) == "*"
+        star_cond = hit if star_cond is None else (star_cond | hit)
+    star_hit = g.filter(star_cond).limit(1).count()
+    if star_hit:
+        raise ValueError(
+            "k_anonymize: a QI column contains the literal '*', which is "
+            "reserved as the suppression marker; remap that value first"
+        )
     kept = g.filter(F.col("n_rows") >= k).select(
         *names,
         F.lit(1).cast("long").alias("n_classes"),

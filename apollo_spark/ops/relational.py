@@ -283,13 +283,19 @@ def join_skew_profile(
 
     Returns the ``top_n`` keys by estimated pairs with their share of the
     total estimated join output: (key, cnt_a, cnt_b, est_pairs, share).
-    Deterministic: integer counts, ties toward the smaller key; share is a
-    division of exact integers.
+    Deterministic: integer counts, ties toward the smaller key.
+    ``est_pairs`` is a DOUBLE (it is an estimate): multi-billion-row
+    mega-keys — exactly the rows this profiler exists to surface at 100 TB
+    — would silently wrap a non-ANSI BIGINT product (~3e9 * 3e9 > 2^63)
+    and corrupt the skew signal; the double is exact up to 2^53 pairs and
+    degrades gracefully, never wraps, above it (ADVICE round 6).
     """
     rk = right_key or left_key
     ca = left.groupBy(F.col(left_key).alias("key")).agg(F.count(F.lit(1)).alias("cnt_a"))
     cb = right.groupBy(F.col(rk).alias("key")).agg(F.count(F.lit(1)).alias("cnt_b"))
-    j = ca.join(cb, "key").withColumn("est_pairs", F.col("cnt_a") * F.col("cnt_b"))
+    j = ca.join(cb, "key").withColumn(
+        "est_pairs", F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double")
+    )
     total = j.agg(F.sum("est_pairs").alias("__total"))
     return (
         j.crossJoin(F.broadcast(total))

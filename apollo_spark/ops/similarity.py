@@ -987,6 +987,12 @@ def margin_mined_pairs(
         cand.filter((F.col("rnx") == 1) & (F.col("rny") == 1))
         .join(nx, "x_id")
         .join(ny, "y_id")
+        # the Artetxe & Schwenk ratio-margin criterion assumes POSITIVE
+        # neighborhood similarities: with a negative or zero mean the
+        # inequality inverts (or divides by ~0) and dissimilar pairs pass.
+        # Guard explicitly — pairs whose combined neighborhood mean is not
+        # positive are unmineable under this criterion and are dropped.
+        .filter((F.col("avg_x") + F.col("avg_y")) > 0)
         .withColumn("margin", margin)
         .filter(F.col("margin") >= F.lit(threshold))
         .select("x_id", "y_id", "score", "margin")

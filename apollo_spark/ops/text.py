@@ -139,16 +139,121 @@ def quality_score(text_col) -> Column:
     )
 
 
-def quality_keep(text_col, lang: str = "en", min_quality: float = 0.6, min_tokens: int = 10) -> Column:
+def quality_keep(
+    text_col,
+    lang: str = "en",
+    min_quality: float = 0.6,
+    min_tokens: int = 10,
+    lang_pred_col=None,
+) -> Column:
     """THE corpus keep predicate (language + rounded quality + token floor)
     — one definition shared by the doc_quality_filter gate and
     curation.curate, so the pipeline and its oracle can never silently
-    diverge (round-to-6 matches the SQL mirror's convention)."""
+    diverge (round-to-6 matches the SQL mirror's convention).
+
+    ``lang_pred_col`` (column or name) supplies a PRECOMPUTED language
+    prediction — the trained-classifier route (:func:`trained_language_id`)
+    — replacing the zero-setup stopword heuristic, whose confusion matrix
+    on this corpus is documented unusable (langid_confusion_matrix,
+    round 6). Production shape: train once, score once, persist the
+    (id, pred_lang) table, and pass its column here."""
+    if lang_pred_col is not None:
+        lang_ok = (
+            F.col(lang_pred_col) if isinstance(lang_pred_col, str) else lang_pred_col
+        ) == lang
+    else:
+        lang_ok = language_id(text_col) == lang
     return (
-        (language_id(text_col) == lang)
+        lang_ok
         & (F.round(quality_score(text_col), 6) >= min_quality)
         & (token_count(text_col) >= min_tokens)
     )
+
+
+def language_id_model(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    buckets: int = 4096,
+    iters: int = 7,
+    ngram: int = 3,
+    salt: str = "lid",
+):
+    """Train the in-engine language-ID classifier on a LABELED slice:
+    joint one-vs-rest batch perceptron (ops.ml.multiclass_perceptron_train)
+    over hashed token-trigram features — the fastText recipe (Joulin et al.
+    2016) run entirely as relational iterations, every weight an exact
+    BIGINT so the training trajectory hash-gates against an unrolled-SQL
+    DuckDB oracle. Returns the broadcastable weight table (cls, b, weight).
+
+    The class set is read from the data (distinct ``label_col``), so the
+    model covers whatever languages the labeled slice carries. At 100 TB
+    the labeled slice is small (human- or lexicon-labeled); weights are
+    K*(buckets+1) rows — broadcast to every executor for the scoring
+    sweep, the corpus never moves."""
+    from apollo_spark.ops.ml import hashed_ngram_features, multiclass_perceptron_train
+
+    feats = hashed_ngram_features(
+        df, text_col=text_col, id_col=id_col, n=ngram, buckets=buckets, salt=salt
+    )
+    classes = df.select(F.col(label_col).alias("cls")).distinct()
+    labels = (
+        df.select(id_col, label_col)
+        .crossJoin(F.broadcast(classes))
+        .select(
+            id_col,
+            "cls",
+            F.when(F.col(label_col) == F.col("cls"), 1).otherwise(-1).cast("int").alias("y"),
+        )
+    )
+    return multiclass_perceptron_train(feats, labels, iters=iters, id_col=id_col)
+
+
+def trained_language_id(
+    df,
+    weights=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    buckets: int = 4096,
+    iters: int = 7,
+    ngram: int = 3,
+    salt: str = "lid",
+):
+    """Per-doc language prediction ``(id_col, pred_lang)`` from the trained
+    classifier — argmax over per-class scores with a deterministic
+    tie-break (ops.ml.multiclass_predict). Pass ``weights`` (a
+    :func:`language_id_model` result, possibly loaded from a persisted
+    artifact) to score WITHOUT retraining — the production path; omit it
+    to train on ``df``'s own labeled slice first (the self-contained gate
+    path).
+
+    Honesty note for the driver corpus: the synthetic documents' text is
+    statistically independent of the gold ``lang`` label (token
+    distributions converge as N grows — measured round 7), so NO
+    classifier can generalize here; the trained model memorizes the
+    labeled slice (96% train accuracy at sf0.01, diagonal-dominant
+    confusion) which is exactly what the machinery should do and what the
+    evaluation queries report. On a real corpus the same pipeline
+    generalizes because real text carries the signal."""
+    from apollo_spark.ops.ml import hashed_ngram_features, multiclass_predict
+
+    if weights is None:
+        weights = language_id_model(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            label_col=label_col,
+            buckets=buckets,
+            iters=iters,
+            ngram=ngram,
+            salt=salt,
+        )
+    feats = hashed_ngram_features(
+        df, text_col=text_col, id_col=id_col, n=ngram, buckets=buckets, salt=salt
+    )
+    return multiclass_predict(feats, weights, id_col=id_col, out_col="pred_lang")
 
 
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]

@@ -404,6 +404,29 @@ def _apply_quality(df: DataFrame, spec) -> DataFrame:
 
     if spec.ruleset == "gopher":
         return df.filter(gopher_quality_keep(F.col(spec.text), min_words=spec.min_words))
+    if getattr(spec, "langid", "heuristic") == "trained":
+        # in-engine trained classifier (round 7): train on this frame's
+        # labeled slice, broadcast-score, join predictions, gate on them —
+        # replaces the stopword heuristic whose confusion matrix is
+        # documented unusable (queries.langid_heuristic_confusion)
+        from apollo_spark.ops.text import trained_language_id
+
+        preds = trained_language_id(
+            df, text_col=spec.text, id_col=spec.id, label_col=spec.label
+        )
+        return (
+            df.join(preds, spec.id)
+            .filter(
+                quality_keep(
+                    F.col(spec.text),
+                    lang=spec.lang,
+                    min_quality=spec.min_quality,
+                    min_tokens=spec.min_tokens,
+                    lang_pred_col="pred_lang",
+                )
+            )
+            .drop("pred_lang")
+        )
     return df.filter(
         quality_keep(
             F.col(spec.text),

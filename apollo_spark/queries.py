@@ -1552,7 +1552,10 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", language_id(F.col("text")).alias("pred_lang")).orderBy("doc_id")
 
 
-ORACLE_LANG_ID = rf"""
+# the heuristic scorer SELECT, factored once so ORACLE_LANG_ID and the
+# heuristic confusion matrix compose from the SAME text and can never
+# drift (no string surgery on a finished query)
+_LANGID_SCORER_SQL = rf"""
 SELECT doc_id, lang,
        CASE
          WHEN h_en = best AND best > 0 THEN 'en'
@@ -1568,25 +1571,16 @@ FROM (
          GREATEST({_sql_hits('en')}, {_sql_hits('de')}, {_sql_hits('fr')}, {_sql_hits('es')}) AS best
   FROM documents
 ) h
-ORDER BY doc_id
 """
 
+ORACLE_LANG_ID = _LANGID_SCORER_SQL + "ORDER BY doc_id\n"
 
-def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Confusion matrix of the n-gram language-ID heuristic against the
-    corpus's gold lang labels — the evaluate-your-own-classifier tier:
-    per (gold, pred) cell count, the cell's share of its gold row, and the
-    correctness flag. One groupBy over the already-certified language_id
-    expression (doc_language_id pins the per-doc predictions; this pins the
-    AGGREGATE quality view a filtering pipeline actually consults before
-    trusting the classifier at 100 TB). On the driver's synthetic corpus
-    the verdict is honest and unflattering: the word-soup text skews every
-    gold label toward 'en' or 'unknown' (en recall ~0.73, everything else
-    0.0) — which is precisely the report a pipeline needs BEFORE wiring
-    language_id into a filter. The oracle reuses ORACLE_LANG_ID's scorer
-    verbatim, so the two queries can never drift apart."""
-    d = _t(spark, sf_dir, "documents")
-    p = d.select(F.col("lang").alias("gold"), language_id(F.col("text")).alias("pred"))
+
+def _confusion_from_preds(d: DataFrame, preds: DataFrame) -> DataFrame:
+    """Shared confusion-matrix aggregation: per (gold, pred) cell count,
+    the cell's share of its gold row, and the correctness flag — one
+    groupBy over a per-doc prediction frame."""
+    p = d.select("doc_id", F.col("lang").alias("gold")).join(preds, "doc_id")
     m = p.groupBy("gold", "pred").agg(F.count(F.lit(1)).alias("n"))
     t = m.groupBy("gold").agg(F.sum("n").alias("__n_gold"))
     return (
@@ -1604,17 +1598,135 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_LANGID_CONFUSION = (
-    "WITH p AS ("
-    + ORACLE_LANG_ID.rsplit("ORDER BY", 1)[0]
-    + """),
-m AS (SELECT lang AS gold, pred_lang AS pred, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+_SQL_CONFUSION_TAIL = """
+m AS (SELECT gold, pred, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
 t AS (SELECT gold, SUM(n) AS n_gold FROM m GROUP BY gold)
 SELECT m.gold, m.pred, m.n,
        CAST(m.n AS DOUBLE) / CAST(t.n_gold AS DOUBLE) AS share_of_gold,
        m.gold = m.pred AS correct
 FROM m JOIN t USING (gold)
 ORDER BY gold, pred"""
+
+
+def langid_heuristic_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the STOPWORD-HEURISTIC language ID against the
+    corpus's gold lang labels — the evaluate-your-own-classifier tier. On
+    the driver's synthetic corpus the verdict is honest and unflattering:
+    the word-soup text skews every gold label toward 'en' or 'unknown'
+    (en recall ~0.73, everything else 0.0) — which is precisely the report
+    that motivated replacing the heuristic with the TRAINED classifier
+    (langid_confusion_matrix) as the pipeline default in round 7. The
+    oracle composes the factored _LANGID_SCORER_SQL, so heuristic scorer
+    and confusion can never drift apart."""
+    d = _t(spark, sf_dir, "documents")
+    preds = d.select("doc_id", language_id(F.col("text")).alias("pred"))
+    return _confusion_from_preds(d, preds)
+
+
+ORACLE_LANGID_HEURISTIC_CONFUSION = (
+    "WITH p AS (SELECT lang AS gold, pred_lang AS pred FROM ("
+    + _LANGID_SCORER_SQL
+    + ")),"
+    + _SQL_CONFUSION_TAIL
+)
+
+
+# ---------------------------------------------------------------------------
+# Trained language ID (round 7): joint one-vs-rest batch perceptron over
+# hashed token-trigram features, trained IN-ENGINE on the corpus's labeled
+# slice (ops.text.language_id_model / trained_language_id). Replaces the
+# stopword heuristic as the pipeline default — the heuristic's confusion
+# matrix on this corpus is documented unusable (langid_heuristic_confusion).
+# The oracle replays the full 7-round BIGINT training trajectory by
+# unrolled SQL, same lattice discipline as the binary perceptron queries.
+# ---------------------------------------------------------------------------
+
+LANGID_BUCKETS = 4096
+LANGID_ITERS = 7
+
+
+def _langid_trained_sql(iters: int = LANGID_ITERS, buckets: int = LANGID_BUCKETS) -> str:
+    """WITH-clause prefix (no leading WITH) ending at ltpr = per-doc
+    (doc_id, pred_lang) from the trained multiclass perceptron — the exact
+    SQL mirror of ops.ml.hashed_ngram_features + multiclass_perceptron_train
+    + multiclass_predict with n=3, shared by every trained-langid oracle."""
+    rounds = []
+    prev = "ltw0"
+    for t in range(1, iters + 1):
+        rounds.append(
+            f"""ltm{t} AS (SELECT doc_id, cls, y, SUM(n * weight) AS wx FROM ltfx JOIN {prev} USING (cls, b) GROUP BY 1, 2, 3),
+ltwr{t} AS (SELECT doc_id, cls FROM ltm{t} WHERE y * wx <= 0),
+ltd{t} AS (SELECT cls, b, SUM(y * n) AS dw FROM ltfx JOIN ltwr{t} USING (doc_id, cls) GROUP BY 1, 2),
+ltw{t} AS (SELECT {prev}.cls, {prev}.b, {prev}.weight + COALESCE(ltd{t}.dw, 0) AS weight FROM {prev} LEFT JOIN ltd{t} USING (cls, b))"""
+        )
+        prev = f"ltw{t}"
+    joined = ",\n".join(rounds)
+    return rf"""ltdoc AS (SELECT doc_id, lang, lower(text) AS text FROM documents),
+ltcl AS (SELECT DISTINCT lang AS cls FROM ltdoc),
+ltlab AS (SELECT ltdoc.doc_id, ltcl.cls, CASE WHEN ltdoc.lang = ltcl.cls THEN 1 ELSE -1 END AS y FROM ltdoc CROSS JOIN ltcl),
+lttk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM ltdoc WHERE length(trim(text)) > 0),
+ltgr AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(ts) - 2, 0)), i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS g FROM lttk),
+ltcnt AS (SELECT doc_id, CAST(('0x' || substr(md5('lid' || g), 1, 15))::BIGINT % {buckets} AS INT) AS b, COUNT(*) AS n FROM ltgr GROUP BY 1, 2),
+ltfeat AS (SELECT * FROM ltcnt UNION ALL SELECT doc_id, {buckets} AS b, CAST(1 AS BIGINT) AS n FROM ltdoc),
+ltfx AS (SELECT f.doc_id, l.cls, f.b, f.n, l.y FROM ltfeat f JOIN ltlab l USING (doc_id)),
+ltw0 AS (SELECT DISTINCT cls, b, CAST(0 AS BIGINT) AS weight FROM ltfx),
+{joined},
+ltsc AS (SELECT f.doc_id, w.cls, SUM(f.n * w.weight) AS score FROM ltfeat f JOIN {prev} w ON f.b = w.b GROUP BY 1, 2),
+ltpr AS (SELECT doc_id, cls AS pred_lang FROM (SELECT doc_id, cls, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn FROM ltsc) WHERE rn = 1)"""
+
+
+def doc_language_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc language prediction from the IN-ENGINE-TRAINED classifier
+    (ops.text.trained_language_id): 7 joint one-vs-rest batch-perceptron
+    rounds over 4096 hashed token-trigram buckets + bias, argmax inference
+    with a deterministic tie-break. Every weight is an exact BIGINT, so
+    the full training trajectory hash-gates against the unrolled-SQL
+    oracle. Honesty note: this corpus's text is statistically independent
+    of the gold label (measured round 7 — per-lang token distributions
+    converge as N grows), so the model demonstrably MEMORIZES the labeled
+    slice (~96% train accuracy at sf0.01) rather than generalizing; on
+    real text the same pipeline generalizes because the signal exists."""
+    from apollo_spark.ops.text import trained_language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang")
+        .join(trained_language_id(d), "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_LANGID_TRAINED = (
+    "WITH "
+    + _langid_trained_sql()
+    + """
+SELECT d.doc_id, d.lang, p.pred_lang
+FROM ltdoc d JOIN ltpr p USING (doc_id)
+ORDER BY doc_id"""
+)
+
+
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the TRAINED language-ID classifier
+    (doc_language_id_trained) against the gold labels — diagonal-dominant
+    at sf0.01 (~96% train accuracy), versus the heuristic's en/unknown
+    collapse (langid_heuristic_confusion). This is the aggregate quality
+    view a filtering pipeline consults before trusting the classifier at
+    100 TB; it shares the per-doc scorer with doc_language_id_trained, so
+    the two can never drift."""
+    from apollo_spark.ops.text import trained_language_id
+
+    d = _t(spark, sf_dir, "documents")
+    preds = trained_language_id(d).select("doc_id", F.col("pred_lang").alias("pred"))
+    return _confusion_from_preds(d, preds)
+
+
+ORACLE_LANGID_CONFUSION = (
+    "WITH "
+    + _langid_trained_sql()
+    + """,
+p AS (SELECT d.lang AS gold, pr.pred_lang AS pred FROM ltdoc d JOIN ltpr pr USING (doc_id)),"""
+    + _SQL_CONFUSION_TAIL
 )
 
 
@@ -2566,6 +2678,65 @@ ORDER BY doc_id
 """
 
 
+def doc_quality_filter_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data selection with the TRAINED language classifier routed
+    into the shared keep predicate (quality_keep's lang_pred_col) —
+    the round-7 replacement for the heuristic language gate: English per
+    the in-engine perceptron, quality >= 0.6, token floor. Production
+    shape: the (doc_id, pred_lang) table is computed once (train once,
+    score once, persist) and joined into every downstream consumer; here
+    the gate path recomputes it self-contained so the oracle replays the
+    whole trajectory."""
+    from apollo_spark.ops.text import quality_keep, trained_language_id
+
+    d = _t(spark, sf_dir, "documents")
+    dj = d.join(trained_language_id(d), "doc_id")
+    return (
+        dj.filter(quality_keep(F.col("text"), lang_pred_col="pred_lang"))
+        .select(
+            "doc_id",
+            "pred_lang",
+            F.round(quality_score(F.col("text")), 6).alias("quality"),
+            token_count(F.col("text")).alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_QUALITY_FILTER_TRAINED = (
+    "WITH "
+    + _langid_trained_sql()
+    + rf""",
+q AS (
+  SELECT doc_id,
+       ROUND(
+         0.3 * (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
+       + 0.2 * (CASE WHEN mwl >= 3 AND mwl <= 12 THEN 1.0 ELSE 0.0 END)
+       + 0.3 * LEAST(ar * 1.25, 1.0)
+       + 0.2 * LEAST(swr * 5.0, 1.0), 6) AS quality,
+       n_tok AS n_tokens
+  FROM (
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END AS n_tok,
+           CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END) > 0
+                THEN CAST(length(text) AS DOUBLE) / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END)
+                ELSE 0.0 END AS mwl,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+                ELSE 0.0 END AS ar,
+           CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END) > 0
+                THEN CAST({_sql_hits('en')} AS DOUBLE) / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END)
+                ELSE 0.0 END AS swr
+    FROM documents
+  )
+)
+SELECT q.doc_id, p.pred_lang, q.quality, q.n_tokens
+FROM q JOIN ltpr p USING (doc_id)
+WHERE p.pred_lang = 'en' AND q.quality >= 0.6 AND q.n_tokens >= 10
+ORDER BY doc_id"""
+)
+
+
 ORACLE_DOCS_DSL_CURATION = rf"""
 WITH samp AS (
   SELECT * FROM documents
@@ -3286,6 +3457,33 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def _doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared near-dup component table (ops.dedup.doc_component_table:
+    capped bigram-Jaccard >= 0.2 edges -> connected components) consumed by
+    near_dup_components, dedup_keep_best, and dup_aware_sample_weights.
+
+    When APOLLO_SPARK_ARTIFACT_DIR is set (bench.py sets a per-run tmpdir;
+    a production job points it at the lake), the table is built ONCE and
+    persisted as a TxTable artifact keyed by the corpus dir — the
+    "dedup once, consume everywhere" shape: the first consumer pays the
+    edge shuffle + CC rounds, every later consumer reads the committed
+    snapshot. Unset (the driver's gate), each query builds self-contained
+    so its oracle replays the full trajectory."""
+    import os as _os
+
+    from apollo_spark.ops.dedup import train_or_load_components
+
+    d = _t(spark, sf_dir, "documents")
+    art = _os.environ.get("APOLLO_SPARK_ARTIFACT_DIR")
+    path = None
+    if art:
+        tag = sf_dir.strip("/").replace("/", "_")
+        path = f"{art}/doc_components_{tag}"
+    return train_or_load_components(
+        d, path=path, n=2, threshold=0.2, max_df=None, max_df_frac=0.04, frac_floor=1024
+    )
+
+
 def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over exact bigram-Jaccard >= 0.2 edges:
     iterative min-label propagation (ops.dedup.connected_components), the
@@ -3298,24 +3496,10 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     1327 s at sf1 (~300x for 10x data, measured round 5) vs ~4 s at sf0.1.
     At the gate SFs (<=5000 docs < frac_floor) no shingle can exceed the
     cutoff, so capped == lossless and the exact oracle still hash-gates every
-    run; above it, the cap is the documented 100 TB semantics."""
-    from apollo_spark.ops.cache import release_caches
-    from apollo_spark.ops.dedup import connected_components, ngram_jaccard_pairs
-
-    d = _t(spark, sf_dir, "documents")
-    edges_op = ngram_jaccard_pairs(
-        d, n=2, threshold=0.2, max_df=None, max_df_frac=0.04, frac_floor=1024
-    )
-    comp = connected_components(edges_op.select("id_a", "id_b"))
-    # connected_components is eager — the edge op's persisted shingle frame
-    # is releasable here, not leaked into the session (same fix as
-    # dup_aware_sample_weights)
-    release_caches(edges_op)
-    return (
-        comp
-        .select(F.col("id").cast("long").alias("doc_id"), F.col("comp").cast("long").alias("component"))
-        .orderBy("doc_id")
-    )
+    run; above it, the cap is the documented 100 TB semantics. The table
+    itself is the shared _doc_components artifact (round 7): built once per
+    corpus, consumed by all three component queries."""
+    return _doc_components(spark, sf_dir).orderBy("doc_id")
 
 
 ORACLE_NEAR_DUP_CC = r"""
@@ -6715,15 +6899,8 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     rationale as near_dup_components: the selection step is what this query
     certifies; at gate SFs the floor exceeds the corpus so capped == lossless
     and the exact oracle still hash-gates."""
-    from apollo_spark.ops.dedup import connected_components, ngram_jaccard_pairs
-
     d = _t(spark, sf_dir, "documents")
-    edges = ngram_jaccard_pairs(
-        d, n=2, threshold=0.2, max_df=None, max_df_frac=0.04, frac_floor=1024
-    ).select("id_a", "id_b")
-    comp = connected_components(edges).select(
-        F.col("id").cast("long").alias("doc_id"), F.col("comp").cast("long").alias("component")
-    )
+    comp = _doc_components(spark, sf_dir)
     sized = comp.join(d.select("doc_id", "n_chars"), "doc_id")
     w = Window.partitionBy("component").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
     return (
@@ -8691,6 +8868,7 @@ SELECT r.x_id, r.y_id, ROUND(r.score, 4) AS score,
        ROUND(r.score / ((nx.avg_x + ny.avg_y) / 2.0), 4) AS margin
 FROM r JOIN nx USING (x_id) JOIN ny USING (y_id)
 WHERE rnx = 1 AND rny = 1
+  AND (nx.avg_x + ny.avg_y) > 0
   AND r.score / ((nx.avg_x + ny.avg_y) / 2.0) >= {threshold}
 ORDER BY x_id, y_id"""
     )
@@ -8956,20 +9134,8 @@ def dup_aware_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped == lossless at every gate SF); docs in no component are their own
     singleton (weight 1.0). Weight is a division of exact integers —
     engine-identical unrounded."""
-    from apollo_spark.ops.cache import release_caches
-    from apollo_spark.ops.dedup import connected_components, ngram_jaccard_pairs
-
     d = _t(spark, sf_dir, "documents")
-    edges_op = ngram_jaccard_pairs(
-        d, n=2, threshold=0.2, max_df=None, max_df_frac=0.04, frac_floor=1024
-    )
-    comp = connected_components(edges_op.select("id_a", "id_b")).select(
-        F.col("id").cast("long").alias("doc_id"), F.col("comp").cast("long").alias("component")
-    )
-    # connected_components materializes its input eagerly (localCheckpoint +
-    # count), so the edge op's persisted shingle frame is dead weight now —
-    # release it instead of leaking it across a 190-query bench session
-    release_caches(edges_op)
+    comp = _doc_components(spark, sf_dir)
     full = d.select("doc_id").join(comp, "doc_id", "left").select(
         "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
     )
@@ -9456,7 +9622,8 @@ FROM s8 ORDER BY i
 
 ORACLE_JOIN_SKEW = """
 WITH c AS (SELECT lang AS key, COUNT(*) AS cnt FROM documents GROUP BY lang),
-j AS (SELECT key, cnt AS cnt_a, cnt AS cnt_b, cnt * cnt AS est_pairs FROM c),
+j AS (SELECT key, cnt AS cnt_a, cnt AS cnt_b,
+             CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE) AS est_pairs FROM c),
 t AS (SELECT SUM(est_pairs) AS tot FROM j)
 SELECT key, cnt_a, cnt_b, est_pairs,
        CAST(est_pairs AS DOUBLE) / CAST(tot AS DOUBLE) AS share
@@ -9527,6 +9694,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cost_profile": dedup_cost_profile,
     "lsh_scurve_table": lsh_scurve_table,
     "langid_confusion_matrix": langid_confusion_matrix,
+    "langid_heuristic_confusion": langid_heuristic_confusion,
+    "doc_language_id_trained": doc_language_id_trained,
+    "doc_quality_filter_trained": doc_quality_filter_trained,
     # -- oracle-backed, green in round 1 -----------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -9800,6 +9970,9 @@ ORACLES: dict[str, str] = {
     "dedup_cost_profile": ORACLE_DEDUP_COST,
     "lsh_scurve_table": ORACLE_LSH_SCURVE,
     "langid_confusion_matrix": ORACLE_LANGID_CONFUSION,
+    "langid_heuristic_confusion": ORACLE_LANGID_HEURISTIC_CONFUSION,
+    "doc_language_id_trained": ORACLE_LANGID_TRAINED,
+    "doc_quality_filter_trained": ORACLE_QUALITY_FILTER_TRAINED,
     "copurchase_triangles": ORACLE_TRIANGLES,
     "media_real_image_features": ORACLE_MEDIA_REAL,
     "media_png_features": ORACLE_MEDIA_REAL,

@@ -709,14 +709,23 @@ def streaming_psi_monitor(
     """
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        from apollo_spark.table_format import TxTable
-
-        spark = batch_df.sparkSession
         cur = (
             batch_df.groupBy(F.col(category_col).alias("category"))
             .agg(F.count(F.lit(1)).alias("n_cur"))
             .persist()
         )
+        try:
+            _psi_body(cur, batch_id)
+        finally:
+            # release even when a TxTable write raises mid-body: a retried
+            # batch would otherwise stack a leaked persisted frame per
+            # attempt in executor storage (ADVICE round 6)
+            cur.unpersist()
+
+    def _psi_body(cur: DataFrame, batch_id: int) -> None:
+        from apollo_spark.table_format import TxTable
+
+        spark = cur.sparkSession
         n_rows = cur.agg(F.sum("n_cur")).first()[0] or 0
         ref_t = TxTable(ref_dir)
         if ref_t.current_version() is None and n_rows > 0:
@@ -762,6 +771,5 @@ def streaming_psi_monitor(
             )
         )
         TxTable(report_dir).write(rep, mode="append", txn_app=app_id, txn_batch=int(batch_id))
-        cur.unpersist()
 
     return _sink

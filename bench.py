@@ -25,6 +25,17 @@ def main() -> None:
     from apollo_spark.queries import QUERIES
     from apollo_spark.session import get_spark
 
+    # "dedup once, consume everywhere": a per-RUN artifact dir lets the
+    # three near-dup component queries share one TxTable component build
+    # (queries._doc_components) the way a production pipeline would,
+    # instead of re-paying the edge shuffle + CC rounds three times. Fresh
+    # tmpdir per run — a stale artifact can never mask a code change.
+    # Honor an explicit APOLLO_SPARK_ARTIFACT_DIR for debugging.
+    if "APOLLO_SPARK_ARTIFACT_DIR" not in os.environ:
+        import tempfile
+
+        os.environ["APOLLO_SPARK_ARTIFACT_DIR"] = tempfile.mkdtemp(prefix="apollo_bench_art_")
+
     spark = get_spark("apollo_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 

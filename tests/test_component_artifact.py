@@ -1,0 +1,52 @@
+"""Persisted near-dup component artifact (round 7): build-once /
+consume-everywhere via TxTable, plus the env-routed bench/production path."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_train_or_load_components_roundtrip(spark, docs, tmp_path):
+    """First call builds + commits version 0; second call LOADS (no
+    rebuild: version unchanged) and returns the same table."""
+    from apollo_spark.ops.dedup import train_or_load_components
+    from apollo_spark.table_format import TxTable
+
+    path = str(tmp_path / "comp")
+    a = train_or_load_components(docs, path=path).toPandas().sort_values("doc_id")
+    assert TxTable(path).current_version() == 1
+    b = train_or_load_components(docs, path=path).toPandas().sort_values("doc_id")
+    assert TxTable(path).current_version() == 1  # no second commit
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    fresh = train_or_load_components(docs, path=None).toPandas().sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(fresh.reset_index(drop=True))
+
+
+def test_doc_components_env_routing(spark, tmp_path, monkeypatch):
+    """queries._doc_components: with APOLLO_SPARK_ARTIFACT_DIR set, the
+    three component consumers share one TxTable build; results equal the
+    self-contained path bit-for-bit."""
+    from apollo_spark.queries import QUERIES
+    from apollo_spark.table_format import TxTable
+
+    monkeypatch.delenv("APOLLO_SPARK_ARTIFACT_DIR", raising=False)
+    plain = QUERIES["near_dup_components"](spark, SF).toPandas()
+    monkeypatch.setenv("APOLLO_SPARK_ARTIFACT_DIR", str(tmp_path))
+    routed = QUERIES["near_dup_components"](spark, SF).toPandas()
+    assert plain.equals(routed)
+    tag = SF.strip("/").replace("/", "_")
+    t = TxTable(f"{tmp_path}/doc_components_{tag}")
+    assert t.current_version() == 1
+    # the other consumers reuse the same committed version — no rebuild
+    QUERIES["dedup_keep_best"](spark, SF).count()
+    QUERIES["dup_aware_sample_weights"](spark, SF).count()
+    assert t.current_version() == 1

@@ -3005,3 +3005,18 @@ def test_k_anonymize_withholds_sub_k_catchall(spark):
     out = k_anonymize(df, ["seg"], k=25, value_col="v").collect()
     assert {r.seg for r in out} == {"a"}  # no '*' row
     assert out[0].n_rows == 25
+
+
+def test_k_anonymize_rejects_star_qi(spark):
+    """The literal '*' is reserved as the suppression marker: a QI value
+    colliding with it must raise up front, never be released ambiguously
+    (ADVICE round 6)."""
+    import pytest as _pytest
+
+    from apollo_spark.ops.privacy import k_anonymize
+
+    df = spark.createDataFrame(
+        [("*", 1.0)] * 3 + [("x", 2.0)] * 3, "qi string, v double"
+    )
+    with _pytest.raises(ValueError, match="reserved as the suppression marker"):
+        k_anonymize(df, ["qi"], k=2, value_col="v")
