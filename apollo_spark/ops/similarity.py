@@ -998,3 +998,74 @@ def margin_mined_pairs(
         .select("x_id", "y_id", "score", "margin")
     )
     return scoped_persist(out, cand)
+
+
+def matryoshka_prefix_scores(
+    df: DataFrame,
+    queries: DataFrame,
+    dims: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qv",
+) -> DataFrame:
+    """Arrow-batched prefix-truncated cosine scoring for the matryoshka
+    eval: one (id, q_id, dim, score) row per corpus x probe x prefix-dim,
+    self-pairs dropped — the numpy replacement for the interpreted
+    higher-order-function fold that profiled 16-19 s at sf1 (round-6
+    verdict, task 3; same discipline as the round-3 "Arrow Gram" move).
+
+    BIT-PARITY argument (why the hash-gate still holds): the JVM fold
+    (``F.aggregate(zip_with(a,b,*), 0.0, acc+v)``) and DuckDB's
+    ``list_dot_product`` both accumulate float64 STRICTLY LEFT-TO-RIGHT,
+    and ``np.cumsum`` is the same recurrence — every prefix is emitted, so
+    the accumulation is forced sequential in index order (no pairwise
+    regrouping, unlike ``np.sum``). Elementwise float64 multiply, sqrt,
+    and divide are IEEE-correctly-rounded in all three engines, so every
+    prefix dot, norm, and score is bit-identical to both the JVM
+    expression it replaces and the SQL oracle. One cumsum per (row, probe)
+    yields ALL prefix dims at once — the fold paid it per dim.
+
+    Scale shape: probes broadcast (K x D floats), the corpus streams
+    through mapInPandas in Arrow batches chunked to ~1k rows so the
+    (chunk, K, D) product tensor stays ~10 MB; output is K*|dims| rows per
+    corpus row, narrow (no shuffle here — ranking downstream shuffles
+    only (id, q_id, dim, score))."""
+    spark = df.sparkSession
+    qp = queries.select(q_id_col, q_vec_col).toPandas()
+    q_ids_v = qp[q_id_col].to_numpy().astype(np.int64)
+    Q = np.stack(qp[q_vec_col].to_numpy()).astype(np.float64)
+    dims_arr = np.asarray(sorted(dims), dtype=np.int64)
+    pos = dims_arr - 1
+    bc = spark.sparkContext.broadcast((q_ids_v, Q, dims_arr, pos))
+
+    def run(batches):
+        q_ids, Qm, darr, p = bc.value
+        K, nd = len(q_ids), len(darr)
+        qn = np.sqrt(np.cumsum(Qm * Qm, axis=1)[:, p])  # (K, nd) prefix norms
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = np.sqrt(np.cumsum(M * M, axis=1)[:, p])  # (B, nd)
+            CH = 1024
+            for s in range(0, len(ids), CH):
+                m, v_ids, vnc = M[s : s + CH], ids[s : s + CH], vn[s : s + CH]
+                b = len(v_ids)
+                prod = m[:, None, :] * Qm[None, :, :]  # (b, K, D)
+                cd = np.cumsum(prod, axis=2)[:, :, p]  # (b, K, nd)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    score = cd / (vnc[:, None, :] * qn[None, :, :])
+                out = pd.DataFrame(
+                    {
+                        id_col: np.repeat(v_ids, K * nd),
+                        q_id_col: np.tile(np.repeat(q_ids, nd), b),
+                        "dim": np.tile(darr, b * K).astype("int32"),
+                        "score": score.reshape(-1),
+                    }
+                )
+                yield out[out[id_col] != out[q_id_col]]
+
+    schema = f"{id_col} long, {q_id_col} long, dim int, score double"
+    return df.select(id_col, vec_col).mapInPandas(run, schema=schema)

@@ -1771,39 +1771,30 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full 64-dim ground truth, averaged over a fixed 20-query probe set —
     the measurement that decides how small an ANN index's vectors can be.
     The dim=64 row is a built-in control (recall exactly 1.0). Eval tier:
-    the bounded probe set rides a broadcast (20 x N x 4 dims scored rows,
-    linear in corpus); the per-(query, dim) top-10 selection rides
+    scoring is the round-7 Arrow path (ops.similarity.
+    matryoshka_prefix_scores): probes broadcast, ONE float64 cumsum per
+    (row, probe) yields every prefix dot at once, bit-identical to both
+    the JVM aggregate-fold it replaced and DuckDB's list_dot_product
+    (np.cumsum is forced sequential left-to-right — see its docstring;
+    profiled 16-19 s of interpreted HOF cosine at sf1, round-6 verdict
+    task 3). The per-(query, dim) top-10 selection rides
     ops.rank.top_k_per_key — the salted two-phase selection — so no window
     partition is ever corpus-sized (a plain (q_id, dim) window would sort
     N rows in ONE task per probe; round-5 verdict item 3). Row-identical to
     the plain window the oracle replays; IVF ops remain the serving path."""
     from apollo_spark.ops.rank import top_k_per_key
-    from apollo_spark.ops.similarity import cosine
+    from apollo_spark.ops.similarity import matryoshka_prefix_scores
 
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     q = e.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
-    scored = (
-        e.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "vec_id",
-            "q_id",
-            F.explode(F.array(*[F.lit(d) for d in (8, 16, 32, 64)])).alias("dim"),
-            "v",
-            "qv",
-        )
-        .withColumn(
-            "score",
-            cosine(F.slice("v", 1, F.col("dim")), F.slice("qv", 1, F.col("dim"))),
-        )
-    )
+    scored = matryoshka_prefix_scores(e, q, dims=[8, 16, 32, 64], vec_col="v")
     # top feeds four downstream consumers (truth, both semi-join sides, nq);
-    # without the persist Spark re-runs the corpus-scoring cross join and
+    # without the persist Spark re-runs the corpus-scoring stage and
     # the salted selection once per consumer (measured 18 s at sf1).
-    # v/qv dropped BEFORE the selection shuffle: only (q_id, dim, vec_id,
-    # score) rows move, not the 64-double vectors.
+    # The scorer emits only (vec_id, q_id, dim, score) — the 64-double
+    # vectors never enter the selection shuffle.
     top = (
         top_k_per_key(
             scored.select("q_id", "dim", "vec_id", "score"),
