@@ -64,3 +64,53 @@ TEMPLATES: dict[str, dict] = {
         },
     },
 }
+
+
+def cross_chain_monitor_hcl(
+    address: str,
+    chains: list[str],
+    abi: str = "erc20.abi.json",
+    event: str = "Transfer",
+    from_param: str = "from",
+    to_param: str = "to",
+    value_param: str = "value",
+    query_name: str = "cross_chain_monitor",
+) -> str:
+    """Cross-chain address monitoring (reference ROADMAP.md:79, unshipped
+    there) as a canned schema: one ``loop`` over the chains, a GLOBAL
+    (address-unfiltered) event scan per chain, filtered to logs where the
+    watched address appears on either side. Every loop frame shares the
+    query NAME, so the DSL's loop-union semantics publish ONE frame with a
+    per-row ``chain`` column — the exact monitoring table a watcher tails.
+
+    Composition over machinery: the loop block (Q2), global-event source
+    (S2), ``||`` filter (F1) and context save are all certified pieces;
+    this helper just writes the schema a user would otherwise hand-compose.
+    Use ``parse_schema(cross_chain_monitor_hcl(...), confdir=...)`` and
+    compile as usual (batch or realtime)."""
+    addr = address.lower()
+    chains_hcl = ", ".join(f'"{c}"' for c in chains)
+    return f"""
+loop {{
+  items = [{chains_hcl}]
+  query {query_name} {{
+    chain = item
+    event {event} {{
+      abi = "{abi}"
+      outputs = ["{from_param}", "{to_param}", "{value_param}"]
+    }}
+    filter = [
+      {from_param} == "{addr}" || {to_param} == "{addr}"
+    ]
+    save {{
+      chain = item
+      block = blocknumber
+      tx = tx_hash
+      token = contract_address
+      sender = {from_param}
+      receiver = {to_param}
+      amount = {value_param}
+    }}
+  }}
+}}
+"""

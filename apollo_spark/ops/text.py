@@ -210,6 +210,24 @@ def language_id_model(
     return multiclass_perceptron_train(feats, labels, iters=iters, id_col=id_col)
 
 
+def train_or_load_langid_model(df, path: str | None = None, **kw):
+    """Reuse a persisted language-ID weight table if one exists at ``path``
+    (a TxTable — transactional, time-travelable), else train via
+    :func:`language_id_model` and persist. Same "train once, score
+    everywhere" artifact shape as ops.dedup.train_or_load_components: at
+    100 TB the model is trained once on the labeled slice and every
+    scoring sweep broadcasts the committed weights. ``path=None`` trains
+    fresh with no I/O — the self-contained gate path."""
+    if path is None:
+        return language_id_model(df, **kw)
+    from apollo_spark.table_format import TxTable
+
+    t = TxTable(path)
+    if t.current_version() is None:
+        t.write(language_id_model(df, **kw), mode="overwrite")
+    return t.read(df.sparkSession)
+
+
 def trained_language_id(
     df,
     weights=None,

@@ -1645,6 +1645,29 @@ LANGID_BUCKETS = 4096
 LANGID_ITERS = 7
 
 
+def _trained_langid_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-doc (doc_id, pred_lang) from the trained classifier,
+    consumed by doc_language_id_trained / langid_confusion_matrix /
+    doc_quality_filter_trained. When APOLLO_SPARK_ARTIFACT_DIR is set
+    (bench / production), the weight table is trained ONCE and persisted
+    as a TxTable (ops.text.train_or_load_langid_model) — scoring sweeps
+    broadcast the committed weights instead of re-paying 7 training
+    rounds per consumer. Unset (the driver's gate), each query trains
+    self-contained so its oracle replays the full trajectory."""
+    import os as _os
+
+    from apollo_spark.ops.text import train_or_load_langid_model, trained_language_id
+
+    d = _t(spark, sf_dir, "documents")
+    art = _os.environ.get("APOLLO_SPARK_ARTIFACT_DIR")
+    path = None
+    if art:
+        tag = sf_dir.strip("/").replace("/", "_")
+        path = f"{art}/langid_model_{tag}"
+    w = train_or_load_langid_model(d, path=path)
+    return trained_language_id(d, weights=w)
+
+
 def _langid_trained_sql(iters: int = LANGID_ITERS, buckets: int = LANGID_BUCKETS) -> str:
     """WITH-clause prefix (no leading WITH) ending at ltpr = per-doc
     (doc_id, pred_lang) from the trained multiclass perceptron — the exact
@@ -1686,12 +1709,10 @@ def doc_language_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     converge as N grows), so the model demonstrably MEMORIZES the labeled
     slice (~96% train accuracy at sf0.01) rather than generalizing; on
     real text the same pipeline generalizes because the signal exists."""
-    from apollo_spark.ops.text import trained_language_id
-
     d = _t(spark, sf_dir, "documents")
     return (
         d.select("doc_id", "lang")
-        .join(trained_language_id(d), "doc_id")
+        .join(_trained_langid_preds(spark, sf_dir), "doc_id")
         .orderBy("doc_id")
     )
 
@@ -1714,10 +1735,8 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     view a filtering pipeline consults before trusting the classifier at
     100 TB; it shares the per-doc scorer with doc_language_id_trained, so
     the two can never drift."""
-    from apollo_spark.ops.text import trained_language_id
-
     d = _t(spark, sf_dir, "documents")
-    preds = trained_language_id(d).select("doc_id", F.col("pred_lang").alias("pred"))
+    preds = _trained_langid_preds(spark, sf_dir).select("doc_id", F.col("pred_lang").alias("pred"))
     return _confusion_from_preds(d, preds)
 
 
@@ -2678,10 +2697,10 @@ def doc_quality_filter_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     score once, persist) and joined into every downstream consumer; here
     the gate path recomputes it self-contained so the oracle replays the
     whole trajectory."""
-    from apollo_spark.ops.text import quality_keep, trained_language_id
+    from apollo_spark.ops.text import quality_keep
 
     d = _t(spark, sf_dir, "documents")
-    dj = d.join(trained_language_id(d), "doc_id")
+    dj = d.join(_trained_langid_preds(spark, sf_dir), "doc_id")
     return (
         dj.filter(quality_keep(F.col("text"), lang_pred_col="pred_lang"))
         .select(
@@ -9622,6 +9641,122 @@ FROM j, t ORDER BY est_pairs DESC, key ASC LIMIT 10
 """
 
 
+def events_raw_selector_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'unverified events' recon surface (reference ROADMAP.md:78,
+    unshipped there; SURVEY §1.1's reserved raw table): a logs-shaped frame
+    synthesized DETERMINISTICALLY from the events table (topic0 keyed by
+    event_type, indexed-arg arity from event_id parity, payload size
+    4..32 bytes from event_id) pushed through the REAL decode-less
+    operators — sources.logs.raw_log_source (projection + reserved MapType
+    raw column) then selector_profile (per-signature-shape frequency /
+    contract-cardinality / block-span / payload stats). The profile is the
+    table a user consults to decide which ABI-less signatures carry the
+    volume to justify sourcing an ABI; real-EVM-logs coverage of the same
+    operators lives in tests/test_raw_logs.py."""
+    from apollo_spark.sources.logs import raw_log_source, selector_profile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # events.ts
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id", "props")
+    eid = F.col("event_id").cast("string")
+    t0 = F.md5(F.concat(F.lit("t0"), F.col("event_type")))
+    t1 = F.md5(F.concat(F.lit("u"), F.col("user_id").cast("string")))
+    t2 = F.md5(F.concat(F.lit("x"), eid))
+    hexlen = (F.lit(2) * (F.lit(4) + F.pmod("event_id", F.lit(29)))).cast("int")
+    data = F.unhex(
+        F.substring(
+            F.concat(F.md5(F.concat(F.lit("d"), F.col("props"))), F.md5(F.concat(F.lit("e"), eid))),
+            F.lit(1),
+            hexlen,
+        )
+    )
+    synth = e.select(
+        F.lit("ethereum").alias("chain"),
+        F.md5(F.concat(F.lit("a"), F.pmod("user_id", F.lit(50)).cast("string"))).alias("address"),
+        F.pmod("event_id", F.lit(10000)).alias("block_number"),
+        F.md5(F.concat(F.lit("bh"), eid)).alias("block_hash"),
+        F.md5(F.concat(F.lit("tx"), eid)).alias("tx_hash"),
+        F.pmod("event_id", F.lit(300)).cast("int").alias("tx_index"),
+        F.pmod("event_id", F.lit(10)).cast("int").alias("log_index"),
+        F.slice(
+            F.array(t0, t1, t2), F.lit(1), (F.lit(2) + F.pmod("event_id", F.lit(2))).cast("int")
+        ).alias("topics"),
+        data.alias("data"),
+    )
+    return selector_profile(raw_log_source(synth))
+
+
+ORACLE_RAW_SELECTOR_PROFILE = """
+WITH synth AS (
+  SELECT md5('t0' || event_type) AS topic0,
+         CAST(2 + event_id % 2 AS INT) AS n_topics,
+         md5('a' || CAST(user_id % 50 AS VARCHAR)) AS address,
+         event_id % 10000 AS block_number,
+         CAST(octet_length(unhex(substr(
+           md5('d' || props) || md5('e' || CAST(event_id AS VARCHAR)),
+           1, CAST(2 * (4 + event_id % 29) AS INT)))) AS BIGINT) AS data_bytes
+  FROM events
+)
+SELECT topic0, n_topics, CAST(COUNT(*) AS BIGINT) AS n_logs,
+       CAST(COUNT(DISTINCT address) AS BIGINT) AS n_contracts,
+       MIN(block_number) AS first_block, MAX(block_number) AS last_block,
+       CAST(SUM(data_bytes) AS BIGINT) AS total_data_bytes,
+       MAX(data_bytes) AS max_data_bytes
+FROM synth GROUP BY 1, 2
+ORDER BY n_logs DESC, topic0 ASC, n_topics ASC
+"""
+
+
+LINEITEM_MONITOR_DSL = """
+loop {
+  items = [1, 2, 3]
+  query xchain_monitor {
+    chain = "ethereum"
+    source_table = "lineitem"
+    filter = [
+      l_linenumber == item,
+      l_suppkey == 10 || l_partkey == 10
+    ]
+    save {
+      net = item
+      block = l_orderkey
+      sender = l_suppkey
+      receiver = l_partkey
+      amount = l_quantity
+    }
+  }
+}
+"""
+
+
+def lineitem_dsl_crosschain_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated twin of dsl.templates.cross_chain_monitor_hcl's
+    semantics (reference ROADMAP.md:79 'Cross-chain address monitoring'):
+    loop-over-networks UNION under one query name + watched-party
+    either-side `||` filter + per-network context save — the exact
+    composition the template writes over global event scans (certified
+    end-to-end on a real 2-chain EVM log fixture in
+    tests/test_raw_logs.py::test_cross_chain_monitor_template_e2e). Here
+    the same loop/compile machinery runs over lineitem (networks =
+    l_linenumber 1..3, watched party 10 as supplier OR part) so the DuckDB
+    oracle replays the published union bit-for-bit."""
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import compile_schema
+    from apollo_spark.sources.tables import Catalog
+
+    schema = parse_schema(LINEITEM_MONITOR_DSL)
+    out = compile_schema(spark, Catalog(spark, sf_dir), schema)
+    return out["xchain_monitor"].orderBy("net", "block", "sender", "receiver")
+
+
+ORACLE_XCHAIN_MONITOR = """
+SELECT l_linenumber AS net, l_orderkey AS block, l_suppkey AS sender,
+       l_partkey AS receiver, l_quantity AS amount
+FROM lineitem
+WHERE l_linenumber IN (1, 2, 3) AND (l_suppkey = 10 OR l_partkey = 10)
+ORDER BY net, block, sender, receiver
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- oracle-backed, ungated in round 1: gate these first ---------------
     "ngram_jaccard_dup_pairs": ngram_jaccard_dup_pairs,
@@ -9709,6 +9844,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returned_items_report": returned_items_report,
     "embedding_label_zscore": embedding_label_zscore,
     "events_etl_dsl": events_etl_dsl,
+    "events_raw_selector_profile": events_raw_selector_profile,
+    "lineitem_dsl_crosschain_monitor": lineitem_dsl_crosschain_monitor,
     "events_dsl_agg": events_dsl_agg,
     "events_dsl_window": events_dsl_window,
     "events_dsl_join_agg": events_dsl_join_agg,
@@ -9961,6 +10098,8 @@ ORACLES: dict[str, str] = {
     "dedup_cost_profile": ORACLE_DEDUP_COST,
     "lsh_scurve_table": ORACLE_LSH_SCURVE,
     "langid_confusion_matrix": ORACLE_LANGID_CONFUSION,
+    "events_raw_selector_profile": ORACLE_RAW_SELECTOR_PROFILE,
+    "lineitem_dsl_crosschain_monitor": ORACLE_XCHAIN_MONITOR,
     "langid_heuristic_confusion": ORACLE_LANGID_HEURISTIC_CONFUSION,
     "doc_language_id_trained": ORACLE_LANGID_TRAINED,
     "doc_quality_filter_trained": ORACLE_QUALITY_FILTER_TRAINED,

@@ -172,3 +172,88 @@ def decoded_event_source(
     else:
         decoded = decoded.withColumn("timestamp", F.lit(None).cast("long"))
     return decoded
+
+
+# --------------------------------------------------------------------------
+# Unverified events — the decode-less raw surface (reference ROADMAP.md:78
+# "Unverified methods and events", unshipped there; SURVEY §1.1 reserved a
+# MapType(string,string) column for exactly this). When no ABI is known,
+# the engine still serves (a) the raw per-log table and (b) the selector
+# frequency profile that tells a user WHICH unverified signatures are worth
+# hunting an ABI for.
+# --------------------------------------------------------------------------
+
+
+def raw_log_source(
+    logs: DataFrame,
+    *,
+    chain: str | None = None,
+    address: str | None = None,
+    from_block: int | None = None,
+    to_block: int | None = None,
+) -> DataFrame:
+    """Undecoded log scan: context columns + ``topic0`` + the full topics
+    array + hex data + arity/size stats + the reserved ``raw`` map
+    (topic0..topicN and data as strings — the MapType escape hatch for
+    schema-less consumers). Same pushdown surface as the decoded path
+    (chain/address/block range reach the parquet scan); no Python stage at
+    all — this is a pure projection, the cheapest query in the engine."""
+    df = logs
+    if chain is not None:
+        df = df.filter(F.col("chain") == chain)
+    if address is not None:
+        df = df.filter(F.col("address") == address.lower())
+    if from_block is not None:
+        df = df.filter(F.col("block_number") >= from_block)
+    if to_block is not None:
+        df = df.filter(F.col("block_number") <= to_block)
+    data_hex = F.lower(F.hex(F.col("data")))
+    raw_map = F.map_concat(
+        F.map_from_arrays(
+            F.transform(
+                F.sequence(F.lit(0), F.size("topics") - 1),
+                lambda i: F.concat(F.lit("topic"), i.cast("string")),
+            ),
+            F.col("topics"),
+        ),
+        F.create_map(F.lit("data"), data_hex),
+    )
+    return df.select(
+        "chain",
+        "address",
+        "block_number",
+        "block_hash",
+        "tx_hash",
+        "tx_index",
+        "log_index",
+        F.col("topics")[0].alias("topic0"),
+        "topics",
+        data_hex.alias("data_hex"),
+        F.size("topics").cast("int").alias("n_topics"),
+        F.length("data").cast("long").alias("data_bytes"),
+        raw_map.alias("raw"),
+    )
+
+
+def selector_profile(raw: DataFrame) -> DataFrame:
+    """Reconnaissance aggregate over the undecoded surface: per
+    (topic0, n_topics) signature shape — log count, distinct emitting
+    contracts, block span, and data-payload size stats. This is the table
+    a user reads to decide which unverified event signatures carry the
+    volume to justify sourcing an ABI (and n_topics disambiguates same-
+    topic0 events with different indexed-arg counts). One map-side-
+    combinable groupBy over the projection — at 100 TB this runs at scan
+    speed with the profile's cardinality bounded by distinct signatures,
+    not rows."""
+    return (
+        raw.groupBy("topic0", "n_topics")
+        .agg(
+            F.count(F.lit(1)).alias("n_logs"),
+            F.countDistinct("address").alias("n_contracts"),
+            F.min("block_number").alias("first_block"),
+            F.max("block_number").alias("last_block"),
+            F.sum("data_bytes").alias("total_data_bytes"),
+            F.max("data_bytes").alias("max_data_bytes"),
+        )
+        .orderBy(F.col("n_logs").desc(), F.col("topic0").asc(), F.col("n_topics").asc())
+    )

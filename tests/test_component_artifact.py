@@ -50,3 +50,22 @@ def test_doc_components_env_routing(spark, tmp_path, monkeypatch):
     QUERIES["dedup_keep_best"](spark, SF).count()
     QUERIES["dup_aware_sample_weights"](spark, SF).count()
     assert t.current_version() == 1
+
+
+def test_langid_model_artifact_routing(spark, tmp_path, monkeypatch):
+    """Trained-langid weight artifact: with APOLLO_SPARK_ARTIFACT_DIR set,
+    the three trained queries share ONE committed weight table and the
+    predictions equal the self-contained path bit-for-bit."""
+    from apollo_spark.queries import QUERIES
+    from apollo_spark.table_format import TxTable
+
+    monkeypatch.delenv("APOLLO_SPARK_ARTIFACT_DIR", raising=False)
+    plain = QUERIES["doc_language_id_trained"](spark, SF).toPandas()
+    monkeypatch.setenv("APOLLO_SPARK_ARTIFACT_DIR", str(tmp_path))
+    routed = QUERIES["doc_language_id_trained"](spark, SF).toPandas()
+    assert plain.equals(routed)
+    tag = SF.strip("/").replace("/", "_")
+    t = TxTable(f"{tmp_path}/langid_model_{tag}")
+    assert t.current_version() == 1
+    QUERIES["langid_confusion_matrix"](spark, SF).count()
+    assert t.current_version() == 1  # reused, not retrained
