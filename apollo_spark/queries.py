@@ -8407,6 +8407,44 @@ ORDER BY n_name, yr
 # --------------------------------------------------------------------------
 
 
+def _entity_pairs(spark: SparkSession, sf_dir: str):
+    """Shared SymSpell candidate-pair table over the planted-twin customer
+    entity strings, consumed by fuzzy_entity_dup_pairs AND
+    entity_golden_records. Artifact-routed like _doc_components /
+    _trained_langid_preds: with APOLLO_SPARK_ARTIFACT_DIR set the
+    deletion-neighborhood join is paid once per corpus and committed as a
+    TxTable; unset, each query builds self-contained for its oracle.
+    Returns (base_entities, pairs)."""
+    import os as _os
+
+    from apollo_spark.ops.linkage import fuzzy_dup_pairs
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.md5(F.col("c_custkey").cast("string")).alias("s")
+    )
+    planted = c.filter(F.pmod("id", F.lit(3)) == 0).select(
+        (F.col("id") + F.lit(10_000_000)).alias("id"),
+        F.concat(
+            F.expr("substr(s, 1, pmod(id, length(s)))"),
+            F.expr("substr(s, pmod(id, length(s)) + 2, length(s) - pmod(id, length(s)) - 1)"),
+        ).alias("s"),
+    )
+    base = c.unionByName(planted)
+
+    def build() -> DataFrame:
+        return fuzzy_dup_pairs(base, "id", "s").select(
+            "id_a", "id_b", F.col("dist").cast("int").alias("dist")
+        )
+
+    art = _os.environ.get("APOLLO_SPARK_ARTIFACT_DIR")
+    if art:
+        from apollo_spark.table_format import train_or_load_table
+
+        tag = sf_dir.strip("/").replace("/", "_")
+        return base, train_or_load_table(spark, f"{art}/entity_pairs_{tag}", build)
+    return base, build()
+
+
 def fuzzy_entity_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution without a cross product (ops.linkage.fuzzy_dup_pairs):
     SymSpell deletion-neighborhood candidate generation — strings within
@@ -8424,24 +8462,8 @@ def fuzzy_entity_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every same-name pair is a distance-0 hit: output itself quadratic).
     Sparse near-unique strings are the workload a fuzzy joiner exists for;
     data this hot belongs to exact_dedup's hash-groupBy instead."""
-    from apollo_spark.ops.linkage import fuzzy_dup_pairs
-
-    c = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("id"), F.md5(F.col("c_custkey").cast("string")).alias("s")
-    )
-    planted = c.filter(F.pmod("id", F.lit(3)) == 0).select(
-        (F.col("id") + F.lit(10_000_000)).alias("id"),
-        F.concat(
-            F.expr("substr(s, 1, pmod(id, length(s)))"),
-            F.expr("substr(s, pmod(id, length(s)) + 2, length(s) - pmod(id, length(s)) - 1)"),
-        ).alias("s"),
-    )
-    base = c.unionByName(planted)
-    return (
-        fuzzy_dup_pairs(base, "id", "s")
-        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
-        .orderBy("id_a", "id_b")
-    )
+    _, pairs = _entity_pairs(spark, sf_dir)
+    return pairs.orderBy("id_a", "id_b")
 
 
 ORACLE_FUZZY_NAME_PAIRS = r"""
@@ -9224,20 +9246,9 @@ def entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing last step — match, cluster, merge — and every stage is the
     already-certified building block, so the composition hash-gates."""
     from apollo_spark.ops.dedup import connected_components
-    from apollo_spark.ops.linkage import fuzzy_dup_pairs
 
-    c = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("id"), F.md5(F.col("c_custkey").cast("string")).alias("s")
-    )
-    planted = c.filter(F.pmod("id", F.lit(3)) == 0).select(
-        (F.col("id") + F.lit(10_000_000)).alias("id"),
-        F.concat(
-            F.expr("substr(s, 1, pmod(id, length(s)))"),
-            F.expr("substr(s, pmod(id, length(s)) + 2, length(s) - pmod(id, length(s)) - 1)"),
-        ).alias("s"),
-    )
-    base = c.unionByName(planted)
-    pairs = fuzzy_dup_pairs(base, "id", "s").select("id_a", "id_b")
+    base, p = _entity_pairs(spark, sf_dir)
+    pairs = p.select("id_a", "id_b")
     comp = connected_components(pairs).select(
         F.col("id").cast("long").alias("id"), F.col("comp").cast("long").alias("comp")
     )

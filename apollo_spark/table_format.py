@@ -706,3 +706,16 @@ class TxTable:
                     leftover.unlink()
                 d.rmdir()
         return sorted(deleted)
+
+
+def train_or_load_table(spark, path: str, build):
+    """Generic build-once/read-many artifact: reuse the TxTable at ``path``
+    if it has a committed snapshot, else call ``build()`` (returning a
+    DataFrame), commit it (CAS — concurrent writers safe), and read it
+    back. The shared shape behind ops.dedup.train_or_load_components and
+    ops.text.train_or_load_langid_model; use it for any expensive
+    deterministic intermediate a pipeline consumes more than once."""
+    t = TxTable(path)
+    if t.current_version() is None:
+        t.write(build(), mode="overwrite")
+    return t.read(spark)

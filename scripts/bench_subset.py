@@ -32,6 +32,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     for t in ("lineitem", "orders", "documents", "embeddings", "events"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    # JIT the shuffle/join/window/explode machinery (same rationale and
+    # shape as bench.py): the first shuffle-heavy query otherwise pays ~5s
+    # of JVM warmup that belongs to the session, not the plan
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = spark.range(200_000).select(F.col("id"), (F.col("id") % 997).alias("k"))
+    (
+        w.alias("a").join(w.alias("b"), "k")
+        .groupBy("k").count()
+        .withColumn("r", F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("k")))
+        .select(F.explode(F.array("k", "count")).alias("x")).count()
+    )
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -44,8 +57,11 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name].splitlines()[0]}", file=sys.stderr)
             continue
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        dt = round(time.perf_counter() - t0, 3)
+        # repeated names take the MIN — pass a query 2-3x to apply the
+        # bench.py min-of-repeats discipline within one warmed session
+        timings[name] = min(timings.get(name, dt), dt)
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
         release_caches(df)
         del df
         spark.sparkContext._jvm.System.gc()

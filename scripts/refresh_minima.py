@@ -13,6 +13,7 @@ Usage: python scripts/refresh_minima.py out.md run1.json [run2.json ...]
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 
@@ -21,34 +22,40 @@ def main() -> None:
     mins: dict[str, float] = {}
     n_runs = 0
     for path in sys.argv[2:]:
-        with open(path) as f:
-            lines = [ln for ln in f if ln.lstrip().startswith("{")]
         d = None
-        for ln in reversed(lines):
-            try:
-                cand = json.loads(ln)
-            except json.JSONDecodeError:
-                continue
+        try:  # whole-file JSON (pretty-printed bench records)
+            cand = json.load(open(path))
             if isinstance(cand, dict) and "queries" in cand:
                 d = cand
-                break
+        except json.JSONDecodeError:
+            pass
+        if d is None:  # JSONL / log with one bench line among others
+            with open(path) as f:
+                lines = [ln for ln in f if ln.lstrip().startswith("{")]
+            for ln in reversed(lines):
+                try:
+                    cand = json.loads(ln)
+                except json.JSONDecodeError:
+                    continue
+                if isinstance(cand, dict) and "queries" in cand:
+                    d = cand
+                    break
         if d is None:
-            raise SystemExit(f"{path}: no bench JSON line found (expected a 'queries' key)")
+            raise SystemExit(f"{path}: no bench JSON found (expected a 'queries' key)")
         n_runs += 1
         for name, t in d["queries"].items():
             mins[name] = min(mins.get(name, float("inf")), t)
+    title = os.environ.get("MINIMA_TITLE", "Refreshed per-query minimums (sf0.1)")
+    note = os.environ.get("MINIMA_NOTE", "")
     rows = [f"| {name} | {mins[name]:.2f} |" for name in sorted(mins)]
     lines = [
         "",
-        "## Round-5 refreshed per-query minimums (sf0.1)",
+        f"## {title}",
         "",
-        f"MIN per query across {n_runs} full-registry runs (each min-of-3 repeats,",
-        "`local[32]`, quiet host, post-whale settle in bench.py). Supersedes the",
-        "table above for the 2x screen — the rewritten global-rank queries,",
-        "doc_memorization_risk, the media codecs, and the round-5 additions",
-        "(tfidf_capped_pairs, cdc_chunk_dedup) now have rows measuring the plans",
-        "that actually exist.",
-        "",
+        f"MIN per query across {n_runs} runs (each itself min-of-repeats,",
+        "`local[32]`, quiet host). Supersedes earlier rows for the 2x screen",
+        "(the sweep parser takes the LAST row per query).",
+        *( [note, ""] if note else [""] ),
         "| query | sec |",
         "|---|---|",
         *rows,

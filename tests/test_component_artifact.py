@@ -69,3 +69,24 @@ def test_langid_model_artifact_routing(spark, tmp_path, monkeypatch):
     assert t.current_version() == 1
     QUERIES["langid_confusion_matrix"](spark, SF).count()
     assert t.current_version() == 1  # reused, not retrained
+
+
+def test_entity_pairs_artifact_routing(spark, tmp_path, monkeypatch):
+    """Entity-linkage pair artifact: fuzzy_entity_dup_pairs and
+    entity_golden_records share one committed SymSpell pair table when the
+    artifact dir is set; results equal the self-contained path."""
+    from apollo_spark.queries import QUERIES
+    from apollo_spark.table_format import TxTable
+
+    monkeypatch.delenv("APOLLO_SPARK_ARTIFACT_DIR", raising=False)
+    plain = QUERIES["fuzzy_entity_dup_pairs"](spark, SF).toPandas()
+    gplain = QUERIES["entity_golden_records"](spark, SF).toPandas()
+    monkeypatch.setenv("APOLLO_SPARK_ARTIFACT_DIR", str(tmp_path))
+    routed = QUERIES["fuzzy_entity_dup_pairs"](spark, SF).toPandas()
+    assert plain.equals(routed)
+    tag = SF.strip("/").replace("/", "_")
+    t = TxTable(f"{tmp_path}/entity_pairs_{tag}")
+    assert t.current_version() == 1
+    grouted = QUERIES["entity_golden_records"](spark, SF).toPandas()
+    assert gplain.equals(grouted)
+    assert t.current_version() == 1  # reused, not rebuilt
