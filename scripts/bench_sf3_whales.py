@@ -68,15 +68,17 @@ class DiskSampler(threading.Thread):
         super().__init__(daemon=True)
         self.dirs, self.interval = dirs, interval
         self.peak = 0
-        self._stop = threading.Event()
+        # NOT named _stop: Thread.join's internals call self._stop() on
+        # timeout, so an Event stored there raises "'Event' is not callable"
+        self._halt = threading.Event()
 
     def run(self):
-        while not self._stop.is_set():
+        while not self._halt.is_set():
             self.peak = max(self.peak, _du(self.dirs))
-            self._stop.wait(self.interval)
+            self._halt.wait(self.interval)
 
     def stop(self) -> int:
-        self._stop.set()
+        self._halt.set()
         self.join(timeout=5)
         return max(self.peak, _du(self.dirs))
 

@@ -387,12 +387,14 @@ def test_tfidf_capped_rescore_not_full_selfjoin(spark):
 
 
 def test_cdc_chunks_windows_are_doc_partitioned(spark):
-    """CDC's rolling hash and prefix-sum chunk ids ride per-document
-    windows (partitionBy id) — a corpus-sized unpartitioned window here
-    would serialize the whole corpus through one task."""
+    """CDC chunking is per-document array work (higher-order functions
+    inside one projection) — the plan must carry NO window at all: the old
+    explode -> per-doc-window form paid two sorts plus collect_list object
+    churn and grew 6x per 3x data on the stress corpus. Any window that
+    sneaks back in must at least stay doc-partitioned."""
     p = plan(spark, "cdc_chunk_dedup")
-    for col in re.findall(r"windowspecdefinition\((\S+?),", p):
-        assert col.startswith("id#"), col
+    specs = re.findall(r"windowspecdefinition\((\S+?),", p)
+    assert specs == [], specs
 
 
 def test_rag_chunks_windows_are_doc_partitioned(spark):
