@@ -26,6 +26,8 @@ integer means would disagree across engines. Distances are offset-invariant.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -50,6 +52,75 @@ def embedding_lattice(
     )
 
 
+def _collect_centroid_matrix(cent: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """(cluster, d, ci) long-format centroids -> (cluster ids ASCENDING,
+    dense (K, D) int64 matrix). Ascending order is load-bearing: numpy's
+    argmin returns the FIRST minimum, which must mean the smallest cluster
+    id to match the relational ``min(struct(dist, cluster))`` tie-break."""
+    rows = cent.collect()
+    clusters = sorted({r["cluster"] for r in rows})
+    dmax = max(r["d"] for r in rows)
+    idx = {c: i for i, c in enumerate(clusters)}
+    C = np.zeros((len(clusters), dmax + 1), dtype=np.int64)
+    for r in rows:
+        C[idx[r["cluster"]], r["d"]] = r["ci"]
+    return np.asarray(clusters, dtype=np.int64), C
+
+
+def lattice_assign_arrow(
+    emb: DataFrame,
+    clusters: np.ndarray,
+    cent_matrix: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+    offset: float = 8.0,
+) -> DataFrame:
+    """Arrow-batched argmin lattice assignment — bit-identical to the
+    relational ``long JOIN broadcast(cent) GROUP BY`` form, without the
+    N*D*K intermediate-row explosion that made corpus-proportional k
+    (SemDeDup / margin mining, k = N/250) an N^2/250 JOIN at scale: the
+    profiled sf3 whale run spent most of bitext_margin_mining's 261 s in
+    these assignment passes.
+
+    EXACTNESS argument (the "Arrow Gram" discipline, round 3): lattice
+    coordinates are floor((float64(x) + offset) * scale) — numpy performs
+    the identical IEEE float64 widen/add/multiply/floor — and every
+    subsequent step (squared norms, the X @ C^T Gram, dist = xx + cc - 2g)
+    is INTEGER arithmetic, associative and exact in int64. Magnitudes are
+    bounded: |coord| <= 16.8e6 (offset 8, scale 1e6, |x| < 8.8), so a
+    64-dim squared distance <= 64 * (3.4e7)^2 ~ 7.4e16 < 2^63. Ties break
+    toward the smaller cluster id because ``clusters`` is ascending and
+    np.argmin takes the first minimum."""
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast((clusters, cent_matrix))
+
+    def run(batches):
+        cl, C = bc.value
+        cc = np.einsum("kd,kd->k", C, C)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            X = np.floor((M + offset) * scale).astype(np.int64)
+            xx = np.einsum("bd,bd->b", X, X)
+            g = X @ C.T
+            dist = xx[:, None] + cc[None, :] - 2 * g
+            j = np.argmin(dist, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "cluster": cl[j],
+                    "dist": dist[np.arange(len(j)), j],
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} long, cluster long, dist long"
+    )
+
+
 def kmeans_lattice(
     emb: DataFrame,
     k: int = 8,
@@ -58,6 +129,7 @@ def kmeans_lattice(
     vec_col: str = "embedding",
     scale: float = 1_000_000.0,
     offset: float = 8.0,
+    impl: str = "arrow",
 ) -> tuple[DataFrame, DataFrame]:
     """``iters`` Lloyd rounds seeded from the first ``k`` ids' coordinates
     (deterministic — no RNG to reconcile across engines).
@@ -68,24 +140,40 @@ def kmeans_lattice(
       cluster id);
     * centroids: (cluster, d, ci) — post-update integer centroids (clusters
       that lost every member disappear, same as the SQL formulation).
+
+    ``impl="arrow"`` (default) runs each assignment pass through
+    :func:`lattice_assign_arrow` — same bits, no N*D*K row explosion (the
+    update step stays relational either way: N*D rows, map-side combined
+    onto <= K*D keys). ``impl="relational"`` keeps the pure-DataFrame twin
+    the SQL oracles mirror; pytest pins the two paths equal.
     """
+    if impl not in ("arrow", "relational"):
+        raise ValueError(f"impl must be 'arrow' or 'relational', got {impl!r}")
     long = embedding_lattice(emb, id_col, vec_col, scale, offset)
     cent = long.filter(F.col(id_col) < k).select(
         F.col(id_col).cast("long").alias("cluster"), "d", F.col("xi").alias("ci")
     )
     assign = None
     for _ in range(iters):
-        diff = F.col("xi") - F.col("ci")
-        dist = (
-            long.join(F.broadcast(cent), "d")
-            .groupBy(id_col, "cluster")
-            .agg(F.sum(diff * diff).alias("dist"))
-        )
-        assign = (
-            dist.groupBy(id_col)
-            .agg(F.min(F.struct("dist", "cluster")).alias("m"))
-            .select(id_col, F.col("m.cluster").alias("cluster"), F.col("m.dist").alias("dist"))
-        )
+        if impl == "arrow":
+            clusters, C = _collect_centroid_matrix(cent)
+            assign = lattice_assign_arrow(
+                emb, clusters, C, id_col, vec_col, scale, offset
+            )
+        else:
+            diff = F.col("xi") - F.col("ci")
+            dist = (
+                long.join(F.broadcast(cent), "d")
+                .groupBy(id_col, "cluster")
+                .agg(F.sum(diff * diff).alias("dist"))
+            )
+            assign = (
+                dist.groupBy(id_col)
+                .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+                .select(
+                    id_col, F.col("m.cluster").alias("cluster"), F.col("m.dist").alias("dist")
+                )
+            )
         cent = (
             long.join(assign.select(id_col, "cluster"), id_col)
             .groupBy("cluster", "d")
@@ -102,6 +190,7 @@ def lattice_final_assign(
     vec_col: str = "embedding",
     scale: float = 1_000_000.0,
     offset: float = 8.0,
+    impl: str = "arrow",
 ) -> tuple[DataFrame, DataFrame]:
     """Argmin assignment of every vector to the POST-UPDATE centroids —
     the ``fassign``/``fdist`` step every lattice SQL oracle replays (one
@@ -112,7 +201,16 @@ def lattice_final_assign(
 
     Returns ``(assign, dist)``: assign = (id, cluster); dist = (id,
     cluster, dist) with the exact squared lattice distance to EVERY
-    centroid (probe selection ranks over it)."""
+    centroid (probe selection ranks over it).
+
+    ``impl="arrow"`` (default) computes ``assign`` via
+    :func:`lattice_assign_arrow` (bit-identical, no N*D*K join). The
+    ``dist`` frame stays RELATIONAL in both modes — it is lazy, its only
+    consumer (IVF probe ranking) filters to a handful of query ids and
+    that predicate pushes below the join, so the full N*D*K explosion is
+    never paid unless a caller actually asks for every row."""
+    if impl not in ("arrow", "relational"):
+        raise ValueError(f"impl must be 'arrow' or 'relational', got {impl!r}")
     long = embedding_lattice(emb, id_col, vec_col, scale, offset)
     diff = F.col("xi") - F.col("ci")
     dist = (
@@ -120,11 +218,17 @@ def lattice_final_assign(
         .groupBy(id_col, "cluster")
         .agg(F.sum(diff * diff).alias("dist"))
     )
-    assign = (
-        dist.groupBy(id_col)
-        .agg(F.min(F.struct("dist", "cluster")).alias("m"))
-        .select(id_col, F.col("m.cluster").alias("cluster"))
-    )
+    if impl == "arrow":
+        clusters, C = _collect_centroid_matrix(cent)
+        assign = lattice_assign_arrow(
+            emb, clusters, C, id_col, vec_col, scale, offset
+        ).select(id_col, "cluster")
+    else:
+        assign = (
+            dist.groupBy(id_col)
+            .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+            .select(id_col, F.col("m.cluster").alias("cluster"))
+        )
     return assign, dist
 
 

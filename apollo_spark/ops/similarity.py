@@ -909,6 +909,106 @@ def mmr_diverse_topk(
     )
 
 
+def cluster_pairwise_cosine(
+    a: DataFrame,
+    mode: str = "lt",
+    group_col: str = "cluster",
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Within-group pairwise cosine scores, pairs GENERATED INSIDE an
+    applyInPandas task — (group, x_id, y_id, score) with ``mode="lt"``
+    (all pairs x_id < y_id: the SemDeDup prune shape) or ``mode="even_odd"``
+    (even ids x odd ids: the bitext two-collection shape).
+
+    Why not the relational join + HOF cosine: the join ships BOTH vectors
+    (2 x D doubles) per PAIR through the shuffle and scores each pair with
+    an interpreted fold — profiled as the dominant term of
+    semantic_dedup_lattice at sf3 (98 s of 130 s after the assignment fix).
+    Here Arrow moves each vector ONCE per group (O(N*D)), pairs live only
+    as numpy tensors chunked to ~32 MB, and output is 3 narrow columns per
+    pair.
+
+    BIT-PARITY (hash-gates unchanged): per-pair products are elementwise
+    IEEE float64 multiplies and np.cumsum accumulates STRICTLY
+    left-to-right — the same recurrence as the JVM fold
+    (aggregate(zip_with(a,b,*), 0.0, acc+v)) and DuckDB's
+    list_dot_product; norms, sqrt, and the final divide are correctly
+    rounded one-op-at-a-time in all three engines (the matryoshka /
+    Arrow-Gram discipline). Ordering inside a group is forced to ascending
+    id before pairing, so the emitted pair set is deterministic.
+
+    100 TB note: group sizes are bounded by the lattice blocking's target
+    cluster rows (k ∝ N keeps ~constant rows per cluster), so per-task
+    memory is flat; a pathological giant cluster degrades to smaller y
+    chunks, never OOM."""
+    if mode not in ("lt", "even_odd"):
+        raise ValueError(f"mode must be 'lt' or 'even_odd', got {mode!r}")
+    even_odd = mode == "even_odd"
+
+    def score(key, pdf):
+        ids = pdf[id_col].to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        M = np.stack(pdf[vec_col].to_numpy())[order].astype(np.float64)
+        n, d = M.shape
+        norms = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
+        if even_odd:
+            xi = np.flatnonzero(ids % 2 == 0)
+            yi = np.flatnonzero(ids % 2 == 1)
+            if len(xi) == 0 or len(yi) == 0:
+                return pd.DataFrame(
+                    {group_col: [], "x_id": [], "y_id": [], "score": []}
+                ).astype({group_col: "int64", "x_id": "int64", "y_id": "int64", "score": "float64"})
+            Mx, My = M[xi], M[yi]
+            rows, per_row = len(yi), len(xi) * d * 8
+        else:
+            rows, per_row = n, n * d * 8
+        out_x, out_y, out_s = [], [], []
+        # chunk the pair tensor to ~32 MB of float64
+        ch = max(1, (1 << 25) // max(per_row, 1))
+        for s in range(0, rows, ch):
+            if even_odd:
+                yc = My[s : s + ch]
+                prod = yc[:, None, :] * Mx[None, :, :]
+                dots = np.cumsum(prod, axis=2)[:, :, -1]
+                sc = dots / (norms[yi[s : s + ch], None] * norms[None, xi])
+                yy, xx = np.meshgrid(ids[yi[s : s + ch]], ids[xi], indexing="ij")
+                out_x.append(xx.reshape(-1))
+                out_y.append(yy.reshape(-1))
+                out_s.append(sc.reshape(-1))
+            else:
+                # y = row j pairs with every x strictly before it (ids asc)
+                yc = M[s : s + ch]
+                prod = yc[:, None, :] * M[None, :, :]
+                dots = np.cumsum(prod, axis=2)[:, :, -1]
+                sc = dots / (norms[s : s + ch, None] * norms[None, :])
+                for off in range(len(yc)):
+                    j = s + off
+                    if j == 0:
+                        continue
+                    out_x.append(ids[:j])
+                    out_y.append(np.full(j, ids[j], dtype=np.int64))
+                    out_s.append(sc[off, :j])
+        if not out_x:
+            return pd.DataFrame(
+                {group_col: [], "x_id": [], "y_id": [], "score": []}
+            ).astype({group_col: "int64", "x_id": "int64", "y_id": "int64", "score": "float64"})
+        xcat = np.concatenate(out_x)
+        return pd.DataFrame(
+            {
+                group_col: np.full(len(xcat), key[0], dtype=np.int64),
+                "x_id": xcat,
+                "y_id": np.concatenate(out_y),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    return a.select(group_col, id_col, vec_col).groupBy(group_col).applyInPandas(
+        score, schema=f"{group_col} long, x_id long, y_id long, score double"
+    )
+
+
 def margin_mined_pairs(
     emb: DataFrame,
     k: int,
@@ -951,17 +1051,14 @@ def margin_mined_pairs(
         F.col(id_col), F.transform(vec_col, lambda x: x.cast("double")).alias("v")
     )
     a = assign.join(ev, id_col)
-    x = a.filter(F.col(id_col) % 2 == 0).select(
-        "cluster", F.col(id_col).alias("x_id"), F.col("v").alias("xv")
-    )
-    y = a.filter(F.col(id_col) % 2 == 1).select(
-        "cluster", F.col(id_col).alias("y_id"), F.col("v").alias("yv")
-    )
     wx = Window.partitionBy("x_id").orderBy(F.col("score").desc(), F.col("y_id").asc())
     wy = Window.partitionBy("y_id").orderBy(F.col("score").desc(), F.col("x_id").asc())
+    # within-cluster even x odd scoring runs inside applyInPandas (pairs as
+    # chunked numpy tensors, cumsum fold — bit-identical to the JVM/DuckDB
+    # sequential dot): the old join shipped 2xD doubles per PAIR and scored
+    # with an interpreted fold, the dominant term at the sf3 stress scale
     cand = (
-        x.join(y, "cluster")
-        .withColumn("score", cosine(F.col("xv"), F.col("yv")))
+        cluster_pairwise_cosine(a, mode="even_odd", id_col=id_col, vec_col="v")
         .select(
             "x_id",
             "y_id",

@@ -3758,13 +3758,16 @@ def semantic_dedup_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign, _ = lattice_final_assign(e, cent)
     ev = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     a = assign.join(ev, "vec_id")
-    x = a.select(F.col("cluster"), F.col("vec_id").alias("x_id"), F.col("v").alias("xv"))
-    y = a.select(F.col("cluster"), F.col("vec_id").alias("vec_id"), F.col("v").alias("yv"))
+    # within-cluster x_id < y_id scoring via applyInPandas (chunked numpy
+    # pair tensors, cumsum fold == the JVM/DuckDB sequential dot bit-for-bit;
+    # see ops.similarity.cluster_pairwise_cosine) — the relational join
+    # shipped both vectors per pair and interpreted the fold
+    from apollo_spark.ops.similarity import cluster_pairwise_cosine
+
     dropped = (
-        x.join(y, "cluster")
-        .filter(F.col("x_id") < F.col("vec_id"))
-        .filter(cosine(F.col("xv"), F.col("yv")) >= F.lit(0.35))
-        .select("vec_id")
+        cluster_pairwise_cosine(a, mode="lt")
+        .filter(F.col("score") >= F.lit(0.35))
+        .select(F.col("y_id").alias("vec_id"))
         .distinct()
     )
     return (

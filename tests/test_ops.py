@@ -1108,6 +1108,45 @@ def test_kmeans_lattice_converges(spark, emb):
     assert wcss[3] <= wcss[1]
 
 
+def test_lattice_assign_arrow_equals_relational(spark, emb):
+    """The Arrow assignment fast path must be BIT-IDENTICAL to the
+    relational twin the SQL oracles mirror: same (id, cluster, dist)
+    trajectory through every Lloyd round, same post-update centroids, same
+    final assignment — including arithmetic (exact int64) and the
+    ties-to-smaller-cluster-id rule (ascending centroid order + argmin's
+    first-minimum)."""
+    from apollo_spark.ops.clustering import kmeans_lattice, lattice_final_assign
+
+    a_assign, a_cent = kmeans_lattice(emb, k=7, iters=2, impl="arrow")
+    r_assign, r_cent = kmeans_lattice(emb, k=7, iters=2, impl="relational")
+    assert a_assign.exceptAll(r_assign).count() == 0
+    assert r_assign.exceptAll(a_assign).count() == 0
+    assert a_cent.exceptAll(r_cent).count() == 0
+    assert r_cent.exceptAll(a_cent).count() == 0
+
+    fa_a, _ = lattice_final_assign(emb, a_cent, impl="arrow")
+    fa_r, _ = lattice_final_assign(emb, r_cent, impl="relational")
+    assert fa_a.exceptAll(fa_r).count() == 0
+    assert fa_r.exceptAll(fa_a).count() == 0
+
+
+def test_lattice_assign_arrow_tie_breaks_to_smaller_cluster(spark):
+    """Two identical centroids -> every vector is equidistant; the winner
+    must be the smaller cluster id (the relational min(struct) rule)."""
+    from apollo_spark.ops.clustering import lattice_assign_arrow
+
+    import numpy as np
+
+    emb = spark.createDataFrame(
+        [(0, [0.1, 0.2]), (1, [0.3, 0.4])], "vec_id long, embedding array<float>"
+    )
+    C = np.array([[5, 5], [5, 5]], dtype=np.int64)
+    out = lattice_assign_arrow(
+        emb, np.array([3, 9], dtype=np.int64), C
+    ).collect()
+    assert {r["cluster"] for r in out} == {3}
+
+
 def test_triangle_count_matches_bruteforce(spark):
     """Degree-ordered orientation vs itertools brute force on a seeded
     random graph (plus messy input: duplicates, reversed edges, self-loops)."""
