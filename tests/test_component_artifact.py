@@ -69,6 +69,13 @@ def test_langid_model_artifact_routing(spark, tmp_path, monkeypatch):
     assert t.current_version() == 1
     QUERIES["langid_confusion_matrix"](spark, SF).count()
     assert t.current_version() == 1  # reused, not retrained
+    # the per-doc PREDICTION table is itself an artifact (round 7): the
+    # second/third consumers read one committed row per doc instead of
+    # re-paying feature extraction + scoring
+    p = TxTable(f"{tmp_path}/langid_preds_{tag}")
+    assert p.current_version() == 1
+    QUERIES["doc_quality_filter_trained"](spark, SF).count()
+    assert p.current_version() == 1  # read, not rebuilt
 
 
 def test_entity_pairs_artifact_routing(spark, tmp_path, monkeypatch):
