@@ -1040,12 +1040,20 @@ def _cdc_chunks(
             F.slice(t, F.greatest(i - window + 2, F.lit(1)), F.least(i + F.lit(1), F.lit(window))),
         )
 
-    # 60-bit md5 prefix — same portable int both engines inline exactly
-    cuts = F.filter(
-        F.sequence(F.lit(window - 1), F.size(t) - 1),
-        lambda i: F.conv(F.substring(F.md5(rolling(i)), 1, 15), 16, 10).cast("long") % divisor
-        == 0,
-    )
+    # 60-bit md5 prefix — same portable int both engines inline exactly.
+    # Guard: sequence(start, stop) DESCENDS when start > stop, so a doc
+    # shorter than the rolling window would evaluate boundary hashes at
+    # fabricated positions and emit spurious cuts (the old explode form's
+    # pos >= window-1 gate made short docs cut-free; keep that semantics)
+    cuts = F.when(
+        F.size(t) >= window,
+        F.filter(
+            F.sequence(F.lit(window - 1), F.size(t) - 1),
+            lambda i: F.conv(F.substring(F.md5(rolling(i)), 1, 15), 16, 10).cast("long")
+            % divisor
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     # chunk spans: starts = 0 then cut+1; ends = each cut then the last token
     starts = F.concat(F.array(F.lit(0)), F.transform(cuts, lambda c: c + 1))
     spans = F.filter(
@@ -1713,15 +1721,15 @@ def train_or_load_components(df: DataFrame, path: str | None = None, **kw) -> Da
     The production shape at 100 TB: the dedup job writes this table ONCE
     per corpus snapshot; survivor selection, duplication-aware sampling
     weights, duplicate-mass reports, and golden-record merges all read the
-    artifact instead of re-paying the edge shuffle + CC rounds. TxTable's
-    CAS commit makes concurrent writers safe (first commit wins, the loser
-    retries into a read) and its version history pins which corpus snapshot
-    a downstream sample was drawn against."""
+    artifact instead of re-paying the edge shuffle + CC rounds. Concurrent
+    writers are safe via train_or_load_table's idempotent commit (the CAS
+    loser wastes its build but commits nothing and reads the winner's
+    snapshot), and the version history pins which corpus snapshot a
+    downstream sample was drawn against."""
     if path is None:
         return doc_component_table(df, **kw)
-    from apollo_spark.table_format import TxTable
+    from apollo_spark.table_format import train_or_load_table
 
-    t = TxTable(path)
-    if t.current_version() is None:
-        t.write(doc_component_table(df, **kw), mode="overwrite")
-    return t.read(df.sparkSession)
+    return train_or_load_table(
+        df.sparkSession, path, lambda: doc_component_table(df, **kw)
+    )

@@ -69,8 +69,15 @@ def k_anonymize(
     ]
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     vdec = F.round(v.cast("double"), value_scale).cast(f"decimal(18,{value_scale})")
-    g = df.select(*qi, vdec.alias("__v")).groupBy(*names).agg(
-        F.count(F.lit(1)).alias("n_rows"), F.sum("__v").alias("__sum")
+    g = (
+        df.select(*qi, vdec.alias("__v"))
+        .groupBy(*names)
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("__v").alias("__sum"))
+        # persisted: the eager '*' guard below plus BOTH release branches
+        # (kept + suppressed) read g — unpersisted, the guard's count would
+        # re-pay the full raw-row scan+shuffle when the caller collects.
+        # Released via release_caches on the returned frame (scoped_persist).
+        .persist()
     )
     # '*' is the reserved suppression marker (see docstring) — reject
     # colliding input values before anything is released. Checked on the
@@ -81,6 +88,7 @@ def k_anonymize(
         star_cond = hit if star_cond is None else (star_cond | hit)
     star_hit = g.filter(star_cond).limit(1).count()
     if star_hit:
+        g.unpersist()  # error path: nothing will ever release the scope
         raise ValueError(
             "k_anonymize: a QI column contains the literal '*', which is "
             "reserved as the suppression marker; remap that value first"
@@ -108,11 +116,16 @@ def k_anonymize(
             F.col("__sum").cast("decimal(38,6)").alias("__sum"),
         )
     )
-    return kept.unionByName(suppressed).select(
-        *names,
-        "n_classes",
-        "n_rows",
-        (F.col("__sum").cast("double") / F.col("n_rows").cast("double")).alias("avg_value"),
+    from apollo_spark.ops.cache import scoped_persist
+
+    return scoped_persist(
+        kept.unionByName(suppressed).select(
+            *names,
+            "n_classes",
+            "n_rows",
+            (F.col("__sum").cast("double") / F.col("n_rows").cast("double")).alias("avg_value"),
+        ),
+        g,
     )
 
 

@@ -284,23 +284,28 @@ def join_skew_profile(
     Returns the ``top_n`` keys by estimated pairs with their share of the
     total estimated join output: (key, cnt_a, cnt_b, est_pairs, share).
     Deterministic: integer counts, ties toward the smaller key.
-    ``est_pairs`` is a DOUBLE (it is an estimate): multi-billion-row
-    mega-keys — exactly the rows this profiler exists to surface at 100 TB
-    — would silently wrap a non-ANSI BIGINT product (~3e9 * 3e9 > 2^63)
-    and corrupt the skew signal; the double is exact up to 2^53 pairs and
-    degrades gracefully, never wraps, above it (ADVICE round 6).
+    ``est_pairs`` is exposed as a DOUBLE but computed and summed in
+    DECIMAL(38,0): multi-billion-row mega-keys — exactly the rows this
+    profiler exists to surface at 100 TB — would silently wrap a non-ANSI
+    BIGINT product (~3e9 * 3e9 > 2^63) and corrupt the skew signal (ADVICE
+    round 6), while a double running SUM is partition-order dependent past
+    2^53 and would make ``share`` flake in the last ulps between runs. The
+    decimal product and sum are exact and order-free; each value is cast to
+    double ONCE (correctly rounded, deterministic) for the output.
     """
     rk = right_key or left_key
     ca = left.groupBy(F.col(left_key).alias("key")).agg(F.count(F.lit(1)).alias("cnt_a"))
     cb = right.groupBy(F.col(rk).alias("key")).agg(F.count(F.lit(1)).alias("cnt_b"))
-    j = ca.join(cb, "key").withColumn(
-        "est_pairs", F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double")
-    )
-    total = j.agg(F.sum("est_pairs").alias("__total"))
+    exact = (
+        F.col("cnt_a").cast("decimal(19,0)") * F.col("cnt_b").cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    j = ca.join(cb, "key").withColumn("__ep", exact)
+    total = j.agg(F.sum("__ep").cast("decimal(38,0)").alias("__total"))
     return (
         j.crossJoin(F.broadcast(total))
-        .withColumn("share", F.col("est_pairs").cast("double") / F.col("__total").cast("double"))
-        .orderBy(F.col("est_pairs").desc(), F.col("key").asc())
+        .withColumn("est_pairs", F.col("__ep").cast("double"))
+        .withColumn("share", F.col("__ep").cast("double") / F.col("__total").cast("double"))
+        .orderBy(F.col("__ep").desc(), F.col("key").asc())
         .limit(top_n)
         .select("key", "cnt_a", "cnt_b", "est_pairs", "share")
     )

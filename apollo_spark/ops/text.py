@@ -217,15 +217,15 @@ def train_or_load_langid_model(df, path: str | None = None, **kw):
     everywhere" artifact shape as ops.dedup.train_or_load_components: at
     100 TB the model is trained once on the labeled slice and every
     scoring sweep broadcasts the committed weights. ``path=None`` trains
-    fresh with no I/O — the self-contained gate path."""
+    fresh with no I/O — the self-contained gate path. Concurrent writers:
+    see train_or_load_table (loser's commit is an idempotent no-op)."""
     if path is None:
         return language_id_model(df, **kw)
-    from apollo_spark.table_format import TxTable
+    from apollo_spark.table_format import train_or_load_table
 
-    t = TxTable(path)
-    if t.current_version() is None:
-        t.write(language_id_model(df, **kw), mode="overwrite")
-    return t.read(df.sparkSession)
+    return train_or_load_table(
+        df.sparkSession, path, lambda: language_id_model(df, **kw)
+    )
 
 
 def trained_language_id(

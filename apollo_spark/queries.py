@@ -1517,30 +1517,41 @@ def _sql_hits(lang: str) -> str:
     return f"len(list_filter({_sql_toks()}, x -> list_contains([{arr}], x)))"
 
 
-ORACLE_TEXT_STATS = rf"""
-SELECT doc_id,
-       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END AS n_tokens,
-       length(text) AS n_chars,
-       ROUND(CASE WHEN length(text) > 0
-             THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
-             ELSE 0.0 END, 6) AS alpha_ratio,
-       ROUND(
+# The composite quality formula and its four stat inputs, factored ONCE so
+# the three oracles that score quality (ORACLE_TEXT_STATS,
+# ORACLE_QUALITY_FILTER, ORACLE_QUALITY_FILTER_TRAINED) can never drift
+# apart — the same discipline as _LANGID_SCORER_SQL (round-6 ADVICE).
+_SQL_QUALITY_EXPR = """ROUND(
          0.3 * (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
        + 0.2 * (CASE WHEN mwl >= 3 AND mwl <= 12 THEN 1.0 ELSE 0.0 END)
        + 0.3 * LEAST(ar * 1.25, 1.0)
-       + 0.2 * LEAST(swr * 5.0, 1.0), 6) AS quality
+       + 0.2 * LEAST(swr * 5.0, 1.0), 6)"""
+
+
+def _sql_quality_stat_cols() -> str:
+    """n_tok / mwl / ar / swr column definitions (documents-table scope)."""
+    n_tok = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END"
+    return f"""{n_tok} AS n_tok,
+           CASE WHEN ({n_tok}) > 0
+                THEN CAST(length(text) AS DOUBLE) / ({n_tok})
+                ELSE 0.0 END AS mwl,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+                ELSE 0.0 END AS ar,
+           CASE WHEN ({n_tok}) > 0
+                THEN CAST({_sql_hits('en')} AS DOUBLE) / ({n_tok})
+                ELSE 0.0 END AS swr"""
+
+
+ORACLE_TEXT_STATS = rf"""
+SELECT doc_id,
+       n_tok AS n_tokens,
+       length(text) AS n_chars,
+       ROUND(ar, 6) AS alpha_ratio,
+       {_SQL_QUALITY_EXPR} AS quality
 FROM (
   SELECT doc_id, text,
-         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END AS n_tok,
-         CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END) > 0
-              THEN CAST(length(text) AS DOUBLE) / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END)
-              ELSE 0.0 END AS mwl,
-         CASE WHEN length(text) > 0
-              THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
-              ELSE 0.0 END AS ar,
-         CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END) > 0
-              THEN CAST({_sql_hits('en')} AS DOUBLE) / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END)
-              ELSE 0.0 END AS swr
+         {_sql_quality_stat_cols()}
   FROM documents
 ) base
 ORDER BY doc_id
@@ -2667,27 +2678,14 @@ WITH scored AS (
          WHEN h_es = best AND best > 0 THEN 'es'
          ELSE 'unknown'
        END AS pred_lang,
-       ROUND(
-         0.3 * (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
-       + 0.2 * (CASE WHEN mwl >= 3 AND mwl <= 12 THEN 1.0 ELSE 0.0 END)
-       + 0.3 * LEAST(ar * 1.25, 1.0)
-       + 0.2 * LEAST(swr * 5.0, 1.0), 6) AS quality,
+       {_SQL_QUALITY_EXPR} AS quality,
        n_tok AS n_tokens
   FROM (
     SELECT doc_id,
            {_sql_hits('en')} AS h_en, {_sql_hits('de')} AS h_de,
            {_sql_hits('fr')} AS h_fr, {_sql_hits('es')} AS h_es,
            GREATEST({_sql_hits('en')}, {_sql_hits('de')}, {_sql_hits('fr')}, {_sql_hits('es')}) AS best,
-           CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END AS n_tok,
-           CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END) > 0
-                THEN CAST(length(text) AS DOUBLE) / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END)
-                ELSE 0.0 END AS mwl,
-           CASE WHEN length(text) > 0
-                THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
-                ELSE 0.0 END AS ar,
-           CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END) > 0
-                THEN CAST({_sql_hits('en')} AS DOUBLE) / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END)
-                ELSE 0.0 END AS swr
+           {_sql_quality_stat_cols()}
     FROM documents
   )
 )
@@ -2728,24 +2726,11 @@ ORACLE_QUALITY_FILTER_TRAINED = (
     + rf""",
 q AS (
   SELECT doc_id,
-       ROUND(
-         0.3 * (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
-       + 0.2 * (CASE WHEN mwl >= 3 AND mwl <= 12 THEN 1.0 ELSE 0.0 END)
-       + 0.3 * LEAST(ar * 1.25, 1.0)
-       + 0.2 * LEAST(swr * 5.0, 1.0), 6) AS quality,
+       {_SQL_QUALITY_EXPR} AS quality,
        n_tok AS n_tokens
   FROM (
     SELECT doc_id,
-           CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END AS n_tok,
-           CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END) > 0
-                THEN CAST(length(text) AS DOUBLE) / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END)
-                ELSE 0.0 END AS mwl,
-           CASE WHEN length(text) > 0
-                THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
-                ELSE 0.0 END AS ar,
-           CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END) > 0
-                THEN CAST({_sql_hits('en')} AS DOUBLE) / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END)
-                ELSE 0.0 END AS swr
+           {_sql_quality_stat_cols()}
     FROM documents
   )
 )

@@ -110,7 +110,10 @@ def decoded_event_source(
     after the 32-byte left-pad retry — events.go:410-484).
     """
     topic0 = event.topic0
-    df = logs.filter(F.col("topics")[0] == topic0)
+    # F.get, not topics[0]: a LOG0 row (empty topics) in the landed table
+    # must fall to the malformed-row drop (null != topic0), not blow up the
+    # scan under ANSI's out-of-range GetArrayItem error
+    df = logs.filter(F.get("topics", 0) == topic0)
     if chain is not None:
         df = df.filter(F.col("chain") == chain)
     if address is not None:
@@ -208,14 +211,19 @@ def raw_log_source(
     if to_block is not None:
         df = df.filter(F.col("block_number") <= to_block)
     data_hex = F.lower(F.hex(F.col("data")))
-    raw_map = F.map_concat(
-        F.map_from_arrays(
-            F.transform(
-                F.sequence(F.lit(0), F.size("topics") - 1),
-                lambda i: F.concat(F.lit("topic"), i.cast("string")),
-            ),
-            F.col("topics"),
+    # LOG0 guard: sequence(0, -1) DESCENDS on an empty topics array, which
+    # would hand map_from_arrays two keys for zero values and crash — and
+    # zero-topic logs are a real shape (LOG0) on exactly the ABI-less
+    # surface this source exists for
+    topic_keys = F.when(
+        F.size("topics") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.size("topics") - 1),
+            lambda i: F.concat(F.lit("topic"), i.cast("string")),
         ),
+    ).otherwise(F.array().cast("array<string>"))
+    raw_map = F.map_concat(
+        F.map_from_arrays(topic_keys, F.col("topics")),
         F.create_map(F.lit("data"), data_hex),
     )
     return df.select(
@@ -226,7 +234,9 @@ def raw_log_source(
         "tx_hash",
         "tx_index",
         "log_index",
-        F.col("topics")[0].alias("topic0"),
+        # F.get, not topics[0]: ANSI mode (the session default) throws on
+        # out-of-range GetArrayItem and LOG0 rows have an empty topics array
+        F.get("topics", 0).alias("topic0"),
         "topics",
         data_hex.alias("data_hex"),
         F.size("topics").cast("int").alias("n_topics"),

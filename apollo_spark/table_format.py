@@ -711,11 +711,18 @@ class TxTable:
 def train_or_load_table(spark, path: str, build):
     """Generic build-once/read-many artifact: reuse the TxTable at ``path``
     if it has a committed snapshot, else call ``build()`` (returning a
-    DataFrame), commit it (CAS — concurrent writers safe), and read it
-    back. The shared shape behind ops.dedup.train_or_load_components and
+    DataFrame), commit it, and read it back. The shared shape behind
+    ops.dedup.train_or_load_components and
     ops.text.train_or_load_langid_model; use it for any expensive
-    deterministic intermediate a pipeline consumes more than once."""
+    deterministic intermediate a pipeline consumes more than once.
+
+    Concurrency: two racers that both see an empty table both PAY the
+    build (the compute is not coordinated), but the fixed
+    ``(txn_app, txn_batch)`` pair makes the commit idempotent — the CAS
+    loser's write is skipped inside the retry loop and it reads the
+    winner's snapshot, so exactly ONE version ever lands (no duplicate
+    history, safe because builds are deterministic)."""
     t = TxTable(path)
     if t.current_version() is None:
-        t.write(build(), mode="overwrite")
+        t.write(build(), mode="overwrite", txn_app="train_or_load", txn_batch=0)
     return t.read(spark)

@@ -32,9 +32,15 @@ def main() -> None:
     # tmpdir per run — a stale artifact can never mask a code change.
     # Honor an explicit APOLLO_SPARK_ARTIFACT_DIR for debugging.
     if "APOLLO_SPARK_ARTIFACT_DIR" not in os.environ:
+        import atexit
+        import shutil
         import tempfile
 
-        os.environ["APOLLO_SPARK_ARTIFACT_DIR"] = tempfile.mkdtemp(prefix="apollo_bench_art_")
+        art_dir = tempfile.mkdtemp(prefix="apollo_bench_art_")
+        os.environ["APOLLO_SPARK_ARTIFACT_DIR"] = art_dir
+        # per-doc prediction/component snapshots are not small; without
+        # cleanup every bench run leaks a full artifact set into /tmp
+        atexit.register(shutil.rmtree, art_dir, ignore_errors=True)
 
     spark = get_spark("apollo_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")

@@ -37,6 +37,87 @@ def test_raw_log_source_projection(spark, logs, evm_dir):
     assert eth.count() == n_eth
 
 
+def test_raw_log_source_log0_rows(spark, logs):
+    """LOG0 logs (EMPTY topics array) are a real shape on exactly the
+    ABI-less surface this source targets: the row must come through with a
+    null topic0 and a data-only raw map — not crash on the descending
+    sequence(0,-1) key array or ANSI's out-of-range GetArrayItem."""
+    from apollo_spark.sources.logs import raw_log_source
+
+    log0 = spark.createDataFrame(
+        [
+            (
+                "ethereum",
+                "0xdeadbeef",
+                7,
+                "0xbh",
+                "0xth",
+                0,
+                0,
+                [],
+                bytearray(b"\x00\x01"),
+            )
+        ],
+        "chain string, address string, block_number long, block_hash string, "
+        "tx_hash string, tx_index int, log_index int, topics array<string>, "
+        "data binary",
+    )
+    raw = raw_log_source(log0.unionByName(logs.limit(1), allowMissingColumns=True))
+    rows = {r["tx_hash"]: r for r in raw.collect()}
+    r0 = rows["0xth"]
+    assert r0["topic0"] is None
+    assert r0["n_topics"] == 0
+    assert set(r0["raw"].keys()) == {"data"}
+    assert r0["raw"]["data"] == "0001"
+
+
+def test_event_scan_skips_log0_rows(spark, logs):
+    """A LOG0 row in the landed table must fall to the malformed-row drop
+    (null topic0 != any signature), not blow up the decoded scan's topic0
+    filter under ANSI."""
+    from apollo_spark.abi import AbiEvent, AbiParam
+    from apollo_spark.sources.logs import decoded_event_source
+
+    log0 = spark.createDataFrame(
+        [("ethereum", "0xdeadbeef", 7, "0xbh", "0xth", 0, 0, [], bytearray(b""))],
+        "chain string, address string, block_number long, block_hash string, "
+        "tx_hash string, tx_index int, log_index int, topics array<string>, "
+        "data binary",
+    )
+    ev = AbiEvent(
+        "Transfer",
+        (
+            AbiParam("from", "address", True),
+            AbiParam("to", "address", True),
+            AbiParam("value", "uint256"),
+        ),
+    )
+    both = log0.unionByName(logs, allowMissingColumns=True)
+    n_with = decoded_event_source(both, ev, outputs=["value"]).count()
+    n_without = decoded_event_source(logs, ev, outputs=["value"]).count()
+    assert n_with == n_without
+
+
+def test_cdc_short_docs_single_chunk(spark):
+    """Documents shorter than the rolling window can never cut: each must
+    yield exactly ONE chunk with n_words == token count. Pre-fix, the
+    descending sequence(window-1, size-1) evaluated clamped rolling hashes
+    at fabricated positions and ~1/8 of 2-token docs emitted spurious cuts
+    (wrong n_words, oracle divergence)."""
+    from apollo_spark.ops.dedup import _cdc_chunks
+
+    rows = [(i, f"w{i}") for i in range(40)] + [
+        (100 + i, f"a{i} b{i}") for i in range(40)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = _cdc_chunks(d, "doc_id", "text", window=3, divisor=16).collect()
+    assert len(out) == 80  # one chunk per doc
+    for r in out:
+        assert r["chunk_id"] == 0
+        assert r["n_words"] == len(r["chunk_text"].split(" "))
+        assert r["n_words"] == (1 if r["id"] < 100 else 2)
+
+
 def test_selector_profile_matches_duckdb(spark, logs, evm_dir):
     """The recon aggregate equals the straight SQL profile over the same
     parquet — counts, contract cardinality, block span, payload stats."""
