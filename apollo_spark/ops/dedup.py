@@ -1420,7 +1420,7 @@ def _mh_consts(i: int) -> tuple[int, int, int]:
 
 
 def _minhash_band_candidates(
-    base: DataFrame, num_hashes: int, bands: int
+    base: DataFrame, num_hashes: int, bands: int, max_bucket: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Banded MinHash candidate pairs over ``base`` = (id, sh) with the
     portable hash family: 60-bit md5 shingle hash, 2-universal modular
@@ -1428,7 +1428,20 @@ def _minhash_band_candidates(
     distinct (id_a < id_b) candidate pairs and the PERSISTED signature
     frame both band-join sides read (the caller releases it). Shared by
     minhash_portable_pairs (verify-and-emit) and lsh_blocking_metrics
-    (blocking-quality evaluation of the raw candidate set)."""
+    (blocking-quality evaluation of the raw candidate set).
+
+    ``max_bucket``: drop band buckets holding more than this many docs
+    BEFORE the self-join — the production guard against LSH's mega-bucket
+    pathology. Measured on the sf10 stress corpus (round 7): a structural
+    boilerplate trigram ("query data data"-style repeated-word shingles,
+    exactly what web boilerplate produces at 100 TB) is the argmin of
+    every doc containing it at r=2, so its bucket grows WITH THE CORPUS
+    and candidates go quadratic — 1.46M -> 13.1M -> 145M at sf1/sf3/sf10
+    uncapped (11.4 GB spill), linear again with a cap. A mega-bucket's
+    pairs are the blocker's least informative (collision driven by one
+    shared boilerplate shingle, not broad similarity), so the recall cost
+    is small and MEASURED: lsh_blocking_quality reports PC for the capped
+    configuration. ``None`` keeps the raw candidate set."""
     from apollo_spark.ops.sketch import portable_hash60
 
     rows = num_hashes // bands
@@ -1457,6 +1470,16 @@ def _minhash_band_candidates(
         for b in range(bands)
     ]
     banded = sig.select("id", F.explode(F.array(*band_keys)).alias("bkey"))
+    if max_bucket is not None:
+        # hot buckets are FEW by construction (each needs > max_bucket
+        # members), so the drop rides a broadcast anti-join
+        hot = (
+            banded.groupBy("bkey")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > int(max_bucket))
+            .select("bkey")
+        )
+        banded = banded.join(F.broadcast(hot), "bkey", "left_anti")
     left = banded.select(F.col("id").alias("id_a"), F.col("bkey").alias("ka"))
     right = banded.select(F.col("id").alias("id_b"), F.col("bkey").alias("kb"))
     cand = (
@@ -1475,8 +1498,12 @@ def minhash_portable_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with a fully SQL-replayable hash family.
+    ``max_bucket`` drops mega band buckets before the self-join (see
+    _minhash_band_candidates — the production guard for boilerplate-driven
+    quadratic buckets at r=2; None preserves the certified raw set).
 
     Shingle hash = 60-bit md5 prefix; slot i = min over shingles of the
     2-universal mix with _mh_consts(i); band key = md5 prefix of the
@@ -1488,7 +1515,7 @@ def minhash_portable_pairs(
         .filter(F.size("sh") > 0)
         .persist()
     )
-    cand, sig = _minhash_band_candidates(base, num_hashes, bands)
+    cand, sig = _minhash_band_candidates(base, num_hashes, bands, max_bucket)
     sh_map = base.select("id", "sh")
     cand = cand.join(
         sh_map.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
@@ -1605,6 +1632,7 @@ def lsh_blocking_metrics(
     bands: int = 16,
     truth_threshold: float = 0.2,
     max_df_frac: float | None = 0.04,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Blocking-quality evaluation of the MinHash-LSH candidate generator —
     the record-linkage literature's two standard numbers (Christen 2012):
@@ -1636,7 +1664,7 @@ def lsh_blocking_metrics(
         .filter(F.size("sh") > 0)
         .persist()
     )
-    cand, sig = _minhash_band_candidates(base, num_hashes, bands)
+    cand, sig = _minhash_band_candidates(base, num_hashes, bands, max_bucket)
     cand = cand.persist()
     tp = ngram_jaccard_pairs(
         df, id_col=id_col, text_col=text_col, n=truth_n,

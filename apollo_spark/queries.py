@@ -9028,13 +9028,23 @@ def lsh_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     two rejected shared-n configurations (bigram banding: candidates ~4% of
     ALL pairs, quadratic; trigram truth: df cap dodged, index fan-out,
     39.7 s vs ~8 s at sf0.1). PC < 1 on the driver corpus — the blocker
-    genuinely misses low-J true pairs, the honest S-curve number."""
+    genuinely misses low-J true pairs, the honest S-curve number.
+
+    ``max_bucket=64``: the sf10 rehearsal caught the r=2 banding going
+    QUADRATIC under structural boilerplate shingles (one hot trigram's
+    bucket grows with the corpus: candidates 1.46M/13.1M/145M at
+    sf1/sf3/sf10, 11.4 GB spill, 337 s) — the exact mega-bucket pathology
+    web boilerplate produces at 100 TB. The evaluated configuration is
+    therefore the CAPPED blocker, the one a production pipeline would run;
+    the PC this query reports prices the cap's recall cost honestly
+    (mega-bucket pairs collide on one shared boilerplate shingle, not
+    broad similarity)."""
     from apollo_spark.ops.dedup import lsh_blocking_metrics
 
     d = _t(spark, sf_dir, "documents")
     m = lsh_blocking_metrics(
         d, block_n=3, truth_n=2, num_hashes=32, bands=16,
-        truth_threshold=0.2, max_df_frac=0.04,
+        truth_threshold=0.2, max_df_frac=0.04, max_bucket=64,
     )
     res = m.select(
         "n_docs",
@@ -9057,6 +9067,7 @@ def _blocking_quality_oracle(
     bands: int = 16,
     truth_threshold: float = 0.2,
     max_df_frac: float = 0.04,
+    max_bucket: int | None = None,
 ) -> str:
     """Mirror of lsh_blocking_quality: the portable-MinHash banding CTEs
     (m-prefixed, same family as ORACLE_MINHASH_PORTABLE) + the df-capped
@@ -9094,8 +9105,13 @@ msig AS (
          {mins}
   FROM mh GROUP BY doc_id
 ),
-mbands AS (
+mbands0 AS (
   {band_rows}
+),
+mbcnt AS (SELECT bkey, COUNT(*) AS c FROM mbands0 GROUP BY bkey),
+mbands AS (
+  SELECT mb.doc_id, mb.bkey FROM mbands0 mb JOIN mbcnt USING (bkey)
+  WHERE {f"c <= {int(max_bucket)}" if max_bucket is not None else "TRUE"}
 ),
 mcand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -9150,7 +9166,9 @@ FROM nd, nt, nc, ng
 """
 
 
-ORACLE_BLOCKING_QUALITY = _blocking_quality_oracle(block_n=3, truth_n=2, truth_threshold=0.2)
+ORACLE_BLOCKING_QUALITY = _blocking_quality_oracle(
+    block_n=3, truth_n=2, truth_threshold=0.2, max_bucket=64
+)
 
 
 def dup_aware_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2993,6 +2993,33 @@ def test_margin_mined_pairs_mutual_best_and_margin(spark, emb):
         assert row.margin >= 1.0 - 1e-9
 
 
+def test_minhash_band_max_bucket_drops_mega_buckets(spark):
+    """The production mega-bucket guard (sf10 finding: one structural
+    boilerplate shingle's bucket grows with the corpus -> quadratic
+    candidates): docs whose ONLY collision is a shared boilerplate shingle
+    must vanish from the capped candidate set, while a genuine duplicate
+    pair that also collides on its own content survives."""
+    from apollo_spark.ops.dedup import _minhash_band_candidates, shingles
+
+    # 60 docs sharing one boilerplate phrase + unique tails -> the phrase's
+    # shingles bucket all of them; 2 true duplicates with distinct content
+    boiler = "click here to subscribe now and never miss another weekly update from our team"
+    rows = [(i, f"{boiler} u{i} v{i}") for i in range(60)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta"), (101, "alpha beta gamma delta epsilon zeta")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    base = d.select(F.col("doc_id").alias("id"), shingles(F.col("text"), 3).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    raw, sig1 = _minhash_band_candidates(base, 32, 16)
+    capped, sig2 = _minhash_band_candidates(base, 32, 16, max_bucket=10)
+    n_raw, n_capped = raw.count(), capped.count()
+    assert n_raw >= (60 * 59 // 2) * 0.5  # boilerplate mega-buckets dominate
+    assert n_capped < n_raw / 10
+    # the true duplicate pair still surfaces (collides in its own bucket of 2)
+    assert capped.filter((F.col("id_a") == 100) & (F.col("id_b") == 101)).count() == 1
+    sig1.unpersist(), sig2.unpersist()
+
+
 def test_lsh_blocking_metrics_counts_consistent(spark, docs):
     from apollo_spark.ops.dedup import lsh_blocking_metrics
 
