@@ -98,11 +98,33 @@ def lattice_assign_arrow(
     def run(batches):
         cl, C = bc.value
         cc = np.einsum("kd,kd->k", C, C)
+        d = C.shape[1]
         for pdf in batches:
             if pdf.empty:
                 continue
+            # match the relational twin's drop semantics: posexplode emits
+            # nothing for a NULL/empty vector, so that id drops out of the
+            # assignment there — filter here instead of letting np.stack
+            # raise an opaque shape error. A RAGGED vector (wrong non-zero
+            # length) is a data bug the relational path would silently
+            # half-sum; fail loudly with the offending ids instead.
+            vecs = pdf[vec_col]
+            lens = vecs.map(lambda v: 0 if v is None else len(v)).to_numpy(dtype=np.int64)
+            ragged = (lens != 0) & (lens != d)
+            if ragged.any():
+                bad = pdf[id_col].to_numpy()[ragged][:5].tolist()
+                raise ValueError(
+                    f"lattice_assign_arrow: {vec_col} must be length {d}; "
+                    f"ragged vectors for {id_col} in {bad}"
+                )
+            ok = lens == d
+            if not ok.all():
+                pdf = pdf[ok]
+                if pdf.empty:
+                    continue
+                vecs = pdf[vec_col]
             ids = pdf[id_col].to_numpy()
-            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            M = np.stack(vecs.to_numpy()).astype(np.float64)
             X = np.floor((M + offset) * scale).astype(np.int64)
             xx = np.einsum("bd,bd->b", X, X)
             g = X @ C.T

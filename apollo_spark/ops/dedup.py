@@ -1019,12 +1019,19 @@ def _cdc_chunks(
     if window < 1 or divisor < 2:
         raise ValueError("window >= 1 and divisor >= 2 required")
     spark = df.sparkSession
-    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        # AQE may report 'auto' / a non-integer here; fall back rather than die
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except (ValueError, TypeError):
+        parts = 32
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    # single-file inputs otherwise run the whole tokenize+md5 stage in one
+    # task; documents are the parallelism unit here. Skip the shuffle when
+    # the scan already yields enough parallelism (multi-file 100 TB inputs).
+    if base.rdd.getNumPartitions() < parts:
+        base = base.repartition(parts)
     tok = (
-        df.filter(F.length(F.trim(F.col(text_col))) > 0)
-        # single-file inputs otherwise run the whole tokenize+md5 stage in
-        # one task; documents are the parallelism unit here
-        .repartition(parts)
+        base
         .select(
             F.col(id_col).alias("id"),
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t"),

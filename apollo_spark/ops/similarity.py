@@ -954,8 +954,15 @@ def cluster_pairwise_cosine(
         n, d = M.shape
         norms = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
         if even_odd:
-            xi = np.flatnonzero(ids % 2 == 0)
-            yi = np.flatnonzero(ids % 2 == 1)
+            # truncated (JVM/DuckDB-style) remainder, NOT numpy's floored
+            # %: a negative odd id yields -1 there, so `= 1` excludes it
+            # from the y side in both relational engines. np.fmod keeps
+            # the dividend's sign, pinning the identical pair set for
+            # negative ids (testdata ids are non-negative, but the three
+            # formulations must agree on ANY input).
+            rem = np.fmod(ids, 2)
+            xi = np.flatnonzero(rem == 0)
+            yi = np.flatnonzero(rem == 1)
             if len(xi) == 0 or len(yi) == 0:
                 return pd.DataFrame(
                     {group_col: [], "x_id": [], "y_id": [], "score": []}

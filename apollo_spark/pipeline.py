@@ -324,6 +324,7 @@ def _eval_tail(
         df = k_anonymize(
             df, list(privacy.qi), privacy.k, privacy.value, privacy.value_scale
         )
+        _privacy_src = df
         if save is not None:
             save_cols = _recompile_save(df)
 
@@ -348,6 +349,12 @@ def _eval_tail(
         df = df.orderBy(*[sort_compiler.compile(s) for s in sort])
     if limit is not None:
         df = df.limit(limit)
+    if privacy is not None:
+        # the select/sort/limit above derived NEW frames — move the
+        # k_anonymize persist scope onto the one the caller releases
+        from apollo_spark.ops.cache import carry_caches
+
+        df = carry_caches(df, _privacy_src)
     return df
 
 

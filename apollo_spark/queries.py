@@ -8976,7 +8976,7 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="c_acctbal",
         value_scale=2,
     )
-    return out.select(
+    res = out.select(
         "segment",
         "bal_bucket",
         "n_classes",
@@ -8988,6 +8988,9 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # engines break string-vs-binary ties differently.
         F.col("avg_value").alias("avg_bal"),
     ).orderBy("segment", "bal_bucket")
+    # select/orderBy derived a new frame — move the persist scope onto the
+    # one bench.py's release_caches actually sees
+    return carry_caches(res, out)
 
 
 ORACLE_K_ANONYMITY = """
