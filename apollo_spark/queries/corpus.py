@@ -1,0 +1,1241 @@
+"""LLM tier continued: quality scoring, search, classifiers, graph walks, near-dup, lattice ANN/SemDeDup.
+
+Mechanically split from the single-file registry (round 8); content unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apollo_spark.ops.cache import carry_caches, scoped_persist
+from apollo_spark.ops.dedup import exact_dedup, minhash_lsh_pairs
+from apollo_spark.ops.relational import asof_join
+from apollo_spark.ops.similarity import cosine
+from apollo_spark.ops.text import STOPWORDS, fingerprint, language_id, quality_score, token_count
+from apollo_spark.queries._shared import _events, _t, dsum
+from apollo_spark.queries.text_dedup import _SQL_QUALITY_EXPR, _langid_trained_sql, _sql_hits, _sql_quality_stat_cols, _trained_langid_preds
+
+
+# --------------------------------------------------------------------------
+# LLM tier (continued)
+# --------------------------------------------------------------------------
+
+
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher hard-filter rule set (Rae et al. 2021, table A1;
+    ops.text.gopher_quality_rules) applied per document: every rule as its
+    own boolean column plus the final AND — the transparency view a corpus
+    curator audits before dropping terabytes (which rule fired, how often).
+    Pure built-in expressions, SQL-mirrored rule for rule."""
+    from apollo_spark.ops.text import gopher_quality_keep, gopher_quality_rules
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    rules = gopher_quality_rules(F.col("text"), min_words=20)
+    return d.select(
+        "doc_id",
+        *[col.alias(name) for name, col in rules.items()],
+        gopher_quality_keep(F.col("text"), min_words=20).alias("keep"),
+    ).orderBy("doc_id")
+
+
+ORACLE_GOPHER_QUALITY = r"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
+x AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) AS n_words,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nonspace,
+         CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS n_hash,
+         (CAST(length(text) AS DOUBLE) - length(replace(text, '...', ''))) / 3 AS n_ellipsis,
+         string_split(text, chr(10)) AS lines
+  FROM d
+),
+r AS (
+  SELECT doc_id,
+         CAST(n_words AS BIGINT) AS n_words,
+         (n_words >= 20 AND n_words <= 100000) AS rule_word_count,
+         (CASE WHEN n_words > 0 THEN nonspace / n_words ELSE 0.0 END >= 3.0
+          AND CASE WHEN n_words > 0 THEN nonspace / n_words ELSE 0.0 END <= 10.0) AS rule_mean_word_len,
+         CASE WHEN n_words > 0 THEN n_hash / n_words < 0.1 ELSE FALSE END AS rule_hash_ratio,
+         CASE WHEN n_words > 0 THEN n_ellipsis / n_words < 0.3 ELSE FALSE END AS rule_ellipsis_ratio,
+         CASE WHEN n_words > 0
+              THEN CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / n_words >= 0.8
+              ELSE FALSE END AS rule_alpha_words,
+         (CAST(list_contains(toks, 'the') AS INT) + CAST(list_contains(toks, 'be') AS INT)
+        + CAST(list_contains(toks, 'to') AS INT) + CAST(list_contains(toks, 'of') AS INT)
+        + CAST(list_contains(toks, 'and') AS INT) + CAST(list_contains(toks, 'that') AS INT)
+        + CAST(list_contains(toks, 'have') AS INT) + CAST(list_contains(toks, 'with') AS INT)) >= 2 AS rule_stopwords,
+         CASE WHEN len(lines) > 0
+              THEN CAST(len(list_filter(lines, ln -> regexp_matches(trim(ln), '^[-*•]\s'))) AS DOUBLE) / len(lines) < 0.9
+              ELSE TRUE END AS rule_bullet_lines,
+         CASE WHEN len(lines) > 0
+              THEN CAST(len(list_filter(lines, ln -> regexp_matches(trim(ln), '\.\.\.$'))) AS DOUBLE) / len(lines) < 0.3
+              ELSE TRUE END AS rule_ellipsis_lines
+  FROM x
+)
+SELECT doc_id, n_words, rule_word_count, rule_mean_word_len, rule_hash_ratio,
+       rule_ellipsis_ratio, rule_alpha_words, rule_stopwords, rule_bullet_lines,
+       rule_ellipsis_lines,
+       (rule_word_count AND rule_mean_word_len AND rule_hash_ratio AND rule_ellipsis_ratio
+        AND rule_alpha_words AND rule_stopwords AND rule_bullet_lines AND rule_ellipsis_lines) AS keep
+FROM r
+ORDER BY doc_id
+"""
+
+
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data selection pipeline: English, quality >= 0.6, in a token
+    band — the composition a corpus-cleaning job runs. The predicate is the
+    SHARED ops.text.quality_keep, the same one curation.curate applies, so
+    this gate also pins the pipeline's survivor set."""
+    from apollo_spark.ops.text import quality_keep
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(quality_keep(F.col("text")))
+        .select(
+            "doc_id",
+            language_id(F.col("text")).alias("pred_lang"),
+            F.round(quality_score(F.col("text")), 6).alias("quality"),
+            token_count(F.col("text")).alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_QUALITY_FILTER = rf"""
+WITH scored AS (
+  SELECT doc_id,
+       CASE
+         WHEN h_en = best AND best > 0 THEN 'en'
+         WHEN h_de = best AND best > 0 THEN 'de'
+         WHEN h_fr = best AND best > 0 THEN 'fr'
+         WHEN h_es = best AND best > 0 THEN 'es'
+         ELSE 'unknown'
+       END AS pred_lang,
+       {_SQL_QUALITY_EXPR} AS quality,
+       n_tok AS n_tokens
+  FROM (
+    SELECT doc_id,
+           {_sql_hits('en')} AS h_en, {_sql_hits('de')} AS h_de,
+           {_sql_hits('fr')} AS h_fr, {_sql_hits('es')} AS h_es,
+           GREATEST({_sql_hits('en')}, {_sql_hits('de')}, {_sql_hits('fr')}, {_sql_hits('es')}) AS best,
+           {_sql_quality_stat_cols()}
+    FROM documents
+  )
+)
+SELECT doc_id, pred_lang, quality, n_tokens FROM scored
+WHERE pred_lang = 'en' AND quality >= 0.6 AND n_tokens >= 10
+ORDER BY doc_id
+"""
+
+
+def doc_quality_filter_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data selection with the TRAINED language classifier routed
+    into the shared keep predicate (quality_keep's lang_pred_col) —
+    the round-7 replacement for the heuristic language gate: English per
+    the in-engine perceptron, quality >= 0.6, token floor. Production
+    shape: the (doc_id, pred_lang) table is computed once (train once,
+    score once, persist) and joined into every downstream consumer; here
+    the gate path recomputes it self-contained so the oracle replays the
+    whole trajectory."""
+    from apollo_spark.ops.text import quality_keep
+
+    d = _t(spark, sf_dir, "documents")
+    dj = d.join(_trained_langid_preds(spark, sf_dir), "doc_id")
+    return (
+        dj.filter(quality_keep(F.col("text"), lang_pred_col="pred_lang"))
+        .select(
+            "doc_id",
+            "pred_lang",
+            F.round(quality_score(F.col("text")), 6).alias("quality"),
+            token_count(F.col("text")).alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_QUALITY_FILTER_TRAINED = (
+    "WITH "
+    + _langid_trained_sql()
+    + rf""",
+q AS (
+  SELECT doc_id,
+       {_SQL_QUALITY_EXPR} AS quality,
+       n_tok AS n_tokens
+  FROM (
+    SELECT doc_id,
+           {_sql_quality_stat_cols()}
+    FROM documents
+  )
+)
+SELECT q.doc_id, p.pred_lang, q.quality, q.n_tokens
+FROM q JOIN ltpr p USING (doc_id)
+WHERE p.pred_lang = 'en' AND q.quality >= 0.6 AND q.n_tokens >= 10
+ORDER BY doc_id"""
+)
+
+
+ORACLE_DOCS_DSL_CURATION = rf"""
+WITH samp AS (
+  SELECT * FROM documents
+  WHERE ('0x' || substr(md5('cur' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+),
+keep AS (
+  SELECT doc_id FROM ({ORACLE_QUALITY_FILTER.strip().removesuffix("ORDER BY doc_id").strip()})
+),
+kept AS (SELECT s.* FROM samp s JOIN keep USING (doc_id)),
+sur AS (
+  SELECT source,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           ORDER BY doc_id) AS rn
+  FROM kept
+)
+SELECT source, COUNT(*) AS n_docs FROM sur WHERE rn = 1
+GROUP BY source ORDER BY source
+"""
+
+
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apollo_spark.ops.text import bpe_ish_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_units")).orderBy("doc_id")
+
+
+ORACLE_BPE = r"""
+SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_units
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repetition heuristic: share of tokens taken by the most
+    frequent token. explode -> two-level aggregate, one shuffle on doc_id
+    after the (doc_id, term) combine; integer-ratio division is exact."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    ex = d.filter(F.length(F.trim("text")) > 0).select("doc_id", F.explode(toks).alias("term"))
+    counts = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(F.max("c").alias("top_n"), F.sum("c").alias("n_tokens"))
+        .withColumn("rep_ratio", F.col("top_n").cast("double") / F.col("n_tokens").cast("double"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_REPETITION = r"""
+WITH ex AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+counts AS (SELECT doc_id, term, COUNT(*) AS c FROM ex GROUP BY 1, 2)
+SELECT doc_id, MAX(c) AS top_n, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_ratio
+FROM counts GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (512 chars, 64 overlap) — narrow map, no
+    shuffle (ops.text.chunk_documents)."""
+    from apollo_spark.ops.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, size=512, overlap=64).orderBy("doc_id", "chunk_id")
+
+
+ORACLE_DOC_CHUNKS = """
+SELECT doc_id, CAST(i // 448 AS INT) AS chunk_id,
+       substring(text, i + 1, 512) AS chunk,
+       length(substring(text, i + 1, 512)) AS n_chars
+FROM documents, unnest(generate_series(0, greatest(length(text) - 1, 0), 448)) AS t(i)
+WHERE length(text) > 0
+ORDER BY doc_id, chunk_id
+"""
+
+
+def doc_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level hot-segment scrub (the C4/RefinedWeb 'remove lines
+    duplicated across documents' step) at token granularity with a
+    fractional df cap: segments appearing in more than half the corpus are
+    stripped and every document is reassembled from its survivors in
+    original order. ops.dedup.strip_hot_lines; threshold is a declarative
+    1-row crossJoin, not a driver count."""
+    from apollo_spark.ops.dedup import strip_hot_lines
+
+    d = _t(spark, sf_dir, "documents")
+    return strip_hot_lines(d, max_df_frac=0.5, sep=" ").orderBy("doc_id")
+
+
+ORACLE_BOILERPLATE_SCRUB = r"""
+WITH parts AS (SELECT doc_id, string_split(text, ' ') AS ps FROM documents),
+lines AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, ps[CAST(i AS INT)] AS line
+  FROM parts, unnest(generate_series(1, len(ps))) AS t(i)
+),
+keyed AS (
+  SELECT doc_id, pos, line,
+         md5(trim(regexp_replace(lower(line), '\s+', ' ', 'g'))) AS lkey
+  FROM lines
+),
+hot AS (
+  SELECT lkey FROM keyed GROUP BY lkey
+  HAVING CAST(COUNT(DISTINCT doc_id) AS DOUBLE) > 0.5 * (SELECT COUNT(DISTINCT doc_id) FROM keyed)
+),
+kept AS (SELECT k.doc_id, k.pos, k.line FROM keyed k ANTI JOIN hot h USING (lkey)),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text, COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_lines FROM keyed GROUP BY doc_id)
+SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a 3-term query (ops.text.bm25_scores): corpus
+    relevance search as one token explode + scalar (N, avgdl) crossJoins.
+    Per-term contributions sum through DECIMAL(38,6), so the score — and
+    therefore the top-k ordering — is bit-identical across engines."""
+    from apollo_spark.ops.text import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        bm25_scores(d, ["stream", "window", "hash"], k1=1.2, b=0.75)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+ORACLE_BM25 = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM doclen
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ('hash', 'stream', 'window') GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+SELECT doc_id,
+       CAST(SUM(CAST(
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       AS DECIMAL(38,6))) AS DOUBLE) AS bm25
+FROM tf JOIN dfreq USING (term) JOIN doclen USING (doc_id) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (ops.retrieval.rrf_fuse,
+    Cormack et al. SIGIR 2009): a lexical BM25 top-50 and a dense cosine
+    top-50 (over the documents that have an embedding, vec_id == doc_id)
+    fused as integer contributions ``1e9 // (60 + rank)`` — the fused score
+    is an exact integer, so the whole two-retriever composition hash-gates.
+    Each leg's top-50 is orderBy().limit(50) — TakeOrderedAndProject, a
+    distributed per-partition top-k, never a corpus-sized single-task
+    window; the rank assignment then runs over the 50-row result only.
+    Fusion shuffles at most 100 rows regardless of corpus size; the dense
+    leg broadcasts the single query vector; absent ranks surface as -1."""
+    from apollo_spark.ops.retrieval import rrf_fuse
+    from apollo_spark.ops.text import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    lex = (
+        bm25_scores(d, ["stream", "window", "hash"], k1=1.2, b=0.75)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())),
+        )
+        .select("doc_id", "rank")
+    )
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    with_vec = e.join(d.select("doc_id"), e["vec_id"] == F.col("doc_id"), "inner")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dense = (
+        with_vec.crossJoin(F.broadcast(q))
+        .withColumn("score", cosine(F.col("v"), F.col("qv")))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())),
+        )
+        .select("doc_id", "rank")
+    )
+    fused = rrf_fuse([lex, dense], id_col="doc_id", rank_col="rank", k=60)
+    return (
+        fused.join(lex.withColumnRenamed("rank", "lex_rank"), "doc_id", "left")
+        .join(dense.withColumnRenamed("rank", "dense_rank"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "rrf_score",
+            "n_lists",
+            F.coalesce("lex_rank", F.lit(-1)).cast("int").alias("lex_rank"),
+            F.coalesce("dense_rank", F.lit(-1)).cast("int").alias("dense_rank"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+ORACLE_RRF = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM doclen
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ('hash', 'stream', 'window') GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+bm AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         AS DECIMAL(38,6))) AS DOUBLE) AS bm25
+  FROM tf JOIN dfreq USING (term) JOIN doclen USING (doc_id) CROSS JOIN stats
+  GROUP BY doc_id
+),
+lex AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank FROM bm
+  ) WHERE rank <= 50
+),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id IN (SELECT doc_id FROM documents)
+),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+dense AS (
+  SELECT doc_id, rank FROM (
+    SELECT e.vec_id AS doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY list_dot_product(e.v, q.qv)
+                      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                      e.vec_id ASC
+           ) AS rank
+    FROM e CROSS JOIN qv q
+  ) WHERE rank <= 50
+),
+u AS (
+  SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM dense
+),
+fused AS (
+  SELECT doc_id,
+         CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_score,
+         CAST(COUNT(*) AS BIGINT) AS n_lists
+  FROM u GROUP BY doc_id
+)
+SELECT f.doc_id, f.rrf_score, f.n_lists,
+       CAST(COALESCE(l.rank, -1) AS INT) AS lex_rank,
+       CAST(COALESCE(d.rank, -1) AS INT) AS dense_rank
+FROM fused f LEFT JOIN lex l USING (doc_id) LEFT JOIN dense d USING (doc_id)
+ORDER BY f.rrf_score DESC, f.doc_id
+LIMIT 15
+"""
+
+
+def _perceptron_parts(spark: SparkSession, sf_dir: str):
+    from apollo_spark.ops.ml import hashed_token_features, perceptron_train
+
+    d = _t(spark, sf_dir, "documents")
+    feats = hashed_token_features(d, buckets=32, salt="feat")
+    labels = d.select(
+        "doc_id", F.when(F.col("lang") == "en", 1).otherwise(-1).cast("int").alias("y")
+    )
+    w = perceptron_train(feats, labels, iters=3)
+    return d, feats, labels, w
+
+
+def perceptron_lang_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine classifier TRAINING (ops.ml.perceptron_train): 3 batch-
+    perceptron rounds learning lang=='en' from 32 hashed bag-of-token
+    buckets + bias. Every margin/update is exact BIGINT, so the entire
+    training trajectory is engine-portable and the final weight table
+    hash-gates against a DuckDB oracle replaying the unrolled rounds —
+    the fastText-style quality/lang filter of a pretraining pipeline,
+    trained without the corpus ever leaving the engine."""
+    _, _, _, w = _perceptron_parts(spark, sf_dir)
+    return w.select(F.col("b"), F.col("weight")).orderBy("b")
+
+
+def perceptron_lang_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference sweep with the trained weights (ops.ml.classifier_margins):
+    per-language doc counts and training-set errors (margin <= 0) — the
+    broadcast-weights scoring path a 100 TB filter sweep runs."""
+    from apollo_spark.ops.ml import classifier_margins
+
+    d, feats, labels, w = _perceptron_parts(spark, sf_dir)
+    scores = classifier_margins(feats, w)
+    return (
+        scores.join(labels, "doc_id")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("y") * F.col("score") <= 0, 1).otherwise(0)).alias("n_wrong"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _perceptron_oracle(final_select: str) -> str:
+    rounds = []
+    prev = "w0"
+    for t in range(1, 4):
+        rounds.append(
+            f"""m{t} AS (SELECT doc_id, y, SUM(n * weight) AS wx FROM fx JOIN {prev} USING (b) GROUP BY 1, 2),
+wr{t} AS (SELECT doc_id FROM m{t} WHERE y * wx <= 0),
+d{t} AS (SELECT b, SUM(y * n) AS dw FROM fx JOIN wr{t} USING (doc_id) GROUP BY b),
+w{t} AS (SELECT {prev}.b, {prev}.weight + COALESCE(d{t}.dw, 0) AS weight FROM {prev} LEFT JOIN d{t} USING (b))"""
+        )
+        prev = f"w{t}"
+    joined_rounds = ",\n".join(rounds)
+    return rf"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS text, lang,
+         CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+  FROM d WHERE length(trim(text)) > 0
+),
+cnt AS (
+  SELECT doc_id, CAST(('0x' || substr(md5('feat' || t), 1, 15))::BIGINT % 32 AS INT) AS b,
+         COUNT(*) AS n
+  FROM toks GROUP BY 1, 2
+),
+feats AS (
+  SELECT * FROM cnt
+  UNION ALL SELECT doc_id, 32 AS b, CAST(1 AS BIGINT) AS n FROM d
+),
+fx AS (SELECT f.doc_id, f.b, f.n, d.y FROM feats f JOIN d USING (doc_id)),
+w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS weight FROM fx),
+{joined_rounds}
+{final_select}
+"""
+
+
+ORACLE_PERCEPTRON_W = _perceptron_oracle(
+    "SELECT b, CAST(weight AS BIGINT) AS weight FROM w3 ORDER BY b"
+)
+
+ORACLE_PERCEPTRON_ERR = _perceptron_oracle(
+    """, sc AS (SELECT doc_id, y, SUM(n * weight) AS score FROM fx JOIN w3 USING (b) GROUP BY 1, 2)
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN sc.y * sc.score <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong
+FROM sc JOIN d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang"""
+)
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al., NeurIPS 2023) log importance weights of every
+    document toward a target domain (source src0/src1) over 256 hashed
+    uni+bigram buckets — ops.corpus.dsir_importance; the log-ratio table is
+    a broadcast of at most `buckets` rows regardless of corpus size."""
+    from apollo_spark.ops.corpus import dsir_importance
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.filter(F.col("source").isin("src0", "src1"))
+    return dsir_importance(d, target, buckets=256).orderBy("doc_id")
+
+
+ORACLE_DSIR = r"""
+WITH w AS (
+  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents WHERE length(trim(text)) > 0
+),
+feats AS (
+  SELECT doc_id, source, g FROM (
+    SELECT doc_id, source, unnest(ws) AS g FROM w
+    UNION ALL
+    SELECT doc_id, source, array_to_string(ws[i:i+1], ' ') AS g
+    FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t(i)
+    WHERE len(ws) >= 2
+  )
+),
+bucketed AS (
+  SELECT doc_id, source,
+         CAST((('0x' || substring(md5(g), 1, 8))::BIGINT % 256) AS INT) AS b
+  FROM feats
+),
+tgt AS (SELECT b, COUNT(*) AS ct FROM bucketed WHERE source IN ('src0', 'src1') GROUP BY b),
+cor AS (SELECT b, COUNT(*) AS cc FROM bucketed GROUP BY b),
+tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt FROM tgt),
+ca AS (SELECT CAST(SUM(cc) AS BIGINT) AS ca FROM cor),
+dom AS (SELECT CAST(unnest(range(0, 256)) AS INT) AS b),
+ratios AS (
+  SELECT d.b,
+         ln(((coalesce(t.ct, 0) + 1.0) / (tt + 256.0))
+            / ((coalesce(c.cc, 0) + 1.0) / (ca + 256.0))) AS lr
+  FROM dom d LEFT JOIN tgt t USING (b) LEFT JOIN cor c USING (b) CROSS JOIN tt CROSS JOIN ca
+),
+doc_counts AS (SELECT doc_id, b, COUNT(*) AS n FROM bucketed GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(CAST(n * lr AS DECIMAL(38,6))) AS DOUBLE) AS logw
+  FROM doc_counts JOIN ratios USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(p.logw, 0.0) AS logw
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def item_transition_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, 5 synchronous iterations) over the item-to-item
+    transition graph: consecutive events per user define weighted directed
+    edges between their props.k items (the Markov-chain navigation graph).
+    ops.graph.pagerank — the iterative tier done the Spark way: per-iteration
+    eager checkpoints truncate lineage, sums are DECIMAL(38,6)-exact, state
+    re-quantized per iteration so the whole trajectory is engine-identical
+    (the oracle unrolls the same 5 iterations in SQL)."""
+    from apollo_spark.ops.graph import pagerank
+
+    e = _events(spark, sf_dir)
+    item = F.get_json_object("props", "$.k").cast("int")
+    seq = e.select("user_id", F.col("ts").alias("tsn"), "event_id", item.alias("item"))
+    w = Window.partitionBy("user_id").orderBy(F.col("tsn").asc(), F.col("event_id").asc())
+    trans = seq.withColumn("prev", F.lag("item").over(w)).filter(F.col("prev").isNotNull())
+    edges = trans.groupBy(F.col("prev").alias("src"), F.col("item").alias("dst")).agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    return pagerank(edges, damping=0.85, iterations=5, weight="w").orderBy("node")
+
+
+def item_transition_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk data prep over the item-transition graph: 2 deterministic
+    random walks of 3 steps from every item with out-edges (the corpus a
+    skip-gram embedding trains on). Walk choices are hash-derived — no RNG
+    state — so the oracle unrolls the identical joins (ops.graph.random_walks)."""
+    from apollo_spark.ops.graph import random_walks
+
+    e = _events(spark, sf_dir)
+    item = F.get_json_object("props", "$.k").cast("int")
+    seq = e.select("user_id", F.col("ts").alias("tsn"), "event_id", item.alias("item"))
+    w = Window.partitionBy("user_id").orderBy(F.col("tsn").asc(), F.col("event_id").asc())
+    trans = seq.withColumn("prev", F.lag("item").over(w)).filter(F.col("prev").isNotNull())
+    edges = trans.select(F.col("prev").alias("src"), F.col("item").alias("dst"))
+    return random_walks(edges, walks_per_node=2, walk_len=3).orderBy("start", "rep", "step")
+
+
+def _walks_oracle(walks_per_node: int = 2, walk_len: int = 3) -> str:
+    reps = " UNION ALL ".join(f"SELECT {r} AS rep" for r in range(walks_per_node))
+    steps, unions = [], ["SELECT start, rep, 0 AS step, node FROM f0"]
+    for t in range(1, walk_len + 1):
+        steps.append(
+            f"""f{t} AS (
+  SELECT f.start, f.rep, e.dst AS node
+  FROM f{t - 1} f JOIN ranked e ON f.node = e.src
+   AND e.r = ('0x' || substr(md5(concat_ws('|', 'walk', f.start, f.rep, {t})), 1, 15))::BIGINT % e.deg
+)"""
+        )
+        unions.append(f"SELECT start, rep, {t} AS step, node FROM f{t}")
+    return (
+        r"""
+WITH seq AS (
+  SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+         CAST(props->>'$.k' AS INT) AS item
+  FROM events
+),
+trans AS (
+  SELECT LAG(item) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS src,
+         item AS dst
+  FROM seq
+),
+edges AS (SELECT DISTINCT src, dst FROM trans WHERE src IS NOT NULL),
+ranked AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS r,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM edges
+),
+starts AS (SELECT DISTINCT src AS start FROM ranked),
+f0 AS (SELECT start, rep, start AS node FROM starts CROSS JOIN ("""
+        + reps
+        + """) reps),
+"""
+        + ",\n".join(steps)
+        + "\n"
+        + " UNION ALL ".join(unions)
+        + "\nORDER BY start, rep, step"
+    )
+
+
+ORACLE_ITEM_WALKS = _walks_oracle()
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Unrolled-iteration DuckDB mirror of ops.graph.pagerank over the item
+    transition graph — same integer micro-unit lattice: BIGINT ranks
+    (rank*1e6), floor(x+0.5) portable rounding, exact integer sums. DuckDB
+    `/` promotes to DOUBLE (the same IEEE division Spark performs)."""
+    base_u, d = "150000.0", "0.85"
+    prev = "r0"
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(
+            f"""i{i} AS (
+  SELECT e.dst AS node,
+         CAST(SUM(CAST(FLOOR(r.ru * e.w / o.wout + 0.5) AS BIGINT)) AS BIGINT) AS iu
+  FROM edges e JOIN outw o USING (src) JOIN {prev} r ON r.node = e.src
+  GROUP BY e.dst
+),
+d{i} AS (
+  SELECT CAST(coalesce(SUM(ru), 0) AS BIGINT) AS du
+  FROM {prev} r ANTI JOIN outw o ON r.node = o.src
+),
+r{i} AS (
+  SELECT nodes.node,
+         CAST(FLOOR({base_u} / n + {d} * (CAST(coalesce(iu, 0) AS DOUBLE) + CAST(du AS DOUBLE) / n) + 0.5) AS BIGINT) AS ru
+  FROM nodes CROSS JOIN nn CROSS JOIN d{i} LEFT JOIN i{i} USING (node)
+)"""
+        )
+        prev = f"r{i}"
+    return (
+        """
+WITH seq AS (
+  SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+         CAST(props->>'$.k' AS INT) AS item
+  FROM events
+),
+trans AS (
+  SELECT LAG(item) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS src,
+         item AS dst
+  FROM seq
+),
+edges AS (
+  SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM trans WHERE src IS NOT NULL GROUP BY 1, 2
+),
+nodes AS (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outw AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(FLOOR(1000000.0 / n + 0.5) AS BIGINT) AS ru FROM nodes CROSS JOIN nn),
+"""
+        + ",\n".join(iters)
+        + f"\nSELECT node, ru / 1000000.0 AS rank FROM {prev} ORDER BY node"
+    )
+
+
+ORACLE_PAGERANK = _pagerank_oracle(5)
+
+
+def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT bigram-Jaccard pairs >= 0.2 (lossless inverted-index candidates
+    -> SQL-oracle-able, unlike MinHash)."""
+    from apollo_spark.ops.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        # max_df=None = the certified-lossless oracle config; production
+        # default is a finite cap (ops/dedup.py ngram_jaccard_pairs docstring)
+        ngram_jaccard_pairs(d, n=2, threshold=0.2, max_df=None)
+        .withColumn("jaccard", F.round("jaccard", 6))
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLE_NGRAM_JACCARD = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents)
+  WHERE len(t) >= 1
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
+def ngram_jaccard_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB configuration of ngram_jaccard_pairs, hash-gated: a
+    scale-RELATIVE hot-shingle cap (df > floor(4% of corpus)) prunes the
+    inverted index before candidate generation, so the per-key join fan-out
+    is bounded by a corpus fraction instead of growing df^2 with corpus
+    size (the lossless twin above measures ~quadratic on this tiny-vocab
+    corpus: 2.8 s at sf0.1 -> 441 s at sf1; this one stays ~linear). The
+    oracle replays the full capped semantics — relative cutoff, pruned
+    candidate join with the length filter, exact full-set re-score of the
+    survivors, and the all-hot-doc exact-set star recovery — so the
+    count-bounds + ambiguous-sliver machinery in ops/dedup.py is
+    value-certified cross-engine, not just unit-tested."""
+    from apollo_spark.ops.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(d, n=2, threshold=0.2, max_df_frac=0.04)
+        .withColumn("jaccard", F.round("jaccard", 6))
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLE_NGRAM_JACCARD_CAPPED = r"""
+WITH d0 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents)
+  WHERE len(t) >= 1
+),
+d AS (SELECT * FROM d0 WHERE len(sh) > 0),
+k AS (SELECT CAST(floor(0.04 * COUNT(*)) AS BIGINT) AS cap FROM d),
+ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+dfreq AS (SELECT s, COUNT(*) AS c FROM ex GROUP BY s),
+kept AS (SELECT ex.doc_id, ex.n, ex.s FROM ex JOIN dfreq USING (s), k WHERE c <= k.cap),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+   AND a.n >= 0.2 * b.n - 1e-9 AND b.n >= 0.2 * a.n - 1e-9
+),
+scored AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+         / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) AS jaccard
+  FROM cand JOIN d da ON da.doc_id = cand.id_a JOIN d db ON db.doc_id = cand.id_b
+),
+allhot AS (
+  SELECT doc_id, list_sort(sh) AS seth FROM d
+  WHERE doc_id NOT IN (SELECT doc_id FROM kept)
+),
+star AS (
+  SELECT MIN(doc_id) OVER (PARTITION BY seth) AS id_a, doc_id AS id_b, 1.0 AS jaccard
+  FROM allhot QUALIFY doc_id != id_a
+)
+SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+FROM (SELECT * FROM scored WHERE jaccard >= 0.2 UNION ALL SELECT * FROM star)
+ORDER BY id_a, id_b
+"""
+
+
+def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs (>= 0.4): blocked-matmul candidates +
+    sequential-fold exact re-score (ops.similarity.all_pairs_cosine_exact).
+    The 100 TB path is the LSH-bucketed embedding_near_dups op."""
+    from apollo_spark.ops.similarity import all_pairs_cosine_exact
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    return (
+        all_pairs_cosine_exact(e, threshold=0.4, id_col="vec_id", vec_col="v")
+        .select("id_a", "id_b", F.round("score", 4).alias("score"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLE_EMB_NEAR_DUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS score
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+def orders_by_year_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join: o_orderdate into broadcast year intervals
+    (ops.relational.range_join -> BroadcastNestedLoopJoin on a 7-row dim),
+    then aggregate per interval."""
+    from datetime import date
+
+    from apollo_spark.ops.relational import range_join
+
+    o = _t(spark, sf_dir, "orders")
+    intervals = spark.createDataFrame(
+        [(y, date(y, 1, 1), date(y + 1, 1, 1)) for y in range(1992, 1999)],
+        "order_year int, lo date, hi date",
+    )
+    return (
+        range_join(o, F.broadcast(intervals), on=[], left_point="o_orderdate", right_lo="lo", right_hi="hi")
+        .groupBy("order_year")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+        .orderBy("order_year")
+    )
+
+
+ORACLE_RANGEJOIN = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders WHERE year(o_orderdate) BETWEEN 1992 AND 1998
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared near-dup component table (ops.dedup.doc_component_table:
+    capped bigram-Jaccard >= 0.2 edges -> connected components) consumed by
+    near_dup_components, dedup_keep_best, and dup_aware_sample_weights.
+
+    When APOLLO_SPARK_ARTIFACT_DIR is set (bench.py sets a per-run tmpdir;
+    a production job points it at the lake), the table is built ONCE and
+    persisted as a TxTable artifact keyed by the corpus dir — the
+    "dedup once, consume everywhere" shape: the first consumer pays the
+    edge shuffle + CC rounds, every later consumer reads the committed
+    snapshot. Unset (the driver's gate), each query builds self-contained
+    so its oracle replays the full trajectory."""
+    import os as _os
+
+    from apollo_spark.ops.dedup import train_or_load_components
+
+    d = _t(spark, sf_dir, "documents")
+    art = _os.environ.get("APOLLO_SPARK_ARTIFACT_DIR")
+    path = None
+    if art:
+        tag = sf_dir.strip("/").replace("/", "_")
+        path = f"{art}/doc_components_{tag}"
+    return train_or_load_components(
+        d, path=path, n=2, threshold=0.2, max_df=None, max_df_frac=0.04, frac_floor=1024
+    )
+
+
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over exact bigram-Jaccard >= 0.2 edges:
+    iterative min-label propagation (ops.dedup.connected_components), the
+    grouping step of near-dedup. Oracle = recursive-CTE min reachability.
+
+    Edge generation rides the CAPPED inverted index (scale-relative hot-
+    shingle cap with frac_floor=1024): this query's certified surface is the
+    GROUPING step — losslessness of the pair tier is certified separately by
+    ngram_jaccard_dup_pairs, and reusing the lossless quadratic here cost
+    1327 s at sf1 (~300x for 10x data, measured round 5) vs ~4 s at sf0.1.
+    At the gate SFs (<=5000 docs < frac_floor) no shingle can exceed the
+    cutoff, so capped == lossless and the exact oracle still hash-gates every
+    run; above it, the cap is the documented 100 TB semantics. The table
+    itself is the shared _doc_components artifact (round 7): built once per
+    corpus, consumed by all three component queries."""
+    return _doc_components(spark, sf_dir).orderBy("doc_id")
+
+
+ORACLE_NEAR_DUP_CC = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents)
+  WHERE len(t) >= 1
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
+def knn_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with n_probe = n_clusters: probing every inverted list makes
+    IVF EXACT, so the brute-force oracle applies — this pins the correctness
+    of the cluster/probe/rescore machinery itself."""
+    from apollo_spark.ops.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    return (
+        ivf_topk(e, q, k=5, n_clusters=8, n_probe=8, id_col="vec_id", vec_col="v", q_id_col="q_id", q_vec_col="qv")
+        .select("q_id", "vec_id", "rank", F.round("score", 4).alias("score"))
+        .orderBy("q_id", "rank")
+    )
+
+
+def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 probing 4/16 lists — the 100 TB ANN path (approximate ->
+    rows-only check; recall vs brute force is pinned in tests/test_ops.py)."""
+    from apollo_spark.ops.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    return (
+        ivf_topk(e, q, k=5, n_clusters=16, n_probe=4, id_col="vec_id", vec_col="v", q_id_col="q_id", q_vec_col="qv")
+        .select("q_id", "vec_id", "rank", F.round("score", 4).alias("score"))
+        .orderBy("q_id", "rank")
+    )
+
+
+def knn_ivf_lattice_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE IVF, hash-gated end-to-end: the float-kmeans IVF path
+    (knn_ivf_approx) can't be oracle-gated because its centroid training
+    isn't SQL-replayable, so this twin builds the inverted lists with the
+    ENGINE-EXACT integer-lattice k-means (ops/clustering.py, 2 unrolled
+    Lloyd rounds, k=8) — every training step is integer arithmetic DuckDB
+    replays bit-for-bit. Corpus rows index to their nearest FINAL centroid
+    (exact integer distances, ties to the smaller cluster id); each query
+    probes its 2 nearest lists and candidates re-score with the same cosine
+    the gated brute-force query mirrors. This pins the approximate probe
+    path itself — recall loss vs brute force is a property of the index, not
+    an excuse to leave the plumbing ungated."""
+    from apollo_spark.ops.clustering import kmeans_lattice, lattice_final_assign
+
+    e = _t(spark, sf_dir, "embeddings")
+    _, cent = kmeans_lattice(e, k=8, iters=2)
+    assign, dist = lattice_final_assign(e, cent)
+    wq = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("cluster").asc())
+    probed = (
+        dist.filter(F.col("vec_id") < 3)
+        .withColumnRenamed("vec_id", "q_id")
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select("q_id", "cluster")
+    )
+    ev = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    qv = ev.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        assign.join(probed, "cluster")
+        .join(ev, "vec_id")
+        .join(F.broadcast(qv), "q_id")
+        .withColumn("score", cosine(F.col("v"), F.col("qv")))
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "vec_id", "rank", F.round("score", 4).alias("score"))
+        .orderBy("q_id", "rank")
+    )
+
+
+def _lattice_common_ctes(k: int | str, iters: int) -> list[str]:
+    """Shared unrolled lattice-k-means CTE prefix (training rounds, final
+    assignment, double-cast vectors) for every oracle that replays the
+    engine-exact integer k-means: knn_ivf_lattice_approx and
+    semantic_dedup_lattice. ``k`` may be an int literal or a SQL scalar
+    expression (a corpus-sized subquery — SemDeDup's k-grows-with-N
+    blocking, so the oracle replays the SAME k the Spark query derives at
+    any scale factor)."""
+    ctes = [
+        """long AS (
+  SELECT vec_id, i AS d,
+         CAST(FLOOR((CAST(embedding[i + 1] AS DOUBLE) + 8.0) * 1000000.0) AS BIGINT) AS xi
+  FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i) t(i)
+)""",
+        f"""c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, d, xi AS ci FROM long WHERE vec_id < {k})""",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""a{it} AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT l.vec_id, c.cluster, SUM((l.xi - c.ci) * (l.xi - c.ci)) AS dist,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+                              ORDER BY SUM((l.xi - c.ci) * (l.xi - c.ci)) ASC, c.cluster ASC) AS rn
+    FROM long l JOIN {prev} c USING (d)
+    GROUP BY l.vec_id, c.cluster)
+  WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""c{it} AS (
+  SELECT a.cluster, l.d, SUM(l.xi) // COUNT(*) AS ci
+  FROM long l JOIN a{it} a USING (vec_id)
+  GROUP BY a.cluster, l.d
+)"""
+        )
+        prev = f"c{it}"
+    ctes.append(
+        f"""fdist AS (
+  SELECT l.vec_id, c.cluster, SUM((l.xi - c.ci) * (l.xi - c.ci)) AS dist
+  FROM long l JOIN {prev} c USING (d)
+  GROUP BY l.vec_id, c.cluster
+)""",
+    )
+    ctes.append(
+        """fassign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+    FROM fdist) WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""
+    )
+    return ctes
+
+
+def _ivf_lattice_oracle(k: int = 8, iters: int = 2, probe: int = 2, topk: int = 5) -> str:
+    """Mirror of knn_ivf_lattice_approx: the unrolled lattice k-means CTEs
+    (same as _kmeans_oracle), nearest-final-centroid indexing, top-``probe``
+    list selection per query, exact cosine rescore (knn_bruteforce's mirror)."""
+    ctes = _lattice_common_ctes(k, iters)
+    ctes.append(
+        f"""probed AS (
+  SELECT vec_id AS q_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+    FROM fdist WHERE vec_id < 3) WHERE rn <= {probe}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+scored AS (
+  SELECT p.q_id, a.vec_id,
+         list_dot_product(e.v, q.v) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))) AS score
+  FROM fassign a JOIN probed p USING (cluster)
+  JOIN e ON e.vec_id = a.vec_id
+  JOIN e q ON q.vec_id = p.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, rank, ROUND(score, 4) AS score
+FROM ranked WHERE rank <= {topk} ORDER BY q_id, rank"""
+    )
+
+
+ORACLE_IVF_LATTICE = _ivf_lattice_oracle(k=8, iters=2, probe=2, topk=5)
+
+
+SEMDEDUP_TARGET_CLUSTER_ROWS = 250
+# The oracle derives the SAME k from the SAME corpus count the Spark query
+# reads, so the hash gate survives at any scale factor (k=8 at every gate SF
+# <= sf0.1; grows past that).
+SEMDEDUP_K_SQL = (
+    "(SELECT GREATEST(8, CAST(CEIL(COUNT(*) / "
+    f"{SEMDEDUP_TARGET_CLUSTER_ROWS}.0) AS BIGINT)) FROM embeddings)"
+)
+
+
+def semdedup_k(n_rows: int, target: int = SEMDEDUP_TARGET_CLUSTER_ROWS) -> int:
+    """SemDeDup's blocking contract: cluster count GROWS with the corpus
+    (k = max(8, ceil(N/target))) so the within-cluster pairwise prune stays
+    O(N * target) — linear in N — instead of O(N^2 / k_fixed). Mirrors
+    SEMDEDUP_K_SQL exactly (CEIL on a *.0 division == math.ceil on ints)."""
+    import math
+
+    return max(8, math.ceil(n_rows / target))
+
+
+def semantic_dedup_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated twin of semantic_dedup_docs: SemDeDup's float k-means
+    isn't SQL-replayable, so this variant clusters with the ENGINE-EXACT
+    integer-lattice k-means (same replayable training as
+    knn_ivf_lattice_approx) and prunes with the PAIRWISE first-occurrence
+    rule — drop v iff ANY lower-id vector in its cluster has cosine >= 0.35
+    (the driver corpus has NO planted embedding near-dups — max pairwise
+    cosine is ~0.5 — so the dup-grade 0.93 threshold would never fire; 0.35
+    sits in the redundancy tail and actually exercises the prune at every
+    gate SF)
+    (one self-join + anti-join; the greedy kept-set variant stays in
+    ops.similarity.semantic_dedup). Work is bounded by the cluster blocking
+    with k GROWING with the corpus (semdedup_k: k = max(8, ceil(N/250)) —
+    the k-proportional-to-N half of SemDeDup's tradeoff, so the prune is
+    O(N * 250), linear, not O(N^2/8); round-5 verdict's one scale-killer).
+    The oracle derives the identical k from the identical COUNT(*)
+    (SEMDEDUP_K_SQL), so both cluster assignment and every cosine comparison
+    still replay bit-for-bit in DuckDB at ANY scale factor (sequential
+    left-to-right double folds on both engines)."""
+    from apollo_spark.ops.clustering import kmeans_lattice, lattice_final_assign
+
+    e = _t(spark, sf_dir, "embeddings")
+    k = semdedup_k(e.count())
+    _, cent = kmeans_lattice(e, k=k, iters=2)
+    assign, _ = lattice_final_assign(e, cent)
+    ev = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    a = assign.join(ev, "vec_id")
+    # within-cluster x_id < y_id scoring via applyInPandas (chunked numpy
+    # pair tensors, cumsum fold == the JVM/DuckDB sequential dot bit-for-bit;
+    # see ops.similarity.cluster_pairwise_cosine) — the relational join
+    # shipped both vectors per pair and interpreted the fold
+    from apollo_spark.ops.similarity import cluster_pairwise_cosine
+
+    dropped = (
+        cluster_pairwise_cosine(a, mode="lt")
+        .filter(F.col("score") >= F.lit(0.35))
+        .select(F.col("y_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assign.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", "cluster")
+        .orderBy("vec_id")
+    )
+
+
+def _semantic_lattice_oracle(
+    k: int | str = SEMDEDUP_K_SQL, iters: int = 2, threshold: float = 0.93
+) -> str:
+    """Mirror of semantic_dedup_lattice: shared lattice-k-means CTEs +
+    within-cluster pairwise cosine prune via NOT EXISTS. ``k`` defaults to
+    the corpus-derived subquery so the oracle scales its blocking exactly
+    as the engine does."""
+    ctes = _lattice_common_ctes(k, iters)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+av AS (
+  SELECT a.vec_id, a.cluster, e.v FROM fassign a JOIN e USING (vec_id)
+)
+SELECT y.vec_id, y.cluster
+FROM av y
+WHERE NOT EXISTS (
+  SELECT 1 FROM av x
+  WHERE x.cluster = y.cluster AND x.vec_id < y.vec_id
+    AND list_dot_product(x.v, y.v)
+        / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= {threshold}
+)
+ORDER BY vec_id"""
+    )
+
+
+ORACLE_SEMANTIC_LATTICE = _semantic_lattice_oracle(k=SEMDEDUP_K_SQL, iters=2, threshold=0.35)
+
+

@@ -1,0 +1,1139 @@
+"""LLM-data tier, first wave: dedup / text analysis / similarity; window & set-op tier.
+
+Mechanically split from the single-file registry (round 8); content unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apollo_spark.ops.cache import carry_caches, scoped_persist
+from apollo_spark.ops.dedup import exact_dedup, minhash_lsh_pairs
+from apollo_spark.ops.relational import asof_join
+from apollo_spark.ops.similarity import cosine
+from apollo_spark.ops.text import STOPWORDS, fingerprint, language_id, quality_score, token_count
+from apollo_spark.queries._shared import _events, _t, dsum
+
+
+# --------------------------------------------------------------------------
+# LLM-data tier: dedup / text analysis / similarity
+# --------------------------------------------------------------------------
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d).select("doc_id").orderBy("doc_id")
+
+
+ORACLE_DEDUP_EXACT = r"""
+SELECT doc_id FROM (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           ORDER BY doc_id ASC
+         ) AS rn
+  FROM documents
+) t WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+ORACLE_FINGERPRINTS = r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("double")
+    alpha = F.length(F.regexp_replace(F.lower("text"), r"[^a-z]", "")).cast("double")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(F.when(n_chars > 0, alpha / n_chars).otherwise(0.0), 6).alias("alpha_ratio"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _sql_toks() -> str:
+    return r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+def _sql_hits(lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({_sql_toks()}, x -> list_contains([{arr}], x)))"
+
+
+# The composite quality formula and its four stat inputs, factored ONCE so
+# the three oracles that score quality (ORACLE_TEXT_STATS,
+# ORACLE_QUALITY_FILTER, ORACLE_QUALITY_FILTER_TRAINED) can never drift
+# apart — the same discipline as _LANGID_SCORER_SQL (round-6 ADVICE).
+_SQL_QUALITY_EXPR = """ROUND(
+         0.3 * (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
+       + 0.2 * (CASE WHEN mwl >= 3 AND mwl <= 12 THEN 1.0 ELSE 0.0 END)
+       + 0.3 * LEAST(ar * 1.25, 1.0)
+       + 0.2 * LEAST(swr * 5.0, 1.0), 6)"""
+
+
+def _sql_quality_stat_cols() -> str:
+    """n_tok / mwl / ar / swr column definitions (documents-table scope)."""
+    n_tok = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_toks()}) END"
+    return f"""{n_tok} AS n_tok,
+           CASE WHEN ({n_tok}) > 0
+                THEN CAST(length(text) AS DOUBLE) / ({n_tok})
+                ELSE 0.0 END AS mwl,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+                ELSE 0.0 END AS ar,
+           CASE WHEN ({n_tok}) > 0
+                THEN CAST({_sql_hits('en')} AS DOUBLE) / ({n_tok})
+                ELSE 0.0 END AS swr"""
+
+
+ORACLE_TEXT_STATS = rf"""
+SELECT doc_id,
+       n_tok AS n_tokens,
+       length(text) AS n_chars,
+       ROUND(ar, 6) AS alpha_ratio,
+       {_SQL_QUALITY_EXPR} AS quality
+FROM (
+  SELECT doc_id, text,
+         {_sql_quality_stat_cols()}
+  FROM documents
+) base
+ORDER BY doc_id
+"""
+
+
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", language_id(F.col("text")).alias("pred_lang")).orderBy("doc_id")
+
+
+# the heuristic scorer SELECT, factored once so ORACLE_LANG_ID and the
+# heuristic confusion matrix compose from the SAME text and can never
+# drift (no string surgery on a finished query)
+_LANGID_SCORER_SQL = rf"""
+SELECT doc_id, lang,
+       CASE
+         WHEN h_en = best AND best > 0 THEN 'en'
+         WHEN h_de = best AND best > 0 THEN 'de'
+         WHEN h_fr = best AND best > 0 THEN 'fr'
+         WHEN h_es = best AND best > 0 THEN 'es'
+         ELSE 'unknown'
+       END AS pred_lang
+FROM (
+  SELECT doc_id, lang,
+         {_sql_hits('en')} AS h_en, {_sql_hits('de')} AS h_de,
+         {_sql_hits('fr')} AS h_fr, {_sql_hits('es')} AS h_es,
+         GREATEST({_sql_hits('en')}, {_sql_hits('de')}, {_sql_hits('fr')}, {_sql_hits('es')}) AS best
+  FROM documents
+) h
+"""
+
+ORACLE_LANG_ID = _LANGID_SCORER_SQL + "ORDER BY doc_id\n"
+
+
+def _confusion_from_preds(d: DataFrame, preds: DataFrame) -> DataFrame:
+    """Shared confusion-matrix aggregation: per (gold, pred) cell count,
+    the cell's share of its gold row, and the correctness flag — one
+    groupBy over a per-doc prediction frame."""
+    p = d.select("doc_id", F.col("lang").alias("gold")).join(preds, "doc_id")
+    m = p.groupBy("gold", "pred").agg(F.count(F.lit(1)).alias("n"))
+    t = m.groupBy("gold").agg(F.sum("n").alias("__n_gold"))
+    return (
+        m.join(t, "gold")
+        .select(
+            "gold",
+            "pred",
+            "n",
+            (F.col("n").cast("double") / F.col("__n_gold").cast("double")).alias(
+                "share_of_gold"
+            ),
+            (F.col("gold") == F.col("pred")).alias("correct"),
+        )
+        .orderBy("gold", "pred")
+    )
+
+
+_SQL_CONFUSION_TAIL = """
+m AS (SELECT gold, pred, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+t AS (SELECT gold, SUM(n) AS n_gold FROM m GROUP BY gold)
+SELECT m.gold, m.pred, m.n,
+       CAST(m.n AS DOUBLE) / CAST(t.n_gold AS DOUBLE) AS share_of_gold,
+       m.gold = m.pred AS correct
+FROM m JOIN t USING (gold)
+ORDER BY gold, pred"""
+
+
+def langid_heuristic_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the STOPWORD-HEURISTIC language ID against the
+    corpus's gold lang labels — the evaluate-your-own-classifier tier. On
+    the driver's synthetic corpus the verdict is honest and unflattering:
+    the word-soup text skews every gold label toward 'en' or 'unknown'
+    (en recall ~0.73, everything else 0.0) — which is precisely the report
+    that motivated replacing the heuristic with the TRAINED classifier
+    (langid_confusion_matrix) as the pipeline default in round 7. The
+    oracle composes the factored _LANGID_SCORER_SQL, so heuristic scorer
+    and confusion can never drift apart."""
+    d = _t(spark, sf_dir, "documents")
+    preds = d.select("doc_id", language_id(F.col("text")).alias("pred"))
+    return _confusion_from_preds(d, preds)
+
+
+ORACLE_LANGID_HEURISTIC_CONFUSION = (
+    "WITH p AS (SELECT lang AS gold, pred_lang AS pred FROM ("
+    + _LANGID_SCORER_SQL
+    + ")),"
+    + _SQL_CONFUSION_TAIL
+)
+
+
+# ---------------------------------------------------------------------------
+# Trained language ID (round 7): joint one-vs-rest batch perceptron over
+# hashed token-trigram features, trained IN-ENGINE on the corpus's labeled
+# slice (ops.text.language_id_model / trained_language_id). Replaces the
+# stopword heuristic as the pipeline default — the heuristic's confusion
+# matrix on this corpus is documented unusable (langid_heuristic_confusion).
+# The oracle replays the full 7-round BIGINT training trajectory by
+# unrolled SQL, same lattice discipline as the binary perceptron queries.
+# ---------------------------------------------------------------------------
+
+LANGID_BUCKETS = 4096
+LANGID_ITERS = 7
+
+
+def _trained_langid_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-doc (doc_id, pred_lang) from the trained classifier,
+    consumed by doc_language_id_trained / langid_confusion_matrix /
+    doc_quality_filter_trained. When APOLLO_SPARK_ARTIFACT_DIR is set
+    (bench / production), the weight table is trained ONCE and persisted
+    as a TxTable (ops.text.train_or_load_langid_model) AND the per-doc
+    prediction table itself is committed once
+    (table_format.train_or_load_table) — the second and third consumers
+    read one row per document instead of re-paying feature extraction +
+    scoring (measured ~10 s per consumer at sf0.1; predictions ARE a
+    materialized column in a production pipeline). Unset (the driver's
+    gate), each query trains and scores self-contained so its oracle
+    replays the full trajectory."""
+    import os as _os
+
+    from apollo_spark.ops.text import train_or_load_langid_model, trained_language_id
+
+    d = _t(spark, sf_dir, "documents")
+    art = _os.environ.get("APOLLO_SPARK_ARTIFACT_DIR")
+    if not art:
+        return trained_language_id(d, weights=train_or_load_langid_model(d, path=None))
+    from apollo_spark.table_format import train_or_load_table
+
+    tag = sf_dir.strip("/").replace("/", "_")
+
+    def build():
+        w = train_or_load_langid_model(d, path=f"{art}/langid_model_{tag}")
+        return trained_language_id(d, weights=w)
+
+    return train_or_load_table(spark, f"{art}/langid_preds_{tag}", build)
+
+
+def _langid_trained_sql(iters: int = LANGID_ITERS, buckets: int = LANGID_BUCKETS) -> str:
+    """WITH-clause prefix (no leading WITH) ending at ltpr = per-doc
+    (doc_id, pred_lang) from the trained multiclass perceptron — the exact
+    SQL mirror of ops.ml.hashed_ngram_features + multiclass_perceptron_train
+    + multiclass_predict with n=3, shared by every trained-langid oracle."""
+    rounds = []
+    prev = "ltw0"
+    for t in range(1, iters + 1):
+        rounds.append(
+            f"""ltm{t} AS (SELECT doc_id, cls, y, SUM(n * weight) AS wx FROM ltfx JOIN {prev} USING (cls, b) GROUP BY 1, 2, 3),
+ltwr{t} AS (SELECT doc_id, cls FROM ltm{t} WHERE y * wx <= 0),
+ltd{t} AS (SELECT cls, b, SUM(y * n) AS dw FROM ltfx JOIN ltwr{t} USING (doc_id, cls) GROUP BY 1, 2),
+ltw{t} AS (SELECT {prev}.cls, {prev}.b, {prev}.weight + COALESCE(ltd{t}.dw, 0) AS weight FROM {prev} LEFT JOIN ltd{t} USING (cls, b))"""
+        )
+        prev = f"ltw{t}"
+    joined = ",\n".join(rounds)
+    return rf"""ltdoc AS (SELECT doc_id, lang, lower(text) AS text FROM documents),
+ltcl AS (SELECT DISTINCT lang AS cls FROM ltdoc),
+ltlab AS (SELECT ltdoc.doc_id, ltcl.cls, CASE WHEN ltdoc.lang = ltcl.cls THEN 1 ELSE -1 END AS y FROM ltdoc CROSS JOIN ltcl),
+lttk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM ltdoc WHERE length(trim(text)) > 0),
+ltgr AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(ts) - 2, 0)), i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS g FROM lttk),
+ltcnt AS (SELECT doc_id, CAST(('0x' || substr(md5('lid' || g), 1, 15))::BIGINT % {buckets} AS INT) AS b, COUNT(*) AS n FROM ltgr GROUP BY 1, 2),
+ltfeat AS (SELECT * FROM ltcnt UNION ALL SELECT doc_id, {buckets} AS b, CAST(1 AS BIGINT) AS n FROM ltdoc),
+ltfx AS (SELECT f.doc_id, l.cls, f.b, f.n, l.y FROM ltfeat f JOIN ltlab l USING (doc_id)),
+ltw0 AS (SELECT DISTINCT cls, b, CAST(0 AS BIGINT) AS weight FROM ltfx),
+{joined},
+ltsc AS (SELECT f.doc_id, w.cls, SUM(f.n * w.weight) AS score FROM ltfeat f JOIN {prev} w ON f.b = w.b GROUP BY 1, 2),
+ltpr AS (SELECT doc_id, cls AS pred_lang FROM (SELECT doc_id, cls, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn FROM ltsc) WHERE rn = 1)"""
+
+
+def doc_language_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc language prediction from the IN-ENGINE-TRAINED classifier
+    (ops.text.trained_language_id): 7 joint one-vs-rest batch-perceptron
+    rounds over 4096 hashed token-trigram buckets + bias, argmax inference
+    with a deterministic tie-break. Every weight is an exact BIGINT, so
+    the full training trajectory hash-gates against the unrolled-SQL
+    oracle. Honesty note: this corpus's text is statistically independent
+    of the gold label (measured round 7 — per-lang token distributions
+    converge as N grows), so the model demonstrably MEMORIZES the labeled
+    slice (~96% train accuracy at sf0.01) rather than generalizing; on
+    real text the same pipeline generalizes because the signal exists."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang")
+        .join(_trained_langid_preds(spark, sf_dir), "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_LANGID_TRAINED = (
+    "WITH "
+    + _langid_trained_sql()
+    + """
+SELECT d.doc_id, d.lang, p.pred_lang
+FROM ltdoc d JOIN ltpr p USING (doc_id)
+ORDER BY doc_id"""
+)
+
+
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the TRAINED language-ID classifier
+    (doc_language_id_trained) against the gold labels — diagonal-dominant
+    at sf0.01 (~96% train accuracy), versus the heuristic's en/unknown
+    collapse (langid_heuristic_confusion). This is the aggregate quality
+    view a filtering pipeline consults before trusting the classifier at
+    100 TB; it shares the per-doc scorer with doc_language_id_trained, so
+    the two can never drift."""
+    d = _t(spark, sf_dir, "documents")
+    preds = _trained_langid_preds(spark, sf_dir).select("doc_id", F.col("pred_lang").alias("pred"))
+    return _confusion_from_preds(d, preds)
+
+
+ORACLE_LANGID_CONFUSION = (
+    "WITH "
+    + _langid_trained_sql()
+    + """,
+p AS (SELECT d.lang AS gold, pr.pred_lang AS pred FROM ltdoc d JOIN ltpr pr USING (doc_id)),"""
+    + _SQL_CONFUSION_TAIL
+)
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 3 probe vectors drawn from the corpus.
+    Rank-only output + rounded score keeps the hash FP-stable."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    scored = e.crossJoin(F.broadcast(q)).withColumn("score", cosine(F.col("v"), F.col("qv")))
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "vec_id", "rank", F.round("score", 4).alias("score"))
+        .orderBy("q_id", "rank")
+    )
+
+
+ORACLE_KNN = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS score
+  FROM e CROSS JOIN q
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, rank, ROUND(score, 4) AS score
+FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
+
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation eval (Kusupati et al. 2022): recall@10 of
+    cosine top-10 under prefix-truncated embeddings (dims 8/16/32) against
+    the full 64-dim ground truth, averaged over a fixed 20-query probe set —
+    the measurement that decides how small an ANN index's vectors can be.
+    The dim=64 row is a built-in control (recall exactly 1.0). Eval tier:
+    scoring is the round-7 Arrow path (ops.similarity.
+    matryoshka_prefix_scores): probes broadcast, ONE float64 cumsum per
+    (row, probe) yields every prefix dot at once, bit-identical to both
+    the JVM aggregate-fold it replaced and DuckDB's list_dot_product
+    (np.cumsum is forced sequential left-to-right — see its docstring;
+    profiled 16-19 s of interpreted HOF cosine at sf1, round-6 verdict
+    task 3). The per-(query, dim) top-10 selection rides
+    ops.rank.top_k_per_key — the salted two-phase selection — so no window
+    partition is ever corpus-sized (a plain (q_id, dim) window would sort
+    N rows in ONE task per probe; round-5 verdict item 3). Row-identical to
+    the plain window the oracle replays; IVF ops remain the serving path."""
+    from apollo_spark.ops.rank import top_k_per_key
+    from apollo_spark.ops.similarity import matryoshka_prefix_scores
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    scored = matryoshka_prefix_scores(e, q, dims=[8, 16, 32, 64], vec_col="v")
+    # top feeds four downstream consumers (truth, both semi-join sides, nq);
+    # without the persist Spark re-runs the corpus-scoring stage and
+    # the salted selection once per consumer (measured 18 s at sf1).
+    # The scorer emits only (vec_id, q_id, dim, score) — the 64-double
+    # vectors never enter the selection shuffle.
+    top = (
+        top_k_per_key(
+            scored.select("q_id", "dim", "vec_id", "score"),
+            ["q_id", "dim"],
+            [F.col("score").desc(), F.col("vec_id").asc()],
+            k=10,
+            salt_col=F.crc32(F.col("vec_id").cast("string")),
+        )
+        .select("q_id", "dim", "vec_id")
+        .persist()
+    )
+    truth = top.filter(F.col("dim") == 64).select("q_id", "vec_id")
+    matched = top.join(truth, ["q_id", "vec_id"], "left_semi")
+    nq = truth.select(F.countDistinct("q_id").alias("n_q"))
+    # a dim whose recall is exactly 0 must still report a 0.0 row (observed
+    # at sf1: rotated-replica noise drives dim=8 recall to zero and the
+    # group vanished) — left-join the dims universe (the same literals the
+    # scoring exploded; top-10 always exists per dim, so this is total)
+    dims = spark.createDataFrame([(d,) for d in (8, 16, 32, 64)], "dim int")
+    from apollo_spark.ops.cache import scoped_persist
+
+    return scoped_persist(
+        dims.join(
+            matched.groupBy("dim").agg(F.count(F.lit(1)).cast("double").alias("n_hits")),
+            "dim",
+            "left",
+        )
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "dim",
+            (F.coalesce(F.col("n_hits"), F.lit(0.0)) / (F.lit(10.0) * F.col("n_q"))).alias(
+                "mean_recall"
+            ),
+            F.col("n_q").cast("long").alias("n_queries"),
+        )
+        .orderBy("dim"),
+        top,
+    )
+
+
+ORACLE_MATRYOSHKA = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+scored AS (
+  SELECT q.q_id, e.vec_id, d.dim,
+         list_dot_product(list_slice(e.v, 1, d.dim), list_slice(q.qv, 1, d.dim))
+         / (sqrt(list_dot_product(list_slice(e.v, 1, d.dim), list_slice(e.v, 1, d.dim)))
+            * sqrt(list_dot_product(list_slice(q.qv, 1, d.dim), list_slice(q.qv, 1, d.dim)))) AS score
+  FROM e CROSS JOIN q, UNNEST([8, 16, 32, 64]) AS d(dim)
+  WHERE e.vec_id != q.q_id
+),
+top AS (
+  SELECT q_id, dim, vec_id FROM (
+    SELECT q_id, dim, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id, dim ORDER BY score DESC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+),
+truth AS (SELECT q_id, vec_id FROM top WHERE dim = 64),
+matched AS (SELECT t.dim FROM top t JOIN truth USING (q_id, vec_id)),
+counts AS (SELECT dim, CAST(COUNT(*) AS DOUBLE) AS n_hits FROM matched GROUP BY dim),
+dims AS (SELECT DISTINCT dim FROM top),
+nq AS (SELECT COUNT(DISTINCT q_id) AS n_q FROM truth)
+SELECT CAST(dims.dim AS INT) AS dim,
+       COALESCE(counts.n_hits, 0.0) / (10.0 * n_q) AS mean_recall,
+       CAST(n_q AS BIGINT) AS n_queries
+FROM dims LEFT JOIN counts ON counts.dim = dims.dim CROSS JOIN nq
+ORDER BY dim
+"""
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives (ops.similarity.hard_negatives):
+    for each of 3 query vectors, the 5 most-cosine-similar vectors carrying
+    a DIFFERENT label — the near-boundary negatives a contrastive loss
+    wants. Broadcast queries, label-pruned before the top-k window."""
+    from apollo_spark.ops.similarity import hard_negatives
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"), "label"
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("label").alias("q_label")
+    )
+    out = hard_negatives(
+        e, q, k=5, id_col="vec_id", vec_col="v", label_col="label",
+        q_id_col="q_id", q_vec_col="qv", q_label_col="q_label",
+    )
+    return out.select(
+        "q_id", "vec_id", "label", "rank", F.round("score", 4).alias("score")
+    ).orderBy("q_id", "rank")
+
+
+ORACLE_HARD_NEG = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e WHERE vec_id < 3),
+scored AS (
+  SELECT q.q_id, e.vec_id, e.label,
+         list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS score
+  FROM e CROSS JOIN q
+  WHERE e.label <> q.q_label
+),
+ranked AS (
+  SELECT q_id, vec_id, label, score,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, label, rank, ROUND(score, 4) AS score
+FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std of the embedding corpus
+    (ops.similarity.embedding_dim_stats): posexplode + one map-side-combined
+    groupBy on position — the feature-scaling stats table, N*d rows through
+    a d-group shuffle, decimal-exact sums."""
+    from apollo_spark.ops.similarity import embedding_dim_stats as dim_stats
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = dim_stats(e)
+    return out.select(
+        "dim", "n", F.round("mean", 6).alias("mean"), F.round("std", 6).alias("std")
+    ).orderBy("dim")
+
+
+ORACLE_DIM_STATS = """
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS arr FROM embeddings),
+ex AS (
+  SELECT i - 1 AS dim, arr[i] AS v
+  FROM e, unnest(generate_series(1, len(arr))) AS t(i)
+),
+agg AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) AS s2
+  FROM ex GROUP BY dim
+)
+SELECT dim, n, ROUND(s1 / n, 6) AS mean,
+       ROUND(sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0.0)), 6) AS std
+FROM agg ORDER BY dim
+"""
+
+
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection to 8 dims
+    (ops.similarity.random_projection): the dimensionality-reduction front
+    end for clustering/ANN at 100 TB — O(d*k) JVM-side work per row, no
+    shuffle, no stored projection matrix (signs are a hash of (j, i)).
+    Projected doubles are bit-identical in DuckDB (ordered fold == ordered
+    list_dot_product against the same +-1 vector), so the gate hashes raw
+    values, not rounded ones."""
+    from apollo_spark.ops.similarity import random_projection
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = random_projection(e, out_dims=8)
+    return out.select("vec_id", *[f"proj_{j}" for j in range(8)]).orderBy("vec_id")
+
+
+ORACLE_JL_PROJECTION = """
+SELECT vec_id,
+  list_dot_product(CAST(embedding AS DOUBLE[]), list_transform(range(0, len(embedding)), i -> CASE WHEN ('0x' || substr(md5('jl' || '0|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) * 0.35355339059327373 AS proj_0,
+  list_dot_product(CAST(embedding AS DOUBLE[]), list_transform(range(0, len(embedding)), i -> CASE WHEN ('0x' || substr(md5('jl' || '1|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) * 0.35355339059327373 AS proj_1,
+  list_dot_product(CAST(embedding AS DOUBLE[]), list_transform(range(0, len(embedding)), i -> CASE WHEN ('0x' || substr(md5('jl' || '2|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) * 0.35355339059327373 AS proj_2,
+  list_dot_product(CAST(embedding AS DOUBLE[]), list_transform(range(0, len(embedding)), i -> CASE WHEN ('0x' || substr(md5('jl' || '3|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) * 0.35355339059327373 AS proj_3,
+  list_dot_product(CAST(embedding AS DOUBLE[]), list_transform(range(0, len(embedding)), i -> CASE WHEN ('0x' || substr(md5('jl' || '4|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) * 0.35355339059327373 AS proj_4,
+  list_dot_product(CAST(embedding AS DOUBLE[]), list_transform(range(0, len(embedding)), i -> CASE WHEN ('0x' || substr(md5('jl' || '5|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) * 0.35355339059327373 AS proj_5,
+  list_dot_product(CAST(embedding AS DOUBLE[]), list_transform(range(0, len(embedding)), i -> CASE WHEN ('0x' || substr(md5('jl' || '6|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) * 0.35355339059327373 AS proj_6,
+  list_dot_product(CAST(embedding AS DOUBLE[]), list_transform(range(0, len(embedding)), i -> CASE WHEN ('0x' || substr(md5('jl' || '7|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)) * 0.35355339059327373 AS proj_7
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance matrix of the embedding corpus
+    (ops.similarity.embedding_covariance): the PCA/whitening front end.
+    The d*(d+1)/2 cross products are generated inside each row by nested
+    array transforms, then map-side combined to <= d^2 groups per
+    partition — the only wide exchange is O(partitions * d^2) no matter
+    the corpus size. DECIMAL(38,6) sums make every entry engine-exact."""
+    from apollo_spark.ops.similarity import embedding_covariance
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        embedding_covariance(e)
+        # + 0.0 canonicalizes IEEE negative zero (micro-unit truncation can
+        # yield -0.0 on one engine and 0.0 on the other)
+        .select("i", "j", "n", (F.round("cov", 6) + F.lit(0.0)).alias("cov"))
+        .orderBy("i", "j")
+    )
+
+
+ORACLE_EMB_COVARIANCE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) arr FROM embeddings),
+ex AS (SELECT vec_id, i-1 AS i, arr[i] v FROM e, unnest(generate_series(1, len(arr))) t(i)),
+p AS (SELECT a.i AS i, b.i AS j, a.v * b.v AS xy FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i),
+m AS (SELECT i, CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean FROM ex GROUP BY i),
+g AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(trunc(xy * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxy
+      FROM p GROUP BY i, j)
+SELECT g.i, g.j, g.n, ROUND(sxy / n - mi.mean * mj.mean, 6) + 0.0 AS cov
+FROM g JOIN m mi ON mi.i = g.i JOIN m mj ON mj.i = g.j
+ORDER BY g.i, g.j
+"""
+
+
+def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA: top-4 principal components from the distributed covariance
+    matrix (d x d driver eigensolve — the one bounded collect, identical
+    on a 1000-executor cluster), rows projected JVM-side against inlined
+    component literals. Eigenvectors are not SQL-expressible, so this is
+    a rows-only gate; numpy parity + explained-variance ordering are
+    pinned in pytest, and partition-invariance (identical output under
+    any repartitioning — the property a cross-engine hash would certify)
+    is pinned by test_pca_zca_partition_invariant.
+
+    Why no SQL-replayable iteration can close the gap: this corpus's
+    covariance spectrum is near-degenerate at the top (measured
+    lambda2/lambda1 ~= 0.99), so any fixed-iteration power/subspace
+    scheme both engines could replay in lockstep would need thousands of
+    rounds to pin the basis — the eigensolve must stay a driver-side
+    LAPACK call. The covariance INPUT to it is hash-gated separately
+    (embedding_covariance_matrix)."""
+    from apollo_spark.ops.similarity import pca_components, pca_project
+
+    e = _t(spark, sf_dir, "embeddings")
+    comps, _ = pca_components(e, k=4)
+    out = pca_project(e, comps)
+    return out.select(
+        "vec_id", *[F.round(f"pc_{j}", 6).alias(f"pc_{j}") for j in range(4)]
+    ).orderBy("vec_id")
+
+
+def weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Efraimidis-Spirakis weighted sample (ops.corpus.
+    weighted_sample): per source, 5 documents drawn without replacement with
+    probability proportional to n_chars — the reproducible quality-weighted
+    subset selection step. Hash-uniform u, log-space keys, id tie-break;
+    identical IEEE arithmetic in the oracle."""
+    from apollo_spark.ops.corpus import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = weighted_sample(d, k=5, weight_col="n_chars", by="source")
+    return out.select(
+        "source", "doc_id", "n_chars", F.round("sample_key", 6).alias("sample_key")
+    ).orderBy("source", "doc_id")
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+WITH s AS (
+  SELECT source, doc_id, n_chars,
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1.0)
+            / 4503599627370497.0) / CAST(n_chars AS DOUBLE) AS key
+  FROM documents WHERE n_chars > 0
+),
+r AS (
+  SELECT source, doc_id, n_chars, key,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY key DESC, doc_id ASC) AS rn
+  FROM s
+)
+SELECT source, doc_id, n_chars, ROUND(key, 6) AS sample_key
+FROM r WHERE rn <= 5 ORDER BY source, doc_id
+"""
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    from apollo_spark.ops.similarity import l2_norm
+
+    return e.select("vec_id", F.round(l2_norm(F.col("v")), 4).alias("l2"), F.size("v").alias("dim")).orderBy("vec_id")
+
+
+ORACLE_NORMS = """
+SELECT vec_id,
+       ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) AS l2,
+       len(embedding) AS dim
+FROM embeddings ORDER BY vec_id
+"""
+
+
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (word 3-gram shingles, jaccard>=0.6).
+    Probabilistic candidate generation -> no SQL oracle (rows-only check).
+
+    Band geometry r=8,b=8: P(candidate | j=0.3) ~ 5e-4 so low-similarity
+    pairs (which dominate O(n^2)) almost never reach the verify stage —
+    that's the property that keeps this runnable at corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        minhash_lsh_pairs(d, n=3, num_hashes=64, bands=8, threshold=0.6)
+        .withColumn("jaccard", F.round("jaccard", 6))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def minhash_portable_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with the PORTABLE hash family (md5-prefix
+    shingle hash + 2-universal modular slots + md5-prefix band keys): the
+    whole pipeline — signatures, banding, candidate join, exact verify — is
+    replayed by the SQL oracle, closing the round-2 gap where MinHash could
+    only be rows-only-checked. Band geometry b=16 x r=2 at threshold 0.5."""
+    from apollo_spark.ops.dedup import minhash_portable_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        minhash_portable_pairs(d, n=3, num_hashes=32, bands=16, threshold=0.5)
+        .withColumn("jaccard", F.round("jaccard", 6))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _minhash_portable_oracle(n: int = 3, num_hashes: int = 32, bands: int = 16, threshold: float = 0.5) -> str:
+    from apollo_spark.ops.dedup import _mh_consts
+
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN(((h >> 30) * {a} + (h & 1073741823) * {b} + {c}) % 2305843009213693951) AS m{i}"
+        for i, (a, b, c) in ((i, _mh_consts(i)) for i in range(num_hashes))
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, ('0x' || substr(md5(concat_ws('|', {b}, {cols})), 1, 15))::BIGINT AS bkey FROM sig".format(
+            b=b, cols=", ".join(f"m{b * rows + j}" for j in range(rows))
+        )
+        for b in range(bands)
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < {n} THEN [array_to_string(w, ' ')]
+              ELSE list_distinct(list_transform(generate_series(1, len(w) - {n - 1}),
+                                                i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(n))})) END AS sh
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM ex),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM h GROUP BY doc_id
+),
+bands AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh))) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+ORACLE_MINHASH_PORTABLE = _minhash_portable_oracle()
+
+
+def simhash_portable_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL document pairs within hamming<=3 of the portable 60-bit SimHash.
+    The Spark side buckets on 4x15-bit blocks (pigeonhole-lossless, scalar
+    join keys); the oracle replays signature construction bit-for-bit and
+    verifies with a naive join — valid because the banding is exact, so both
+    compute the same total answer."""
+    from apollo_spark.ops.dedup import simhash_portable_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_portable_pairs(d, n=2, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def _simhash_portable_oracle(n: int = 2, max_hamming: int = 3) -> str:
+    bits = 60
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < {n} THEN [array_to_string(w, ' ')]
+              ELSE list_distinct(list_transform(generate_series(1, len(w) - {n - 1}),
+                                                i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(n))})) END AS sh
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM ex),
+v AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+),
+sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS sim FROM v)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+ORACLE_SIMHASH_PORTABLE = _simhash_portable_oracle()
+
+
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing sketch (k=4 word grams, window w=5): the
+    guaranteed-coverage upgrade of doc_fingerprints — any shared run of
+    >= w+k-1 words between two documents shares a selected fingerprint.
+    One shuffle on doc_id + a co-partitioned argmin join; every hash is a
+    60-bit md5 prefix so the oracle replays selection exactly."""
+    from apollo_spark.ops.text import winnowing_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnowing_fingerprints(d, k=4, w=5).orderBy("doc_id", "pos")
+
+
+ORACLE_WINNOWING = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w0
+  FROM documents
+),
+g0 AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(w0) - 3, 1)),
+                        i -> array_to_string(w0[i:i+3], ' ')) AS gr
+  FROM t
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(gr)),
+                               i -> {'p': i - 1, 'h': ('0x' || substr(md5(gr[i]), 1, 15))::BIGINT})) AS u
+  FROM g0
+),
+gp AS (SELECT doc_id, u.p AS p, u.h AS h FROM grams),
+wins AS (
+  SELECT doc_id, p AS q, wmin FROM (
+    SELECT doc_id, p,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin,
+           COUNT(*) OVER (PARTITION BY doc_id) AS npos
+    FROM gp)
+  WHERE p <= greatest(npos - 5, 0)
+),
+sel AS (
+  SELECT w.doc_id, w.q, w.wmin, MIN(g.p) AS pos
+  FROM wins w
+  JOIN gp g ON g.doc_id = w.doc_id AND g.h = w.wmin AND g.p >= w.q AND g.p <= w.q + 4
+  GROUP BY w.doc_id, w.q, w.wmin
+)
+SELECT DISTINCT doc_id, pos, wmin AS fp FROM sel
+ORDER BY doc_id, pos
+"""
+
+
+def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 96/2/2 train/val/test split (md5-bucket of doc_id — a
+    pure function of the id, stable across reruns/engines/partitionings),
+    reported as per-(source, split) doc and token counts. Narrow map + one
+    groupBy shuffle of source x 3 rows."""
+    from apollo_spark.ops.corpus import split_assignment, whitespace_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        split_assignment(d, fractions=(96, 2))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(whitespace_tokens(F.col("text"))).cast("long")).alias("n_tokens"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+ORACLE_SPLIT_ASSIGNMENT = r"""
+WITH s AS (
+  SELECT source,
+         CASE WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 96 THEN 'train'
+              WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 98 THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT source, split, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM s GROUP BY source, split
+ORDER BY source, split
+"""
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-gram Jaccard between SOURCES — the corpus-level
+    contamination/overlap audit (which feeds deduped-mix design). Shape:
+    distinct (source, shingle) -> self-join on shingle -> per-pair counts.
+    Fan-out per shingle is bounded by sources^2 (not docs^2), and the
+    output is one row per source pair, so this survives any corpus size;
+    the shingle-distinct shuffle is the only corpus-sized exchange."""
+    from apollo_spark.ops.dedup import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("source", F.explode(shingles(F.col("text"), 3)).alias("s")).distinct()
+    cnt = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "s")
+    b = sh.select(F.col("source").alias("source_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(F.broadcast(cnt.select(F.col("source").alias("source_a"), F.col("n").alias("na"))), "source_a")
+        .join(F.broadcast(cnt.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+ORACLE_SOURCE_OVERLAP = r"""
+WITH t AS (
+  SELECT source, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, s FROM (
+    SELECT source,
+           unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+    FROM t)
+),
+cnt AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.n_shared,
+       ROUND(CAST(i.n_shared AS DOUBLE) / (ca.n + cb.n - i.n_shared), 6) AS jaccard
+FROM inter i
+JOIN cnt ca ON ca.source = i.source_a
+JOIN cnt cb ON cb.source = i.source_b
+ORDER BY source_a, source_b
+"""
+
+
+def corpus_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus report card — docs, sources, languages, exact token
+    totals/averages, empty-doc and exact-dup-doc counts. Every figure is one
+    scan + map-side-combined aggregates (the dup count rides a distinct on
+    the content digest); sums go through DECIMAL so the report is
+    engine-exact at any scale."""
+    from apollo_spark.ops.corpus import whitespace_tokens
+    from apollo_spark.ops.dedup import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(whitespace_tokens(F.col("text"))).cast("long")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(toks).alias("total_tokens"),
+        (F.sum(toks.cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.sum(F.when(F.length(F.trim(F.col("text"))) == 0, 1).otherwise(0)).alias("n_empty"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5(normalize_text(F.col("text"))))).alias("n_exact_dups"),
+    )
+
+
+DOCS_DSL_CURATION = """
+query docs_curated {
+  chain = "ethereum"
+  source_table = "documents"
+  sample {
+    key = "doc_id"
+    denominator = 2
+    salt = "cur"
+  }
+  quality {
+    ruleset = "basic"
+    min_quality = 0.6
+    min_tokens = 10
+  }
+  dedup {
+    method = "exact"
+  }
+  aggregate {
+    group_by = [source]
+    n_docs = count()
+  }
+  sort = [source]
+}
+"""
+
+
+def docs_dsl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full declarative curation pipeline as ONE HCL query: deterministic
+    1/2 hash-sample -> lang/quality `quality` block -> exact `dedup` block ->
+    per-source counts. Every stage's survivor set is a pure function of row
+    content, so the composition (not just each stage) hash-gates against the
+    SQL replay. (The `gopher` ruleset is exercised separately by
+    doc_gopher_quality — on this synthetic corpus it keeps nothing, which
+    would make this gate vacuous.)"""
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import compile_query
+    from apollo_spark.sources.tables import Catalog
+
+    schema = parse_schema(DOCS_DSL_CURATION)
+    return compile_query(spark, Catalog(spark, sf_dir), schema.queries[0], schema)
+
+
+
+
+
+ORACLE_CORPUS_SUMMARY = r"""
+WITH s AS (
+  SELECT source, lang, text,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(n_tokens AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+       COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_exact_dups
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# window / grouping-set / set-op tier
+# --------------------------------------------------------------------------
+
+
+def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per customer over order date (window frame, one shuffle
+    on o_custkey)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double"), 2).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+ORACLE_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (status, priority) with ALL placeholders."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual pivot: one column per order status (conditional aggregation —
+    identical shape in ANSI SQL, unlike PIVOT syntax)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_filled"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_pending"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_PIVOT = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (o_orderstatus = 'F') AS n_filled,
+       COUNT(*) FILTER (o_orderstatus = 'P') AS n_pending
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def clickers_and_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op tier: users who both click AND purchase (INTERSECT)."""
+    e = _events(spark, sf_dir)
+    clickers = e.filter(F.col("event_type") == "click").select("user_id")
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.intersect(buyers).orderBy("user_id")
+
+
+ORACLE_INTERSECT = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+ORDER BY user_id
+"""
+
+
