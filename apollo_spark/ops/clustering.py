@@ -357,6 +357,301 @@ def _pq_subspace_kmeans(
     return long, assign, cent
 
 
+def twolevel_shape(k: int) -> tuple[int, int]:
+    """(k_coarse, k_fine) split for the hierarchical k-means: kc =
+    max(2, ceil(sqrt(k))) coarse cells, kf = ceil(k / kc) fine clusters per
+    cell — kc * kf >= k with both factors ~sqrt(k). Pure integer math
+    (isqrt), mirrored in SQL by GREATEST(2, CEIL(SQRT(k))): IEEE sqrt is
+    correctly rounded, so CEIL agrees with the integer form for any
+    k < 2^50 (a ULP near an exact square is far smaller than the 1/(2m)
+    gap to the next integer)."""
+    import math
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    kc = max(2, math.isqrt(k - 1) + 1 if k > 1 else 1)
+    kf = -(-k // kc)
+    return kc, kf
+
+
+def _fine_assign_cogroup(
+    pts: DataFrame,
+    fcent: DataFrame,
+    id_col: str,
+    vec_col: str,
+    scale: float,
+    offset: float,
+) -> DataFrame:
+    """Per-cell argmin WITHOUT any driver collect or broadcast: points and
+    their cell's fine centroids meet in the same task via cogroup, so the
+    only thing that moves is one cell's centroid rows (<= kf * D) to the
+    executors that hold that cell's points. This is the piece that removes
+    the K x D driver bottleneck: no single process ever sees more than one
+    cell's centroids.
+
+    Bit-parity with the relational ``long JOIN fcent USING (cell, d)``
+    argmin: identical lattice quantization, integer Gram distances, ties
+    toward the smaller cluster id (centroid matrix sorted ascending,
+    np.argmin takes the first minimum) — the same argument as
+    lattice_assign_arrow.
+
+    100 TB note: one task holds one cell's points (~N/kc rows); the coarse
+    level exists precisely to bound that. A skewed mega-cell is the
+    hierarchical analogue of the LSH mega-bucket — if rehearsals surface
+    one, the fix is a third level inside that cell, not a bigger task."""
+    import pandas as pd
+
+    def fn(key, ppdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {id_col: pd.Series(dtype="int64"), "cell": pd.Series(dtype="int64"),
+             "cluster": pd.Series(dtype="int64"), "dist": pd.Series(dtype="int64")}
+        )
+        if ppdf.empty or cpdf.empty:
+            return empty
+        clusters = np.sort(cpdf["cluster"].unique()).astype(np.int64)
+        dmax = int(cpdf["d"].max())
+        idx = {c: i for i, c in enumerate(clusters)}
+        C = np.zeros((len(clusters), dmax + 1), dtype=np.int64)
+        C[[idx[c] for c in cpdf["cluster"]], cpdf["d"].to_numpy()] = cpdf["ci"].to_numpy()
+        d = C.shape[1]
+        vecs = ppdf[vec_col]
+        ok = vecs.map(lambda v: v is not None and len(v) == d).to_numpy(dtype=bool)
+        ppdf = ppdf[ok]
+        if ppdf.empty:
+            return empty
+        ids = ppdf[id_col].to_numpy()
+        M = np.stack(ppdf[vec_col].to_numpy()).astype(np.float64)
+        X = np.floor((M + offset) * scale).astype(np.int64)
+        cc = np.einsum("kd,kd->k", C, C)
+        xx = np.einsum("bd,bd->b", X, X)
+        dist = xx[:, None] + cc[None, :] - 2 * (X @ C.T)
+        j = np.argmin(dist, axis=1)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cell": np.full(len(ids), int(key[0]), dtype=np.int64),
+                "cluster": clusters[j],
+                "dist": dist[np.arange(len(j)), j],
+            }
+        )
+
+    return pts.groupBy("cell").cogroup(fcent.groupBy("cell")).applyInPandas(
+        fn, schema=f"{id_col} long, cell long, cluster long, dist long"
+    )
+
+
+def kmeans_lattice_twolevel(
+    emb: DataFrame,
+    k: int,
+    iters_coarse: int = 2,
+    iters_fine: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+    offset: float = 8.0,
+    impl: str = "arrow",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Two-level (coarse -> fine) engine-exact lattice k-means — the 100 TB
+    replacement for flat corpus-proportional k (SemDeDup / margin mining,
+    k = N/250): flat training collects and broadcasts ALL K x D centroids
+    per Lloyd round (_collect_centroid_matrix), a driver cost that grows
+    with the corpus. Here the driver only ever holds the kc = ceil(sqrt(k))
+    COARSE centroids; the kc * kf >= k fine centroids live in a distributed
+    table keyed by cell and are trained/assigned via cogroup, so driver and
+    broadcast footprints are O(sqrt(k) * D) at any corpus size.
+
+    Trajectory (all integer-lattice, hence replayable by an unrolled DuckDB
+    oracle bit-for-bit):
+    1. coarse: kmeans_lattice(k=kc, iters_coarse) on the full corpus;
+       final-assign every vector to its coarse ``cell``;
+    2. fine seeds: within each cell, the kf smallest ids' coordinates
+       (cluster id = seed vec_id — globally unique, ties in any argmin
+       break toward the smaller seed id, same convention as flat);
+    3. iters_fine Lloyd rounds restricted to each vector's own cell:
+       assignment never compares across cells (cogroup in arrow mode, a
+       (cell, d)-keyed join in relational mode — N*D*kf rows, certification
+       only); update is one groupBy (cell, cluster, d) integer mean.
+
+    Returns ``(assign, fcent, ccent)``: assign = final-round pre-update
+    (id, cell, cluster, dist); fcent = post-update fine centroids
+    (cell, cluster, d, ci); ccent = coarse centroids (cluster, d, ci).
+    Cells or clusters that lose every member disappear, as in flat."""
+    if impl not in ("arrow", "relational"):
+        raise ValueError(f"impl must be 'arrow' or 'relational', got {impl!r}")
+    kc, kf = twolevel_shape(k)
+    _, ccent = kmeans_lattice(
+        emb, k=kc, iters=iters_coarse, id_col=id_col, vec_col=vec_col,
+        scale=scale, offset=offset, impl=impl,
+    )
+    cells, _ = lattice_final_assign(
+        emb, ccent, id_col=id_col, vec_col=vec_col, scale=scale, offset=offset, impl=impl
+    )
+    cells = cells.select(id_col, F.col("cluster").alias("cell")).localCheckpoint(eager=True)
+    long = embedding_lattice(emb, id_col, vec_col, scale, offset).join(cells, id_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cell").orderBy(F.col(id_col).asc())
+    seeds = (
+        cells.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= kf)
+        .select(id_col)
+    )
+    fcent = (
+        long.join(seeds, id_col)
+        .select("cell", F.col(id_col).cast("long").alias("cluster"), "d", F.col("xi").alias("ci"))
+        .localCheckpoint(eager=True)
+        # fresh attribute ids: fcent and pts both descend from `cells`, and
+        # cogroup would otherwise see the SAME `cell` attribute on both
+        # sides (ambiguous-self-join analyzer error)
+        .toDF("cell", "cluster", "d", "ci")
+    )
+    pts = emb.select(id_col, vec_col).join(cells, id_col) if impl == "arrow" else None
+    assign = None
+    for _ in range(iters_fine):
+        if impl == "arrow":
+            assign = _fine_assign_cogroup(pts, fcent, id_col, vec_col, scale, offset)
+        else:
+            diff = F.col("xi") - F.col("ci")
+            dist = (
+                long.join(fcent, ["cell", "d"])
+                .groupBy(id_col, "cell", "cluster")
+                .agg(F.sum(diff * diff).alias("dist"))
+            )
+            assign = (
+                dist.groupBy(id_col, "cell")
+                .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+                .select(id_col, "cell", F.col("m.cluster").alias("cluster"), F.col("m.dist").alias("dist"))
+            )
+        fcent = (
+            long.join(assign.select(id_col, "cluster"), id_col)
+            .groupBy("cell", "cluster", "d")
+            .agg(F.expr("sum(xi) div count(1)").alias("ci"))
+            .localCheckpoint(eager=True)  # flat lineage across rounds
+            .toDF("cell", "cluster", "d", "ci")  # fresh ids (see seeding note)
+        )
+    return assign, fcent, ccent
+
+
+def twolevel_final_assign(
+    emb: DataFrame,
+    ccent: DataFrame,
+    fcent: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+    offset: float = 8.0,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Assignment of every vector against POST-update two-level centroids
+    (coarse argmin -> fine argmin within the winning cell) — the fassign
+    step a two-level SQL oracle replays, and the serve-path for a persisted
+    centroid artifact (train_or_load_centroids_twolevel): no training, two
+    bounded passes. Returns (id, cell, cluster, dist)."""
+    cells, _ = lattice_final_assign(
+        emb, ccent, id_col=id_col, vec_col=vec_col, scale=scale, offset=offset, impl=impl
+    )
+    cells = cells.select(id_col, F.col("cluster").alias("cell"))
+    if impl == "arrow":
+        pts = emb.select(id_col, vec_col).join(cells, id_col)
+        return _fine_assign_cogroup(pts, fcent, id_col, vec_col, scale, offset)
+    long = embedding_lattice(emb, id_col, vec_col, scale, offset).join(cells, id_col)
+    diff = F.col("xi") - F.col("ci")
+    dist = (
+        long.join(fcent, ["cell", "d"])
+        .groupBy(id_col, "cell", "cluster")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    return (
+        dist.groupBy(id_col, "cell")
+        .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+        .select(id_col, "cell", F.col("m.cluster").alias("cluster"), F.col("m.dist").alias("dist"))
+    )
+
+
+# Above this many clusters, production blocking switches from flat lattice
+# k-means (driver collects K x D per Lloyd round) to the two-level hierarchy
+# (driver bounded at ceil(sqrt(k)) x D). Every gate SF derives k far below
+# this, so the oracle-replayed flat trajectory is untouched; at 100 TB
+# (k = N/250 ~ millions) the two-level path engages automatically.
+TWOLEVEL_THRESHOLD = 4096
+
+
+def lattice_cluster_assign(
+    emb: DataFrame,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+    offset: float = 8.0,
+    twolevel_threshold: int = TWOLEVEL_THRESHOLD,
+) -> DataFrame:
+    """THE production cluster-blocking entry (SemDeDup, margin mining):
+    final-assignment (id, cluster) per vector. k <= twolevel_threshold runs
+    the flat trajectory the DuckDB oracles replay bit-for-bit; above it,
+    the two-level hierarchy keeps the driver at O(sqrt(k) * D) — cluster
+    ids remain globally-unique seed vec_ids in both paths, so downstream
+    blocking semantics (group by cluster, ties toward smaller id) are
+    identical in shape. Correctness of the two-level path is hash-gated at
+    small scale by the forced-two-level queries (kmeans_twolevel_summary,
+    semantic_dedup_twolevel)."""
+    if k <= twolevel_threshold:
+        _, cent = kmeans_lattice(
+            emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale, offset=offset
+        )
+        assign, _ = lattice_final_assign(
+            emb, cent, id_col=id_col, vec_col=vec_col, scale=scale, offset=offset
+        )
+        return assign.select(id_col, "cluster")
+    _, fcent, ccent = kmeans_lattice_twolevel(
+        emb, k, iters_coarse=iters, iters_fine=iters,
+        id_col=id_col, vec_col=vec_col, scale=scale, offset=offset,
+    )
+    return twolevel_final_assign(
+        emb, ccent, fcent, id_col=id_col, vec_col=vec_col, scale=scale, offset=offset
+    ).select(id_col, "cluster")
+
+
+def train_or_load_centroids_twolevel(
+    emb: DataFrame,
+    k: int,
+    path: str,
+    iters_coarse: int = 2,
+    iters_fine: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+    offset: float = 8.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Persisted two-level centroid artifact (same train-once/consume-many
+    TxTable shape as ops.dedup.train_or_load_components): one table holds
+    both levels — level=0 rows are the coarse centroids (cell == cluster),
+    level=1 rows the fine centroids keyed by cell. Returns (ccent, fcent)
+    frames read back FROM the table, so every consumer (assignment, probe
+    selection, SemDeDup prune) shares one committed training run instead of
+    re-paying iters_coarse + iters_fine Lloyd rounds. Concurrent builders
+    are safe via train_or_load_table's idempotent CAS commit."""
+    from apollo_spark.table_format import train_or_load_table
+
+    spark = emb.sparkSession
+
+    def build() -> DataFrame:
+        _, fcent, ccent = kmeans_lattice_twolevel(
+            emb, k, iters_coarse, iters_fine, id_col, vec_col, scale, offset
+        )
+        coarse = ccent.select(
+            F.lit(0).alias("level"), F.col("cluster").alias("cell"),
+            "cluster", "d", "ci",
+        )
+        fine = fcent.select(F.lit(1).alias("level"), "cell", "cluster", "d", "ci")
+        return coarse.unionByName(fine)
+
+    t = train_or_load_table(spark, path, build)
+    ccent = t.filter(F.col("level") == 0).select("cluster", "d", "ci")
+    fcent = t.filter(F.col("level") == 1).select("cell", "cluster", "d", "ci")
+    return ccent, fcent
+
+
 def kcenter_select(
     emb: DataFrame,
     k: int = 8,
@@ -444,11 +739,16 @@ def _kcenter_round(ev: DataFrame, ids: list[int]) -> DataFrame:
 __all__ = [
     "embedding_lattice",
     "kmeans_lattice",
+    "kmeans_lattice_twolevel",
     "kmeans_summary",
+    "lattice_cluster_assign",
     "lattice_final_assign",
     "kcenter_select",
     "pq_codes",
     "pq_adc_topk",
+    "train_or_load_centroids_twolevel",
+    "twolevel_final_assign",
+    "twolevel_shape",
 ]
 
 

@@ -1050,10 +1050,12 @@ def margin_mined_pairs(
     summation-order-free; every ranking tie breaks toward the smaller id.
     """
     from apollo_spark.ops.cache import scoped_persist
-    from apollo_spark.ops.clustering import kmeans_lattice, lattice_final_assign
+    from apollo_spark.ops.clustering import lattice_cluster_assign
 
-    _, cent = kmeans_lattice(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    assign, _ = lattice_final_assign(emb, cent, id_col=id_col, vec_col=vec_col)
+    # flat lattice trajectory below the auto-switch threshold (the bits this
+    # op's oracle replays); two-level hierarchy above it so driver/broadcast
+    # footprints stay O(sqrt(k) * D) at corpus-proportional k
+    assign = lattice_cluster_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     ev = emb.select(
         F.col(id_col), F.transform(vec_col, lambda x: x.cast("double")).alias("v")
     )

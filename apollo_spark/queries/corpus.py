@@ -1182,12 +1182,14 @@ def semantic_dedup_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SEMDEDUP_K_SQL), so both cluster assignment and every cosine comparison
     still replay bit-for-bit in DuckDB at ANY scale factor (sequential
     left-to-right double folds on both engines)."""
-    from apollo_spark.ops.clustering import kmeans_lattice, lattice_final_assign
+    from apollo_spark.ops.clustering import lattice_cluster_assign
 
     e = _t(spark, sf_dir, "embeddings")
     k = semdedup_k(e.count())
-    _, cent = kmeans_lattice(e, k=k, iters=2)
-    assign, _ = lattice_final_assign(e, cent)
+    # production entry: flat trajectory below the auto-switch threshold
+    # (this oracle's bits), two-level above it (driver stays O(sqrt(k)*D);
+    # that path is hash-certified by semantic_dedup_twolevel)
+    assign = lattice_cluster_assign(e, k=k, iters=2)
     ev = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     a = assign.join(ev, "vec_id")
     # within-cluster x_id < y_id scoring via applyInPandas (chunked numpy
@@ -1239,3 +1241,201 @@ ORDER BY vec_id"""
 ORACLE_SEMANTIC_LATTICE = _semantic_lattice_oracle(k=SEMDEDUP_K_SQL, iters=2, threshold=0.35)
 
 
+
+
+# ---------------------------------------------------------------------------
+# two-level (coarse -> fine) lattice k-means — round 8: the 100 TB path that
+# removes the K x D driver collect/broadcast of flat corpus-proportional k
+# (ops/clustering.py::kmeans_lattice_twolevel). Gate queries FORCE the
+# two-level trajectory at small scale so the production auto-switch
+# (lattice_cluster_assign, threshold 4096) is hash-certified end to end.
+# ---------------------------------------------------------------------------
+
+
+def _twolevel_ctes(kc: int | str, kf: int | str, iters_c: int, iters_f: int) -> list[str]:
+    """Unrolled two-level lattice-k-means CTEs, mirroring
+    kmeans_lattice_twolevel + twolevel_final_assign exactly:
+    coarse rounds (the flat _lattice_common_ctes recurrence with k = kc) ->
+    coarse final assignment = each vector's ``cell`` -> fine seeds = the
+    ``kf`` smallest vec_ids per cell (cluster id = seed vec_id) -> fine
+    Lloyd rounds restricted to the vector's own cell (joins carry the cell
+    key) -> fine final assignment ``ffassign``. All integer lattice
+    arithmetic, so every step is bit-identical across engines. ``kc``/``kf``
+    may be int literals or SQL scalar subqueries (corpus-derived shapes)."""
+    ctes = _lattice_common_ctes(kc, iters_c)
+    # _lattice_common_ctes ends with fdist/fassign against the post-update
+    # coarse centroids: fassign IS the cell assignment.
+    ctes.append("""cells AS (SELECT vec_id, cluster AS cell FROM fassign)""")
+    ctes.append(
+        """longc AS (SELECT l.vec_id, c.cell, l.d, l.xi FROM long l JOIN cells c USING (vec_id))"""
+    )
+    ctes.append(
+        f"""seeds AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id ASC) AS rn
+    FROM cells) WHERE rn <= {kf}
+)"""
+    )
+    ctes.append(
+        """f0 AS (
+  SELECT l.cell, CAST(l.vec_id AS BIGINT) AS cluster, l.d, l.xi AS ci
+  FROM longc l JOIN seeds s USING (vec_id)
+)"""
+    )
+    prev = "f0"
+    for it in range(1, iters_f + 1):
+        ctes.append(
+            f"""fa{it} AS (
+  SELECT vec_id, cell, cluster, dist FROM (
+    SELECT l.vec_id, l.cell, c.cluster, SUM((l.xi - c.ci) * (l.xi - c.ci)) AS dist,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+                              ORDER BY SUM((l.xi - c.ci) * (l.xi - c.ci)) ASC, c.cluster ASC) AS rn
+    FROM longc l JOIN {prev} c ON l.cell = c.cell AND l.d = c.d
+    GROUP BY l.vec_id, l.cell, c.cluster)
+  WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""f{it} AS (
+  SELECT a.cell, a.cluster, l.d, SUM(l.xi) // COUNT(*) AS ci
+  FROM longc l JOIN fa{it} a USING (vec_id)
+  GROUP BY a.cell, a.cluster, l.d
+)"""
+        )
+        prev = f"f{it}"
+    ctes.append(
+        f"""ffdist AS (
+  SELECT l.vec_id, l.cell, c.cluster, SUM((l.xi - c.ci) * (l.xi - c.ci)) AS dist
+  FROM longc l JOIN {prev} c ON l.cell = c.cell AND l.d = c.d
+  GROUP BY l.vec_id, l.cell, c.cluster
+)"""
+    )
+    ctes.append(
+        """ffassign AS (
+  SELECT vec_id, cell, cluster, dist FROM (
+    SELECT vec_id, cell, cluster, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+    FROM ffdist) WHERE rn = 1
+)"""
+    )
+    return ctes
+
+
+def kmeans_twolevel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated certification of the two-level path: k=9 (-> kc=3 coarse
+    cells, kf=3 fine clusters per cell), 2+2 Lloyd rounds, FORCED two-level
+    (the production auto-switch would run flat at this k). Output is the
+    per-fine-cluster view of the final assignment — cell, cluster, member
+    count, exact integer within-cluster sum of squares — so cells, seeds,
+    every fine round, and the final argmin must all replay bit-for-bit in
+    the unrolled DuckDB oracle for the hash to match."""
+    from apollo_spark.ops.clustering import kmeans_lattice_twolevel, twolevel_final_assign
+
+    e = _t(spark, sf_dir, "embeddings")
+    _, fcent, ccent = kmeans_lattice_twolevel(e, k=9, iters_coarse=2, iters_fine=2)
+    fin = twolevel_final_assign(e, ccent, fcent)
+    return (
+        fin.groupBy("cell", "cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.sum("dist").alias("wcss"))
+        .orderBy("cell", "cluster")
+    )
+
+
+def _twolevel_summary_oracle(kc: int, kf: int, iters_c: int, iters_f: int) -> str:
+    ctes = _twolevel_ctes(kc, kf, iters_c, iters_f)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT cell, cluster, CAST(COUNT(*) AS BIGINT) AS n_members, SUM(dist) AS wcss
+FROM ffassign GROUP BY cell, cluster ORDER BY cell, cluster"""
+    )
+
+
+ORACLE_KMEANS_TWOLEVEL = _twolevel_summary_oracle(kc=3, kf=3, iters_c=2, iters_f=2)
+
+
+# The two-level shape the engine derives (ops/clustering.py::twolevel_shape)
+# from the SAME corpus-proportional k as flat SemDeDup, as SQL scalars: IEEE
+# sqrt is correctly rounded, so CEIL(SQRT(k)) == isqrt(k-1)+1 for any
+# realistic k (documented in twolevel_shape).
+TWOLEVEL_KC_SQL = f"(SELECT GREATEST(2, CAST(CEIL(SQRT(k)) AS BIGINT)) FROM (SELECT {SEMDEDUP_K_SQL} AS k))"
+TWOLEVEL_KF_SQL = (
+    f"(SELECT CAST(CEIL(k / CAST(GREATEST(2, CAST(CEIL(SQRT(k)) AS BIGINT)) AS DOUBLE)) AS BIGINT) "
+    f"FROM (SELECT {SEMDEDUP_K_SQL} AS k))"
+)
+
+
+def semantic_dedup_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup routed through the TWO-LEVEL hierarchy end to end — the
+    exact plan a 100 TB corpus runs when corpus-proportional k crosses the
+    auto-switch threshold, certified here at gate scale by forcing the
+    switch (twolevel_threshold=0). Same prune rule as
+    semantic_dedup_lattice (drop v iff a lower-id vector in its FINE
+    cluster has cosine >= 0.35); blocking granularity differs (kc*kf >= k
+    seed-capped cells), so the kept set is its own oracle-replayed answer,
+    not a copy of the flat query's.
+
+    With APOLLO_SPARK_ARTIFACT_DIR set, the two-level centroids are trained
+    ONCE and persisted as a TxTable
+    (ops.clustering.train_or_load_centroids_twolevel) — later consumers pay
+    only the two assignment passes. Training is deterministic, so the
+    artifact path yields the same bits and the oracle hash is unchanged."""
+    import os as _os
+
+    from apollo_spark.ops.clustering import (
+        kmeans_lattice_twolevel,
+        lattice_cluster_assign,
+        train_or_load_centroids_twolevel,
+        twolevel_final_assign,
+    )
+    from apollo_spark.ops.similarity import cluster_pairwise_cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    k = semdedup_k(e.count())
+    art = _os.environ.get("APOLLO_SPARK_ARTIFACT_DIR")
+    if art:
+        tag = sf_dir.strip("/").replace("/", "_")
+        ccent, fcent = train_or_load_centroids_twolevel(
+            e, k, path=f"{art}/twolevel_centroids_{tag}_k{k}"
+        )
+        assign = twolevel_final_assign(e, ccent, fcent).select("vec_id", "cluster")
+    else:
+        assign = lattice_cluster_assign(e, k=k, iters=2, twolevel_threshold=0)
+    ev = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    a = assign.join(ev, "vec_id")
+    dropped = (
+        cluster_pairwise_cosine(a, mode="lt")
+        .filter(F.col("score") >= F.lit(0.35))
+        .select(F.col("y_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assign.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", "cluster")
+        .orderBy("vec_id")
+    )
+
+
+def _semantic_twolevel_oracle(threshold: float) -> str:
+    ctes = _twolevel_ctes(TWOLEVEL_KC_SQL, TWOLEVEL_KF_SQL, iters_c=2, iters_f=2)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+av AS (
+  SELECT a.vec_id, a.cluster, e.v FROM ffassign a JOIN e USING (vec_id)
+)
+SELECT y.vec_id, y.cluster
+FROM av y
+WHERE NOT EXISTS (
+  SELECT 1 FROM av x
+  WHERE x.cluster = y.cluster AND x.vec_id < y.vec_id
+    AND list_dot_product(x.v, y.v)
+        / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= {threshold}
+)
+ORDER BY vec_id"""
+    )
+
+
+ORACLE_SEMANTIC_TWOLEVEL = _semantic_twolevel_oracle(threshold=0.35)

@@ -1147,6 +1147,101 @@ def test_lattice_assign_arrow_tie_breaks_to_smaller_cluster(spark):
     assert {r["cluster"] for r in out} == {3}
 
 
+def test_twolevel_shape_matches_sql_form():
+    """twolevel_shape's integer kc must equal the SQL GREATEST(2, CEIL(SQRT(k)))
+    the oracle derives, and kc * kf must cover k."""
+    import math
+
+    from apollo_spark.ops.clustering import twolevel_shape
+
+    for k in list(range(1, 200)) + [4096, 4097, 65536, 10**9]:
+        kc, kf = twolevel_shape(k)
+        assert kc == max(2, math.ceil(math.sqrt(k))), k
+        assert kc * kf >= k, k
+        assert kf == math.ceil(k / kc), k
+
+
+def test_kmeans_twolevel_arrow_equals_relational(spark, emb):
+    """The cogroup Arrow fine path (no driver collect, no broadcast) must be
+    BIT-IDENTICAL to the relational (cell, d)-keyed join twin the two-level
+    SQL oracles mirror — assignments, post-update fine centroids, and the
+    final coarse->fine assignment."""
+    from apollo_spark.ops.clustering import kmeans_lattice_twolevel, twolevel_final_assign
+
+    a_assign, a_fc, a_cc = kmeans_lattice_twolevel(emb, k=7, iters_coarse=2, iters_fine=2, impl="arrow")
+    r_assign, r_fc, r_cc = kmeans_lattice_twolevel(emb, k=7, iters_coarse=2, iters_fine=2, impl="relational")
+    for a, r in ((a_assign, r_assign), (a_fc, r_fc), (a_cc, r_cc)):
+        assert a.exceptAll(r).count() == 0
+        assert r.exceptAll(a).count() == 0
+    fa = twolevel_final_assign(emb, a_cc, a_fc, impl="arrow")
+    fr = twolevel_final_assign(emb, r_cc, r_fc, impl="relational")
+    assert fa.exceptAll(fr).count() == 0
+    assert fr.exceptAll(fa).count() == 0
+
+
+def test_kmeans_twolevel_partition_of_corpus(spark, emb):
+    """Every vector lands in exactly one fine cluster; each fine cluster's
+    members share its cell; cluster count is capped by kc * kf."""
+    from apollo_spark.ops.clustering import kmeans_lattice_twolevel, twolevel_final_assign, twolevel_shape
+
+    n = emb.count()
+    k = 9
+    kc, kf = twolevel_shape(k)
+    _, fc, cc = kmeans_lattice_twolevel(emb, k=k)
+    fin = twolevel_final_assign(emb, cc, fc)
+    rows = fin.collect()
+    assert len(rows) == n
+    assert len({r["vec_id"] for r in rows}) == n
+    cl2cell = {}
+    for r in rows:
+        assert cl2cell.setdefault(r["cluster"], r["cell"]) == r["cell"]
+    assert len(cl2cell) <= kc * kf
+    assert len({r["cell"] for r in rows}) <= kc
+
+
+def test_lattice_cluster_assign_routes_by_threshold(spark, emb):
+    """Below the threshold the production entry reproduces the flat
+    trajectory (the oracles' bits); forcing two-level reproduces
+    twolevel_final_assign. Both return (id, cluster)."""
+    from apollo_spark.ops.clustering import (
+        kmeans_lattice,
+        kmeans_lattice_twolevel,
+        lattice_cluster_assign,
+        lattice_final_assign,
+        twolevel_final_assign,
+    )
+
+    flat = lattice_cluster_assign(emb, k=7, iters=2)
+    _, cent = kmeans_lattice(emb, k=7, iters=2)
+    ref, _ = lattice_final_assign(emb, cent)
+    assert flat.exceptAll(ref.select("vec_id", "cluster")).count() == 0
+    assert ref.select("vec_id", "cluster").exceptAll(flat).count() == 0
+
+    two = lattice_cluster_assign(emb, k=7, iters=2, twolevel_threshold=0)
+    _, fc, cc = kmeans_lattice_twolevel(emb, k=7, iters_coarse=2, iters_fine=2)
+    ref2 = twolevel_final_assign(emb, cc, fc).select("vec_id", "cluster")
+    assert two.exceptAll(ref2).count() == 0
+    assert ref2.exceptAll(two).count() == 0
+
+
+def test_train_or_load_centroids_twolevel_artifact(spark, emb, tmp_path):
+    """The persisted centroid artifact round-trips: first call trains and
+    commits, second call loads the SAME centroids without retraining (bit
+    equality), and both levels are present."""
+    from apollo_spark.ops.clustering import (
+        kmeans_lattice_twolevel,
+        train_or_load_centroids_twolevel,
+    )
+
+    path = str(tmp_path / "cents")
+    cc1, fc1 = train_or_load_centroids_twolevel(emb, k=7, path=path)
+    cc2, fc2 = train_or_load_centroids_twolevel(emb, k=7, path=path)
+    assert cc1.exceptAll(cc2).count() == 0 and fc1.exceptAll(fc2).count() == 0
+    _, fc_ref, cc_ref = kmeans_lattice_twolevel(emb, k=7)
+    assert cc1.exceptAll(cc_ref).count() == 0 and cc_ref.exceptAll(cc1).count() == 0
+    assert fc1.exceptAll(fc_ref).count() == 0 and fc_ref.exceptAll(fc1).count() == 0
+
+
 def test_triangle_count_matches_bruteforce(spark):
     """Degree-ordered orientation vs itertools brute force on a seeded
     random graph (plus messy input: duplicates, reversed edges, self-loops)."""
