@@ -1427,7 +1427,11 @@ def _mh_consts(i: int) -> tuple[int, int, int]:
 
 
 def _minhash_band_candidates(
-    base: DataFrame, num_hashes: int, bands: int, max_bucket: int | None = None
+    base: DataFrame,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int | None = None,
+    max_bucket_mode: str = "reband",
 ) -> tuple[DataFrame, DataFrame]:
     """Banded MinHash candidate pairs over ``base`` = (id, sh) with the
     portable hash family: 60-bit md5 shingle hash, 2-universal modular
@@ -1437,18 +1441,36 @@ def _minhash_band_candidates(
     minhash_portable_pairs (verify-and-emit) and lsh_blocking_metrics
     (blocking-quality evaluation of the raw candidate set).
 
-    ``max_bucket``: drop band buckets holding more than this many docs
-    BEFORE the self-join — the production guard against LSH's mega-bucket
-    pathology. Measured on the sf10 stress corpus (round 7): a structural
-    boilerplate trigram ("query data data"-style repeated-word shingles,
-    exactly what web boilerplate produces at 100 TB) is the argmin of
-    every doc containing it at r=2, so its bucket grows WITH THE CORPUS
-    and candidates go quadratic — 1.46M -> 13.1M -> 145M at sf1/sf3/sf10
-    uncapped (11.4 GB spill), linear again with a cap. A mega-bucket's
-    pairs are the blocker's least informative (collision driven by one
-    shared boilerplate shingle, not broad similarity), so the recall cost
-    is small and MEASURED: lsh_blocking_quality reports PC for the capped
-    configuration. ``None`` keeps the raw candidate set."""
+    ``max_bucket``: band buckets holding more than this many docs are
+    pulled out of the coarse self-join BEFORE it runs — the production
+    guard against LSH's mega-bucket pathology. Measured on the sf10 stress
+    corpus (round 7): a structural boilerplate trigram ("query data
+    data"-style repeated-word shingles, exactly what web boilerplate
+    produces at 100 TB) is the argmin of every doc containing it at r=2,
+    so its bucket grows WITH THE CORPUS and candidates go quadratic —
+    1.46M -> 13.1M -> 145M at sf1/sf3/sf10 uncapped (11.4 GB spill),
+    linear again with a cap. ``None`` keeps the raw candidate set.
+
+    ``max_bucket_mode`` picks what happens to over-cap bucket MEMBERS
+    (round 8):
+
+    * ``"reband"`` (default): members are re-keyed with a FINER banding —
+      row count doubled (r=2 -> r=4), band count halved, same slots, a
+      distinct 'R|'-prefixed key space — and self-joined among themselves.
+      Doubling r squares the per-band collision probability (s^2 -> s^4 on
+      the S-curve), so a bucket glued together by ONE shared boilerplate
+      argmin splits apart, while genuinely-similar pairs (high Jaccard,
+      agreeing on most slots) still collide in some refined band: recall
+      is preserved instead of dropped, at the cost of one extra bounded
+      self-join over only the hot membership. The refined join is left
+      uncapped on purpose — agreeing on 4 consecutive slots under
+      boilerplate alone was measured flat (non-quadratic) through sf10.
+    * ``"drop"``: the round-7 behavior — hot buckets vanish and their
+      exclusive pairs are lost; the cheap opt-in when recall inside
+      boilerplate clusters is explicitly not wanted.
+
+    Either way the recall cost/benefit is MEASURED, not assumed:
+    lsh_blocking_quality reports PC for the production configuration."""
     from apollo_spark.ops.sketch import portable_hash60
 
     rows = num_hashes // bands
@@ -1477,24 +1499,64 @@ def _minhash_band_candidates(
         for b in range(bands)
     ]
     banded = sig.select("id", F.explode(F.array(*band_keys)).alias("bkey"))
+    refined = None
     if max_bucket is not None:
+        if max_bucket_mode not in ("reband", "drop"):
+            raise ValueError(f"max_bucket_mode must be 'reband' or 'drop', got {max_bucket_mode!r}")
         # hot buckets are FEW by construction (each needs > max_bucket
-        # members), so the drop rides a broadcast anti-join
+        # members), so both the drop and the membership probe ride a
+        # broadcast
         hot = (
             banded.groupBy("bkey")
             .agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") > int(max_bucket))
             .select("bkey")
         )
+        if max_bucket_mode == "reband":
+            rows2 = rows * 2
+            if num_hashes % rows2 != 0:
+                raise ValueError(
+                    f"reband needs num_hashes % {rows2} == 0 (doubled row count); "
+                    f"got num_hashes={num_hashes}, rows={rows}"
+                )
+            hot_ids = (
+                banded.join(F.broadcast(hot), "bkey", "left_semi").select("id").distinct()
+            )
+            refined_keys = [
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.lit("R"),
+                                F.lit(b),
+                                *[F.col(f"m{b * rows2 + j}") for j in range(rows2)],
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                for b in range(num_hashes // rows2)
+            ]
+            refined = sig.join(hot_ids, "id", "left_semi").select(
+                "id", F.explode(F.array(*refined_keys)).alias("bkey")
+            )
         banded = banded.join(F.broadcast(hot), "bkey", "left_anti")
-    left = banded.select(F.col("id").alias("id_a"), F.col("bkey").alias("ka"))
-    right = banded.select(F.col("id").alias("id_b"), F.col("bkey").alias("kb"))
-    cand = (
-        left.join(right, (left["ka"] == right["kb"]) & (left["id_a"] < right["id_b"]))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return cand, sig
+
+    def _pairs(frame: DataFrame) -> DataFrame:
+        left = frame.select(F.col("id").alias("id_a"), F.col("bkey").alias("ka"))
+        right = frame.select(F.col("id").alias("id_b"), F.col("bkey").alias("kb"))
+        return left.join(
+            right, (left["ka"] == right["kb"]) & (left["id_a"] < right["id_b"])
+        ).select("id_a", "id_b")
+
+    cand = _pairs(banded)
+    if refined is not None:
+        cand = cand.unionByName(_pairs(refined))
+    return cand.dropDuplicates(["id_a", "id_b"]), sig
 
 
 def minhash_portable_pairs(
@@ -1506,11 +1568,14 @@ def minhash_portable_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    max_bucket_mode: str = "reband",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with a fully SQL-replayable hash family.
-    ``max_bucket`` drops mega band buckets before the self-join (see
+    ``max_bucket`` pulls mega band buckets out of the coarse self-join (see
     _minhash_band_candidates — the production guard for boilerplate-driven
-    quadratic buckets at r=2; None preserves the certified raw set).
+    quadratic buckets at r=2; None preserves the certified raw set);
+    ``max_bucket_mode="reband"`` re-keys their members with a finer r
+    (recall-preserving), ``"drop"`` discards them (round-7 behavior).
 
     Shingle hash = 60-bit md5 prefix; slot i = min over shingles of the
     2-universal mix with _mh_consts(i); band key = md5 prefix of the
@@ -1522,7 +1587,7 @@ def minhash_portable_pairs(
         .filter(F.size("sh") > 0)
         .persist()
     )
-    cand, sig = _minhash_band_candidates(base, num_hashes, bands, max_bucket)
+    cand, sig = _minhash_band_candidates(base, num_hashes, bands, max_bucket, max_bucket_mode)
     sh_map = base.select("id", "sh")
     cand = cand.join(
         sh_map.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
@@ -1640,6 +1705,7 @@ def lsh_blocking_metrics(
     truth_threshold: float = 0.2,
     max_df_frac: float | None = 0.04,
     max_bucket: int | None = None,
+    max_bucket_mode: str = "reband",
 ) -> DataFrame:
     """Blocking-quality evaluation of the MinHash-LSH candidate generator —
     the record-linkage literature's two standard numbers (Christen 2012):
@@ -1671,7 +1737,7 @@ def lsh_blocking_metrics(
         .filter(F.size("sh") > 0)
         .persist()
     )
-    cand, sig = _minhash_band_candidates(base, num_hashes, bands, max_bucket)
+    cand, sig = _minhash_band_candidates(base, num_hashes, bands, max_bucket, max_bucket_mode)
     cand = cand.persist()
     tp = ngram_jaccard_pairs(
         df, id_col=id_col, text_col=text_col, n=truth_n,

@@ -658,16 +658,21 @@ def lsh_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket grows with the corpus: candidates 1.46M/13.1M/145M at
     sf1/sf3/sf10, 11.4 GB spill, 337 s) — the exact mega-bucket pathology
     web boilerplate produces at 100 TB. The evaluated configuration is
-    therefore the CAPPED blocker, the one a production pipeline would run;
-    the PC this query reports prices the cap's recall cost honestly
-    (mega-bucket pairs collide on one shared boilerplate shingle, not
-    broad similarity)."""
+    therefore the GUARDED blocker, the one a production pipeline would
+    run. Round 8 upgraded the guard from drop to RE-BAND
+    (max_bucket_mode="reband", _minhash_band_candidates): over-cap bucket
+    members are re-keyed at doubled r and self-joined among themselves, so
+    pairs glued by one boilerplate argmin split apart while
+    broadly-similar pairs still collide — recall preserved instead of
+    dropped, candidates still linear. The PC this query reports prices the
+    production geometry honestly."""
     from apollo_spark.ops.dedup import lsh_blocking_metrics
 
     d = _t(spark, sf_dir, "documents")
     m = lsh_blocking_metrics(
         d, block_n=3, truth_n=2, num_hashes=32, bands=16,
         truth_threshold=0.2, max_df_frac=0.04, max_bucket=64,
+        max_bucket_mode="reband",
     )
     res = m.select(
         "n_docs",
@@ -691,11 +696,15 @@ def _blocking_quality_oracle(
     truth_threshold: float = 0.2,
     max_df_frac: float = 0.04,
     max_bucket: int | None = None,
+    max_bucket_mode: str = "reband",
 ) -> str:
     """Mirror of lsh_blocking_quality: the portable-MinHash banding CTEs
     (m-prefixed, same family as ORACLE_MINHASH_PORTABLE) + the df-capped
     exact-Jaccard truth CTEs (t-prefixed, same pipeline as
-    ORACLE_NGRAM_JACCARD_CAPPED) + four scalar counts."""
+    ORACLE_NGRAM_JACCARD_CAPPED) + four scalar counts. With
+    ``max_bucket_mode="reband"`` the over-cap bucket members are re-keyed
+    with the doubled-r 'R|'-prefixed banding and self-joined among
+    themselves, exactly as _minhash_band_candidates does."""
     from apollo_spark.ops.dedup import _mh_consts
 
     rows = num_hashes // bands
@@ -709,6 +718,34 @@ def _blocking_quality_oracle(
         )
         for b in range(bands)
     )
+    reband = max_bucket is not None and max_bucket_mode == "reband"
+    reband_ctes = ""
+    cand_body = """
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mbands a JOIN mbands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id"""
+    if reband:
+        rows2 = rows * 2
+        rband_rows = "\n  UNION ALL\n  ".join(
+            "SELECT doc_id, ('0x' || substr(md5(concat_ws('|', 'R', {b}, {cols})), 1, 15))::BIGINT AS bkey "
+            "FROM msig JOIN mhotids USING (doc_id)".format(
+                b=b, cols=", ".join(f"m{b * rows2 + j}" for j in range(rows2))
+            )
+            for b in range(num_hashes // rows2)
+        )
+        reband_ctes = f""",
+mhot AS (SELECT bkey FROM mbcnt WHERE c > {int(max_bucket)}),
+mhotids AS (SELECT DISTINCT doc_id FROM mbands0 JOIN mhot USING (bkey)),
+mrbands AS (
+  {rband_rows}
+)"""
+        cand_body = """
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM mbands a JOIN mbands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM mrbands a JOIN mrbands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+  )"""
     return rf"""
 WITH mt AS (
   SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
@@ -735,10 +772,8 @@ mbcnt AS (SELECT bkey, COUNT(*) AS c FROM mbands0 GROUP BY bkey),
 mbands AS (
   SELECT mb.doc_id, mb.bkey FROM mbands0 mb JOIN mbcnt USING (bkey)
   WHERE {f"c <= {int(max_bucket)}" if max_bucket is not None else "TRUE"}
-),
-mcand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM mbands a JOIN mbands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+){reband_ctes},
+mcand AS ({cand_body}
 ),
 td0 AS (
   SELECT doc_id,
@@ -790,7 +825,7 @@ FROM nd, nt, nc, ng
 
 
 ORACLE_BLOCKING_QUALITY = _blocking_quality_oracle(
-    block_n=3, truth_n=2, truth_threshold=0.2, max_bucket=64
+    block_n=3, truth_n=2, truth_threshold=0.2, max_bucket=64, max_bucket_mode="reband"
 )
 
 
