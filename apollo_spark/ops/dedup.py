@@ -1454,17 +1454,26 @@ def _minhash_band_candidates(
     ``max_bucket_mode`` picks what happens to over-cap bucket MEMBERS
     (round 8):
 
-    * ``"reband"`` (default): members are re-keyed with a FINER banding —
-      row count doubled (r=2 -> r=4), band count halved, same slots, a
-      distinct 'R|'-prefixed key space — and self-joined among themselves.
-      Doubling r squares the per-band collision probability (s^2 -> s^4 on
-      the S-curve), so a bucket glued together by ONE shared boilerplate
-      argmin splits apart, while genuinely-similar pairs (high Jaccard,
-      agreeing on most slots) still collide in some refined band: recall
-      is preserved instead of dropped, at the cost of one extra bounded
-      self-join over only the hot membership. The refined join is left
-      uncapped on purpose — agreeing on 4 consecutive slots under
-      boilerplate alone was measured flat (non-quadratic) through sf10.
+    * ``"reband"`` (default): a RECURSIVE banding ladder. Members of
+      over-cap buckets descend one level with doubled row count (r=2 -> 4
+      -> 8 -> ... up to the whole signature), each level under a distinct
+      'R{level}|' key prefix; every bucket that falls under the cap at some
+      level is fully self-joined there. Doubling r squares the per-band
+      collision probability (s^2 -> s^4 on the S-curve), so buckets glued
+      together by ONE shared boilerplate argmin split within a level or
+      two, while genuinely-similar pairs (agreeing on long slot runs) keep
+      full pairing. At the FLOOR — one band spanning all ``num_hashes``
+      slots — a bucket still over the cap holds signature-identical docs,
+      a bona-fide near-dup clique (the round-8 skew rehearsal planted one
+      via a boilerplate line in 10% of docs and measured the single-level
+      full refined join going 6.4x at 3x data); a clique's pairs are
+      redundant for what dedup consumes — connectivity — so its members
+      are STAR-LINKED through the bucket's min id. Invariants: no hot
+      bucket's members are ever silently separated, and candidate count is
+      <= cap * (total banded rows across levels) + one star edge per floor
+      membership — linear in the corpus. Each level's keyed frame is
+      localCheckpoint'ed: levels shrink geometrically and the cut stops a
+      ~5x-per-level lineage-recompute fan-out (303 s -> ~30 s at sf1).
     * ``"drop"``: the round-7 behavior — hot buckets vanish and their
       exclusive pairs are lost; the cheap opt-in when recall inside
       boilerplate clusters is explicitly not wanted.
@@ -1499,52 +1508,6 @@ def _minhash_band_candidates(
         for b in range(bands)
     ]
     banded = sig.select("id", F.explode(F.array(*band_keys)).alias("bkey"))
-    refined = None
-    if max_bucket is not None:
-        if max_bucket_mode not in ("reband", "drop"):
-            raise ValueError(f"max_bucket_mode must be 'reband' or 'drop', got {max_bucket_mode!r}")
-        # hot buckets are FEW by construction (each needs > max_bucket
-        # members), so both the drop and the membership probe ride a
-        # broadcast
-        hot = (
-            banded.groupBy("bkey")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > int(max_bucket))
-            .select("bkey")
-        )
-        if max_bucket_mode == "reband":
-            rows2 = rows * 2
-            if num_hashes % rows2 != 0:
-                raise ValueError(
-                    f"reband needs num_hashes % {rows2} == 0 (doubled row count); "
-                    f"got num_hashes={num_hashes}, rows={rows}"
-                )
-            hot_ids = (
-                banded.join(F.broadcast(hot), "bkey", "left_semi").select("id").distinct()
-            )
-            refined_keys = [
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                F.lit("R"),
-                                F.lit(b),
-                                *[F.col(f"m{b * rows2 + j}") for j in range(rows2)],
-                            )
-                        ),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                for b in range(num_hashes // rows2)
-            ]
-            refined = sig.join(hot_ids, "id", "left_semi").select(
-                "id", F.explode(F.array(*refined_keys)).alias("bkey")
-            )
-        banded = banded.join(F.broadcast(hot), "bkey", "left_anti")
 
     def _pairs(frame: DataFrame) -> DataFrame:
         left = frame.select(F.col("id").alias("id_a"), F.col("bkey").alias("ka"))
@@ -1553,9 +1516,92 @@ def _minhash_band_candidates(
             right, (left["ka"] == right["kb"]) & (left["id_a"] < right["id_b"])
         ).select("id_a", "id_b")
 
-    cand = _pairs(banded)
-    if refined is not None:
-        cand = cand.unionByName(_pairs(refined))
+    if max_bucket is None:
+        return _pairs(banded).dropDuplicates(["id_a", "id_b"]), sig
+    if max_bucket_mode not in ("reband", "drop"):
+        raise ValueError(f"max_bucket_mode must be 'reband' or 'drop', got {max_bucket_mode!r}")
+
+    def _split(frame: DataFrame, cap: int) -> tuple[DataFrame, DataFrame]:
+        # hot keys are FEW by construction (each needs > cap members
+        # agreeing on this level's slot run) -> broadcast both probes
+        hotk = (
+            frame.groupBy("bkey")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > int(cap))
+            .select("bkey")
+        )
+        return (
+            frame.join(F.broadcast(hotk), "bkey", "left_anti"),
+            frame.join(F.broadcast(hotk), "bkey", "left_semi"),
+        )
+
+    def _star(frame: DataFrame) -> DataFrame:
+        hub = frame.groupBy("bkey").agg(F.min("id").alias("id_a"))
+        return (
+            frame.join(hub, "bkey")
+            .filter(F.col("id") != F.col("id_a"))
+            .select("id_a", F.col("id").alias("id_b"))
+        )
+
+    cold, hot = _split(banded, max_bucket)
+    cand = _pairs(cold)
+    if max_bucket_mode == "reband":
+        # recursive banding ladder. Two mechanisms per level:
+        # * STAR every hot bucket through its min id (one candidate edge
+        #   per membership row — linear): the CONNECTIVITY guarantee. A
+        #   descending member can land only in singleton refined buckets
+        #   (its unique shingles win some slot in every window) — without
+        #   the per-level star it would silently separate from bucket
+        #   mates it genuinely near-duplicates (the first ladder draft
+        #   did exactly that; pinned by the connectivity test).
+        # * DESCEND members one level with DOUBLED row count (r -> 2r:
+        #   per-band collision prob squares) and a geometrically-RELAXED
+        #   cap (4^level: selectivity squares while the allowance only
+        #   quadruples, so the per-level pair bound rows_l * cap_l grows
+        #   2^l over <= log2(num_hashes/rows) levels — linear in N):
+        #   full PAIR recovery for genuinely-similar sub-groups.
+        # At the floor (one band = whole signature) hot buckets are
+        # signature-identical cliques; their star is the last one emitted.
+        level, r_cur = 0, rows
+        while True:
+            cand = cand.unionByName(_star(hot))
+            r_next = r_cur * 2
+            if r_cur >= num_hashes or num_hashes % r_next != 0:
+                break
+            level += 1
+            members = hot.select("id").distinct()
+            keys = [
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.lit(f"R{level}"),
+                                F.lit(b),
+                                *[F.col(f"m{b * r_next + j}") for j in range(r_next)],
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                for b in range(num_hashes // r_next)
+            ]
+            cur = (
+                sig.join(members, "id", "left_semi")
+                .select("id", F.explode(F.array(*keys)).alias("bkey"))
+                # materialize each level: _split + pairs + the next level's
+                # membership all re-read it, and without a cut the recompute
+                # fans out ~5x PER LEVEL through the previous levels'
+                # lineage (measured 303 s vs ~30 s at sf1). Levels shrink
+                # geometrically, so the checkpointed frames are small.
+                .localCheckpoint(eager=True)
+            )
+            cold, hot = _split(cur, max_bucket * 4**level)
+            cand = cand.unionByName(_pairs(cold))
+            r_cur = r_next
     return cand.dropDuplicates(["id_a", "id_b"]), sig
 
 
@@ -1574,8 +1620,9 @@ def minhash_portable_pairs(
     ``max_bucket`` pulls mega band buckets out of the coarse self-join (see
     _minhash_band_candidates — the production guard for boilerplate-driven
     quadratic buckets at r=2; None preserves the certified raw set);
-    ``max_bucket_mode="reband"`` re-keys their members with a finer r
-    (recall-preserving), ``"drop"`` discards them (round-7 behavior).
+    ``max_bucket_mode="reband"`` sends their members down the recursive
+    finer-r banding ladder (recall-preserving, linear), ``"drop"`` discards
+    them (round-7 behavior).
 
     Shingle hash = 60-bit md5 prefix; slot i = min over shingles of the
     2-universal mix with _mh_consts(i); band key = md5 prefix of the

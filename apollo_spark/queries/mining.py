@@ -659,13 +659,15 @@ def lsh_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf1/sf3/sf10, 11.4 GB spill, 337 s) — the exact mega-bucket pathology
     web boilerplate produces at 100 TB. The evaluated configuration is
     therefore the GUARDED blocker, the one a production pipeline would
-    run. Round 8 upgraded the guard from drop to RE-BAND
-    (max_bucket_mode="reband", _minhash_band_candidates): over-cap bucket
-    members are re-keyed at doubled r and self-joined among themselves, so
-    pairs glued by one boilerplate argmin split apart while
-    broadly-similar pairs still collide — recall preserved instead of
-    dropped, candidates still linear. The PC this query reports prices the
-    production geometry honestly."""
+    run. Round 8 upgraded the guard from drop to the RECURSIVE BANDING
+    LADDER (max_bucket_mode="reband", _minhash_band_candidates): over-cap
+    bucket members descend with doubled r per level until their buckets
+    fall under the cap (full pairing there), and floor buckets —
+    signature-identical cliques — are star-linked, so pairs glued by one
+    boilerplate argmin split apart while broadly-similar pairs keep full
+    pairing: recall preserved instead of dropped, candidates provably
+    linear. The PC this query reports prices the production geometry
+    honestly."""
     from apollo_spark.ops.dedup import lsh_blocking_metrics
 
     d = _t(spark, sf_dir, "documents")
@@ -702,9 +704,10 @@ def _blocking_quality_oracle(
     (m-prefixed, same family as ORACLE_MINHASH_PORTABLE) + the df-capped
     exact-Jaccard truth CTEs (t-prefixed, same pipeline as
     ORACLE_NGRAM_JACCARD_CAPPED) + four scalar counts. With
-    ``max_bucket_mode="reband"`` the over-cap bucket members are re-keyed
-    with the doubled-r 'R|'-prefixed banding and self-joined among
-    themselves, exactly as _minhash_band_candidates does."""
+    ``max_bucket_mode="reband"`` the over-cap bucket members descend the
+    recursive 'R{level}|'-prefixed banding ladder (r doubled per level,
+    full pairing under the cap, floor star), exactly as
+    _minhash_band_candidates does."""
     from apollo_spark.ops.dedup import _mh_consts
 
     rows = num_hashes // bands
@@ -724,30 +727,73 @@ def _blocking_quality_oracle(
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM mbands a JOIN mbands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id"""
     if reband:
-        rows2 = rows * 2
-        rband_rows = "\n  UNION ALL\n  ".join(
-            "SELECT doc_id, ('0x' || substr(md5(concat_ws('|', 'R', {b}, {cols})), 1, 15))::BIGINT AS bkey "
-            "FROM msig JOIN mhotids USING (doc_id)".format(
-                b=b, cols=", ".join(f"m{b * rows2 + j}" for j in range(rows2))
-            )
-            for b in range(num_hashes // rows2)
-        )
-        reband_ctes = f""",
-mhot AS (SELECT bkey FROM mbcnt WHERE c > {int(max_bucket)}),
-mhotids AS (SELECT DISTINCT doc_id FROM mbands0 JOIN mhot USING (bkey)),
-mrbands AS (
-  {rband_rows}
+        # recursive banding ladder mirror (ops.dedup._minhash_band_candidates):
+        # level l re-keys the previous level's over-cap members at doubled r
+        # under the 'R{l}|' prefix; the floor star-links signature-identical
+        # still-hot buckets. Every multiply-read CTE is MATERIALIZED — DuckDB
+        # otherwise inlines per reference and re-derives the 32-min signature
+        # aggregate dozens of times (measured 504 s vs 1.2 s at sf0.001).
+        lvl_ctes: list[str] = []
+        pair_selects = [
+            """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM mbands a JOIN mbands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id"""
+        ]
+        prev_b, prev_c = "mbands0", "mbcnt"
+        level, r_cur = 0, rows
+        while True:
+            # geometrically-relaxed caps, mirroring the Spark ladder:
+            # level l (the one READ from prev_b/prev_c here) used cap*4^l
+            prev_cap = int(max_bucket) * 4 ** level
+            # per-level STAR of this level's hot buckets (the connectivity
+            # guarantee — same edges _minhash_band_candidates emits)
+            lvl_ctes.append(
+                f"""mr{level}star AS (
+  SELECT MIN(doc_id) OVER (PARTITION BY bkey) AS id_a, doc_id AS id_b
+  FROM (SELECT mb.doc_id, mb.bkey FROM {prev_b} mb JOIN {prev_c} USING (bkey) WHERE c > {prev_cap})
+  QUALIFY doc_id != id_a
 )"""
-        cand_body = """
-  SELECT DISTINCT id_a, id_b FROM (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM mbands a JOIN mbands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
-    UNION ALL
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM mrbands a JOIN mrbands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
-  )"""
+            )
+            pair_selects.append(f"SELECT id_a, id_b FROM mr{level}star")
+            r_next = r_cur * 2
+            if r_cur >= num_hashes or num_hashes % r_next != 0:
+                break
+            level += 1
+            bname, cname, iname, sname = (
+                f"mr{level}bands", f"mr{level}cnt", f"mr{level}ids", f"mr{level}cold"
+            )
+            lvl_ctes.append(
+                f"{iname} AS MATERIALIZED (SELECT DISTINCT mb.doc_id "
+                f"FROM {prev_b} mb JOIN {prev_c} USING (bkey) WHERE c > {prev_cap})"
+            )
+            band_sel = "\n  UNION ALL\n  ".join(
+                f"SELECT doc_id, ('0x' || substr(md5(concat_ws('|', 'R{level}', {b}, "
+                + ", ".join(f"m{b * r_next + j}" for j in range(r_next))
+                + f")), 1, 15))::BIGINT AS bkey FROM msig JOIN {iname} USING (doc_id)"
+                for b in range(num_hashes // r_next)
+            )
+            lvl_ctes.append(f"{bname} AS MATERIALIZED (\n  {band_sel}\n)")
+            lvl_ctes.append(
+                f"{cname} AS MATERIALIZED (SELECT bkey, COUNT(*) AS c FROM {bname} GROUP BY bkey)"
+            )
+            lvl_ctes.append(
+                f"{sname} AS MATERIALIZED (SELECT mb.doc_id, mb.bkey "
+                f"FROM {bname} mb JOIN {cname} USING (bkey) "
+                f"WHERE c <= {int(max_bucket) * 4 ** level})"
+            )
+            pair_selects.append(
+                f"""SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM {sname} a JOIN {sname} b ON a.bkey = b.bkey AND a.doc_id < b.doc_id"""
+            )
+            prev_b, prev_c = bname, cname
+            r_cur = r_next
+        reband_ctes = ",\n" + ",\n".join(lvl_ctes)
+        cand_body = (
+            "\n  SELECT DISTINCT id_a, id_b FROM (\n    "
+            + "\n    UNION ALL\n    ".join(pair_selects)
+            + "\n  )"
+        )
     return rf"""
-WITH mt AS (
+WITH mt AS MATERIALIZED (
   SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
   FROM documents
 ),
@@ -760,12 +806,12 @@ msh AS (
 ),
 mex AS (SELECT doc_id, unnest(sh) AS s FROM msh),
 mh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM mex),
-msig AS (
+msig AS MATERIALIZED (
   SELECT doc_id,
          {mins}
   FROM mh GROUP BY doc_id
 ),
-mbands0 AS (
+mbands0 AS MATERIALIZED (
   {band_rows}
 ),
 mbcnt AS (SELECT bkey, COUNT(*) AS c FROM mbands0 GROUP BY bkey),

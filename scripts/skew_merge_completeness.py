@@ -1,0 +1,106 @@
+"""Merge-completeness adjudication on the skew rehearsal (round 8).
+
+On a boilerplate-skewed corpus the TRUTH near-dup set contains a quadratic
+clique (short docs sharing the planted boilerplate line genuinely clear the
+bigram-Jaccard threshold), so PAIR completeness is the wrong scale target:
+a linear-candidate blocker mathematically cannot enumerate a quadratic
+clique. What dedup actually consumes is CONNECTIVITY — components feed
+keep-best / dup-mass / sample-weights — and the star-link in
+_minhash_band_candidates exists precisely to keep clique members reachable
+at linear cost.
+
+This script measures that claim: merge completeness
+    MC = (|V_truth| - n_components(caught edges)) / (|V_truth| - n_components(truth edges))
+i.e. the fraction of the merges dedup needs that the blocker's verified
+candidates achieve (1.0 = identical component partition over truth nodes).
+Caught edges = truth edges surfaced as candidates, the same intersection
+lsh_blocking_metrics counts for PC.
+
+Usage: python scripts/skew_merge_completeness.py [sf_dir ...]
+       (default: .data/sf1skew .data/sf3skew)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def measure(spark, sf_dir: str, max_bucket: int | None, mode: str) -> dict:
+    from apollo_spark.ops.cache import release_caches
+    from apollo_spark.ops.dedup import (
+        _minhash_band_candidates,
+        connected_components,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.perf_counter()
+    base = (
+        d.select(F.col("doc_id").alias("id"), shingles(F.col("text"), 3).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    cand, sig = _minhash_band_candidates(base, 32, 16, max_bucket, mode)
+    cand = cand.persist()
+    truth = (
+        ngram_jaccard_pairs(d, id_col="doc_id", text_col="text", n=2, threshold=0.2, max_df_frac=0.04)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    caught = truth.join(cand, ["id_a", "id_b"], "left_semi").persist()
+    n_true, n_cand, n_caught = truth.count(), cand.count(), caught.count()
+
+    tv = truth.select(F.col("id_a").alias("id")).unionByName(
+        truth.select(F.col("id_b").alias("id"))
+    ).distinct().persist()
+    n_nodes = tv.count()
+    # distinct components over the truth graph and the caught graph,
+    # counting truth nodes the caught graph leaves untouched as singletons
+    ct = connected_components(truth).select("comp").distinct().count()
+    caught_cc = connected_components(caught)
+    # nodes in truth but untouched by caught edges are singleton components
+    covered = caught_cc.select(F.col("id")).distinct()
+    n_isolated = tv.join(covered, "id", "left_anti").count()
+    cc = caught_cc.select("comp").distinct().count() + n_isolated
+    mc = (n_nodes - cc) / (n_nodes - ct) if n_nodes > ct else 1.0
+    out = {
+        "sf_dir": sf_dir,
+        "mode": mode if max_bucket is not None else "none",
+        "n_true": n_true,
+        "n_cand": n_cand,
+        "n_caught": n_caught,
+        "pair_completeness": round(n_caught / n_true, 4) if n_true else None,
+        "truth_nodes": n_nodes,
+        "truth_components": ct,
+        "caught_components": cc,
+        "merge_completeness": round(mc, 4),
+        "t_sec": round(time.perf_counter() - t0, 1),
+    }
+    for f in (base, cand, truth, caught, tv):
+        f.unpersist()
+    release_caches(cand)
+    return out
+
+
+def main() -> None:
+    from apollo_spark.session import get_spark
+
+    dirs = sys.argv[1:] or [".data/sf1skew", ".data/sf3skew"]
+    spark = get_spark("skew_mc")
+    spark.sparkContext.setLogLevel("ERROR")
+    for sf_dir in dirs:
+        for max_bucket, mode in ((64, "drop"), (64, "reband")):
+            r = measure(spark, sf_dir, max_bucket, mode)
+            print(json.dumps(r), flush=True)
+
+
+if __name__ == "__main__":
+    main()

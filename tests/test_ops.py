@@ -3106,13 +3106,105 @@ def test_minhash_band_max_bucket_drops_mega_buckets(spark):
         F.size("sh") > 0
     )
     raw, sig1 = _minhash_band_candidates(base, 32, 16)
-    capped, sig2 = _minhash_band_candidates(base, 32, 16, max_bucket=10)
+    capped, sig2 = _minhash_band_candidates(base, 32, 16, max_bucket=10, max_bucket_mode="drop")
     n_raw, n_capped = raw.count(), capped.count()
     assert n_raw >= (60 * 59 // 2) * 0.5  # boilerplate mega-buckets dominate
     assert n_capped < n_raw / 10
     # the true duplicate pair still surfaces (collides in its own bucket of 2)
     assert capped.filter((F.col("id_a") == 100) & (F.col("id_b") == 101)).count() == 1
     sig1.unpersist(), sig2.unpersist()
+
+
+def test_minhash_band_reband_ladder_preserves_components(spark):
+    """The round-8 recursive banding ladder (max_bucket_mode="reband")
+    CONNECTIVITY INVARIANT: the ladder's candidate graph has exactly the
+    same connected-component partition as the raw uncapped banding —
+    every raw pair shares a bucket, and that bucket is either under some
+    level's cap (full pairing) or starred through its hub; conversely
+    every ladder edge (descent pairs agree on a superset slot run; star
+    pairs share the hot bucket) is a raw pair, so the ladder is a
+    component-preserving SUBGRAPH. Dedup consumers (components, keep-best,
+    dup-mass) therefore see identical groups at linear candidate cost."""
+    from apollo_spark.ops.dedup import _minhash_band_candidates, shingles
+
+    boiler = "click here to subscribe now and never miss another weekly update from our team"
+    rows = [(i, f"{boiler} u{i} v{i}") for i in range(60)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta"), (101, "alpha beta gamma delta epsilon zeta")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    base = d.select(F.col("doc_id").alias("id"), shingles(F.col("text"), 3).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    raw, sig1 = _minhash_band_candidates(base, 32, 16)
+    ladder, sig2 = _minhash_band_candidates(base, 32, 16, max_bucket=10, max_bucket_mode="reband")
+    raw_pairs = {(r.id_a, r.id_b) for r in raw.collect()}
+    ladder_pairs = {(r.id_a, r.id_b) for r in ladder.collect()}
+    assert (100, 101) in ladder_pairs  # the true dup survives
+    assert ladder_pairs <= raw_pairs  # subgraph: ladder invents no pairs
+
+    def components(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        out = {}
+        for x in list(parent):
+            out.setdefault(find(x), set()).add(x)
+        return {frozenset(v) for v in out.values()}
+
+    assert components(ladder_pairs) == components(raw_pairs)
+    sig1.unpersist(), sig2.unpersist()
+
+
+def test_blocking_quality_ladder_matches_oracle_under_hot_buckets(spark, tmp_path):
+    """The gate corpora have no over-cap buckets, so the driver gate never
+    exercises the recursive ladder: pin Spark == DuckDB on a corpus that
+    FORCES it (boilerplate line on half the docs, cap 8 -> hot coarse
+    buckets, multi-level descent, floor stars). Compares the full
+    lsh_blocking_metrics row against _blocking_quality_oracle bit-for-bit."""
+    import duckdb
+
+    from apollo_spark.ops.dedup import lsh_blocking_metrics
+    from apollo_spark.queries.mining import _blocking_quality_oracle
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    boiler = " subscribe to our newsletter for weekly data updates"
+    d = src.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(boiler))).otherwise(
+            F.col("text")
+        ),
+    )
+    p = str(tmp_path / "docs_hot.parquet")
+    d.write.mode("overwrite").parquet(p)
+    d2 = spark.read.parquet(p)
+
+    row = lsh_blocking_metrics(
+        d2, block_n=3, truth_n=2, num_hashes=32, bands=16,
+        truth_threshold=0.2, max_df_frac=0.04, max_bucket=8, max_bucket_mode="reband",
+    ).collect()[0]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{p}/*.parquet')")
+    sql = _blocking_quality_oracle(
+        block_n=3, truth_n=2, truth_threshold=0.2, max_bucket=8, max_bucket_mode="reband"
+    )
+    o = con.execute(sql).fetchone()
+    assert (row.n_docs, row.n_true, row.n_cand, row.n_caught) == (o[0], o[1], o[2], o[3])
+    assert row.pair_completeness == o[4] and row.reduction_ratio == o[5]
+    # the planted corpus must actually exercise the guard: candidates differ
+    # from the uncapped run
+    raw = lsh_blocking_metrics(
+        d2, block_n=3, truth_n=2, num_hashes=32, bands=16,
+        truth_threshold=0.2, max_df_frac=0.04, max_bucket=None,
+    ).collect()[0]
+    assert raw.n_cand != row.n_cand
+    spark.catalog.clearCache()
 
 
 def test_lsh_blocking_metrics_counts_consistent(spark, docs):
