@@ -1816,6 +1816,85 @@ def lsh_blocking_metrics(
     return carry_caches(scoped_persist(out, base, sig, cand, truth), tp)
 
 
+def lsh_merge_completeness(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_n: int = 3,
+    truth_n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 16,
+    truth_threshold: float = 0.2,
+    max_df_frac: float | None = 0.04,
+    max_bucket: int | None = None,
+    max_bucket_mode: str = "reband",
+) -> DataFrame:
+    """Connectivity-level blocking evaluation — the round-8 companion to
+    lsh_blocking_metrics' pair completeness. The skew rehearsal
+    (BASELINE.md round-8 #2) showed WHY it exists: boilerplate makes the
+    TRUE near-dup set a quadratic clique, so no linear-candidate blocker
+    can enumerate it — but dedup consumes COMPONENTS (keep-best, dup-mass,
+    sample weights), and a clique is merged by any spanning set of caught
+    edges. Merge completeness prices exactly that:
+
+        MC = (|V_t| - n_components(caught)) / (|V_t| - n_components(truth))
+
+    over the truth graph's nodes, where caught = truth pairs surfaced as
+    candidates and truth nodes untouched by caught edges count as
+    singletons. 1.0 = the blocker achieves every merge dedup needs; the
+    guard modes are compared by MC in BASELINE.md (ladder doubles drop's
+    MC on the skew rehearsal at linear cost).
+
+    One row: n_true, n_caught, truth_nodes, truth_components,
+    caught_components, merge_completeness. Components run through the same
+    connected_components op production dedup uses (driver union-find under
+    2M edges, star-contraction above), so this evaluation scales with the
+    thing it evaluates."""
+    base = (
+        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), block_n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    cand, sig = _minhash_band_candidates(base, num_hashes, bands, max_bucket, max_bucket_mode)
+    cand = cand.persist()
+    tp = ngram_jaccard_pairs(
+        df, id_col=id_col, text_col=text_col, n=truth_n,
+        threshold=truth_threshold, max_df_frac=max_df_frac,
+    )
+    truth = tp.select("id_a", "id_b").persist()
+    caught = truth.join(cand, ["id_a", "id_b"], "left_semi").persist()
+    tnodes = (
+        truth.select(F.col("id_a").alias("id"))
+        .unionByName(truth.select(F.col("id_b").alias("id")))
+        .distinct()
+        .persist()
+    )
+    tcomp = connected_components(truth).select("comp").distinct()
+    ccc = connected_components(caught).persist()
+    isolated = tnodes.join(ccc.select("id"), "id", "left_anti")
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    ng = caught.agg(F.count(F.lit(1)).alias("n_caught"))
+    nn = tnodes.agg(F.count(F.lit(1)).alias("truth_nodes"))
+    ct = tcomp.agg(F.count(F.lit(1)).alias("truth_components"))
+    cc = ccc.select("comp").distinct().agg(F.count(F.lit(1)).alias("__cc")).crossJoin(
+        isolated.agg(F.count(F.lit(1)).alias("__iso"))
+    ).select((F.col("__cc") + F.col("__iso")).alias("caught_components"))
+    out = (
+        nt.crossJoin(ng).crossJoin(nn).crossJoin(ct).crossJoin(cc)
+        .withColumn(
+            "merge_completeness",
+            F.when(
+                F.col("truth_nodes") > F.col("truth_components"),
+                (F.col("truth_nodes") - F.col("caught_components")).cast("double")
+                / (F.col("truth_nodes") - F.col("truth_components")).cast("double"),
+            ).otherwise(F.lit(1.0)),
+        )
+    )
+    from apollo_spark.ops.cache import carry_caches
+
+    return carry_caches(scoped_persist(out, base, sig, cand, truth, caught, tnodes, ccc), tp)
+
+
 # --------------------------------------------------------------------------
 # Persisted near-dup component artifact — "dedup once, consume everywhere".
 # near_dup_components / dedup_keep_best / dup_aware_sample_weights (and any

@@ -699,6 +699,7 @@ def _blocking_quality_oracle(
     max_df_frac: float = 0.04,
     max_bucket: int | None = None,
     max_bucket_mode: str = "reband",
+    select: str = "quality",
 ) -> str:
     """Mirror of lsh_blocking_quality: the portable-MinHash banding CTEs
     (m-prefixed, same family as ORACLE_MINHASH_PORTABLE) + the df-capped
@@ -707,8 +708,62 @@ def _blocking_quality_oracle(
     ``max_bucket_mode="reband"`` the over-cap bucket members descend the
     recursive 'R{level}|'-prefixed banding ladder (r doubled per level,
     full pairing under the cap, floor star), exactly as
-    _minhash_band_candidates does."""
+    _minhash_band_candidates does. ``select="merge"`` swaps the final
+    section for the connectivity evaluation lsh_merge_completeness mirrors
+    (recursive-CTE components over the truth and caught graphs, isolated
+    truth nodes counted as singletons)."""
     from apollo_spark.ops.dedup import _mh_consts
+
+    if select == "quality":
+        tail = """nd AS (SELECT COUNT(*) AS n_docs FROM msh WHERE len(sh) > 0),
+nt AS (SELECT COUNT(*) AS n_true FROM truth),
+nc AS (SELECT COUNT(*) AS n_cand FROM mcand),
+ng AS (SELECT COUNT(*) AS n_caught FROM truth t JOIN mcand c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+SELECT n_docs, n_true, n_cand, n_caught,
+       CASE WHEN n_true > 0 THEN CAST(n_caught AS DOUBLE) / CAST(n_true AS DOUBLE) END AS pair_completeness,
+       CASE WHEN n_docs > 1 THEN 1.0 - CAST(n_cand AS DOUBLE) / (CAST(n_docs * (n_docs - 1) AS DOUBLE) / 2.0) END AS reduction_ratio
+FROM nd, nt, nc, ng"""
+    elif select == "merge":
+        tail = """caught AS MATERIALIZED (
+  SELECT t.id_a, t.id_b FROM truth t JOIN mcand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+),
+tnodes AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT id_a AS id FROM truth UNION ALL SELECT id_b AS id FROM truth)
+),
+tedges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM truth UNION ALL SELECT id_b AS src, id_a AS dst FROM truth
+),
+treach(id, comp) AS (
+  SELECT src, src FROM tedges
+  UNION
+  SELECT e.dst, r.comp FROM treach r JOIN tedges e ON e.src = r.id
+),
+tcomp AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM treach GROUP BY id),
+cedges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM caught UNION ALL SELECT id_b AS src, id_a AS dst FROM caught
+),
+creach(id, comp) AS (
+  SELECT src, src FROM cedges
+  UNION
+  SELECT e.dst, r.comp FROM creach r JOIN cedges e ON e.src = r.id
+),
+ccomp AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM creach GROUP BY id),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+         (SELECT COUNT(*) FROM caught) AS n_caught,
+         (SELECT COUNT(*) FROM tnodes) AS truth_nodes,
+         (SELECT COUNT(DISTINCT comp) FROM tcomp) AS truth_components,
+         (SELECT COUNT(DISTINCT comp) FROM ccomp)
+           + (SELECT COUNT(*) FROM tnodes WHERE id NOT IN (SELECT id FROM ccomp)) AS caught_components
+)
+SELECT n_true, n_caught, truth_nodes, truth_components, caught_components,
+       CASE WHEN truth_nodes > truth_components
+            THEN CAST(truth_nodes - caught_components AS DOUBLE)
+                 / CAST(truth_nodes - truth_components AS DOUBLE)
+            ELSE 1.0 END AS merge_completeness
+FROM agg"""
+    else:
+        raise ValueError(f"select must be 'quality' or 'merge', got {select!r}")
 
     rows = num_hashes // bands
     mins = ",\n         ".join(
@@ -793,7 +848,7 @@ def _blocking_quality_oracle(
             + "\n  )"
         )
     return rf"""
-WITH mt AS MATERIALIZED (
+WITH RECURSIVE mt AS MATERIALIZED (
   SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
   FROM documents
 ),
@@ -859,19 +914,45 @@ truth AS (
   SELECT id_a, id_b FROM tscored WHERE jaccard >= {truth_threshold}
   UNION ALL SELECT id_a, id_b FROM tstar
 ),
-nd AS (SELECT COUNT(*) AS n_docs FROM msh WHERE len(sh) > 0),
-nt AS (SELECT COUNT(*) AS n_true FROM truth),
-nc AS (SELECT COUNT(*) AS n_cand FROM mcand),
-ng AS (SELECT COUNT(*) AS n_caught FROM truth t JOIN mcand c ON t.id_a = c.id_a AND t.id_b = c.id_b)
-SELECT n_docs, n_true, n_cand, n_caught,
-       CASE WHEN n_true > 0 THEN CAST(n_caught AS DOUBLE) / CAST(n_true AS DOUBLE) END AS pair_completeness,
-       CASE WHEN n_docs > 1 THEN 1.0 - CAST(n_cand AS DOUBLE) / (CAST(n_docs * (n_docs - 1) AS DOUBLE) / 2.0) END AS reduction_ratio
-FROM nd, nt, nc, ng
+{tail}
 """
 
 
 ORACLE_BLOCKING_QUALITY = _blocking_quality_oracle(
     block_n=3, truth_n=2, truth_threshold=0.2, max_bucket=64, max_bucket_mode="reband"
+)
+
+
+def lsh_merge_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connectivity-level blocking evaluation (round 8,
+    ops.dedup.lsh_merge_completeness): merge completeness = the fraction of
+    the truth graph's component merges the verified candidate set achieves.
+    The skew rehearsal (BASELINE.md round-8 #2) is the motivation: under
+    boilerplate skew the TRUE near-dup set is a quadratic clique, so pair
+    completeness punishes every linear blocker — while dedup's actual
+    consumers (components, keep-best, dup-mass, sample weights) only need
+    the clique CONNECTED. Same production configuration as
+    lsh_blocking_quality (trigram banding, bigram df-capped truth, cap 64,
+    recursive ladder); the oracle replays banding, ladder, truth AND both
+    component computations (recursive CTEs) bit-for-bit."""
+    from apollo_spark.ops.dedup import lsh_merge_completeness as _mc
+
+    d = _t(spark, sf_dir, "documents")
+    m = _mc(
+        d, block_n=3, truth_n=2, num_hashes=32, bands=16,
+        truth_threshold=0.2, max_df_frac=0.04, max_bucket=64,
+        max_bucket_mode="reband",
+    )
+    res = m.select(
+        "n_true", "n_caught", "truth_nodes", "truth_components",
+        "caught_components", "merge_completeness",
+    )
+    return carry_caches(res, m)
+
+
+ORACLE_MERGE_COMPLETENESS = _blocking_quality_oracle(
+    block_n=3, truth_n=2, truth_threshold=0.2, max_bucket=64,
+    max_bucket_mode="reband", select="merge",
 )
 
 

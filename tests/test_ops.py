@@ -3204,6 +3204,25 @@ def test_blocking_quality_ladder_matches_oracle_under_hot_buckets(spark, tmp_pat
         truth_threshold=0.2, max_df_frac=0.04, max_bucket=None,
     ).collect()[0]
     assert raw.n_cand != row.n_cand
+
+    # merge-completeness twin: same forced-ladder corpus, connectivity metric
+    from apollo_spark.ops.dedup import lsh_merge_completeness
+
+    mrow = lsh_merge_completeness(
+        d2, block_n=3, truth_n=2, num_hashes=32, bands=16,
+        truth_threshold=0.2, max_df_frac=0.04, max_bucket=8, max_bucket_mode="reband",
+    ).collect()[0]
+    msql = _blocking_quality_oracle(
+        block_n=3, truth_n=2, truth_threshold=0.2, max_bucket=8,
+        max_bucket_mode="reband", select="merge",
+    )
+    mo = con.execute(msql).fetchone()
+    assert (
+        mrow.n_true, mrow.n_caught, mrow.truth_nodes,
+        mrow.truth_components, mrow.caught_components,
+    ) == (mo[0], mo[1], mo[2], mo[3], mo[4])
+    assert mrow.merge_completeness == mo[5]
+    assert 0.0 <= mrow.merge_completeness <= 1.0
     spark.catalog.clearCache()
 
 
