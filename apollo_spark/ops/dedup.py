@@ -108,6 +108,91 @@ def minhash_signature(shingle_col, num_hashes: int = 64):
     return F.when(F.size(shingle_col) == 0, F.array_repeat(F.lit(None).cast("long"), num_hashes)).otherwise(fold)
 
 
+def _band_ladder_pairs(
+    sig: DataFrame,
+    banded: DataFrame,
+    num_hashes: int,
+    rows: int,
+    max_bucket: int | None,
+    max_bucket_mode: str,
+    key_fn,
+) -> DataFrame:
+    """Shared mega-bucket guard over a banded signature frame — the
+    recursive banding ladder used by BOTH the portable (md5) and fast
+    (xxhash64) MinHash paths; see the max_bucket_mode docstring on
+    _minhash_band_candidates for semantics and the two pytest-pinned
+    invariants (subgraph of the raw pairs; identical component partition).
+    ``sig`` = (id, m0..m{num_hashes-1}); ``banded`` = (id, bkey) at the base
+    geometry; ``key_fn(level, band, slot_cols) -> Column`` builds a level's
+    band key in that path's hash family. Returns candidate (id_a, id_b)
+    rows BEFORE dedup."""
+
+    def _pairs(frame: DataFrame) -> DataFrame:
+        left = frame.select(F.col("id").alias("id_a"), F.col("bkey").alias("ka"))
+        right = frame.select(F.col("id").alias("id_b"), F.col("bkey").alias("kb"))
+        return left.join(
+            right, (left["ka"] == right["kb"]) & (left["id_a"] < right["id_b"])
+        ).select("id_a", "id_b")
+
+    if max_bucket is None:
+        return _pairs(banded)
+    if max_bucket_mode not in ("reband", "drop"):
+        raise ValueError(f"max_bucket_mode must be 'reband' or 'drop', got {max_bucket_mode!r}")
+
+    def _split(frame: DataFrame, cap: int) -> tuple[DataFrame, DataFrame]:
+        # hot keys are FEW by construction (each needs > cap members
+        # agreeing on this level's slot run) -> broadcast both probes
+        hotk = (
+            frame.groupBy("bkey")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > int(cap))
+            .select("bkey")
+        )
+        return (
+            frame.join(F.broadcast(hotk), "bkey", "left_anti"),
+            frame.join(F.broadcast(hotk), "bkey", "left_semi"),
+        )
+
+    def _star(frame: DataFrame) -> DataFrame:
+        hub = frame.groupBy("bkey").agg(F.min("id").alias("id_a"))
+        return (
+            frame.join(hub, "bkey")
+            .filter(F.col("id") != F.col("id_a"))
+            .select("id_a", F.col("id").alias("id_b"))
+        )
+
+    cold, hot = _split(banded, max_bucket)
+    cand = _pairs(cold)
+    if max_bucket_mode == "drop":
+        return cand
+    level, r_cur = 0, rows
+    while True:
+        cand = cand.unionByName(_star(hot))
+        r_next = r_cur * 2
+        if r_cur >= num_hashes or num_hashes % r_next != 0:
+            break
+        level += 1
+        members = hot.select("id").distinct()
+        keys = [
+            key_fn(level, b, [F.col(f"m{b * r_next + j}") for j in range(r_next)])
+            for b in range(num_hashes // r_next)
+        ]
+        cur = (
+            sig.join(members, "id", "left_semi")
+            .select("id", F.explode(F.array(*keys)).alias("bkey"))
+            # materialize each level: _split + pairs + the next level's
+            # membership all re-read it, and without a cut the recompute
+            # fans out ~5x PER LEVEL through the previous levels' lineage
+            # (measured 303 s vs ~30 s at sf1). Levels shrink
+            # geometrically, so the checkpointed frames are small.
+            .localCheckpoint(eager=True)
+        )
+        cold, hot = _split(cur, max_bucket * 4**level)
+        cand = cand.unionByName(_pairs(cold))
+        r_cur = r_next
+    return cand
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -116,6 +201,8 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    max_bucket: int | None = None,
+    max_bucket_mode: str = "reband",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -123,6 +210,14 @@ def minhash_lsh_pairs(
     exact-jaccard verify on candidates only. Band join keys are
     (band_idx, band_signature) so the shuffle never sees the corpus cross
     product; verify recomputes true jaccard from the shingle sets.
+
+    ``max_bucket``/``max_bucket_mode``: the same production mega-bucket
+    guard as the portable path (_minhash_band_candidates) — the recursive
+    banding ladder keeps boilerplate-glued buckets from going quadratic
+    while preserving the candidate graph's component partition. Default
+    None preserves the historical raw geometry (this path's gates are
+    rows-only, so the guard is opt-in here rather than the certified
+    default).
     """
     rows = num_hashes // bands
     spark = df.sparkSession
@@ -159,13 +254,17 @@ def minhash_lsh_pairs(
             )
         ).alias("bkey"),
     )
-    left = banded.select(F.col("id").alias("id_a"), F.col("bkey").alias("ka"))
-    right = banded.select(F.col("id").alias("id_b"), F.col("bkey").alias("kb"))
-    cand = (
-        left.join(right, (left["ka"] == right["kb"]) & (left["id_a"] < right["id_b"]))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _band_ladder_pairs(
+        sig,
+        banded,
+        num_hashes,
+        rows,
+        max_bucket,
+        max_bucket_mode,
+        # distinct per-level key space in this path's hash family (string
+        # level tag; cross-space collisions are harmless — verify rechecks)
+        lambda level, b, slots: F.xxhash64(F.lit(f"R{level}"), F.lit(b), *slots),
+    ).dropDuplicates(["id_a", "id_b"])
     sh_map = base.select("id", "sh")
     cand = (
         cand.join(sh_map.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -1508,100 +1607,40 @@ def _minhash_band_candidates(
         for b in range(bands)
     ]
     banded = sig.select("id", F.explode(F.array(*band_keys)).alias("bkey"))
-
-    def _pairs(frame: DataFrame) -> DataFrame:
-        left = frame.select(F.col("id").alias("id_a"), F.col("bkey").alias("ka"))
-        right = frame.select(F.col("id").alias("id_b"), F.col("bkey").alias("kb"))
-        return left.join(
-            right, (left["ka"] == right["kb"]) & (left["id_a"] < right["id_b"])
-        ).select("id_a", "id_b")
-
-    if max_bucket is None:
-        return _pairs(banded).dropDuplicates(["id_a", "id_b"]), sig
-    if max_bucket_mode not in ("reband", "drop"):
-        raise ValueError(f"max_bucket_mode must be 'reband' or 'drop', got {max_bucket_mode!r}")
-
-    def _split(frame: DataFrame, cap: int) -> tuple[DataFrame, DataFrame]:
-        # hot keys are FEW by construction (each needs > cap members
-        # agreeing on this level's slot run) -> broadcast both probes
-        hotk = (
-            frame.groupBy("bkey")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > int(cap))
-            .select("bkey")
-        )
-        return (
-            frame.join(F.broadcast(hotk), "bkey", "left_anti"),
-            frame.join(F.broadcast(hotk), "bkey", "left_semi"),
-        )
-
-    def _star(frame: DataFrame) -> DataFrame:
-        hub = frame.groupBy("bkey").agg(F.min("id").alias("id_a"))
-        return (
-            frame.join(hub, "bkey")
-            .filter(F.col("id") != F.col("id_a"))
-            .select("id_a", F.col("id").alias("id_b"))
-        )
-
-    cold, hot = _split(banded, max_bucket)
-    cand = _pairs(cold)
-    if max_bucket_mode == "reband":
-        # recursive banding ladder. Two mechanisms per level:
-        # * STAR every hot bucket through its min id (one candidate edge
-        #   per membership row — linear): the CONNECTIVITY guarantee. A
-        #   descending member can land only in singleton refined buckets
-        #   (its unique shingles win some slot in every window) — without
-        #   the per-level star it would silently separate from bucket
-        #   mates it genuinely near-duplicates (the first ladder draft
-        #   did exactly that; pinned by the connectivity test).
-        # * DESCEND members one level with DOUBLED row count (r -> 2r:
-        #   per-band collision prob squares) and a geometrically-RELAXED
-        #   cap (4^level: selectivity squares while the allowance only
-        #   quadruples, so the per-level pair bound rows_l * cap_l grows
-        #   2^l over <= log2(num_hashes/rows) levels — linear in N):
-        #   full PAIR recovery for genuinely-similar sub-groups.
-        # At the floor (one band = whole signature) hot buckets are
-        # signature-identical cliques; their star is the last one emitted.
-        level, r_cur = 0, rows
-        while True:
-            cand = cand.unionByName(_star(hot))
-            r_next = r_cur * 2
-            if r_cur >= num_hashes or num_hashes % r_next != 0:
-                break
-            level += 1
-            members = hot.select("id").distinct()
-            keys = [
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                F.lit(f"R{level}"),
-                                F.lit(b),
-                                *[F.col(f"m{b * r_next + j}") for j in range(r_next)],
-                            )
-                        ),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                for b in range(num_hashes // r_next)
-            ]
-            cur = (
-                sig.join(members, "id", "left_semi")
-                .select("id", F.explode(F.array(*keys)).alias("bkey"))
-                # materialize each level: _split + pairs + the next level's
-                # membership all re-read it, and without a cut the recompute
-                # fans out ~5x PER LEVEL through the previous levels'
-                # lineage (measured 303 s vs ~30 s at sf1). Levels shrink
-                # geometrically, so the checkpointed frames are small.
-                .localCheckpoint(eager=True)
-            )
-            cold, hot = _split(cur, max_bucket * 4**level)
-            cand = cand.unionByName(_pairs(cold))
-            r_cur = r_next
+    # recursive banding ladder (shared impl, _band_ladder_pairs). Two
+    # mechanisms per level:
+    # * STAR every hot bucket through its min id (one candidate edge per
+    #   membership row — linear): the CONNECTIVITY guarantee. A descending
+    #   member can land only in singleton refined buckets (its unique
+    #   shingles win some slot in every window) — without the per-level
+    #   star it would silently separate from bucket mates it genuinely
+    #   near-duplicates (the first ladder draft did exactly that; pinned
+    #   by the component-partition test).
+    # * DESCEND members one level with DOUBLED row count (r -> 2r:
+    #   per-band collision prob squares) and a geometrically-RELAXED cap
+    #   (4^level: selectivity squares while the allowance only quadruples,
+    #   so the per-level pair bound rows_l * cap_l grows 2^l over <=
+    #   log2(num_hashes/rows) levels — linear in N): full PAIR recovery
+    #   for genuinely-similar sub-groups.
+    # At the floor (one band = whole signature) hot buckets are
+    # signature-identical cliques; their star is the last one emitted.
+    cand = _band_ladder_pairs(
+        sig,
+        banded,
+        num_hashes,
+        rows,
+        max_bucket,
+        max_bucket_mode,
+        # the portable md5 key family with a distinct 'R{level}|' prefix —
+        # byte-replayed by the DuckDB oracle
+        lambda level, b, slots: F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(f"R{level}"), F.lit(b), *slots)), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
     return cand.dropDuplicates(["id_a", "id_b"]), sig
 
 

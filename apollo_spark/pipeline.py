@@ -462,7 +462,14 @@ def _apply_dedup(df: DataFrame, spec) -> DataFrame:
     if spec.method == "exact":
         return exact_dedup(df, spec.id, spec.text, keep=spec.keep)
     if spec.method == "minhash":
-        return near_dedup(df, spec.id, spec.text, threshold=spec.threshold, keep=spec.keep)
+        # scale-safe default: the recursive banding ladder guards against
+        # boilerplate mega-buckets (BASELINE.md round-8 #1/#2); `lossless =
+        # true` opts back into the raw geometry, same convention as the
+        # ngram/tfidf methods' lossless flag
+        guard = {} if spec.lossless else {"max_bucket": 64, "max_bucket_mode": "reband"}
+        return near_dedup(
+            df, spec.id, spec.text, threshold=spec.threshold, keep=spec.keep, **guard
+        )
     if spec.method == "tfidf":
         # same scale default as ngram_jaccard below: the lossless tfidf
         # inverted-index self-join measured ~quadratic at sf1 (2.85 s ->

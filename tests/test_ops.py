@@ -3162,6 +3162,32 @@ def test_minhash_band_reband_ladder_preserves_components(spark):
     sig1.unpersist(), sig2.unpersist()
 
 
+def test_minhash_fast_path_ladder_guard(spark):
+    """The xxhash fast path shares the ladder guard: under a planted
+    boilerplate mega-bucket the guarded run must still find the true
+    duplicate pair, emit a subset of the raw VERIFIED pairs (the ladder
+    only removes candidates; verification is identical), and be non-empty
+    star-or-descent coverage for the boilerplate clique at a low verify
+    threshold (connectivity surfaced as verified pairs)."""
+    from apollo_spark.ops.dedup import minhash_lsh_pairs
+
+    boiler = "click here to subscribe now and never miss another weekly update from our team"
+    rows = [(i, f"{boiler} u{i} v{i}") for i in range(60)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta"), (101, "alpha beta gamma delta epsilon zeta")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    raw = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(d, threshold=0.5).collect()}
+    guarded = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(d, threshold=0.5, max_bucket=10).collect()
+    }
+    assert (100, 101) in guarded
+    assert guarded <= raw
+    # boilerplate docs share >= 10/13 shingles (jaccard ~ 0.6+): some of the
+    # clique's verified pairs must survive the guard (stars + descent)
+    assert any(a < 60 and b < 60 for a, b in guarded)
+    spark.catalog.clearCache()
+
+
 def test_blocking_quality_ladder_matches_oracle_under_hot_buckets(spark, tmp_path):
     """The gate corpora have no over-cap buckets, so the driver gate never
     exercises the recursive ladder: pin Spark == DuckDB on a corpus that
