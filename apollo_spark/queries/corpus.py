@@ -1347,7 +1347,7 @@ def _twolevel_summary_oracle(kc: int, kf: int, iters_c: int, iters_f: int) -> st
         "WITH "
         + ",\n".join(ctes)
         + """
-SELECT cell, cluster, CAST(COUNT(*) AS BIGINT) AS n_members, SUM(dist) AS wcss
+SELECT cell, cluster, CAST(COUNT(*) AS BIGINT) AS n_members, CAST(SUM(dist) AS BIGINT) AS wcss
 FROM ffassign GROUP BY cell, cluster ORDER BY cell, cluster"""
     )
 
