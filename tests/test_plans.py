@@ -556,3 +556,26 @@ def test_bitext_margin_candidates_keyed_on_cluster_not_cartesian(spark):
     assert "BroadcastExchange" in p, p[:2000]
     # the even x odd candidate join carries the cluster equi-key
     assert re.search(r"\[cluster#\d+L?\]", p), p[:2000]
+
+
+def test_twolevel_kmeans_plan_cogroup_no_cartesian(spark):
+    """Round-8 two-level k-means: the forced-two-level summary must run the
+    fine level through cogroup (FlatMapCoGroupsInPandas — one cell's points
+    meet one cell's centroids in a task), never a CartesianProduct or
+    nested-loop join; no unpartitioned window anywhere (the per-cell seed
+    row_number is partitioned by cell)."""
+    p = plan(spark, "kmeans_twolevel_summary")
+    assert "FlatMapCoGroupsInPandas" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # every Window in the plan is keyed (no global-sort single-task window)
+    for m in re.finditer(r"Arguments: \[[^\]]*row_number[^\]]*\], \[([^\]]*)\]", p):
+        assert m.group(1).strip(), "unpartitioned window in twolevel plan"
+
+
+def test_merge_completeness_plan_no_cartesian(spark):
+    """lsh_merge_completeness composes banding + ladder + truth + two CC
+    passes: the only nested-loop allowed is the 1-row scalar crossJoin tail
+    (BroadcastNestedLoopJoin over single-row aggregates); a CartesianProduct
+    anywhere is the quadratic the guard exists to avoid."""
+    p = plan(spark, "lsh_merge_completeness")
+    assert "CartesianProduct" not in p
