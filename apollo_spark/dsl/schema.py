@@ -92,6 +92,21 @@ class DedupSpec:
     # (oracle certification / small corpora).
     lossless: bool = False
     max_df_frac: float = 0.04
+    # round 9: corpus-adaptive blocking geometry (minhash only) — profile the
+    # corpus once (ops/dedup.py::blocking_autotune: analytic capture at the
+    # dedup threshold + vocabulary df pass) and band with the chosen
+    # (num_hashes, bands) instead of the fixed r=2/b=16 default.
+    autotune: bool = False
+    # round 9: boilerplate scrub before pair generation. None = auto (scrub
+    # iff the autotune profile flags boilerplate skew; off without autotune),
+    # True/False = explicit. scrub_mode "shingle" removes hot shingles from
+    # the shingle sets (scrub_hot_shingles — works on any corpus shape;
+    # minhash/ngram_jaccard); "lines" runs strip_hot_lines on the text
+    # (line-structured corpora; any near-dup method). Grouping happens over
+    # the scrubbed view; emitted rows keep their ORIGINAL text.
+    scrub_boilerplate: bool | None = None
+    scrub_max_df_frac: float = 0.04
+    scrub_mode: str = "shingle"  # shingle | lines
 
 
 @dataclass
@@ -393,6 +408,30 @@ def _parse_query(block: Block, env: dict[str, Any], item: Any = None) -> QuerySp
             raise SchemaError(
                 f"query {name}: dedup max_df_frac must be in (0, 1], got {max_df_frac}"
             )
+        autotune = bool(_const(dbody, "autotune", env, False))
+        if autotune and method != "minhash":
+            raise SchemaError(f"query {name}: dedup `autotune` applies to method=minhash only")
+        scrub_raw = _const(dbody, "scrub_boilerplate", env, None)
+        scrub_boilerplate = None if scrub_raw is None else bool(scrub_raw)
+        scrub_mode = str(_const(dbody, "scrub_mode", env, "shingle"))
+        if scrub_mode not in ("shingle", "lines"):
+            raise SchemaError(
+                f"query {name}: dedup scrub_mode must be shingle|lines, got {scrub_mode!r}"
+            )
+        if scrub_boilerplate and method == "exact":
+            raise SchemaError(
+                f"query {name}: dedup scrub_boilerplate applies to near-dup methods only"
+            )
+        if scrub_boilerplate and scrub_mode == "shingle" and method == "tfidf":
+            raise SchemaError(
+                f"query {name}: shingle-level scrub applies to minhash|ngram_jaccard "
+                "(tfidf's idf weighting already downweights hot terms; use scrub_mode = \"lines\")"
+            )
+        scrub_max_df_frac = float(_const(dbody, "scrub_max_df_frac", env, 0.04))
+        if not 0.0 < scrub_max_df_frac <= 1.0:
+            raise SchemaError(
+                f"query {name}: dedup scrub_max_df_frac must be in (0, 1], got {scrub_max_df_frac}"
+            )
         dedup_spec = DedupSpec(
             method=method,
             id=str(_const(dbody, "id", env, "doc_id")),
@@ -402,6 +441,10 @@ def _parse_query(block: Block, env: dict[str, Any], item: Any = None) -> QuerySp
             keep=keep,
             lossless=lossless,
             max_df_frac=max_df_frac,
+            autotune=autotune,
+            scrub_boilerplate=scrub_boilerplate,
+            scrub_max_df_frac=scrub_max_df_frac,
+            scrub_mode=scrub_mode,
         )
 
     sample_spec = None

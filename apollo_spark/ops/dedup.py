@@ -193,6 +193,64 @@ def _band_ladder_pairs(
     return cand
 
 
+def scrub_hot_shingles(
+    base: DataFrame, scrub_max_df_frac: float
+) -> DataFrame:
+    """Shingle-level boilerplate scrub: drop every shingle whose document
+    frequency exceeds ``floor(scrub_max_df_frac * n_docs)`` from the
+    (id, sh) frame and return the cleaned (id, sh) sets — documents left
+    with NO informative shingles are dropped (they carry only boilerplate).
+
+    This is the upstream fix for the LSH boilerplate pathology measured in
+    BASELINE.md round-8 #2: a structural line shared by 10% of a crawl makes
+    its shingles the argmin of every container (mega band buckets) AND
+    inflates pairwise Jaccard between otherwise-unrelated docs (a quadratic
+    truth clique). Removing hot shingles BEFORE signatures/scoring deletes
+    that edge mass at its source — similarity is then measured over the
+    informative remainder, which is what a dedup decision should use.
+    strip_hot_lines is the text-level form of the same idea for corpora
+    with line structure; this form needs none.
+
+    Scale: one vocabulary-sized df count (map-combinable), one anti-join
+    against the hot set (shuffled, not broadcast — at 100 TB the hot
+    vocabulary can itself be large), one regroup. The corpus-size cutoff is
+    a 1-row scalar crossJoin (no driver action)."""
+    ex = base.select("id", F.explode("sh").alias("s"))
+    nd = base.agg(F.count(F.lit(1)).alias("__n_docs"))
+    hot = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("__df") > F.floor(F.lit(float(scrub_max_df_frac)) * F.col("__n_docs")))
+        .select("s")
+    )
+    return (
+        ex.join(hot, "s", "left_anti")
+        .groupBy("id")
+        .agg(F.collect_set("s").alias("sh"))
+    )
+
+
+def _shingle_base(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    scrub_max_df_frac: float | None = None,
+) -> DataFrame:
+    """(id, sh) shingle-set frame shared by the near-dup pair generators;
+    ``scrub_max_df_frac`` routes through scrub_hot_shingles. Raw shingling
+    is persisted under scrub (the df count and the regroup both read it)
+    and released by the caller via the returned frame's lineage — callers
+    persist the RETURNED frame and release it with scoped_persist."""
+    raw = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    if scrub_max_df_frac is None:
+        return raw
+    return scrub_hot_shingles(raw, scrub_max_df_frac)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -203,6 +261,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     max_bucket: int | None = None,
     max_bucket_mode: str = "reband",
+    scrub_max_df_frac: float | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -218,6 +277,11 @@ def minhash_lsh_pairs(
     None preserves the historical raw geometry (this path's gates are
     rows-only, so the guard is opt-in here rather than the certified
     default).
+
+    ``scrub_max_df_frac``: shingle-level boilerplate scrub (see
+    scrub_hot_shingles) — hot shingles are removed before signatures AND
+    before the exact-jaccard verify, so boilerplate-only similarity never
+    produces a pair.
     """
     rows = num_hashes // bands
     spark = df.sparkSession
@@ -225,12 +289,9 @@ def minhash_lsh_pairs(
     # shingle/hash work across cores (at lake scale the scan is already
     # multi-split and this coalesces to the shuffle width, not a blow-up)
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    base = (
-        df.repartition(parts, F.col(id_col))
-        .select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .persist()
-    )
+    base = _shingle_base(
+        df.repartition(parts, F.col(id_col)), id_col, text_col, n, scrub_max_df_frac
+    ).persist()
     # signature via explode + grouped min: each shingle is string-hashed ONCE,
     # each of the num_hashes slots is a cheap fixed-width re-hash, and the
     # groupBy gets map-side partial mins (array_min-over-transform x64 would
@@ -361,6 +422,7 @@ def ngram_jaccard_pairs(
     max_df: int | None = _MAX_DF_SENTINEL,
     max_df_frac: float | None = None,
     frac_floor: int = 0,
+    scrub_max_df_frac: float | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
 
@@ -412,15 +474,18 @@ def ngram_jaccard_pairs(
     inherently quadratic all-pairs) — connected components reconstruct the
     full cluster. The residual recall loss of the cap is only
     near-identical-but-unequal members of such clusters.
+
+    ``scrub_max_df_frac`` (scrub_hot_shingles): removes hot shingles from
+    the shingle SETS themselves — unlike max_df/max_df_frac (candidate
+    generation only; scores stay lossless), scrub changes the measured
+    similarity to "jaccard over informative shingles", deleting
+    boilerplate-driven edge mass at its source.
     """
     spark = df.sparkSession
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    base = (
-        df.repartition(parts, F.col(id_col))
-        .select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .persist()
-    )
+    base = _shingle_base(
+        df.repartition(parts, F.col(id_col)), id_col, text_col, n, scrub_max_df_frac
+    ).persist()
     # shingles() is distinct per doc, so |A ∩ B| = the number of shared
     # shingle postings per pair — a count aggregate over the inverted-index
     # join, and |A ∪ B| = |A| + |B| - |A ∩ B|. Counting instead of carrying
@@ -1654,6 +1719,7 @@ def minhash_portable_pairs(
     threshold: float = 0.5,
     max_bucket: int | None = None,
     max_bucket_mode: str = "reband",
+    scrub_max_df_frac: float | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with a fully SQL-replayable hash family.
     ``max_bucket`` pulls mega band buckets out of the coarse self-join (see
@@ -1667,12 +1733,10 @@ def minhash_portable_pairs(
     2-universal mix with _mh_consts(i); band key = md5 prefix of the
     '|'-joined (band, slot values) string.  b=16 x r=2 default:
     P(candidate | j=0.5) = 1-(1-0.25)^16 ~ 0.99.  Candidates are verified
-    with exact shingle jaccard, so band-hash collisions are harmless."""
-    base = (
-        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .persist()
-    )
+    with exact shingle jaccard, so band-hash collisions are harmless.
+    ``scrub_max_df_frac`` removes hot shingles before signatures and the
+    verify (scrub_hot_shingles) — the upstream boilerplate fix."""
+    base = _shingle_base(df, id_col, text_col, n, scrub_max_df_frac).persist()
     cand, sig = _minhash_band_candidates(base, num_hashes, bands, max_bucket, max_bucket_mode)
     sh_map = base.select("id", "sh")
     cand = cand.join(
@@ -1932,6 +1996,266 @@ def lsh_merge_completeness(
     from apollo_spark.ops.cache import carry_caches
 
     return carry_caches(scoped_persist(out, base, sig, cand, truth, caught, tnodes, ccc), tp)
+
+
+# --------------------------------------------------------------------------
+# Corpus-adaptive blocking geometry (round 9) — the round-8 skew rehearsal's
+# conclusion (BASELINE.md round-8 #2) was that no mega-bucket GUARD can buy
+# back recall the fixed r=2/b=16 geometry never had on low-similarity truth:
+# at truth jaccard 0.2 the analytic capture of b=16 x r=2 is only
+# 1-(1-0.04)^16 = 0.48, so even the UNCAPPED candidate set merges ~55% of
+# what dedup needs. The fix is choosing the geometry PER (corpus, threshold)
+# from the engine's own instruments: the analytic S-curve (lsh_scurve_table's
+# math, generalized over a menu) picks (num_hashes, bands), and a
+# vocabulary-sized df pass (dedup_cost_profile's math, at the blocker's n)
+# picks the truth-side df cap and detects boilerplate skew.
+# --------------------------------------------------------------------------
+
+# (pref, num_hashes, rows-per-band): preference order = sharpest usable
+# S-curve first (higher r = steeper cutoff = fewer low-similarity junk
+# candidates), then fewer hashes (cheaper signatures). bands =
+# num_hashes/rows is a power of two throughout, so every capture
+# probability is an exact squaring chain — no pow()/libm dependence,
+# bit-identical across engines.
+BLOCKING_GEOMETRY_MENU: tuple[tuple[int, int, int], ...] = (
+    (1, 32, 4),
+    (2, 64, 4),
+    (3, 32, 2),
+    (4, 64, 2),
+    (5, 32, 1),
+    (6, 64, 1),
+)
+
+# candidate truth-side df-cap fractions (ngram_jaccard_pairs max_df_frac),
+# ascending; the profile picks the largest whose predicted inverted-index
+# fan-out fits a linear budget.
+BLOCKING_FRAC_GRID: tuple[float, ...] = (0.005, 0.01, 0.02, 0.04, 0.08)
+
+
+def _capture_columns(s):
+    """1-(1-s)^b for b in {8,16,32,64} via explicit squaring chains (the
+    lsh_scurve_table discipline: every step one IEEE multiply, identical on
+    Spark/DuckDB/numpy)."""
+    x = F.lit(1.0) - s
+    x2 = x * x
+    x4 = x2 * x2
+    x8 = x4 * x4
+    x16 = x8 * x8
+    x32 = x16 * x16
+    x64 = x32 * x32
+    return {8: F.lit(1.0) - x8, 16: F.lit(1.0) - x16, 32: F.lit(1.0) - x32, 64: F.lit(1.0) - x64}
+
+
+def blocking_config_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    capture_target: float = 0.95,
+    pair_budget_per_doc: int = 64,
+    frac_floor: int = 1024,
+    hot_frac: float = 0.04,
+    scrub_share: float = 0.002,
+) -> DataFrame:
+    """ONE-ROW corpus-adaptive blocking configuration — the composition of
+    dedup_cost_profile (vocabulary-sized df pass) and the analytic S-curve
+    (lsh_scurve_table's exact squaring chains) into a per-(corpus,
+    threshold) choice of (num_hashes, bands, max_df_frac, scrub):
+
+    * geometry: the first BLOCKING_GEOMETRY_MENU entry whose analytic
+      capture 1-(1-t^r)^b at the dedup ``threshold`` meets
+      ``capture_target`` (preference: sharper S-curves first — they admit
+      the least low-similarity junk); if none qualifies, the max-capture
+      entry. At t=0.5 this reproduces the certified r=2/b=16 default; at
+      t=0.2 it escalates to r=1/b=32 (capture 0.9992 vs r=2/b=16's 0.48 —
+      the round-8 skew-rehearsal gap, BASELINE.md round-8 #2).
+    * rec_max_df_frac: the largest BLOCKING_FRAC_GRID fraction whose
+      predicted truth-index fan-out sum_{df<=cap} C(df,2) (cap =
+      max(floor(frac*n_docs), frac_floor), production ngram_jaccard
+      semantics) fits ``pair_budget_per_doc * n_docs`` — a LINEAR budget;
+      if none fits, the cheapest fraction (ties broken toward more recall,
+      exploiting monotonicity of the fan-out in frac).
+    * rec_scrub: hot-shingle occupancy (share of shingle postings whose
+      df exceeds the production ``hot_frac`` cap) above ``scrub_share``
+      flags a boilerplate-skewed corpus — measured 0.0115 on the skew
+      rehearsal vs exactly 0.0 on every uniform corpus/SF, so the flag is
+      a clean separator, not a tuned knife-edge.
+
+    Everything is computed IN-PLAN (1-row aggregates riding crossJoins, a
+    6-row literal menu, CASE selection; the only driver constants are the
+    menu and grid literals), so the DuckDB oracle replays the entire
+    selection — stats, capture arithmetic, and the argmax — bit-for-bit.
+    Scale: one shingle-vocabulary groupBy (map-combinable) is the whole
+    data-dependent cost."""
+    spark = df.sparkSession
+    base = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    ex = base.select("id", F.explode("sh").alias("s"))
+    nd = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    x = dfreq.crossJoin(F.broadcast(nd))
+    # C(df,2) via shiftright: exact BIGINT halving of the (always even)
+    # product — no double round-trip, replayed as integer // in the oracle
+    pairs = F.shiftright(F.col("df") * (F.col("df") - F.lit(1)), 1)
+    cut_hot = F.greatest(F.floor(F.lit(float(hot_frac)) * F.col("n_docs")), F.lit(int(frac_floor)))
+    aggs = [
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("df") > cut_hot, F.col("df")).otherwise(F.lit(0))).alias("__hot_mass"),
+        F.sum("df").alias("__total_mass"),
+    ]
+    for i, frac in enumerate(BLOCKING_FRAC_GRID):
+        cut = F.greatest(F.floor(F.lit(float(frac)) * F.col("n_docs")), F.lit(int(frac_floor)))
+        aggs.append(
+            F.sum(F.when(F.col("df") <= cut, pairs).otherwise(F.lit(0))).alias(f"__est{i}")
+        )
+    stats = x.groupBy("n_docs").agg(*aggs)
+
+    budget = F.lit(int(pair_budget_per_doc)) * F.col("n_docs")
+    k = len(BLOCKING_FRAC_GRID)
+    # largest frac under the linear budget ...
+    sel_frac = None
+    sel_est = None
+    for i in reversed(range(k)):
+        cond = F.col(f"__est{i}") <= budget
+        lit_f, col_e = F.lit(float(BLOCKING_FRAC_GRID[i])), F.col(f"__est{i}")
+        sel_frac = F.when(cond, lit_f) if sel_frac is None else sel_frac.when(cond, lit_f)
+        sel_est = F.when(cond, col_e) if sel_est is None else sel_est.when(cond, col_e)
+    # ... else the cheapest (= smallest-frac, fan-out is monotone in frac),
+    # ties broken toward the LARGEST equal-cost frac (more recall, same cost)
+    fall_frac = F.lit(float(BLOCKING_FRAC_GRID[0]))
+    fall_est = F.col("__est0")
+    for i in range(1, k):
+        tie = F.col(f"__est{i}") == F.col("__est0")
+        fall_frac = F.when(tie, F.lit(float(BLOCKING_FRAC_GRID[i]))).otherwise(fall_frac)
+        # each iteration WRAPS the previous chain as its otherwise, so the
+        # outermost (last-built, largest-frac) tie check wins
+        fall_est = F.when(tie, F.col(f"__est{i}")).otherwise(fall_est)
+    sel_frac = sel_frac.otherwise(fall_frac)
+    sel_est = sel_est.otherwise(fall_est)
+
+    # "rpb" = rows per band ("rows" is a window-frame keyword in both
+    # engines' SQL grammars)
+    menu = spark.createDataFrame(
+        list(BLOCKING_GEOMETRY_MENU), "pref INT, num_hashes INT, rpb INT"
+    )
+    t = F.lit(float(threshold))
+    s = (
+        F.when(F.col("rpb") == 1, t)
+        .when(F.col("rpb") == 2, t * t)
+        .otherwise((t * t) * (t * t))
+    )
+    caps = _capture_columns(s)
+    bands_col = (F.col("num_hashes") / F.col("rpb")).cast("int")
+    capture = (
+        F.when(bands_col == 8, caps[8])
+        .when(bands_col == 16, caps[16])
+        .when(bands_col == 32, caps[32])
+        .otherwise(caps[64])
+    )
+    mg = menu.select(
+        "pref",
+        "num_hashes",
+        "rpb",
+        bands_col.alias("bands"),
+        capture.alias("capture_at_threshold"),
+    )
+    meets = F.col("capture_at_threshold") >= F.lit(float(capture_target))
+    chosen = mg.orderBy(
+        meets.desc(),
+        F.when(meets, F.col("pref").cast("double"))
+        .otherwise(-F.col("capture_at_threshold"))
+        .asc(),
+        F.col("pref").asc(),
+    ).limit(1)
+
+    return stats.crossJoin(chosen).select(
+        F.lit(float(threshold)).alias("threshold"),
+        "n_docs",
+        "n_shingles",
+        (F.col("__hot_mass").cast("double") / F.col("__total_mass").cast("double")).alias(
+            "hot_shingle_share"
+        ),
+        (
+            F.col("__hot_mass").cast("double")
+            > F.lit(float(scrub_share)) * F.col("__total_mass").cast("double")
+        ).alias("rec_scrub"),
+        sel_frac.alias("rec_max_df_frac"),
+        sel_est.cast("long").alias("est_capped_pairs"),
+        F.col("num_hashes").alias("rec_num_hashes"),
+        F.col("bands").alias("rec_bands"),
+        F.col("rpb").alias("rec_rows"),
+        "capture_at_threshold",
+    )
+
+
+def blocking_autotune(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    **profile_kw,
+) -> dict:
+    """Materialize blocking_config_profile's ONE row (a bounded driver
+    action — the repo's bounded-collect discipline) as a plain dict for
+    plan construction: {'num_hashes', 'bands', 'rows', 'max_df_frac',
+    'scrub', 'capture', 'hot_shingle_share', 'n_docs'}."""
+    row = blocking_config_profile(
+        df, id_col=id_col, text_col=text_col, n=n, threshold=threshold, **profile_kw
+    ).collect()[0]
+    return {
+        "num_hashes": int(row["rec_num_hashes"]),
+        "bands": int(row["rec_bands"]),
+        "rows": int(row["rec_rows"]),
+        "max_df_frac": float(row["rec_max_df_frac"]),
+        "scrub": bool(row["rec_scrub"]),
+        "capture": float(row["capture_at_threshold"]),
+        "hot_shingle_share": float(row["hot_shingle_share"]),
+        "n_docs": int(row["n_docs"]),
+    }
+
+
+def minhash_autotuned_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = 64,
+    max_bucket_mode: str = "reband",
+    scrub: bool | float | str = "auto",
+    config: dict | None = None,
+) -> DataFrame:
+    """minhash_portable_pairs under the corpus-adaptive geometry: profile
+    once (blocking_autotune), then band with the chosen (num_hashes, bands)
+    behind the production ladder guard. ``scrub="auto"`` applies the
+    shingle-level boilerplate scrub at the profile's hot_frac (0.04) iff
+    the profile flags boilerplate skew; True/float forces it, False
+    disables. ``config`` short-circuits the profiling pass (reuse a
+    collected blocking_autotune dict across operators)."""
+    cfg = config or blocking_autotune(df, id_col=id_col, text_col=text_col, n=n, threshold=threshold)
+    if scrub == "auto":
+        scrub_frac = 0.04 if cfg.get("scrub") else None
+    elif scrub is True:
+        scrub_frac = 0.04
+    elif scrub is False or scrub is None:
+        scrub_frac = None
+    else:
+        scrub_frac = float(scrub)
+    return minhash_portable_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        num_hashes=cfg["num_hashes"],
+        bands=cfg["bands"],
+        threshold=threshold,
+        max_bucket=max_bucket,
+        max_bucket_mode=max_bucket_mode,
+        scrub_max_df_frac=scrub_frac,
+    )
 
 
 # --------------------------------------------------------------------------

@@ -451,26 +451,64 @@ def _apply_dedup(df: DataFrame, spec) -> DataFrame:
     from pyspark.sql import functions as F
 
     from apollo_spark.ops.dedup import (
+        blocking_autotune,
         connected_components,
         dedup_losers,
         exact_dedup,
-        near_dedup,
+        minhash_lsh_pairs,
         ngram_jaccard_pairs,
+        strip_hot_lines,
         tfidf_cosine_pairs,
     )
 
     if spec.method == "exact":
         return exact_dedup(df, spec.id, spec.text, keep=spec.keep)
+
+    # round 9: corpus-adaptive geometry + boilerplate scrub. The autotune
+    # profile is ONE bounded driver action (1-row collect); its scrub flag
+    # resolves scrub_boilerplate = null ("auto"). Lines-mode scrub swaps the
+    # TEXT used for pair generation (strip_hot_lines over "\n" segments);
+    # shingle-mode threads scrub_max_df_frac into the shingle ops
+    # (scrub_hot_shingles). Either way grouping happens over the scrubbed
+    # view while survivor selection and output keep the ORIGINAL rows.
+    pair_frame = df
+    shingle_scrub = None
+    cfg = None
+    if spec.method == "minhash" and spec.autotune:
+        cfg = blocking_autotune(df, spec.id, spec.text, n=3, threshold=spec.threshold)
+    scrub_on = spec.scrub_boilerplate
+    if scrub_on is None:
+        scrub_on = bool(cfg and cfg["scrub"])
+    if scrub_on:
+        if spec.scrub_mode == "lines":
+            clean = strip_hot_lines(
+                df,
+                max_df_frac=spec.scrub_max_df_frac,
+                id_col=spec.id,
+                text_col=spec.text,
+                sep="\n",
+            )
+            pair_frame = clean.select(F.col(spec.id), F.col("clean_text").alias(spec.text))
+        else:
+            shingle_scrub = spec.scrub_max_df_frac
+
     if spec.method == "minhash":
         # scale-safe default: the recursive banding ladder guards against
         # boilerplate mega-buckets (BASELINE.md round-8 #1/#2); `lossless =
         # true` opts back into the raw geometry, same convention as the
         # ngram/tfidf methods' lossless flag
         guard = {} if spec.lossless else {"max_bucket": 64, "max_bucket_mode": "reband"}
-        return near_dedup(
-            df, spec.id, spec.text, threshold=spec.threshold, keep=spec.keep, **guard
+        geo = {"num_hashes": cfg["num_hashes"], "bands": cfg["bands"]} if cfg else {}
+        pairs = minhash_lsh_pairs(
+            pair_frame,
+            spec.id,
+            spec.text,
+            threshold=spec.threshold,
+            scrub_max_df_frac=shingle_scrub,
+            **geo,
+            **guard,
         )
-    if spec.method == "tfidf":
+    elif spec.method == "tfidf":
         # same scale default as ngram_jaccard below: the lossless tfidf
         # inverted-index self-join measured ~quadratic at sf1 (2.85 s ->
         # 1203 s, BASELINE.md "sf1 superlinearity" round 5); the frac-capped
@@ -483,7 +521,7 @@ def _apply_dedup(df: DataFrame, spec) -> DataFrame:
             else {"max_df": None, "max_df_frac": spec.max_df_frac, "frac_floor": 1024}
         )
         pairs = tfidf_cosine_pairs(
-            df, spec.id, spec.text, n=spec.shingle_n, threshold=spec.threshold, **tf_kwargs
+            pair_frame, spec.id, spec.text, n=spec.shingle_n, threshold=spec.threshold, **tf_kwargs
         )
     else:
         # DEFAULT is the scale-relative hot-shingle cap: the lossless
@@ -497,7 +535,13 @@ def _apply_dedup(df: DataFrame, spec) -> DataFrame:
             else {"max_df": None, "max_df_frac": spec.max_df_frac, "frac_floor": 1024}
         )
         pairs = ngram_jaccard_pairs(
-            df, spec.id, spec.text, n=spec.shingle_n, threshold=spec.threshold, **kwargs
+            pair_frame,
+            spec.id,
+            spec.text,
+            n=spec.shingle_n,
+            threshold=spec.threshold,
+            scrub_max_df_frac=shingle_scrub,
+            **kwargs,
         )
     comps = connected_components(pairs.select("id_a", "id_b"))
     losers = dedup_losers(comps, df, spec.id, spec.text, spec.keep)

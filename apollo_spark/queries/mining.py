@@ -1441,6 +1441,126 @@ FROM s8 ORDER BY i
 """
 
 
+def blocking_autotune_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-adaptive blocking geometry selection (round 9) — the
+    composition the round-8 skew rehearsal called for (BASELINE.md round-8
+    #2): dedup_cost_profile's vocabulary-sized df pass + lsh_scurve_table's
+    exact capture arithmetic, fused into ONE in-plan configuration choice
+    of (num_hashes, bands, rows, max_df_frac, scrub) for the MinHash
+    blocking tier. Run here at truth threshold 0.2 (the blocking-evaluation
+    operating point where the fixed r=2/b=16 geometry's capture is only
+    0.48): the profile escalates to r=1/b=32 (capture 0.9992) and flags
+    boilerplate skew from hot-shingle occupancy. The oracle replays the
+    ENTIRE selection — trigram df stats, squaring-chain capture math, menu
+    ordering, and the budgeted df-cap argmax — so the gate certifies the
+    decision procedure, not just its inputs. See
+    ops/dedup.py::blocking_config_profile."""
+    from apollo_spark.ops.dedup import blocking_config_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return blocking_config_profile(d, n=3, threshold=0.2)
+
+
+def _blocking_autotune_oracle(
+    n: int = 3,
+    threshold: float = 0.2,
+    capture_target: float = 0.95,
+    pair_budget: int = 64,
+    frac_floor: int = 1024,
+    hot_frac: float = 0.04,
+    scrub_share: float = 0.002,
+) -> str:
+    """DuckDB mirror of blocking_config_profile, generated from the SAME
+    menu/grid constants (single source of truth — the SQL cannot drift from
+    the op). All double literals are CAST(... AS DOUBLE) so both engines do
+    the identical IEEE multiply (DuckDB would otherwise keep exact DECIMAL
+    arithmetic and floor() could disagree at integer boundaries)."""
+    from apollo_spark.ops.dedup import BLOCKING_FRAC_GRID, BLOCKING_GEOMETRY_MENU
+
+    k = len(BLOCKING_FRAC_GRID)
+    grams = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    est_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN df <= GREATEST(CAST(floor(CAST({f!r} AS DOUBLE) * n_docs) AS BIGINT), {frac_floor}) "
+        f"THEN (df*(df-1))//2 ELSE 0 END) AS BIGINT) AS est{i}"
+        for i, f in enumerate(BLOCKING_FRAC_GRID)
+    )
+    menu_vals = ", ".join(f"({p}, {h}, {r})" for p, h, r in BLOCKING_GEOMETRY_MENU)
+    t = f"CAST({threshold!r} AS DOUBLE)"
+    budget_frac = " ".join(
+        f"WHEN est{i} <= {pair_budget} * n_docs THEN CAST({BLOCKING_FRAC_GRID[i]!r} AS DOUBLE)"
+        for i in reversed(range(k))
+    )
+    budget_est = " ".join(
+        f"WHEN est{i} <= {pair_budget} * n_docs THEN est{i}" for i in reversed(range(k))
+    )
+    tie_frac = " ".join(
+        f"WHEN est{i} = est0 THEN CAST({BLOCKING_FRAC_GRID[i]!r} AS DOUBLE)"
+        for i in reversed(range(1, k))
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < {n} THEN [array_to_string(w, ' ')]
+              ELSE list_distinct(list_transform(generate_series(1, len(w) - {n - 1}), i -> {grams})) END AS sh
+  FROM t
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM sh WHERE len(sh) > 0),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
+dfreq AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY s),
+stats AS (
+  SELECT n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN df > GREATEST(CAST(floor(CAST({hot_frac!r} AS DOUBLE) * n_docs) AS BIGINT), {frac_floor}) THEN df ELSE 0 END) AS BIGINT) AS hot_mass,
+         CAST(SUM(df) AS BIGINT) AS total_mass,
+         {est_cols}
+  FROM dfreq, nd GROUP BY n_docs
+),
+menu(pref, num_hashes, rpb) AS (VALUES {menu_vals}),
+m1 AS (
+  SELECT pref, num_hashes, rpb, CAST(num_hashes // rpb AS INT) AS bands,
+         1.0 - CASE rpb WHEN 1 THEN {t} WHEN 2 THEN {t} * {t} ELSE ({t} * {t}) * ({t} * {t}) END AS x
+  FROM menu
+),
+m2 AS (SELECT *, x * x AS x2 FROM m1),
+m3 AS (SELECT *, x2 * x2 AS x4 FROM m2),
+m4 AS (SELECT *, x4 * x4 AS x8 FROM m3),
+m5 AS (SELECT *, x8 * x8 AS x16 FROM m4),
+m6 AS (SELECT *, x16 * x16 AS x32 FROM m5),
+m7 AS (SELECT *, x32 * x32 AS x64 FROM m6),
+mg AS (
+  SELECT pref, num_hashes, rpb, bands,
+         1.0 - CASE bands WHEN 8 THEN x8 WHEN 16 THEN x16 WHEN 32 THEN x32 ELSE x64 END AS capture_at_threshold
+  FROM m7
+),
+chosen AS (
+  SELECT * FROM mg
+  ORDER BY (capture_at_threshold >= CAST({capture_target!r} AS DOUBLE)) DESC,
+           CASE WHEN capture_at_threshold >= CAST({capture_target!r} AS DOUBLE)
+                THEN CAST(pref AS DOUBLE) ELSE -capture_at_threshold END ASC,
+           pref ASC
+  LIMIT 1
+)
+SELECT {t} AS threshold,
+       n_docs, n_shingles,
+       CAST(hot_mass AS DOUBLE) / CAST(total_mass AS DOUBLE) AS hot_shingle_share,
+       CAST(hot_mass AS DOUBLE) > CAST({scrub_share!r} AS DOUBLE) * CAST(total_mass AS DOUBLE) AS rec_scrub,
+       CASE {budget_frac} ELSE CASE {tie_frac} ELSE CAST({BLOCKING_FRAC_GRID[0]!r} AS DOUBLE) END END AS rec_max_df_frac,
+       CASE {budget_est} ELSE CASE WHEN est{k - 1} = est0 THEN est{k - 1} {" ".join(f"WHEN est{i} = est0 THEN est{i}" for i in reversed(range(1, k - 1)))} ELSE est0 END END AS est_capped_pairs,
+       CAST(num_hashes AS INT) AS rec_num_hashes,
+       CAST(bands AS INT) AS rec_bands,
+       CAST(rpb AS INT) AS rec_rows,
+       capture_at_threshold
+FROM stats, chosen
+"""
+
+
+ORACLE_BLOCKING_AUTOTUNE = _blocking_autotune_oracle()
+
+
 ORACLE_JOIN_SKEW = """
 WITH c AS (SELECT lang AS key, COUNT(*) AS cnt FROM documents GROUP BY lang),
 j AS (SELECT key, cnt AS cnt_a, cnt AS cnt_b,

@@ -1,4 +1,4 @@
-"""Merge-completeness adjudication on the skew rehearsal (round 8).
+"""Merge-completeness adjudication on the skew rehearsal (rounds 8-9).
 
 On a boilerplate-skewed corpus the TRUTH near-dup set contains a quadratic
 clique (short docs sharing the planted boilerplate line genuinely clear the
@@ -16,6 +16,13 @@ candidates achieve (1.0 = identical component partition over truth nodes).
 Caught edges = truth edges surfaced as candidates, the same intersection
 lsh_blocking_metrics counts for PC.
 
+Round 9 adds the two levers the round-8 adjudication named:
+  * the AUTOTUNED geometry (blocking_config_profile at the truth threshold
+    picks r=1/b=32: analytic capture 0.9992 at j=0.2 vs r=2/b=16's 0.48);
+  * the shingle-level boilerplate SCRUB (scrub_hot_shingles) — measured
+    against a correspondingly scrubbed truth, because scrub REDEFINES
+    similarity to exclude boilerplate (the clique stops being truth).
+
 Usage: python scripts/skew_merge_completeness.py [sf_dir ...]
        (default: .data/sf1skew .data/sf3skew)
 """
@@ -32,26 +39,39 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def measure(spark, sf_dir: str, max_bucket: int | None, mode: str) -> dict:
+def measure(
+    spark,
+    sf_dir: str,
+    max_bucket: int | None,
+    mode: str,
+    num_hashes: int = 32,
+    bands: int = 16,
+    scrub_frac: float | None = None,
+    label: str | None = None,
+) -> dict:
     from apollo_spark.ops.cache import release_caches
     from apollo_spark.ops.dedup import (
         _minhash_band_candidates,
+        _shingle_base,
         connected_components,
         ngram_jaccard_pairs,
-        shingles,
     )
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t0 = time.perf_counter()
-    base = (
-        d.select(F.col("doc_id").alias("id"), shingles(F.col("text"), 3).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .persist()
-    )
-    cand, sig = _minhash_band_candidates(base, 32, 16, max_bucket, mode)
+    base = _shingle_base(d, "doc_id", "text", 3, scrub_frac).persist()
+    cand, sig = _minhash_band_candidates(base, num_hashes, bands, max_bucket, mode)
     cand = cand.persist()
     truth = (
-        ngram_jaccard_pairs(d, id_col="doc_id", text_col="text", n=2, threshold=0.2, max_df_frac=0.04)
+        ngram_jaccard_pairs(
+            d,
+            id_col="doc_id",
+            text_col="text",
+            n=2,
+            threshold=0.2,
+            max_df_frac=0.04,
+            scrub_max_df_frac=scrub_frac,
+        )
         .select("id_a", "id_b")
         .persist()
     )
@@ -73,7 +93,9 @@ def measure(spark, sf_dir: str, max_bucket: int | None, mode: str) -> dict:
     mc = (n_nodes - cc) / (n_nodes - ct) if n_nodes > ct else 1.0
     out = {
         "sf_dir": sf_dir,
-        "mode": mode if max_bucket is not None else "none",
+        "mode": label or (mode if max_bucket is not None else "none"),
+        "geometry": f"h{num_hashes}/b{bands}/r{num_hashes // bands}",
+        "scrub": scrub_frac,
         "n_true": n_true,
         "n_cand": n_cand,
         "n_caught": n_caught,
@@ -90,6 +112,34 @@ def measure(spark, sf_dir: str, max_bucket: int | None, mode: str) -> dict:
     return out
 
 
+CONFIGS = (
+    # round-8 rows (fixed r=2/b=16 geometry) — reproduced for comparison
+    dict(max_bucket=64, mode="drop", num_hashes=32, bands=16, label="r2b16-drop"),
+    dict(max_bucket=64, mode="reband", num_hashes=32, bands=16, label="r2b16-ladder"),
+    # round 9: the autotuned geometry (blocking_config_profile at t=0.2)
+    dict(max_bucket=64, mode="reband", num_hashes=32, bands=32, label="autotune-r1b32-ladder"),
+    # round 9: autotune + shingle scrub, truth scrubbed identically (scrub
+    # redefines similarity: boilerplate-only pairs stop being truth)
+    dict(
+        max_bucket=64,
+        mode="reband",
+        num_hashes=32,
+        bands=32,
+        scrub_frac=0.04,
+        label="autotune-r1b32-ladder-scrub",
+    ),
+    # scrub under the ORIGINAL geometry: isolates scrub's contribution
+    dict(
+        max_bucket=64,
+        mode="reband",
+        num_hashes=32,
+        bands=16,
+        scrub_frac=0.04,
+        label="r2b16-ladder-scrub",
+    ),
+)
+
+
 def main() -> None:
     from apollo_spark.session import get_spark
 
@@ -97,8 +147,8 @@ def main() -> None:
     spark = get_spark("skew_mc")
     spark.sparkContext.setLogLevel("ERROR")
     for sf_dir in dirs:
-        for max_bucket, mode in ((64, "drop"), (64, "reband")):
-            r = measure(spark, sf_dir, max_bucket, mode)
+        for cfg in CONFIGS:
+            r = measure(spark, sf_dir, **cfg)
             print(json.dumps(r), flush=True)
 
 

@@ -1,0 +1,284 @@
+"""Corpus-adaptive blocking geometry + boilerplate scrub (round 9).
+
+The round-8 skew rehearsal's conclusion (BASELINE.md round-8 #2): no
+mega-bucket guard can buy back recall the fixed r=2/b=16 geometry never had
+at low truth thresholds, and the real fix for boilerplate cliques is
+upstream removal. These tests pin the two levers that landed for it:
+
+* blocking_config_profile / blocking_autotune — in-plan selection of
+  (num_hashes, bands, rows, max_df_frac, scrub) from the analytic S-curve
+  + a vocabulary-sized df pass (hash-gated end-to-end by the
+  blocking_autotune_config registry query; here: the selection LOGIC);
+* scrub_hot_shingles / scrub_max_df_frac threading — hot shingles removed
+  from the shingle sets before signatures AND scoring, so
+  boilerplate-only similarity never produces a pair.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+BOILER = "click here to subscribe now and never miss another weekly update from our team"
+
+
+def _skewed_docs(spark, n_boiler=60, n_unique=30):
+    """n_boiler docs sharing only BOILER (plus per-doc unique words) + two
+    genuine duplicates + n_unique unrelated docs."""
+    rows = [(i, f"{BOILER} u{i} v{i}") for i in range(n_boiler)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta"), (101, "alpha beta gamma delta epsilon zeta")]
+    rows += [(200 + i, f"w{i} x{i} y{i} z{i} q{i} r{i} s{i}") for i in range(n_unique)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_profile_geometry_tracks_threshold(spark):
+    """The chosen geometry is the cheapest menu entry whose analytic capture
+    1-(1-t^r)^b meets the 0.95 target: r=4/b=8 at t=0.8, the certified
+    r=2/b=16 default at t=0.5, r=1/b=32 at t=0.2 (the skew-rehearsal
+    operating point where r=2's capture is only 0.48)."""
+    from apollo_spark.ops.dedup import blocking_config_profile
+
+    d = _skewed_docs(spark)
+    expect = {0.8: (32, 8, 4), 0.5: (32, 16, 2), 0.2: (32, 32, 1)}
+    for t, (nh, b, r) in expect.items():
+        row = blocking_config_profile(d, threshold=t).collect()[0]
+        assert (row["rec_num_hashes"], row["rec_bands"], row["rec_rows"]) == (nh, b, r), t
+        # capture matches the same IEEE chain computed in plain Python
+        s = t**1 if r == 1 else (t * t if r == 2 else (t * t) * (t * t))
+        x = 1.0 - s
+        for _ in range(b.bit_length() - 1):
+            x = x * x
+        assert row["capture_at_threshold"] == 1.0 - x
+        assert row["capture_at_threshold"] >= 0.95
+
+
+def test_profile_flags_boilerplate_skew(spark):
+    """rec_scrub fires on a corpus where hot shingles (df above the
+    production cap) carry real occurrence mass, and stays off on a clean
+    corpus. frac_floor=0 exposes the fraction semantics at unit-test size
+    (production keeps 1024 so tiny corpora are never 'hot')."""
+    from apollo_spark.ops.dedup import blocking_config_profile
+
+    skew = blocking_config_profile(_skewed_docs(spark), frac_floor=0).collect()[0]
+    assert skew["rec_scrub"] is True
+    assert skew["hot_shingle_share"] > 0.002
+
+    clean = spark.createDataFrame(
+        [(i, f"a{i} b{i} c{i} d{i} e{i} f{i}") for i in range(50)], "doc_id long, text string"
+    )
+    row = blocking_config_profile(clean, frac_floor=0).collect()[0]
+    assert row["rec_scrub"] is False
+    assert row["hot_shingle_share"] == 0.0
+
+
+def test_profile_frac_under_budget_monotone(spark):
+    """rec_max_df_frac is the largest grid fraction whose predicted fan-out
+    fits the linear budget; with a huge budget that is the grid max, with a
+    zero budget the fallback keeps the cheapest (= smallest-fanout) tier."""
+    from apollo_spark.ops.dedup import BLOCKING_FRAC_GRID, blocking_config_profile
+
+    d = _skewed_docs(spark)
+    big = blocking_config_profile(d, pair_budget_per_doc=10**9).collect()[0]
+    assert big["rec_max_df_frac"] == BLOCKING_FRAC_GRID[-1]
+    # zero budget: nothing qualifies -> fallback keeps the cheapest tier
+    # (est is monotone in frac, ties broken toward the largest
+    # equal-cost frac), so its fan-out can never exceed the budgeted pick
+    zero = blocking_config_profile(d, pair_budget_per_doc=0, frac_floor=0).collect()[0]
+    big0 = blocking_config_profile(d, pair_budget_per_doc=10**9, frac_floor=0).collect()[0]
+    assert zero["est_capped_pairs"] <= big0["est_capped_pairs"]
+    assert zero["rec_max_df_frac"] in BLOCKING_FRAC_GRID
+
+
+def test_scrub_hot_shingles_removes_boilerplate(spark):
+    """Hot shingles disappear from every doc's set; docs left with nothing
+    informative are dropped; informative shingles survive untouched."""
+    from apollo_spark.ops.dedup import _shingle_base, scrub_hot_shingles
+
+    rows = [(i, f"{BOILER} u{i}") for i in range(20)]
+    rows += [(50, BOILER)]  # pure boilerplate: nothing informative left
+    rows += [(60, "alpha beta gamma delta")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    raw = _shingle_base(d, "doc_id", "text", 3, None)
+    clean = scrub_hot_shingles(raw, 0.5).collect()
+    by_id = {r["id"]: set(r["sh"]) for r in clean}
+    assert 50 not in by_id  # pure-boilerplate doc dropped
+    assert by_id[60] == {"alpha beta gamma", "beta gamma delta"}  # untouched
+    # boiler docs keep only their unique boundary shingles
+    for i in range(20):
+        assert all(f"u{i}" in s for s in by_id[i])
+
+
+def test_minhash_scrub_kills_boilerplate_only_pairs(spark):
+    """With scrub_max_df_frac, pairs similar ONLY via the planted hot line
+    vanish while genuine duplicates still pair at jaccard 1.0 — the
+    'clique edge mass disappears before banding' claim, in miniature."""
+    from apollo_spark.ops.dedup import minhash_portable_pairs
+
+    d = _skewed_docs(spark)
+    loose = minhash_portable_pairs(d, threshold=0.3, max_bucket=8, max_bucket_mode="reband")
+    boiler_pairs = loose.filter(F.col("id_a") < 100).count()
+    assert boiler_pairs > 0  # boilerplate similarity pairs exist unscrubbed
+    assert loose.filter((F.col("id_a") == 100) & (F.col("id_b") == 101)).count() == 1
+
+    scrubbed = minhash_portable_pairs(
+        d, threshold=0.3, max_bucket=8, max_bucket_mode="reband", scrub_max_df_frac=0.2
+    )
+    assert scrubbed.filter(F.col("id_a") < 100).count() == 0  # clique mass gone
+    survivors = scrubbed.filter((F.col("id_a") == 100) & (F.col("id_b") == 101)).collect()
+    assert len(survivors) == 1 and survivors[0]["jaccard"] == 1.0
+
+
+def test_ngram_scrub_matches_minhash_semantics(spark):
+    """ngram_jaccard_pairs under scrub scores the SCRUBBED sets: the
+    boilerplate-only pairs fall below threshold, genuine dups stay 1.0."""
+    from apollo_spark.ops.dedup import ngram_jaccard_pairs
+
+    d = _skewed_docs(spark)
+    pairs = ngram_jaccard_pairs(
+        d, n=3, threshold=0.3, max_df=None, scrub_max_df_frac=0.2
+    )
+    assert pairs.filter(F.col("id_a") < 100).count() == 0
+    assert pairs.filter((F.col("id_a") == 100) & (F.col("id_b") == 101)).count() == 1
+
+
+def test_autotuned_pairs_end_to_end(spark):
+    """minhash_autotuned_pairs: profile -> geometry -> ladder-guarded pairs.
+    On the boilerplate corpus the profile recommends scrub (auto mode), so
+    boilerplate-only pairs are gone and genuine dups survive."""
+    from apollo_spark.ops.dedup import blocking_autotune, minhash_autotuned_pairs
+
+    d = _skewed_docs(spark)
+    cfg = blocking_autotune(d, threshold=0.3, frac_floor=0)
+    assert cfg["scrub"] is True
+    assert cfg["bands"] * cfg["rows"] == cfg["num_hashes"]
+    pairs = minhash_autotuned_pairs(d, threshold=0.3, config=cfg, scrub=0.2)
+    assert pairs.filter((F.col("id_a") == 100) & (F.col("id_b") == 101)).count() == 1
+    assert pairs.filter(F.col("id_a") < 100).count() == 0
+
+
+def test_dsl_autotune_and_scrub_validation():
+    from apollo_spark.dsl.schema import SchemaError, parse_schema
+
+    def q(body):
+        return f"""
+query x {{
+  chain = "ethereum"
+  source_table = "documents"
+  dedup {{ {body} }}
+  save {{ doc_id = doc_id }}
+}}
+"""
+
+    with pytest.raises(SchemaError, match="autotune"):
+        parse_schema(q('method = "ngram_jaccard"\n autotune = true'))
+    with pytest.raises(SchemaError, match="near-dup"):
+        parse_schema(q('method = "exact"\n scrub_boilerplate = true'))
+    with pytest.raises(SchemaError, match="shingle-level scrub"):
+        parse_schema(q('method = "tfidf"\n scrub_boilerplate = true'))
+    with pytest.raises(SchemaError, match="scrub_mode"):
+        parse_schema(q('method = "minhash"\n scrub_mode = "words"'))
+    s = parse_schema(
+        q('method = "minhash"\n autotune = true\n scrub_boilerplate = true\n scrub_max_df_frac = 0.2')
+    )
+    spec = s.queries[0].dedup
+    assert spec.autotune is True and spec.scrub_boilerplate is True
+    assert spec.scrub_max_df_frac == 0.2 and spec.scrub_mode == "shingle"
+    # unset scrub_boilerplate stays None (= auto under autotune)
+    assert parse_schema(q('method = "minhash"')).queries[0].dedup.scrub_boilerplate is None
+
+
+def test_dsl_dedup_scrub_shingle_e2e(spark, tmp_path):
+    """`dedup { method="minhash", scrub_boilerplate = true }`: grouping runs
+    over scrubbed shingles — boilerplate-only twins BOTH survive, genuine
+    dups still collapse, and output rows keep their ORIGINAL text."""
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import compile_query
+    from apollo_spark.sources.tables import Catalog
+
+    rows = [(i, f"{BOILER} unique{i} tail{i}") for i in range(1, 9)]
+    rows += [(20, "alpha beta gamma delta epsilon"), (21, "alpha beta gamma delta epsilon")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    catalog = Catalog(spark, str(tmp_path))
+    schema = parse_schema(
+        """
+query scrub_dedup {
+  chain = "ethereum"
+  source_table = "documents"
+  dedup {
+    method = "minhash"
+    threshold = 0.3
+    scrub_boilerplate = true
+    scrub_max_df_frac = 0.3
+  }
+  save {
+    doc_id = doc_id
+    text = text
+  }
+}
+"""
+    )
+    out = compile_query(spark, catalog, schema.queries[0], schema).toPandas()
+    ids = sorted(out["doc_id"])
+    assert 20 in ids and 21 not in ids  # genuine dup still collapses
+    assert all(i in ids for i in range(1, 9))  # boilerplate-only twins all survive
+    # original text preserved on survivors
+    assert out.set_index("doc_id").loc[1, "text"].startswith(BOILER.split()[0])
+
+    # control: same corpus without scrub at the same threshold merges the
+    # boilerplate family into one survivor
+    schema2 = parse_schema(
+        """
+query noscrub_dedup {
+  chain = "ethereum"
+  source_table = "documents"
+  dedup {
+    method = "minhash"
+    threshold = 0.3
+  }
+  save { doc_id = doc_id }
+}
+"""
+    )
+    out2 = compile_query(spark, catalog, schema2.queries[0], schema2).toPandas()
+    assert sum(1 for i in out2["doc_id"] if i < 20) < 8
+
+
+def test_dsl_dedup_scrub_lines_e2e(spark, tmp_path):
+    """`scrub_mode = "lines"` composes strip_hot_lines with the dedup block:
+    a newline boilerplate banner shared by most docs stops creating dup
+    groups, while docs identical up to the banner still collapse."""
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import compile_query
+    from apollo_spark.sources.tables import Catalog
+
+    banner = "subscribe to the newsletter"
+    rows = [(i, f"{banner}\nwa{i} wb{i} wc{i} wd{i} we{i} wf{i}") for i in range(1, 8)]
+    # 10 and 11: identical real content, one carries the banner
+    rows += [(10, f"{banner}\nshared corpus text body"), (11, "shared corpus text body")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    catalog = Catalog(spark, str(tmp_path))
+    schema = parse_schema(
+        """
+query line_scrub {
+  chain = "ethereum"
+  source_table = "documents"
+  dedup {
+    method = "ngram_jaccard"
+    shingle_n = 1
+    threshold = 0.6
+    scrub_boilerplate = true
+    scrub_mode = "lines"
+    scrub_max_df_frac = 0.5
+  }
+  save { doc_id = doc_id }
+}
+"""
+    )
+    out = compile_query(spark, catalog, schema.queries[0], schema).toPandas()
+    ids = sorted(out["doc_id"])
+    assert all(i in ids for i in range(1, 8))  # banner alone groups nothing
+    assert 10 in ids and 11 not in ids  # banner-stripped twins collapse
