@@ -1856,6 +1856,7 @@ def lsh_blocking_metrics(
     max_df_frac: float | None = 0.04,
     max_bucket: int | None = None,
     max_bucket_mode: str = "reband",
+    cand_truth: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Blocking-quality evaluation of the MinHash-LSH candidate generator —
     the record-linkage literature's two standard numbers (Christen 2012):
@@ -1881,21 +1882,42 @@ def lsh_blocking_metrics(
     reduction_ratio. Every count is a 1-row aggregate riding crossJoins
     (declarative — no driver count); the candidate and truth frames are
     each computed once and persisted for their two consumers.
+
+    ``cand_truth``: precomputed (candidate, truth) pair frames — the shared
+    evaluation substrate (round 9): this metric and lsh_merge_completeness
+    consume the SAME signatures, ladder candidates, and df-capped exact
+    truth, and recomputing them twice was ~11% of the whole bench. Callers
+    route both queries through one artifact (queries.mining's
+    APOLLO_SPARK_ARTIFACT_DIR path, built once per corpus snapshot via
+    train_or_load_table) and only the metric tail runs here.
     """
-    base = (
-        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), block_n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .persist()
-    )
-    cand, sig = _minhash_band_candidates(base, num_hashes, bands, max_bucket, max_bucket_mode)
-    cand = cand.persist()
-    tp = ngram_jaccard_pairs(
-        df, id_col=id_col, text_col=text_col, n=truth_n,
-        threshold=truth_threshold, max_df_frac=max_df_frac,
-    )
-    truth = tp.select("id_a", "id_b").persist()
+    releasable: list[DataFrame] = []
+    tp = None
+    if cand_truth is None:
+        base = (
+            df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), block_n).alias("sh"))
+            .filter(F.size("sh") > 0)
+            .persist()
+        )
+        cand, sig = _minhash_band_candidates(base, num_hashes, bands, max_bucket, max_bucket_mode)
+        cand = cand.persist()
+        tp = ngram_jaccard_pairs(
+            df, id_col=id_col, text_col=text_col, n=truth_n,
+            threshold=truth_threshold, max_df_frac=max_df_frac,
+        )
+        truth = tp.select("id_a", "id_b").persist()
+        nd = base.agg(F.count(F.lit(1)).alias("n_docs"))
+        releasable = [base, sig, cand, truth]
+    else:
+        cand, truth = cand_truth
+        cand, truth = cand.persist(), truth.persist()
+        nd = (
+            df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), block_n).alias("sh"))
+            .filter(F.size("sh") > 0)
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+        releasable = [cand, truth]
     caught = truth.join(cand, ["id_a", "id_b"], "left_semi")
-    nd = base.agg(F.count(F.lit(1)).alias("n_docs"))
     nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
     nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
     ng = caught.agg(F.count(F.lit(1)).alias("n_caught"))
@@ -1916,7 +1938,8 @@ def lsh_blocking_metrics(
     )
     from apollo_spark.ops.cache import carry_caches
 
-    return carry_caches(scoped_persist(out, base, sig, cand, truth), tp)
+    out = scoped_persist(out, *releasable)
+    return carry_caches(out, tp) if tp is not None else out
 
 
 def lsh_merge_completeness(
@@ -1931,6 +1954,7 @@ def lsh_merge_completeness(
     max_df_frac: float | None = 0.04,
     max_bucket: int | None = None,
     max_bucket_mode: str = "reband",
+    cand_truth: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Connectivity-level blocking evaluation — the round-8 companion to
     lsh_blocking_metrics' pair completeness. The skew rehearsal
@@ -1952,19 +1976,31 @@ def lsh_merge_completeness(
     caught_components, merge_completeness. Components run through the same
     connected_components op production dedup uses (driver union-find under
     2M edges, star-contraction above), so this evaluation scales with the
-    thing it evaluates."""
-    base = (
-        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), block_n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .persist()
-    )
-    cand, sig = _minhash_band_candidates(base, num_hashes, bands, max_bucket, max_bucket_mode)
-    cand = cand.persist()
-    tp = ngram_jaccard_pairs(
-        df, id_col=id_col, text_col=text_col, n=truth_n,
-        threshold=truth_threshold, max_df_frac=max_df_frac,
-    )
-    truth = tp.select("id_a", "id_b").persist()
+    thing it evaluates.
+
+    ``cand_truth``: precomputed (candidate, truth) pair frames — the shared
+    substrate with lsh_blocking_metrics (see there); only the component
+    tail runs here."""
+    releasable: list[DataFrame] = []
+    tp = None
+    if cand_truth is None:
+        base = (
+            df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), block_n).alias("sh"))
+            .filter(F.size("sh") > 0)
+            .persist()
+        )
+        cand, sig = _minhash_band_candidates(base, num_hashes, bands, max_bucket, max_bucket_mode)
+        cand = cand.persist()
+        tp = ngram_jaccard_pairs(
+            df, id_col=id_col, text_col=text_col, n=truth_n,
+            threshold=truth_threshold, max_df_frac=max_df_frac,
+        )
+        truth = tp.select("id_a", "id_b").persist()
+        releasable = [base, sig, cand, truth]
+    else:
+        cand, truth = cand_truth
+        cand, truth = cand.persist(), truth.persist()
+        releasable = [cand, truth]
     caught = truth.join(cand, ["id_a", "id_b"], "left_semi").persist()
     tnodes = (
         truth.select(F.col("id_a").alias("id"))
@@ -1995,7 +2031,8 @@ def lsh_merge_completeness(
     )
     from apollo_spark.ops.cache import carry_caches
 
-    return carry_caches(scoped_persist(out, base, sig, cand, truth, caught, tnodes, ccc), tp)
+    out = scoped_persist(out, *releasable, caught, tnodes, ccc)
+    return carry_caches(out, tp) if tp is not None else out
 
 
 # --------------------------------------------------------------------------
@@ -2011,19 +2048,25 @@ def lsh_merge_completeness(
 # picks the truth-side df cap and detects boilerplate skew.
 # --------------------------------------------------------------------------
 
-# (pref, num_hashes, rows-per-band): preference order = sharpest usable
-# S-curve first (higher r = steeper cutoff = fewer low-similarity junk
-# candidates), then fewer hashes (cheaper signatures). bands =
+# (pref, num_hashes, rows-per-band, max_bucket): preference order = sharpest
+# usable S-curve first (higher r = steeper cutoff = fewer low-similarity
+# junk candidates), then fewer hashes (cheaper signatures). bands =
 # num_hashes/rows is a power of two throughout, so every capture
 # probability is an exact squaring chain — no pow()/libm dependence,
-# bit-identical across engines.
-BLOCKING_GEOMETRY_MENU: tuple[tuple[int, int, int], ...] = (
-    (1, 32, 4),
-    (2, 64, 4),
-    (3, 32, 2),
-    (4, 64, 2),
-    (5, 32, 1),
-    (6, 64, 1),
+# bit-identical across engines. max_bucket is the ladder guard's level-0
+# cap, a STATIC property of the geometry: r=1 bands are single-slot groups
+# whose per-band selectivity is only j (not j^r), so informative buckets
+# are legitimately larger — measured on the round-9 skew rehearsal, cap 64
+# at r=1 holds merge completeness to 0.39 while 1024 recovers 0.68 (= the
+# uncapped ceiling 0.69) at near-identical candidate counts; r>=2 keeps
+# the round-8 cap 64.
+BLOCKING_GEOMETRY_MENU: tuple[tuple[int, int, int, int], ...] = (
+    (1, 32, 4, 64),
+    (2, 64, 4, 64),
+    (3, 32, 2, 64),
+    (4, 64, 2, 64),
+    (5, 32, 1, 1024),
+    (6, 64, 1, 1024),
 )
 
 # candidate truth-side df-cap fractions (ngram_jaccard_pairs max_df_frac),
@@ -2138,7 +2181,7 @@ def blocking_config_profile(
     # "rpb" = rows per band ("rows" is a window-frame keyword in both
     # engines' SQL grammars)
     menu = spark.createDataFrame(
-        list(BLOCKING_GEOMETRY_MENU), "pref INT, num_hashes INT, rpb INT"
+        list(BLOCKING_GEOMETRY_MENU), "pref INT, num_hashes INT, rpb INT, max_bucket INT"
     )
     t = F.lit(float(threshold))
     s = (
@@ -2158,6 +2201,7 @@ def blocking_config_profile(
         "pref",
         "num_hashes",
         "rpb",
+        "max_bucket",
         bands_col.alias("bands"),
         capture.alias("capture_at_threshold"),
     )
@@ -2186,6 +2230,7 @@ def blocking_config_profile(
         F.col("num_hashes").alias("rec_num_hashes"),
         F.col("bands").alias("rec_bands"),
         F.col("rpb").alias("rec_rows"),
+        F.col("max_bucket").alias("rec_max_bucket"),
         "capture_at_threshold",
     )
 
@@ -2209,6 +2254,7 @@ def blocking_autotune(
         "num_hashes": int(row["rec_num_hashes"]),
         "bands": int(row["rec_bands"]),
         "rows": int(row["rec_rows"]),
+        "max_bucket": int(row["rec_max_bucket"]),
         "max_df_frac": float(row["rec_max_df_frac"]),
         "scrub": bool(row["rec_scrub"]),
         "capture": float(row["capture_at_threshold"]),
@@ -2223,14 +2269,16 @@ def minhash_autotuned_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_bucket: int | None = 64,
+    max_bucket: int | None = None,
     max_bucket_mode: str = "reband",
     scrub: bool | float | str = "auto",
     config: dict | None = None,
 ) -> DataFrame:
     """minhash_portable_pairs under the corpus-adaptive geometry: profile
     once (blocking_autotune), then band with the chosen (num_hashes, bands)
-    behind the production ladder guard. ``scrub="auto"`` applies the
+    behind the production ladder guard at the geometry's recommended
+    level-0 cap (``max_bucket=None`` defers to the profile; pass an int to
+    override). ``scrub="auto"`` applies the
     shingle-level boilerplate scrub at the profile's hot_frac (0.04) iff
     the profile flags boilerplate skew; True/float forces it, False
     disables. ``config`` short-circuits the profiling pass (reuse a
@@ -2252,7 +2300,7 @@ def minhash_autotuned_pairs(
         num_hashes=cfg["num_hashes"],
         bands=cfg["bands"],
         threshold=threshold,
-        max_bucket=max_bucket,
+        max_bucket=cfg["max_bucket"] if max_bucket is None else max_bucket,
         max_bucket_mode=max_bucket_mode,
         scrub_max_df_frac=scrub_frac,
     )

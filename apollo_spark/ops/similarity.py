@@ -155,8 +155,16 @@ def train_ivf_centroids(
     norms = np.linalg.norm(x, axis=1)
     norms[norms == 0.0] = 1.0
     x = x / norms[:, None]
+    return _spherical_kmeans_np(x, n_clusters, iters, seed)
+
+
+def _spherical_kmeans_np(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Numpy spherical k-means (Lloyd on L2-normalized rows) — the training
+    core shared by the driver-side flat trainer and the per-cell fine
+    trainer that runs INSIDE executor tasks (train_ivf_centroids_twolevel).
+    Rows must already be normalized."""
     rng = np.random.default_rng(seed)
-    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
     for _ in range(iters):
         assign = np.argmax(x @ cent.T, axis=1)
         for c in range(len(cent)):
@@ -167,6 +175,210 @@ def train_ivf_centroids(
                 if n > 0:
                     cent[c] = m / n
     return cent
+
+
+def train_ivf_centroids_twolevel(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    iters: int = 10,
+    seed: int = 42,
+    sample_rows: int = 100_000,
+    cell_sample_rows: int = 200_000,
+) -> tuple[np.ndarray, DataFrame]:
+    """Two-level float IVF index (the inverted-multi-index shape): kc =
+    ceil(sqrt(k)) coarse centroids trained driver-side on a bounded sample
+    (driver/broadcast footprint is ALWAYS ~sqrt(k) x D), then kf =
+    ceil(k/kc) fine lists per cell trained INSIDE one applyInPandas task
+    per cell — the fine K x D matrix never exists in any single process.
+
+    This removes the flat trainer's scale ceiling: train_ivf_centroids
+    broadcasts the full K x D matrix to ivf_assign, which at
+    corpus-proportional k (k ~ sqrt(N), or N/250 for SemDeDup-style use) is
+    GBs per executor at 100 TB. Here the only broadcast is kc x D and the
+    fine centroids move as a TABLE — one cell's rows (<= kf x D) meet that
+    cell's points via cogroup (ivf_assign_twolevel), the same shape
+    ops.clustering.kmeans_lattice_twolevel certified for the integer
+    lattice (BASELINE.md round-8 #3).
+
+    Returns (coarse kc x D ndarray, fine DataFrame(cell INT, list_id INT,
+    centroid ARRAY<DOUBLE>)) with list_id = cell * kf + local fine index —
+    a stable global inverted-list id. ``cell_sample_rows`` bounds the
+    per-task training set (deterministic md5-ordered head, portable and
+    partition-layout-independent)."""
+    import pandas as pd
+
+    from apollo_spark.ops.clustering import twolevel_shape
+
+    kc, kf = twolevel_shape(n_clusters)
+    coarse = train_ivf_centroids(
+        df, vec_col=vec_col, n_clusters=kc, iters=iters, seed=seed, sample_rows=sample_rows
+    )
+    cells = ivf_assign(df.select(vec_col), coarse, vec_col=vec_col, out_col="__cell")
+
+    def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "cell": pd.Series(dtype="int32"),
+                "list_id": pd.Series(dtype="int32"),
+                "centroid": pd.Series(dtype="object"),
+            }
+        )
+        if pdf.empty:
+            return empty
+        cell = int(key[0])
+        if len(pdf) > cell_sample_rows:
+            # deterministic, layout-independent subsample: md5 of the vector
+            # bytes orders rows the same way on any partitioning
+            import hashlib
+
+            keys = pdf[vec_col].map(
+                lambda v: hashlib.md5(np.asarray(v, dtype=np.float64).tobytes()).hexdigest()
+            )
+            pdf = pdf.loc[keys.sort_values().index[:cell_sample_rows]]
+        x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0.0] = 1.0
+        x = x / norms[:, None]
+        cent = _spherical_kmeans_np(x, kf, iters, seed + cell)
+        return pd.DataFrame(
+            {
+                "cell": np.full(len(cent), cell, dtype=np.int32),
+                "list_id": (cell * kf + np.arange(len(cent))).astype(np.int32),
+                "centroid": [list(map(float, c)) for c in cent],
+            }
+        )
+
+    fine = cells.groupBy("__cell").applyInPandas(
+        fit, schema="cell INT, list_id INT, centroid ARRAY<DOUBLE>"
+    )
+    return coarse, fine
+
+
+def ivf_assign_twolevel(
+    df: DataFrame,
+    coarse: np.ndarray,
+    fine: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "__cluster",
+) -> DataFrame:
+    """Two-level inverted-list assignment: nearest coarse cell via the small
+    kc x D broadcast (narrow map), then nearest fine list WITHIN the cell
+    via cogroup — one cell's centroid rows meet that cell's points in one
+    task; no process ever holds the full fine matrix. Ties break toward the
+    smaller list_id (argmax takes the first maximum over the
+    list_id-sorted matrix)."""
+    import pandas as pd
+
+    cells = ivf_assign(df, coarse, vec_col=vec_col, out_col="__cell")
+    cols = [f for f in cells.schema.fields if f.name != "__cell"]
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in cols)
+
+    def fn(key, ppdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if ppdf.empty:
+            return ppdf.drop(columns=["__cell"]).assign(**{out_col: pd.Series(dtype="int32")})
+        ppdf = ppdf.drop(columns=["__cell"])
+        if cpdf.empty:
+            return ppdf.assign(**{out_col: np.int32(-1)})
+        cpdf = cpdf.sort_values("list_id")
+        cent = np.stack(cpdf["centroid"].to_numpy()).astype(np.float64)
+        lids = cpdf["list_id"].to_numpy().astype(np.int32)
+        m = np.stack(ppdf[vec_col].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0.0] = 1.0
+        ppdf = ppdf.copy()
+        ppdf[out_col] = lids[np.argmax((m / n[:, None]) @ cent.T, axis=1)]
+        return ppdf
+
+    return cells.groupBy("__cell").cogroup(fine.groupBy("cell")).applyInPandas(
+        fn, schema=f"{out_schema}, {out_col} INT"
+    )
+
+
+# Above this many inverted lists, ivf_topk switches from the flat index
+# (driver-trained, full K x D broadcast) to the two-level hierarchy — the
+# same 4096 crossover lattice_cluster_assign uses for blocking (gate SFs
+# stay far below it, so flat-path oracles are untouched).
+IVF_TWOLEVEL_THRESHOLD = 4096
+
+
+def ivf_topk_twolevel(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe_cells: int = 2,
+    n_probe_lists: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k over the two-level index: each query probes its
+    ``n_probe_cells`` nearest coarse cells and, within each probed cell,
+    the ``n_probe_lists`` nearest fine lists (cogroup — the query rows for
+    a cell meet that cell's centroid rows in one task); candidates are the
+    probed lists' members, re-scored exactly JVM-side. Probing every cell
+    and every list makes it EXACT (== brute_force_topk), which is how the
+    oracle gate certifies the machinery. Scale: candidate join shuffles on
+    the global list id; the full fine centroid matrix exists nowhere."""
+    import pandas as pd
+
+    coarse, fine = train_ivf_centroids_twolevel(
+        df, vec_col=vec_col, n_clusters=n_clusters, seed=seed
+    )
+    fine = fine.persist()
+    corpus = ivf_assign_twolevel(df.select(id_col, vec_col), coarse, fine, vec_col=vec_col)
+
+    # query side: nearest cells via the small broadcast, one row per
+    # (query, probed cell)...
+    qcells = ivf_probe(queries.select(q_id_col, q_vec_col), coarse, n_probe_cells, vec_col=q_vec_col)
+    qcells = qcells.withColumnRenamed("__probe", "__cell")
+
+    # ...then the probed cell's fine lists via cogroup
+    def fn(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                q_id_col: pd.Series(dtype="int64"),
+                q_vec_col: pd.Series(dtype="object"),
+                "__probe_list": pd.Series(dtype="int32"),
+            }
+        )
+        if qpdf.empty or cpdf.empty:
+            return empty
+        cpdf = cpdf.sort_values("list_id")
+        cent = np.stack(cpdf["centroid"].to_numpy()).astype(np.float64)
+        lids = cpdf["list_id"].to_numpy().astype(np.int32)
+        p = min(n_probe_lists, len(lids))
+        m = np.stack(qpdf[q_vec_col].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0.0] = 1.0
+        sims = (m / n[:, None]) @ cent.T
+        top = np.argsort(-sims, axis=1)[:, :p]
+        out = qpdf[[q_id_col, q_vec_col]].loc[qpdf.index.repeat(p)].reset_index(drop=True)
+        out["__probe_list"] = lids[top.reshape(-1)]
+        return out
+
+    q_vec_type = dict(zip(queries.columns, [f.dataType.simpleString() for f in queries.schema.fields]))[q_vec_col]
+    probed = qcells.groupBy("__cell").cogroup(fine.groupBy("cell")).applyInPandas(
+        fn, schema=f"{q_id_col} long, {q_vec_col} {q_vec_type}, __probe_list INT"
+    )
+    cand = (
+        corpus.join(probed, corpus["__cluster"] == probed["__probe_list"])
+        .select(id_col, vec_col, q_id_col, q_vec_col)
+        .dropDuplicates([q_id_col, id_col])
+    )
+    scored = cand.withColumn("score", cosine(F.col(vec_col), F.col(q_vec_col)))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "score", "rank")
+    )
+    from apollo_spark.ops.cache import scoped_persist
+
+    return scoped_persist(out, fine)
 
 
 def save_ivf_centroids(spark, centroids: np.ndarray, path: str) -> None:
@@ -251,7 +463,27 @@ def ivf_topk(
     n_probe = n_clusters makes it EXACT (== brute_force_topk). Scale: the
     candidate join shuffles on cluster id — expected fan-in per query is
     n_probe/n_clusters of the corpus, tune n_clusters ~ sqrt(N) so each
-    inverted list stays partition-sized."""
+    inverted list stays partition-sized.
+
+    Above IVF_TWOLEVEL_THRESHOLD clusters this routes to the two-level
+    index automatically (ivf_topk_twolevel — the lattice tier's
+    lattice_cluster_assign pattern): the flat path trains driver-side and
+    broadcasts the full K x D matrix, which at corpus-proportional k is
+    GBs per executor; the hierarchy bounds both at ceil(sqrt(k)) x D.
+    n_probe maps to (cells, lists-per-cell) probing the same number of
+    inverted lists."""
+    if n_clusters > IVF_TWOLEVEL_THRESHOLD:
+        from apollo_spark.ops.clustering import twolevel_shape
+
+        kc, kf = twolevel_shape(n_clusters)
+        lists = min(kf, max(1, n_probe))
+        cells = min(kc, -(-n_probe // lists))
+        return ivf_topk_twolevel(
+            df, queries, k=k, n_clusters=n_clusters,
+            n_probe_cells=cells, n_probe_lists=lists,
+            id_col=id_col, vec_col=vec_col, q_id_col=q_id_col, q_vec_col=q_vec_col,
+            seed=seed,
+        )
     cent = train_ivf_centroids(df, vec_col=vec_col, n_clusters=n_clusters, seed=seed)
     corpus = ivf_assign(df.select(id_col, vec_col), cent, vec_col=vec_col)
     # queries probe their n_probe nearest centroids: explode a per-row array

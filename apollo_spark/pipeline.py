@@ -498,7 +498,13 @@ def _apply_dedup(df: DataFrame, spec) -> DataFrame:
         # true` opts back into the raw geometry, same convention as the
         # ngram/tfidf methods' lossless flag
         guard = {} if spec.lossless else {"max_bucket": 64, "max_bucket_mode": "reband"}
-        geo = {"num_hashes": cfg["num_hashes"], "bands": cfg["bands"]} if cfg else {}
+        geo = {}
+        if cfg:
+            geo = {"num_hashes": cfg["num_hashes"], "bands": cfg["bands"]}
+            if not spec.lossless:
+                # the profile's level-0 cap compensates r=1's shallower
+                # per-band selectivity (see BLOCKING_GEOMETRY_MENU)
+                guard["max_bucket"] = cfg["max_bucket"]
         pairs = minhash_lsh_pairs(
             pair_frame,
             spec.id,

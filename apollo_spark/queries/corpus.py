@@ -988,6 +988,35 @@ def knn_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ivf_twolevel_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (coarse cells -> per-cell fine lists, the inverted-multi-
+    index shape) float IVF with EVERY cell and EVERY list probed — full
+    probing makes it exact, so the brute-force oracle applies and the gate
+    certifies the whole two-level machinery: driver-bounded coarse
+    training, per-cell fine training inside applyInPandas tasks, cogroup
+    list assignment, two-stage probing, exact re-score. This is the 100 TB
+    form of knn_ivf_full_probe: the flat trainer broadcasts the full K x D
+    centroid matrix (GBs at corpus-proportional k), the two-level index
+    broadcasts only ceil(sqrt(k)) x D and ships fine centroids as a
+    cogrouped TABLE (ops/similarity.py::train_ivf_centroids_twolevel)."""
+    from apollo_spark.ops.clustering import twolevel_shape
+    from apollo_spark.ops.similarity import ivf_topk_twolevel
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    kc, kf = twolevel_shape(8)
+    return (
+        ivf_topk_twolevel(
+            e, q, k=5, n_clusters=8, n_probe_cells=kc, n_probe_lists=kf,
+            id_col="vec_id", vec_col="v", q_id_col="q_id", q_vec_col="qv",
+        )
+        .select("q_id", "vec_id", "rank", F.round("score", 4).alias("score"))
+        .orderBy("q_id", "rank")
+    )
+
+
 def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 probing 4/16 lists — the 100 TB ANN path (approximate ->
     rows-only check; recall vs brute force is pinned in tests/test_ops.py)."""

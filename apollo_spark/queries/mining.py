@@ -638,6 +638,60 @@ ORDER BY segment, bal_bucket
 """
 
 
+def _lsh_eval_cand_truth(spark: SparkSession, sf_dir: str):
+    """Shared LSH-evaluation substrate (round 9): lsh_blocking_quality and
+    lsh_merge_completeness consume the SAME ladder candidate set and the
+    SAME df-capped exact-Jaccard truth, and recomputing both twice was
+    ~11% of the whole bench (8.9 s + 10.9 s at sf0.1) — the same double-pay
+    at rehearsal/production scale. With APOLLO_SPARK_ARTIFACT_DIR set
+    (bench.py's per-run tmpdir; a production job points it at the lake),
+    the two pair frames are built ONCE per corpus snapshot and committed
+    as TxTables (train_or_load_table, CAS-idempotent); each metric query
+    then runs only its aggregate/component tail. Unset (the driver's
+    gate), returns None and each query builds self-contained so its oracle
+    replays the full trajectory."""
+    import os as _os
+
+    art = _os.environ.get("APOLLO_SPARK_ARTIFACT_DIR")
+    if not art:
+        return None
+    from apollo_spark.ops.cache import release_caches
+    from apollo_spark.ops.dedup import (
+        _minhash_band_candidates,
+        _shingle_base,
+        ngram_jaccard_pairs,
+    )
+    from apollo_spark.table_format import train_or_load_table
+
+    d = _t(spark, sf_dir, "documents")
+    tag = sf_dir.strip("/").replace("/", "_")
+    leaks = []
+
+    def build_cand():
+        base = _shingle_base(d, "doc_id", "text", 3, None).persist()
+        cand, sig = _minhash_band_candidates(base, 32, 16, 64, "reband")
+        leaks.extend([base, sig])
+        return cand.select("id_a", "id_b")
+
+    def build_truth():
+        tp = ngram_jaccard_pairs(
+            d, id_col="doc_id", text_col="text", n=2, threshold=0.2, max_df_frac=0.04
+        )
+        leaks.append(tp)
+        return tp.select("id_a", "id_b")
+
+    cand = train_or_load_table(spark, f"{art}/lsh_eval_cand_{tag}", build_cand)
+    truth = train_or_load_table(spark, f"{art}/lsh_eval_truth_{tag}", build_truth)
+    for f in leaks:
+        if hasattr(f, "unpersist"):
+            try:
+                f.unpersist()
+            except Exception:
+                pass
+        release_caches(f)
+    return cand, truth
+
+
 def lsh_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-quality evaluation of the MinHash-LSH candidate generator
     (ops.dedup.lsh_blocking_metrics): pair completeness against the
@@ -675,6 +729,7 @@ def lsh_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, block_n=3, truth_n=2, num_hashes=32, bands=16,
         truth_threshold=0.2, max_df_frac=0.04, max_bucket=64,
         max_bucket_mode="reband",
+        cand_truth=_lsh_eval_cand_truth(spark, sf_dir),
     )
     res = m.select(
         "n_docs",
@@ -942,6 +997,7 @@ def lsh_merge_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, block_n=3, truth_n=2, num_hashes=32, bands=16,
         truth_threshold=0.2, max_df_frac=0.04, max_bucket=64,
         max_bucket_mode="reband",
+        cand_truth=_lsh_eval_cand_truth(spark, sf_dir),
     )
     res = m.select(
         "n_true", "n_caught", "truth_nodes", "truth_components",
@@ -1484,7 +1540,7 @@ def _blocking_autotune_oracle(
         f"THEN (df*(df-1))//2 ELSE 0 END) AS BIGINT) AS est{i}"
         for i, f in enumerate(BLOCKING_FRAC_GRID)
     )
-    menu_vals = ", ".join(f"({p}, {h}, {r})" for p, h, r in BLOCKING_GEOMETRY_MENU)
+    menu_vals = ", ".join(f"({p}, {h}, {r}, {mb})" for p, h, r, mb in BLOCKING_GEOMETRY_MENU)
     t = f"CAST({threshold!r} AS DOUBLE)"
     budget_frac = " ".join(
         f"WHEN est{i} <= {pair_budget} * n_docs THEN CAST({BLOCKING_FRAC_GRID[i]!r} AS DOUBLE)"
@@ -1519,9 +1575,9 @@ stats AS (
          {est_cols}
   FROM dfreq, nd GROUP BY n_docs
 ),
-menu(pref, num_hashes, rpb) AS (VALUES {menu_vals}),
+menu(pref, num_hashes, rpb, max_bucket) AS (VALUES {menu_vals}),
 m1 AS (
-  SELECT pref, num_hashes, rpb, CAST(num_hashes // rpb AS INT) AS bands,
+  SELECT pref, num_hashes, rpb, max_bucket, CAST(num_hashes // rpb AS INT) AS bands,
          1.0 - CASE rpb WHEN 1 THEN {t} WHEN 2 THEN {t} * {t} ELSE ({t} * {t}) * ({t} * {t}) END AS x
   FROM menu
 ),
@@ -1532,7 +1588,7 @@ m5 AS (SELECT *, x8 * x8 AS x16 FROM m4),
 m6 AS (SELECT *, x16 * x16 AS x32 FROM m5),
 m7 AS (SELECT *, x32 * x32 AS x64 FROM m6),
 mg AS (
-  SELECT pref, num_hashes, rpb, bands,
+  SELECT pref, num_hashes, rpb, max_bucket, bands,
          1.0 - CASE bands WHEN 8 THEN x8 WHEN 16 THEN x16 WHEN 32 THEN x32 ELSE x64 END AS capture_at_threshold
   FROM m7
 ),
@@ -1553,6 +1609,7 @@ SELECT {t} AS threshold,
        CAST(num_hashes AS INT) AS rec_num_hashes,
        CAST(bands AS INT) AS rec_bands,
        CAST(rpb AS INT) AS rec_rows,
+       CAST(max_bucket AS INT) AS rec_max_bucket,
        capture_at_threshold
 FROM stats, chosen
 """

@@ -47,8 +47,16 @@ def measure(
     num_hashes: int = 32,
     bands: int = 16,
     scrub_frac: float | None = None,
+    truth_dir: str | None = None,
     label: str | None = None,
 ) -> dict:
+    """``truth_dir``: compute the truth pairs over a DIFFERENT corpus dir
+    (same doc_ids). Used for the scrub adjudication: scrub REDEFINES
+    similarity to exclude boilerplate, so the meaningful reference is the
+    ORGANIC truth — the same documents before the boilerplate was planted
+    (sf1skew docs = sf1 docs + appended line). A scrubbed blocker must
+    still achieve the organic merges; boilerplate-only "dups" stop
+    existing on both sides."""
     from apollo_spark.ops.cache import release_caches
     from apollo_spark.ops.dedup import (
         _minhash_band_candidates,
@@ -58,19 +66,19 @@ def measure(
     )
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    td = spark.read.parquet(f"{truth_dir or sf_dir}/documents.parquet")
     t0 = time.perf_counter()
     base = _shingle_base(d, "doc_id", "text", 3, scrub_frac).persist()
     cand, sig = _minhash_band_candidates(base, num_hashes, bands, max_bucket, mode)
     cand = cand.persist()
     truth = (
         ngram_jaccard_pairs(
-            d,
+            td,
             id_col="doc_id",
             text_col="text",
             n=2,
             threshold=0.2,
             max_df_frac=0.04,
-            scrub_max_df_frac=scrub_frac,
         )
         .select("id_a", "id_b")
         .persist()
@@ -113,29 +121,25 @@ def measure(
 
 
 CONFIGS = (
-    # round-8 rows (fixed r=2/b=16 geometry) — reproduced for comparison
-    dict(max_bucket=64, mode="drop", num_hashes=32, bands=16, label="r2b16-drop"),
-    dict(max_bucket=64, mode="reband", num_hashes=32, bands=16, label="r2b16-ladder"),
-    # round 9: the autotuned geometry (blocking_config_profile at t=0.2)
-    dict(max_bucket=64, mode="reband", num_hashes=32, bands=32, label="autotune-r1b32-ladder"),
-    # round 9: autotune + shingle scrub, truth scrubbed identically (scrub
-    # redefines similarity: boilerplate-only pairs stop being truth)
+    # round-8 production row (fixed r=2/b=16 geometry, cap 64) — baseline
+    dict(max_bucket=64, mode="reband", num_hashes=32, bands=16, label="r2b16-ladder64"),
+    # round 9 production: the autotuned geometry at t=0.2 —
+    # blocking_config_profile picks r=1/b=32 with the menu's level-0 cap
+    # 1024 (r=1 selectivity is j, not j^r: informative buckets are larger)
+    dict(max_bucket=1024, mode="reband", num_hashes=32, bands=32, label="autotune-r1b32-ladder1024"),
+    # quadratic contrast: the same geometry uncapped
+    dict(max_bucket=None, mode="reband", num_hashes=32, bands=32, label="r1b32-uncapped"),
+    # round 9 scrub adjudication: shingle scrub on the blocker, measured
+    # against the ORGANIC truth (the pre-skew corpus) — boilerplate edge
+    # mass disappears BEFORE banding and the organic merges must survive
     dict(
-        max_bucket=64,
+        max_bucket=1024,
         mode="reband",
         num_hashes=32,
         bands=32,
         scrub_frac=0.04,
-        label="autotune-r1b32-ladder-scrub",
-    ),
-    # scrub under the ORIGINAL geometry: isolates scrub's contribution
-    dict(
-        max_bucket=64,
-        mode="reband",
-        num_hashes=32,
-        bands=16,
-        scrub_frac=0.04,
-        label="r2b16-ladder-scrub",
+        truth_dir="__organic__",
+        label="autotune-r1b32-scrub-vs-organic",
     ),
 )
 
@@ -148,6 +152,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     for sf_dir in dirs:
         for cfg in CONFIGS:
+            cfg = dict(cfg)
+            if cfg.get("truth_dir") == "__organic__":
+                cfg["truth_dir"] = sf_dir.replace("skew", "")
             r = measure(spark, sf_dir, **cfg)
             print(json.dumps(r), flush=True)
 

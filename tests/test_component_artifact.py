@@ -97,3 +97,30 @@ def test_entity_pairs_artifact_routing(spark, tmp_path, monkeypatch):
     grouted = QUERIES["entity_golden_records"](spark, SF).toPandas()
     assert gplain.equals(grouted)
     assert t.current_version() == 1  # reused, not rebuilt
+
+
+def test_lsh_eval_substrate_env_routing(spark, tmp_path, monkeypatch):
+    """Shared LSH evaluation substrate (round 9): with
+    APOLLO_SPARK_ARTIFACT_DIR set, lsh_blocking_quality and
+    lsh_merge_completeness read ONE committed (cand, truth) TxTable pair
+    instead of each re-paying signatures + ladder + df-capped truth;
+    results equal the self-contained path bit-for-bit and nothing is
+    rebuilt for the second consumer."""
+    from apollo_spark.queries import QUERIES
+    from apollo_spark.table_format import TxTable
+
+    monkeypatch.delenv("APOLLO_SPARK_ARTIFACT_DIR", raising=False)
+    plain_q = QUERIES["lsh_blocking_quality"](spark, SF).toPandas()
+    plain_mc = QUERIES["lsh_merge_completeness"](spark, SF).toPandas()
+
+    monkeypatch.setenv("APOLLO_SPARK_ARTIFACT_DIR", str(tmp_path))
+    routed_q = QUERIES["lsh_blocking_quality"](spark, SF).toPandas()
+    tag = SF.strip("/").replace("/", "_")
+    cand_t = TxTable(f"{tmp_path}/lsh_eval_cand_{tag}")
+    truth_t = TxTable(f"{tmp_path}/lsh_eval_truth_{tag}")
+    assert cand_t.current_version() == 1 and truth_t.current_version() == 1
+    routed_mc = QUERIES["lsh_merge_completeness"](spark, SF).toPandas()
+    # second consumer reused the committed substrate — no new versions
+    assert cand_t.current_version() == 1 and truth_t.current_version() == 1
+    assert plain_q.equals(routed_q)
+    assert plain_mc.equals(routed_mc)

@@ -3318,3 +3318,70 @@ def test_k_anonymize_rejects_star_qi(spark):
     )
     with _pytest.raises(ValueError, match="reserved as the suppression marker"):
         k_anonymize(df, ["qi"], k=2, value_col="v")
+
+
+def test_ivf_twolevel_full_probe_is_exact(spark, emb):
+    """Two-level float IVF (coarse cells -> per-cell fine lists trained
+    inside tasks, cogrouped assignment) with every cell and list probed
+    equals brute force — the machinery check for the 100 TB index shape
+    where the full K x D centroid matrix exists in no single process."""
+    from apollo_spark.ops.clustering import twolevel_shape
+    from apollo_spark.ops.similarity import brute_force_topk, ivf_topk_twolevel
+
+    qdf = spark.createDataFrame(
+        [(int(r.vec_id), r.embedding) for r in emb.limit(3).collect()], "q_id long, q_vec array<float>"
+    )
+    exact = brute_force_topk(emb, qdf, k=5).toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+    kc, kf = twolevel_shape(8)
+    full = (
+        ivf_topk_twolevel(emb, qdf, k=5, n_clusters=8, n_probe_cells=kc, n_probe_lists=kf)
+        .toPandas()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert (exact["vec_id"] == full["vec_id"]).all()
+    assert np.allclose(exact["score"], full["score"])
+
+
+def test_ivf_twolevel_partial_probe_recall_parity(spark, emb):
+    """Two-level IVF probing ~half the index keeps recall at the flat
+    path's bar — the recall-parity check the round-9 verdict asked for."""
+    from apollo_spark.ops.similarity import brute_force_topk, ivf_topk_twolevel
+
+    qdf = spark.createDataFrame(
+        [(int(r.vec_id), r.embedding) for r in emb.limit(5).collect()], "q_id long, q_vec array<float>"
+    )
+    exact = brute_force_topk(emb, qdf, k=10).toPandas()
+    approx = ivf_topk_twolevel(
+        emb, qdf, k=10, n_clusters=8, n_probe_cells=2, n_probe_lists=2
+    ).toPandas()
+    recalls = []
+    for qid in exact.q_id.unique():
+        e = set(exact[exact.q_id == qid]["vec_id"])
+        a = set(approx[approx.q_id == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5, recalls
+    # a query always probes its own cell's best list first
+    for qid in exact.q_id.unique():
+        top = approx[(approx.q_id == qid) & (approx["rank"] == 1)]["vec_id"].iloc[0]
+        assert top == qid
+
+
+def test_ivf_topk_auto_switches_to_twolevel(spark, emb, monkeypatch):
+    """ivf_topk above IVF_TWOLEVEL_THRESHOLD routes to the two-level index
+    (threshold patched down so the crossover is testable at fixture size);
+    results stay exact under full probing either way."""
+    import apollo_spark.ops.similarity as sim
+
+    qdf = spark.createDataFrame(
+        [(int(r.vec_id), r.embedding) for r in emb.limit(2).collect()], "q_id long, q_vec array<float>"
+    )
+    exact = sim.brute_force_topk(emb, qdf, k=3).toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+    monkeypatch.setattr(sim, "IVF_TWOLEVEL_THRESHOLD", 4)
+    routed = (
+        sim.ivf_topk(emb, qdf, k=3, n_clusters=8, n_probe=8)
+        .toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+    )
+    assert (exact["vec_id"] == routed["vec_id"]).all()
+    assert np.allclose(exact["score"], routed["score"])
+

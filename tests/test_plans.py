@@ -579,3 +579,18 @@ def test_merge_completeness_plan_no_cartesian(spark):
     anywhere is the quadratic the guard exists to avoid."""
     p = plan(spark, "lsh_merge_completeness")
     assert "CartesianProduct" not in p
+
+
+def test_ivf_twolevel_plan_cogroup_no_centroid_broadcast(spark):
+    """Round-9 two-level float IVF: fine-list assignment and query probing
+    must run through cogroup (FlatMapCoGroupsInPandas — one cell's points
+    meet one cell's centroid ROWS in a task). The fine centroid table must
+    never ride a BroadcastExchange or nested-loop join: the whole point of
+    the hierarchy is that the full K x D matrix exists in no single
+    process (only the ceil(sqrt(k)) x D coarse matrix is broadcast, as an
+    sc.broadcast inside the Arrow UDF, invisible to the plan)."""
+    p = plan(spark, "knn_ivf_twolevel_full_probe")
+    assert p.count("FlatMapCoGroupsInPandas") >= 2, p[:2000]  # assign + probe
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastExchange" not in p, "fine centroid table must not be broadcast"
