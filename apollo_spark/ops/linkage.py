@@ -56,6 +56,7 @@ def fuzzy_dup_pairs(
     id_col: str = "id",
     text_col: str = "s",
     max_dist: int = 1,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """All id-ordered pairs of rows whose ``text_col`` values are within
     Levenshtein distance ``max_dist`` (must be 1 — the deletion-1
@@ -64,15 +65,54 @@ def fuzzy_dup_pairs(
 
     Returns (id_a, id_b, s_a, s_b, dist). Distance-0 pairs (distinct ids,
     identical text) are included — they share the identity variant.
-    """
+
+    ``collapse_exact`` (default True — the production form) is the hot-NAME
+    guard the round-9 skew rehearsal exists for: a name shared verbatim by
+    m records makes every variant bucket hold m copies, so the variant
+    self-join emits >= C(m,2) pairs — quadratic in the hottest name's
+    count (the linkage analogue of the LSH mega-bucket). Collapsing
+    identical strings to ONE representative (min id) before the
+    neighborhood join and re-expanding exact groups as STAR pairs
+    (rep -> member, dist 0) bounds the join at one row per DISTINCT string
+    and the output at m-1 star edges per group: connected components —
+    what linkage consumers (entity_golden_records, dedup) actually use —
+    are IDENTICAL, only the redundant intra-clique pair enumeration is
+    dropped. On all-distinct corpora (the gate fixtures) the output is
+    bit-identical to the uncollapsed form; ``collapse_exact=False`` keeps
+    the certified all-pairs semantics."""
     if max_dist != 1:
         raise ValueError(
             "fuzzy_dup_pairs implements the deletion-1 neighborhood: max_dist must be 1"
         )
-    v = _variants_long(df, id_col, text_col)
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("s"))
+    if not collapse_exact:
+        v = _variants_long(base, "id", "s")
+        a = v.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"), "v")
+        b = v.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"), "v")
+        return (
+            a.join(b, "v")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "s_a", "s_b")
+            .dropDuplicates(["id_a", "id_b"])
+            .withColumn("dist", F.levenshtein("s_a", "s_b"))
+            .filter(F.col("dist") <= max_dist)
+        )
+    reps = base.groupBy("s").agg(F.min("id").alias("id"), F.count(F.lit(1)).alias("__m"))
+    stars = (
+        base.join(reps.select("s", F.col("id").alias("id_a")), "s")
+        .filter(F.col("id") != F.col("id_a"))
+        .select(
+            "id_a",
+            F.col("id").alias("id_b"),
+            F.col("s").alias("s_a"),
+            F.col("s").alias("s_b"),
+            F.lit(0).cast("int").alias("dist"),
+        )
+    )
+    v = _variants_long(reps, "id", "s")
     a = v.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"), "v")
     b = v.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"), "v")
-    return (
+    rep_pairs = (
         a.join(b, "v")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "s_a", "s_b")
@@ -80,6 +120,7 @@ def fuzzy_dup_pairs(
         .withColumn("dist", F.levenshtein("s_a", "s_b"))
         .filter(F.col("dist") <= max_dist)
     )
+    return rep_pairs.unionByName(stars.select("id_a", "id_b", "s_a", "s_b", F.col("dist")))
 
 
 def fuzzy_left_match(

@@ -38,6 +38,16 @@ BOILER_FRAC = 0.10
 HOT_SOURCE_FRAC = 0.50
 SEED = 80_001
 
+# round 9: hot-NAME shape for the linkage tier (customer.parquet's c_name).
+# Real registries have both: a sparse tail (here md5 of the key — the
+# fuzzy_entity_dup_pairs convention) and a few names shared verbatim by
+# thousands of records (default values, "UNKNOWN", franchise branches) plus
+# typo satellites at distance 1 — the variant-join hot-key worst case the
+# fuzzy_dup_pairs docstring documents.
+HOT_NAMES = ("acme corporation", "unknown customer", "global trading ltd", "main street store")
+HOT_NAME_FRAC = 0.20  # share of customers assigned one of HOT_NAMES verbatim
+TYPO_FRAC = 0.02  # share given a distance-1 typo of a hot name
+
 
 def _rg(n_rows: int) -> int:
     # same rationale as make_sf1._rg: keep ~32 scan splits
@@ -51,7 +61,7 @@ def main() -> None:
     con = duckdb.connect()
 
     for p in src.glob("*.parquet"):
-        if p.name == "documents.parquet":
+        if p.name in ("documents.parquet", "customer.parquet"):
             continue
         dst = out / p.name
         if dst.exists():
@@ -60,6 +70,33 @@ def main() -> None:
             os.link(p, dst)
         except OSError:
             shutil.copy(p, dst)
+
+    # customer: md5-sparse names + planted hot names + distance-1 typos
+    c = con.sql(f"SELECT * FROM '{src}/customer.parquet' ORDER BY c_custkey").df()
+    nc = len(c)
+    crng = np.random.default_rng(SEED + 1)
+    import hashlib
+
+    names = np.array([hashlib.md5(str(k).encode()).hexdigest() for k in c["c_custkey"]], dtype=object)
+    hot_mask = crng.random(nc) < HOT_NAME_FRAC
+    names[hot_mask] = crng.choice(HOT_NAMES, size=int(hot_mask.sum()))
+    typo_mask = (~hot_mask) & (crng.random(nc) < TYPO_FRAC)
+    for i in np.flatnonzero(typo_mask):
+        base_name = str(crng.choice(HOT_NAMES))
+        pos = int(crng.integers(0, len(base_name)))
+        names[i] = base_name[:pos] + base_name[pos + 1 :]  # deletion-1 typo
+    c["c_name"] = names
+    con.register("cust_skew", c)
+    con.sql(
+        f"COPY (SELECT * FROM cust_skew) TO '{out}/customer.parquet' "
+        f"(FORMAT PARQUET, ROW_GROUP_SIZE {_rg(nc)})"
+    )
+    cstats = con.sql(
+        f"""SELECT count(*) AS n,
+                   sum(CASE WHEN c_name IN {HOT_NAMES} THEN 1 ELSE 0 END) AS hot_names
+            FROM '{out}/customer.parquet'"""
+    ).fetchone()
+    print(f"customer: {cstats[0]} rows, hot_names={cstats[1]}")
 
     d = con.sql(f"SELECT * FROM '{src}/documents.parquet' ORDER BY doc_id").df()
     n = len(d)

@@ -2823,7 +2823,9 @@ def test_fuzzy_dup_pairs_exact_for_distance_one(spark):
     Levenshtein <= 1 (substitution, insertion, deletion, and exact-text
     twins under different ids) and the exact re-score must kill the false
     candidates blocking lets through ('ab'/'ba' share variants at distance
-    2). Verified against a brute-force O(N^2) Levenshtein matrix."""
+    2). Verified against a brute-force O(N^2) Levenshtein matrix —
+    collapse_exact=False is the certified LOSSLESS all-pairs form (the
+    default collapses exact-text groups to star pairs, tested below)."""
     import itertools
 
     from apollo_spark.ops.linkage import fuzzy_dup_pairs
@@ -2839,7 +2841,7 @@ def test_fuzzy_dup_pairs_exact_for_distance_one(spark):
     df = spark.createDataFrame(rows, "id long, s string")
     got = {
         (r.id_a, r.id_b, r.dist)
-        for r in fuzzy_dup_pairs(df, "id", "s").collect()
+        for r in fuzzy_dup_pairs(df, "id", "s", collapse_exact=False).collect()
     }
 
     def lev(a, b):
@@ -3385,3 +3387,51 @@ def test_ivf_topk_auto_switches_to_twolevel(spark, emb, monkeypatch):
     assert (exact["vec_id"] == routed["vec_id"]).all()
     assert np.allclose(exact["score"], routed["score"])
 
+
+
+def test_fuzzy_collapse_exact_preserves_components(spark):
+    """collapse_exact=True (the production hot-name guard): the pair set is
+    a SUBGRAPH of the lossless all-pairs output with IDENTICAL connected
+    components — exact-text groups shrink from C(m,2) intra-clique pairs to
+    m-1 star edges (linear in the hottest name), cross-string matches ride
+    the per-distinct-string representative. On an all-distinct corpus the
+    two forms are bit-identical (which is why the oracle gates hold)."""
+    from apollo_spark.ops.linkage import fuzzy_dup_pairs
+
+    rows = [(i, "hotname") for i in range(1, 31)]          # one hot exact group
+    rows += [(100, "hotnames"), (101, "hotnam")]           # d1 satellites
+    rows += [(200, "alpha"), (201, "alphb"), (202, "zzz")] # sparse tail
+    df = spark.createDataFrame(rows, "id long, s string")
+    lossless = {(r.id_a, r.id_b) for r in fuzzy_dup_pairs(df, "id", "s", collapse_exact=False).collect()}
+    collapsed = {(r.id_a, r.id_b) for r in fuzzy_dup_pairs(df, "id", "s").collect()}
+    assert collapsed <= lossless
+    # hot group: 29 star edges instead of C(30,2)=435 intra-clique pairs
+    intra = {(a, b) for (a, b) in collapsed if a >= 1 and b <= 30}
+    assert len(intra) == 29 and all(a == 1 for a, _ in intra)
+
+    def comps(pairs, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        out = {}
+        for n in nodes:
+            out.setdefault(find(n), set()).add(n)
+        return {frozenset(v) for v in out.values()}
+
+    nodes = {i for i, _ in rows}
+    assert comps(collapsed, nodes) == comps(lossless, nodes)
+
+    # all-distinct corpus: bit-identical outputs
+    sparse = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(50)] + [(100, "name1x")], "id long, s string"
+    )
+    a = sorted(map(tuple, fuzzy_dup_pairs(sparse, "id", "s").collect()))
+    b = sorted(map(tuple, fuzzy_dup_pairs(sparse, "id", "s", collapse_exact=False).collect()))
+    assert a == b
