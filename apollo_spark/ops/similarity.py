@@ -696,15 +696,33 @@ def semantic_dedup(
     SemDeDup's proportional blocking exists to prevent (round-5 verdict).
     Near-dups split across clusters are missed, accepted for the ~100x cost
     cut. Pass an explicit ``n_clusters`` to pin k (tests / tiny corpora).
-    Deterministic given the seed: greedy order is ascending id."""
+    Deterministic given the seed: greedy order is ascending id.
+
+    PRODUCTION NOTE: this float twin is rows-only certified
+    (float k-means isn't SQL-replayable); the hash-gated production
+    entries are ``semantic_dedup_lattice`` / ``semantic_dedup_twolevel``
+    (queries registry) over the engine-exact integer-lattice k-means.
+    Scale: above IVF_TWOLEVEL_THRESHOLD clusters the blocking here routes
+    through the two-level float index (train_ivf_centroids_twolevel +
+    cogrouped assignment), so corpus-proportional k no longer collects or
+    broadcasts a K x D matrix — the round-9 fix for the last driver-side
+    growth path."""
     import math
 
     import pandas as pd
 
     if n_clusters is None:
         n_clusters = max(16, math.ceil(df.count() / target_cluster_rows))
-    cent = train_ivf_centroids(df, vec_col=vec_col, n_clusters=n_clusters, seed=seed)
-    assigned = ivf_assign(df.select(id_col, vec_col), cent, vec_col=vec_col)
+    if n_clusters > IVF_TWOLEVEL_THRESHOLD:
+        coarse, fine = train_ivf_centroids_twolevel(
+            df, vec_col=vec_col, n_clusters=n_clusters, seed=seed
+        )
+        assigned = ivf_assign_twolevel(
+            df.select(id_col, vec_col), coarse, fine, vec_col=vec_col, out_col="__cluster"
+        )
+    else:
+        cent = train_ivf_centroids(df, vec_col=vec_col, n_clusters=n_clusters, seed=seed)
+        assigned = ivf_assign(df.select(id_col, vec_col), cent, vec_col=vec_col)
 
     def prune(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)

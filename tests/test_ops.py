@@ -3435,3 +3435,25 @@ def test_fuzzy_collapse_exact_preserves_components(spark):
     a = sorted(map(tuple, fuzzy_dup_pairs(sparse, "id", "s").collect()))
     b = sorted(map(tuple, fuzzy_dup_pairs(sparse, "id", "s", collapse_exact=False).collect()))
     assert a == b
+
+
+def test_semantic_dedup_routes_twolevel_above_threshold(spark, emb, monkeypatch):
+    """semantic_dedup at corpus-proportional k above IVF_TWOLEVEL_THRESHOLD
+    routes blocking through the two-level float index (no K x D collect or
+    broadcast); the greedy prune semantics are unchanged — every planted
+    exact duplicate still collapses (threshold patched down so the
+    crossover is testable)."""
+    import apollo_spark.ops.similarity as sim
+    from pyspark.sql import functions as F
+
+    # plant exact dups: copy vec 0 into new ids
+    base = emb.select("vec_id", "embedding")
+    dup = base.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    d = base.unionByName(dup)
+    monkeypatch.setattr(sim, "IVF_TWOLEVEL_THRESHOLD", 4)
+    kept = sim.semantic_dedup(d, threshold=0.999, n_clusters=8).toPandas()
+    assert 100000 not in set(kept["vec_id"])  # the exact dup is pruned
+    assert 0 in set(kept["vec_id"])
+
