@@ -755,6 +755,36 @@ ORDER BY id_a, id_b
 ORACLE_MINHASH_PORTABLE = _minhash_portable_oracle()
 
 
+def minhash_autotuned_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-adaptive blocking path END-TO-END (round 9): profile the
+    corpus at threshold 0.2 (blocking_autotune — the hash-gated selection
+    query blocking_autotune_config certifies the choice itself), then band
+    with the chosen geometry behind the production ladder guard
+    (minhash_autotuned_pairs). At t=0.2 the menu escalates to r=1/b=32
+    (capture 0.9992 vs the r=2/b=16 default's 0.48 — the round-8 skew gap),
+    so this query is the oracle gate for the r=1 banding machinery the
+    skew rehearsal's production rows run. On the gate corpora hot-shingle
+    share is exactly 0.0 (no scrub engages) and no band bucket exceeds the
+    cap (ladder == raw banding), so the static portable-oracle replay of
+    the (32, b=32, r=1) geometry is exact — the same argument that keeps
+    the ladder oracles valid at cap 64."""
+    from apollo_spark.ops.dedup import blocking_autotune, minhash_autotuned_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    cfg = blocking_autotune(d, threshold=0.2)
+    assert (cfg["num_hashes"], cfg["bands"], cfg["rows"]) == (32, 32, 1), cfg
+    return (
+        minhash_autotuned_pairs(d, threshold=0.2, config=cfg)
+        .withColumn("jaccard", F.round("jaccard", 6))
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLE_MINHASH_AUTOTUNED = _minhash_portable_oracle(
+    n=3, num_hashes=32, bands=32, threshold=0.2
+)
+
+
 def simhash_portable_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALL document pairs within hamming<=3 of the portable 60-bit SimHash.
     The Spark side buckets on 4x15-bit blocks (pigeonhole-lossless, scalar
