@@ -18,10 +18,16 @@ lsh_blocking_metrics counts for PC.
 
 Round 9 adds the two levers the round-8 adjudication named:
   * the AUTOTUNED geometry (blocking_config_profile at the truth threshold
-    picks r=1/b=32: analytic capture 0.9992 at j=0.2 vs r=2/b=16's 0.48);
+    picks r=1/b=32 with the menu's cap-1024 level-0 ladder allowance:
+    analytic capture 0.9992 at j=0.2 vs r=2/b=16's 0.48);
   * the shingle-level boilerplate SCRUB (scrub_hot_shingles) — measured
-    against a correspondingly scrubbed truth, because scrub REDEFINES
-    similarity to exclude boilerplate (the clique stops being truth).
+    against the ORGANIC truth (the pre-skew corpus, same doc_ids), because
+    scrub REDEFINES similarity to exclude boilerplate: boilerplate-only
+    "dups" stop existing on both sides, and the check is that every
+    organic near-dup merge survives. (A bigram-level "scrubbed truth" was
+    measured and rejected: on the 40-word-vocab synthetic corpus the 0.04
+    df-cap also removes common-word mass and the truth degenerates to
+    414k pairs over rare-bigram remnants — recorded in BASELINE round-9.)
 
 Usage: python scripts/skew_merge_completeness.py [sf_dir ...]
        (default: .data/sf1skew .data/sf3skew)
