@@ -2324,11 +2324,20 @@ def doc_component_table(
     max_df: int | None = None,
     max_df_frac: float | None = 0.04,
     frac_floor: int = 1024,
+    scrub_max_df_frac: float | None = None,
 ) -> DataFrame:
     """The near-dup component table ``(id_col, component)`` over capped
     n-gram-Jaccard edges (singleton docs excluded, matching
     connected_components). One definition shared by every consumer query so
-    grouping semantics can never drift between them."""
+    grouping semantics can never drift between them.
+
+    ``scrub_max_df_frac`` (round 9): the boilerplate scrub for the
+    PERSISTED artifact — hot shingles removed from the sets before edges
+    are scored (scrub_hot_shingles), so a boilerplate-skewed corpus's
+    component table groups on informative similarity instead of merging
+    everything that shares a banner line. The default (None) keeps the
+    certified oracle semantics; production jobs set it when
+    blocking_config_profile flags skew (rec_scrub)."""
     from apollo_spark.ops.cache import release_caches
 
     edges_op = ngram_jaccard_pairs(
@@ -2340,6 +2349,7 @@ def doc_component_table(
         max_df=max_df,
         max_df_frac=max_df_frac,
         frac_floor=frac_floor,
+        scrub_max_df_frac=scrub_max_df_frac,
     )
     comp = connected_components(edges_op.select("id_a", "id_b"))
     # connected_components is eager (localCheckpoint + count), so the edge

@@ -282,3 +282,33 @@ query line_scrub {
     ids = sorted(out["doc_id"])
     assert all(i in ids for i in range(1, 8))  # banner alone groups nothing
     assert 10 in ids and 11 not in ids  # banner-stripped twins collapse
+
+
+def test_component_artifact_scrub_option(spark, tmp_path):
+    """doc_component_table / train_or_load_components accept the scrub: on a
+    planted-boilerplate corpus the unscrubbed table merges the banner
+    family into one component while the scrubbed artifact keeps only the
+    genuine duplicate pair grouped — and the scrubbed table persists/loads
+    through the TxTable path like any other component artifact."""
+    from apollo_spark.ops.dedup import doc_component_table, train_or_load_components
+
+    rows = [(i, f"{BOILER} unique{i} tail{i}") for i in range(1, 9)]
+    rows += [(20, "alpha beta gamma delta epsilon"), (21, "alpha beta gamma delta epsilon")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    plain = doc_component_table(d, threshold=0.3).toPandas()
+    fam = plain[plain["doc_id"] < 20]["component"]
+    assert len(fam) == 8 and fam.nunique() == 1  # banner family merged
+
+    scrubbed = doc_component_table(d, threshold=0.3, scrub_max_df_frac=0.3).toPandas()
+    ids = set(scrubbed["doc_id"])
+    assert ids == {20, 21}  # only the genuine dup pair remains grouped
+
+    path = str(tmp_path / "comp_scrub")
+    a = train_or_load_components(
+        d, path=path, threshold=0.3, scrub_max_df_frac=0.3
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = train_or_load_components(
+        d, path=path, threshold=0.3, scrub_max_df_frac=0.3
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b) and set(a["doc_id"]) == {20, 21}
