@@ -295,6 +295,104 @@ def ivf_assign_twolevel(
     )
 
 
+def semantic_decontamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+    bench_vec_col: str = "bench_vec",
+    impl: str = "jvm",
+) -> DataFrame:
+    """Embedding-level decontamination: for every corpus row, the maximum
+    cosine to ANY benchmark/eval item and a contaminated flag — the
+    semantic tier beside the lexical decontamination ops
+    (benchmark Jaccard + containment, ops/corpus.py), which PARAPHRASED
+    eval leakage slips past: a reworded test question shares few n-grams
+    but sits next to the original in embedding space (the screening
+    used for modern pretraining sets).
+
+    Returns (id_col, best_bench_id, max_cos, contaminated) — one row per
+    corpus vector; best_bench_id ties break toward the smaller bench id on
+    the ROUNDED score (6 dp) so cross-engine ulp noise cannot flip either
+    the match or the flag.
+
+    Scale: the benchmark side is SMALL by definition (eval suites are
+    thousands of items) — broadcast it; ``impl="jvm"`` scores via the
+    sequential-fold cosine expression (oracle-replayable; the broadcast
+    nested-loop join is N x |bench| ROWS SCANNED but never shuffled) and
+    takes a per-corpus-row window keyed by id. ``impl="arrow"`` computes
+    the same max/argmax inside one Arrow-batched matmul per partition —
+    no cross-product rows materialize at all, the 100 TB form (parity
+    pytest pins jvm == arrow)."""
+    if impl == "arrow":
+        import pandas as pd
+
+        spark = corpus.sparkSession
+        bp = bench.select(bench_id_col, bench_vec_col).toPandas().sort_values(bench_id_col)
+        bids = bp[bench_id_col].to_numpy()
+        bm = np.stack(bp[bench_vec_col].to_numpy()).astype(np.float64)
+        bn = np.linalg.norm(bm, axis=1)
+        bn[bn == 0.0] = 1.0
+        bmn = bm / bn[:, None]
+        bc = spark.sparkContext.broadcast((bids, bmn))
+
+        def run(batches):
+            ids_b, mat = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                n = np.linalg.norm(m, axis=1)
+                n[n == 0.0] = 1.0
+                # round BEFORE argmax: ties on the 6-dp score go to the
+                # smaller bench id (ids sorted ascending, argmax takes the
+                # first maximum) — same rule as the JVM window
+                sims = np.round((m / n[:, None]) @ mat.T, 6)
+                j = np.argmax(sims, axis=1)
+                out = pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        "best_bench_id": ids_b[j],
+                        "max_cos": sims[np.arange(len(j)), j],
+                        "contaminated": sims[np.arange(len(j)), j] >= threshold,
+                    }
+                )
+                yield out
+
+        from pyspark.sql import types as T
+
+        id_type = dict(zip(corpus.columns, [f.dataType for f in corpus.schema.fields]))[id_col]
+        bid_type = dict(zip(bench.columns, [f.dataType for f in bench.schema.fields]))[bench_id_col]
+        schema = T.StructType(
+            [
+                T.StructField(id_col, id_type),
+                T.StructField("best_bench_id", bid_type),
+                T.StructField("max_cos", T.DoubleType()),
+                T.StructField("contaminated", T.BooleanType()),
+            ]
+        )
+        return corpus.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+    scored = (
+        corpus.select(id_col, vec_col)
+        .join(F.broadcast(bench.select(bench_id_col, bench_vec_col)))
+        .withColumn("__cos", F.round(cosine(F.col(vec_col), F.col(bench_vec_col)), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc(bench_id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col(bench_id_col).alias("best_bench_id"),
+            F.col("__cos").alias("max_cos"),
+            (F.col("__cos") >= F.lit(float(threshold))).alias("contaminated"),
+        )
+    )
+
+
 # Above this many inverted lists, ivf_topk switches from the flat index
 # (driver-trained, full K x D broadcast) to the two-level hierarchy — the
 # same 4096 crossover lattice_cluster_assign uses for blocking (gate SFs

@@ -988,6 +988,46 @@ def knn_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination (ops.similarity.semantic_decontamination):
+    max cosine of every corpus vector to a benchmark/eval set + contaminated
+    flag — the semantic tier beside the lexical decontamination queries
+    (benchmark_ngram_overlap / benchmark_containment), which PARAPHRASED
+    leakage slips past. The benchmark here is five corpus vectors (vec_id %
+    100 = 7 under 500 — the verbatim-leak scenario), so the five sources
+    flag at cosine 1.0 and every other row exercises the broadcast
+    max/argmax machinery; scores round at 6 dp BEFORE the argmax and the
+    flag so cross-engine ulp noise can flip neither."""
+    from apollo_spark.ops.similarity import semantic_decontamination
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    bench = e.filter((F.col("vec_id") % 100 == 7) & (F.col("vec_id") < 500)).select(
+        F.col("vec_id").alias("bench_id"), F.col("v").alias("bench_vec")
+    )
+    return semantic_decontamination(e, bench, threshold=0.999, vec_col="v").orderBy("vec_id")
+
+
+ORACLE_SEMANTIC_DECONTAMINATION = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % 100 = 7 AND vec_id < 500),
+s AS (
+  SELECT e.vec_id, b.bench_id,
+         ROUND(list_dot_product(e.v, b.bv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(b.bv, b.bv))), 6) AS cos
+  FROM e CROSS JOIN b
+),
+r AS (
+  SELECT vec_id, bench_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id ASC) AS rn
+  FROM s
+)
+SELECT vec_id, bench_id AS best_bench_id, cos AS max_cos, cos >= 0.999 AS contaminated
+FROM r WHERE rn = 1 ORDER BY vec_id
+"""
+
+
 def knn_ivf_twolevel_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level (coarse cells -> per-cell fine lists, the inverted-multi-
     index shape) float IVF with EVERY cell and EVERY list probed — full

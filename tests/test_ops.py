@@ -3457,3 +3457,31 @@ def test_semantic_dedup_routes_twolevel_above_threshold(spark, emb, monkeypatch)
     assert 100000 not in set(kept["vec_id"])  # the exact dup is pruned
     assert 0 in set(kept["vec_id"])
 
+
+
+def test_semantic_decontamination_jvm_arrow_parity(spark, emb):
+    """impl="arrow" (per-partition matmul, no cross-product rows) must equal
+    impl="jvm" (broadcast + fold-cosine + window) bit-for-bit: same 6-dp
+    rounding before the argmax, same smaller-bench-id tie-break; and the
+    planted verbatim leak flags at exactly 1.0."""
+    from pyspark.sql import functions as F
+
+    from apollo_spark.ops.similarity import semantic_decontamination
+
+    e = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    bench = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("bench_id"), F.col("v").alias("bench_vec")
+    )
+    jvm = (
+        semantic_decontamination(e, bench, threshold=0.999, vec_col="v")
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    arrow = (
+        semantic_decontamination(e, bench, threshold=0.999, vec_col="v", impl="arrow")
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert jvm.equals(arrow), (jvm.compare(arrow) if jvm.shape == arrow.shape else (jvm.shape, arrow.shape))
+    flagged = jvm[jvm["contaminated"]]
+    assert set(flagged["vec_id"]) == {0, 1, 2}
+    assert (flagged["max_cos"] == 1.0).all()
+
