@@ -1057,6 +1057,47 @@ def knn_ivf_twolevel_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_twolevel_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the two-level float IVF (2 cells x 2 lists probed) vs the
+    exact brute-force top-5, in-engine — the evaluation row for the round-9
+    index the way ivf_recall_report prices the lattice IVF. Rows-only
+    check: float k-means isn't SQL-replayable (the hash-gated machinery
+    proof is knn_ivf_twolevel_full_probe, where full probing must equal
+    the brute-force oracle exactly); the recall floor is pinned in
+    tests/test_ops.py::test_ivf_twolevel_partial_probe_recall_parity."""
+    from apollo_spark.ops.similarity import brute_force_topk, ivf_topk_twolevel
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    approx = ivf_topk_twolevel(
+        e, q, k=5, n_clusters=8, n_probe_cells=2, n_probe_lists=2,
+        id_col="vec_id", vec_col="v", q_id_col="q_id", q_vec_col="qv",
+    ).select("q_id", "vec_id")
+    exact = brute_force_topk(
+        e, q, k=5, id_col="vec_id", vec_col="v", q_id_col="q_id", q_vec_col="qv"
+    ).select("q_id", "vec_id")
+    hits = (
+        exact.join(approx, ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).cast("double") / F.lit(5.0)
+            ).alias("recall_at_5"),
+        )
+        .orderBy("q_id")
+    )
+
+
 def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 probing 4/16 lists — the 100 TB ANN path (approximate ->
     rows-only check; recall vs brute force is pinned in tests/test_ops.py)."""
