@@ -92,10 +92,11 @@ class DedupSpec:
     # (oracle certification / small corpora).
     lossless: bool = False
     max_df_frac: float = 0.04
-    # round 9: corpus-adaptive blocking geometry (minhash only) — profile the
-    # corpus once (ops/dedup.py::blocking_autotune: analytic capture at the
-    # dedup threshold + vocabulary df pass) and band with the chosen
-    # (num_hashes, bands) instead of the fixed r=2/b=16 default.
+    # round 9: corpus-adaptive blocking (minhash | ngram_jaccard) — profile
+    # the corpus once (ops/dedup.py::blocking_autotune: analytic capture at
+    # the dedup threshold + vocabulary df pass); minhash bands with the
+    # chosen (num_hashes, bands, ladder cap) instead of the fixed r=2/b=16
+    # default, ngram_jaccard takes the profile's budgeted df-cap.
     autotune: bool = False
     # round 9: boilerplate scrub before pair generation. None = auto (scrub
     # iff the autotune profile flags boilerplate skew; off without autotune),
@@ -409,8 +410,10 @@ def _parse_query(block: Block, env: dict[str, Any], item: Any = None) -> QuerySp
                 f"query {name}: dedup max_df_frac must be in (0, 1], got {max_df_frac}"
             )
         autotune = bool(_const(dbody, "autotune", env, False))
-        if autotune and method != "minhash":
-            raise SchemaError(f"query {name}: dedup `autotune` applies to method=minhash only")
+        if autotune and method not in ("minhash", "ngram_jaccard"):
+            raise SchemaError(
+                f"query {name}: dedup `autotune` applies to method=minhash|ngram_jaccard"
+            )
         scrub_raw = _const(dbody, "scrub_boilerplate", env, None)
         scrub_boilerplate = None if scrub_raw is None else bool(scrub_raw)
         scrub_mode = str(_const(dbody, "scrub_mode", env, "shingle"))

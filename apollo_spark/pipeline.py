@@ -474,8 +474,17 @@ def _apply_dedup(df: DataFrame, spec) -> DataFrame:
     pair_frame = df
     shingle_scrub = None
     cfg = None
-    if spec.method == "minhash" and spec.autotune:
-        cfg = blocking_autotune(df, spec.id, spec.text, n=3, threshold=spec.threshold)
+    if spec.autotune and spec.method in ("minhash", "ngram_jaccard"):
+        # minhash profiles at the blocker's trigram granularity; ngram at
+        # its own shingle_n (the profile's df-cap grid predicts THAT
+        # inverted index's fan-out)
+        cfg = blocking_autotune(
+            df,
+            spec.id,
+            spec.text,
+            n=3 if spec.method == "minhash" else spec.shingle_n,
+            threshold=spec.threshold,
+        )
     scrub_on = spec.scrub_boilerplate
     if scrub_on is None:
         scrub_on = bool(cfg and cfg["scrub"])
@@ -538,7 +547,14 @@ def _apply_dedup(df: DataFrame, spec) -> DataFrame:
         kwargs = (
             {"max_df": None, "max_df_frac": None}
             if spec.lossless
-            else {"max_df": None, "max_df_frac": spec.max_df_frac, "frac_floor": 1024}
+            else {
+                "max_df": None,
+                # autotune: the profile's budgeted df-cap replaces the static
+                # default (largest grid fraction whose predicted C(df,2)
+                # fan-out fits the linear budget — BASELINE round-9 #1)
+                "max_df_frac": cfg["max_df_frac"] if cfg else spec.max_df_frac,
+                "frac_floor": 1024,
+            }
         )
         pairs = ngram_jaccard_pairs(
             pair_frame,

@@ -170,7 +170,9 @@ query x {{
 """
 
     with pytest.raises(SchemaError, match="autotune"):
-        parse_schema(q('method = "ngram_jaccard"\n autotune = true'))
+        parse_schema(q('method = "tfidf"\n autotune = true'))
+    # ngram_jaccard accepts autotune (profile-chosen df-cap)
+    assert parse_schema(q('method = "ngram_jaccard"\n autotune = true')).queries[0].dedup.autotune
     with pytest.raises(SchemaError, match="near-dup"):
         parse_schema(q('method = "exact"\n scrub_boilerplate = true'))
     with pytest.raises(SchemaError, match="shingle-level scrub"):
@@ -312,3 +314,38 @@ def test_component_artifact_scrub_option(spark, tmp_path):
         d, path=path, threshold=0.3, scrub_max_df_frac=0.3
     ).toPandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b) and set(a["doc_id"]) == {20, 21}
+
+
+def test_dsl_ngram_autotune_e2e(spark, tmp_path):
+    """`dedup { method = "ngram_jaccard", autotune = true }` takes the
+    profile's budgeted df-cap instead of the static 0.04 and still drops
+    the planted duplicate."""
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import compile_query
+    from apollo_spark.sources.tables import Catalog
+
+    rows = [(i, f"uw{i} ux{i} uy{i} uz{i} uq{i}") for i in range(1, 30)]
+    rows += [(50, "alpha beta gamma delta epsilon"), (51, "alpha beta gamma delta epsilon")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    catalog = Catalog(spark, str(tmp_path))
+    schema = parse_schema(
+        """
+query ngram_auto {
+  chain = "ethereum"
+  source_table = "documents"
+  dedup {
+    method = "ngram_jaccard"
+    threshold = 0.5
+    shingle_n = 1
+    autotune = true
+  }
+  save { doc_id = doc_id }
+}
+"""
+    )
+    out = compile_query(spark, catalog, schema.queries[0], schema).toPandas()
+    ids = sorted(out["doc_id"])
+    assert 50 in ids and 51 not in ids
+    assert all(i in ids for i in range(1, 30))
