@@ -988,6 +988,56 @@ def knn_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding data-quality report: the 3 farthest members of every
+    lattice-k-means cluster with their exact integer distance, the
+    cluster's mean distance, the distance ratio, and an ``extreme`` flag
+    (ratio > 4) — the inspect-these-vectors view a 100 TB embedding
+    pipeline consults for corrupt rows, wrong-model mixes, and
+    out-of-distribution slices (an OOD vector is far from EVERY centroid,
+    so it tops its own cluster's ranking). Rides the engine-exact lattice
+    machinery: distances are exact int64 (hash-gateable), the mean is one
+    double division of exact integer sums, the ranking window is
+    cluster-keyed (no global sort), and the arrow assignment path never
+    materializes the N x K distance join."""
+    from apollo_spark.ops.clustering import (
+        _collect_centroid_matrix,
+        kmeans_lattice,
+        lattice_assign_arrow,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    _, cent = kmeans_lattice(e, k=8, iters=2)
+    clusters, cmat = _collect_centroid_matrix(cent)
+    own = lattice_assign_arrow(e, clusters, cmat)  # (vec_id, cluster, dist) own-cluster exact
+    stats = own.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"), F.sum("dist").alias("__sum")
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("dist").desc(), F.col("vec_id").asc())
+    top = own.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+    mean = F.col("__sum").cast("double") / F.col("n_members").cast("double")
+    # a cluster whose members all sit ON the centroid (e.g. a singleton) has
+    # mean 0 — the ratio is undefined there, not infinite
+    ratio = F.when(
+        F.col("mean_dist") > 0, F.col("dist").cast("double") / F.col("mean_dist")
+    )
+    return (
+        top.join(stats, "cluster")
+        .withColumn("mean_dist", mean)
+        .select(
+            "cluster",
+            "rank",
+            "vec_id",
+            "dist",
+            "n_members",
+            "mean_dist",
+            ratio.alias("dist_ratio"),
+            (F.col("dist").cast("double") > F.lit(4.0) * F.col("mean_dist")).alias("extreme"),
+        )
+        .orderBy("cluster", "rank")
+    )
+
+
 def semantic_decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level decontamination (ops.similarity.semantic_decontamination):
     max cosine of every corpus vector to a benchmark/eval set + contaminated
@@ -1214,6 +1264,40 @@ def _lattice_common_ctes(k: int | str, iters: int) -> list[str]:
         """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""
     )
     return ctes
+
+
+def _outlier_report_oracle(k: int = 8, iters: int = 2, topn: int = 3) -> str:
+    ctes = _lattice_common_ctes(k, iters)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+own AS (
+  SELECT f.vec_id, f.cluster, CAST(d.dist AS BIGINT) AS dist
+  FROM fassign f JOIN fdist d USING (vec_id, cluster)
+),
+st AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members, CAST(SUM(dist) AS BIGINT) AS sum_dist
+  FROM own GROUP BY cluster
+),
+rk AS (
+  SELECT vec_id, cluster, dist,
+         ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY dist DESC, vec_id ASC) AS rank
+  FROM own
+)
+SELECT r.cluster, CAST(r.rank AS INT) AS rank, r.vec_id, r.dist, s.n_members,
+       CAST(s.sum_dist AS DOUBLE) / CAST(s.n_members AS DOUBLE) AS mean_dist,
+       CASE WHEN CAST(s.sum_dist AS DOUBLE) / CAST(s.n_members AS DOUBLE) > 0
+            THEN CAST(r.dist AS DOUBLE) / (CAST(s.sum_dist AS DOUBLE) / CAST(s.n_members AS DOUBLE)) END AS dist_ratio,
+       CAST(r.dist AS DOUBLE) > 4.0 * (CAST(s.sum_dist AS DOUBLE) / CAST(s.n_members AS DOUBLE)) AS extreme
+FROM rk r JOIN st s USING (cluster)
+WHERE r.rank <= {topn}
+ORDER BY r.cluster, r.rank
+"""
+    )
+
+
+ORACLE_EMBEDDING_OUTLIERS = _outlier_report_oracle()
 
 
 def _ivf_lattice_oracle(k: int = 8, iters: int = 2, probe: int = 2, topk: int = 5) -> str:

@@ -3485,3 +3485,26 @@ def test_semantic_decontamination_jvm_arrow_parity(spark, emb):
     assert set(flagged["vec_id"]) == {0, 1, 2}
     assert (flagged["max_cos"] == 1.0).all()
 
+
+
+def test_embedding_outlier_report_flags_planted_corrupt_vector(spark, emb, tmp_path):
+    """A scaled-out-of-distribution vector must top its cluster's distance
+    ranking with the extreme flag set (2.5x an existing vector: far from
+    every centroid but not so far that Lloyd hands it its own singleton
+    cluster — a TRULY extreme vector captures a cluster instead, which the
+    report also surfaces: rank-1 singleton at dist 0)."""
+    from pyspark.sql import functions as F
+
+    from apollo_spark.queries import QUERIES
+
+    r0 = emb.select("embedding").first()[0]
+    bad = [(999999, [float(x) * 2.5 for x in r0])]
+    base = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("float")).alias("embedding"))
+    planted = base.unionByName(
+        spark.createDataFrame(bad, "vec_id long, embedding array<float>")
+    )
+    planted.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = QUERIES["embedding_outlier_report"](spark, str(tmp_path)).toPandas()
+    hit = out[out["vec_id"] == 999999]
+    assert len(hit) == 1 and hit.iloc[0]["rank"] == 1 and bool(hit.iloc[0]["extreme"])
+
