@@ -594,3 +594,37 @@ def test_ivf_twolevel_plan_cogroup_no_centroid_broadcast(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastExchange" not in p, "fine centroid table must not be broadcast"
+
+
+def test_blocking_autotune_plan_one_vocab_shuffle_no_cartesian(spark):
+    """blocking_autotune_config: the data-dependent cost must be ONE
+    vocabulary-sized groupBy; the menu/stats composition rides 1-row/6-row
+    broadcast nested-loop joins (never a CartesianProduct) and nothing
+    sorts globally except the 6-row menu's LIMIT 1 selection."""
+    p = plan(spark, "blocking_autotune_config")
+    assert "CartesianProduct" not in p
+    # the stats pass: exactly one aggregate over the exploded shingle vocab
+    assert p.count("Exchange hashpartitioning(s#") <= 2, p[:1500]
+
+
+def test_semantic_decontamination_plan_broadcast_bench(spark):
+    """semantic_decontamination_report: the benchmark side must BROADCAST
+    (tiny by definition) — a shuffled or cartesian corpus-vs-bench join is
+    the quadratic this op exists to avoid — and the per-row argmax window
+    must be keyed by vec_id, not global."""
+    p = plan(spark, "semantic_decontamination_report")
+    assert "BroadcastNestedLoopJoin BuildRight" in p or "BroadcastExchange" in p, p[:2000]
+    assert "CartesianProduct" not in p
+    for m in re.finditer(r"row_number\(\).*partitionBy=\[([^\]]*)\]", p):
+        assert m.group(1).strip(), "unpartitioned argmax window"
+
+
+def test_embedding_outlier_plan_keyed_window_arrow_assign(spark):
+    """embedding_outlier_report: assignment runs through the Arrow map
+    (MapInPandas/ArrowEvalPython — never the N x K relational distance
+    join), and the outlier ranking window is cluster-keyed."""
+    p = plan(spark, "embedding_outlier_report")
+    assert "MapInPandas" in p or "ArrowEvalPython" in p, p[:2000]
+    assert "CartesianProduct" not in p
+    for m in re.finditer(r"Arguments: \[[^\]]*row_number[^\]]*\], \[([^\]]*)\]", p):
+        assert m.group(1).strip(), "unpartitioned outlier window"
