@@ -111,6 +111,24 @@ class DedupSpec:
 
 
 @dataclass
+class DecontaminateSpec:
+    """v2 `decontaminate` block: eval-set decontamination as a declarative
+    stage (ops/corpus.py::decontaminate) — drop every document sharing more
+    than ``max_shared`` distinct word ``ngram``-grams with ANY row of the
+    ``benchmark_table`` catalog table (the n-gram-overlap screen large-LM
+    pipelines run before training). Runs after quality and before dedup:
+    contaminated rows shouldn't cost LSH shuffles or survive as dedup
+    representatives. The benchmark side broadcasts (eval suites are small);
+    the corpus side never self-joins."""
+
+    benchmark_table: str = ""
+    id: str = "doc_id"
+    text: str = "text"
+    ngram: int = 5
+    max_shared: int = 0
+
+
+@dataclass
 class ExpectSpec:
     """v2 `expect` block: Great-Expectations/Deequ-style output constraints,
     validated EAGERLY (one bounded aggregate action on the final frame) —
@@ -191,6 +209,7 @@ class QuerySpec:
     dedup: DedupSpec | None = None
     # v2 `sample` block: deterministic hash-rate sampling (ops/sketch.py)
     sample: SampleSpec | None = None
+    decontaminate: DecontaminateSpec | None = None
     # v2 `quality` block: declarative corpus quality filter (ops/text.py)
     quality: QualitySpec | None = None
     # v2 `privacy` block: k-anonymous aggregate release (ops/privacy.py)
@@ -464,6 +483,31 @@ def _parse_query(block: Block, env: dict[str, Any], item: Any = None) -> QuerySp
             key=str(key), denominator=denom, salt=str(_const(sbody, "salt", env, "samp"))
         )
 
+    decon_spec = None
+    decon_blocks = b.blocks_of("decontaminate")
+    if decon_blocks:
+        dcb = decon_blocks[0].body
+        bt = _const(dcb, "benchmark_table", env, None)
+        if not bt:
+            raise SchemaError(
+                f"query {name}: decontaminate block requires `benchmark_table`"
+            )
+        ng = int(_const(dcb, "ngram", env, 5))
+        if ng < 1:
+            raise SchemaError(f"query {name}: decontaminate ngram must be >= 1, got {ng}")
+        ms = int(_const(dcb, "max_shared", env, 0))
+        if ms < 0:
+            raise SchemaError(
+                f"query {name}: decontaminate max_shared must be >= 0, got {ms}"
+            )
+        decon_spec = DecontaminateSpec(
+            benchmark_table=str(bt),
+            id=str(_const(dcb, "id", env, "doc_id")),
+            text=str(_const(dcb, "text", env, "text")),
+            ngram=ng,
+            max_shared=ms,
+        )
+
     quality_spec = None
     quality_blocks = b.blocks_of("quality")
     if quality_blocks:
@@ -547,6 +591,7 @@ def _parse_query(block: Block, env: dict[str, Any], item: Any = None) -> QuerySp
         window=window_blocks[0].body if window_blocks else None,
         dedup=dedup_spec,
         sample=sample_spec,
+        decontaminate=decon_spec,
         quality=quality_spec,
         privacy=privacy_spec,
         expect=expect_spec,

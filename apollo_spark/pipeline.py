@@ -250,14 +250,15 @@ def _eval_tail(
     dedup=None,
     sample=None,
     quality=None,
+    decontaminate=None,
     privacy=None,
     sort: list | None = None,
     limit: int | None = None,
     user_functions: dict | None = None,
 ) -> DataFrame:
-    """joins -> transform -> filter -> sample -> quality -> dedup -> privacy
-    -> window -> aggregate -> save -> sort/limit over an already-decoded
-    source frame. privacy is the terminal release aggregation (k-anonymous
+    """joins -> transform -> filter -> sample -> quality -> decontaminate ->
+    dedup -> privacy -> window -> aggregate -> save -> sort/limit over an
+    already-decoded source frame. privacy is the terminal release aggregation (k-anonymous
     classes), mutually exclusive with window/aggregate (schema-enforced)."""
     if joins:
         df = _apply_joins(df, joins, catalog)
@@ -302,6 +303,11 @@ def _eval_tail(
         # after sample (score 1/denominator of the rows), before dedup
         # (don't pay LSH shuffles for rows quality drops anyway)
         df = _apply_quality(df, quality)
+
+    if decontaminate is not None:
+        # after quality (cheaper corpus to scan), before dedup (contaminated
+        # rows must not survive as dedup representatives)
+        df = _apply_decontaminate(df, decontaminate, catalog)
 
     if dedup is not None:
         df = _apply_dedup(df, dedup)
@@ -442,6 +448,24 @@ def _apply_quality(df: DataFrame, spec) -> DataFrame:
             min_tokens=spec.min_tokens,
         )
     )
+
+
+def _apply_decontaminate(df: DataFrame, spec, catalog: Catalog) -> DataFrame:
+    """v2 `decontaminate` block: drop documents sharing more than
+    ``max_shared`` distinct word n-grams with any benchmark row
+    (ops/corpus.py::decontaminate — benchmark grams broadcast, corpus side
+    narrow; the only wide exchange is the per-doc count over grams that
+    HIT the benchmark set)."""
+    from apollo_spark.ops.corpus import decontaminate
+
+    if not catalog.has(spec.benchmark_table):
+        raise PipelineError(
+            f"decontaminate block needs a landed '{spec.benchmark_table}' table"
+        )
+    bench = catalog.table(spec.benchmark_table)
+    flagged = decontaminate(df, bench, id_col=spec.id, text_col=spec.text, n=spec.ngram)
+    drop = flagged.filter(F.col("n_shared") > int(spec.max_shared)).select(spec.id)
+    return df.join(drop, spec.id, "left_anti")
 
 
 def _apply_dedup(df: DataFrame, spec) -> DataFrame:
@@ -769,6 +793,7 @@ def compile_query(
                 window=query.window,
                 dedup=query.dedup,
                 sample=query.sample,
+                decontaminate=query.decontaminate,
                     quality=query.quality,
                     privacy=query.privacy,
                 sort=query.sort,
@@ -793,6 +818,7 @@ def compile_query(
                 window=query.window,
                 dedup=query.dedup,
                 sample=query.sample,
+                decontaminate=query.decontaminate,
                     quality=query.quality,
                     privacy=query.privacy,
                 sort=query.sort,
@@ -817,6 +843,7 @@ def compile_query(
                     window=query.window,
                     dedup=query.dedup,
                 sample=query.sample,
+                decontaminate=query.decontaminate,
                     quality=query.quality,
                     privacy=query.privacy,
                     sort=query.sort,
@@ -875,6 +902,7 @@ def compile_query(
                     window=query.window,
                     dedup=query.dedup,
                 sample=query.sample,
+                decontaminate=query.decontaminate,
                     quality=query.quality,
                     privacy=query.privacy,
                     sort=query.sort,
@@ -911,6 +939,7 @@ def compile_query(
                 window=query.window,
                 dedup=query.dedup,
                 sample=query.sample,
+                decontaminate=query.decontaminate,
                     quality=query.quality,
                     privacy=query.privacy,
                 sort=query.sort,

@@ -349,3 +349,63 @@ query ngram_auto {
     ids = sorted(out["doc_id"])
     assert 50 in ids and 51 not in ids
     assert all(i in ids for i in range(1, 30))
+
+
+def test_dsl_decontaminate_block_e2e(spark, tmp_path):
+    """`decontaminate { benchmark_table = ... }`: docs sharing a 5-gram with
+    any benchmark row are dropped before dedup; clean docs survive; a
+    missing benchmark table is a compile-time pipeline error."""
+    import pytest as _pytest
+
+    from apollo_spark.dsl.schema import SchemaError, parse_schema
+    from apollo_spark.pipeline import PipelineError, compile_query
+    from apollo_spark.sources.tables import Catalog
+
+    leak = "what is the capital of france answer paris"
+    rows = [(1, f"intro text {leak} trailing words"), (2, "independent document about rivers and dams entirely"), (3, "another clean doc on graph algorithms and spark shuffles")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    spark.createDataFrame([(100, leak)], "bench_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "benchmark.parquet"))
+    catalog = Catalog(spark, str(tmp_path))
+    schema = parse_schema(
+        """
+query decon {
+  chain = "ethereum"
+  source_table = "documents"
+  decontaminate {
+    benchmark_table = "benchmark"
+    ngram = 5
+  }
+  save { doc_id = doc_id }
+}
+"""
+    )
+    out = compile_query(spark, catalog, schema.queries[0], schema).toPandas()
+    assert sorted(out["doc_id"]) == [2, 3]
+
+    with _pytest.raises(SchemaError, match="benchmark_table"):
+        parse_schema(
+            """
+query bad {
+  chain = "ethereum"
+  source_table = "documents"
+  decontaminate { ngram = 5 }
+  save { doc_id = doc_id }
+}
+"""
+        )
+    schema2 = parse_schema(
+        """
+query missing_tbl {
+  chain = "ethereum"
+  source_table = "documents"
+  decontaminate { benchmark_table = "nope" }
+  save { doc_id = doc_id }
+}
+"""
+    )
+    with _pytest.raises(PipelineError, match="nope"):
+        compile_query(spark, catalog, schema2.queries[0], schema2).collect()
