@@ -2048,25 +2048,37 @@ def lsh_merge_completeness(
 # picks the truth-side df cap and detects boilerplate skew.
 # --------------------------------------------------------------------------
 
-# (pref, num_hashes, rows-per-band, max_bucket): preference order = sharpest
-# usable S-curve first (higher r = steeper cutoff = fewer low-similarity
-# junk candidates), then fewer hashes (cheaper signatures). bands =
-# num_hashes/rows is a power of two throughout, so every capture
-# probability is an exact squaring chain — no pow()/libm dependence,
-# bit-identical across engines. max_bucket is the ladder guard's level-0
-# cap, a STATIC property of the geometry: r=1 bands are single-slot groups
-# whose per-band selectivity is only j (not j^r), so informative buckets
-# are legitimately larger — measured on the round-9 skew rehearsal, cap 64
-# at r=1 holds merge completeness to 0.39 while 1024 recovers 0.68 (= the
-# uncapped ceiling 0.69) at near-identical candidate counts; r>=2 keeps
-# the round-8 cap 64.
-BLOCKING_GEOMETRY_MENU: tuple[tuple[int, int, int, int], ...] = (
-    (1, 32, 4, 64),
-    (2, 64, 4, 64),
-    (3, 32, 2, 64),
-    (4, 64, 2, 64),
-    (5, 32, 1, 1024),
-    (6, 64, 1, 1024),
+# (pref_uniform, pref_boiler, num_hashes, rows-per-band, max_bucket): two
+# preference orders over one menu, chosen IN-PLAN by the corpus's
+# boilerplate-skew flag — the round-9 rehearsals measured that low-j
+# capture has two very different right answers:
+#
+# * BOILERPLATE-SKEWED corpora (hot-shingle mass > 0): the truth contains
+#   cliques glued by a shared line whose pairs sit at very LOW blocker-n
+#   jaccard — only r=1 (per-band selectivity j, not j^r) reaches them;
+#   merge completeness at sf1skew: r=1/b=32/cap1024 0.68 vs r=2/b=128's
+#   0.38. r=1's junk admission is the price of clique connectivity.
+# * UNIFORM corpora: no cliques to connect; r=1 admits essentially every
+#   pair on a saturated vocabulary (measured: ~116M candidates at sf1,
+#   284 s at sf3, disk-exhausted at sf10), while DEEP r=2 signatures
+#   (256 hashes, b=128) hold capture 0.9946 at j=0.2 with ~100x less
+#   admission at the corpus's background similarity (1.75M candidates at
+#   sf1) — more hashes cost linearly, shallow rows cost quadratically.
+#
+# Within each order: sharpest usable S-curve first, then fewer hashes.
+# bands = num_hashes/rows stays a power of two, so every capture
+# probability is an exact squaring chain (no pow()/libm dependence).
+# max_bucket is the ladder guard's level-0 cap, a static property of the
+# geometry (r=1's informative buckets are legitimately larger: cap 64
+# holds skew MC to 0.39 where 1024 recovers the uncapped 0.68).
+BLOCKING_GEOMETRY_MENU: tuple[tuple[int, int, int, int, int], ...] = (
+    (1, 1, 32, 4, 64),
+    (2, 2, 64, 4, 64),
+    (3, 3, 32, 2, 64),
+    (4, 4, 64, 2, 64),
+    (5, 7, 256, 2, 64),
+    (6, 5, 32, 1, 1024),
+    (7, 6, 64, 1, 1024),
 )
 
 # candidate truth-side df-cap fractions (ngram_jaccard_pairs max_df_frac),
@@ -2076,7 +2088,7 @@ BLOCKING_FRAC_GRID: tuple[float, ...] = (0.005, 0.01, 0.02, 0.04, 0.08)
 
 
 def _capture_columns(s):
-    """1-(1-s)^b for b in {8,16,32,64} via explicit squaring chains (the
+    """1-(1-s)^b for b in {8,16,32,64,128} via explicit squaring chains (the
     lsh_scurve_table discipline: every step one IEEE multiply, identical on
     Spark/DuckDB/numpy)."""
     x = F.lit(1.0) - s
@@ -2086,7 +2098,14 @@ def _capture_columns(s):
     x16 = x8 * x8
     x32 = x16 * x16
     x64 = x32 * x32
-    return {8: F.lit(1.0) - x8, 16: F.lit(1.0) - x16, 32: F.lit(1.0) - x32, 64: F.lit(1.0) - x64}
+    x128 = x64 * x64
+    return {
+        8: F.lit(1.0) - x8,
+        16: F.lit(1.0) - x16,
+        32: F.lit(1.0) - x32,
+        64: F.lit(1.0) - x64,
+        128: F.lit(1.0) - x128,
+    }
 
 
 def blocking_config_profile(
@@ -2181,7 +2200,8 @@ def blocking_config_profile(
     # "rpb" = rows per band ("rows" is a window-frame keyword in both
     # engines' SQL grammars)
     menu = spark.createDataFrame(
-        list(BLOCKING_GEOMETRY_MENU), "pref INT, num_hashes INT, rpb INT, max_bucket INT"
+        list(BLOCKING_GEOMETRY_MENU),
+        "pref_u INT, pref_b INT, num_hashes INT, rpb INT, max_bucket INT",
     )
     t = F.lit(float(threshold))
     s = (
@@ -2195,26 +2215,38 @@ def blocking_config_profile(
         F.when(bands_col == 8, caps[8])
         .when(bands_col == 16, caps[16])
         .when(bands_col == 32, caps[32])
-        .otherwise(caps[64])
+        .when(bands_col == 64, caps[64])
+        .otherwise(caps[128])
     )
     mg = menu.select(
-        "pref",
+        "pref_u",
+        "pref_b",
         "num_hashes",
         "rpb",
         "max_bucket",
         bands_col.alias("bands"),
         capture.alias("capture_at_threshold"),
     )
+    # selection is CORPUS-AWARE: the boilerplate flag picks which preference
+    # order ranks the capture-qualified rows (see BLOCKING_GEOMETRY_MENU)
+    boiler = F.col("__hot_mass").cast("double") > F.lit(float(scrub_share)) * F.col(
+        "__total_mass"
+    ).cast("double")
+    eff_pref = F.when(boiler, F.col("pref_b")).otherwise(F.col("pref_u"))
     meets = F.col("capture_at_threshold") >= F.lit(float(capture_target))
-    chosen = mg.orderBy(
-        meets.desc(),
-        F.when(meets, F.col("pref").cast("double"))
-        .otherwise(-F.col("capture_at_threshold"))
-        .asc(),
-        F.col("pref").asc(),
-    ).limit(1)
+    chosen = (
+        stats.crossJoin(F.broadcast(mg))
+        .orderBy(
+            meets.desc(),
+            F.when(meets, eff_pref.cast("double"))
+            .otherwise(-F.col("capture_at_threshold"))
+            .asc(),
+            eff_pref.asc(),
+        )
+        .limit(1)
+    )
 
-    return stats.crossJoin(chosen).select(
+    return chosen.select(
         F.lit(float(threshold)).alias("threshold"),
         "n_docs",
         "n_shingles",

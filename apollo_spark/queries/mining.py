@@ -1540,7 +1540,9 @@ def _blocking_autotune_oracle(
         f"THEN (df*(df-1))//2 ELSE 0 END) AS BIGINT) AS est{i}"
         for i, f in enumerate(BLOCKING_FRAC_GRID)
     )
-    menu_vals = ", ".join(f"({p}, {h}, {r}, {mb})" for p, h, r, mb in BLOCKING_GEOMETRY_MENU)
+    menu_vals = ", ".join(
+        f"({pu}, {pb}, {h}, {r}, {mb})" for pu, pb, h, r, mb in BLOCKING_GEOMETRY_MENU
+    )
     t = f"CAST({threshold!r} AS DOUBLE)"
     budget_frac = " ".join(
         f"WHEN est{i} <= {pair_budget} * n_docs THEN CAST({BLOCKING_FRAC_GRID[i]!r} AS DOUBLE)"
@@ -1575,9 +1577,9 @@ stats AS (
          {est_cols}
   FROM dfreq, nd GROUP BY n_docs
 ),
-menu(pref, num_hashes, rpb, max_bucket) AS (VALUES {menu_vals}),
+menu(pref_u, pref_b, num_hashes, rpb, max_bucket) AS (VALUES {menu_vals}),
 m1 AS (
-  SELECT pref, num_hashes, rpb, max_bucket, CAST(num_hashes // rpb AS INT) AS bands,
+  SELECT pref_u, pref_b, num_hashes, rpb, max_bucket, CAST(num_hashes // rpb AS INT) AS bands,
          1.0 - CASE rpb WHEN 1 THEN {t} WHEN 2 THEN {t} * {t} ELSE ({t} * {t}) * ({t} * {t}) END AS x
   FROM menu
 ),
@@ -1587,17 +1589,21 @@ m4 AS (SELECT *, x4 * x4 AS x8 FROM m3),
 m5 AS (SELECT *, x8 * x8 AS x16 FROM m4),
 m6 AS (SELECT *, x16 * x16 AS x32 FROM m5),
 m7 AS (SELECT *, x32 * x32 AS x64 FROM m6),
+m8 AS (SELECT *, x64 * x64 AS x128 FROM m7),
 mg AS (
-  SELECT pref, num_hashes, rpb, max_bucket, bands,
-         1.0 - CASE bands WHEN 8 THEN x8 WHEN 16 THEN x16 WHEN 32 THEN x32 ELSE x64 END AS capture_at_threshold
-  FROM m7
+  SELECT pref_u, pref_b, num_hashes, rpb, max_bucket, bands,
+         1.0 - CASE bands WHEN 8 THEN x8 WHEN 16 THEN x16 WHEN 32 THEN x32 WHEN 64 THEN x64 ELSE x128 END AS capture_at_threshold
+  FROM m8
 ),
 chosen AS (
-  SELECT * FROM mg
+  SELECT * FROM stats, mg
   ORDER BY (capture_at_threshold >= CAST({capture_target!r} AS DOUBLE)) DESC,
            CASE WHEN capture_at_threshold >= CAST({capture_target!r} AS DOUBLE)
-                THEN CAST(pref AS DOUBLE) ELSE -capture_at_threshold END ASC,
-           pref ASC
+                THEN CAST(CASE WHEN CAST(hot_mass AS DOUBLE) > CAST({scrub_share!r} AS DOUBLE) * CAST(total_mass AS DOUBLE)
+                               THEN pref_b ELSE pref_u END AS DOUBLE)
+                ELSE -capture_at_threshold END ASC,
+           CASE WHEN CAST(hot_mass AS DOUBLE) > CAST({scrub_share!r} AS DOUBLE) * CAST(total_mass AS DOUBLE)
+                THEN pref_b ELSE pref_u END ASC
   LIMIT 1
 )
 SELECT {t} AS threshold,
@@ -1611,7 +1617,7 @@ SELECT {t} AS threshold,
        CAST(rpb AS INT) AS rec_rows,
        CAST(max_bucket AS INT) AS rec_max_bucket,
        capture_at_threshold
-FROM stats, chosen
+FROM chosen
 """
 
 

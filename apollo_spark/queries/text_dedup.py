@@ -760,19 +760,22 @@ def minhash_autotuned_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus at threshold 0.2 (blocking_autotune — the hash-gated selection
     query blocking_autotune_config certifies the choice itself), then band
     with the chosen geometry behind the production ladder guard
-    (minhash_autotuned_pairs). At t=0.2 the menu escalates to r=1/b=32
-    (capture 0.9992 vs the r=2/b=16 default's 0.48 — the round-8 skew gap),
-    so this query is the oracle gate for the r=1 banding machinery the
-    skew rehearsal's production rows run. On the gate corpora hot-shingle
-    share is exactly 0.0 (no scrub engages) and no band bucket exceeds the
-    cap (ladder == raw banding), so the static portable-oracle replay of
-    the (32, b=32, r=1) geometry is exact — the same argument that keeps
-    the ladder oracles valid at cap 64."""
+    (minhash_autotuned_pairs). The gate corpora are boilerplate-free, so
+    at t=0.2 the UNIFORM preference order escalates to the deep-signature
+    r=2/b=128 geometry (capture 0.9946 at j=0.2 vs the r=2/b=16 default's
+    0.48, with ~100x less low-j junk admission than r=1 — the round-9
+    saturated-vocab finding; boilerplate-skewed corpora take r=1/b=32
+    instead, certified by the skew rehearsal + the forced-hot-bucket
+    parity pytests). Hot-shingle share is exactly 0.0 here (no scrub
+    engages) and no band bucket exceeds the cap (ladder == raw banding),
+    so the static portable-oracle replay of the (256, b=128, r=2)
+    geometry is exact — the same argument that keeps the ladder oracles
+    valid at cap 64."""
     from apollo_spark.ops.dedup import blocking_autotune, minhash_autotuned_pairs
 
     d = _t(spark, sf_dir, "documents")
     cfg = blocking_autotune(d, threshold=0.2)
-    assert (cfg["num_hashes"], cfg["bands"], cfg["rows"]) == (32, 32, 1), cfg
+    assert (cfg["num_hashes"], cfg["bands"], cfg["rows"]) == (256, 128, 2), cfg
     return (
         minhash_autotuned_pairs(d, threshold=0.2, config=cfg)
         .withColumn("jaccard", F.round("jaccard", 6))
@@ -781,7 +784,7 @@ def minhash_autotuned_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_MINHASH_AUTOTUNED = _minhash_portable_oracle(
-    n=3, num_hashes=32, bands=32, threshold=0.2
+    n=3, num_hashes=256, bands=128, threshold=0.2
 )
 
 

@@ -32,14 +32,17 @@ def _skewed_docs(spark, n_boiler=60, n_unique=30):
 
 
 def test_profile_geometry_tracks_threshold(spark):
-    """The chosen geometry is the cheapest menu entry whose analytic capture
-    1-(1-t^r)^b meets the 0.95 target: r=4/b=8 at t=0.8, the certified
-    r=2/b=16 default at t=0.5, r=1/b=32 at t=0.2 (the skew-rehearsal
-    operating point where r=2's capture is only 0.48)."""
+    """The chosen geometry is the cheapest qualifying menu entry under the
+    corpus's preference order: r=4/b=8 at t=0.8 and the certified r=2/b=16
+    default at t=0.5 (both orders agree); at t=0.2 — where the r=2/b=16
+    capture is only 0.48 — a UNIFORM corpus takes the deep-signature
+    r=2/b=128 entry (bounded low-j admission) while a boilerplate-flagged
+    corpus takes r=1/b=32 (clique connectivity; frac_floor=0 exposes the
+    flag at unit-test size)."""
     from apollo_spark.ops.dedup import blocking_config_profile
 
     d = _skewed_docs(spark)
-    expect = {0.8: (32, 8, 4), 0.5: (32, 16, 2), 0.2: (32, 32, 1)}
+    expect = {0.8: (32, 8, 4), 0.5: (32, 16, 2), 0.2: (256, 128, 2)}
     for t, (nh, b, r) in expect.items():
         row = blocking_config_profile(d, threshold=t).collect()[0]
         assert (row["rec_num_hashes"], row["rec_bands"], row["rec_rows"]) == (nh, b, r), t
@@ -50,6 +53,10 @@ def test_profile_geometry_tracks_threshold(spark):
             x = x * x
         assert row["capture_at_threshold"] == 1.0 - x
         assert row["capture_at_threshold"] >= 0.95
+    # the boilerplate order flips t=0.2 to the r=1 connectivity geometry
+    row = blocking_config_profile(d, threshold=0.2, frac_floor=0).collect()[0]
+    assert (row["rec_num_hashes"], row["rec_bands"], row["rec_rows"]) == (32, 32, 1)
+    assert row["rec_max_bucket"] == 1024 and row["rec_scrub"] is True
 
 
 def test_profile_flags_boilerplate_skew(spark):
