@@ -540,6 +540,60 @@ def streaming_corpus_dedup(
     return _sink
 
 
+def streaming_decontamination_gate(
+    benchmark_df: DataFrame,
+    out_dir: str,
+    report_dir: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    max_shared: int = 0,
+    app_id: str = "decontam",
+):
+    """foreachBatch sink factory: eval-set decontamination at INGEST — the
+    streaming twin of the DSL ``decontaminate`` block. Per micro-batch:
+    score every incoming document's distinct-shared-``n``-gram count
+    against the STATIC benchmark set (ops.corpus.decontaminate — benchmark
+    grams broadcast once per batch, no state table needed: the benchmark
+    is fixed, so unlike the dedup/CDC gates there is no growing index),
+    append clean rows (n_shared <= ``max_shared``) to ``out_dir`` and, when
+    ``report_dir`` is set, one quarantine row per CONTAMINATED document
+    (id, n_shared, batch) — the audit trail a compliance review reads.
+    Both writes ride the (app_id, batch_id) txn guard: a replayed batch is
+    a no-op on either table, and the report append precedes the clean
+    append so a crash between them replays identically (report-first, the
+    streaming_cdc_retention ordering argument).
+
+    100 TB posture: the benchmark side is small by definition; the corpus
+    side is one narrow explode + broadcast join per batch — the gate's
+    cost scales with the INCREMENT, never with history."""
+    from apollo_spark.ops.corpus import decontaminate
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from apollo_spark.table_format import TxTable
+
+        flagged = (
+            decontaminate(batch_df, benchmark_df, id_col=id_col, text_col=text_col, n=n)
+            .filter(F.col("n_shared") > int(max_shared))
+            .persist()
+        )
+        flagged.count()
+        if report_dir is not None:
+            TxTable(report_dir).write(
+                flagged.withColumn("batch", F.lit(int(batch_id))),
+                mode="append",
+                txn_app=app_id,
+                txn_batch=int(batch_id),
+            )
+        clean = batch_df.join(flagged.select(id_col), id_col, "left_anti")
+        TxTable(out_dir).write(
+            clean, mode="append", txn_app=app_id, txn_batch=int(batch_id)
+        )
+        flagged.unpersist()
+
+    return _sink
+
+
 def streaming_frontier_dedup(
     index_dir: str,
     out_dir: str,

@@ -1262,3 +1262,59 @@ def test_streaming_psi_monitor_drift_across_batches(spark, tmp_path):
     run_once()
     assert TxTable(rep).read(spark).count() == n_before
     assert TxTable(ref).current_version() == v_ref
+
+
+def test_streaming_decontamination_gate_drops_leaks_across_batches(spark, tmp_path):
+    """Eval-set decontamination at ingest: across real micro-batches, docs
+    sharing a 5-gram with any benchmark item are quarantined to the report
+    table (with their batch id) while clean docs land in the output; the
+    benchmark is static so no state grows; a replay run with no new files
+    is a version no-op on both tables."""
+    import json
+
+    from apollo_spark.sources.streaming import streaming_decontamination_gate
+    from apollo_spark.table_format import TxTable
+
+    leak = "what is the capital of france answer paris"
+    bench = spark.createDataFrame([(1, leak)], "bench_id long, text string")
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    out = str(tmp_path / "clean_out")
+    rep = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "decon_ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(
+                streaming_decontamination_gate(bench, out, report_dir=rep)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [
+        {"doc_id": 1, "text": f"prefix words {leak} suffix words"},  # verbatim leak
+        {"doc_id": 2, "text": "a clean document about rivers and dams entirely"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    run_once()
+    assert {r.doc_id for r in TxTable(out).read(spark).collect()} == {2}
+    q1 = TxTable(rep).read(spark).collect()
+    assert {(r.doc_id, r.batch) for r in q1} == {(1, 0)}
+    assert q1[0].n_shared >= 1
+
+    b2 = [
+        {"doc_id": 3, "text": f"another contaminated doc {leak} reworded tail"},
+        {"doc_id": 4, "text": "second clean doc on spark shuffles and joins"},
+    ]
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+    run_once()
+    assert {r.doc_id for r in TxTable(out).read(spark).collect()} == {2, 4}
+    assert {r.doc_id for r in TxTable(rep).read(spark).collect()} == {1, 3}
+
+    versions = [TxTable(p).current_version() for p in (out, rep)]
+    run_once()  # replay: no new files -> txn no-op
+    assert [TxTable(p).current_version() for p in (out, rep)] == versions
