@@ -408,6 +408,65 @@ FROM docg JOIN bench USING (g) GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination rate — the number a curation report leads
+    with when an eval-leak scan comes back: for every source, total docs,
+    docs sharing any word 4-gram with the benchmark slice (the
+    benchmark_decontamination config), and the contaminated fraction.
+    Composes the certified decontaminate op with one groupBy; the fraction
+    is a single division of exact counts."""
+    from apollo_spark.ops.corpus import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 29 == 0)
+    corpus = d.filter(F.col("doc_id") % 29 != 0)
+    hits = decontaminate(corpus, bench, id_col="doc_id", text_col="text", n=4).select(
+        "doc_id", F.lit(True).alias("__hit")
+    )
+    return (
+        corpus.select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("__hit"), 1).otherwise(0)).cast("long").alias("n_contaminated"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_contaminated",
+            (F.col("n_contaminated").cast("double") / F.col("n_docs").cast("double")).alias(
+                "contaminated_frac"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CONTAMINATION_BY_SOURCE = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+  FROM words, LATERAL (SELECT unnest(range(1, len(w) - 2)) AS i) t(i)
+  WHERE len(w) >= 4
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 0),
+docg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 29 <> 0),
+hits AS (SELECT DISTINCT doc_id FROM docg JOIN bench USING (g))
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS contaminated_frac
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 29 <> 0
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + redact over a derived column that plants synthetic PII
     (the corpus itself is clean, so the plant makes the gate non-trivial):
