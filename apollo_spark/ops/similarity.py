@@ -479,6 +479,45 @@ def ivf_topk_twolevel(
     return scoped_persist(out, fine)
 
 
+def train_or_load_ivf_twolevel(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    **train_kw,
+) -> tuple[np.ndarray, DataFrame]:
+    """Persisted two-level IVF index: BOTH levels in ONE TxTable at ``path``
+    (level 0 = coarse centroids under cell ids, level 1 = fine lists),
+    train-once/consume-many via train_or_load_table — the ANN analogue of
+    ops.clustering.train_or_load_centroids_twolevel. The coarse level is
+    tiny (ceil(sqrt(k)) rows) so reading it back to the driver matrix is a
+    bounded collect; the fine level stays a TABLE and is consumed by
+    cogroup, never collected. Concurrent trainers are CAS-safe (the loser
+    reads the winner's snapshot). Returns (coarse ndarray, fine frame) —
+    the same shape train_ivf_centroids_twolevel yields fresh."""
+    from apollo_spark.table_format import train_or_load_table
+
+    spark = df.sparkSession
+
+    def build() -> DataFrame:
+        coarse, fine = train_ivf_centroids_twolevel(
+            df, vec_col=vec_col, n_clusters=n_clusters, **train_kw
+        )
+        coarse_rows = spark.createDataFrame(
+            [(0, int(i), -1, [float(v) for v in c]) for i, c in enumerate(coarse)],
+            "level INT, cell INT, list_id INT, centroid ARRAY<DOUBLE>",
+        )
+        return coarse_rows.unionByName(
+            fine.select(F.lit(1).alias("level"), "cell", "list_id", "centroid")
+        )
+
+    t = train_or_load_table(spark, path, build)
+    coarse_pdf = t.filter(F.col("level") == 0).orderBy("cell").toPandas()
+    coarse = np.stack(coarse_pdf["centroid"].to_numpy()).astype(np.float64)
+    fine = t.filter(F.col("level") == 1).select("cell", "list_id", "centroid")
+    return coarse, fine
+
+
 def save_ivf_centroids(spark, centroids: np.ndarray, path: str) -> None:
     """Persist trained centroids as a tiny (cluster_id, centroid) parquet
     table so the IVF index is trained once and reused across queries and

@@ -3508,3 +3508,33 @@ def test_embedding_outlier_report_flags_planted_corrupt_vector(spark, emb, tmp_p
     hit = out[out["vec_id"] == 999999]
     assert len(hit) == 1 and hit.iloc[0]["rank"] == 1 and bool(hit.iloc[0]["extreme"])
 
+
+
+def test_train_or_load_ivf_twolevel_roundtrip(spark, emb, tmp_path):
+    """Two-level IVF artifact: first call trains + commits one TxTable
+    holding both levels; second call LOADS (no new version) and returns
+    identical coarse bits and fine rows; assignment through the loaded
+    index equals assignment through a fresh one."""
+    import numpy as np
+
+    from apollo_spark.ops.similarity import (
+        ivf_assign_twolevel,
+        train_or_load_ivf_twolevel,
+    )
+    from apollo_spark.table_format import TxTable
+
+    path = str(tmp_path / "ivf2l")
+    c1, f1 = train_or_load_ivf_twolevel(emb, path, n_clusters=8, seed=11)
+    assert TxTable(path).current_version() == 1
+    c2, f2 = train_or_load_ivf_twolevel(emb, path, n_clusters=8, seed=11)
+    assert TxTable(path).current_version() == 1  # loaded, not retrained
+    assert np.array_equal(c1, c2)
+    p1 = f1.toPandas().sort_values("list_id").reset_index(drop=True)
+    p2 = f2.toPandas().sort_values("list_id").reset_index(drop=True)
+    assert p1["list_id"].tolist() == p2["list_id"].tolist()
+    a1 = ivf_assign_twolevel(emb.select("vec_id", "embedding"), c1, f1).toPandas()
+    a2 = ivf_assign_twolevel(emb.select("vec_id", "embedding"), c2, f2).toPandas()
+    assert a1.sort_values("vec_id").reset_index(drop=True).equals(
+        a2.sort_values("vec_id").reset_index(drop=True)
+    )
+
