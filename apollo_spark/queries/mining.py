@@ -1487,6 +1487,83 @@ def lsh_scurve_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("i")
 
 
+def blocking_scurve_menu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic S-curve of EVERY blocking-menu geometry on the 0.05
+    jaccard grid — the browsable companion to blocking_autotune_config:
+    where lsh_scurve_table tabulates the b=16/r=2 default, this emits
+    P(candidate | j) = 1-(1-j^r)^b for all seven BLOCKING_GEOMETRY_MENU
+    entries, so a user can SEE why the uniform order escalates to deep
+    r=2/b=128 at low thresholds while the boilerplate order takes r=1/b=32
+    (BASELINE round-9 #7). Same exactness discipline: j^r and the band
+    power are explicit multiply/squaring chains — no pow()/libm — so every
+    value is bit-identical cross-engine. (sf_dir unused: the table is a
+    property of the menu, kept as a registry query so the driver certifies
+    the arithmetic.)"""
+    from apollo_spark.ops.dedup import BLOCKING_GEOMETRY_MENU, _capture_columns
+
+    menu = spark.createDataFrame(
+        list(BLOCKING_GEOMETRY_MENU),
+        "pref_u INT, pref_b INT, num_hashes INT, rpb INT, max_bucket INT",
+    )
+    grid = spark.range(1, 20).select((F.col("id").cast("double") * F.lit(0.05)).alias("j"))
+    t = F.col("j")
+    s = (
+        F.when(F.col("rpb") == 1, t)
+        .when(F.col("rpb") == 2, t * t)
+        .otherwise((t * t) * (t * t))
+    )
+    caps = _capture_columns(s)
+    bands_col = (F.col("num_hashes") / F.col("rpb")).cast("int")
+    capture = (
+        F.when(bands_col == 8, caps[8])
+        .when(bands_col == 16, caps[16])
+        .when(bands_col == 32, caps[32])
+        .when(bands_col == 64, caps[64])
+        .otherwise(caps[128])
+    )
+    return (
+        menu.crossJoin(grid)
+        .select(
+            "num_hashes",
+            bands_col.alias("bands"),
+            "rpb",
+            "j",
+            capture.alias("p_candidate"),
+        )
+        .orderBy("num_hashes", "bands", "j")
+    )
+
+
+def _scurve_menu_oracle() -> str:
+    from apollo_spark.ops.dedup import BLOCKING_GEOMETRY_MENU
+
+    menu_vals = ", ".join(
+        f"({pu}, {pb}, {h}, {r}, {mb})" for pu, pb, h, r, mb in BLOCKING_GEOMETRY_MENU
+    )
+    return f"""
+WITH menu(pref_u, pref_b, num_hashes, rpb, max_bucket) AS (VALUES {menu_vals}),
+g AS (SELECT CAST(i AS DOUBLE) * 0.05 AS j FROM generate_series(1, 19) t(i)),
+m1 AS (
+  SELECT num_hashes, rpb, CAST(num_hashes // rpb AS INT) AS bands, j,
+         1.0 - CASE rpb WHEN 1 THEN j WHEN 2 THEN j * j ELSE (j * j) * (j * j) END AS x
+  FROM menu, g
+),
+m2 AS (SELECT *, x * x AS x2 FROM m1),
+m3 AS (SELECT *, x2 * x2 AS x4 FROM m2),
+m4 AS (SELECT *, x4 * x4 AS x8 FROM m3),
+m5 AS (SELECT *, x8 * x8 AS x16 FROM m4),
+m6 AS (SELECT *, x16 * x16 AS x32 FROM m5),
+m7 AS (SELECT *, x32 * x32 AS x64 FROM m6),
+m8 AS (SELECT *, x64 * x64 AS x128 FROM m7)
+SELECT num_hashes, bands, rpb, j,
+       1.0 - CASE bands WHEN 8 THEN x8 WHEN 16 THEN x16 WHEN 32 THEN x32 WHEN 64 THEN x64 ELSE x128 END AS p_candidate
+FROM m8 ORDER BY num_hashes, bands, j
+"""
+
+
+ORACLE_SCURVE_MENU = _scurve_menu_oracle()
+
+
 ORACLE_LSH_SCURVE = """
 WITH g AS (SELECT CAST(i AS INT) AS i, CAST(i AS DOUBLE) * 0.05 AS j FROM generate_series(1, 19) t(i)),
 s AS (SELECT i, j, (1.0 - j * j) * (1.0 - j * j) AS x2 FROM g),
