@@ -135,6 +135,10 @@ CONFIGS = (
     dict(max_bucket=1024, mode="reband", num_hashes=32, bands=32, label="autotune-r1b32-ladder1024"),
     # quadratic contrast: the same geometry uncapped
     dict(max_bucket=None, mode="reband", num_hashes=32, bands=32, label="r1b32-uncapped"),
+    # the UNIFORM-order geometry (deep r=2 signatures) on the skew shape —
+    # the measured reason boilerplate corpora keep r=1: truth-clique pairs
+    # sit below r=2's reach even at b=128 (BASELINE round-9 #7)
+    dict(max_bucket=64, mode="reband", num_hashes=256, bands=128, label="r2b128-ladder64"),
     # round 9 scrub adjudication: shingle scrub on the blocker, measured
     # against the ORGANIC truth (the pre-skew corpus) — boilerplate edge
     # mass disappears BEFORE banding and the organic merges must survive
