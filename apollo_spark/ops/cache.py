@@ -32,9 +32,21 @@ def carry_caches(dst: DataFrame, src: DataFrame) -> DataFrame:
 
 
 def release_caches(df: DataFrame) -> None:
-    """Unpersist every intermediate an op attached to ``df``. Safe to call
-    on any frame (no-op when nothing is attached); idempotent."""
-    for f in getattr(df, _ATTR, []):
-        f.unpersist()
-    if hasattr(df, _ATTR):
-        setattr(df, _ATTR, [])
+    """Unpersist every intermediate an op attached to ``df``, RECURSIVELY:
+    an attached intermediate may itself carry a scope (e.g. _shingle_base's
+    scrub path persists the exploded raw shingling inside the returned
+    grouped frame), and the caller releasing the outer frame must not leak
+    the inner persist. Safe to call on any frame (no-op when nothing is
+    attached); idempotent; cycle-guarded."""
+    seen: set[int] = set()
+    stack = [df]
+    while stack:
+        cur = stack.pop()
+        if id(cur) in seen:
+            continue
+        seen.add(id(cur))
+        for f in getattr(cur, _ATTR, []):
+            f.unpersist()
+            stack.append(f)
+        if hasattr(cur, _ATTR):
+            setattr(cur, _ATTR, [])

@@ -194,12 +194,21 @@ def _band_ladder_pairs(
 
 
 def scrub_hot_shingles(
-    base: DataFrame, scrub_max_df_frac: float
+    base: DataFrame, scrub_max_df_frac: float, frac_floor: int = 1
 ) -> DataFrame:
     """Shingle-level boilerplate scrub: drop every shingle whose document
-    frequency exceeds ``floor(scrub_max_df_frac * n_docs)`` from the
-    (id, sh) frame and return the cleaned (id, sh) sets — documents left
-    with NO informative shingles are dropped (they carry only boilerplate).
+    frequency exceeds ``greatest(floor(scrub_max_df_frac * n_docs),
+    frac_floor)`` from the (id, sh) frame and return the cleaned (id, sh)
+    sets — documents left with NO informative shingles are dropped (they
+    carry only boilerplate).
+
+    ``frac_floor`` (default 1, the same convention as ngram_jaccard_pairs /
+    blocking_config_profile): without it, a corpus with
+    ``n_docs < 1/scrub_max_df_frac`` (e.g. < 25 docs at the default 0.04)
+    gets ``floor(frac*n_docs) = 0``, every shingle (df >= 1) counts as hot,
+    and ALL documents are scrubbed away — near-dedup would silently return
+    zero pairs even for exact duplicates. The floor guarantees df = 1
+    shingles (necessarily informative) always survive.
 
     This is the upstream fix for the LSH boilerplate pathology measured in
     BASELINE.md round-8 #2: a structural line shared by 10% of a crawl makes
@@ -215,19 +224,27 @@ def scrub_hot_shingles(
     against the hot set (shuffled, not broadcast — at 100 TB the hot
     vocabulary can itself be large), one regroup. The corpus-size cutoff is
     a 1-row scalar crossJoin (no driver action)."""
-    ex = base.select("id", F.explode("sh").alias("s"))
+    # the df count and the anti-join regroup both read the exploded raw
+    # shingling; persist so the shingles() regex pass runs once, and hand
+    # the cache handle to the caller via the returned frame's scope
+    ex = base.select("id", F.explode("sh").alias("s")).persist()
     nd = base.agg(F.count(F.lit(1)).alias("__n_docs"))
+    cut = F.greatest(
+        F.floor(F.lit(float(scrub_max_df_frac)) * F.col("__n_docs")),
+        F.lit(int(frac_floor)),
+    )
     hot = (
         ex.groupBy("s")
         .agg(F.count(F.lit(1)).alias("__df"))
         .crossJoin(F.broadcast(nd))
-        .filter(F.col("__df") > F.floor(F.lit(float(scrub_max_df_frac)) * F.col("__n_docs")))
+        .filter(F.col("__df") > cut)
         .select("s")
     )
-    return (
+    return scoped_persist(
         ex.join(hot, "s", "left_anti")
         .groupBy("id")
-        .agg(F.collect_set("s").alias("sh"))
+        .agg(F.collect_set("s").alias("sh")),
+        ex,
     )
 
 
@@ -239,10 +256,11 @@ def _shingle_base(
     scrub_max_df_frac: float | None = None,
 ) -> DataFrame:
     """(id, sh) shingle-set frame shared by the near-dup pair generators;
-    ``scrub_max_df_frac`` routes through scrub_hot_shingles. Raw shingling
-    is persisted under scrub (the df count and the regroup both read it)
-    and released by the caller via the returned frame's lineage — callers
-    persist the RETURNED frame and release it with scoped_persist."""
+    ``scrub_max_df_frac`` routes through scrub_hot_shingles. Under scrub the
+    exploded raw shingling is persisted inside scrub_hot_shingles (the df
+    count and the anti-join regroup both read it) and attached to the
+    returned frame's cache scope — release_caches on any frame that carries
+    the returned frame releases it transitively."""
     raw = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")).filter(
         F.size("sh") > 0
     )

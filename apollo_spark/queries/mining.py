@@ -638,6 +638,32 @@ ORDER BY segment, bal_bucket
 """
 
 
+# ONE shared constant drives the LSH-evaluation substrate AND its two
+# consumer queries (lsh_blocking_quality / lsh_merge_completeness) — the
+# candidate geometry, the truth config, and the artifact path tag all derive
+# from it, so a parameter change in one place cannot silently serve a
+# mismatched persisted substrate (the artifact name embeds the config).
+LSH_EVAL_CONFIG: dict = {
+    "block_n": 3,
+    "truth_n": 2,
+    "num_hashes": 32,
+    "bands": 16,
+    "truth_threshold": 0.2,
+    "max_df_frac": 0.04,
+    "max_bucket": 64,
+    "max_bucket_mode": "reband",
+}
+
+
+def _lsh_eval_tag(sf_dir: str) -> str:
+    c = LSH_EVAL_CONFIG
+    cfg = (
+        f"b{c['block_n']}h{c['num_hashes']}x{c['bands']}mb{c['max_bucket']}{c['max_bucket_mode']}"
+        f"_t{c['truth_n']}j{c['truth_threshold']}f{c['max_df_frac']}"
+    )
+    return f"{sf_dir.strip('/').replace('/', '_')}_{cfg}"
+
+
 def _lsh_eval_cand_truth(spark: SparkSession, sf_dir: str):
     """Shared LSH-evaluation substrate (round 9): lsh_blocking_quality and
     lsh_merge_completeness consume the SAME ladder candidate set and the
@@ -664,18 +690,26 @@ def _lsh_eval_cand_truth(spark: SparkSession, sf_dir: str):
     from apollo_spark.table_format import train_or_load_table
 
     d = _t(spark, sf_dir, "documents")
-    tag = sf_dir.strip("/").replace("/", "_")
+    c = LSH_EVAL_CONFIG
+    tag = _lsh_eval_tag(sf_dir)
     leaks = []
 
     def build_cand():
-        base = _shingle_base(d, "doc_id", "text", 3, None).persist()
-        cand, sig = _minhash_band_candidates(base, 32, 16, 64, "reband")
+        base = _shingle_base(d, "doc_id", "text", c["block_n"], None).persist()
+        cand, sig = _minhash_band_candidates(
+            base, c["num_hashes"], c["bands"], c["max_bucket"], c["max_bucket_mode"]
+        )
         leaks.extend([base, sig])
         return cand.select("id_a", "id_b")
 
     def build_truth():
         tp = ngram_jaccard_pairs(
-            d, id_col="doc_id", text_col="text", n=2, threshold=0.2, max_df_frac=0.04
+            d,
+            id_col="doc_id",
+            text_col="text",
+            n=c["truth_n"],
+            threshold=c["truth_threshold"],
+            max_df_frac=c["max_df_frac"],
         )
         leaks.append(tp)
         return tp.select("id_a", "id_b")
@@ -726,9 +760,7 @@ def lsh_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     m = lsh_blocking_metrics(
-        d, block_n=3, truth_n=2, num_hashes=32, bands=16,
-        truth_threshold=0.2, max_df_frac=0.04, max_bucket=64,
-        max_bucket_mode="reband",
+        d, **LSH_EVAL_CONFIG,
         cand_truth=_lsh_eval_cand_truth(spark, sf_dir),
     )
     res = m.select(
@@ -973,9 +1005,7 @@ truth AS (
 """
 
 
-ORACLE_BLOCKING_QUALITY = _blocking_quality_oracle(
-    block_n=3, truth_n=2, truth_threshold=0.2, max_bucket=64, max_bucket_mode="reband"
-)
+ORACLE_BLOCKING_QUALITY = _blocking_quality_oracle(**LSH_EVAL_CONFIG)
 
 
 def lsh_merge_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -994,9 +1024,7 @@ def lsh_merge_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     m = _mc(
-        d, block_n=3, truth_n=2, num_hashes=32, bands=16,
-        truth_threshold=0.2, max_df_frac=0.04, max_bucket=64,
-        max_bucket_mode="reband",
+        d, **LSH_EVAL_CONFIG,
         cand_truth=_lsh_eval_cand_truth(spark, sf_dir),
     )
     res = m.select(
@@ -1006,10 +1034,7 @@ def lsh_merge_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carry_caches(res, m)
 
 
-ORACLE_MERGE_COMPLETENESS = _blocking_quality_oracle(
-    block_n=3, truth_n=2, truth_threshold=0.2, max_bucket=64,
-    max_bucket_mode="reband", select="merge",
-)
+ORACLE_MERGE_COMPLETENESS = _blocking_quality_oracle(**LSH_EVAL_CONFIG, select="merge")
 
 
 def dup_aware_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -775,7 +775,11 @@ def minhash_autotuned_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     cfg = blocking_autotune(d, threshold=0.2)
-    assert (cfg["num_hashes"], cfg["bands"], cfg["rows"]) == (256, 128, 2), cfg
+    # ValueError, not assert: `python -O` strips asserts, and a silently
+    # drifted geometry would band differently than the static 256/128/2
+    # oracle this query is gated against.
+    if (cfg["num_hashes"], cfg["bands"], cfg["rows"]) != (256, 128, 2):
+        raise ValueError(f"autotuned geometry drifted from the gated 256/128/2: {cfg}")
     return (
         minhash_autotuned_pairs(d, threshold=0.2, config=cfg)
         .withColumn("jaccard", F.round("jaccard", 6))

@@ -115,6 +115,32 @@ def test_scrub_hot_shingles_removes_boilerplate(spark):
         assert all(f"u{i}" in s for s in by_id[i])
 
 
+def test_scrub_floor_small_corpus_survives(spark):
+    """Round-10 ADVICE regression: on a corpus with n_docs < 1/frac the
+    fractional cutoff floors to 0, and without the frac_floor guard every
+    shingle (df >= 1) counted as hot — ALL docs were scrubbed away and
+    near-dedup silently returned zero pairs. With the default floor of 1,
+    df=1 (necessarily informative) shingles always survive; a threaded
+    higher floor restores exact-dup pairing on tiny corpora."""
+    from apollo_spark.ops.dedup import _shingle_base, scrub_hot_shingles
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),  # exact dup of 1
+        (3, "zeta eta theta iota kappa"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    # 3 docs at frac 0.04: floor(0.12) = 0 -> pre-fix cutoff 0, all hot,
+    # EVERY doc dropped. Post-fix cutoff max(0, 1) = 1: doc 3's df=1
+    # shingles survive; the dup pair's df=2 shingles are still over it.
+    raw = _shingle_base(d, "doc_id", "text", 3, None)
+    clean = scrub_hot_shingles(raw, 0.04).collect()
+    assert 3 in {r["id"] for r in clean}  # unique content never wiped out
+    # threading frac_floor=2 lets the exact-dup shingles (df=2) through too
+    floored = scrub_hot_shingles(raw, 0.04, frac_floor=2).collect()
+    assert {r["id"] for r in floored} == {1, 2, 3}
+
+
 def test_minhash_scrub_kills_boilerplate_only_pairs(spark):
     """With scrub_max_df_frac, pairs similar ONLY via the planted hot line
     vanish while genuine duplicates still pair at jaccard 1.0 — the
