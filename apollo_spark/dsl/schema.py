@@ -429,9 +429,9 @@ def _parse_query(block: Block, env: dict[str, Any], item: Any = None) -> QuerySp
                 f"query {name}: dedup max_df_frac must be in (0, 1], got {max_df_frac}"
             )
         autotune = bool(_const(dbody, "autotune", env, False))
-        if autotune and method not in ("minhash", "ngram_jaccard"):
+        if autotune and method not in ("minhash", "ngram_jaccard", "tfidf"):
             raise SchemaError(
-                f"query {name}: dedup `autotune` applies to method=minhash|ngram_jaccard"
+                f"query {name}: dedup `autotune` applies to method=minhash|ngram_jaccard|tfidf"
             )
         scrub_raw = _const(dbody, "scrub_boilerplate", env, None)
         scrub_boilerplate = None if scrub_raw is None else bool(scrub_raw)

@@ -138,6 +138,11 @@ def _band_ladder_pairs(
         return _pairs(banded)
     if max_bucket_mode not in ("reband", "drop"):
         raise ValueError(f"max_bucket_mode must be 'reband' or 'drop', got {max_bucket_mode!r}")
+    # the guarded path reads `banded` several times (the hot-bucket count,
+    # both split probes, both self-join sides, the per-level emptiness
+    # check) and each read re-evaluated the full band-key md5 projection —
+    # cut it once; rows are (id, bkey) scalars, linear in corpus x bands
+    banded = banded.localCheckpoint(eager=True)
 
     def _split(frame: DataFrame, cap: int) -> tuple[DataFrame, DataFrame]:
         # hot keys are FEW by construction (each needs > cap members
@@ -167,6 +172,14 @@ def _band_ladder_pairs(
         return cand
     level, r_cur = 0, rows
     while True:
+        # EARLY EXIT when no bucket exceeds the cap (round 10): on uniform
+        # corpora the ladder never engages, yet the loop used to run every
+        # level — log2(num_hashes/rows) eager localCheckpoints and
+        # deep-slot key expressions over EMPTY frames (~12 s of the 256-hash
+        # bench line at sf0.1, measured). One cheap head-1 probe per level;
+        # output identical (star/descend of an empty hot set adds nothing).
+        if hot.isEmpty():
+            break
         cand = cand.unionByName(_star(hot))
         r_next = r_cur * 2
         if r_cur >= num_hashes or num_hashes % r_next != 0:
@@ -1608,12 +1621,108 @@ def _mh_consts(i: int) -> tuple[int, int, int]:
     return a, b, c
 
 
+# Arrow fast path engages at this signature width (the 256-hash autotuned
+# geometry): below it the interpreted per-slot expression chains are cheap
+# enough that Python-worker startup would dominate.
+_SIG_ARROW_MIN_HASHES = 64
+
+
+# splitmix64 finalizer constants — the ESTIMATOR slot family (full-avalanche
+# mixing, unlike the banding family's linear 2-universal mix; see
+# _portable_sig_arrow with_fp and the minhash_portable_pairs docstring for
+# the measured pathology that makes the linear family unusable as a
+# jaccard ESTIMATOR even though it is fine for banding).
+_SM_GOLD = 0x9E3779B97F4A7C15
+_SM_M1 = 0xBF58476D1CE4E5B9
+_SM_M2 = 0x94D049BB133111EB
+_EST_SLOTS = 256  # estimator width; sigma(est | j=0.2) = 0.025
+
+
+def _portable_sig_arrow(hashed: DataFrame, num_hashes: int, with_fp: bool = False) -> DataFrame:
+    """Arrow fast path for the 2-universal slot mins: ONE mapInPandas pass
+    computes all ``num_hashes`` slots per (id, h) batch as a single numpy
+    int64 matrix op, with a per-batch pandas groupby partial min; a JVM
+    groupBy finishes the min across batch/partition boundaries.
+
+    Bit parity with the expression form (the oracle-replayed arithmetic) is
+    exact, not approximate: h < 2^60 so hi < 2^30 and a,b < 2^30 give
+    hi*a + lo*b + c < 2^62 — no int64 overflow — and numpy ``%`` equals the
+    JVM/DuckDB ``%`` on nonnegative operands. Pinned by
+    test_sig_arrow_bit_parity.
+
+    Shuffle geometry is unchanged vs the JVM expression path: explode keeps
+    a doc's postings contiguous within a partition, so the per-batch
+    partial emits ~one row per doc (a doc straddles at most one batch
+    boundary) and the final agg shuffles exactly what the JVM path's
+    map-side combine would. The 256-slot interpreted expression chain this
+    replaces was the #1 line of the round-9 bench
+    (minhash_autotuned_dup_pairs, 16-20 s — VERDICT round 9 'What's wrong'
+    #4).
+
+    ``with_fp=True`` additionally computes ``_EST_SLOTS`` ESTIMATOR slot
+    mins (columns e0..e{E-1}) from an INDEPENDENT splitmix64 family (full
+    avalanche, masked to 63 bits so numpy-uint64 mins and the JVM signed
+    final min order identically). These back the verify="estimate"
+    fingerprint prune. They are deliberately NOT the banding slots: the
+    2-universal linear mix is fine for banding but unusable as a jaccard
+    estimator — a shingle whose 60-bit hash is tiny has near-minimal
+    hi*a + lo*b + c for EVERY (a,b), so it wins the argmin of all slots at
+    once, and a true near-dup pair differing only in such a shingle shows
+    ~0 slot agreement (measured on the sf0.1 corpus: a j=0.947 pair of
+    18/19-shingle docs with 23/256 slot agreement)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    consts = np.array([_mh_consts(i) for i in range(num_hashes)], dtype=np.int64)
+    A, B, C = consts[:, 0].copy(), consts[:, 1].copy(), consts[:, 2].copy()
+    cols = [f"m{i}" for i in range(num_hashes)]
+    ecols = [f"e{i}" for i in range(_EST_SLOTS)] if with_fp else []
+    id_field = next(f for f in hashed.schema.fields if f.name == "id")
+    schema = StructType(
+        [StructField("id", id_field.dataType)]
+        + [StructField(c, LongType()) for c in cols + ecols]
+    )
+    if with_fp:
+        salts = (
+            np.arange(1, _EST_SLOTS + 1, dtype=np.uint64) * np.uint64(_SM_GOLD)
+        )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            h = pdf["h"].to_numpy(dtype=np.int64)
+            hi = h >> np.int64(30)
+            lo = h & np.int64(_LO30)
+            slots = (hi[:, None] * A + lo[:, None] * B + C) % np.int64(MH_PRIME)
+            out = pd.DataFrame(slots, columns=cols, copy=False)
+            if with_fp:
+                z = h.astype(np.uint64)[:, None] + salts
+                z ^= z >> np.uint64(30)
+                z *= np.uint64(_SM_M1)
+                z ^= z >> np.uint64(27)
+                z *= np.uint64(_SM_M2)
+                z ^= z >> np.uint64(31)
+                # mask to 63 bits: numpy's per-batch uint64 min and the
+                # JVM's signed cross-batch min must order identically
+                z >>= np.uint64(1)
+                eout = pd.DataFrame(z.view(np.int64), columns=ecols, copy=False)
+                out = pd.concat([out, eout], axis=1)
+            out.insert(0, "id", pdf["id"].to_numpy())
+            yield out.groupby("id", as_index=False, sort=False).min()
+
+    partial = hashed.mapInPandas(gen, schema=schema)
+    return partial.groupBy("id").agg(*[F.min(c).alias(c) for c in cols + ecols])
+
+
 def _minhash_band_candidates(
     base: DataFrame,
     num_hashes: int,
     bands: int,
     max_bucket: int | None = None,
     max_bucket_mode: str = "reband",
+    with_fp: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Banded MinHash candidate pairs over ``base`` = (id, sh) with the
     portable hash family: 60-bit md5 shingle hash, 2-universal modular
@@ -1668,15 +1777,21 @@ def _minhash_band_candidates(
     hashed = base.select("id", F.explode("sh").alias("s")).select(
         "id", portable_hash60(F.col("s")).alias("h")
     )
-    hi = F.shiftright(F.col("h"), 30)
-    lo = F.col("h").bitwiseAND(F.lit(_LO30))
-    aggs = []
-    for i in range(num_hashes):
-        a, b, c = _mh_consts(i)
-        aggs.append(F.min((hi * F.lit(a) + lo * F.lit(b) + F.lit(c)) % F.lit(MH_PRIME)).alias(f"m{i}"))
     # both band-join sides re-derive from sig: persist so the explode +
-    # 64-min aggregate runs once, not twice
-    sig = hashed.groupBy("id").agg(*aggs).persist()
+    # slot-min aggregate runs once, not twice. Wide geometries take the
+    # Arrow path (numpy matrix op, bit-identical — see _portable_sig_arrow).
+    if num_hashes >= _SIG_ARROW_MIN_HASHES:
+        sig = _portable_sig_arrow(hashed, num_hashes, with_fp=with_fp).persist()
+    else:
+        hi = F.shiftright(F.col("h"), 30)
+        lo = F.col("h").bitwiseAND(F.lit(_LO30))
+        aggs = []
+        for i in range(num_hashes):
+            a, b, c = _mh_consts(i)
+            aggs.append(
+                F.min((hi * F.lit(a) + lo * F.lit(b) + F.lit(c)) % F.lit(MH_PRIME)).alias(f"m{i}")
+            )
+        sig = hashed.groupBy("id").agg(*aggs).persist()
     band_keys = [
         F.conv(
             F.substring(
@@ -1727,6 +1842,47 @@ def _minhash_band_candidates(
     return cand.dropDuplicates(["id_a", "id_b"]), sig
 
 
+def _sig_fingerprints(sig: DataFrame, num_slots: int = _EST_SLOTS, prefix: str = "e") -> DataFrame:
+    """(id, fp) — the ESTIMATOR slots (e0..e{E-1}, the splitmix64 family —
+    see _portable_sig_arrow with_fp) packed 8-per-long as 1-byte
+    fingerprints (slot & 255), an array<long> of length num_slots/8.
+    Slot equality implies byte equality, so byte-agreement COUNTS can only
+    over-estimate slot agreement (collision prob 1/256 per differing slot)
+    — the safe direction for a prune that must never drop beyond its
+    margin. One narrow projection over the persisted sig frame."""
+    nb = num_slots // 8
+    packed = []
+    for j in range(nb):
+        acc = None
+        for k in range(8):
+            # shiftleft + bitwiseOR, NOT * and +: byte 7 shifted into the
+            # sign-bit region overflows signed-long arithmetic under ANSI
+            # mode, while bit ops are well-defined on the raw 64-bit pattern
+            term = F.shiftleft(F.col(f"{prefix}{8 * j + k}").bitwiseAND(F.lit(255)), 8 * k)
+            acc = term if acc is None else acc.bitwiseOR(term)
+        packed.append(acc.alias(f"fp{j}"))
+    return sig.select("id", F.array(*packed).alias("fp"))
+
+
+def _fp_match_count(fp_a, fp_b) -> "F.Column":
+    """Number of agreeing packed fingerprint bytes between two fp arrays:
+    XOR each long pair, count zero bytes. All inside codegen."""
+    def _count_bytes(v):
+        c = None
+        for k in range(8):
+            term = F.when(
+                F.shiftrightunsigned(v, 8 * k).bitwiseAND(F.lit(255)) == 0, 1
+            ).otherwise(0)
+            c = term if c is None else c + term
+        return c
+
+    return F.aggregate(
+        F.zip_with(fp_a, fp_b, lambda a, b: a.bitwiseXOR(b)),
+        F.lit(0),
+        lambda acc, v: acc + _count_bytes(v),
+    )
+
+
 def minhash_portable_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1738,6 +1894,8 @@ def minhash_portable_pairs(
     max_bucket: int | None = None,
     max_bucket_mode: str = "reband",
     scrub_max_df_frac: float | None = None,
+    verify: str = "full",
+    estimate_margin: float | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with a fully SQL-replayable hash family.
     ``max_bucket`` pulls mega band buckets out of the coarse self-join (see
@@ -1753,15 +1911,97 @@ def minhash_portable_pairs(
     P(candidate | j=0.5) = 1-(1-0.25)^16 ~ 0.99.  Candidates are verified
     with exact shingle jaccard, so band-hash collisions are harmless.
     ``scrub_max_df_frac`` removes hot shingles before signatures and the
-    verify (scrub_hot_shingles) — the upstream boilerplate fix."""
-    base = _shingle_base(df, id_col, text_col, n, scrub_max_df_frac).persist()
-    cand, sig = _minhash_band_candidates(base, num_hashes, bands, max_bucket, max_bucket_mode)
-    sh_map = base.select("id", "sh")
+    verify (scrub_hot_shingles) — the upstream boilerplate fix.
+
+    Verify-stage scale design (round 10 — the sf10 disk-ceiling fix,
+    VERDICT round 9 #1). The round-9 verify joined BOTH raw shingle-string
+    arrays onto EVERY candidate (~2x3 KB at web-doc sizes) — at the
+    256-hash uniform geometry the sf10 rehearsal exhausted this host's
+    local disk on that shuffle (BASELINE.md round-9 second wave). Both
+    verify modes now apply two deterministic reductions first:
+
+    * HASHED-SET payload: candidates join ``array<long>`` 60-bit-md5
+      shingle hashes, not strings (~3x fewer bytes, cheaper comparisons).
+      |hash(A) ∩ hash(B)| = |A ∩ B| unless two distinct shingles inside
+      ONE pair's union share a 60-bit md5 prefix (P ~ n^2/2^60 per pair —
+      vanishing, and deterministic either way); the gates confirm values
+      are unchanged on the gate corpora.
+    * SIZE-RATIO prune: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs
+      whose set sizes differ by more than 1/threshold are dropped by a
+      sizes-only join (2 longs per side) BEFORE any array ships. Provably
+      lossless — pure algebra, no estimator.
+
+    ``verify="estimate"`` additionally prunes on a 256-slot MinHash
+    jaccard estimate carried as 8-bit fingerprints packed 8-per-long (32
+    longs per side, ~100x smaller than raw string arrays): candidates with
+    estimate < threshold - estimate_margin never reach the array join;
+    the surviving sliver is exact-rescored and every emitted pair carries
+    the exact jaccard. The estimator slots are an INDEPENDENT splitmix64
+    family (computed in the Arrow signature pass, engaged when num_hashes
+    >= 64), NOT the banding slots: the banding family's 2-universal linear
+    mix is unusable as an estimator — a shingle with a tiny 60-bit hash
+    wins the argmin of every slot at once, and the first implementation of
+    this prune dropped a TRUE j=0.947 pair of short docs whose one
+    differing shingle did exactly that (23/256 slot agreement; see
+    test_estimate_pathological_short_docs). With the avalanche family the
+    estimate concentrates: P(drop | j >= t) < exp(-2*256*margin^2)
+    (Hoeffding; 1e-5 at the default margin 0.15, per at-threshold pair —
+    pairs above threshold are exponentially safer). Equality vs the full
+    verify is pinned by test_estimate_verify_equals_full; the oracle
+    replays the full verify, so gates certify the estimate path emits
+    nothing extra and drops nothing on the gate corpora."""
+    # small corpora arrive as one parquet split; spread the CPU-bound
+    # shingle/md5/slot work across cores before it runs (same rationale as
+    # minhash_lsh_pairs — at lake scale the scan is already multi-split and
+    # this coalesces to the shuffle width, not a blow-up). Round 10: the
+    # single-split form ran the whole 256-slot signature map single-threaded
+    # (~6 s of the 16 s bench line).
+    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if verify not in ("full", "estimate"):
+        raise ValueError(f"verify must be 'full' or 'estimate', got {verify!r}")
+    from apollo_spark.ops.sketch import portable_hash60
+
+    base = _shingle_base(
+        df.repartition(parts, F.col(id_col)), id_col, text_col, n, scrub_max_df_frac
+    ).persist()
+    with_fp = verify == "estimate" and num_hashes >= _SIG_ARROW_MIN_HASHES
+    cand, sig = _minhash_band_candidates(
+        base, num_hashes, bands, max_bucket, max_bucket_mode, with_fp=with_fp
+    )
+    # deterministic size-ratio prune: J <= min/max sizes, a sizes-only join
+    sizes = base.select("id", F.size("sh").alias("ns"))
+    cand = (
+        cand.join(sizes.select(F.col("id").alias("id_a"), F.col("ns").alias("ns_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("ns").alias("ns_b")), "id_b")
+        .filter(
+            F.least("ns_a", "ns_b").cast("double")
+            >= F.lit(float(threshold)) * F.greatest("ns_a", "ns_b").cast("double")
+        )
+    )
+    if with_fp:
+        # prune on the splitmix-fingerprint jaccard estimate; only the
+        # sliver near/over the threshold pays the hashed-array join
+        margin = 0.15 if estimate_margin is None else float(estimate_margin)
+        fp = _sig_fingerprints(sig)
+        cand = (
+            cand.join(fp.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a")), "id_a")
+            .join(fp.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b")), "id_b")
+            .withColumn(
+                "__est",
+                _fp_match_count(F.col("fp_a"), F.col("fp_b")).cast("double")
+                / F.lit(float(_EST_SLOTS)),
+            )
+            .filter(F.col("__est") >= F.lit(float(threshold - margin)))
+        )
+    cand = cand.select("id_a", "id_b", "ns_a", "ns_b")
+    # hashed-set exact verify: array<long> payload, |A ∩ B| on longs;
+    # union from the pre-joined exact sizes (sets are distinct)
+    hs_map = base.select("id", F.transform("sh", lambda s: portable_hash60(s)).alias("hs"))
     cand = cand.join(
-        sh_map.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-    ).join(sh_map.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+        hs_map.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
+    ).join(hs_map.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.col("ns_a") + F.col("ns_b") - inter
     return scoped_persist(
         cand.withColumn("jaccard", inter.cast("double") / union.cast("double"))
         .filter(F.col("jaccard") >= threshold)
@@ -2169,9 +2409,12 @@ def blocking_config_profile(
     Scale: one shingle-vocabulary groupBy (map-combinable) is the whole
     data-dependent cost."""
     spark = df.sparkSession
-    base = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")).filter(
-        F.size("sh") > 0
-    )
+    # spread the shingling across cores (single-split small corpora;
+    # coalesces to shuffle width at lake scale — see minhash_portable_pairs)
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = df.repartition(parts, F.col(id_col)).select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
     ex = base.select("id", F.explode("sh").alias("s"))
     nd = base.agg(F.count(F.lit(1)).alias("n_docs"))
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
@@ -2285,6 +2528,23 @@ def blocking_config_profile(
     )
 
 
+def _profile_row_to_config(row) -> dict:
+    """blocking_config_profile's one row -> the plan-construction dict;
+    shared by the fresh (blocking_autotune) and artifact-backed
+    (train_or_load_blocking_profile) paths so the two can never drift."""
+    return {
+        "num_hashes": int(row["rec_num_hashes"]),
+        "bands": int(row["rec_bands"]),
+        "rows": int(row["rec_rows"]),
+        "max_bucket": int(row["rec_max_bucket"]),
+        "max_df_frac": float(row["rec_max_df_frac"]),
+        "scrub": bool(row["rec_scrub"]),
+        "capture": float(row["capture_at_threshold"]),
+        "hot_shingle_share": float(row["hot_shingle_share"]),
+        "n_docs": int(row["n_docs"]),
+    }
+
+
 def blocking_autotune(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -2300,17 +2560,45 @@ def blocking_autotune(
     row = blocking_config_profile(
         df, id_col=id_col, text_col=text_col, n=n, threshold=threshold, **profile_kw
     ).collect()[0]
-    return {
-        "num_hashes": int(row["rec_num_hashes"]),
-        "bands": int(row["rec_bands"]),
-        "rows": int(row["rec_rows"]),
-        "max_bucket": int(row["rec_max_bucket"]),
-        "max_df_frac": float(row["rec_max_df_frac"]),
-        "scrub": bool(row["rec_scrub"]),
-        "capture": float(row["capture_at_threshold"]),
-        "hot_shingle_share": float(row["hot_shingle_share"]),
-        "n_docs": int(row["n_docs"]),
-    }
+    return _profile_row_to_config(row)
+
+
+def train_or_load_blocking_profile(
+    df: DataFrame,
+    path: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    **profile_kw,
+) -> dict:
+    """Artifact-backed blocking_autotune (round 10 — 'one profile, every
+    consumer'): persist blocking_config_profile's ONE row as a TxTable at
+    ``path`` (train_or_load_table — CAS-idempotent, build-once/read-many,
+    time-travelable) and return the plan dict. ``path=None`` profiles fresh
+    with no I/O — the self-contained gate path.
+
+    The production shape: a corpus snapshot is profiled ONCE; the dedup
+    job, the persisted component artifact, sampling-weight jobs, and the
+    DSL dedup block all read the SAME committed geometry/scrub/df-cap
+    instead of each re-paying the vocabulary pass — and, more importantly,
+    instead of drifting apart when one caller forgets to thread
+    rec_scrub/rec_max_df_frac by hand (the round-9 gap). The version
+    history pins which profile a downstream dedup ran under."""
+    if path is None:
+        return blocking_autotune(
+            df, id_col=id_col, text_col=text_col, n=n, threshold=threshold, **profile_kw
+        )
+    from apollo_spark.table_format import train_or_load_table
+
+    frame = train_or_load_table(
+        df.sparkSession,
+        path,
+        lambda: blocking_config_profile(
+            df, id_col=id_col, text_col=text_col, n=n, threshold=threshold, **profile_kw
+        ),
+    )
+    return _profile_row_to_config(frame.collect()[0])
 
 
 def minhash_autotuned_pairs(
@@ -2323,6 +2611,7 @@ def minhash_autotuned_pairs(
     max_bucket_mode: str = "reband",
     scrub: bool | float | str = "auto",
     config: dict | None = None,
+    verify: str = "estimate",
 ) -> DataFrame:
     """minhash_portable_pairs under the corpus-adaptive geometry: profile
     once (blocking_autotune), then band with the chosen (num_hashes, bands)
@@ -2332,7 +2621,14 @@ def minhash_autotuned_pairs(
     shingle-level boilerplate scrub at the profile's hot_frac (0.04) iff
     the profile flags boilerplate skew; True/float forces it, False
     disables. ``config`` short-circuits the profiling pass (reuse a
-    collected blocking_autotune dict across operators)."""
+    collected blocking_autotune dict across operators).
+
+    ``verify="estimate"`` is the default HERE (vs "full" on the raw
+    portable op): the autotuned geometries are wide (>=32 slots, 256 on
+    uniform corpora) so the fingerprint estimator is tight, and this is
+    the production path whose full-verify shuffle was the measured sf10
+    disk ceiling (VERDICT round 9 #1). Emitted pairs are still exactly
+    scored; the hash gate certifies estimate == full on the gate corpora."""
     cfg = config or blocking_autotune(df, id_col=id_col, text_col=text_col, n=n, threshold=threshold)
     if scrub == "auto":
         scrub_frac = 0.04 if cfg.get("scrub") else None
@@ -2353,6 +2649,7 @@ def minhash_autotuned_pairs(
         max_bucket=cfg["max_bucket"] if max_bucket is None else max_bucket,
         max_bucket_mode=max_bucket_mode,
         scrub_max_df_frac=scrub_frac,
+        verify=verify,
     )
 
 
@@ -2375,6 +2672,7 @@ def doc_component_table(
     max_df_frac: float | None = 0.04,
     frac_floor: int = 1024,
     scrub_max_df_frac: float | None = None,
+    config: dict | None = None,
 ) -> DataFrame:
     """The near-dup component table ``(id_col, component)`` over capped
     n-gram-Jaccard edges (singleton docs excluded, matching
@@ -2387,8 +2685,20 @@ def doc_component_table(
     component table groups on informative similarity instead of merging
     everything that shares a banner line. The default (None) keeps the
     certified oracle semantics; production jobs set it when
-    blocking_config_profile flags skew (rec_scrub)."""
+    blocking_config_profile flags skew (rec_scrub).
+
+    ``config`` (round 10): a blocking_autotune /
+    train_or_load_blocking_profile dict — its budgeted ``max_df_frac`` and
+    ``scrub`` recommendation REPLACE the static ``max_df_frac`` /
+    ``scrub_max_df_frac`` arguments, so the persisted artifact rides the
+    same corpus-adaptive selection as the DSL dedup path instead of a
+    hand-remembered cap. The gate queries pass None (static certified
+    semantics, oracles unchanged)."""
     from apollo_spark.ops.cache import release_caches
+
+    if config is not None:
+        max_df_frac = float(config["max_df_frac"])
+        scrub_max_df_frac = 0.04 if config.get("scrub") else None
 
     edges_op = ngram_jaccard_pairs(
         df,

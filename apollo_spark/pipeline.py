@@ -475,7 +475,6 @@ def _apply_dedup(df: DataFrame, spec) -> DataFrame:
     from pyspark.sql import functions as F
 
     from apollo_spark.ops.dedup import (
-        blocking_autotune,
         connected_components,
         dedup_losers,
         exact_dedup,
@@ -498,20 +497,41 @@ def _apply_dedup(df: DataFrame, spec) -> DataFrame:
     pair_frame = df
     shingle_scrub = None
     cfg = None
-    if spec.autotune and spec.method in ("minhash", "ngram_jaccard"):
-        # minhash profiles at the blocker's trigram granularity; ngram at
-        # its own shingle_n (the profile's df-cap grid predicts THAT
+    if spec.autotune and spec.method in ("minhash", "ngram_jaccard", "tfidf"):
+        import os as _os
+
+        from apollo_spark.ops.dedup import train_or_load_blocking_profile
+
+        # minhash profiles at the blocker's trigram granularity; ngram/tfidf
+        # at their own shingle_n (the profile's df-cap grid predicts THAT
         # inverted index's fan-out)
-        cfg = blocking_autotune(
+        prof_n = 3 if spec.method == "minhash" else spec.shingle_n
+        # one profile, every consumer (round 10): with an artifact dir the
+        # one-row profile is committed as a TxTable keyed by (columns, n,
+        # threshold) — the dedup job, the component artifact, and sampling
+        # jobs against the same corpus snapshot all read the SAME selection
+        art = _os.environ.get("APOLLO_SPARK_ARTIFACT_DIR")
+        ppath = (
+            f"{art}/blocking_profile_{spec.id}_{spec.text}_n{prof_n}_t{spec.threshold}"
+            if art
+            else None
+        )
+        cfg = train_or_load_blocking_profile(
             df,
-            spec.id,
-            spec.text,
-            n=3 if spec.method == "minhash" else spec.shingle_n,
+            path=ppath,
+            id_col=spec.id,
+            text_col=spec.text,
+            n=prof_n,
             threshold=spec.threshold,
         )
     scrub_on = spec.scrub_boilerplate
     if scrub_on is None:
         scrub_on = bool(cfg and cfg["scrub"])
+        # tfidf's shingle-mode scrub is invalid by schema rule (idf already
+        # downweights hot terms); an AUTO scrub recommendation on tfidf
+        # engages only when the user opted into lines mode
+        if scrub_on and spec.method == "tfidf" and spec.scrub_mode != "lines":
+            scrub_on = False
     if scrub_on:
         if spec.scrub_mode == "lines":
             clean = strip_hot_lines(
@@ -557,7 +577,13 @@ def _apply_dedup(df: DataFrame, spec) -> DataFrame:
         tf_kwargs = (
             {"max_df": None, "max_df_frac": None}
             if spec.lossless
-            else {"max_df": None, "max_df_frac": spec.max_df_frac, "frac_floor": 1024}
+            else {
+                "max_df": None,
+                # autotune (round 10): the profile's budgeted df-cap
+                # replaces the static default, same as ngram_jaccard below
+                "max_df_frac": cfg["max_df_frac"] if cfg else spec.max_df_frac,
+                "frac_floor": 1024,
+            }
         )
         pairs = tfidf_cosine_pairs(
             pair_frame, spec.id, spec.text, n=spec.shingle_n, threshold=spec.threshold, **tf_kwargs

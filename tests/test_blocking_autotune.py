@@ -174,6 +174,113 @@ def test_ngram_scrub_matches_minhash_semantics(spark):
     assert pairs.filter((F.col("id_a") == 100) & (F.col("id_b") == 101)).count() == 1
 
 
+def test_sig_arrow_bit_parity(spark):
+    """The Arrow slot-min fast path (_portable_sig_arrow) is bit-identical
+    to the interpreted JVM expression form at every geometry — the parity
+    that keeps the DuckDB oracle replay valid."""
+    from apollo_spark.ops.dedup import (
+        _LO30,
+        MH_PRIME,
+        _mh_consts,
+        _portable_sig_arrow,
+        _shingle_base,
+    )
+    from apollo_spark.ops.sketch import portable_hash60
+
+    rows = [(i, f"alpha beta gamma doc {i} with words {i % 7} {i % 3}") for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    base = _shingle_base(d, "doc_id", "text", 3, None)
+    hashed = base.select("id", F.explode("sh").alias("s")).select(
+        "id", portable_hash60(F.col("s")).alias("h")
+    )
+    for K in (64, 256):
+        arrow = _portable_sig_arrow(hashed, K)
+        hi = F.shiftright(F.col("h"), 30)
+        lo = F.col("h").bitwiseAND(F.lit(_LO30))
+        aggs = []
+        for i in range(K):
+            a, b, c = _mh_consts(i)
+            aggs.append(
+                F.min((hi * F.lit(a) + lo * F.lit(b) + F.lit(c)) % F.lit(MH_PRIME)).alias(f"m{i}")
+            )
+        jvm = hashed.groupBy("id").agg(*aggs)
+        assert arrow.exceptAll(jvm).count() == 0
+        assert jvm.exceptAll(arrow).count() == 0
+
+
+def test_estimate_verify_equals_full(spark):
+    """The estimate+rescore-sliver verify emits EXACTLY the full verify's
+    pairs (same ids, same exact jaccard values) — estimation only prunes,
+    and the margin keeps every true pair inside the rescored sliver."""
+    from apollo_spark.ops.dedup import minhash_portable_pairs
+
+    rows = []
+    for i in range(30):
+        rows.append((i, f"the quick brown fox {i} jumps over the lazy dog {i % 5}"))
+        # planted near-dups: same text with a small suffix change
+        rows.append((100 + i, f"the quick brown fox {i} jumps over the lazy dog {(i + 1) % 5}"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(n=3, num_hashes=64, bands=32, threshold=0.3)
+    full = sorted(
+        tuple(r) for r in minhash_portable_pairs(d, verify="full", **kw).collect()
+    )
+    est = sorted(
+        tuple(r) for r in minhash_portable_pairs(d, verify="estimate", **kw).collect()
+    )
+    assert len(full) > 0  # the planted dups actually pair
+    assert est == full
+
+
+def test_estimate_verify_prunes(spark):
+    """A tight explicit margin really prunes: with margin ~0 the sliver
+    excludes candidates whose estimate sits below the threshold, so the
+    low-j candidate mass never reaches the shingle join (count via the
+    plan: same emitted pairs here because estimates are tight at K=256)."""
+    from apollo_spark.ops.dedup import minhash_portable_pairs
+
+    rows = [(i, f"document number {i} about topic {i % 4} stuff words") for i in range(40)]
+    rows += [(200, "exact duplicate pair text alpha beta gamma delta")]
+    rows += [(201, "exact duplicate pair text alpha beta gamma delta")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_portable_pairs(
+        d, n=3, num_hashes=64, bands=32, threshold=0.5, verify="estimate", estimate_margin=0.05
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert pairs[(200, 201)] == 1.0
+
+
+def test_estimate_pathological_short_docs(spark):
+    """Round-10 regression for the measured estimator pathology: the
+    banding family's 2-universal LINEAR mix is unusable as a jaccard
+    estimator — a shingle whose 60-bit md5 is small has near-minimal
+    hi*a + lo*b + c for
+    EVERY (a, b) and wins the argmin of all banding slots of the doc that
+    contains it, so a true near-dup pair differing only in that shingle
+    shows collapsed slot agreement (the first estimate-prune
+    implementation dropped a j=0.947 pair exactly this way at sf0.1).
+    This planted pair (verified offline against replicated slot
+    arithmetic): linear-slot agreement 0.16 but true j = 10/13 = 0.769 —
+    a band candidate the OLD estimator (0.16 < 0.5 - 0.15) silently
+    pruned. The shipped estimator uses an independent splitmix64 avalanche
+    family; the pair must survive with its exact jaccard."""
+    from apollo_spark.ops.dedup import minhash_portable_pairs
+
+    base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [
+        (1, base_text),
+        (2, base_text + " tok0 filler word"),
+    ]
+    # background docs so banding has something to do
+    rows += [(10 + i, f"unrelated doc {i} about topic {i} things {i}") for i in range(20)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_portable_pairs(
+        d, n=3, num_hashes=256, bands=128, threshold=0.5, verify="estimate"
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert (1, 2) in pairs
+    assert abs(pairs[(1, 2)] - 10.0 / 13.0) < 1e-9
+
+
 def test_autotuned_pairs_end_to_end(spark):
     """minhash_autotuned_pairs: profile -> geometry -> ladder-guarded pairs.
     On the boilerplate corpus the profile recommends scrub (auto mode), so
@@ -203,9 +310,11 @@ query x {{
 """
 
     with pytest.raises(SchemaError, match="autotune"):
-        parse_schema(q('method = "tfidf"\n autotune = true'))
-    # ngram_jaccard accepts autotune (profile-chosen df-cap)
+        parse_schema(q('method = "exact"\n autotune = true'))
+    # ngram_jaccard and tfidf accept autotune (profile-chosen df-cap;
+    # tfidf since round 10)
     assert parse_schema(q('method = "ngram_jaccard"\n autotune = true')).queries[0].dedup.autotune
+    assert parse_schema(q('method = "tfidf"\n autotune = true')).queries[0].dedup.autotune
     with pytest.raises(SchemaError, match="near-dup"):
         parse_schema(q('method = "exact"\n scrub_boilerplate = true'))
     with pytest.raises(SchemaError, match="shingle-level scrub"):

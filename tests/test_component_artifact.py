@@ -52,6 +52,86 @@ def test_doc_components_env_routing(spark, tmp_path, monkeypatch):
     assert t.current_version() == 1
 
 
+def test_blocking_profile_artifact_roundtrip(spark, docs, tmp_path):
+    """Round 10 'one profile, every consumer': the one-row blocking profile
+    commits as a TxTable on first use, is NOT rebuilt on later loads, and
+    the artifact-backed dict equals the fresh-profiled dict exactly."""
+    from apollo_spark.ops.dedup import (
+        blocking_autotune,
+        train_or_load_blocking_profile,
+    )
+    from apollo_spark.table_format import TxTable
+
+    path = str(tmp_path / "blocking_profile")
+    fresh = blocking_autotune(docs, threshold=0.2)
+    routed = train_or_load_blocking_profile(docs, path=path, threshold=0.2)
+    assert routed == fresh
+    assert TxTable(path).current_version() == 1
+    again = train_or_load_blocking_profile(docs, path=path, threshold=0.2)
+    assert TxTable(path).current_version() == 1  # no rebuild
+    assert again == fresh
+
+
+def test_component_table_profile_config_parity(spark, docs):
+    """doc_component_table(config=profile) equals the self-contained call
+    with the profile's recommendations threaded by hand — the routing adds
+    no semantics, it only removes the hand-threading."""
+    from apollo_spark.ops.dedup import blocking_autotune, doc_component_table
+
+    cfg = blocking_autotune(docs, n=2, threshold=0.2)
+    routed = doc_component_table(docs, n=2, threshold=0.2, config=cfg).toPandas()
+    manual = doc_component_table(
+        docs,
+        n=2,
+        threshold=0.2,
+        max_df_frac=cfg["max_df_frac"],
+        scrub_max_df_frac=0.04 if cfg["scrub"] else None,
+    ).toPandas()
+    r = routed.sort_values("doc_id").reset_index(drop=True)
+    m = manual.sort_values("doc_id").reset_index(drop=True)
+    assert r.equals(m)
+
+
+def test_dsl_autotune_profile_artifact(spark, docs, tmp_path, monkeypatch):
+    """The DSL dedup autotune path commits its profile as a TxTable when
+    APOLLO_SPARK_ARTIFACT_DIR is set, reuses it on re-run, and produces the
+    same survivors as the self-contained path."""
+    import glob
+
+    from apollo_spark.pipeline import _apply_dedup
+    from apollo_spark.dsl.schema import DedupSpec
+    from apollo_spark.table_format import TxTable
+
+    spec = DedupSpec(method="ngram_jaccard", threshold=0.2, autotune=True)
+    monkeypatch.delenv("APOLLO_SPARK_ARTIFACT_DIR", raising=False)
+    plain = _apply_dedup(docs, spec).toPandas().sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setenv("APOLLO_SPARK_ARTIFACT_DIR", str(tmp_path))
+    routed = _apply_dedup(docs, spec).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert plain.equals(routed)
+    profs = glob.glob(f"{tmp_path}/blocking_profile_*")
+    assert len(profs) == 1
+    assert TxTable(profs[0]).current_version() == 1
+    _apply_dedup(docs, spec).count()  # re-run: reads the committed profile
+    assert TxTable(profs[0]).current_version() == 1
+
+
+def test_dsl_tfidf_autotune(spark, docs):
+    """method=tfidf now accepts autotune: the profile's budgeted df-cap
+    replaces the static default; survivors match the hand-threaded call."""
+    from apollo_spark.ops.dedup import blocking_autotune
+    from apollo_spark.pipeline import _apply_dedup
+    from apollo_spark.dsl.schema import DedupSpec
+
+    spec = DedupSpec(method="tfidf", threshold=0.8, shingle_n=2, autotune=True)
+    routed = _apply_dedup(docs, spec).toPandas().sort_values("doc_id").reset_index(drop=True)
+    cfg = blocking_autotune(docs, n=2, threshold=0.8)
+    manual_spec = DedupSpec(
+        method="tfidf", threshold=0.8, shingle_n=2, max_df_frac=cfg["max_df_frac"]
+    )
+    manual = _apply_dedup(docs, manual_spec).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert routed.equals(manual)
+
+
 def test_langid_model_artifact_routing(spark, tmp_path, monkeypatch):
     """Trained-langid weight artifact: with APOLLO_SPARK_ARTIFACT_DIR set,
     the three trained queries share ONE committed weight table and the
@@ -115,7 +195,11 @@ def test_lsh_eval_substrate_env_routing(spark, tmp_path, monkeypatch):
 
     monkeypatch.setenv("APOLLO_SPARK_ARTIFACT_DIR", str(tmp_path))
     routed_q = QUERIES["lsh_blocking_quality"](spark, SF).toPandas()
-    tag = SF.strip("/").replace("/", "_")
+    # the artifact path embeds the shared eval config (round-10 ADVICE:
+    # a parameter change must never serve a stale substrate)
+    from apollo_spark.queries.mining import _lsh_eval_tag
+
+    tag = _lsh_eval_tag(SF)
     cand_t = TxTable(f"{tmp_path}/lsh_eval_cand_{tag}")
     truth_t = TxTable(f"{tmp_path}/lsh_eval_truth_{tag}")
     assert cand_t.current_version() == 1 and truth_t.current_version() == 1
