@@ -2611,7 +2611,7 @@ def minhash_autotuned_pairs(
     max_bucket_mode: str = "reband",
     scrub: bool | float | str = "auto",
     config: dict | None = None,
-    verify: str = "estimate",
+    verify: str = "full",
 ) -> DataFrame:
     """minhash_portable_pairs under the corpus-adaptive geometry: profile
     once (blocking_autotune), then band with the chosen (num_hashes, bands)
@@ -2623,12 +2623,17 @@ def minhash_autotuned_pairs(
     disables. ``config`` short-circuits the profiling pass (reuse a
     collected blocking_autotune dict across operators).
 
-    ``verify="estimate"`` is the default HERE (vs "full" on the raw
-    portable op): the autotuned geometries are wide (>=32 slots, 256 on
-    uniform corpora) so the fingerprint estimator is tight, and this is
-    the production path whose full-verify shuffle was the measured sf10
-    disk ceiling (VERDICT round 9 #1). Emitted pairs are still exactly
-    scored; the hash gate certifies estimate == full on the gate corpora."""
+    ``verify``: both modes ride the round-10 deterministic verify
+    (hashed-array payload + lossless size-ratio prune — the fix for the
+    sf10 disk ceiling, VERDICT round 9 #1). "estimate" adds the
+    fingerprint prune; measured guidance: on SHORT-document corpora
+    (~50 shingles/doc, the sf replicas) the hashed arrays are already
+    fingerprint-sized and the estimate's interpreted match count costs
+    more than the array join it skips (sf1 35.8 vs 40.0 s, sf3 83.0 vs
+    93.5 s, identical outputs) — so "full" is the default; on web-scale
+    documents (300-3000 shingles) the 32-long fingerprints undercut the
+    arrays 10-100x and "estimate" is the right switch. Emitted pairs are
+    exactly scored either way; equality pins at sf0.1/sf1/sf3."""
     cfg = config or blocking_autotune(df, id_col=id_col, text_col=text_col, n=n, threshold=threshold)
     if scrub == "auto":
         scrub_frac = 0.04 if cfg.get("scrub") else None

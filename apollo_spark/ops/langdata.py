@@ -140,3 +140,72 @@ def multilingual_fixture_df(spark, n_per_lang: int = 120, seed: int = 7):
     return spark.createDataFrame(
         multilingual_fixture_rows(n_per_lang, seed), "doc_id long, lang string, text string"
     )
+
+
+# --------------------------------------------------------------------------
+# Quality axis (round 10): fluent vs degraded text with REAL signal.
+#
+# The synthetic driver corpus is label-independent, so the trained quality
+# classifier could only memorize there (the same round-7 finding that
+# motivated the multilingual fixture). This extension plants the two
+# degradation modes a web crawl actually shows, built FROM THE SAME
+# vocabulary banks so a classifier cannot cheat on content-word identity:
+#
+# * gibberish — the banks' content words sampled i.i.d. with the
+#   function-word skeleton REMOVED: unigram soup. What separates it from
+#   fluent text is exactly the high-frequency glue ("the", "is", "and",
+#   articles/copulas) a bag-of-tokens model weights up — the real signal
+#   quality classifiers (CCNet/Gopher-style) ride.
+# * boilerplate — a handful of structural nav/footer lines repeated with
+#   one varying slot: high repetition, navigation vocabulary.
+# --------------------------------------------------------------------------
+
+_BOILER_TEMPLATES: tuple[str, ...] = (
+    "click here to subscribe to our {noun} newsletter and never miss an update",
+    "copyright all rights reserved terms of service privacy policy {noun} sitemap",
+    "home about products {noun} contact login register search menu",
+    "cookie settings accept all manage preferences read our {noun} policy",
+)
+
+
+def quality_fixture_rows(
+    n_pos: int = 150, n_per_neg: int = 75, seed: int = 11
+) -> list[tuple[int, int, str, str]]:
+    """Deterministic (doc_id, label, kind, text) rows for the quality axis:
+    ``label`` 1 = keep (fluent English skeleton sentences from the same
+    generator the langid fixture uses), 0 = drop (``kind`` "gibberish" |
+    "boilerplate" negatives as documented above). Docs run 10-24 tokens,
+    matching the positive length band so length alone cannot separate."""
+    rng = random.Random(seed)
+    banks, templates = _BANKS["en"], _TEMPLATES["en"]
+    rows: list[tuple[int, int, str, str]] = []
+    doc_id = 0
+    for _ in range(n_pos):
+        parts = []
+        for t in rng.sample(templates, 2):
+            out = []
+            for tok in t.split(" "):
+                out.append(rng.choice(banks[tok[1:-1]]) if tok.startswith("{") else tok)
+            parts.append(" ".join(out))
+        rows.append((doc_id, 1, "fluent", " ".join(parts)))
+        doc_id += 1
+    content = banks["noun"] + banks["adj"] + banks["verb"]
+    for _ in range(n_per_neg):
+        n_tok = rng.randint(12, 22)
+        rows.append((doc_id, 0, "gibberish", " ".join(rng.choice(content) for _ in range(n_tok))))
+        doc_id += 1
+    for _ in range(n_per_neg):
+        t = rng.choice(_BOILER_TEMPLATES)
+        text = t.replace("{noun}", rng.choice(banks["noun"]))
+        rows.append((doc_id, 0, "boilerplate", text))
+        doc_id += 1
+    return rows
+
+
+def quality_fixture_df(spark, n_pos: int = 150, n_per_neg: int = 75, seed: int = 11):
+    """The quality fixture as a DataFrame: (doc_id long, label int,
+    kind string, text string)."""
+    return spark.createDataFrame(
+        quality_fixture_rows(n_pos, n_per_neg, seed),
+        "doc_id long, label int, kind string, text string",
+    )

@@ -732,6 +732,138 @@ def streaming_cdc_retention(
     return _sink
 
 
+def streaming_blocking_drift_monitor(
+    stats_dir: str,
+    report_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hot_frac: float = 0.04,
+    scrub_share: float = 0.002,
+    frac_floor: int = 1024,
+    batch_frac_floor: int = 8,
+    pinned_scrub: bool = False,
+    app_id: str = "blocking_drift",
+):
+    """foreachBatch sink factory: blocking-GEOMETRY drift watchdog for
+    streaming dedup (round 10). streaming_corpus_dedup and the incremental
+    MinHash index pin their banding geometry at index creation; a crawl
+    whose boilerplate share drifts afterwards (blocking_config_profile's
+    hot_shingle_share separator — 0.0115 on the skew rehearsal corpus vs
+    exactly 0.0 on every uniform corpus/SF) silently degrades into the
+    round-8 mega-bucket pathology with no signal. Per micro-batch:
+
+    (a) append the increment's shingle document-frequency counts to
+        ``stats_dir``/vocab and its doc count to ``stats_dir``/docs — both
+        under the (app, batch) txn guard, so a checkpoint-restart replay
+        is a no-op and the cumulative stats never double-count;
+    (b) recompute the hot-shingle-share separator (postings mass whose df
+        exceeds ``greatest(floor(hot_frac * n_docs), frac_floor)`` — the
+        exact blocking_config_profile arithmetic) over the CUMULATIVE
+        stats and, with ``batch_frac_floor``, over the BATCH alone — the
+        early-warning channel: one boilerplate-heavy crawl segment flags
+        before it moves the corpus-level share;
+    (c) append ONE report row to ``report_dir``: ``drift`` is true when
+        either recommendation disagrees with ``pinned_scrub`` (the
+        geometry decision the index was built under).
+
+    The streaming-PSI pattern deliberately applies: REPORT ONLY, no
+    automatic re-index — re-banding a live LSH index invalidates its
+    committed band keys and is an operator decision; this row is the
+    trigger for it.
+
+    100 TB posture: state is vocabulary-sized, one (batch, shingle, df)
+    row per distinct shingle per batch (compact periodically); the shuffle
+    moves the increment's vocabulary, never the corpus; the two report
+    aggregates are vocabulary scans, map-combinable."""
+    from apollo_spark.ops.dedup import shingles
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from apollo_spark.table_format import TxTable
+
+        spark = batch_df.sparkSession
+        ex = (
+            batch_df.select(
+                F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+            )
+            .filter(F.size("sh") > 0)
+            .select("id", F.explode("sh").alias("s"))
+        )
+        inc_vocab = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .withColumn("batch", F.lit(int(batch_id)))
+            .persist()
+        )
+        n_docs_batch = int(ex.select("id").distinct().count())
+        try:
+            # commit state FIRST, then report from committed state: a crash
+            # between them replays into idempotent no-op appends and an
+            # identical recomputed report (the corpus-dedup ordering rule)
+            TxTable(f"{stats_dir}/vocab").write(
+                inc_vocab, mode="append", txn_app=app_id, txn_batch=int(batch_id)
+            )
+            TxTable(f"{stats_dir}/docs").write(
+                spark.createDataFrame(
+                    [(int(batch_id), n_docs_batch)], "batch long, n_docs long"
+                ),
+                mode="append",
+                txn_app=app_id,
+                txn_batch=int(batch_id),
+            )
+
+            def _share(vocab: DataFrame, n_docs: int, floor: int) -> float:
+                cut = max(int(float(hot_frac) * n_docs), int(floor))
+                row = vocab.agg(
+                    F.sum(F.when(F.col("df") > cut, F.col("df")).otherwise(F.lit(0))).alias("hot"),
+                    F.sum("df").alias("total"),
+                ).first()
+                total = row["total"] or 0
+                return (float(row["hot"] or 0) / float(total)) if total else 0.0
+
+            cum_vocab = (
+                TxTable(f"{stats_dir}/vocab")
+                .read(spark)
+                .groupBy("s")
+                .agg(F.sum("df").alias("df"))
+            )
+            n_docs_total = int(
+                TxTable(f"{stats_dir}/docs").read(spark).agg(F.sum("n_docs")).first()[0] or 0
+            )
+            share_total = _share(cum_vocab, n_docs_total, frac_floor)
+            share_batch = _share(
+                inc_vocab.select("s", "df"), n_docs_batch, batch_frac_floor
+            )
+            rec_total = share_total > float(scrub_share)
+            rec_batch = share_batch > float(scrub_share)
+            report = spark.createDataFrame(
+                [
+                    (
+                        int(batch_id),
+                        n_docs_batch,
+                        n_docs_total,
+                        share_batch,
+                        share_total,
+                        rec_batch,
+                        rec_total,
+                        bool(pinned_scrub),
+                        (rec_total != bool(pinned_scrub)) or (rec_batch != bool(pinned_scrub)),
+                    )
+                ],
+                "batch_id long, n_docs_batch long, n_docs_total long, "
+                "hot_share_batch double, hot_share_total double, "
+                "rec_scrub_batch boolean, rec_scrub_total boolean, "
+                "pinned_scrub boolean, drift boolean",
+            )
+            TxTable(report_dir).write(
+                report, mode="append", txn_app=app_id, txn_batch=int(batch_id)
+            )
+        finally:
+            inc_vocab.unpersist()
+
+    return _sink
+
+
 def streaming_psi_monitor(
     ref_dir: str,
     report_dir: str,

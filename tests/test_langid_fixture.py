@@ -107,3 +107,81 @@ def test_signal_is_in_the_text_not_the_split(spark, fixture_df):
     rows = preds.collect()
     acc = sum(1 for r in rows if r["pred_lang"] == r["lang"]) / len(rows)
     assert acc <= 0.3, f"rotated-label control should be ~chance, got {acc:.3f}"
+
+
+# --------------------------------------------------------------------------
+# Quality axis (round 10): the trained quality classifier generalizes on
+# text with real signal, through the SAME binary pipeline the registry's
+# perceptron/logreg quality queries run (hashed_token_features ->
+# perceptron_train -> classifier_margins).
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def quality_df(spark):
+    from apollo_spark.ops.langdata import quality_fixture_df
+
+    return quality_fixture_df(spark).persist()
+
+
+def test_quality_fixture_shape(quality_df):
+    from apollo_spark.ops.langdata import quality_fixture_rows
+
+    counts = {r["kind"]: r["n"] for r in quality_df.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"fluent": 150, "gibberish": 75, "boilerplate": 75}
+    assert quality_fixture_rows()[:3] == quality_fixture_rows()[:3]  # deterministic
+
+
+def test_trained_quality_generalizes_held_out(spark, quality_df):
+    from apollo_spark.ops.ml import (
+        classifier_margins,
+        hashed_token_features,
+        perceptron_train,
+    )
+
+    train, test = _split(quality_df)
+    n_train, n_test = train.count(), test.count()
+    assert n_test >= 50 and n_train + n_test == 300
+    feats_tr = hashed_token_features(train)
+    labels = train.select("doc_id", F.when(F.col("label") == 1, 1).otherwise(-1).alias("y"))
+    w = perceptron_train(feats_tr, labels, iters=3)
+    preds = (
+        classifier_margins(hashed_token_features(test), w)
+        .join(test.select("doc_id", "label", "kind"), "doc_id")
+        .collect()
+    )
+    acc = sum(1 for r in preds if (r["score"] > 0) == (r["label"] == 1)) / len(preds)
+    assert acc >= 0.9, f"held-out accuracy {acc:.3f} on {len(preds)} unseen docs"
+    # both degradation modes are caught, not just the easy one
+    from collections import Counter
+
+    by_kind: dict[str, Counter] = {}
+    for r in preds:
+        by_kind.setdefault(r["kind"], Counter())[(r["score"] > 0)] += 1
+    for kind in ("gibberish", "boilerplate"):
+        c = by_kind.get(kind)
+        if c:  # a split can hold out few of one kind; majority must be caught
+            assert c[False] >= c[True], (kind, dict(c))
+
+
+def test_quality_signal_is_in_text_not_labels(spark, quality_df):
+    """Rotated-label control (the langid honesty pin, quality edition):
+    training on labels decoupled from the text collapses held-out accuracy
+    to chance — the fixture's accuracy comes from real lexical signal."""
+    from apollo_spark.ops.ml import (
+        classifier_margins,
+        hashed_token_features,
+        perceptron_train,
+    )
+
+    train, test = _split(quality_df)
+    # decouple labels from text deterministically: relabel by doc_id parity
+    fake = train.select("doc_id", F.when(F.col("doc_id") % 2 == 0, 1).otherwise(-1).alias("y"))
+    w = perceptron_train(hashed_token_features(train), fake, iters=3)
+    preds = (
+        classifier_margins(hashed_token_features(test), w)
+        .join(test.select("doc_id", "label"), "doc_id")
+        .collect()
+    )
+    acc = sum(1 for r in preds if (r["score"] > 0) == (r["label"] == 1)) / len(preds)
+    assert acc <= 0.75, f"parity-label control should be near chance, got {acc:.3f}"

@@ -1318,3 +1318,44 @@ def test_streaming_decontamination_gate_drops_leaks_across_batches(spark, tmp_pa
     versions = [TxTable(p).current_version() for p in (out, rep)]
     run_once()  # replay: no new files -> txn no-op
     assert [TxTable(p).current_version() for p in (out, rep)] == versions
+
+
+def test_streaming_blocking_drift_monitor(spark, tmp_path):
+    """Blocking-geometry drift watchdog (round 10): uniform batches stay
+    quiet; a planted-boilerplate batch raises rec_scrub on both the batch
+    and cumulative channels and flips the drift flag against the pinned
+    uniform geometry; a checkpoint-restart replay of the same batch is a
+    no-op on stats AND report (txn guard)."""
+    from apollo_spark.sources.streaming import streaming_blocking_drift_monitor
+    from apollo_spark.table_format import TxTable
+
+    stats, rep = str(tmp_path / "stats"), str(tmp_path / "rep")
+    sink = streaming_blocking_drift_monitor(
+        stats, rep, frac_floor=0, batch_frac_floor=0, pinned_scrub=False
+    )
+    # batch 0: uniform docs (every shingle df=1) -> hot share exactly 0.0
+    b0 = spark.createDataFrame(
+        [(i, f"alpha{i} beta{i} gamma{i} delta{i} eps{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    sink(b0, 0)
+    # batch 1: a structural line shared by every doc -> boilerplate skew
+    BO = "click here to subscribe now and never miss another update"
+    b1 = spark.createDataFrame(
+        [(100 + i, f"{BO} u{i} v{i}") for i in range(40)], "doc_id long, text string"
+    )
+    sink(b1, 1)
+    rows = {r["batch_id"]: r for r in TxTable(rep).read(spark).collect()}
+    assert rows[0]["hot_share_batch"] == 0.0 and rows[0]["hot_share_total"] == 0.0
+    assert rows[0]["drift"] is False
+    assert rows[1]["rec_scrub_batch"] is True  # the early-warning channel
+    assert rows[1]["rec_scrub_total"] is True
+    assert rows[1]["drift"] is True
+    assert rows[1]["n_docs_total"] == 80
+    # replay: same (app, batch) -> stats and report unchanged
+    v_vocab = TxTable(f"{stats}/vocab").current_version()
+    v_docs = TxTable(f"{stats}/docs").current_version()
+    sink(b1, 1)
+    assert TxTable(f"{stats}/vocab").current_version() == v_vocab
+    assert TxTable(f"{stats}/docs").current_version() == v_docs
+    assert TxTable(rep).read(spark).count() == 2
