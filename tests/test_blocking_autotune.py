@@ -551,3 +551,54 @@ query missing_tbl {
     )
     with _pytest.raises(PipelineError, match="nope"):
         compile_query(spark, catalog, schema2.queries[0], schema2).collect()
+
+
+def test_dsl_autotune_flags_skew_e2e(spark, tmp_path):
+    """`dedup { autotune = true }` on a boilerplate-skewed corpus, through
+    the USER-FACING DSL path with PRODUCTION profile defaults (frac_floor
+    1024 — the corpus is sized past it): the profile flags skew on its
+    own, scrub engages automatically, the planted organic dup collapses,
+    and boilerplate-only docs all survive (their similarity was boilerplate,
+    not content). The miniature of scripts/skew_dsl_rehearsal.py."""
+    from apollo_spark.dsl.schema import parse_schema
+    from apollo_spark.pipeline import compile_query
+    from apollo_spark.sources.tables import Catalog
+
+    # 1100 boiler docs (df > the 1024 production floor), one organic dup
+    # pair, 48 unique docs
+    rows = [(i, f"{BOILER} u{i} v{i}") for i in range(1100)]
+    rows += [(2000, "alpha beta gamma delta epsilon zeta"),
+             (2001, "alpha beta gamma delta epsilon zeta")]
+    rows += [(3000 + i, f"w{i} x{i} y{i} z{i} q{i} r{i}") for i in range(48)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    # the profile itself flags skew with production defaults
+    from apollo_spark.ops.dedup import blocking_autotune
+
+    d = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    cfg = blocking_autotune(d, threshold=0.2)
+    assert cfg["scrub"] is True
+    assert (cfg["num_hashes"], cfg["bands"], cfg["rows"]) == (32, 32, 1)
+
+    schema = parse_schema(
+        """
+query skew_auto {
+  chain = "ethereum"
+  source_table = "documents"
+  dedup {
+    method = "minhash"
+    threshold = 0.2
+    autotune = true
+  }
+  save { doc_id = doc_id }
+}
+"""
+    )
+    out = compile_query(spark, Catalog(spark, str(tmp_path)), schema.queries[0], schema)
+    ids = {int(r["doc_id"]) for r in out.select("doc_id").collect()}
+    assert 2000 in ids and 2001 not in ids  # organic dup collapses
+    assert all(3000 + i in ids for i in range(48))  # unique docs untouched
+    # boilerplate-only docs survive under auto scrub (similarity redefined
+    # over the informative remainder)
+    assert sum(1 for i in ids if i < 1100) == 1100
