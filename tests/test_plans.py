@@ -343,6 +343,39 @@ def test_minhash_portable_band_join_on_scalar_key(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
+def test_minhash_autotuned_arrow_sig_plan(spark):
+    """The 256-hash autotuned pipeline (round 10): signatures ride the
+    Arrow mapInPandas fast path — asserted on the signature frame itself
+    (the query plan hides it behind the persisted InMemoryRelation and the
+    ladder's localCheckpoint) — and every verify join in the full query
+    (size prune + hashed-array rescore) stays equi (no cartesian, no
+    broadcast nested loop)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from apollo_spark.ops.dedup import _portable_sig_arrow, _shingle_base
+    from apollo_spark.ops.sketch import portable_hash60
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    base = _shingle_base(d, "doc_id", "text", 3, None)
+    hashed = base.select("id", F.explode("sh").alias("s")).select(
+        "id", portable_hash60(F.col("s")).alias("h")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _portable_sig_arrow(hashed, 256, with_fp=True).explain("formatted")
+    sig_plan = buf.getvalue()
+    assert "MapInPandas" in sig_plan
+    # partial mins stay map-side combinable: the final agg is a plain
+    # HashAggregate pair over the Arrow partials
+    assert "HashAggregate" in sig_plan
+
+    p = plan(spark, "minhash_autotuned_dup_pairs")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
 def test_simhash_portable_votes_are_hash_aggregate(spark):
     """Signature votes ride one partial+final HashAggregate pair (map-side
     combined), not an interpreted array fold; pairing joins stay equi."""
