@@ -357,13 +357,29 @@ def minhash_lsh_pairs(
         # level tag; cross-space collisions are harmless — verify rechecks)
         lambda level, b, slots: F.xxhash64(F.lit(f"R{level}"), F.lit(b), *slots),
     ).dropDuplicates(["id_a", "id_b"])
-    sh_map = base.select("id", "sh")
+    # round-10 verify (same stack as the portable path): lossless
+    # size-ratio prune on a sizes-only join, then exact jaccard over
+    # xxhash64-hashed shingle arrays — array<long> payload instead of raw
+    # strings (~3x fewer shuffle bytes; |hash(A) ∩ hash(B)| = |A ∩ B|
+    # absent a 2^-64 within-pair collision). This path's gate is
+    # rows-only, and the sf10 payload ceiling the portable path measured
+    # applies identically here.
+    sizes = base.select("id", F.size("sh").alias("ns"))
     cand = (
-        cand.join(sh_map.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh_map.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        cand.join(sizes.select(F.col("id").alias("id_a"), F.col("ns").alias("ns_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("ns").alias("ns_b")), "id_b")
+        .filter(
+            F.least("ns_a", "ns_b").cast("double")
+            >= F.lit(float(threshold)) * F.greatest("ns_a", "ns_b").cast("double")
+        )
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    hs_map = base.select("id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"))
+    cand = (
+        cand.join(hs_map.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
+        .join(hs_map.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.col("ns_a") + F.col("ns_b") - inter
     return scoped_persist(
         cand.withColumn("jaccard", inter.cast("double") / union.cast("double"))
         .filter(F.col("jaccard") >= threshold)
