@@ -1859,9 +1859,14 @@ def _minhash_band_candidates(
 
 
 def _sig_fingerprints(sig: DataFrame, num_slots: int = _EST_SLOTS, prefix: str = "e") -> DataFrame:
-    """(id, fp) — the ESTIMATOR slots (e0..e{E-1}, the splitmix64 family —
-    see _portable_sig_arrow with_fp) packed 8-per-long as 1-byte
-    fingerprints (slot & 255), an array<long> of length num_slots/8.
+    """(id, fp0..fp{E/8-1}) — the ESTIMATOR slots (e0..e{E-1}, the
+    splitmix64 family — see _portable_sig_arrow with_fp) packed 8-per-long
+    as 1-byte fingerprints (slot & 255), one COLUMN per packed long.
+    Columns, not an array, deliberately: the match count over separate
+    columns is a flat expression inside whole-stage codegen, while the
+    array form needs zip_with + aggregate — higher-order functions Spark
+    evaluates INTERPRETED, which the big-doc rehearsal measured 2.1x
+    slower end-to-end than the array join the prune was meant to skip.
     Slot equality implies byte equality, so byte-agreement COUNTS can only
     over-estimate slot agreement (collision prob 1/256 per differing slot)
     — the safe direction for a prune that must never drop beyond its
@@ -1877,26 +1882,23 @@ def _sig_fingerprints(sig: DataFrame, num_slots: int = _EST_SLOTS, prefix: str =
             term = F.shiftleft(F.col(f"{prefix}{8 * j + k}").bitwiseAND(F.lit(255)), 8 * k)
             acc = term if acc is None else acc.bitwiseOR(term)
         packed.append(acc.alias(f"fp{j}"))
-    return sig.select("id", F.array(*packed).alias("fp"))
+    return sig.select("id", *packed)
 
 
-def _fp_match_count(fp_a, fp_b) -> "F.Column":
-    """Number of agreeing packed fingerprint bytes between two fp arrays:
-    XOR each long pair, count zero bytes. All inside codegen."""
-    def _count_bytes(v):
-        c = None
+def _fp_match_count(nb: int, a_prefix: str = "fpa", b_prefix: str = "fpb") -> "F.Column":
+    """Number of agreeing packed fingerprint bytes across ``nb`` long-column
+    pairs ({a_prefix}{j}, {b_prefix}{j}): XOR each pair, count zero bytes.
+    A flat 8*nb-term expression — stays in whole-stage codegen (no
+    higher-order functions; see _sig_fingerprints)."""
+    total = None
+    for j in range(nb):
+        x = F.col(f"{a_prefix}{j}").bitwiseXOR(F.col(f"{b_prefix}{j}"))
         for k in range(8):
             term = F.when(
-                F.shiftrightunsigned(v, 8 * k).bitwiseAND(F.lit(255)) == 0, 1
+                F.shiftrightunsigned(x, 8 * k).bitwiseAND(F.lit(255)) == 0, 1
             ).otherwise(0)
-            c = term if c is None else c + term
-        return c
-
-    return F.aggregate(
-        F.zip_with(fp_a, fp_b, lambda a, b: a.bitwiseXOR(b)),
-        F.lit(0),
-        lambda acc, v: acc + _count_bytes(v),
-    )
+            total = term if total is None else total + term
+    return total
 
 
 def minhash_portable_pairs(
@@ -1998,14 +2000,20 @@ def minhash_portable_pairs(
         # prune on the splitmix-fingerprint jaccard estimate; only the
         # sliver near/over the threshold pays the hashed-array join
         margin = 0.15 if estimate_margin is None else float(estimate_margin)
+        nb = _EST_SLOTS // 8
         fp = _sig_fingerprints(sig)
+        fpa = fp.select(
+            F.col("id").alias("id_a"), *[F.col(f"fp{j}").alias(f"fpa{j}") for j in range(nb)]
+        )
+        fpb = fp.select(
+            F.col("id").alias("id_b"), *[F.col(f"fp{j}").alias(f"fpb{j}") for j in range(nb)]
+        )
         cand = (
-            cand.join(fp.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a")), "id_a")
-            .join(fp.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b")), "id_b")
+            cand.join(fpa, "id_a")
+            .join(fpb, "id_b")
             .withColumn(
                 "__est",
-                _fp_match_count(F.col("fp_a"), F.col("fp_b")).cast("double")
-                / F.lit(float(_EST_SLOTS)),
+                _fp_match_count(nb).cast("double") / F.lit(float(_EST_SLOTS)),
             )
             .filter(F.col("__est") >= F.lit(float(threshold - margin)))
         )
@@ -2642,14 +2650,20 @@ def minhash_autotuned_pairs(
     ``verify``: both modes ride the round-10 deterministic verify
     (hashed-array payload + lossless size-ratio prune — the fix for the
     sf10 disk ceiling, VERDICT round 9 #1). "estimate" adds the
-    fingerprint prune; measured guidance: on SHORT-document corpora
-    (~50 shingles/doc, the sf replicas) the hashed arrays are already
-    fingerprint-sized and the estimate's interpreted match count costs
-    more than the array join it skips (sf1 35.8 vs 40.0 s, sf3 83.0 vs
-    93.5 s, identical outputs) — so "full" is the default; on web-scale
-    documents (300-3000 shingles) the 32-long fingerprints undercut the
-    arrays 10-100x and "estimate" is the right switch. Emitted pairs are
-    exactly scored either way; equality pins at sf0.1/sf1/sf3."""
+    fingerprint prune. Measured positioning (BASELINE round-10): "full"
+    is the default because the estimate mode pays a real CPU premium —
+    the 256 splitmix estimator slots cost one extra numpy op-chain per
+    posting (sf replicas: sf1 35.8 vs 40.0 s, sf3 83.0 vs 93.5 s; big-doc
+    rehearsal, 20k x 600-word docs: 42.2 vs 74.7 s — identical outputs
+    everywhere). What "estimate" buys is SHUFFLE BYTES, not time: 32
+    longs/side through the candidate join instead of the full hashed
+    arrays (~20x at 600-word docs), which matters exactly when the
+    verify shuffle is disk-bound (the round-9 sf10 failure mode) — the
+    escape hatch for candidate volumes beyond what local spill absorbs.
+    Emitted pairs are exactly scored either way; equality pins at
+    sf0.1/sf1/sf3 and the big-doc corpus, and the gated
+    minhash_estimate_dup_pairs query certifies estimate == full against
+    the full-verify SQL oracle on every driver run."""
     cfg = config or blocking_autotune(df, id_col=id_col, text_col=text_col, n=n, threshold=threshold)
     if scrub == "auto":
         scrub_frac = 0.04 if cfg.get("scrub") else None
