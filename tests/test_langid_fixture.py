@@ -185,3 +185,27 @@ def test_quality_signal_is_in_text_not_labels(spark, quality_df):
     )
     acc = sum(1 for r in preds if (r["score"] > 0) == (r["label"] == 1)) / len(preds)
     assert acc <= 0.75, f"parity-label control should be near chance, got {acc:.3f}"
+
+
+def test_logreg_quality_generalizes_held_out(spark, quality_df):
+    """The CALIBRATED trainer (logreg_train_hardsigmoid — the registry's
+    logreg_quality_weights pipeline) also generalizes on the quality
+    fixture: held-out accuracy >= 0.9 with score s(w.x) > 1/2, i.e.
+    z_int > 0 in micro-units. Covers the second (residual-driven) trainer
+    the way the perceptron test covers the first."""
+    from apollo_spark.ops.ml import (
+        classifier_margins,
+        hashed_token_features,
+        logreg_train_hardsigmoid,
+    )
+
+    train, test = _split(quality_df)
+    labels = train.select("doc_id", F.col("label").alias("y01"))
+    w = logreg_train_hardsigmoid(hashed_token_features(train), labels, iters=3)
+    preds = (
+        classifier_margins(hashed_token_features(test), w)
+        .join(test.select("doc_id", "label"), "doc_id")
+        .collect()
+    )
+    acc = sum(1 for r in preds if (r["score"] > 0) == (r["label"] == 1)) / len(preds)
+    assert acc >= 0.9, f"held-out accuracy {acc:.3f} on {len(preds)} unseen docs"
