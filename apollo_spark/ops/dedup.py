@@ -2569,6 +2569,57 @@ def _profile_row_to_config(row) -> dict:
     }
 
 
+def uniform_geometry(threshold: float, capture_target: float = 0.95) -> dict:
+    """The BLOCKING_GEOMETRY_MENU selection under the UNIFORM preference
+    order, computed analytically (no data pass — the only data-dependent
+    input to geometry choice is the boilerplate flag, which this function
+    exists to OVERRIDE). Capture arithmetic replicates
+    blocking_config_profile's exact squaring chains (repeated IEEE
+    squaring, not pow), so the choice here equals what the in-plan
+    selection would pick with the uniform order.
+
+    Why it exists (round 10, measured): on a boilerplate-flagged corpus
+    the profile picks r=1/b=32 for CLIQUE CONNECTIVITY — the right call
+    when the boilerplate-driven edges must be found. But when the scrub
+    engages (auto or forced), those edges are REMOVED before banding:
+    similarity is redefined over the informative remnants, which form a
+    uniform (often small-vocabulary) corpus — and r=1 banding on a
+    saturated vocabulary is the quadratic regime round 9 measured
+    disk-fatal on the uniform replicas. The sf3skew DSL rehearsal
+    reproduced exactly that: profile flags boiler -> r=1, scrub removes
+    the boiler, r=1 bands the 40-word-vocab remnants -> ~76 GB of
+    candidates -> No space left on device. Under scrub, geometry must
+    follow the SCRUBBED corpus's shape: the uniform order."""
+    rows = []
+    for pref_u, _pref_b, num_hashes, rpb, max_bucket in BLOCKING_GEOMETRY_MENU:
+        bands = num_hashes // rpb
+        s = (
+            threshold
+            if rpb == 1
+            else (threshold * threshold if rpb == 2 else (threshold * threshold) * (threshold * threshold))
+        )
+        x = 1.0 - s
+        for _ in range(bands.bit_length() - 1):
+            x = x * x
+        rows.append(
+            {
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "rows": rpb,
+                "max_bucket": max_bucket,
+                "capture": 1.0 - x,
+                "_pref": pref_u,
+            }
+        )
+    qualified = [r for r in rows if r["capture"] >= capture_target]
+    best = (
+        min(qualified, key=lambda r: r["_pref"])
+        if qualified
+        else max(rows, key=lambda r: r["capture"])
+    )
+    return {k: v for k, v in best.items() if not k.startswith("_")}
+
+
 def blocking_autotune(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -2673,15 +2724,26 @@ def minhash_autotuned_pairs(
         scrub_frac = None
     else:
         scrub_frac = float(scrub)
+    geo = cfg
+    if scrub_frac is not None and cfg["rows"] == 1:
+        # scrub REMOVES the boilerplate the r=1 geometry was chosen to
+        # connect: banding then operates on the informative remnants — a
+        # uniform corpus — where r=1 is the measured-quadratic saturated-
+        # vocabulary regime (sf3skew DSL rehearsal: ~76 GB of candidates,
+        # disk-fatal). Under scrub the geometry follows the SCRUBBED
+        # corpus's shape: the uniform preference order (see
+        # uniform_geometry). Scrub OFF keeps r=1 — the clique edges are
+        # then real and must be found.
+        geo = {**cfg, **uniform_geometry(threshold)}
     return minhash_portable_pairs(
         df,
         id_col=id_col,
         text_col=text_col,
         n=n,
-        num_hashes=cfg["num_hashes"],
-        bands=cfg["bands"],
+        num_hashes=geo["num_hashes"],
+        bands=geo["bands"],
         threshold=threshold,
-        max_bucket=cfg["max_bucket"] if max_bucket is None else max_bucket,
+        max_bucket=geo["max_bucket"] if max_bucket is None else max_bucket,
         max_bucket_mode=max_bucket_mode,
         scrub_max_df_frac=scrub_frac,
         verify=verify,

@@ -553,11 +553,21 @@ def _apply_dedup(df: DataFrame, spec) -> DataFrame:
         guard = {} if spec.lossless else {"max_bucket": 64, "max_bucket_mode": "reband"}
         geo = {}
         if cfg:
-            geo = {"num_hashes": cfg["num_hashes"], "bands": cfg["bands"]}
+            eff = cfg
+            if (scrub_on or shingle_scrub is not None) and cfg["rows"] == 1:
+                # scrub removes the boilerplate the r=1 geometry exists to
+                # connect; banding then sees uniform informative remnants,
+                # where r=1 is the measured-quadratic regime (sf3skew DSL
+                # rehearsal: disk-fatal). Geometry follows the SCRUBBED
+                # corpus: the uniform preference order.
+                from apollo_spark.ops.dedup import uniform_geometry
+
+                eff = {**cfg, **uniform_geometry(spec.threshold)}
+            geo = {"num_hashes": eff["num_hashes"], "bands": eff["bands"]}
             if not spec.lossless:
                 # the profile's level-0 cap compensates r=1's shallower
                 # per-band selectivity (see BLOCKING_GEOMETRY_MENU)
-                guard["max_bucket"] = cfg["max_bucket"]
+                guard["max_bucket"] = eff["max_bucket"]
         pairs = minhash_lsh_pairs(
             pair_frame,
             spec.id,

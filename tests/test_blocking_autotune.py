@@ -553,6 +553,50 @@ query missing_tbl {
         compile_query(spark, catalog, schema2.queries[0], schema2).collect()
 
 
+def test_uniform_geometry_matches_profile_selection(spark):
+    """uniform_geometry's analytic replication (plain-Python squaring
+    chains over the same menu) equals what blocking_config_profile picks
+    on a UNIFORM corpus at the same thresholds — the guarantee that the
+    scrub-time geometry override selects exactly what profiling the
+    scrubbed corpus would have."""
+    from apollo_spark.ops.dedup import blocking_config_profile, uniform_geometry
+
+    clean = spark.createDataFrame(
+        [(i, f"a{i} b{i} c{i} d{i} e{i} f{i}") for i in range(60)], "doc_id long, text string"
+    )
+    for t in (0.8, 0.5, 0.2):
+        row = blocking_config_profile(clean, threshold=t).collect()[0]
+        g = uniform_geometry(t)
+        assert (g["num_hashes"], g["bands"], g["rows"], g["max_bucket"]) == (
+            row["rec_num_hashes"],
+            row["rec_bands"],
+            row["rec_rows"],
+            row["rec_max_bucket"],
+        ), t
+        assert g["capture"] == row["capture_at_threshold"], t
+
+
+def test_scrub_overrides_r1_geometry(spark):
+    """Round-10 disk-death regression (sf3skew DSL rehearsal): when the
+    profile flags boilerplate (r=1 geometry) AND scrub engages, the
+    banding must take the uniform-order geometry — r=1 over the scrubbed
+    uniform remnants is the measured-quadratic saturated-vocab regime.
+    Pinned through minhash_autotuned_pairs: with scrub auto on a flagged
+    corpus the genuine dup still pairs (uniform geometry at work), and
+    boilerplate-only docs produce no pairs."""
+    from apollo_spark.ops.dedup import blocking_autotune, minhash_autotuned_pairs
+
+    d = _skewed_docs(spark)
+    cfg = blocking_autotune(d, threshold=0.2, frac_floor=0)
+    assert cfg["rows"] == 1 and cfg["scrub"] is True  # the hazard setup
+    pairs = minhash_autotuned_pairs(
+        d, threshold=0.2, config=cfg, scrub=0.2, max_bucket=8
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got.get((100, 101)) == 1.0  # genuine dup pairs under the override
+    assert not any(a < 100 and b < 100 for (a, b) in got)  # boiler-only mass gone
+
+
 def test_dsl_autotune_flags_skew_e2e(spark, tmp_path):
     """`dedup { autotune = true }` on a boilerplate-skewed corpus, through
     the USER-FACING DSL path with PRODUCTION profile defaults (frac_floor
