@@ -327,24 +327,31 @@ def minhash_lsh_pairs(
     # each of the num_hashes slots is a cheap fixed-width re-hash, and the
     # groupBy gets map-side partial mins (array_min-over-transform x64 would
     # re-evaluate the base hash array per slot — 64x the work)
+    from apollo_spark.ops.sqlwide import sql_over
+
     hashed = base.select("id", F.explode("sh").alias("s")).select("id", F.xxhash64("s").alias("h"))
-    sig = hashed.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
+    # wide generated SQL (one py4j roundtrip), not num_hashes F.min chains —
+    # same parsed expressions; see ops/sqlwide.py for the measured driver cost
+    sig = sql_over(
+        hashed,
+        "SELECT id, "
+        + ", ".join(f"min(xxhash64(h, {i})) AS m{i}" for i in range(num_hashes))
+        + " FROM {v} GROUP BY id",
     )
     # band key = xxhash64(band_idx, r signature slots): a scalar long, so the
     # self-join is a plain shuffled hash join (array-typed keys would force a
     # nested-loop plan); hash collisions are harmless because the verify stage
     # recomputes exact jaccard.
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(F.lit(b), *[F.col(f"m{b * rows + j}") for j in range(rows)])
-                    for b in range(bands)
-                ]
+    banded = sql_over(
+        sig,
+        "SELECT id, explode(array("
+        + ", ".join(
+            "xxhash64({b}, {cols})".format(
+                b=b, cols=", ".join(f"m{b * rows + j}" for j in range(rows))
             )
-        ).alias("bkey"),
+            for b in range(bands)
+        )
+        + ")) AS bkey FROM {v}",
     )
     cand = _band_ladder_pairs(
         sig,
@@ -1472,21 +1479,30 @@ def _minhash_bands_and_sigs(
     hashed = base.select("id", F.explode("sh").alias("s")).select(
         "id", F.xxhash64("s").alias("h")
     )
-    sig = hashed.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
+    from apollo_spark.ops.sqlwide import sql_over
+
+    # generated SQL over the wide slot/band expressions — one py4j roundtrip
+    # each, same parsed plan (see ops/sqlwide.py)
+    sig = sql_over(
+        hashed,
+        "SELECT id, "
+        + ", ".join(f"min(xxhash64(h, {i})) AS m{i}" for i in range(num_hashes))
+        + " FROM {v} GROUP BY id",
     )
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(F.lit(b), *[F.col(f"m{b * rows + j}") for j in range(rows)])
-                    for b in range(bands)
-                ]
+    banded = sql_over(
+        sig,
+        "SELECT id, explode(array("
+        + ", ".join(
+            "xxhash64({b}, {cols})".format(
+                b=b, cols=", ".join(f"m{b * rows + j}" for j in range(rows))
             )
-        ).alias("bkey"),
+            for b in range(bands)
+        )
+        + ")) AS bkey FROM {v}",
     )
-    sigs = sig.select("id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"))
+    sigs = sig.selectExpr(
+        "id", "array(" + ", ".join(f"m{i}" for i in range(num_hashes)) + ") AS sig"
+    )
     return banded, sigs
 
 
@@ -1729,7 +1745,13 @@ def _portable_sig_arrow(hashed: DataFrame, num_hashes: int, with_fp: bool = Fals
             yield out.groupby("id", as_index=False, sort=False).min()
 
     partial = hashed.mapInPandas(gen, schema=schema)
-    return partial.groupBy("id").agg(*[F.min(c).alias(c) for c in cols + ecols])
+    # one generated-SQL roundtrip, not 320 F.min().alias() py4j calls: the
+    # wide final agg was measured costing ~1 s of DRIVER time per plan
+    # build (see ops/sqlwide.py) — the parsed plan is identical
+    from apollo_spark.ops.sqlwide import sql_over
+
+    mins = ", ".join(f"min({c}) AS {c}" for c in cols + ecols)
+    return sql_over(partial, f"SELECT id, {mins} FROM {{v}} GROUP BY id")
 
 
 def _minhash_band_candidates(
@@ -1796,31 +1818,29 @@ def _minhash_band_candidates(
     # both band-join sides re-derive from sig: persist so the explode +
     # slot-min aggregate runs once, not twice. Wide geometries take the
     # Arrow path (numpy matrix op, bit-identical — see _portable_sig_arrow).
+    from apollo_spark.ops.sqlwide import sql_over
+
     if num_hashes >= _SIG_ARROW_MIN_HASHES:
         sig = _portable_sig_arrow(hashed, num_hashes, with_fp=with_fp).persist()
     else:
-        hi = F.shiftright(F.col("h"), 30)
-        lo = F.col("h").bitwiseAND(F.lit(_LO30))
-        aggs = []
-        for i in range(num_hashes):
-            a, b, c = _mh_consts(i)
-            aggs.append(
-                F.min((hi * F.lit(a) + lo * F.lit(b) + F.lit(c)) % F.lit(MH_PRIME)).alias(f"m{i}")
+        # generated SQL, not num_hashes F.min() chains: one py4j roundtrip
+        # (the parsed expressions are the byte-identical 2-universal mix)
+        mins = ", ".join(
+            "min((shiftright(h, 30) * {a} + (h & {lo}) * {b} + {c}) % {p}) AS m{i}".format(
+                a=a, b=b, c=c, lo=_LO30, p=MH_PRIME, i=i
             )
-        sig = hashed.groupBy("id").agg(*aggs).persist()
-    band_keys = [
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.lit(b), *[F.col(f"m{b * rows + j}") for j in range(rows)])),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+            for i, (a, b, c) in ((i, _mh_consts(i)) for i in range(num_hashes))
+        )
+        sig = sql_over(hashed, f"SELECT id, {mins} FROM {{v}} GROUP BY id").persist()
+    # band keys as ONE generated explode: 128 keys x ~8 Column calls each
+    # was ~2 s of py4j chatter per plan build at the autotuned geometry
+    keys_sql = ", ".join(
+        "CAST(conv(substring(md5(concat_ws('|', {b}, {cols})), 1, 15), 16, 10) AS BIGINT)".format(
+            b=b, cols=", ".join(f"m{b * rows + j}" for j in range(rows))
+        )
         for b in range(bands)
-    ]
-    banded = sig.select("id", F.explode(F.array(*band_keys)).alias("bkey"))
+    )
+    banded = sql_over(sig, f"SELECT id, explode(array({keys_sql})) AS bkey FROM {{v}}")
     # recursive banding ladder (shared impl, _band_ladder_pairs). Two
     # mechanisms per level:
     # * STAR every hot bucket through its min id (one candidate edge per
@@ -1872,17 +1892,17 @@ def _sig_fingerprints(sig: DataFrame, num_slots: int = _EST_SLOTS, prefix: str =
     — the safe direction for a prune that must never drop beyond its
     margin. One narrow projection over the persisted sig frame."""
     nb = num_slots // 8
-    packed = []
-    for j in range(nb):
-        acc = None
-        for k in range(8):
-            # shiftleft + bitwiseOR, NOT * and +: byte 7 shifted into the
-            # sign-bit region overflows signed-long arithmetic under ANSI
-            # mode, while bit ops are well-defined on the raw 64-bit pattern
-            term = F.shiftleft(F.col(f"{prefix}{8 * j + k}").bitwiseAND(F.lit(255)), 8 * k)
-            acc = term if acc is None else acc.bitwiseOR(term)
-        packed.append(acc.alias(f"fp{j}"))
-    return sig.select("id", *packed)
+    # shiftleft + |, NOT * and +: byte 7 shifted into the sign-bit region
+    # overflows signed-long arithmetic under ANSI mode, while bit ops are
+    # well-defined on the raw 64-bit pattern. Generated selectExpr strings:
+    # one py4j roundtrip for all nb packed columns (see ops/sqlwide.py).
+    packed = [
+        "("
+        + " | ".join(f"shiftleft({prefix}{8 * j + k} & 255, {8 * k})" for k in range(8))
+        + f") AS fp{j}"
+        for j in range(nb)
+    ]
+    return sig.selectExpr("id", *packed)
 
 
 def _fp_match_count(nb: int, a_prefix: str = "fpa", b_prefix: str = "fpb") -> "F.Column":
@@ -1890,15 +1910,16 @@ def _fp_match_count(nb: int, a_prefix: str = "fpa", b_prefix: str = "fpb") -> "F
     pairs ({a_prefix}{j}, {b_prefix}{j}): XOR each pair, count zero bytes.
     A flat 8*nb-term expression — stays in whole-stage codegen (no
     higher-order functions; see _sig_fingerprints)."""
-    total = None
-    for j in range(nb):
-        x = F.col(f"{a_prefix}{j}").bitwiseXOR(F.col(f"{b_prefix}{j}"))
-        for k in range(8):
-            term = F.when(
-                F.shiftrightunsigned(x, 8 * k).bitwiseAND(F.lit(255)) == 0, 1
-            ).otherwise(0)
-            total = term if total is None else total + term
-    return total
+    terms = [
+        "CASE WHEN (shiftrightunsigned({a}{j} ^ {b}{j}, {s}) & 255) = 0 THEN 1 ELSE 0 END".format(
+            a=a_prefix, b=b_prefix, j=j, s=8 * k
+        )
+        for j in range(nb)
+        for k in range(8)
+    ]
+    # one F.expr over the generated 8*nb-term sum instead of ~1000 py4j
+    # calls; parses to the same CASE WHEN chain
+    return F.expr(" + ".join(terms))
 
 
 def minhash_portable_pairs(
@@ -2002,12 +2023,8 @@ def minhash_portable_pairs(
         margin = 0.15 if estimate_margin is None else float(estimate_margin)
         nb = _EST_SLOTS // 8
         fp = _sig_fingerprints(sig)
-        fpa = fp.select(
-            F.col("id").alias("id_a"), *[F.col(f"fp{j}").alias(f"fpa{j}") for j in range(nb)]
-        )
-        fpb = fp.select(
-            F.col("id").alias("id_b"), *[F.col(f"fp{j}").alias(f"fpb{j}") for j in range(nb)]
-        )
+        fpa = fp.selectExpr("id AS id_a", *[f"fp{j} AS fpa{j}" for j in range(nb)])
+        fpb = fp.selectExpr("id AS id_b", *[f"fp{j} AS fpb{j}" for j in range(nb)])
         cand = (
             cand.join(fpa, "id_a")
             .join(fpb, "id_b")
@@ -2084,19 +2101,27 @@ def simhash_portable_pairs(
     ex = df.select(F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("s")).select(
         "id", portable_hash60(F.col("s")).alias("h")
     )
-    votes = ex.groupBy("id").agg(
-        *[
-            F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{b}")
+    # generated SQL for the 60-vote agg + bit reassembly: one py4j roundtrip
+    # per step instead of ~500 Column calls, identical parsed expressions
+    # (see ops/sqlwide.py)
+    from apollo_spark.ops.sqlwide import sql_over
+
+    votes = sql_over(
+        ex,
+        "SELECT id, "
+        + ", ".join(
+            f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
             for b in range(bits)
-        ]
+        )
+        + " FROM {v} GROUP BY id",
     )
-    sim = None
-    for b in range(bits):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim + term
+    sim_sql = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
     # both sides of the block self-join consume the signatures: persist so
     # the shingle explode + 60-vote aggregate runs once, not twice
-    sig = votes.select("id", sim.alias("sim")).persist()
+    sig = votes.selectExpr("id", f"({sim_sql}) AS sim").persist()
     keyed = sig.select(
         "id",
         "sim",

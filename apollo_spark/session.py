@@ -66,6 +66,14 @@ def get_spark(
         # pile up across a long bench/gate run on one shared disk
         .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.ui.enabled", "false")
+        # PySpark 4 wraps EVERY DataFrame/Column API call to capture the
+        # Python call site for error messages; each wrapped call costs ~3
+        # extra py4j roundtrips (a conf read + PySparkCurrentOrigin.set).
+        # Wide generated plans (128 band keys, 320 slot mins) make tens of
+        # thousands of such calls: measured 6.9 s -> 4.2 s on ONE
+        # minhash_autotuned_dup_pairs plan build with this off. Pure
+        # error-verbosity knob — execution plans and results are unchanged.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", _default_driver_memory())
     )
     for k, v in (extra_conf or {}).items():
