@@ -1692,7 +1692,9 @@ def _portable_sig_arrow(hashed: DataFrame, num_hashes: int, with_fp: bool = Fals
     #4).
 
     ``with_fp=True`` additionally computes ``_EST_SLOTS`` ESTIMATOR slot
-    mins (columns e0..e{E-1}) from an INDEPENDENT splitmix64 family (full
+    mins (emitted packed 8-per-long as the single ``fparr`` array<long>
+    column — see the packing note at the end of this function) from an
+    INDEPENDENT splitmix64 family (full
     avalanche, masked to 63 bits so numpy-uint64 mins and the JVM signed
     final min order identically). These back the verify="estimate"
     fingerprint prune. They are deliberately NOT the banding slots: the
@@ -1728,7 +1730,6 @@ def _portable_sig_arrow(hashed: DataFrame, num_hashes: int, with_fp: bool = Fals
             hi = h >> np.int64(30)
             lo = h & np.int64(_LO30)
             slots = (hi[:, None] * A + lo[:, None] * B + C) % np.int64(MH_PRIME)
-            out = pd.DataFrame(slots, columns=cols, copy=False)
             if with_fp:
                 z = h.astype(np.uint64)[:, None] + salts
                 z ^= z >> np.uint64(30)
@@ -1739,10 +1740,19 @@ def _portable_sig_arrow(hashed: DataFrame, num_hashes: int, with_fp: bool = Fals
                 # mask to 63 bits: numpy's per-batch uint64 min and the
                 # JVM's signed cross-batch min must order identically
                 z >>= np.uint64(1)
-                eout = pd.DataFrame(z.view(np.int64), columns=ecols, copy=False)
-                out = pd.concat([out, eout], axis=1)
-            out.insert(0, "id", pdf["id"].to_numpy())
-            yield out.groupby("id", as_index=False, sort=False).min()
+                slots = np.concatenate([slots, z.view(np.int64)], axis=1)
+            # per-batch partial min per id-RUN via one reduceat pass —
+            # explode keeps a doc's postings contiguous, so runs == docs
+            # here; a non-contiguous id would merely emit one partial row
+            # per run, which the final GROUP BY re-combines exactly (the
+            # round-10 pandas groupby.min this replaces measured ~28 ms
+            # per 10k-row batch vs ~19 ms, and dominated worker cold-start)
+            idv = pdf["id"].to_numpy()
+            starts = np.nonzero(np.r_[True, idv[1:] != idv[:-1]])[0]
+            mins = np.minimum.reduceat(slots, starts, axis=0)
+            out = pd.DataFrame(mins, columns=cols + ecols, copy=False)
+            out.insert(0, "id", idv[starts])
+            yield out
 
     partial = hashed.mapInPandas(gen, schema=schema)
     # one generated-SQL roundtrip, not 320 F.min().alias() py4j calls: the
@@ -1751,7 +1761,30 @@ def _portable_sig_arrow(hashed: DataFrame, num_hashes: int, with_fp: bool = Fals
     from apollo_spark.ops.sqlwide import sql_over
 
     mins = ", ".join(f"min({c}) AS {c}" for c in cols + ecols)
-    return sql_over(partial, f"SELECT id, {mins} FROM {{v}} GROUP BY id")
+    if not with_fp:
+        return sql_over(partial, f"SELECT id, {mins} FROM {{v}} GROUP BY id")
+    # estimator slots leave this function PACKED: 8-bit fingerprints
+    # (slot & 255) 8-per-long, as ONE array<long> column. Packing in the
+    # same generated SQL costs one projection over the ~1-row-per-doc agg
+    # output; downstream the prune then joins/ships a single narrow array
+    # column instead of 256 scalar columns (the round-10 column form spent
+    # seconds per run in codegen compile + interpreted eval of the
+    # 2048-term match-count CASE chain — see _fp_match_count_arrow).
+    # Byte-equality may only OVER-estimate slot agreement (collision prob
+    # 1/256 per differing slot) — the safe direction for a prune.
+    nb = _EST_SLOTS // 8
+    packs = ", ".join(
+        "("
+        + " | ".join(f"shiftleft(e{8 * j + k} & 255, {8 * k})" for k in range(8))
+        + ")"
+        for j in range(nb)
+    )
+    mcols = ", ".join(cols)
+    return sql_over(
+        partial,
+        f"SELECT id, {mcols}, array({packs}) AS fparr "
+        f"FROM (SELECT id, {mins} FROM {{v}} GROUP BY id)",
+    )
 
 
 def _minhash_band_candidates(
@@ -1878,48 +1911,36 @@ def _minhash_band_candidates(
     return cand.dropDuplicates(["id_a", "id_b"]), sig
 
 
-def _sig_fingerprints(sig: DataFrame, num_slots: int = _EST_SLOTS, prefix: str = "e") -> DataFrame:
-    """(id, fp0..fp{E/8-1}) — the ESTIMATOR slots (e0..e{E-1}, the
-    splitmix64 family — see _portable_sig_arrow with_fp) packed 8-per-long
-    as 1-byte fingerprints (slot & 255), one COLUMN per packed long.
-    Columns, not an array, deliberately: the match count over separate
-    columns is a flat expression inside whole-stage codegen, while the
-    array form needs zip_with + aggregate — higher-order functions Spark
-    evaluates INTERPRETED, which the big-doc rehearsal measured 2.1x
-    slower end-to-end than the array join the prune was meant to skip.
-    Slot equality implies byte equality, so byte-agreement COUNTS can only
-    over-estimate slot agreement (collision prob 1/256 per differing slot)
-    — the safe direction for a prune that must never drop beyond its
-    margin. One narrow projection over the persisted sig frame."""
-    nb = num_slots // 8
-    # shiftleft + |, NOT * and +: byte 7 shifted into the sign-bit region
-    # overflows signed-long arithmetic under ANSI mode, while bit ops are
-    # well-defined on the raw 64-bit pattern. Generated selectExpr strings:
-    # one py4j roundtrip for all nb packed columns (see ops/sqlwide.py).
-    packed = [
-        "("
-        + " | ".join(f"shiftleft({prefix}{8 * j + k} & 255, {8 * k})" for k in range(8))
-        + f") AS fp{j}"
-        for j in range(nb)
-    ]
-    return sig.selectExpr("id", *packed)
+def _fp_match_count_arrow() -> "F.Column":
+    """Vectorized count of agreeing packed-fingerprint BYTES between two
+    array<long> fingerprint columns (see _portable_sig_arrow with_fp): XOR
+    the 32-long vectors, count zero bytes — 256 byte comparisons per pair
+    as three numpy ops over the whole Arrow batch.
 
+    Why a pandas UDF and not JVM expressions (round 10): the flat
+    2048-term CASE chain over 64 scalar columns this replaces spent ~3 s
+    in Janino codegen compile on first execution and ~1 s per 16k rows in
+    interpreted evaluation after (measured at sf0.1); the higher-order
+    zip_with/aggregate array form is interpreted too (2.1x slower
+    end-to-end, big-doc rehearsal). Arrow ships 2x32 longs per candidate
+    (exactly what the scalar columns shipped) and numpy does the byte
+    compare at memory bandwidth. Byte-zero count is order-independent, so
+    the little-endian view equals the JVM shiftrightunsigned byte walk
+    bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-def _fp_match_count(nb: int, a_prefix: str = "fpa", b_prefix: str = "fpb") -> "F.Column":
-    """Number of agreeing packed fingerprint bytes across ``nb`` long-column
-    pairs ({a_prefix}{j}, {b_prefix}{j}): XOR each pair, count zero bytes.
-    A flat 8*nb-term expression — stays in whole-stage codegen (no
-    higher-order functions; see _sig_fingerprints)."""
-    terms = [
-        "CASE WHEN (shiftrightunsigned({a}{j} ^ {b}{j}, {s}) & 255) = 0 THEN 1 ELSE 0 END".format(
-            a=a_prefix, b=b_prefix, j=j, s=8 * k
-        )
-        for j in range(nb)
-        for k in range(8)
-    ]
-    # one F.expr over the generated 8*nb-term sum instead of ~1000 py4j
-    # calls; parses to the same CASE WHEN chain
-    return F.expr(" + ".join(terms))
+    def _match(a: "pd.Series", b: "pd.Series") -> "pd.Series":
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        xa = np.stack(a.to_numpy()).astype(np.int64, copy=False)
+        xb = np.stack(b.to_numpy()).astype(np.int64, copy=False)
+        x = (xa ^ xb).view(np.uint8)  # (n, 32) longs -> (n, 256) bytes
+        return pd.Series((x == 0).sum(axis=1).astype(np.int64))
+
+    _match.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf(_match, "long")
 
 
 def minhash_portable_pairs(
@@ -2019,18 +2040,21 @@ def minhash_portable_pairs(
     )
     if with_fp:
         # prune on the splitmix-fingerprint jaccard estimate; only the
-        # sliver near/over the threshold pays the hashed-array join
+        # sliver near/over the threshold pays the hashed-array join. The
+        # fingerprints ride ONE array<long> column per side and the match
+        # count is an Arrow/numpy pass (see _fp_match_count_arrow); the
+        # __est projection is pruned away after the filter, so the UDF
+        # evaluates once, under the filter only.
         margin = 0.15 if estimate_margin is None else float(estimate_margin)
-        nb = _EST_SLOTS // 8
-        fp = _sig_fingerprints(sig)
-        fpa = fp.selectExpr("id AS id_a", *[f"fp{j} AS fpa{j}" for j in range(nb)])
-        fpb = fp.selectExpr("id AS id_b", *[f"fp{j} AS fpb{j}" for j in range(nb)])
+        fp = sig.select("id", "fparr")
+        match = _fp_match_count_arrow()
         cand = (
-            cand.join(fpa, "id_a")
-            .join(fpb, "id_b")
+            cand.join(fp.select(F.col("id").alias("id_a"), F.col("fparr").alias("__fpa")), "id_a")
+            .join(fp.select(F.col("id").alias("id_b"), F.col("fparr").alias("__fpb")), "id_b")
             .withColumn(
                 "__est",
-                _fp_match_count(nb).cast("double") / F.lit(float(_EST_SLOTS)),
+                match(F.col("__fpa"), F.col("__fpb")).cast("double")
+                / F.lit(float(_EST_SLOTS)),
             )
             .filter(F.col("__est") >= F.lit(float(threshold - margin)))
         )
