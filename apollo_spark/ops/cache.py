@@ -12,9 +12,41 @@ test do exactly that)."""
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
 _ATTR = "_apollo_scoped_caches"
+
+
+@contextmanager
+def coalesce_tiny_state(spark):
+    """Scope AQE's partition coalescing to BYTES, not parallelism, for
+    iterative tiny-state loops (BPE word table, classifier deltas, graph
+    rank state): ``coalescePartitions.parallelismFirst=false`` makes each
+    per-round shuffle collapse to ceil(bytes / advisoryPartitionSize)
+    partitions — 1 task for KB-scale state — instead of being held open at
+    the session's default parallelism (Spark's own docs recommend false in
+    production; the default true exists to demo parallelism on toy data).
+    Scoped, not session-wide: compute-dense stages with small shuffle
+    BYTES but heavy per-row work (candidate joins, banding) keep the
+    parallelism-first default. Scale-adaptive by construction — the width
+    follows the state's actual bytes at any scale and any core count.
+    Restores the previous value on exit (runtime-settable conf; works on
+    the driver's plain session too)."""
+    key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def scoped_persist(out: DataFrame, *intermediates: DataFrame) -> DataFrame:

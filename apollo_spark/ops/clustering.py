@@ -674,10 +674,12 @@ def kcenter_select(
     scan — the ≤k selected vectors ride a broadcast, each candidate computes its
     min distance map-side (no shuffle on the data side beyond the 1-row
     argmax reduce), and only a single (id, dist) row is ever collected.
-    Total cross-term work is O(k^2 · N · d) JVM-side (round i compares N
-    candidates to i centers; self-norms are precomputed per row, not per
-    pair) with flat lineage (each round reads the source, not the prior
-    round's plan) — fine for the small k a coreset seed uses.
+    The (id, vector, self-norm) frame is cast and persisted ONCE — every
+    round (and the center lookup inside it) reads the cache, so the source
+    is scanned once for all k rounds and no dot product is ever recomputed;
+    cross-term work is O(k^2 · N · d) JVM-side with flat lineage (each
+    round's plan starts at the cached frame, not the prior round's plan) —
+    fine for the small k a coreset seed uses.
 
     Determinism: d2 = <y,y> - 2<y,c> + <c,c> with every dot a sequential
     left-to-right double fold — the exact expression an unrolled SQL oracle
@@ -689,45 +691,52 @@ def kcenter_select(
         F.col(id_col).alias("__id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("__v"),
     )
-    seed = ev.select(F.min("__id").alias("m")).first()["m"]
-    if seed is None:  # empty input: nothing to select (explicit, not TypeError)
-        return []
-    selected: list[tuple[int, int, float]] = [(0, int(seed), 0.0)]
-    for it in range(1, k):
-        ids = [vid for _, vid, _ in selected]
-        row = _kcenter_round(ev, ids).first()
-        if row is None:  # fewer distinct points than k
-            break
-        selected.append((it, int(row["__id"]), float(row["mind"])))
-    return selected
+    # self-norms once for ALL rounds (candidates and centers alike read the
+    # same cached column — _kcenter_round's d2 and __cn2 both come from it)
+    ev = ev.withColumn("__n2", _dot(F.col("__v"), F.col("__v"))).persist()
+    try:
+        seed = ev.select(F.min("__id").alias("m")).first()["m"]
+        if seed is None:  # empty input: nothing to select (explicit, not TypeError)
+            return []
+        selected: list[tuple[int, int, float]] = [(0, int(seed), 0.0)]
+        for it in range(1, k):
+            ids = [vid for _, vid, _ in selected]
+            row = _kcenter_round(ev, ids).first()
+            if row is None:  # fewer distinct points than k
+                break
+            selected.append((it, int(row["__id"]), float(row["mind"])))
+        return selected
+    finally:
+        ev.unpersist()
+
+
+def _dot(a, b):  # sequential fold — SQL-replayable bit-for-bit
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
 def _kcenter_round(ev: DataFrame, ids: list[int]) -> DataFrame:
     """One greedy k-center round: the 1-row (id, min-dist) argmax of
-    ``ev`` = (__id, __v double[]) against the ≤k selected centers. The
-    center side rides a BroadcastNestedLoopJoin (it IS tiny by contract);
-    the data side is scanned once with a map-side-combinable min.
+    ``ev`` = (__id, __v double[], __n2) against the ≤k selected centers.
+    The center side rides a BroadcastNestedLoopJoin (it IS tiny by
+    contract); the data side is one pass over the caller's cached frame
+    with a map-side-combinable min.
 
-    Squared norms are precomputed ONCE per row on each side before the
-    cross join — d2 = <y,y> - 2<y,c> + <c,c> evaluates the same sequential
-    folds the SQL oracle replays, so the values are bit-identical, but only
-    the cross term is a per-(candidate, center) fold (the naive per-pair
-    form tripled the array work on the hot scan)."""
-
-    def dot(a, b):  # sequential fold — SQL-replayable bit-for-bit
-        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
-
+    Squared norms ride in from the caller's persisted ``__n2`` column on
+    BOTH sides (center norms are the same cached values, just aliased) —
+    d2 = <y,y> - 2<y,c> + <c,c> evaluates the same sequential folds the
+    SQL oracle replays, so the values are bit-identical, but only the
+    cross term is a per-(candidate, center) fold (the naive per-pair form
+    tripled the array work on the hot scan)."""
     cent = ev.filter(F.col("__id").isin(ids)).select(
-        F.col("__v").alias("__cv"), dot(F.col("__v"), F.col("__v")).alias("__cn2")
+        F.col("__v").alias("__cv"), F.col("__n2").alias("__cn2")
     )
     d2 = (
         F.col("__n2")
-        - F.lit(2.0) * dot(F.col("__v"), F.col("__cv"))
+        - F.lit(2.0) * _dot(F.col("__v"), F.col("__cv"))
         + F.col("__cn2")
     )
     return (
         ev.filter(~F.col("__id").isin(ids))
-        .withColumn("__n2", dot(F.col("__v"), F.col("__v")))
         .crossJoin(F.broadcast(cent))
         .groupBy("__id")
         .agg(F.min(d2).alias("mind"))

@@ -51,11 +51,18 @@ def pagerank(
     land EXACTLY on .5 boundaries where Spark's HALF_UP double->decimal cast
     and DuckDB's disagree; floor on a deterministic double never does.
 
-    Scale notes: node count and dangling mass are 1-row aggregates
-    (crossJoined scalars, no driver actions); contributions combine map-side
-    before the shuffle on dst; ranks are checkpointed eagerly per iteration
-    to truncate lineage. Mirrors the reference's absence — apollo has no
-    iterative tier at all (SURVEY §2.7 gap family).
+    Scale notes: |V| is the one bounded driver scalar (a single long — it
+    sizes the iteration shuffle width from the DATA, ~10k nodes/partition
+    capped at the cluster's default parallelism, instead of inheriting a
+    CPU-count constant for 100-row state); dangling mass stays a 1-row
+    crossJoined aggregate; contributions combine map-side before the
+    shuffle on dst; ranks are checkpointed eagerly per iteration to
+    truncate lineage. Each iteration is ONE shuffle (contribs ∪ zero-state
+    grouped by node) — the per-iteration left-join back onto the node table
+    was replaced by a union with a zero-rank frame carrying the node set
+    and its dangling flags, which the same groupBy folds in. Mirrors the
+    reference's absence — apollo has no iterative tier at all (SURVEY §2.7
+    gap family).
     """
     from decimal import Decimal
 
@@ -63,6 +70,7 @@ def pagerank(
     # (1-d) on the micro-lattice, computed in decimal space: for d=0.85 this
     # is exactly 150000 — Python's (1.0-0.85)*1e6 would be 150000.00000000003
     base_u = float(int((Decimal(1) - Decimal(str(damping))) * scale))
+    spark = edges.sparkSession
     w = (F.col(weight) if weight else F.lit(1)).cast("double")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
     nodes = (
@@ -71,10 +79,16 @@ def pagerank(
         .distinct()
         .persist()
     )
-    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # bounded driver scalar: |V| (one long), documented per repo convention.
+    # Replaces the per-iteration crossJoin(broadcast(count)) AND derives the
+    # iteration partition width from the graph instead of the core count.
+    n_nodes = nodes.count()
+    cap = spark.sparkContext.defaultParallelism
+    parts = max(1, min(cap, (n_nodes + 9999) // 10000))
+    nn = F.lit(n_nodes).cast("long")
     # integral edge weights sum exactly in double; wout is an exact integer
     outw = e.groupBy("src").agg(F.sum("w").alias("wout"))
-    ed = e.join(outw, "src").persist()
+    ed = e.join(outw, "src").repartition(parts, F.col("src")).persist()
     # dangling membership is a property of the GRAPH, not the iteration:
     # compute the flag once and carry it through the rank state, so the
     # per-iteration dangling mass is a conditional aggregate over `ranks`
@@ -85,36 +99,47 @@ def pagerank(
     nodes_n = (
         nodes.join(has_out, "node", "left")
         .withColumn("__has_out", F.coalesce("__has_out", F.lit(False)))
-        .crossJoin(F.broadcast(nn))
+        .repartition(parts, F.col("node"))
         .persist()
     )
+    # zero-contribution frame: one row per node with its dangling flag —
+    # unioned under every iteration's groupBy so absent-inlink nodes
+    # surface with iu=0 and every node's flag rides along (max ignores the
+    # NULL flags on contribution rows)
+    zero = nodes_n.select("node", "__has_out", F.lit(None).cast("long").alias("cu"))
     # initial rank 1/N in micro-units
     ranks = nodes_n.select(
-        "node", "__has_out", F.floor(F.lit(float(scale)) / F.col("n") + F.lit(0.5)).alias("ru")
+        "node", "__has_out", F.floor(F.lit(float(scale)) / nn + F.lit(0.5)).alias("ru")
     )
     for _ in range(iterations):
         contribs = ed.join(ranks, ed["src"] == ranks["node"]).select(
             F.col("dst").alias("node"),
+            F.lit(None).cast("boolean").alias("__has_out"),
             # ru*w is an exact integer product (< 2^53); /wout is one IEEE
             # division; floor(x+0.5) rounds identically in any engine
             F.floor(F.col("ru") * F.col("w") / F.col("wout") + F.lit(0.5)).alias("cu"),
         )
-        insum = contribs.groupBy("node").agg(F.sum("cu").alias("iu"))  # exact long sum
         dang = ranks.agg(
             F.coalesce(F.sum(F.when(~F.col("__has_out"), F.col("ru"))), F.lit(0)).alias("du")
         )
         ranks = (
-            nodes_n.join(insum, "node", "left")
+            contribs.unionByName(zero)
+            .repartition(parts, F.col("node"))
+            .groupBy("node")
+            .agg(
+                F.coalesce(F.sum("cu"), F.lit(0)).alias("iu"),  # exact long sum
+                F.max("__has_out").alias("__has_out"),
+            )
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 "__has_out",
                 F.floor(
-                    F.lit(base_u) / F.col("n")
+                    F.lit(base_u) / nn
                     + F.lit(damping)
                     * (
-                        F.coalesce("iu", F.lit(0)).cast("double")
-                        + F.col("du").cast("double") / F.col("n")
+                        F.col("iu").cast("double")
+                        + F.col("du").cast("double") / nn
                     )
                     + F.lit(0.5)
                 ).alias("ru"),

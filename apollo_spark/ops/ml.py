@@ -14,11 +14,15 @@ a DuckDB oracle can replay it by unrolled SQL — the same lattice discipline
 as ops/clustering.py (k-means) and ops/graph.py (PageRank). No floats, no
 learning-rate tuning, no RNG.
 
-Shape per round (N docs, B buckets): margins = long features (N*avg_nnz
-rows) joined to a BROADCAST weight table (B+1 rows) -> groupBy doc (map-side
-combinable); update = features of misclassified docs -> groupBy bucket (<=
-B+1 rows out). Two bounded shuffles per round; weights are
-localCheckpoint'ed so lineage stays flat across rounds.
+Shape (N docs, B buckets): the binary trainers fold the features into a
+per-doc array form ONCE (one shuffle total) and hold the O(B) weight
+vector on the driver between rounds, inlined per round as one array
+literal — each round is a single job whose only shuffle output is <= B+1
+delta rows (margins are exact integer array folds, updates combine
+map-side). The multiclass trainer keeps the relational per-round shape:
+features joined to a BROADCAST (K*(B+1))-row weight table -> groupBy doc,
+update -> groupBy bucket, weights localCheckpoint'ed so lineage stays
+flat across rounds.
 """
 
 from __future__ import annotations
@@ -70,35 +74,53 @@ def perceptron_train(
     ``labels`` must be ``(id_col, y)`` with y in {+1, -1}. A doc is
     misclassified when ``y * (w·x) <= 0`` (zero counts as wrong, so round 1
     from the zero vector updates on every doc — the standard convention).
-    All arithmetic BIGINT; see module docstring for the per-round shuffle
-    shape."""
-    # every round reads fx twice (margins + delta) and the feature build
-    # upstream is an explode+groupBy — persist so 3 rounds cost 1 upstream
-    # pass, not 6
-    fx = feats.join(labels, id_col).persist()  # (id, b, n, y)
-    w = fx.select("b").distinct().withColumn("weight", F.lit(0).cast("long"))
+    All arithmetic BIGINT, so the trajectory is bit-identical to the
+    per-round broadcast-join formulation the DuckDB oracle unrolls.
+
+    Shape: ONE shuffle total builds the per-doc array form ``(id, y, bs,
+    ns)`` (persisted); the weight vector is MODEL STATE, O(buckets) by the
+    hashing-trick contract, so it lives on the driver between rounds — the
+    same bounded sync point as the BPE merge argmax and the k-center
+    farthest pick. Each round is a single job: a narrow scan of the
+    persisted arrays with the weights inlined as one array literal (margin
+    = an exact integer array fold), misclassified docs exploded and
+    combined map-side into <= buckets+1 delta rows collected to the
+    driver. No per-round broadcast build, no per-round checkpoint, no
+    lineage growth — iteration cost is flat in rounds."""
+    spark = feats.sparkSession
+    fx = feats.join(labels, id_col)
+    fxd = (
+        fx.groupBy(id_col, "y")
+        .agg(F.collect_list("b").alias("bs"), F.collect_list("n").alias("ns"))
+        .persist()
+    )
+    # bounded driver list: <= buckets+1 ints by the hashing-trick contract
+    appearing = sorted(
+        r["b"] for r in fxd.select(F.explode("bs").alias("b")).distinct().collect()
+    )
+    if not appearing:
+        fxd.unpersist()
+        return spark.createDataFrame([], "b int, weight long")
+    size = appearing[-1] + 1
+    w = {b: 0 for b in appearing}
     for _ in range(iters):
-        margins = (
-            fx.join(F.broadcast(w), "b")
-            .groupBy(id_col, "y")
-            .agg(F.sum(F.col("n") * F.col("weight")).alias("__wx"))
-            .withColumn("__margin", F.col("y") * F.col("__wx"))
+        wlit = F.lit([w.get(i, 0) for i in range(size)]).cast("array<long>")
+        z = F.aggregate(
+            F.zip_with("bs", "ns", lambda b, n: n * F.element_at(wlit, b + F.lit(1))),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
         )
-        wrong = margins.filter(F.col("__margin") <= 0).select(id_col)
         delta = (
-            fx.join(wrong, id_col)
-            .groupBy("b")
-            .agg(F.sum(F.col("y") * F.col("n")).alias("__dw"))
+            fxd.filter(F.col("y") * z <= 0)
+            .select("y", F.explode(F.arrays_zip("bs", "ns")).alias("p"))
+            .groupBy(F.col("p.bs").alias("b"))
+            .agg(F.sum(F.col("y") * F.col("p.ns")).alias("__dw"))
+            .collect()
         )
-        w = (
-            w.join(delta, "b", "left")
-            .select("b", (F.col("weight") + F.coalesce("__dw", F.lit(0))).alias("weight"))
-            .localCheckpoint(eager=True)  # flat lineage across rounds
-        )
-    if iters > 0:
-        fx.unpersist()  # w is checkpoint-materialized; fx is unreachable from it
-        return w
-    return scoped_persist(w, fx)
+        for r in delta:
+            w[r["b"]] += r["__dw"]
+    fxd.unpersist()
+    return spark.createDataFrame([(b, w[b]) for b in appearing], "b int, weight long")
 
 
 def classifier_margins(
@@ -166,50 +188,56 @@ def logreg_train_hardsigmoid(
     gradient g_b = sum_docs(e * n) / 4S; update in micro-units
     dw = -g_b * S / lr_inv = -floor_div(sum(e * n), 4 * lr_inv).
 
-    Per-round shuffle shape matches the perceptron: margins ride a
-    BROADCAST weight join + map-side-combinable groupBy(doc); the gradient
-    is one groupBy(bucket) with <= B+1 rows out; weights localCheckpoint so
-    lineage stays flat. Overflow headroom: sum(e*n) <= 4e6 * tokens-per-
-    bucket — switch the gradient sum to DECIMAL(38,0) past ~1e11 tokens
-    per bucket."""
+    Shape matches :func:`perceptron_train`'s array-fold fast path: ONE
+    shuffle builds the persisted per-doc array form ``(id, y01, bs, ns)``;
+    weights are driver-held model state (O(buckets) by contract) inlined
+    per round as one array literal, so each round is a single job — margin
+    and residual as exact integer folds over the arrays, gradient exploded
+    and combined map-side into <= B+1 rows collected to the driver, the
+    floor_div update applied in Python (``a - pmod(a, g)`` then truncating
+    division IS ``a // g`` on ints, so the trajectory replays bit-for-bit
+    in the unrolled SQL oracle). Overflow headroom: sum(e*n) <= 4e6 *
+    tokens-per-bucket — switch the gradient sum to DECIMAL(38,0) past
+    ~1e11 tokens per bucket."""
     S = LOGREG_SCALE
-    # persist: each round reads fx twice and the feature build upstream is
-    # an explode+groupBy (same reuse argument as perceptron_train)
-    fx = feats.join(labels, id_col).persist()  # (id, b, n, y01)
-    w = fx.select("b").distinct().withColumn("weight", F.lit(0).cast("long"))
+    g = 4 * lr_inv
+    spark = feats.sparkSession
+    fx = feats.join(labels, id_col)
+    fxd = (
+        fx.groupBy(id_col, "y01")
+        .agg(F.collect_list("b").alias("bs"), F.collect_list("n").alias("ns"))
+        .persist()
+    )
+    # bounded driver list: <= buckets+1 ints by the hashing-trick contract
+    appearing = sorted(
+        r["b"] for r in fxd.select(F.explode("bs").alias("b")).distinct().collect()
+    )
+    if not appearing:
+        fxd.unpersist()
+        return spark.createDataFrame([], "b int, weight long")
+    size = appearing[-1] + 1
+    w = {b: 0 for b in appearing}
     for _ in range(iters):
-        resid = (
-            fx.join(F.broadcast(w), "b")
-            .groupBy(id_col, "y01")
-            .agg(F.sum(F.col("n") * F.col("weight")).alias("__z"))
-            .select(
-                id_col,
-                (
-                    F.least(F.greatest(F.col("__z") + 2 * S, F.lit(0).cast("long")), F.lit(4 * S).cast("long"))
-                    - 4 * S * F.col("y01")
-                ).alias("__e"),
-            )
+        wlit = F.lit([w.get(i, 0) for i in range(size)]).cast("array<long>")
+        z = F.aggregate(
+            F.zip_with("bs", "ns", lambda b, n: n * F.element_at(wlit, b + F.lit(1))),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        e = (
+            F.least(F.greatest(z + F.lit(2 * S).cast("long"), F.lit(0).cast("long")), F.lit(4 * S).cast("long"))
+            - F.lit(4 * S).cast("long") * F.col("y01")
         )
         grad = (
-            fx.join(resid, id_col)
-            .groupBy("b")
-            .agg(F.sum(F.col("__e") * F.col("n")).alias("__gn"))
+            fxd.select(e.alias("__e"), F.explode(F.arrays_zip("bs", "ns")).alias("p"))
+            .groupBy(F.col("p.bs").alias("b"))
+            .agg(F.sum(F.col("__e") * F.col("p.ns")).alias("__gn"))
+            .collect()
         )
-        w = (
-            w.join(grad, "b", "left")
-            .select(
-                "b",
-                (
-                    F.col("weight")
-                    - floor_div(F.coalesce(F.col("__gn"), F.lit(0).cast("long")), 4 * lr_inv)
-                ).cast("long").alias("weight"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    if iters > 0:
-        fx.unpersist()  # w is checkpoint-materialized; fx is unreachable from it
-        return w
-    return scoped_persist(w, fx)
+        gm = {r["b"]: r["__gn"] for r in grad}
+        w = {b: w[b] - (gm.get(b, 0) // g) for b in appearing}
+    fxd.unpersist()
+    return spark.createDataFrame([(b, w[b]) for b in appearing], "b int, weight long")
 
 
 # --------------------------------------------------------------------------

@@ -720,6 +720,8 @@ def bpe_learn_merges(
     merges, batch rules per round (top-k non-conflicting) — not needed for
     the gate sizes here.
     """
+    from apollo_spark.ops.cache import coalesce_tiny_state
+
     spark = df.sparkSession
 
     toks = F.explode(words(F.col(text_col))).alias("w")
@@ -738,34 +740,39 @@ def bpe_learn_merges(
     )
     rules: list[tuple[int, str, str, int]] = []
     cur, prev = wf, None
-    for rank in range(1, n_merges + 1):
-        arr = F.split(F.trim("s"), "  ")
-        m = F.greatest(F.size(arr) - 1, F.lit(0))
-        zipped = F.slice(
-            F.arrays_zip(F.slice(arr, 1, m).alias("l"), F.slice(arr, 2, m).alias("r")), 1, m
-        )
-        pairs = cur.select("n", F.explode(zipped).alias("p")).select(
-            F.col("p")["l"].alias("l"), F.col("p")["r"].alias("r"), "n"
-        )
-        best = (
-            pairs.groupBy("l", "r")
-            .agg(F.sum("n").alias("c"))
-            .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
-            .limit(1)
-            .first()
-        )
-        # the argmax action above materialized `cur`'s cache (its first use)
-        # — only NOW is the previous round's table safe to drop; unpersisting
-        # it before this action would force every round to rebuild the whole
-        # replace chain from wf (O(n_merges^2) recomputation)
-        if prev is not None and prev is not wf:
-            prev.unpersist()
-        if best is None or best["c"] is None:
-            break
-        l, r, c = best["l"], best["r"], int(best["c"])
-        rules.append((rank, l, r, c))
-        pat, rep = F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
-        cur, prev = cur.select(F.replace(F.col("s"), pat, rep).alias("s"), "n").persist(), cur
+    # word-table rounds are tiny-state iterations: coalesce each round's
+    # pair-count shuffle by BYTES (1 task for a KB-scale vocabulary, grows
+    # with the vocab at scale), not the session's default parallelism
+    with coalesce_tiny_state(spark):
+        for rank in range(1, n_merges + 1):
+            arr = F.split(F.trim("s"), "  ")
+            m = F.greatest(F.size(arr) - 1, F.lit(0))
+            zipped = F.slice(
+                F.arrays_zip(F.slice(arr, 1, m).alias("l"), F.slice(arr, 2, m).alias("r")), 1, m
+            )
+            pairs = cur.select("n", F.explode(zipped).alias("p")).select(
+                F.col("p")["l"].alias("l"), F.col("p")["r"].alias("r"), "n"
+            )
+            best = (
+                pairs.groupBy("l", "r")
+                .agg(F.sum("n").alias("c"))
+                .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+                .limit(1)
+                .first()
+            )
+            # the argmax action above materialized `cur`'s cache (its first
+            # use) — only NOW is the previous round's table safe to drop;
+            # unpersisting it before this action would force every round to
+            # rebuild the whole replace chain from wf (O(n_merges^2)
+            # recomputation)
+            if prev is not None and prev is not wf:
+                prev.unpersist()
+            if best is None or best["c"] is None:
+                break
+            l, r, c = best["l"], best["r"], int(best["c"])
+            rules.append((rank, l, r, c))
+            pat, rep = F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
+            cur, prev = cur.select(F.replace(F.col("s"), pat, rep).alias("s"), "n").persist(), cur
     if cur is not wf:
         cur.unpersist()
     if prev is not None and prev is not wf and prev is not cur:

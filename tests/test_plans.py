@@ -563,7 +563,7 @@ def test_kcenter_round_broadcasts_centers_no_shuffle_before_agg(spark):
     """Each greedy k-center round must broadcast the ≤k selected centers
     against the corpus scan (BroadcastNestedLoopJoin) — a shuffle-based
     cross join would move the DATA side every round."""
-    from apollo_spark.ops.clustering import _kcenter_round
+    from apollo_spark.ops.clustering import _dot, _kcenter_round
     from pyspark.sql import functions as F
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
@@ -571,6 +571,8 @@ def test_kcenter_round_broadcasts_centers_no_shuffle_before_agg(spark):
         F.col("vec_id").alias("__id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("__v"),
     )
+    # kcenter_select's contract: self-norms ride in on the cached frame
+    ev = ev.withColumn("__n2", _dot(F.col("__v"), F.col("__v")))
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         _kcenter_round(ev, [0, 2, 5]).explain("formatted")
