@@ -575,6 +575,16 @@ def ngram_jaccard_pairs(
     else:
         hot = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > max_df)
         idx = ex.join(F.broadcast(hot.select("s")), "s", "left_anti")
+    # CAPPED paths: the pruned inverted index feeds both self-join branches
+    # AND the per-doc kept-count — persist so the explode + df-count +
+    # anti-join chain runs once, not three times (guide §5; the capped
+    # before-plan carried 159 Exchange nodes of exactly this duplication).
+    # The LOSSLESS config (idx is ex) deliberately stays unpersisted: its
+    # only two readers are the self-join branches, and re-running the
+    # explode off the persisted base fuses into each branch's codegen
+    # cheaper than a cache materialization barrier (A/B-measured).
+    if idx is not ex:
+        idx = idx.persist()
     inter = (
         idx.alias("a")
         .join(
@@ -598,12 +608,15 @@ def ngram_jaccard_pairs(
         # intersection, so jaccard falls out of counts alone
         j = inter.withColumn("jaccard", _jac(F.col("inter")))
         return scoped_persist(
-            j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard"), base
+            j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard"), base, idx
         )
     # capped: bound the hot-shingle undercount per pair. hot_d = full size -
     # rows surviving the prune; true I is in [inter, inter + min(hot_a, hot_b)].
     kept = idx.groupBy("id").agg(F.count(F.lit(1)).alias("n_kept"))
-    hot_of = ex.select("id", "n").dropDuplicates(["id"]).join(kept, "id", "left").select(
+    # (id, n) per doc straight off the cached base — the old
+    # ex.dropDuplicates(["id"]) re-ran the shingle explode over the corpus
+    # and shuffled one row per POSTING just to recover one row per doc
+    hot_of = base.select("id", F.size("sh").alias("n")).join(kept, "id", "left").select(
         "id", (F.col("n") - F.coalesce("n_kept", F.lit(0))).alias("n_hot")
     )
     bounded = (
@@ -656,7 +669,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("id") != F.col("id_a"))
         .select("id_a", F.col("id").alias("id_b"), F.lit(1.0).alias("jaccard"))
     )
-    return scoped_persist(tight.unionByName(rescored).unionByName(exact_pairs), base)
+    return scoped_persist(tight.unionByName(rescored).unionByName(exact_pairs), base, idx)
 
 
 def tfidf_cosine_pairs(

@@ -195,7 +195,11 @@ def _oriented_wedges(edges: DataFrame, src: str, dst: str):
     broadcasts small build sides at runtime. Returns (canon, deg, wedges,
     closing); wedge rows carry (u, v, x) with (v, x) ordered by the same
     (degree, id) key the closing edges use, so each triangle closes exactly
-    once."""
+    once. The oriented edge list is persisted alongside canon: THREE
+    consumers read it (both wedge self-join branches and the closing-edge
+    frame), and without the cache each re-runs the canon->degree->orient
+    join chain — the before-plan of copurchase_triangles carried 139
+    Exchange nodes from exactly that duplication (round-10 measurement)."""
     # persist is MEMORY_AND_DISK and LRU-evictable — a long session running
     # many graph queries sheds these blocks under pressure; callers needing a
     # hard release can spark.catalog.clearCache()
@@ -211,7 +215,7 @@ def _oriented_wedges(edges: DataFrame, src: str, dst: str):
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
         F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_w"),
-    )
+    ).persist()
     o1 = oriented.select(F.col("u"), F.col("w").alias("v"), F.col("deg_w").alias("deg_v"))
     o2 = oriented.select(F.col("u"), F.col("w").alias("x"), F.col("deg_w").alias("deg_x"))
     wedges = o1.join(o2, "u").filter(
@@ -219,7 +223,7 @@ def _oriented_wedges(edges: DataFrame, src: str, dst: str):
         | ((F.col("deg_v") == F.col("deg_x")) & (F.col("v") < F.col("x")))
     )
     closing = oriented.select(F.col("u").alias("v"), F.col("w").alias("x"))
-    return canon, deg, wedges, closing
+    return canon, deg, wedges, closing, oriented
 
 
 def triangle_count(
@@ -231,13 +235,15 @@ def triangle_count(
     node-iterator++ / Latapy algorithm; see _oriented_wedges for the scale
     argument). Input edges may be directed/duplicated/self-looped. Returns a
     1-row frame: n_nodes, n_edges, max_degree, n_triangles (exact BIGINTs)."""
-    canon, deg, wedges, closing = _oriented_wedges(edges, src, dst)
+    canon, deg, wedges, closing, ori = _oriented_wedges(edges, src, dst)
     tri = wedges.join(closing, ["v", "x"]).agg(F.count(F.lit(1)).alias("n_triangles"))
     summary = canon.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
         deg.agg(F.count(F.lit(1)).alias("n_nodes"), F.max("deg").alias("max_degree"))
     )
     return scoped_persist(
-        summary.crossJoin(tri).select("n_nodes", "n_edges", "max_degree", "n_triangles"), canon
+        summary.crossJoin(tri).select("n_nodes", "n_edges", "max_degree", "n_triangles"),
+        canon,
+        ori,
     )
 
 
@@ -251,7 +257,7 @@ def local_clustering(
     degree<2 nodes. Same oriented wedges as triangle_count; each closed
     triangle (u,v,x) explodes back to its three member nodes for the
     per-node census. Returns (node, deg, n_tri, coeff)."""
-    canon, deg, wedges, closing = _oriented_wedges(edges, src, dst)
+    canon, deg, wedges, closing, ori = _oriented_wedges(edges, src, dst)
     tri_nodes = (
         wedges.join(closing, ["v", "x"])
         .select(F.explode(F.array("u", "v", "x")).alias("node"))
@@ -269,6 +275,7 @@ def local_clustering(
         .withColumn("n_tri", F.coalesce("n_tri", F.lit(0)))
         .select("node", "deg", "n_tri", coeff.alias("coeff")),
         canon,
+        ori,
     )
 
 

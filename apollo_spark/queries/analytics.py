@@ -133,19 +133,24 @@ def cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apollo_spark.ops.sketch import cms_counts, cms_estimate
 
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    # four consumers read the tokenization (sketch build, candidate
+    # distinct, exact truth, total count) — persist so the regex
+    # normalize+split+explode pass over the corpus runs once, not four
+    # times (guide §5: caching when reuse is real)
     toks = d.select(
         F.explode(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")).alias("token")
-    )
+    ).persist()
     counts = cms_counts(toks, "token", depth=4, width=1024)
     est = cms_estimate(counts, toks.distinct(), "token", depth=4, width=1024)
     truth = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
     total = toks.agg(F.count(F.lit(1)).alias("__n"))
-    return (
+    return scoped_persist(
         est.join(truth, "token")
         .crossJoin(total)
         .filter(F.col("cms_count") * 200 >= F.col("__n"))
         .select("token", "cms_count", "true_count")
-        .orderBy("token")
+        .orderBy("token"),
+        toks,
     )
 
 
