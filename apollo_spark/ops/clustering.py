@@ -143,6 +143,78 @@ def lattice_assign_arrow(
     )
 
 
+def _lattice_update_arrow(
+    emb: DataFrame,
+    clusters: np.ndarray,
+    cent_matrix: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+    offset: float = 8.0,
+) -> DataFrame:
+    """One FUSED Lloyd round: assign each vector to its argmin centroid
+    (byte-identical integer arithmetic to :func:`lattice_assign_arrow`)
+    and emit per-(cluster, d) PARTIAL SUMS — at most K*D rows per Arrow
+    batch — instead of N assignment rows. The caller groupBy-sums the
+    partials and takes the integer mean, so the N*D lattice join + N-row
+    shuffle + per-round checkpoint of the unfused update disappear: the
+    only shuffle is batches x K*D map-side-combinable partial rows, tiny
+    at any corpus size (guide §2.3, aggregate before you shuffle).
+
+    Exactness: X and the argmin are the proven lattice_assign_arrow
+    arithmetic; per-cluster coordinate sums are int64 adds (associative,
+    exact — |sum per batch| <= 10^4 rows * 3.4e7 < 2^63), and Spark's
+    long SUM of the partials is the same integers in a different order."""
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast((clusters, cent_matrix))
+
+    def run(batches):
+        cl, C = bc.value
+        cc = np.einsum("kd,kd->k", C, C)
+        K, d = C.shape
+        dcol = np.arange(d, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = pdf[vec_col]
+            lens = vecs.map(lambda v: 0 if v is None else len(v)).to_numpy(dtype=np.int64)
+            ragged = (lens != 0) & (lens != d)
+            if ragged.any():
+                bad = pdf[id_col].to_numpy()[ragged][:5].tolist()
+                raise ValueError(
+                    f"_lattice_update_arrow: {vec_col} must be length {d}; "
+                    f"ragged vectors for {id_col} in {bad}"
+                )
+            ok = lens == d
+            if not ok.all():
+                pdf = pdf[ok]
+                if pdf.empty:
+                    continue
+                vecs = pdf[vec_col]
+            M = np.stack(vecs.to_numpy()).astype(np.float64)
+            X = np.floor((M + offset) * scale).astype(np.int64)
+            xx = np.einsum("bd,bd->b", X, X)
+            g = X @ C.T
+            dist = xx[:, None] + cc[None, :] - 2 * g
+            j = np.argmin(dist, axis=1)
+            S = np.zeros((K, d), dtype=np.int64)
+            np.add.at(S, j, X)
+            cnt = np.bincount(j, minlength=K).astype(np.int64)
+            ks = np.nonzero(cnt > 0)[0]
+            yield pd.DataFrame(
+                {
+                    "cluster": np.repeat(cl[ks], d),
+                    "d": np.tile(dcol, len(ks)),
+                    "sxi": S[ks].reshape(-1),
+                    "n": np.repeat(cnt[ks], d),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        run, schema="cluster long, d integer, sxi long, n long"
+    )
+
+
 def kmeans_lattice(
     emb: DataFrame,
     k: int = 8,
@@ -171,31 +243,68 @@ def kmeans_lattice(
     """
     if impl not in ("arrow", "relational"):
         raise ValueError(f"impl must be 'arrow' or 'relational', got {impl!r}")
+    spark = emb.sparkSession
     long = embedding_lattice(emb, id_col, vec_col, scale, offset)
     cent = long.filter(F.col(id_col) < k).select(
         F.col(id_col).cast("long").alias("cluster"), "d", F.col("xi").alias("ci")
     )
     assign = None
-    for _ in range(iters):
-        if impl == "arrow":
-            clusters, C = _collect_centroid_matrix(cent)
-            assign = lattice_assign_arrow(
-                emb, clusters, C, id_col, vec_col, scale, offset
-            )
-        else:
-            diff = F.col("xi") - F.col("ci")
-            dist = (
-                long.join(F.broadcast(cent), "d")
-                .groupBy(id_col, "cluster")
-                .agg(F.sum(diff * diff).alias("dist"))
-            )
-            assign = (
-                dist.groupBy(id_col)
-                .agg(F.min(F.struct("dist", "cluster")).alias("m"))
-                .select(
-                    id_col, F.col("m.cluster").alias("cluster"), F.col("m.dist").alias("dist")
+    if impl == "arrow":
+        # fused rounds: one job per round (the K*D partial-sum collect)
+        # instead of assignment job + N*D-join update + eager checkpoint.
+        # Post-update centroids are bounded driver state by the same
+        # contract _collect_centroid_matrix already relies on (flat k is
+        # auto-switched to two-level above 4096 clusters), so the (cluster
+        # ids, K x D matrix) pair lives in numpy between rounds — no
+        # per-round createDataFrame/collect round-trip (measured ~0.5 s
+        # each on this driver), no checkpoint, flat lineage by
+        # construction. The returned cent frame is built ONCE after the
+        # last round.
+        clusters, C = _collect_centroid_matrix(cent)
+        for it in range(iters):
+            if it == iters - 1:
+                # returned trajectory: final-round PRE-update argmin
+                assign = lattice_assign_arrow(
+                    emb, clusters, C, id_col, vec_col, scale, offset
                 )
+            partial = _lattice_update_arrow(emb, clusters, C, id_col, vec_col, scale, offset)
+            rows = (
+                partial.groupBy("cluster", "d")
+                .agg(F.sum("sxi").alias("sxi"), F.sum("n").alias("n"))
+                .collect()
             )
+            # next round's matrix straight from the collected partials;
+            # xi >= 0 by the lattice offset contract, so Python // is the
+            # same floor division as SQL `div` on these values
+            kept = sorted({r["cluster"] for r in rows})
+            idx = {c: i for i, c in enumerate(kept)}
+            C = np.zeros((len(kept), C.shape[1]), dtype=np.int64)
+            for r in rows:
+                C[idx[r["cluster"]], r["d"]] = r["sxi"] // r["n"]
+            clusters = np.asarray(kept, dtype=np.int64)
+        cent = spark.createDataFrame(
+            [
+                (int(clusters[i]), d, int(C[i, d]))
+                for i in range(len(clusters))
+                for d in range(C.shape[1])
+            ],
+            "cluster long, d int, ci long",
+        )
+        return assign, cent
+    for _ in range(iters):
+        diff = F.col("xi") - F.col("ci")
+        dist = (
+            long.join(F.broadcast(cent), "d")
+            .groupBy(id_col, "cluster")
+            .agg(F.sum(diff * diff).alias("dist"))
+        )
+        assign = (
+            dist.groupBy(id_col)
+            .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+            .select(
+                id_col, F.col("m.cluster").alias("cluster"), F.col("m.dist").alias("dist")
+            )
+        )
         cent = (
             long.join(assign.select(id_col, "cluster"), id_col)
             .groupBy("cluster", "d")

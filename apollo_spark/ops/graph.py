@@ -51,13 +51,15 @@ def pagerank(
     land EXACTLY on .5 boundaries where Spark's HALF_UP double->decimal cast
     and DuckDB's disagree; floor on a deterministic double never does.
 
-    Scale notes: |V| is the one bounded driver scalar (a single long — it
-    sizes the iteration shuffle width from the DATA, ~10k nodes/partition
-    capped at the cluster's default parallelism, instead of inheriting a
-    CPU-count constant for 100-row state); dangling mass stays a 1-row
-    crossJoined aggregate; contributions combine map-side before the
-    shuffle on dst; ranks are checkpointed eagerly per iteration to
-    truncate lineage. Each iteration is ONE shuffle (contribs ∪ zero-state
+    Scale notes: |V| and the per-iteration dangling mass are the two
+    bounded driver scalars (single longs — |V| additionally sizes the
+    iteration shuffle width from the DATA, ~10k nodes/partition capped at
+    the cluster's default parallelism, instead of inheriting a CPU-count
+    constant for 100-row state; the dangling mass is a 1-row aggregate
+    over the previous iteration's checkpoint, collected instead of riding
+    a per-iteration BroadcastExchange); contributions combine map-side
+    before the shuffle on dst; ranks are checkpointed eagerly per
+    iteration to truncate lineage. Each iteration is ONE shuffle (contribs ∪ zero-state
     grouped by node) — the per-iteration left-join back onto the node table
     was replaced by a union with a zero-rank frame carrying the node set
     and its dangling flags, which the same groupBy folds in. Mirrors the
@@ -111,47 +113,63 @@ def pagerank(
     ranks = nodes_n.select(
         "node", "__has_out", F.floor(F.lit(float(scale)) / nn + F.lit(0.5)).alias("ru")
     )
-    for _ in range(iterations):
-        contribs = ed.join(ranks, ed["src"] == ranks["node"]).select(
-            F.col("dst").alias("node"),
-            F.lit(None).cast("boolean").alias("__has_out"),
-            # ru*w is an exact integer product (< 2^53); /wout is one IEEE
-            # division; floor(x+0.5) rounds identically in any engine
-            F.floor(F.col("ru") * F.col("w") / F.col("wout") + F.lit(0.5)).alias("cu"),
-        )
-        dang = ranks.agg(
-            F.coalesce(F.sum(F.when(~F.col("__has_out"), F.col("ru"))), F.lit(0)).alias("du")
-        )
-        ranks = (
-            contribs.unionByName(zero)
-            .repartition(parts, F.col("node"))
-            .groupBy("node")
-            .agg(
-                F.coalesce(F.sum("cu"), F.lit(0)).alias("iu"),  # exact long sum
-                F.max("__has_out").alias("__has_out"),
+    from apollo_spark.ops.cache import flat_iteration
+
+    # AQE off for the loop only: every round's shuffle width is the
+    # |V|-derived `parts` above, so adaptive re-planning can change
+    # nothing — it only adds a scheduling round-trip per materialized
+    # exchange (measured ~2x on tiny-state rounds; plans/results identical)
+    with flat_iteration(edges.sparkSession):
+        for _ in range(iterations):
+            # merge hint: both sides are already hash-partitioned on the
+            # join key at the same width, so sort-merge zips them without
+            # any exchange — the planner's size-based auto-broadcast would
+            # otherwise build + ship a BroadcastExchange (a separate job)
+            # EVERY iteration
+            contribs = ed.join(ranks.hint("merge"), ed["src"] == ranks["node"]).select(
+                F.col("dst").alias("node"),
+                F.lit(None).cast("boolean").alias("__has_out"),
+                # ru*w is an exact integer product (< 2^53); /wout is one IEEE
+                # division; floor(x+0.5) rounds identically in any engine
+                F.floor(F.col("ru") * F.col("w") / F.col("wout") + F.lit(0.5)).alias("cu"),
             )
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "node",
-                "__has_out",
-                F.floor(
-                    F.lit(base_u) / nn
-                    + F.lit(damping)
-                    * (
-                        F.col("iu").cast("double")
-                        + F.col("du").cast("double") / nn
-                    )
-                    + F.lit(0.5)
-                ).alias("ru"),
+            # dangling mass: a 1-row exact-long aggregate over the PREVIOUS
+            # iteration's materialized checkpoint — collected as a bounded
+            # driver scalar (one long, same convention as |V|) instead of
+            # riding a per-iteration BroadcastExchange + crossJoin: the
+            # broadcast build was a separate job per round
+            du = ranks.agg(
+                F.coalesce(F.sum(F.when(~F.col("__has_out"), F.col("ru"))), F.lit(0)).alias("du")
+            ).first()["du"]
+            ranks = (
+                contribs.unionByName(zero)
+                .repartition(parts, F.col("node"))
+                .groupBy("node")
+                .agg(
+                    F.coalesce(F.sum("cu"), F.lit(0)).alias("iu"),  # exact long sum
+                    F.max("__has_out").alias("__has_out"),
+                )
+                .select(
+                    "node",
+                    "__has_out",
+                    F.floor(
+                        F.lit(base_u) / nn
+                        + F.lit(damping)
+                        * (
+                            F.col("iu").cast("double")
+                            + F.lit(du).cast("long").cast("double") / nn
+                        )
+                        + F.lit(0.5)
+                    ).alias("ru"),
+                )
+                # eager per-iteration checkpoint is load-bearing twice over:
+                # truncates lineage AND materializes `ranks`, which the next
+                # iteration reads TWICE (contributions + dangling mass) —
+                # checkpointing every 2nd iteration was measured SLOWER (5.8s
+                # vs 4.3s warm at sf0.1) because both subtrees recompute the
+                # uncheckpointed iteration
+                .localCheckpoint(eager=True)
             )
-            # eager per-iteration checkpoint is load-bearing twice over:
-            # truncates lineage AND materializes `ranks`, which the next
-            # iteration reads TWICE (contributions + dangling mass) —
-            # checkpointing every 2nd iteration was measured SLOWER (5.8s
-            # vs 4.3s warm at sf0.1) because both subtrees recompute the
-            # uncheckpointed iteration
-            .localCheckpoint(eager=True)
-        )
     out = ranks.select("node", (F.col("ru").cast("double") / F.lit(float(scale))).alias("rank"))
     if iterations > 0:
         # the last eager localCheckpoint materialized `ranks`, so the loop
