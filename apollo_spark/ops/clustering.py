@@ -404,11 +404,136 @@ def pq_codes(
     is bit-reproducible by an unrolled SQL oracle. Each subspace pass
     broadcasts its k*(dim/m) centroid table; the m passes share the scan
     via whatever caching the caller applies upstream."""
-    _, assign, _cent = _pq_subspace_kmeans(
+    _, assign, _cent, _cbs = _pq_subspace_kmeans(
         emb, dim, m, k, iters, id_col, vec_col, scale, offset
     )
     return assign.select(
         id_col, F.col("s").alias("subspace"), F.col("cluster").alias("code"), "dist"
+    )
+
+
+def _pq_batch_lattice(pdf, id_col, vec_col, dim, scale, offset):
+    """Shared batch preamble for the PQ Arrow passes: drop NULL/empty
+    vectors (posexplode semantics), raise on ragged ones, return (ids,
+    int64 lattice matrix) or None for an empty batch."""
+    vecs = pdf[vec_col]
+    lens = vecs.map(lambda v: 0 if v is None else len(v)).to_numpy(dtype=np.int64)
+    ragged = (lens != 0) & (lens != dim)
+    if ragged.any():
+        bad = pdf[id_col].to_numpy()[ragged][:5].tolist()
+        raise ValueError(
+            f"pq arrow pass: {vec_col} must be length {dim}; ragged vectors for {id_col} in {bad}"
+        )
+    ok = lens == dim
+    if not ok.all():
+        pdf = pdf[ok]
+        if pdf.empty:
+            return None
+        vecs = pdf[vec_col]
+    M = np.stack(vecs.to_numpy()).astype(np.float64)
+    X = np.floor((M + offset) * scale).astype(np.int64)
+    return pdf[id_col].to_numpy(), X
+
+
+def _pq_sub_dists(X, cbs, s, sub_d):
+    """(B, k_s) exact integer distance matrix of batch subvectors to
+    subspace ``s``'s codebook — the same xx + cc - 2g int64 arithmetic as
+    lattice_assign_arrow, restricted to the subspace columns."""
+    cl, C = cbs[s]
+    Xs = X[:, s * sub_d : (s + 1) * sub_d]
+    cc = np.einsum("kd,kd->k", C, C)
+    xx = np.einsum("bd,bd->b", Xs, Xs)
+    return xx[:, None] + cc[None, :] - 2 * (Xs @ C.T)
+
+
+def _pq_assign_arrow(emb, cbs, dim, sub_d, id_col, vec_col, scale, offset):
+    """(id, s, cluster, dist) argmin assignment of every vector's m
+    subvectors against per-subspace codebooks ``cbs`` = [(cluster ids
+    ASCENDING, (k_s, sub_d) int64 matrix), ...]. Ties break toward the
+    smaller cluster id (ascending ids + argmin-first-minimum), matching
+    the relational min(struct(dist, cluster))."""
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(cbs)
+    n_sub = dim // sub_d
+
+    def run(batches):
+        cbs_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            prep = _pq_batch_lattice(pdf, id_col, vec_col, dim, scale, offset)
+            if prep is None:
+                continue
+            ids, X = prep
+            out_id, out_s, out_c, out_d = [], [], [], []
+            for s in range(n_sub):
+                dist = _pq_sub_dists(X, cbs_, s, sub_d)
+                j = np.argmin(dist, axis=1)
+                out_id.append(ids)
+                out_s.append(np.full(len(ids), s, dtype=np.int32))
+                out_c.append(cbs_[s][0][j])
+                out_d.append(dist[np.arange(len(j)), j])
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_id),
+                    "s": np.concatenate(out_s),
+                    "cluster": np.concatenate(out_c),
+                    "dist": np.concatenate(out_d),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} long, s int, cluster long, dist long"
+    )
+
+
+def _pq_update_arrow(emb, cbs, dim, sub_d, id_col, vec_col, scale, offset):
+    """One fused PQ Lloyd round: per batch, argmin-assign every subvector
+    and emit per-(s, cluster, d) partial sums — at most dim * k rows per
+    batch instead of the N*D*K lattice-join explosion (same discipline as
+    :func:`_lattice_update_arrow`; d is the GLOBAL dimension index)."""
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(cbs)
+    n_sub = dim // sub_d
+
+    def run(batches):
+        cbs_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            prep = _pq_batch_lattice(pdf, id_col, vec_col, dim, scale, offset)
+            if prep is None:
+                continue
+            _, X = prep
+            out_s, out_c, out_d, out_sxi, out_n = [], [], [], [], []
+            for s in range(n_sub):
+                cl, C = cbs_[s]
+                dist = _pq_sub_dists(X, cbs_, s, sub_d)
+                j = np.argmin(dist, axis=1)
+                Xs = X[:, s * sub_d : (s + 1) * sub_d]
+                S = np.zeros((len(cl), sub_d), dtype=np.int64)
+                np.add.at(S, j, Xs)
+                cnt = np.bincount(j, minlength=len(cl)).astype(np.int64)
+                ks = np.nonzero(cnt > 0)[0]
+                out_s.append(np.full(len(ks) * sub_d, s, dtype=np.int32))
+                out_c.append(np.repeat(cl[ks], sub_d))
+                out_d.append(
+                    np.tile(np.arange(sub_d, dtype=np.int64) + s * sub_d, len(ks))
+                )
+                out_sxi.append(S[ks].reshape(-1))
+                out_n.append(np.repeat(cnt[ks], sub_d))
+            yield pd.DataFrame(
+                {
+                    "s": np.concatenate(out_s),
+                    "cluster": np.concatenate(out_c),
+                    "d": np.concatenate(out_d),
+                    "sxi": np.concatenate(out_sxi),
+                    "n": np.concatenate(out_n),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        run, schema="s int, cluster long, d integer, sxi long, n long"
     )
 
 
@@ -422,22 +547,32 @@ def _pq_subspace_kmeans(
     vec_col: str,
     scale: float,
     offset: float,
+    impl: str = "arrow",
 ):
-    """All ``m`` per-subspace Lloyd trainings fused into ONE relational
-    iteration: the long lattice carries a subspace key ``s = d div sub_d``
-    and every join/groupBy adds ``s`` to its keys, so the m independent
-    k-means runs share the same two shuffles per round instead of issuing
-    m * iters sequential job pairs (was the dominant cost of the PQ queries
-    — fixed per-job latency, not data volume). Trajectories are identical
-    to training each subspace alone: the subspace key just partitions the
-    aggregation keyspace.
+    """All ``m`` per-subspace Lloyd trainings fused into ONE iteration: the
+    subspace key just partitions the aggregation keyspace, so the m
+    independent k-means runs share each round's passes instead of issuing
+    m * iters sequential job chains.
 
-    Returns ``(long, assign, cent)``: the keyed lattice, the final-round
-    pre-update argmin assignment (id, s, cluster, dist), and the
-    post-update codebook (s, cluster, d, ci)."""
+    ``impl="arrow"`` (default): each round is ONE fused mapInPandas pass
+    emitting per-(s, cluster, d) integer partial sums (<= dim*k rows per
+    batch — no N*D*K join), with the codebooks held driver-side between
+    rounds exactly like :func:`kmeans_lattice`; bit-identical by the same
+    argument (int64 lattice arithmetic, ascending-cluster argmin
+    tie-break, exact integer means). ``impl="relational"`` keeps the
+    DataFrame twin the SQL oracles mirror; a pytest pins the two equal.
+
+    Returns ``(long, assign, cent, cbs)``: the keyed lattice, the
+    final-round pre-update argmin assignment (id, s, cluster, dist), the
+    post-update codebook frame (s, cluster, d, ci), and (arrow mode) the
+    post-update codebooks as the driver-side list ``cbs[s] = (cluster ids
+    ASCENDING, (k_s, sub_d) int64 matrix)`` (None in relational mode)."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if impl not in ("arrow", "relational"):
+        raise ValueError(f"impl must be 'arrow' or 'relational', got {impl!r}")
     sub_d = dim // m
+    spark = emb.sparkSession
     long = embedding_lattice(emb, id_col, vec_col, scale, offset).withColumn(
         "s", F.expr(f"cast(d div {sub_d} as int)")
     )
@@ -445,6 +580,34 @@ def _pq_subspace_kmeans(
         F.col(id_col).cast("long").alias("cluster"), "s", "d", F.col("xi").alias("ci")
     )
     assign = None
+    if impl == "arrow":
+        cbs = _collect_pq_codebooks(cent.collect(), m, sub_d)
+        for it in range(iters):
+            if it == iters - 1:
+                assign = _pq_assign_arrow(emb, cbs, dim, sub_d, id_col, vec_col, scale, offset)
+            partial = _pq_update_arrow(emb, cbs, dim, sub_d, id_col, vec_col, scale, offset)
+            rows = (
+                partial.groupBy("s", "cluster", "d")
+                .agg(F.sum("sxi").alias("sxi"), F.sum("n").alias("n"))
+                .collect()
+            )
+            # xi >= 0 by the lattice offset contract: Python // == SQL div
+            cbs = _collect_pq_codebooks(
+                [(r["cluster"], r["s"], r["d"], r["sxi"] // r["n"]) for r in rows],
+                m,
+                sub_d,
+                tuples=True,
+            )
+        cent = spark.createDataFrame(
+            [
+                (s, int(cl[i]), s * sub_d + d, int(C[i, d]))
+                for s, (cl, C) in enumerate(cbs)
+                for i in range(len(cl))
+                for d in range(sub_d)
+            ],
+            "s int, cluster long, d int, ci long",
+        )
+        return long, assign, cent, cbs
     for _ in range(iters):
         diff = F.col("xi") - F.col("ci")
         dist = (
@@ -463,7 +626,25 @@ def _pq_subspace_kmeans(
             .agg(F.expr("sum(xi) div count(1)").alias("ci"))
             .localCheckpoint(eager=True)  # flat lineage across rounds
         )
-    return long, assign, cent
+    return long, assign, cent, None
+
+
+def _collect_pq_codebooks(rows, m, sub_d, tuples=False):
+    """Rows (cluster, s, d, ci) -> per-subspace (ascending cluster ids,
+    (k_s, sub_d) int64 matrix); d is the GLOBAL dimension index."""
+    per_s: list[dict] = [dict() for _ in range(m)]
+    for r in rows:
+        c, s, d, ci = r if tuples else (r["cluster"], r["s"], r["d"], r["ci"])
+        per_s[s].setdefault(c, {})[d - s * sub_d] = ci
+    out = []
+    for s in range(m):
+        cl = sorted(per_s[s])
+        C = np.zeros((len(cl), sub_d), dtype=np.int64)
+        for i, c in enumerate(cl):
+            for d, ci in per_s[s][c].items():
+                C[i, d] = ci
+        out.append((np.asarray(cl, dtype=np.int64), C))
+    return out
 
 
 def twolevel_shape(k: int) -> tuple[int, int]:
@@ -901,24 +1082,58 @@ def pq_adc_topk(
     IVF cell filter in front bounds that fan-out to the probed cells.
     Ties break toward the smaller corpus id (deterministic ranking)."""
     qlit = [int(q) for q in query_ids]
-    long, _assign, cent = _pq_subspace_kmeans(
+    long, _assign, cent, cbs = _pq_subspace_kmeans(
         emb, dim, m, k, iters, id_col, vec_col, scale, offset
     )
-    diff = F.col("xi") - F.col("ci")
-    dist = (
-        long.join(F.broadcast(cent), ["s", "d"])
-        .groupBy(id_col, "s", "cluster")
-        .agg(F.sum(diff * diff).alias("dist"))
-        .persist()  # shared by the codes argmin and the query distance table
-    )
-    codes = (
-        dist.groupBy(id_col, "s")
-        .agg(F.min(F.struct("dist", "cluster")).alias("m"))
-        .select(id_col, "s", F.col("m.cluster").alias("code"))
-    )
-    qd = dist.filter(F.col(id_col).isin(qlit)).select(
-        F.col(id_col).alias("q_id"), "s", F.col("cluster").alias("code"), F.col("dist").alias("qd")
-    )
+    sub_d = dim // m
+    if cbs is not None:
+        # arrow path: codes vs the POST-update codebooks are one fused
+        # assignment pass (no N*D*K lattice join); the per-query m x k
+        # distance tables are a bounded driver computation — |queries| is
+        # a caller-supplied list, so collecting those few vectors and
+        # evaluating the same int64 lattice arithmetic in numpy replaces
+        # the dist-table persist the codes argmin used to share
+        codes = _pq_assign_arrow(emb, cbs, dim, sub_d, id_col, vec_col, scale, offset).select(
+            id_col, "s", F.col("cluster").alias("code")
+        )
+        qrows = (
+            emb.filter(F.col(id_col).isin(qlit)).select(id_col, vec_col).collect()
+        )
+        qd_rows = []
+        for r in qrows:
+            v = r[vec_col]
+            if v is None or len(v) == 0:
+                continue  # posexplode drops empty vectors in the relational twin
+            if len(v) != dim:
+                raise ValueError(f"pq_adc_topk: query {r[id_col]} vector length {len(v)} != {dim}")
+            X = np.floor((np.asarray(v, dtype=np.float64) + offset) * scale).astype(
+                np.int64
+            )[None, :]
+            for s in range(m):
+                dist = _pq_sub_dists(X, cbs, s, sub_d)[0]
+                cl = cbs[s][0]
+                qd_rows.extend(
+                    (int(r[id_col]), s, int(cl[i]), int(dist[i])) for i in range(len(cl))
+                )
+        qd = emb.sparkSession.createDataFrame(
+            qd_rows, f"q_id long, s int, code long, qd long"
+        )
+    else:
+        diff = F.col("xi") - F.col("ci")
+        dist = (
+            long.join(F.broadcast(cent), ["s", "d"])
+            .groupBy(id_col, "s", "cluster")
+            .agg(F.sum(diff * diff).alias("dist"))
+            .persist()  # shared by the codes argmin and the query distance table
+        )
+        codes = (
+            dist.groupBy(id_col, "s")
+            .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+            .select(id_col, "s", F.col("m.cluster").alias("code"))
+        )
+        qd = dist.filter(F.col(id_col).isin(qlit)).select(
+            F.col(id_col).alias("q_id"), "s", F.col("cluster").alias("code"), F.col("dist").alias("qd")
+        )
     scored = (
         codes.join(F.broadcast(qd), ["s", "code"])
         .groupBy("q_id", id_col)
@@ -927,11 +1142,13 @@ def pq_adc_topk(
     from pyspark.sql import Window
 
     w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
-    from apollo_spark.ops.cache import scoped_persist
-
-    return scoped_persist(
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
-        .select("q_id", id_col, "adc_dist", "rank"),
-        dist,
+        .select("q_id", id_col, "adc_dist", "rank")
     )
+    if cbs is not None:
+        return out
+    from apollo_spark.ops.cache import scoped_persist
+
+    return scoped_persist(out, dist)

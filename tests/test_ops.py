@@ -3538,3 +3538,26 @@ def test_train_or_load_ivf_twolevel_roundtrip(spark, emb, tmp_path):
         a2.sort_values("vec_id").reset_index(drop=True)
     )
 
+
+
+def test_pq_subspace_kmeans_arrow_equals_relational(spark, emb):
+    """The fused Arrow PQ trainer (per-batch partial sums, driver-held
+    codebooks) must reproduce the relational twin bit-for-bit: same
+    final-round pre-update assignment (id, s, cluster, dist) and the same
+    post-update codebook (s, cluster, d, ci)."""
+    from apollo_spark.ops.clustering import _pq_subspace_kmeans
+
+    _, a_assign, a_cent, cbs = _pq_subspace_kmeans(
+        emb, 64, 4, 8, 2, "vec_id", "embedding", 1_000_000.0, 8.0, impl="arrow"
+    )
+    _, r_assign, r_cent, none = _pq_subspace_kmeans(
+        emb, 64, 4, 8, 2, "vec_id", "embedding", 1_000_000.0, 8.0, impl="relational"
+    )
+    assert cbs is not None and none is None
+    key = lambda r: (r["vec_id"], r["s"])
+    a = sorted((r["vec_id"], r["s"], r["cluster"], r["dist"]) for r in a_assign.collect())
+    b = sorted((r["vec_id"], r["s"], r["cluster"], r["dist"]) for r in r_assign.collect())
+    assert a == b
+    ac = sorted((r["s"], r["cluster"], r["d"], r["ci"]) for r in a_cent.collect())
+    rc = sorted((r["s"], r["cluster"], r["d"], r["ci"]) for r in r_cent.collect())
+    assert ac == rc
