@@ -545,9 +545,13 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bi = d.select(F.explode(word_ngrams(F.col("text"), 2)).alias("bigram"))
     uni_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
-    bi_counts = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_ab")).filter(F.col("n_ab") >= 5)
-    n_uni = toks.agg(F.count(F.lit(1)).alias("nu"))
-    n_bi = bi.agg(F.count(F.lit(1)).alias("nb"))
+    bi_all = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_ab"))
+    bi_counts = bi_all.filter(F.col("n_ab") >= 5)
+    # corpus totals as VOCABULARY-sized re-aggregations of the count tables
+    # (sum of exact longs == the direct corpus count), so the tokenize +
+    # explode passes over the corpus run once per granularity, not twice
+    n_uni = uni_counts.agg(F.sum("n_tok").alias("nu"))
+    n_bi = bi_all.agg(F.sum("n_ab").alias("nb"))
     parts = F.split(F.col("bigram"), " ")
     a = bi_counts.withColumn("w1", parts.getItem(0)).withColumn("w2", parts.getItem(1))
     ua = uni_counts.select(F.col("tok").alias("w1"), F.col("n_tok").alias("n_a"))

@@ -368,6 +368,9 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())),
         )
         .select("doc_id", "rank")
+        # two consumers (the fuse + the final rank join): persist the
+        # 50-row leg so the corpus-sized BM25 pass runs once
+        .persist()
     )
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -384,9 +387,10 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())),
         )
         .select("doc_id", "rank")
+        .persist()  # same two-consumer argument as the lexical leg
     )
     fused = rrf_fuse([lex, dense], id_col="doc_id", rank_col="rank", k=60)
-    return (
+    return scoped_persist(
         fused.join(lex.withColumnRenamed("rank", "lex_rank"), "doc_id", "left")
         .join(dense.withColumnRenamed("rank", "dense_rank"), "doc_id", "left")
         .select(
@@ -397,7 +401,9 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("dense_rank", F.lit(-1)).cast("int").alias("dense_rank"),
         )
         .orderBy(F.col("rrf_score").desc(), "doc_id")
-        .limit(15)
+        .limit(15),
+        lex,
+        dense,
     )
 
 

@@ -683,11 +683,15 @@ def late_delivery_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
     delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    # `late` feeds three consumers (semi-join probe, anti-join build, and
+    # as the driving side) — persist so the lineitem-orders join + distinct
+    # runs once, not three times (guide §5)
     late = (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .filter(delay > 60)
         .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
         .distinct()
+        .persist()
     )
     all_pairs = l.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")).distinct()
     other_exists = late.alias("x").join(
@@ -700,13 +704,14 @@ def late_delivery_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("x.ok") == F.col("z.ok")) & (F.col("x.sk") != F.col("z.sk")),
         "left_anti",
     )
-    return (
+    return scoped_persist(
         no_other_late.groupBy("sk")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .join(F.broadcast(s), F.col("sk") == s["s_suppkey"])
         .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
-        .limit(20)
+        .limit(20),
+        late,
     )
 
 

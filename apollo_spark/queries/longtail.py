@@ -1914,7 +1914,9 @@ def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.concat_ws(" ", F.element_at(F.col("t"), i + 1), F.element_at(F.col("t"), i + 2)),
     )
     toks = tok_arr.select("doc_id", F.explode(grams).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds three consumers (df counts, the n_docs scalar, the weight
+    # join): persist so the tokenize + explode + groupBy chain runs once
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = tf.select(F.countDistinct("doc_id").alias("n_docs"))
     w = (
@@ -1927,11 +1929,12 @@ def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     win = Window.partitionBy("doc_id").orderBy(F.col("weight").desc(), F.col("term").asc())
-    return (
+    return scoped_persist(
         w.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= 3)
         .select("doc_id", "rank", "term", "weight")
-        .orderBy("doc_id", "rank")
+        .orderBy("doc_id", "rank"),
+        tf,
     )
 
 

@@ -965,7 +965,9 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apollo_spark.ops.dedup import shingles
 
     d = _t(spark, sf_dir, "documents")
-    sh = d.select("source", F.explode(shingles(F.col("text"), 3)).alias("s")).distinct()
+    # three consumers (per-source counts + both self-join branches):
+    # persist so the shingle explode + corpus-sized distinct run once
+    sh = d.select("source", F.explode(shingles(F.col("text"), 3)).alias("s")).distinct().persist()
     cnt = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("source").alias("source_a"), "s")
     b = sh.select(F.col("source").alias("source_b"), "s")
@@ -975,7 +977,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    return (
+    return scoped_persist(
         inter.join(F.broadcast(cnt.select(F.col("source").alias("source_a"), F.col("n").alias("na"))), "source_a")
         .join(F.broadcast(cnt.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))), "source_b")
         .select(
@@ -988,7 +990,8 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
-        .orderBy("source_a", "source_b")
+        .orderBy("source_a", "source_b"),
+        sh,
     )
 
 
