@@ -473,7 +473,11 @@ def _perceptron_parts(spark: SparkSession, sf_dir: str):
     from apollo_spark.ops.ml import hashed_token_features, perceptron_train
 
     d = _t(spark, sf_dir, "documents")
-    feats = hashed_token_features(d, buckets=32, salt="feat")
+    # two consumers at query level (the training fold inside
+    # perceptron_train and the inference re-score in classifier_margins):
+    # persist so the tokenize+hash+groupBy feature build runs once; the
+    # consuming queries release it via their scoped caches
+    feats = hashed_token_features(d, buckets=32, salt="feat").persist()
     labels = d.select(
         "doc_id", F.when(F.col("lang") == "en", 1).otherwise(-1).cast("int").alias("y")
     )
@@ -489,8 +493,8 @@ def perceptron_lang_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-gates against a DuckDB oracle replaying the unrolled rounds —
     the fastText-style quality/lang filter of a pretraining pipeline,
     trained without the corpus ever leaving the engine."""
-    _, _, _, w = _perceptron_parts(spark, sf_dir)
-    return w.select(F.col("b"), F.col("weight")).orderBy("b")
+    _, feats, _, w = _perceptron_parts(spark, sf_dir)
+    return scoped_persist(w.select(F.col("b"), F.col("weight")).orderBy("b"), feats)
 
 
 def perceptron_lang_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,7 +505,7 @@ def perceptron_lang_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d, feats, labels, w = _perceptron_parts(spark, sf_dir)
     scores = classifier_margins(feats, w)
-    return (
+    return scoped_persist(
         scores.join(labels, "doc_id")
         .join(d.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")
@@ -509,7 +513,8 @@ def perceptron_lang_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.when(F.col("y") * F.col("score") <= 0, 1).otherwise(0)).alias("n_wrong"),
         )
-        .orderBy("lang")
+        .orderBy("lang"),
+        feats,
     )
 
 
