@@ -2498,9 +2498,11 @@ def blocking_config_profile(
     # spread the shingling across cores (single-split small corpora;
     # coalesces to shuffle width at lake scale — see minhash_portable_pairs)
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # the doc count and the df pass both shingle the corpus: persist the
+    # (id, shingle-array) base so the regex tokenize+distinct runs once
     base = df.repartition(parts, F.col(id_col)).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    ).filter(F.size("sh") > 0).persist()
     ex = base.select("id", F.explode("sh").alias("s"))
     nd = base.agg(F.count(F.lit(1)).alias("n_docs"))
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
@@ -2593,24 +2595,29 @@ def blocking_config_profile(
         .limit(1)
     )
 
-    return chosen.select(
-        F.lit(float(threshold)).alias("threshold"),
-        "n_docs",
-        "n_shingles",
-        (F.col("__hot_mass").cast("double") / F.col("__total_mass").cast("double")).alias(
-            "hot_shingle_share"
+    from apollo_spark.ops.cache import scoped_persist
+
+    return scoped_persist(
+        chosen.select(
+            F.lit(float(threshold)).alias("threshold"),
+            "n_docs",
+            "n_shingles",
+            (F.col("__hot_mass").cast("double") / F.col("__total_mass").cast("double")).alias(
+                "hot_shingle_share"
+            ),
+            (
+                F.col("__hot_mass").cast("double")
+                > F.lit(float(scrub_share)) * F.col("__total_mass").cast("double")
+            ).alias("rec_scrub"),
+            sel_frac.alias("rec_max_df_frac"),
+            sel_est.cast("long").alias("est_capped_pairs"),
+            F.col("num_hashes").alias("rec_num_hashes"),
+            F.col("bands").alias("rec_bands"),
+            F.col("rpb").alias("rec_rows"),
+            F.col("max_bucket").alias("rec_max_bucket"),
+            "capture_at_threshold",
         ),
-        (
-            F.col("__hot_mass").cast("double")
-            > F.lit(float(scrub_share)) * F.col("__total_mass").cast("double")
-        ).alias("rec_scrub"),
-        sel_frac.alias("rec_max_df_frac"),
-        sel_est.cast("long").alias("est_capped_pairs"),
-        F.col("num_hashes").alias("rec_num_hashes"),
-        F.col("bands").alias("rec_bands"),
-        F.col("rpb").alias("rec_rows"),
-        F.col("max_bucket").alias("rec_max_bucket"),
-        "capture_at_threshold",
+        base,
     )
 
 
@@ -2694,9 +2701,13 @@ def blocking_autotune(
     action — the repo's bounded-collect discipline) as a plain dict for
     plan construction: {'num_hashes', 'bands', 'rows', 'max_df_frac',
     'scrub', 'capture', 'hot_shingle_share', 'n_docs'}."""
-    row = blocking_config_profile(
+    from apollo_spark.ops.cache import release_caches
+
+    profile = blocking_config_profile(
         df, id_col=id_col, text_col=text_col, n=n, threshold=threshold, **profile_kw
-    ).collect()[0]
+    )
+    row = profile.collect()[0]
+    release_caches(profile)
     return _profile_row_to_config(row)
 
 

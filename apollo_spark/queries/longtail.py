@@ -601,8 +601,11 @@ def doc_memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apollo_spark.ops.dedup import shingles
 
     d = _t(spark, sf_dir, "documents")
-    totals = d.select("doc_id", F.size(shingles(F.col("text"), 5)).alias("n_shingles"))
-    ex = d.select("doc_id", F.explode(shingles(F.col("text"), 5)).alias("s"))
+    # the per-doc totals and the df pass both need the shingle arrays:
+    # persist them so the tokenize+distinct shingling runs once, not twice
+    sh = d.select("doc_id", shingles(F.col("text"), 5).alias("arr")).persist()
+    totals = sh.select("doc_id", F.size("arr").alias("n_shingles"))
+    ex = sh.select("doc_id", F.explode("arr").alias("s"))
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("owner"))
     uniq = (
         dfreq.filter(F.col("df") == 1)
@@ -621,10 +624,11 @@ def doc_memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_shared").cast("double") / F.col("n_shingles").cast("double"), 6),
         )
     )
-    return (
+    return scoped_persist(
         per_doc.orderBy(F.col("shared_frac").desc(), F.col("doc_id").asc())
         .limit(20)
-        .select("doc_id", "n_shingles", "n_shared", "shared_frac")
+        .select("doc_id", "n_shingles", "n_shared", "shared_frac"),
+        sh,
     )
 
 
@@ -1713,6 +1717,10 @@ def item_cf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt keep the score hash-exact."""
     e = _events(spark, sf_dir)
     item = F.get_json_object("props", "$.k").cast("int")
+    # deliberately NOT persisted: all three consumers (both self-join sides
+    # + popularity) hang off the identical distinct exchange, which the
+    # planner already reuses at runtime — a round-10 interleaved A/B showed
+    # the cache materialization barrier consistently slower (1.6 vs 2.1 s)
     ui = (
         e.filter(F.col("event_type") == "purchase")
         .select("user_id", item.alias("item"))
@@ -1774,6 +1782,9 @@ def item_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     same min-distance semantics."""
     e = _events(spark, sf_dir)
     item = F.get_json_object("props", "$.k").cast("int")
+    # ui deliberately NOT persisted: both self-join sides reuse the distinct
+    # exchange at runtime; the round-10 A/B showed the cache barrier slower
+    # (2.3 vs 3.1 s) — only the edge list (3 frontier-hop consumers) caches
     ui = (
         e.filter(F.col("event_type") == "purchase")
         .select("user_id", item.alias("item"))

@@ -722,7 +722,14 @@ def train_or_load_table(spark, path: str, build):
     loser's write is skipped inside the retry loop and it reads the
     winner's snapshot, so exactly ONE version ever lands (no duplicate
     history, safe because builds are deterministic)."""
+    from apollo_spark.ops.cache import release_caches
+
     t = TxTable(path)
     if t.current_version() is None:
-        t.write(build(), mode="overwrite", txn_app="train_or_load", txn_batch=0)
+        built = build()
+        t.write(built, mode="overwrite", txn_app="train_or_load", txn_batch=0)
+        # the write is the builder frame's terminal action: release any
+        # persist scope the builder op attached so it cannot leak into
+        # session storage (the read-back below is a fresh parquet scan)
+        release_caches(built)
     return t.read(spark)

@@ -208,3 +208,27 @@ def test_lsh_eval_substrate_env_routing(spark, tmp_path, monkeypatch):
     assert cand_t.current_version() == 1 and truth_t.current_version() == 1
     assert plain_q.equals(routed_q)
     assert plain_mc.equals(routed_mc)
+
+
+def test_bpe_merges_env_routing(spark, tmp_path, monkeypatch):
+    """Shared BPE merge-rule artifact (round 10): with
+    APOLLO_SPARK_ARTIFACT_DIR set, bpe_merge_rules and bpe_encode_by_source
+    share ONE committed 8-round training run; results equal the
+    self-contained path bit-for-bit and the second consumer rebuilds
+    nothing."""
+    from apollo_spark.queries import QUERIES
+    from apollo_spark.table_format import TxTable
+
+    monkeypatch.delenv("APOLLO_SPARK_ARTIFACT_DIR", raising=False)
+    plain_rules = QUERIES["bpe_merge_rules"](spark, SF).toPandas()
+    plain_enc = QUERIES["bpe_encode_by_source"](spark, SF).toPandas()
+
+    monkeypatch.setenv("APOLLO_SPARK_ARTIFACT_DIR", str(tmp_path))
+    routed_rules = QUERIES["bpe_merge_rules"](spark, SF).toPandas()
+    tag = SF.strip("/").replace("/", "_")
+    t = TxTable(f"{tmp_path}/bpe_merges8_{tag}")
+    assert t.current_version() == 1
+    routed_enc = QUERIES["bpe_encode_by_source"](spark, SF).toPandas()
+    assert t.current_version() == 1  # encode reused the committed rules
+    assert plain_rules.equals(routed_rules)
+    assert plain_enc.equals(routed_enc)
