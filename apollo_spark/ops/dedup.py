@@ -796,24 +796,27 @@ def tfidf_cosine_pairs(
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct()
         )
-        vec = w.groupBy("id").agg(
-            F.map_from_entries(F.collect_list(F.struct("term", "w"))).alias("m")
-        )
-        zero = F.lit(0).cast("decimal(38,6)")
-        # per-product DECIMAL(38,6) cast BEFORE accumulation — bit-identical
-        # to the lossless groupBy-SUM discipline and to the SQL oracle
-        dot = F.aggregate(
-            F.map_entries("ma"),
-            zero,
-            lambda acc, e: acc
-            + F.coalesce(
-                (e["value"] * F.element_at(F.col("mb"), e["key"])).cast("decimal(38,6)"), zero
-            ),
-        ).cast("double")
+        # exact re-score over the FULL vectors as two keyed JVM joins:
+        # cand fans out by id_a over a's terms (rows ~ candidates x
+        # terms-per-doc, the same linear bound the per-pair map form had),
+        # then the (id_b, term) equi-join keeps exactly the terms present in
+        # BOTH vectors. Same multiset of products, same per-product
+        # DECIMAL(38,6) cast before the SUM (exact, order-independent), so
+        # the dot is bit-identical to the lossless branch and the SQL
+        # oracle. This replaces a per-pair term->weight map join whose
+        # interpreted aggregate-over-map-entries lambda (plus two full maps
+        # shipped per candidate) was the #1 line of the round-10 bench
+        # (tfidf_capped_pairs 6.9 s vs the lossless twin's 1.2 s at sf0.1).
         dots = (
-            cand.join(vec.select(F.col("id").alias("id_a"), F.col("m").alias("ma")), "id_a")
-            .join(vec.select(F.col("id").alias("id_b"), F.col("m").alias("mb")), "id_b")
-            .select("id_a", "id_b", dot.alias("dot"))
+            cand.join(
+                w.select(F.col("id").alias("id_a"), "term", F.col("w").alias("wa")), "id_a"
+            )
+            .join(
+                w.select(F.col("id").alias("id_b"), "term", F.col("w").alias("wb")),
+                ["id_b", "term"],
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.sum((F.col("wa") * F.col("wb")).cast("decimal(38,6)")).cast("double").alias("dot"))
         )
     cos = (
         dots.join(norm2.select(F.col("id").alias("id_a"), F.col("n2").alias("na2")), "id_a")

@@ -409,13 +409,20 @@ def test_tfidf_pairs_no_cartesian_and_stats_broadcast(spark):
 
 
 def test_tfidf_capped_rescore_not_full_selfjoin(spark):
-    """The capped tfidf path must re-score candidates via the per-doc
-    term->weight MAP join (map_from_entries + aggregate over map_entries),
-    never a second full inverted-index self-join — the full join is the
-    quadratic the cap exists to avoid. The candidate join itself stays an
-    equi-join on term."""
+    """The capped tfidf path must re-score candidates via keyed joins of the
+    candidate set onto the weight table (fan-out bounded by candidates x
+    terms-per-doc), never a second full inverted-index self-join — the full
+    join is the quadratic the cap exists to avoid — and never per-pair
+    term->weight MAP payloads (the round-9 shape: map_from_entries +
+    interpreted aggregate over map_entries, measured ~5x the keyed-join
+    rescore at sf0.1). The candidate join itself stays an equi-join on
+    term."""
     p = plan(spark, "tfidf_capped_pairs")
-    assert "map_from_entries" in p
+    # per-pair maps gone: no map build, no interpreted map-entries fold
+    assert "map_from_entries" not in p
+    # b's weights attach through the keyed (id_b, term) equi-join — the
+    # signature of the candidate-bounded rescore shape
+    assert re.search(r"Left keys \[2\]: \[id_b#\d+L?, term#\d+\]", p), p[:2000]
     assert "CartesianProduct" not in p
 
 
