@@ -730,6 +730,72 @@ def _fine_assign_cogroup(
     )
 
 
+def _fine_update_cogroup(
+    pts: DataFrame,
+    fcent: DataFrame,
+    id_col: str,
+    vec_col: str,
+    scale: float,
+    offset: float,
+) -> DataFrame:
+    """One FUSED fine Lloyd round: per-cell argmin (bit-identical to
+    :func:`_fine_assign_cogroup`) and the post-update integer centroids
+    emitted from the SAME cogroup call — the cogroup key is the cell, so
+    the call holds the cell's COMPLETE point set and the per-(cluster, d)
+    ``sum(xi) div count`` is final, not partial. The unfused round's
+    N*D lattice explode, its join onto the N-row assignment and the
+    (cell, cluster, d) shuffle disappear (guide §2.3/§1.2: one corpus
+    pass and one cell-keyed shuffle per round instead of three).
+
+    Exactness vs the relational twin: identical quantization and integer
+    Gram argmin as _fine_assign_cogroup (ties to the smaller cluster id);
+    xi >= 0 by the lattice offset contract so numpy ``//`` is SQL ``div``;
+    ragged/None vectors are dropped exactly as the assign path drops them
+    (the unfused update excluded them via the id join onto the assignment).
+    Clusters that lose every member emit no rows, as in the groupBy."""
+    import pandas as pd
+
+    def fn(key, ppdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"cell": pd.Series(dtype="int64"), "cluster": pd.Series(dtype="int64"),
+             "d": pd.Series(dtype="int32"), "ci": pd.Series(dtype="int64")}
+        )
+        if ppdf.empty or cpdf.empty:
+            return empty
+        clusters = np.sort(cpdf["cluster"].unique()).astype(np.int64)
+        dmax = int(cpdf["d"].max())
+        idx = {c: i for i, c in enumerate(clusters)}
+        C = np.zeros((len(clusters), dmax + 1), dtype=np.int64)
+        C[[idx[c] for c in cpdf["cluster"]], cpdf["d"].to_numpy()] = cpdf["ci"].to_numpy()
+        d = C.shape[1]
+        vecs = ppdf[vec_col]
+        ok = vecs.map(lambda v: v is not None and len(v) == d).to_numpy(dtype=bool)
+        ppdf = ppdf[ok]
+        if ppdf.empty:
+            return empty
+        M = np.stack(ppdf[vec_col].to_numpy()).astype(np.float64)
+        X = np.floor((M + offset) * scale).astype(np.int64)
+        cc = np.einsum("kd,kd->k", C, C)
+        xx = np.einsum("bd,bd->b", X, X)
+        j = np.argmin(xx[:, None] + cc[None, :] - 2 * (X @ C.T), axis=1)
+        S = np.zeros((len(clusters), d), dtype=np.int64)
+        np.add.at(S, j, X)
+        cnt = np.bincount(j, minlength=len(clusters)).astype(np.int64)
+        ks = np.nonzero(cnt > 0)[0]
+        return pd.DataFrame(
+            {
+                "cell": np.full(len(ks) * d, int(key[0]), dtype=np.int64),
+                "cluster": np.repeat(clusters[ks], d),
+                "d": np.tile(np.arange(d, dtype=np.int32), len(ks)),
+                "ci": (S[ks] // cnt[ks, None]).reshape(-1),
+            }
+        )
+
+    return pts.groupBy("cell").cogroup(fcent.groupBy("cell")).applyInPandas(
+        fn, schema="cell long, cluster long, d integer, ci long"
+    )
+
+
 def kmeans_lattice_twolevel(
     emb: DataFrame,
     k: int,
@@ -760,7 +826,11 @@ def kmeans_lattice_twolevel(
     3. iters_fine Lloyd rounds restricted to each vector's own cell:
        assignment never compares across cells (cogroup in arrow mode, a
        (cell, d)-keyed join in relational mode — N*D*kf rows, certification
-       only); update is one groupBy (cell, cluster, d) integer mean.
+       only); update is the post-assignment (cell, cluster, d) integer
+       mean — in arrow mode FUSED into the same cogroup call
+       (_fine_update_cogroup: the cell's full point set is already in the
+       task, so the round is one cell-keyed shuffle), in relational mode
+       one groupBy over the N*D lattice join.
 
     Returns ``(assign, fcent, ccent)``: assign = final-round pre-update
     (id, cell, cluster, dist); fcent = post-update fine centroids
@@ -797,21 +867,31 @@ def kmeans_lattice_twolevel(
     )
     pts = emb.select(id_col, vec_col).join(cells, id_col) if impl == "arrow" else None
     assign = None
-    for _ in range(iters_fine):
+    for it in range(iters_fine):
         if impl == "arrow":
-            assign = _fine_assign_cogroup(pts, fcent, id_col, vec_col, scale, offset)
-        else:
-            diff = F.col("xi") - F.col("ci")
-            dist = (
-                long.join(fcent, ["cell", "d"])
-                .groupBy(id_col, "cell", "cluster")
-                .agg(F.sum(diff * diff).alias("dist"))
+            # returned trajectory: final-round PRE-update argmin. Lazy — it
+            # only executes if a consumer reads it; the round's update does
+            # NOT go through it (fused cogroup below computes the identical
+            # argmin internally and emits post-update centroids directly).
+            if it == iters_fine - 1:
+                assign = _fine_assign_cogroup(pts, fcent, id_col, vec_col, scale, offset)
+            fcent = (
+                _fine_update_cogroup(pts, fcent, id_col, vec_col, scale, offset)
+                .localCheckpoint(eager=True)  # flat lineage across rounds
+                .toDF("cell", "cluster", "d", "ci")  # fresh ids (see seeding note)
             )
-            assign = (
-                dist.groupBy(id_col, "cell")
-                .agg(F.min(F.struct("dist", "cluster")).alias("m"))
-                .select(id_col, "cell", F.col("m.cluster").alias("cluster"), F.col("m.dist").alias("dist"))
-            )
+            continue
+        diff = F.col("xi") - F.col("ci")
+        dist = (
+            long.join(fcent, ["cell", "d"])
+            .groupBy(id_col, "cell", "cluster")
+            .agg(F.sum(diff * diff).alias("dist"))
+        )
+        assign = (
+            dist.groupBy(id_col, "cell")
+            .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+            .select(id_col, "cell", F.col("m.cluster").alias("cluster"), F.col("m.dist").alias("dist"))
+        )
         fcent = (
             long.join(assign.select(id_col, "cluster"), id_col)
             .groupBy("cell", "cluster", "d")
