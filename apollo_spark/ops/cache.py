@@ -123,3 +123,16 @@ def release_caches(df: DataFrame) -> None:
             stack.append(f)
         if hasattr(cur, _ATTR):
             setattr(cur, _ATTR, [])
+        # sql_over keeps its uuid temp view registered while the input's
+        # plan is cached (dropping would uncache it — see ops/sqlwide.py);
+        # the cache is released right above, so the views can go too.
+        # Without this a long session leaks one catalog entry per
+        # persisted-frame sql_over (round-10 verdict, minor #6).
+        views = getattr(cur, "_apollo_kept_views", None)
+        if views:
+            for v in views:
+                try:
+                    cur.sparkSession.catalog.dropTempView(v)
+                except Exception:
+                    pass  # already dropped / session gone — nothing to leak
+            cur._apollo_kept_views = []

@@ -973,10 +973,13 @@ def copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= 3)
         .select(F.col("item").alias("src"), F.col("item_b").alias("dst"))
     )
-    return (
-        local_clustering(edges)
-        .select("node", "deg", "n_tri", F.round("coeff", 6).alias("coeff"))
-        .orderBy("node")
+    res = local_clustering(edges)
+    # carry_caches: the post-processing select/orderBy returns a NEW frame —
+    # without re-attaching the op's persist scope, release_caches() frees
+    # nothing and the leaked cache memoises the next identical run (round 11)
+    return carry_caches(
+        res.select("node", "deg", "n_tri", F.round("coeff", 6).alias("coeff")).orderBy("node"),
+        res,
     )
 
 

@@ -656,7 +656,10 @@ def item_transition_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(F.col("tsn").asc(), F.col("event_id").asc())
     trans = seq.withColumn("prev", F.lag("item").over(w)).filter(F.col("prev").isNotNull())
     edges = trans.select(F.col("prev").alias("src"), F.col("item").alias("dst"))
-    return random_walks(edges, walks_per_node=2, walk_len=3).orderBy("start", "rep", "step")
+    # carry_caches: orderBy returns a new frame; keep the op's persist scope
+    # releasable (round 11 — leaked caches memoised the next identical run)
+    res = random_walks(edges, walks_per_node=2, walk_len=3)
+    return carry_caches(res.orderBy("start", "rep", "step"), res)
 
 
 def _walks_oracle(walks_per_node: int = 2, walk_len: int = 3) -> str:
@@ -769,12 +772,12 @@ def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apollo_spark.ops.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return (
-        # max_df=None = the certified-lossless oracle config; production
-        # default is a finite cap (ops/dedup.py ngram_jaccard_pairs docstring)
-        ngram_jaccard_pairs(d, n=2, threshold=0.2, max_df=None)
-        .withColumn("jaccard", F.round("jaccard", 6))
-        .orderBy("id_a", "id_b")
+    # max_df=None = the certified-lossless oracle config; production
+    # default is a finite cap (ops/dedup.py ngram_jaccard_pairs docstring).
+    # carry_caches: keep the op's persist scope releasable (round 11)
+    res = ngram_jaccard_pairs(d, n=2, threshold=0.2, max_df=None)
+    return carry_caches(
+        res.withColumn("jaccard", F.round("jaccard", 6)).orderBy("id_a", "id_b"), res
     )
 
 
@@ -809,10 +812,9 @@ def ngram_jaccard_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apollo_spark.ops.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return (
-        ngram_jaccard_pairs(d, n=2, threshold=0.2, max_df_frac=0.04)
-        .withColumn("jaccard", F.round("jaccard", 6))
-        .orderBy("id_a", "id_b")
+    res = ngram_jaccard_pairs(d, n=2, threshold=0.2, max_df_frac=0.04)
+    return carry_caches(
+        res.withColumn("jaccard", F.round("jaccard", 6)).orderBy("id_a", "id_b"), res
     )
 
 
@@ -1111,13 +1113,14 @@ def knn_ivf_twolevel_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
     kc, kf = twolevel_shape(8)
-    return (
-        ivf_topk_twolevel(
-            e, q, k=5, n_clusters=8, n_probe_cells=kc, n_probe_lists=kf,
-            id_col="vec_id", vec_col="v", q_id_col="q_id", q_vec_col="qv",
-        )
-        .select("q_id", "vec_id", "rank", F.round("score", 4).alias("score"))
-        .orderBy("q_id", "rank")
+    res = ivf_topk_twolevel(
+        e, q, k=5, n_clusters=8, n_probe_cells=kc, n_probe_lists=kf,
+        id_col="vec_id", vec_col="v", q_id_col="q_id", q_vec_col="qv",
+    )
+    return carry_caches(
+        res.select("q_id", "vec_id", "rank", F.round("score", 4).alias("score"))
+        .orderBy("q_id", "rank"),
+        res,
     )
 
 
@@ -1135,19 +1138,21 @@ def ivf_twolevel_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     q = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
-    approx = ivf_topk_twolevel(
+    approx0 = ivf_topk_twolevel(
         e, q, k=5, n_clusters=8, n_probe_cells=2, n_probe_lists=2,
         id_col="vec_id", vec_col="v", q_id_col="q_id", q_vec_col="qv",
-    ).select("q_id", "vec_id")
-    exact = brute_force_topk(
+    )
+    approx = approx0.select("q_id", "vec_id")
+    exact0 = brute_force_topk(
         e, q, k=5, id_col="vec_id", vec_col="v", q_id_col="q_id", q_vec_col="qv"
-    ).select("q_id", "vec_id")
+    )
+    exact = exact0.select("q_id", "vec_id")
     hits = (
         exact.join(approx, ["q_id", "vec_id"], "left_semi")
         .groupBy("q_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    return (
+    out = (
         exact.select("q_id")
         .distinct()
         .join(hits, "q_id", "left")
@@ -1160,6 +1165,8 @@ def ivf_twolevel_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+    # carry both legs' persist scopes onto the returned frame (round 11)
+    return carry_caches(carry_caches(out, approx0), exact0)
 
 
 def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:

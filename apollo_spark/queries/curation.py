@@ -861,11 +861,8 @@ def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apollo_spark.ops.dedup import duplicated_spans
 
     d = _t(spark, sf_dir, "documents")
-    return (
-        duplicated_spans(d, w=8, min_count=2)
-        .filter(F.col("n_dup_windows") > 0)
-        .orderBy("doc_id")
-    )
+    res = duplicated_spans(d, w=8, min_count=2)
+    return carry_caches(res.filter(F.col("n_dup_windows") > 0).orderBy("doc_id"), res)
 
 
 ORACLE_SPAN_DEDUP = r"""

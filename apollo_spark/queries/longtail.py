@@ -796,10 +796,13 @@ def tfidf_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apollo_spark.ops.dedup import tfidf_cosine_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return (
-        tfidf_cosine_pairs(d, n=2, threshold=0.6, max_df=None)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-        .orderBy("id_a", "id_b")
+    # carry_caches: keep the op's persist scope releasable (round 11 — the
+    # leaked `w` cache memoised the bench's second repeat)
+    res = tfidf_cosine_pairs(d, n=2, threshold=0.6, max_df=None)
+    return carry_caches(
+        res.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b"),
+        res,
     )
 
 
@@ -848,10 +851,11 @@ def tfidf_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apollo_spark.ops.dedup import tfidf_cosine_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return (
-        tfidf_cosine_pairs(d, n=2, threshold=0.6, max_df=None, max_df_frac=0.04)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-        .orderBy("id_a", "id_b")
+    res = tfidf_cosine_pairs(d, n=2, threshold=0.6, max_df=None, max_df_frac=0.04)
+    return carry_caches(
+        res.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b"),
+        res,
     )
 
 

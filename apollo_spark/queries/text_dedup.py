@@ -681,10 +681,11 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (which dominate O(n^2)) almost never reach the verify stage —
     that's the property that keeps this runnable at corpus scale."""
     d = _t(spark, sf_dir, "documents")
-    return (
-        minhash_lsh_pairs(d, n=3, num_hashes=64, bands=8, threshold=0.6)
-        .withColumn("jaccard", F.round("jaccard", 6))
-        .orderBy("id_a", "id_b")
+    # carry_caches: keep the op's persist scope releasable (round 11 — the
+    # leaked shingle-base/signature caches memoised the bench's 2nd repeat)
+    res = minhash_lsh_pairs(d, n=3, num_hashes=64, bands=8, threshold=0.6)
+    return carry_caches(
+        res.withColumn("jaccard", F.round("jaccard", 6)).orderBy("id_a", "id_b"), res
     )
 
 
@@ -697,10 +698,9 @@ def minhash_portable_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apollo_spark.ops.dedup import minhash_portable_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return (
-        minhash_portable_pairs(d, n=3, num_hashes=32, bands=16, threshold=0.5)
-        .withColumn("jaccard", F.round("jaccard", 6))
-        .orderBy("id_a", "id_b")
+    res = minhash_portable_pairs(d, n=3, num_hashes=32, bands=16, threshold=0.5)
+    return carry_caches(
+        res.withColumn("jaccard", F.round("jaccard", 6)).orderBy("id_a", "id_b"), res
     )
 
 
@@ -771,12 +771,11 @@ def minhash_estimate_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apollo_spark.ops.dedup import minhash_portable_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return (
-        minhash_portable_pairs(
-            d, n=3, num_hashes=64, bands=32, threshold=0.4, verify="estimate"
-        )
-        .withColumn("jaccard", F.round("jaccard", 6))
-        .orderBy("id_a", "id_b")
+    res = minhash_portable_pairs(
+        d, n=3, num_hashes=64, bands=32, threshold=0.4, verify="estimate"
+    )
+    return carry_caches(
+        res.withColumn("jaccard", F.round("jaccard", 6)).orderBy("id_a", "id_b"), res
     )
 
 
@@ -810,10 +809,9 @@ def minhash_autotuned_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle this query is gated against.
     if (cfg["num_hashes"], cfg["bands"], cfg["rows"]) != (256, 128, 2):
         raise ValueError(f"autotuned geometry drifted from the gated 256/128/2: {cfg}")
-    return (
-        minhash_autotuned_pairs(d, threshold=0.2, config=cfg)
-        .withColumn("jaccard", F.round("jaccard", 6))
-        .orderBy("id_a", "id_b")
+    res = minhash_autotuned_pairs(d, threshold=0.2, config=cfg)
+    return carry_caches(
+        res.withColumn("jaccard", F.round("jaccard", 6)).orderBy("id_a", "id_b"), res
     )
 
 
@@ -831,7 +829,8 @@ def simhash_portable_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apollo_spark.ops.dedup import simhash_portable_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_portable_pairs(d, n=2, max_hamming=3).orderBy("id_a", "id_b")
+    res = simhash_portable_pairs(d, n=2, max_hamming=3)
+    return carry_caches(res.orderBy("id_a", "id_b"), res)
 
 
 def _simhash_portable_oracle(n: int = 2, max_hamming: int = 3) -> str:

@@ -20,6 +20,32 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
+def _host_probe() -> dict[str, float]:
+    """Tag the measurement window (round-10 root cause: co-tenant MEMORY
+    BANDWIDTH collapse that CPU/steal metrics never show). cpu_loop_s is a
+    cache-resident interpreter loop (stable ~0.5 s on this host regardless
+    of window); copy_gbps is a 200 MB numpy copy — >= 4 GB/s quiet,
+    1-4 GB/s usable with min-of-N, < 1 GB/s walls are ambient-dominated.
+    Same probe as scripts/host_window.py; emitted in the one-line JSON so
+    every permanent bench record self-adjudicates its window."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    cpu_s = time.perf_counter() - t0
+    try:
+        import numpy as np
+
+        a = np.zeros(200_000_000 // 8, dtype=np.int64)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            a.copy()
+        bw = 5 * 2 * a.nbytes / (time.perf_counter() - t0) / 1e9
+    except Exception:  # numpy must never abort a bench run
+        bw = -1.0
+    return {"cpu_loop_s": round(cpu_s, 2), "copy_gbps": round(bw, 2)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from apollo_spark.queries import QUERIES
@@ -31,16 +57,17 @@ def main() -> None:
     # instead of re-paying the edge shuffle + CC rounds three times. Fresh
     # tmpdir per run — a stale artifact can never mask a code change.
     # Honor an explicit APOLLO_SPARK_ARTIFACT_DIR for debugging.
+    art_base: str | None = None
     if "APOLLO_SPARK_ARTIFACT_DIR" not in os.environ:
         import atexit
         import shutil
         import tempfile
 
-        art_dir = tempfile.mkdtemp(prefix="apollo_bench_art_")
-        os.environ["APOLLO_SPARK_ARTIFACT_DIR"] = art_dir
+        art_base = tempfile.mkdtemp(prefix="apollo_bench_art_")
+        os.environ["APOLLO_SPARK_ARTIFACT_DIR"] = art_base
         # per-doc prediction/component snapshots are not small; without
         # cleanup every bench run leaks a full artifact set into /tmp
-        atexit.register(shutil.rmtree, art_dir, ignore_errors=True)
+        atexit.register(shutil.rmtree, art_base, ignore_errors=True)
 
     spark = get_spark("apollo_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -75,11 +102,25 @@ def main() -> None:
         repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2").strip()))
     except ValueError:
         repeats = 2  # a bad env var must not abort the run pre-first-query
+    probe_pre = _host_probe()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
         best, n = None, 0
-        for _ in range(repeats):
+        for rep in range(repeats):
+            # Round-10 verdict: min-of-repeats over ONE shared artifact dir
+            # timed the memoised READ for artifact-routed queries (repeat 1
+            # builds the table, repeat 2 reads it, min() keeps the read) —
+            # the training cost then appeared in NO query's number. One
+            # artifact namespace PER REPEAT keeps the production
+            # build-once/consume-everywhere sharing ACROSS queries (the
+            # first consumer builds, later consumers read the snapshot)
+            # while making every repeat of a given query do the same work,
+            # so min-of-repeats is again a statistic of one computation.
+            if art_base is not None:
+                os.environ["APOLLO_SPARK_ARTIFACT_DIR"] = os.path.join(
+                    art_base, f"rep{rep}"
+                )
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
@@ -100,6 +141,23 @@ def main() -> None:
 
             release_caches(df)
             del df
+            # Belt-and-braces repeat isolation (round 11): a query wrapper
+            # that post-processes an op's output without carry_caches
+            # loses the scope attribute, release_caches() then frees
+            # nothing, and — because Spark's CacheManager substitutes any
+            # plan EQUAL to a cached one — repeat 2 of the same query
+            # silently reused repeat 1's leaked caches, so min-of-repeats
+            # timed a partially-memoised run (same distortion class as the
+            # artifact-dir issue above). The wrappers are fixed, but the
+            # harness must not depend on every future op getting this
+            # right: clear the cache between repeats, off the timed path.
+            spark.catalog.clearCache()
+            for t in spark.catalog.listTables():
+                if t.isTemporary and t.name.startswith("__apollo_w_"):
+                    try:
+                        spark.catalog.dropTempView(t.name)
+                    except Exception:
+                        pass  # concurrent drop — nothing to leak
         # shuffle files / localCheckpoint blocks of a finished query are only
         # reclaimed after a JVM GC proves the RDDs unreachable; on one shared
         # disk the whale queries' spill (tens of GB at sf1) must not coexist
@@ -120,6 +178,7 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    probe_post = _host_probe()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # cpus must record the parallelism the run ACTUALLY had: SPARK_GRAFT_CPUS
@@ -154,6 +213,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
         "repeats": repeats,
+        "host_probe_pre": probe_pre,
+        "host_probe_post": probe_post,
     }
     try:
         (repo / full_name).write_text(json.dumps(full_record, indent=1) + "\n")
@@ -170,6 +231,10 @@ def main() -> None:
         "error_names": sorted(errors)[:8],
         "sf": full_record["sf"],
         "cpus": cpus,
+        # window tag: copy_gbps >= 4 quiet / < 1 ambient-dominated (the
+        # round-10 adjudication key — see _host_probe)
+        "probe_pre_gbps": probe_pre["copy_gbps"],
+        "probe_post_gbps": probe_post["copy_gbps"],
         "full": full_name,
     }
     line = json.dumps(compact)

@@ -32,7 +32,8 @@ def main() -> None:
             n = df.count()
             dt = time.perf_counter() - t0
             jobs = st.getJobIdsForGroup(g)
-            stages = sum(len(st.getJobInfo(j).stageIds) for j in jobs if st.getJobInfo(j))
+            infos = [st.getJobInfo(j) for j in jobs]
+            stages = sum(len(info.stageIds) for info in infos if info)
             release_caches(df)
             print(f"{name} rep{rep}: {dt:.2f}s jobs={len(jobs)} stages={stages} rows={n}", flush=True)
     spark.stop()

@@ -1,11 +1,11 @@
-"""Dump .explain("formatted") for named registry queries to plans/r10/.
+"""Dump .explain("formatted") for named registry queries to plans/r11/.
 
 Usage:
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
         python scripts/dump_plans.py before q1 q2 ...
     python scripts/dump_plans.py after q1 q2 ...
 
-Writes plans/r10/<query>_<tag>.txt. The judge reads these files to check
+Writes plans/r11/<query>_<tag>.txt. The judge reads these files to check
 plan claims (Exchange counts, join strategies, PushedFilters) against the
 code, so the dump is the raw formatted plan, unedited.
 """
@@ -25,7 +25,7 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r10"
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r11"
     out_dir.mkdir(parents=True, exist_ok=True)
 
     from apollo_spark.ops.cache import release_caches
@@ -44,7 +44,7 @@ def main() -> None:
         )
         (out_dir / f"{name}_{tag}.txt").write_text(plan)
         release_caches(df)
-        print(f"wrote plans/r10/{name}_{tag}.txt ({plan.count(chr(10))} lines)")
+        print(f"wrote plans/r11/{name}_{tag}.txt ({plan.count(chr(10))} lines)")
     spark.stop()
 
 

@@ -40,6 +40,28 @@ def test_sql_over_preserves_persisted_input(spark):
         sig.unpersist()
 
 
+def test_release_caches_drops_kept_views(spark):
+    """Views kept over persisted frames must be dropped when the cache
+    itself is released (round-10 verdict minor #6: release_caches left one
+    uuid catalog entry per persisted-frame sql_over in a long session)."""
+    from apollo_spark.ops.cache import release_caches, scoped_persist
+
+    before = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    base = spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("k"))
+    sig = sql_over(base, "SELECT k, min(id) AS m0 FROM {v} GROUP BY k").persist()
+    derived = sql_over(sig, "SELECT k, m0 + 1 AS b FROM {v}")
+    out = scoped_persist(derived, sig)
+    assert out.count() == 5  # terminal action
+    mid = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    assert {n for n in mid - before if n.startswith("__apollo_w_")}, (
+        "expected the view over the persisted frame to be kept while cached"
+    )
+    release_caches(out)
+    after = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    leaked = {n for n in after - before if n.startswith("__apollo_w_")}
+    assert leaked == set(), leaked
+
+
 def test_sql_over_drops_view_for_unpersisted_input(spark):
     before = {t.name for t in spark.catalog.listTables() if t.isTemporary}
     out = sql_over(
