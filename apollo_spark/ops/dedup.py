@@ -718,6 +718,19 @@ def _tfidf_dot_agg(w: DataFrame):
     )
     ss, cc = row["ss"], row["cc"]
     safe = ss is not None and (ss * 1e6 + cc) * 2.0 < float(1 << 62)
+    # the long-sum/decimal switch is invisible at runtime (results proven
+    # identical) — log the choice and the bound so a boundary-crossing
+    # corpus is diagnosable (round-10 ADVICE)
+    import logging
+
+    logging.getLogger(__name__).debug(
+        "tfidf dot agg path=%s ss=%s cc=%s bound=%.3e limit=%.3e",
+        "unscaled-long" if safe else "decimal(38,6)",
+        ss,
+        cc,
+        ((ss or 0.0) * 1e6 + (cc or 0.0)) * 2.0,
+        float(1 << 62),
+    )
     if not safe:
         return lambda prod: F.sum(prod.cast("decimal(38,6)")).cast("double").alias("dot")
     micro = F.lit(Decimal("0.000001"))
@@ -809,11 +822,24 @@ def tfidf_cosine_pairs(
             "id",
             "term",
             (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias("w"),
+            # df rides along (one long per row) so the join branches below
+            # can prune singleton terms without a second vocabulary pass
+            "df",
         )
     )
     # both self-join branches and the norm aggregate consume w: persist so
     # the scan->explode->tf->df chain runs once, not three times
     w = w.persist()
+    # Lossless singleton prune (guide §2.3 — shuffle fewer bytes): a term
+    # with df == 1 appears in exactly one document, so it can never be
+    # SHARED by a pair — it contributes to norms only. Every join branch
+    # below (lossless self-join, capped candidate index, exact re-score)
+    # may therefore drop df == 1 rows before the exchange: the joined
+    # multiset of shared-term products — and hence every DECIMAL(38,6)
+    # dot — is bit-identical. Norms keep the full w. On natural-language
+    # bigram vocabularies singletons are the majority of postings
+    # (hapax-legomena mass), so this halves-or-better the self-join input.
+    wj = w.filter(F.col("df") >= 2).select("id", "term", "w")
     # norms over the FULL term set — pruning applies to CANDIDATE GENERATION
     # only (every candidate pair re-scores exactly over full vectors below),
     # so the capped pair set is a subset of lossless with bit-identical
@@ -830,10 +856,10 @@ def tfidf_cosine_pairs(
         # `stats` (1-row n_docs over tf) already exists for idf — reuse it
         # rather than re-running the tokenize->explode->tf chain
         hot = dfreq.crossJoin(F.broadcast(stats)).filter(F.col("df") > cutoff).select("term")
-        idx = w.join(F.broadcast(hot), "term", "left_anti")
+        idx = wj.join(F.broadcast(hot), "term", "left_anti")
     elif max_df is not None:
         hot = dfreq.filter(F.col("df") > int(max_df)).select("term")
-        idx = w.join(F.broadcast(hot), "term", "left_anti")
+        idx = wj.join(F.broadcast(hot), "term", "left_anti")
     else:
         idx = None
     # The pair-cardinality dot SUM is the measured whale of this op: a
@@ -849,10 +875,13 @@ def tfidf_cosine_pairs(
     # margin); corpora that exceed the bound keep the exact decimal path.
     dot_agg = _tfidf_dot_agg(w)
     if idx is None:
-        # lossless: full inverted-index self-join — the certification config
+        # lossless: full inverted-index self-join — the certification config.
+        # Both sides read the singleton-pruned wj (see above): df==1 terms
+        # join with nothing, so dropping them before the exchange changes
+        # no product and no emitted dot — only the shuffled/joined bytes.
         dots = (
-            w.alias("a")
-            .join(w.alias("b"), (F.col("a.term") == F.col("b.term")) & (F.col("a.id") < F.col("b.id")))
+            wj.alias("a")
+            .join(wj.alias("b"), (F.col("a.term") == F.col("b.term")) & (F.col("a.id") < F.col("b.id")))
             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .agg(dot_agg(F.col("a.w") * F.col("b.w")))
         )
@@ -879,12 +908,16 @@ def tfidf_cosine_pairs(
         # interpreted aggregate-over-map-entries lambda (plus two full maps
         # shipped per candidate) was the #1 line of the round-10 bench
         # (tfidf_capped_pairs 6.9 s vs the lossless twin's 1.2 s at sf0.1).
+        # both re-score sides read the singleton-pruned wj: a term shared
+        # by a pair has df >= 2 by definition, so the kept (term-in-both)
+        # product multiset — and the exact dot — is unchanged, while the
+        # id_a fan-out drops every hapax posting before it is built.
         dots = (
             cand.join(
-                w.select(F.col("id").alias("id_a"), "term", F.col("w").alias("wa")), "id_a"
+                wj.select(F.col("id").alias("id_a"), "term", F.col("w").alias("wa")), "id_a"
             )
             .join(
-                w.select(F.col("id").alias("id_b"), "term", F.col("w").alias("wb")),
+                wj.select(F.col("id").alias("id_b"), "term", F.col("w").alias("wb")),
                 ["id_b", "term"],
             )
             .groupBy("id_a", "id_b")
@@ -1810,36 +1843,69 @@ def _portable_sig_arrow(hashed: DataFrame, num_hashes: int, with_fp: bool = Fals
             np.arange(1, _EST_SLOTS + 1, dtype=np.uint64) * np.uint64(_SM_GOLD)
         )
 
+    # Tile size for the slot matrices (round 11). A 10k-row batch's slot
+    # matrix is rows x num_hashes x 8 B ~ 25 MB plus same-sized temporaries
+    # — DRAM-resident. This HOST (and any co-tenant VM like it) collapses
+    # under many concurrent DRAM-streaming workers: the measured aggregate
+    # throughput of exactly this computation was 490k rows/s at 8 procs but
+    # 51k at 32 procs (per-proc 61k -> 1.6k — the round-10 'inverse
+    # scaling' of the minhash whales, root-caused this round). Tiling to
+    # 512 rows (~1.3 MB per buffer at the widest 320-slot geometry, L2-
+    # resident) with preallocated in-place buffers measured 7.8M rows/s
+    # aggregate at 32 procs — 153x — and restores positive 8->32 scaling.
+    # Bit-exactness: identical int64/uint64 arithmetic, same op order,
+    # in-place ops equal out-of-place; a doc spanning tiles emits one
+    # partial-min row per tile, which the final GROUP BY re-mins exactly
+    # (the same contract that already covered batch boundaries).
+    tile = 512
+
     def gen(batches):
+        nb_ = num_hashes
+        band_buf = np.empty((tile, nb_), dtype=np.int64)
+        band_tmp = np.empty((tile, nb_), dtype=np.int64)
+        if with_fp:
+            z_buf = np.empty((tile, _EST_SLOTS), dtype=np.uint64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             h = pdf["h"].to_numpy(dtype=np.int64)
-            hi = h >> np.int64(30)
-            lo = h & np.int64(_LO30)
-            slots = (hi[:, None] * A + lo[:, None] * B + C) % np.int64(MH_PRIME)
-            if with_fp:
-                z = h.astype(np.uint64)[:, None] + salts
-                z ^= z >> np.uint64(30)
-                z *= np.uint64(_SM_M1)
-                z ^= z >> np.uint64(27)
-                z *= np.uint64(_SM_M2)
-                z ^= z >> np.uint64(31)
-                # mask to 63 bits: numpy's per-batch uint64 min and the
-                # JVM's signed cross-batch min must order identically
-                z >>= np.uint64(1)
-                slots = np.concatenate([slots, z.view(np.int64)], axis=1)
-            # per-batch partial min per id-RUN via one reduceat pass —
-            # explode keeps a doc's postings contiguous, so runs == docs
-            # here; a non-contiguous id would merely emit one partial row
-            # per run, which the final GROUP BY re-combines exactly (the
-            # round-10 pandas groupby.min this replaces measured ~28 ms
-            # per 10k-row batch vs ~19 ms, and dominated worker cold-start)
             idv = pdf["id"].to_numpy()
-            starts = np.nonzero(np.r_[True, idv[1:] != idv[:-1]])[0]
-            mins = np.minimum.reduceat(slots, starts, axis=0)
-            out = pd.DataFrame(mins, columns=cols + ecols, copy=False)
-            out.insert(0, "id", idv[starts])
+            out_ids, out_mins = [], []
+            for s in range(0, len(h), tile):
+                hh = h[s : s + tile]
+                ii = idv[s : s + tile]
+                n = len(hh)
+                b, t = band_buf[:n], band_tmp[:n]
+                np.multiply((hh >> np.int64(30))[:, None], A, out=b)
+                np.multiply((hh & np.int64(_LO30))[:, None], B, out=t)
+                b += t
+                b += C
+                b %= np.int64(MH_PRIME)
+                # per-tile partial min per id-RUN via one reduceat pass —
+                # explode keeps a doc's postings contiguous, so runs ==
+                # docs-in-tile; the final GROUP BY re-combines partials
+                starts = np.nonzero(np.r_[True, ii[1:] != ii[:-1]])[0]
+                mins = np.minimum.reduceat(b, starts, axis=0)
+                if with_fp:
+                    z = z_buf[:n]
+                    np.add(hh.astype(np.uint64)[:, None], salts, out=z)
+                    z ^= z >> np.uint64(30)
+                    z *= np.uint64(_SM_M1)
+                    z ^= z >> np.uint64(27)
+                    z *= np.uint64(_SM_M2)
+                    z ^= z >> np.uint64(31)
+                    # mask to 63 bits: numpy's per-tile uint64 min and the
+                    # JVM's signed cross-tile min must order identically
+                    z >>= np.uint64(1)
+                    emins = np.minimum.reduceat(z.view(np.int64), starts, axis=0)
+                    mins = np.concatenate([mins, emins], axis=1)
+                out_ids.append(ii[starts])
+                out_mins.append(mins)
+            # reduceat/concatenate outputs are fresh arrays (never views of
+            # the reused tile buffers), so the frame can wrap them copy-free
+            allm = out_mins[0] if len(out_mins) == 1 else np.concatenate(out_mins)
+            out = pd.DataFrame(allm, columns=cols + ecols, copy=False)
+            out.insert(0, "id", np.concatenate(out_ids))
             yield out
 
     partial = hashed.mapInPandas(gen, schema=schema)

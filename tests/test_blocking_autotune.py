@@ -208,6 +208,52 @@ def test_sig_arrow_bit_parity(spark):
         assert jvm.exceptAll(arrow).count() == 0
 
 
+def test_sig_arrow_tile_boundary_parity(spark):
+    """Round 11: the Arrow pass computes slots in 512-row L2-resident tiles
+    (the 32-proc DRAM-collapse fix); a doc whose postings SPAN tile
+    boundaries emits one partial-min row per tile, and the final GROUP BY
+    must recombine them to the exact JVM values — pinned here with a
+    ~1500-posting doc (3 tiles) on both the plain and with_fp paths."""
+    from apollo_spark.ops.dedup import (
+        _LO30,
+        MH_PRIME,
+        _mh_consts,
+        _portable_sig_arrow,
+        _shingle_base,
+    )
+    from apollo_spark.ops.sketch import portable_hash60
+
+    big = " ".join(f"w{i}" for i in range(1500))  # ~1498 distinct 3-shingles
+    rows = [(0, big)] + [
+        (i, f"alpha beta gamma doc {i} with words {i % 7}") for i in range(1, 8)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    base = _shingle_base(d, "doc_id", "text", 3, None)
+    hashed = base.select("id", F.explode("sh").alias("s")).select(
+        "id", portable_hash60(F.col("s")).alias("h")
+    )
+    K = 64
+    arrow = _portable_sig_arrow(hashed, K)
+    hi = F.shiftright(F.col("h"), 30)
+    lo = F.col("h").bitwiseAND(F.lit(_LO30))
+    aggs = []
+    for i in range(K):
+        a, b, c = _mh_consts(i)
+        aggs.append(
+            F.min((hi * F.lit(a) + lo * F.lit(b) + F.lit(c)) % F.lit(MH_PRIME)).alias(f"m{i}")
+        )
+    jvm = hashed.groupBy("id").agg(*aggs)
+    assert arrow.exceptAll(jvm).count() == 0
+    assert jvm.exceptAll(arrow).count() == 0
+    # with_fp path: fingerprints must also recombine across tiles — compare
+    # against themselves computed with postings split across MANY batches
+    # (repartition forces different tile/batch boundaries)
+    fp1 = _portable_sig_arrow(hashed, K, with_fp=True).select("id", "fparr")
+    fp2 = _portable_sig_arrow(hashed.repartition(7), K, with_fp=True).select("id", "fparr")
+    assert fp1.exceptAll(fp2).count() == 0
+    assert fp2.exceptAll(fp1).count() == 0
+
+
 def test_estimate_verify_equals_full(spark):
     """The estimate+rescore-sliver verify emits EXACTLY the full verify's
     pairs (same ids, same exact jaccard values) — estimation only prunes,
